@@ -1,0 +1,98 @@
+"""Unit tests for the VRL-subset expression compiler.
+
+Covers the condition forms the reference documents/uses
+(config_panel.rs:1548-1599, config/demo.toml:16-21,
+dev/configs/production/vector.toml:24-39).
+"""
+
+import pyarrow as pa
+import pytest
+
+from vector_ray.vrl import VrlError, compile_expr, compile_predicate
+
+TBL = pa.table(
+    {
+        "level": ["error", "info", "warn", "error", None],
+        "status": [500, 200, 301, 404, None],
+        "status_str": ["500", "200", "abc", "404", None],
+        "message": [
+            "disk ERROR on /dev/sda",
+            "user login ok",
+            "latency warning",
+            "FATAL: oom",
+            None,
+        ],
+        "n": [1, 2, 3, 4, 5],
+    }
+)
+
+
+def mask(cond):
+    return compile_predicate(cond)(TBL).to_pylist()
+
+
+def test_eq():
+    assert mask('.level == "error"') == [True, False, False, True, False]
+
+
+def test_ne():
+    assert mask('.level != "error"') == [False, True, True, False, False]
+
+
+def test_ge():
+    assert mask(".status >= 400") == [True, False, False, True, False]
+
+
+def test_exists():
+    assert mask("exists(.level)") == [True, True, True, True, False]
+    assert mask("exists(.nope)") == [False] * 5
+
+
+def test_contains():
+    assert mask('contains(string!(.message), "ERROR")') == [
+        True, False, False, False, False]
+
+
+def test_match_regex():
+    assert mask(".level == \"error\" || match(.message, r'ERROR|FATAL')") == [
+        True, False, False, True, False]
+
+
+def test_and_or_not():
+    assert mask('.level == "error" && .status == 500') == [
+        True, False, False, False, False]
+    assert mask('!(.level == "error")') == [False, True, True, False, False]
+
+
+def test_coalesce_to_int():
+    # to_int(.status_str) ?? 200 — "abc" and null fall back to 200
+    vals = compile_expr("to_int(.status_str) ?? 200")(TBL).to_pylist()
+    assert vals == [500, 200, 200, 404, 200]
+
+
+def test_arith_and_mod():
+    assert mask(".n % 2 == 0") == [False, True, False, True, False]
+    assert compile_expr(".n * 10 + 1")(TBL).to_pylist() == [11, 21, 31, 41, 51]
+
+
+def test_string_numeric_comparison_coercion():
+    # VRL-ish: string column compared to number literal
+    assert mask('.status_str == 500') == [True, False, False, False, False]
+
+
+def test_length_upcase():
+    assert compile_expr("length(.level)")(TBL).to_pylist() == [5, 4, 4, 5, None]
+    assert compile_expr("upcase(.level)")(TBL).to_pylist()[0] == "ERROR"
+
+
+def test_missing_column_is_null_safe():
+    assert mask('.ghost == "x"') == [False] * 5
+
+
+def test_bad_syntax_raises():
+    with pytest.raises(VrlError):
+        compile_expr(".a ==")
+    with pytest.raises(VrlError):
+        compile_expr("unknownfn(.a)")
+    with pytest.raises(VrlError):
+        compile_expr(".a @@ 3")

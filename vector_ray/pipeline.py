@@ -1,0 +1,190 @@
+"""Pipeline spec → Ray Data DAG compiler and runner.
+
+The spec shape mirrors the reference's ``PipelineConfig`` — three
+string-keyed maps ``sources`` / ``transforms`` / ``sinks``, components as
+``{"type": ..., **options}`` with transforms/sinks adding ``inputs``
+(shared/src/config.rs:12-127). Multi-output routing uses the
+``"node.port"`` input syntax — the ``Connection.from_port`` analog
+(config.rs:224-231). Multiple ``inputs`` union their streams
+(validation/mod.rs:475-490 → ``Dataset.union``).
+
+Compilation is topological; each node becomes one lazy ``Dataset``.
+Nodes consumed by more than one downstream edge are materialized once
+(pinned blocks in the object store) so the shared prefix is not
+re-executed per consumer — for all-Parquet route fan-out at scale,
+prefer the single-pass partitioned write in
+``vector_ray.pipelines.flagship`` instead (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from vector_ray.sinks import SINKS, SinkResult
+from vector_ray.sources import SOURCES
+from vector_ray.stages import TRANSFORMS
+from vector_ray.stages.core import route_port
+from vector_ray.validate import ValidationError, validate_spec
+
+KNOWN_TYPES = set(SOURCES) | set(TRANSFORMS) | set(SINKS)
+
+
+@dataclass
+class PipelineSpec:
+    sources: dict[str, dict] = field(default_factory=dict)
+    transforms: dict[str, dict] = field(default_factory=dict)
+    sinks: dict[str, dict] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineSpec":
+        return cls(
+            sources=dict(d.get("sources") or {}),
+            transforms=dict(d.get("transforms") or {}),
+            sinks=dict(d.get("sinks") or {}),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "sources": self.sources,
+            "transforms": self.transforms,
+            "sinks": self.sinks,
+        }
+
+
+@dataclass
+class PipelineContext:
+    metrics: Any = None  # MetricsHub actor handle or None
+    objects: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class RunResult:
+    sinks: dict[str, SinkResult]
+    metrics: dict | None = None
+
+
+def _as_spec(spec) -> PipelineSpec:
+    if isinstance(spec, PipelineSpec):
+        return spec
+    return PipelineSpec.from_dict(spec)
+
+
+def _topo_order(spec: PipelineSpec) -> list[str]:
+    """Kahn's algorithm over transform nodes (sources have no inputs)."""
+    deps: dict[str, set[str]] = {}
+    for name, cfg in spec.transforms.items():
+        deps[name] = {
+            ref.split(".", 1)[0]
+            for ref in (cfg.get("inputs") or [])
+            if ref.split(".", 1)[0] in spec.transforms
+        }
+    order, ready = [], [n for n, d in deps.items() if not d]
+    remaining = {n: set(d) for n, d in deps.items() if d}
+    while ready:
+        n = ready.pop()
+        order.append(n)
+        for m in list(remaining):
+            remaining[m].discard(n)
+            if not remaining[m]:
+                ready.append(m)
+                del remaining[m]
+    if remaining:
+        raise ValueError(f"cycle among transforms: {sorted(remaining)}")
+    return order
+
+
+def build_pipeline(spec, ctx: PipelineContext | None = None) -> dict[str, Any]:
+    """Compile the spec into {node_name: Dataset}. Lazy — nothing executes
+    until a sink consumes."""
+    spec = _as_spec(spec)
+    ctx = ctx or PipelineContext()
+    result = validate_spec(spec.to_dict(), known_types=KNOWN_TYPES)
+    if not result.ok:
+        raise ValidationError(result)
+
+    # consumer fan-out count per upstream node (materialize shared nodes)
+    consumers: dict[str, int] = {}
+    for cfg in list(spec.transforms.values()) + list(spec.sinks.values()):
+        for ref in cfg.get("inputs") or []:
+            consumers[ref.split(".", 1)[0]] = (
+                consumers.get(ref.split(".", 1)[0], 0) + 1
+            )
+
+    node_ds: dict[str, Any] = {}
+
+    def resolve(ref: str):
+        base, _, port = ref.partition(".")
+        ds = node_ds[base]
+        if port:
+            return route_port(ds, port)
+        return ds
+
+    def gather(cfg: dict):
+        inputs = cfg.get("inputs") or []
+        parts = [resolve(r) for r in inputs]
+        ds = parts[0]
+        if len(parts) > 1:
+            ds = ds.union(*parts[1:])
+        return ds
+
+    for name, cfg in spec.sources.items():
+        ds = SOURCES[cfg["type"]]({k: v for k, v in cfg.items() if k != "type"}, ctx)
+        if consumers.get(name, 0) > 1:
+            ds = ds.materialize()
+        node_ds[name] = ds
+
+    for name in _topo_order(spec):
+        cfg = spec.transforms[name]
+        options = {k: v for k, v in cfg.items() if k not in ("type", "inputs")}
+        ds = TRANSFORMS[cfg["type"]](gather(cfg), options, ctx)
+        if ctx.metrics is not None:
+            from vector_ray.state.metrics import instrument
+
+            ds = instrument(ds, name, ctx.metrics)
+        if consumers.get(name, 0) > 1:
+            ds = ds.materialize()
+        node_ds[name] = ds
+
+    return node_ds
+
+
+def run_pipeline(spec, ctx: PipelineContext | None = None) -> RunResult:
+    """Build and execute: consume every sink, return per-sink results and
+    (when a MetricsHub is attached) the per-component metrics snapshot —
+    the functional-test execution contract (inject → run → capture →
+    count, reference functional_test.rs:114-197)."""
+    import ray
+
+    spec = _as_spec(spec)
+    ctx = ctx or PipelineContext()
+    node_ds = build_pipeline(spec, ctx)
+
+    sink_results: dict[str, SinkResult] = {}
+    for name, cfg in spec.sinks.items():
+        inputs = cfg.get("inputs") or []
+        parts = []
+        for ref in inputs:
+            base, _, port = ref.partition(".")
+            ds = node_ds[base]
+            parts.append(route_port(ds, port) if port else ds)
+        ds = parts[0]
+        if len(parts) > 1:
+            ds = ds.union(*parts[1:])
+        options = {k: v for k, v in cfg.items() if k not in ("type", "inputs")}
+        sink_results[name] = SINKS[cfg["type"]](ds, options, ctx)
+
+    metrics = None
+    if ctx.metrics is not None:
+        # stage fns report fire-and-forget; wait for the hub's view to
+        # settle (two consecutive identical snapshots) before reading
+        import time
+
+        metrics = ray.get(ctx.metrics.snapshot.remote())
+        for _ in range(20):
+            time.sleep(0.05)
+            again = ray.get(ctx.metrics.snapshot.remote())
+            if again == metrics:
+                break
+            metrics = again
+    return RunResult(sinks=sink_results, metrics=metrics)

@@ -1,0 +1,286 @@
+"""Flagship pipeline: parse → enrich → route → aggregate over Parquet
+shards of pre-tokenized training sequences (the BASELINE.json north
+star).
+
+Stages, all Ray-Data-native:
+
+1. **parse** — vectorized kv/grok parse of the syslog-ish ``message``
+   column (`remap` analog): one compiled regex pass per requested key
+   via ``pc.extract_regex``; no Python per row.
+2. **enrich** — actor-pool lookup join on ``source`` against a broadcast
+   enrichment table (``ray.put`` once; fetched once per actor in
+   ``__init__``) — Vector's ``enrichment_tables`` analog.
+3. **route** — one computed ``__route`` label column (first-match-wins
+   VRL conditions), then a SINGLE-PASS partitioned Parquet write
+   (``partition_cols=["__route"]``) so N sinks do not mean N passes.
+4. **aggregate** — per-sink per-source counts (rows, tokens): two-phase
+   (per-batch ``pa.Table.group_by`` partials → tiny global groupby), the
+   skew-safe plan for the zipf ``source`` distribution.
+
+Scale design: the input file list is split into partition groups; each
+group runs the whole pipeline and commits an atomic output dir + a
+checkpoint marker with lineage + metrics (vector_ray.state.checkpoint).
+A resumed run skips completed groups — nothing is reprocessed. Within a
+group, Ray Data streams blocks with backpressure; nothing materializes
+the full input.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from vector_ray.stages.core import ROUTE_COLUMN, compile_route_label
+
+# hive partition dirs must not start with "_" (pyarrow dataset discovery
+# ignores "_"/"." prefixes), so the flagship uses a plain column name
+SINK_COLUMN = "route"
+from vector_ray.stages.enrich import Enricher
+from vector_ray.stages.grouped import compile_partial_agg
+from vector_ray.state.checkpoint import CheckpointStore
+
+PARSE_KEYS = {"level": None, "status": "int", "latency_ms": "int"}
+
+DEFAULT_ROUTES = {
+    # first-match-wins, mirroring Vector route semantics
+    "errors": '.level == "error" || .status >= 500',
+    "lowq": ".quality_weight < 0.6",
+    "bulk": ".n_tok >= 512",
+}
+
+READ_COLUMNS = ["doc_id", "tokens", "n_tok", "source", "message"]
+
+
+@dataclass
+class FlagshipConfig:
+    routes: dict[str, str] = field(default_factory=lambda: dict(DEFAULT_ROUTES))
+    parse_field: str = "message"
+    group_key: str = "source"
+    enrich_concurrency: int = 4
+    batch_size: int | None = None  # None = per-block batches (zero-copy)
+    num_groups: int | None = None  # checkpoint partition groups
+
+
+def _parse_batch(t: pa.Table, parse_field: str) -> pa.Table:
+    col = t[parse_field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for key, typ in PARSE_KEYS.items():
+        pat = rf"(?:^|[ ,]){key}=(?P<v>[^\s,]+)"
+        vals = pc.struct_field(pc.extract_regex(col, pattern=pat), "v")
+        if typ == "int":
+            vals = pc.cast(vals, pa.int64())
+        t = t.append_column(key, vals)
+    return t
+
+
+def build_dataset(
+    files: list[str],
+    enrich_ref,
+    cfg: FlagshipConfig,
+) -> "rd.Dataset":
+    """The lazy parse→enrich→route-label dataset for a set of shards."""
+    label = compile_route_label({"route": cfg.routes})
+    parse_field = cfg.parse_field
+
+    def parse(t: pa.Table) -> pa.Table:
+        return _parse_batch(t, parse_field)
+
+    ds = rd.read_parquet(files, columns=READ_COLUMNS)
+    ds = ds.map_batches(parse, batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(
+        Enricher,
+        fn_constructor_kwargs=dict(table_ref=enrich_ref, key=cfg.group_key),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        # autoscaling pool (min 1): a fixed-size pool that reserves every
+        # CPU deadlocks the read/write stages on small clusters
+        concurrency=(1, cfg.enrich_concurrency),
+        num_cpus=1,
+    )
+    def label_and_rename(t: pa.Table) -> pa.Table:
+        t = label(t)
+        return t.rename_columns(
+            [SINK_COLUMN if c == ROUTE_COLUMN else c for c in t.column_names]
+        )
+
+    return ds.map_batches(
+        label_and_rename, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+
+
+AGGREGATES = {
+    "n_rows": {"fn": "count"},
+    "n_tokens": {"fn": "sum", "field": "n_tok", "int": True},
+}
+
+
+def _agg_partial_fn():
+    return compile_partial_agg([SINK_COLUMN, "source"], AGGREGATES)
+
+
+def _merge_agg_parts(parts_dir: str) -> pa.Table:
+    """Final phase of the two-phase aggregate: sum the per-group partials
+    (a driver-side reduce over a few KB per group)."""
+    tbl = pads.dataset(parts_dir, format="parquet").to_table()
+    g = tbl.group_by([SINK_COLUMN, "source"]).aggregate(
+        [("__p_n_rows", "sum"), ("__p_n_tokens", "sum")]
+    )
+    out = pa.table(
+        {
+            "sink": pc.cast(g[SINK_COLUMN], pa.string()),
+            "source": pc.cast(g["source"], pa.string()),
+            "n_rows": pc.cast(g["__p_n_rows_sum"], pa.int64()),
+            "n_tokens": pc.cast(g["__p_n_tokens_sum"], pa.int64()),
+        }
+    )
+    return out.sort_by([("sink", "ascending"), ("source", "ascending")])
+
+
+def _partition_groups(files: list[str], num_groups: int) -> list[list[str]]:
+    files = sorted(files)
+    num_groups = max(1, min(num_groups, len(files)))
+    per = (len(files) + num_groups - 1) // num_groups
+    return [files[i : i + per] for i in range(0, len(files), per)]
+
+
+def list_input_files(input_path: str) -> list[str]:
+    if os.path.isdir(input_path):
+        return sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+    return [input_path]
+
+
+def run(
+    input_path: str,
+    out_dir: str,
+    enrichment: str | pa.Table,
+    cfg: FlagshipConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the flagship pipeline. Returns a summary dict with
+    per-sink aggregate path, lineage records, and throughput numbers."""
+    cfg = cfg or FlagshipConfig()
+    files = list_input_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet shards under {input_path}")
+
+    if isinstance(enrichment, str):
+        enrich_tbl = pq.read_table(enrichment)
+    else:
+        enrich_tbl = enrichment
+    enrich_ref = ray.put(enrich_tbl)  # broadcast ONCE for the whole run
+
+    n_groups = cfg.num_groups or max(1, len(files) // 4)
+    groups = _partition_groups(files, n_groups)
+
+    store = CheckpointStore(out_dir)
+    manifest = {
+        "pipeline": "flagship",
+        "routes": cfg.routes,
+        "group_key": cfg.group_key,
+        "input_files": files,
+        "num_groups": len(groups),
+    }
+    if not resume and os.path.isdir(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
+    store.open(manifest)
+
+    t_start = time.perf_counter()
+    rows_total = tokens_total = 0
+    skipped = 0
+    partial_fn = _agg_partial_fn()
+    parts_dir = os.path.join(out_dir, "agg_parts")
+    routed_dir = os.path.join(out_dir, "routed")
+    os.makedirs(parts_dir, exist_ok=True)
+
+    for gid_num, group_files in enumerate(groups):
+        gid = f"group-{gid_num:05d}"
+        if store.is_done(gid):
+            skipped += 1
+            continue
+        t0 = time.perf_counter()
+        ds = build_dataset(group_files, enrich_ref, cfg)
+
+        # single pass: write routed rows partitioned by __route, AND
+        # collect per-batch aggregate partials on the same stream
+        final_dir = os.path.join(routed_dir, gid)
+        with store.publish_dir(final_dir) as tmp_dir:
+            ds.write_parquet(tmp_dir, partition_cols=[SINK_COLUMN])
+        # partials from the routed output we just published (reads only the
+        # 3 small columns back — cheap vs re-running the pipeline). Read the
+        # FINAL dir and materialize exactly once: lazy datasets re-execute
+        # for schema probes, which must not chase renamed tmp paths. A crash
+        # before mark_done simply redoes the group (publish is idempotent).
+        routed = rd.read_parquet(final_dir, columns=[SINK_COLUMN, "source", "n_tok"])
+        partials = routed.map_batches(partial_fn, batch_format="pyarrow")
+        part_tbl = pa.concat_tables(
+            ray.get(partials.materialize().to_arrow_refs()),
+            promote_options="default",
+        )
+        part_path = os.path.join(parts_dir, f"{gid}.parquet")
+        pq.write_table(part_tbl, part_path + ".tmp")
+        os.replace(part_path + ".tmp", part_path)
+
+        # lineage + metrics marker (NodeMetrics analog)
+        g = part_tbl.group_by([SINK_COLUMN]).aggregate(
+            [("__p_n_rows", "sum"), ("__p_n_tokens", "sum")]
+        )
+        route_rows = {
+            r[SINK_COLUMN]: int(r["__p_n_rows_sum"]) for r in g.to_pylist()
+        }
+        g_rows = sum(route_rows.values())
+        g_tokens = int(pc.sum(part_tbl["__p_n_tokens"]).as_py() or 0)
+        rows_total += g_rows
+        tokens_total += g_tokens
+        store.mark_done(
+            gid,
+            {
+                "input_files": group_files,
+                "rows": g_rows,
+                "tokens": g_tokens,
+                "route_rows": route_rows,
+                "duration_sec": round(time.perf_counter() - t0, 3),
+                "routed_dir": final_dir,
+                "agg_part": part_path,
+            },
+        )
+
+    # final merge (idempotent, re-runs on resume)
+    agg = _merge_agg_parts(parts_dir)
+    agg_path = os.path.join(out_dir, "aggregates.parquet")
+    pq.write_table(agg, agg_path + ".tmp")
+    os.replace(agg_path + ".tmp", agg_path)
+
+    elapsed = time.perf_counter() - t_start
+    records = store.records()
+    all_rows = sum(r["rows"] for r in records.values())
+    all_tokens = sum(r["tokens"] for r in records.values())
+    return {
+        "out_dir": out_dir,
+        "aggregates": agg_path,
+        "routed_dir": routed_dir,
+        "groups": len(groups),
+        "groups_skipped": skipped,
+        "rows_this_run": rows_total,
+        "tokens_this_run": tokens_total,
+        "rows_total": all_rows,
+        "tokens_total": all_tokens,
+        "elapsed_sec": round(elapsed, 3),
+        "seqs_per_sec": round(rows_total / elapsed, 1) if elapsed > 0 else 0.0,
+        "tokens_per_sec": round(tokens_total / elapsed, 1) if elapsed > 0 else 0.0,
+    }

@@ -1,0 +1,82 @@
+"""Sink registry — data-plane subset of the reference's 38-sink catalog
+(ui palette.rs:153-214; SURVEY.md §2.2).
+
+``sink(ds, options, ctx) -> SinkResult``. Consuming a sink is what
+triggers execution of the lazy upstream Dataset.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import pyarrow as pa
+
+
+@dataclass
+class SinkResult:
+    kind: str
+    count: int | None = None
+    path: str | None = None
+    table: pa.Table | None = None
+    extra: dict[str, Any] | None = None
+
+
+def parquet_sink(ds, options: dict, ctx=None) -> SinkResult:
+    """`file` sink analog (config_panel.rs:1909-1921): partitioned Parquet
+    directory — never one giant file. `partition_cols` enables the
+    single-pass fan-out write for routed streams (SURVEY.md §7.4)."""
+    path = options["path"]
+    os.makedirs(path, exist_ok=True)
+    kwargs = {}
+    if options.get("partition_cols"):
+        kwargs["partition_cols"] = list(options["partition_cols"])
+    if options.get("min_rows_per_file"):
+        kwargs["min_rows_per_file"] = int(options["min_rows_per_file"])
+    ds.write_parquet(path, **kwargs)
+    return SinkResult(kind="parquet", path=path)
+
+
+def console_sink(ds, options: dict, ctx=None) -> SinkResult:
+    """`console` sink (config_panel.rs:1877-1889): print the first
+    `limit` rows (tap-style sampling, tap/mod.rs:31 default limit 10)."""
+    limit = int(options.get("limit", 10))
+    rows = ds.take(limit)
+    for r in rows:
+        print(r)
+    return SinkResult(kind="console", count=len(rows))
+
+
+def blackhole_sink(ds, options: dict, ctx=None) -> SinkResult:
+    """`blackhole` (palette.rs:157): consume and discard; returns count."""
+    return SinkResult(kind="blackhole", count=ds.count())
+
+
+def collect_sink(ds, options: dict, ctx=None) -> SinkResult:
+    """Test sink — the `__test_output` console/json rewrite analog
+    (functional_test.rs:258-287): materialize to one in-memory Arrow
+    table. Only for small test outputs."""
+    import ray
+
+    # materialize() executes the plan exactly once; a bare to_arrow_refs()
+    # adds a schema-probe execution that would double-count stage metrics
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs())]
+    nonempty = [t for t in tables if t.num_rows > 0] or tables[:1]
+    if nonempty:
+        tbl = pa.concat_tables(nonempty, promote_options="default")
+    else:
+        tbl = pa.table({})
+    return SinkResult(kind="collect", count=tbl.num_rows, table=tbl)
+
+
+SINKS = {
+    "parquet": parquet_sink,
+    "file": parquet_sink,
+    "console": console_sink,
+    "blackhole": blackhole_sink,
+    "collect": collect_sink,
+    "memory": collect_sink,
+}
+
+__all__ = ["SINKS", "SinkResult"]

@@ -1,0 +1,48 @@
+"""Transform registry — the palette analog (ui palette.rs:125-150).
+
+Each entry maps a component ``type`` string to a function
+``stage(ds, options, ctx) -> ray.data.Dataset``. Unknown types fail
+validation with ``UNKNOWN_TYPE`` (the reference's unknown-component
+handling, config_panel.rs:655 GenericForm / validation MISSING_TYPE
+family).
+"""
+
+from __future__ import annotations
+
+from vector_ray.stages import core, enrich, grouped, metricops
+from vector_ray.stages.tokenize import tokenize
+
+
+def _pyscript(ds, options, ctx=None):
+    """`lua` analog (palette.rs:128): arbitrary user batch UDF.
+
+    options["fn"] is a callable ``batch -> batch``; options["batch_format"]
+    selects the batch type (default pyarrow). The user-extension slot.
+    """
+    return ds.map_batches(
+        options["fn"],
+        batch_format=options.get("batch_format", "pyarrow"),
+        batch_size=options.get("batch_size"),
+    )
+
+
+TRANSFORMS = {
+    "remap": core.remap,
+    "filter": core.filter_,
+    "route": core.route,
+    "sample": core.sample,
+    "throttle": grouped.throttle,
+    "dedupe": grouped.dedupe,
+    "reduce": grouped.reduce_,
+    "aggregate": grouped.aggregate,
+    "log_to_metric": metricops.log_to_metric,
+    "metric_to_log": metricops.metric_to_log,
+    "tag_cardinality_limit": metricops.tag_cardinality_limit,
+    "lua": _pyscript,
+    "pyscript": _pyscript,
+    "test_basic": core.identity,
+    "enrich": enrich.enrich,
+    "tokenize": tokenize,
+}
+
+__all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

@@ -1,0 +1,301 @@
+"""Stateless per-batch transforms: remap, filter, route, sample.
+
+All are vectorized ``map_batches(batch_format="pyarrow")`` stages — the
+Ray-Data mapping of the reference's remap/filter/route/sample transforms
+(ui palette.rs:127-133; option forms config_panel.rs:1420-1667).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vector_ray.vrl import compile_expr, compile_predicate, VrlError
+
+ROUTE_COLUMN = "__route"
+UNMATCHED = "_unmatched"
+
+
+# ---------------------------------------------------------------------------
+# remap — the VRL program analog (palette.rs:127). Two surfaces:
+#   options["source"]: a mini VRL program of `.target = <expr>` / `del(.f)`
+#     statements (the observed reference usage, e.g.
+#     dev/configs/production/vector.toml:24-39)
+#   options["ops"]:    a declarative op list for the structured operations
+#     (parse_regex / parse_kv / parse_json / set / cast / rename / drop)
+# ---------------------------------------------------------------------------
+
+
+def _parse_program(source: str) -> list[dict]:
+    ops: list[dict] = []
+    for raw in re.split(r"[;\n]", source):
+        stmt = raw.strip()
+        if not stmt or stmt.startswith("#"):
+            continue
+        m = re.match(r"^del\(\.([A-Za-z_][\w.]*)\)$", stmt)
+        if m:
+            ops.append({"op": "drop", "fields": [m.group(1)]})
+            continue
+        m = re.match(r"^\.([A-Za-z_][\w.]*)\s*=\s*(.+)$", stmt)
+        if m:
+            ops.append({"op": "set", "target": m.group(1), "expr": m.group(2)})
+            continue
+        raise VrlError(f"unsupported remap statement: {stmt!r}")
+    return ops
+
+
+def _set_column(table: pa.Table, name: str, values) -> pa.Table:
+    if not hasattr(values, "type"):  # python scalar → broadcast
+        values = pa.array([values] * table.num_rows)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if name in table.column_names:
+        return table.set_column(table.column_names.index(name), name, values)
+    return table.append_column(name, values)
+
+
+def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
+    kind = op["op"]
+
+    if kind == "set":
+        expr = compile_expr(op["expr"])
+        target = op["target"]
+        return lambda t: _set_column(t, target, expr(t))
+
+    if kind == "parse_regex":
+        # grok-style extraction: one compiled regex with named groups,
+        # vectorized by pc.extract_regex over the whole column
+        field, pattern = op["field"], op["pattern"]
+        compiled = re.compile(pattern)
+        names = list(compiled.groupindex)
+        if not names:
+            raise VrlError("parse_regex pattern needs named groups (?P<name>...)")
+        types = op.get("types", {})
+
+        def _apply(t: pa.Table) -> pa.Table:
+            col = t[field]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            extracted = pc.extract_regex(col, pattern=pattern)
+            for name in names:
+                vals = pc.struct_field(extracted, name)
+                want = types.get(name)
+                if want == "int":
+                    vals = pc.cast(vals, pa.int64())
+                elif want == "float":
+                    vals = pc.cast(vals, pa.float64())
+                t = _set_column(t, name, vals)
+            return t
+
+        return _apply
+
+    if kind == "parse_kv":
+        # logfmt-ish `k=v` pairs: one extract_regex per requested key
+        field = op["field"]
+        keys = op["keys"]
+        types = op.get("types", {})
+
+        def _apply(t: pa.Table) -> pa.Table:
+            col = t[field]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            for key in keys:
+                pat = rf"(?:^|[ ,]){re.escape(key)}=(?P<v>[^\s,]+)"
+                vals = pc.struct_field(pc.extract_regex(col, pattern=pat), "v")
+                want = types.get(key)
+                if want == "int":
+                    vals = pc.cast(vals, pa.int64())
+                elif want == "float":
+                    vals = pc.cast(vals, pa.float64())
+                t = _set_column(t, key, vals)
+            return t
+
+        return _apply
+
+    if kind == "parse_json":
+        # `. = parse_json!(string!(.message))` analog (config.rs:412):
+        # extract the requested keys from a JSON-string column. Uses a
+        # per-batch pyarrow JSON reader — vectorized C++ parse, no
+        # Python-per-row json.loads.
+        import io
+
+        from pyarrow import json as pa_json
+
+        field = op["field"]
+        keys = op.get("keys")
+
+        def _apply(t: pa.Table) -> pa.Table:
+            col = pc.cast(t[field], pa.string())
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            filled = pc.fill_null(col, "{}")
+            buf = io.BytesIO(("\n".join(filled.to_pylist()) + "\n").encode())
+            parsed = pa_json.read_json(buf)
+            use = keys if keys is not None else parsed.column_names
+            for key in use:
+                if key in parsed.column_names:
+                    t = _set_column(t, key, parsed[key])
+                else:
+                    t = _set_column(t, key, pa.nulls(t.num_rows))
+            return t
+
+        return _apply
+
+    if kind == "cast":
+        field = op["field"]
+        typ = {"int": pa.int64(), "int32": pa.int32(), "float": pa.float64(),
+               "string": pa.string(), "bool": pa.bool_()}[op["type"]]
+        return lambda t: _set_column(t, field, pc.cast(t[field], typ))
+
+    if kind == "rename":
+        mapping = op["mapping"]
+        return lambda t: t.rename_columns(
+            [mapping.get(c, c) for c in t.column_names]
+        )
+
+    if kind == "drop":
+        fields = op["fields"]
+        return lambda t: t.drop_columns([f for f in fields if f in t.column_names])
+
+    raise VrlError(f"unknown remap op {kind!r}")
+
+
+def compile_remap(options: dict) -> Callable[[pa.Table], pa.Table]:
+    ops = list(options.get("ops") or [])
+    if options.get("source"):
+        ops = _parse_program(options["source"]) + ops
+    compiled = [_compile_op(op) for op in ops]
+
+    def _remap(t: pa.Table) -> pa.Table:
+        for fn in compiled:
+            t = fn(t)
+        return t
+
+    return _remap
+
+
+def remap(ds, options: dict, ctx=None):
+    return ds.map_batches(compile_remap(options), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# filter (palette.rs:131, config_panel.rs:1449-1614)
+# ---------------------------------------------------------------------------
+
+
+def compile_filter(options: dict) -> Callable[[pa.Table], pa.Table]:
+    cond = options["condition"]
+    if callable(cond):
+        return lambda t: t.filter(cond(t))
+    syntax = options.get("condition_type", "vrl")
+    if syntax != "vrl":
+        raise VrlError(f"unsupported condition syntax {syntax!r} (vrl only)")
+    mask = compile_predicate(cond)
+    return lambda t: t.filter(mask(t))
+
+
+def filter_(ds, options: dict, ctx=None):
+    return ds.map_batches(compile_filter(options), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# route (palette.rs:132, config_panel.rs:1643-1667): label once with a
+# __route column; named outputs = filtered views / partitioned writes.
+# First matching route wins (Vector semantics); unmatched → "_unmatched".
+# ---------------------------------------------------------------------------
+
+
+def compile_route_label(options: dict) -> Callable[[pa.Table], pa.Table]:
+    routes = options["route"]
+    compiled = [(name, compile_predicate(cond)) for name, cond in routes.items()]
+
+    def _label(t: pa.Table) -> pa.Table:
+        label = np.full(t.num_rows, UNMATCHED, dtype=object)
+        assigned = np.zeros(t.num_rows, dtype=bool)
+        for name, mask_fn in compiled:
+            m = mask_fn(t)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            hit = np.asarray(m.to_numpy(zero_copy_only=False)) & ~assigned
+            label[hit] = name
+            assigned |= hit
+        return _set_column(t, ROUTE_COLUMN, pa.array(label, pa.string()))
+
+    return _label
+
+
+def route(ds, options: dict, ctx=None):
+    """Returns the labeled dataset; the pipeline compiler exposes the named
+    output ports as `__route == name` filters (Connection.from_port analog,
+    shared/src/config.rs:224-231)."""
+    return ds.map_batches(compile_route_label(options), batch_format="pyarrow")
+
+
+def route_port(ds, port: str):
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t[ROUTE_COLUMN], port)),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample (palette.rs:133): keep 1 in `rate`. Deterministic — hash of
+# key_field modulo rate (reproducible across runs/cluster sizes, unlike
+# random sampling; SURVEY.md §2.1 #4). With an integer key the modulo is
+# taken directly so a SQL oracle can reproduce it.
+# ---------------------------------------------------------------------------
+
+
+def _stable_hash_u64(col: pa.ChunkedArray) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a string/binary column
+    (FNV-1a over bytes via numpy, stable across processes)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.cast(col, pa.large_binary())
+    flat = col.buffers()[2]
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    data = np.frombuffer(flat, dtype=np.uint8)
+    out = np.full(len(col), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    lengths = np.diff(offsets)
+    maxlen = int(lengths.max()) if len(lengths) else 0
+    for i in range(maxlen):
+        active = lengths > i
+        byte = data[offsets[:-1][active] + i].astype(np.uint64)
+        out[active] = (out[active] ^ byte) * prime
+    return out
+
+
+def compile_sample(options: dict) -> Callable[[pa.Table], pa.Table]:
+    rate = int(options.get("rate", 10))
+    offset = int(options.get("offset", 0))
+    key = options.get("key_field")
+
+    def _sample(t: pa.Table) -> pa.Table:
+        if key is None:
+            raise VrlError("sample requires key_field for determinism")
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((vals % rate) == offset))
+        h = _stable_hash_u64(col)
+        return t.filter(pa.array((h % np.uint64(rate)) == np.uint64(offset)))
+
+    return _sample
+
+
+def sample(ds, options: dict, ctx=None):
+    return ds.map_batches(compile_sample(options), batch_format="pyarrow")
+
+
+def identity(ds, options: dict, ctx=None):
+    """test_basic (palette.rs:149) — no-op."""
+    return ds

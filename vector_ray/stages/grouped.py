@@ -1,0 +1,258 @@
+"""Grouped / wide transforms: dedupe, throttle, reduce, aggregate.
+
+These are the shuffle stages (SURVEY.md §7.3). ``aggregate`` is always
+two-phase: vectorized per-batch partial aggregation inside ``map_batches``
+(one row per key per batch) followed by a small ``groupby`` over the
+partials — the skew-safe pattern the north rule requires for the
+zipf-distributed ``source`` key. ``dedupe``/``throttle``/``reduce`` hash-
+shuffle on their group key and run per-group Arrow kernels in
+``map_groups`` (no pandas round-trip: token list<int32> columns stay
+byte-exact).
+
+Reference semantics: dedupe (palette.rs:137, config_panel.rs:1713-1751),
+throttle (palette.rs:134, config_panel.rs:1671-1709), reduce
+(palette.rs:138, config_panel.rs:1756-1794), aggregate (palette.rs:139,
+config_panel.rs:1831-1861). Window options become derived grouping
+columns — the documented batch-mode approximation of Vector's streaming
+windows (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _first_by(t: pa.Table, order_by: list[str], n: int = 1) -> pa.Table:
+    idx = pc.sort_indices(
+        t, sort_keys=[(c, "ascending") for c in order_by]
+    )
+    return t.take(idx.slice(0, n))
+
+
+# ---------------------------------------------------------------------------
+# dedupe — exact dedup: one surviving row per distinct match-tuple.
+# Vector keeps the first-seen event within an LRU window; in batch mode
+# "first" is defined deterministically as the min of ``order_by``
+# (default: first match field), since Ray Data has no arrival order.
+# ---------------------------------------------------------------------------
+
+
+def dedupe(ds, options: dict, ctx=None):
+    match = list(options.get("fields", {}).get("match") or options["match"])
+    order_by = list(options.get("order_by") or match[:1])
+    take = lambda t: _first_by(t, order_by)
+    return ds.groupby(match).map_groups(take, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# throttle — at most `threshold` events per (key, window); window =
+# floor(ts / window_secs). Deterministic: survivors are the first
+# `threshold` rows ordered by ``order_by`` (default the ts field).
+# ---------------------------------------------------------------------------
+
+THROTTLE_WINDOW = "__window"
+
+
+def throttle(ds, options: dict, ctx=None):
+    threshold = int(options.get("threshold", 10))
+    window_secs = float(options.get("window_secs", 1.0))
+    key = options.get("key_field")
+    ts_field = options.get("ts_field", "ts")
+    order_by = list(options.get("order_by") or [ts_field])
+    group_cols = ([key] if key else []) + [THROTTLE_WINDOW]
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t[ts_field]
+        if pa.types.is_timestamp(ts.type):
+            secs = pc.cast(pc.cast(ts, pa.int64()), pa.float64())
+            unit = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[ts.type.unit]
+            secs = pc.divide(secs, unit)
+        else:
+            secs = pc.cast(ts, pa.float64())
+        win = pc.cast(pc.floor(pc.divide(secs, window_secs)), pa.int64())
+        if isinstance(win, pa.ChunkedArray):
+            win = win.combine_chunks()
+        return t.append_column(THROTTLE_WINDOW, win)
+
+    def head(t: pa.Table) -> pa.Table:
+        return _first_by(t, order_by, threshold)
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(group_cols)
+        .map_groups(head, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns([THROTTLE_WINDOW]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# reduce — collapse each group to one row by per-column merge strategies
+# (sum | min | max | mean | first | last | concat | count). Unlisted
+# columns default to "first" (ordered by ``order_by``).
+# ---------------------------------------------------------------------------
+
+
+def reduce_(ds, options: dict, ctx=None):
+    group_by = list(options["group_by"])
+    strategies: dict = dict(options.get("merge_strategies") or {})
+    order_by = list(options.get("order_by") or group_by)
+    count_as = options.get("count_field")  # emit group size under this name
+
+    def merge(t: pa.Table) -> pa.Table:
+        t_sorted = t.take(
+            pc.sort_indices(t, sort_keys=[(c, "ascending") for c in order_by])
+        )
+        out: dict[str, pa.Array] = {}
+        for col in group_by:
+            out[col] = t_sorted[col].slice(0, 1).combine_chunks()
+        for col in t.column_names:
+            if col in group_by:
+                continue
+            strat = strategies.get(col, "first")
+            c = t_sorted[col]
+            if strat == "first":
+                out[col] = c.slice(0, 1).combine_chunks()
+            elif strat == "last":
+                out[col] = c.slice(len(t) - 1, 1).combine_chunks()
+            elif strat == "sum":
+                out[col] = pa.array([pc.sum(c).as_py()])
+            elif strat == "min":
+                out[col] = pa.array([pc.min(c).as_py()], c.type)
+            elif strat == "max":
+                out[col] = pa.array([pc.max(c).as_py()], c.type)
+            elif strat == "mean":
+                out[col] = pa.array([pc.mean(c).as_py()], pa.float64())
+            elif strat == "concat":
+                strs = pc.cast(c, pa.string()).to_pylist()
+                out[col] = pa.array([" ".join(s for s in strs if s is not None)])
+            elif strat == "drop":
+                continue
+            else:
+                raise ValueError(f"unknown merge strategy {strat!r} for {col}")
+        if count_as:
+            out[count_as] = pa.array([len(t)], pa.int64())
+        return pa.table(out)
+
+    return ds.groupby(group_by).map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# aggregate — two-phase grouped aggregation.
+#   options = {"group_by": [...],
+#              "aggregates": {out_name: {"fn": "sum|count|mean|min|max",
+#                                        "field": col}},
+#              "round": int | None}
+# Phase 1 (map_batches): pa.Table.group_by per batch → one partial row per
+# key per batch. Phase 2: ray groupby over partials (tiny shuffle).
+# ---------------------------------------------------------------------------
+
+_PA_FN = {"sum": "sum", "min": "min", "max": "max"}
+
+
+def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
+    specs = []  # (partial_col_in, pa_agg, partial_out_name)
+    for out, spec in aggregates.items():
+        fn, field = spec["fn"], spec.get("field")
+        if fn == "count":
+            specs.append(("count", None, f"__p_{out}"))
+        elif fn == "mean":
+            specs.append(("sum", field, f"__ps_{out}"))
+            specs.append(("count", None, f"__pc_{out}"))
+        elif fn in _PA_FN:
+            specs.append((fn, field, f"__p_{out}"))
+        else:
+            raise ValueError(f"unknown aggregate fn {fn!r}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {c: pa.array([], t.schema.field(c).type) for c in group_by}
+            for kind, field, name in specs:
+                typ = pa.int64() if kind == "count" else t.schema.field(field).type
+                if kind == "sum" and pa.types.is_integer(typ):
+                    typ = pa.int64()
+                elif kind == "sum":
+                    typ = pa.float64()
+                cols[name] = pa.array([], typ)
+            return pa.table(cols)
+        agg_specs, renames, seen = [], {}, set()
+        for kind, field, name in specs:
+            if kind == "count":
+                src = "count_all"
+                if src not in seen:
+                    agg_specs.append(([], "count_all"))
+            else:
+                src = f"{field}_{kind}"
+                if src not in seen:
+                    agg_specs.append((field, kind))
+            seen.add(src)
+            renames.setdefault(src, []).append(name)
+        g = t.group_by(group_by).aggregate(agg_specs)
+        cols = {c: g[c] for c in group_by}
+        for src, names in renames.items():
+            for name in names:
+                cols[name] = g[src]
+        return pa.table(cols)
+
+    return partial
+
+
+def aggregate(ds, options: dict, ctx=None):
+    group_by = list(options["group_by"])
+    aggregates = dict(options["aggregates"])
+    ndigits = options.get("round")
+
+    partial = compile_partial_agg(group_by, aggregates)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    ray_aggs = []
+    for out, spec in aggregates.items():
+        fn = spec["fn"]
+        if fn == "count":
+            ray_aggs.append(Sum(f"__p_{out}", alias_name=out))
+        elif fn == "mean":
+            ray_aggs.append(Sum(f"__ps_{out}", alias_name=f"__s_{out}"))
+            ray_aggs.append(Sum(f"__pc_{out}", alias_name=f"__c_{out}"))
+        elif fn == "sum":
+            ray_aggs.append(Sum(f"__p_{out}", alias_name=out))
+        elif fn == "min":
+            ray_aggs.append(Min(f"__p_{out}", alias_name=out))
+        elif fn == "max":
+            ray_aggs.append(Max(f"__p_{out}", alias_name=out))
+    final = partials.groupby(group_by).aggregate(*ray_aggs)
+
+    mean_outs = [o for o, s in aggregates.items() if s["fn"] == "mean"]
+    count_outs = [o for o, s in aggregates.items() if s["fn"] == "count"]
+    sum_int = [
+        o for o, s in aggregates.items()
+        if s["fn"] == "sum" and s.get("int", False)
+    ]
+
+    def finish(t: pa.Table) -> pa.Table:
+        for out in mean_outs:
+            mean = pc.divide(
+                pc.cast(t[f"__s_{out}"], pa.float64()),
+                pc.cast(t[f"__c_{out}"], pa.float64()),
+            )
+            t = t.append_column(out, mean.combine_chunks() if isinstance(mean, pa.ChunkedArray) else mean)
+            t = t.drop_columns([f"__s_{out}", f"__c_{out}"])
+        for out in count_outs + sum_int:
+            i = t.column_names.index(out)
+            t = t.set_column(i, out, pc.cast(t[out], pa.int64()))
+        if ndigits is not None:
+            for col in t.column_names:
+                if pa.types.is_floating(t.schema.field(col).type):
+                    i = t.column_names.index(col)
+                    t = t.set_column(i, col, pc.round(t[col], ndigits=ndigits))
+        # stable column order: group keys then aggregate outputs
+        order = group_by + [o for o in aggregates if o in t.column_names]
+        return t.select(order)
+
+    return final.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,145 @@
+"""Metric-flavored transforms: log_to_metric, metric_to_log,
+tag_cardinality_limit.
+
+MetricEvent model (name/namespace/kind/value + tags) follows the
+reference's shared/src/messages.rs:145-183; log_to_metric options follow
+ui config_panel.rs:1799-1827 (palette.rs:142-146).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vector_ray.vrl import compile_expr
+
+
+# ---------------------------------------------------------------------------
+# log_to_metric — derive metric rows from log rows:
+#   options["metrics"] = [{"type": "counter"|"gauge", "name": str,
+#                          "namespace": str, "field": col | None,
+#                          "increment_by_value": bool,
+#                          "tags": {tag: ".field" | literal}}]
+# Emits the flat metric table (name, namespace, kind, value, tag columns).
+# Aggregation of counters is a separate `aggregate` stage (two-phase).
+# ---------------------------------------------------------------------------
+
+
+def log_to_metric(ds, options: dict, ctx=None):
+    metrics = options["metrics"]
+    compiled = []
+    for m in metrics:
+        tags = {
+            k: compile_expr(v) if isinstance(v, str) and v.startswith(".") else v
+            for k, v in (m.get("tags") or {}).items()
+        }
+        compiled.append((m, tags))
+
+    def derive(t: pa.Table) -> pa.Table:
+        parts = []
+        for m, tags in compiled:
+            n = t.num_rows
+            kind = m.get("type", "counter")
+            if kind == "counter" and not m.get("increment_by_value"):
+                value = pa.array([1.0] * n)
+            else:
+                value = pc.cast(t[m["field"]], pa.float64())
+                if isinstance(value, pa.ChunkedArray):
+                    value = value.combine_chunks()
+            cols = {
+                "name": pa.array([m["name"]] * n, pa.string()),
+                "namespace": pa.array([m.get("namespace", "")] * n, pa.string()),
+                "kind": pa.array(
+                    ["absolute" if kind == "gauge" else "incremental"] * n,
+                    pa.string(),
+                ),
+                "value": value,
+            }
+            for tag, src in tags.items():
+                if callable(src):
+                    v = src(t)
+                    v = pc.cast(v, pa.string())
+                    cols[tag] = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                else:
+                    cols[tag] = pa.array([str(src)] * n, pa.string())
+            parts.append(pa.table(cols))
+        if not parts:
+            return pa.table({"name": pa.array([], pa.string())})
+        # all metric specs must produce the same tag schema to concat;
+        # unify by promoting missing tag columns to null
+        all_cols: list[str] = []
+        for p in parts:
+            for c in p.column_names:
+                if c not in all_cols:
+                    all_cols.append(c)
+        norm = []
+        for p in parts:
+            for c in all_cols:
+                if c not in p.column_names:
+                    p = p.append_column(c, pa.nulls(p.num_rows, pa.string()))
+            norm.append(p.select(all_cols))
+        return pa.concat_tables(norm)
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def metric_to_log(ds, options: dict, ctx=None):
+    """Inverse conversion (palette.rs:143): metric rows become log rows —
+    a rename/projection; tag columns stay as fields."""
+    prefix = options.get("prefix", "metric_")
+
+    def convert(t: pa.Table) -> pa.Table:
+        names = [
+            f"{prefix}{c}" if c in ("name", "namespace", "kind", "value") else c
+            for c in t.column_names
+        ]
+        return t.rename_columns(names)
+
+    return ds.map_batches(convert, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# tag_cardinality_limit (palette.rs:146) — cap the number of distinct
+# values per tag column. Batch mode needs a deterministic "allowed set"
+# (Vector's is first-seen, which has no meaning without arrival order):
+# we keep the `value_limit` most frequent values (ties broken by value
+# order), computed with a small two-phase count, then either drop rows
+# ("drop_event") or null the tag ("drop_tag").
+# ---------------------------------------------------------------------------
+
+
+def tag_cardinality_limit(ds, options: dict, ctx=None):
+    fields = list(options.get("fields") or [options["field"]])
+    limit = int(options.get("value_limit", 500))
+    action = options.get("limit_exceeded_action", "drop_tag")
+
+    allowed: dict[str, set] = {}
+    for f in fields:
+        counts = (
+            ds.map_batches(
+                lambda t, f=f: t.group_by([f]).aggregate([([], "count_all")]),
+                batch_format="pyarrow",
+            )
+            .groupby(f)
+            .sum("count_all")
+        )
+        pdf = counts.to_pandas()
+        pdf = pdf.sort_values(
+            ["sum(count_all)", f], ascending=[False, True]
+        ).head(limit)
+        allowed[f] = set(pdf[f])
+
+    def apply(t: pa.Table) -> pa.Table:
+        for f in fields:
+            ok = pc.is_in(t[f], value_set=pa.array(sorted(allowed[f])))
+            ok = pc.fill_null(ok, False)
+            if action == "drop_event":
+                t = t.filter(ok)
+            else:
+                col = pc.if_else(ok, t[f], pa.scalar(None, t.schema.field(f).type))
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                t = t.set_column(t.column_names.index(f), f, col)
+        return t
+
+    return ds.map_batches(apply, batch_format="pyarrow")

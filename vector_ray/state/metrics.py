@@ -1,0 +1,48 @@
+"""Per-component metrics — the NodeMetrics analog.
+
+The reference tracks received/sent events & bytes and errors per
+component (shared/src/messages.rs:103-122, ui config.rs:277-293). Here a
+zero-CPU Ray actor accumulates per-stage counters; stages report per
+batch with fire-and-forget remote calls (no backpressure on the data
+path). The snapshot is written into the run's checkpoint/lineage records
+(vector_ray.state.checkpoint).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class MetricsHub:
+    def __init__(self):
+        self._c: dict[str, dict[str, float]] = defaultdict(
+            lambda: {"rows": 0, "bytes": 0, "batches": 0, "errors": 0}
+        )
+
+    def add(self, component: str, rows: int, nbytes: int, errors: int = 0) -> None:
+        c = self._c[component]
+        c["rows"] += rows
+        c["bytes"] += nbytes
+        c["batches"] += 1
+        c["errors"] += errors
+
+    def snapshot(self) -> dict:
+        return {k: dict(v) for k, v in self._c.items()}
+
+    def reset(self) -> None:
+        self._c.clear()
+
+
+def instrument(ds, component: str, hub):
+    """Append a zero-copy counting pass after a stage's output."""
+    if hub is None:
+        return ds
+
+    def count(batch):
+        hub.add.remote(component, batch.num_rows, batch.nbytes)
+        return batch
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)

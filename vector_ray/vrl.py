@@ -1,0 +1,371 @@
+"""Vectorized VRL-subset expression language.
+
+The reference drives filter/route/remap semantics with VRL condition
+strings — ``.level == "error"``, ``.status_code >= 400``,
+``exists(.user_id)``, ``contains(string!(.message), "error")``,
+``match(.message, r'ERROR|FATAL')``, ``to_int(.status) ?? 200``
+(ui config_panel.rs:1548-1599, config/demo.toml:16-21,
+dev/configs/production/vector.toml:24-39). This module implements that
+observed subset as a compiler: condition string → closure over a
+``pyarrow.Table`` evaluating with ``pyarrow.compute`` kernels — one
+vectorized pass per batch, never a Python loop over rows.
+
+Grammar (precedence low→high):
+
+    expr     := coalesce
+    coalesce := or ( '??' or )*
+    or       := and ( '||' and )*
+    and      := not ( '&&' not )*
+    not      := '!' not | cmp
+    cmp      := add ( ('=='|'!='|'>='|'<='|'>'|'<') add )?
+    add      := mul ( ('+'|'-') mul )*
+    mul      := unary ( ('*'|'/'|'%') unary )*
+    unary    := '-' unary | primary
+    primary  := NUMBER | STRING | REGEX | 'true' | 'false' | 'null'
+              | FIELD | IDENT '!'? '(' args ')' | '(' expr ')'
+    FIELD    := '.' ident ( '.' ident )*      # maps to the column "a.b"
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["compile_expr", "compile_predicate", "VrlError"]
+
+
+class VrlError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<regex>r'(?:[^'\\]|\\.)*'|r"(?:[^"\\]|\\.)*")
+  | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<number>\d+\.\d+|\d+)
+  | (?P<field>\.[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
+  | (?P<op>\?\?|\|\||&&|==|!=|>=|<=|[()><!,+\-*/%])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*!?)
+    """,
+    re.X,
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise VrlError(f"bad token at {pos!r} in {src!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AST → closure compilation. Every node compiles to fn(table) -> Array|scalar.
+# pc kernels broadcast python scalars, so mixed scalar/array ops are free.
+# ---------------------------------------------------------------------------
+
+Value = Any  # pa.ChunkedArray | pa.Array | python scalar
+Compiled = Callable[[pa.Table], Value]
+
+
+def _col(table: pa.Table, name: str) -> Value:
+    if name in table.column_names:
+        return table[name]
+    return pa.nulls(table.num_rows)  # absent field → null column (VRL-ish)
+
+
+_CMP = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    ">=": pc.greater_equal,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    "<": pc.less,
+}
+_ARITH = {
+    "+": pc.add,
+    "-": pc.subtract,
+    "*": pc.multiply,
+    "/": pc.divide,
+    "%": lambda a, b: pc.subtract(a, pc.multiply(pc.floor(pc.divide(a, b)), b)),
+}
+
+
+def _try_to_int(v: Value) -> Value:
+    """to_int(x): null where not parseable (VRL's fallible to_int)."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    arr = v
+    t = arr.type if hasattr(arr, "type") else None
+    if t is not None and (pa.types.is_integer(t) or pa.types.is_floating(t)):
+        return pc.cast(arr, pa.int64(), safe=False)
+    s = pc.cast(arr, pa.string())
+    ok = pc.match_substring_regex(s, r"^-?\d+$")
+    cleaned = pc.if_else(pc.fill_null(ok, False), s, pa.scalar(None, pa.string()))
+    return pc.cast(cleaned, pa.int64())
+
+
+def _fn_call(name: str, args: list[Compiled]) -> Compiled:
+    fallible = name.endswith("!")
+    base = name.rstrip("!")
+
+    if base == "exists":
+        inner = args[0]
+        return lambda t: pc.is_valid(inner(t))
+    if base == "is_null":
+        inner = args[0]
+        return lambda t: pc.is_null(inner(t))
+    if base == "string":
+        inner = args[0]
+        return lambda t: pc.cast(inner(t), pa.string())
+    if base == "to_int":
+        inner = args[0]
+        if fallible:
+            return lambda t: pc.cast(inner(t), pa.int64(), safe=False)
+        return lambda t: _try_to_int(inner(t))
+    if base == "to_float":
+        inner = args[0]
+        return lambda t: pc.cast(inner(t), pa.float64(), safe=not fallible)
+    if base == "contains":
+        s, sub = args
+        return lambda t: pc.match_substring(s(t), _as_py_str(sub))
+    if base == "starts_with":
+        s, sub = args
+        return lambda t: pc.starts_with(s(t), _as_py_str(sub))
+    if base == "ends_with":
+        s, sub = args
+        return lambda t: pc.ends_with(s(t), _as_py_str(sub))
+    if base == "match":
+        s, pat = args
+        return lambda t: pc.match_substring_regex(s(t), _as_py_str(pat))
+    if base == "length":
+        inner = args[0]
+
+        def _length(t: pa.Table) -> Value:
+            v = inner(t)
+            typ = v.type if hasattr(v, "type") else None
+            if typ is not None and (pa.types.is_list(typ) or pa.types.is_large_list(typ)):
+                return pc.list_value_length(v)
+            return pc.utf8_length(pc.cast(v, pa.string()))
+
+        return _length
+    if base == "upcase":
+        inner = args[0]
+        return lambda t: pc.utf8_upper(inner(t))
+    if base == "downcase":
+        inner = args[0]
+        return lambda t: pc.utf8_lower(inner(t))
+    if base == "abs":
+        inner = args[0]
+        return lambda t: pc.abs(inner(t))
+    if base == "round":
+        inner = args[0]
+        return lambda t: pc.round(inner(t))
+    if base == "floor":
+        inner = args[0]
+        return lambda t: pc.floor(inner(t))
+    if base == "ceil":
+        inner = args[0]
+        return lambda t: pc.ceil(inner(t))
+    raise VrlError(f"unknown function {name}()")
+
+
+def _as_py_str(compiled: Compiled) -> str:
+    v = compiled(pa.table({}))
+    if not isinstance(v, str):
+        raise VrlError("expected a string literal argument")
+    return v
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.src = src
+        self.toks = _tokenize(src)
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, text: str) -> None:
+        kind, val = self.next()
+        if val != text:
+            raise VrlError(f"expected {text!r}, got {val!r} in {self.src!r}")
+
+    # precedence-climbing
+    def parse(self) -> Compiled:
+        e = self.coalesce()
+        if self.peek()[0] != "eof":
+            raise VrlError(f"trailing input {self.peek()[1]!r} in {self.src!r}")
+        return e
+
+    def coalesce(self) -> Compiled:
+        left = self.or_()
+        while self.peek()[1] == "??":
+            self.next()
+            right = self.or_()
+            l, r = left, right
+
+            def _coal(t: pa.Table, l=l, r=r) -> Value:
+                lv, rv = l(t), r(t)
+                if not hasattr(lv, "type"):
+                    return lv if lv is not None else rv
+                if not hasattr(rv, "type"):
+                    rv = pa.scalar(rv, lv.type)
+                return pc.coalesce(lv, rv)
+
+            left = _coal
+        return left
+
+    def or_(self) -> Compiled:
+        left = self.and_()
+        while self.peek()[1] == "||":
+            self.next()
+            right = self.and_()
+            l, r = left, right
+            left = lambda t, l=l, r=r: pc.or_kleene(_boolish(l(t)), _boolish(r(t)))
+        return left
+
+    def and_(self) -> Compiled:
+        left = self.not_()
+        while self.peek()[1] == "&&":
+            self.next()
+            right = self.not_()
+            l, r = left, right
+            left = lambda t, l=l, r=r: pc.and_kleene(_boolish(l(t)), _boolish(r(t)))
+        return left
+
+    def not_(self) -> Compiled:
+        if self.peek()[1] == "!":
+            self.next()
+            inner = self.not_()
+            return lambda t: pc.invert(_boolish(inner(t)))
+        return self.cmp()
+
+    def cmp(self) -> Compiled:
+        left = self.add()
+        op = self.peek()[1]
+        if op in _CMP:
+            self.next()
+            right = self.add()
+            fn, l, r = _CMP[op], left, right
+
+            def _compare(t: pa.Table, fn=fn, l=l, r=r) -> Value:
+                lv, rv = l(t), r(t)
+                # string column vs numeric literal (or vice versa): VRL
+                # compares after casting the literal to string
+                lt = lv.type if hasattr(lv, "type") else None
+                if lt is not None and pa.types.is_string(lt) and isinstance(rv, (int, float)):
+                    rv = str(rv)
+                if lt is not None and (pa.types.is_integer(lt) or pa.types.is_floating(lt)) and isinstance(rv, str):
+                    lv = pc.cast(lv, pa.string())
+                return fn(lv, rv)
+
+            return _compare
+        return left
+
+    def add(self) -> Compiled:
+        left = self.mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            right = self.mul()
+            fn, l, r = _ARITH[op], left, right
+            left = lambda t, fn=fn, l=l, r=r: fn(l(t), r(t))
+        return left
+
+    def mul(self) -> Compiled:
+        left = self.unary()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            right = self.unary()
+            fn, l, r = _ARITH[op], left, right
+            left = lambda t, fn=fn, l=l, r=r: fn(l(t), r(t))
+        return left
+
+    def unary(self) -> Compiled:
+        if self.peek()[1] == "-":
+            self.next()
+            inner = self.unary()
+            return lambda t: pc.negate(inner(t))
+        return self.primary()
+
+    def primary(self) -> Compiled:
+        kind, val = self.next()
+        if kind == "number":
+            lit = float(val) if "." in val else int(val)
+            return lambda t, lit=lit: lit
+        if kind in ("string", "regex"):
+            raw = val[1:] if kind == "regex" else val
+            body = raw[1:-1]
+            lit = re.sub(r"\\(.)", r"\1", body)
+            return lambda t, lit=lit: lit
+        if kind == "field":
+            name = val[1:]
+            return lambda t, name=name: _col(t, name)
+        if kind == "ident":
+            if val in ("true", "false"):
+                b = val == "true"
+                return lambda t, b=b: b
+            if val == "null":
+                return lambda t: None
+            # function call
+            self.expect("(")
+            args: list[Compiled] = []
+            if self.peek()[1] != ")":
+                args.append(self.coalesce())
+                while self.peek()[1] == ",":
+                    self.next()
+                    args.append(self.coalesce())
+            self.expect(")")
+            return _fn_call(val, args)
+        if val == "(":
+            e = self.coalesce()
+            self.expect(")")
+            return e
+        raise VrlError(f"unexpected {val!r} in {self.src!r}")
+
+
+def _boolish(v: Value) -> Value:
+    if isinstance(v, bool) or hasattr(v, "type"):
+        return v
+    raise VrlError(f"expected boolean expression, got {v!r}")
+
+
+def compile_expr(src: str) -> Compiled:
+    """Compile a VRL-subset expression to ``fn(pa.Table) -> Array|scalar``."""
+    return _Parser(src).parse()
+
+
+def compile_predicate(src: str) -> Callable[[pa.Table], pa.ChunkedArray]:
+    """Compile a condition to a null-safe boolean mask function.
+
+    Null comparison results count as *not matching* — the reference's
+    client-side filter simulation passes events through only on an
+    explicit match (ui view.rs:799-830); nulls must not survive a filter.
+    """
+    expr = compile_expr(src)
+
+    def mask(table: pa.Table):
+        m = expr(table)
+        if isinstance(m, bool):
+            import numpy as np
+
+            return pa.array(np.full(table.num_rows, m))
+        m = pc.cast(m, pa.bool_())
+        return pc.fill_null(m, False)
+
+    return mask
