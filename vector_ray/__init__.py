@@ -19,6 +19,10 @@ analog of the reference's PipelineConfig, shared/src/config.rs:12-24)
 lives in ``vector_ray.pipeline``.
 """
 
+from vector_ray._compat import install_fsspec_http_stub
+
+install_fsspec_http_stub()
+
 from vector_ray.pipeline import PipelineSpec, build_pipeline, run_pipeline
 from vector_ray.validate import validate_spec, ValidationError
 

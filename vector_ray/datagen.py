@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from vector_ray.schema import ENRICHMENT_SCHEMA, VOCAB_SIZE
 
-DATA_ROOT = "/tmp/vector_ray_data"
+DATA_ROOT = os.environ.get("VECTOR_RAY_DATA_ROOT", "/tmp/vector_ray_data")
 SEED = 42
 ROWS_PER_SF = 5_000_000  # sf0.001 → 5k rows, sf0.01 → 50k, sf0.1 → 500k
 ROWS_PER_SHARD = 50_000

@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — the exact baseline: broadcast query matrix,
+  one numpy matmul per batch, per-batch local top-k, tiny global sort.
+* ``lsh_topk`` — the scale path: random-hyperplane LSH buckets; only
+  buckets within a hamming radius of the query's bucket are scanned.
+  Deterministic (seeded hyperplanes).
+
+Both stream: nothing materializes the full embedding corpus on the
+driver; per-batch candidates are k rows each, and the final top-k is a
+sort over ~k × num_batches rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from vector_ray.schema import round_sql_np
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _embedding_matrix(batch: pa.Table, field: str) -> np.ndarray:
+    col = batch[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.values, dtype=np.float64)
+    dim = len(col[0]) if len(col) else 0
+    return flat.reshape(len(col), dim) if dim else flat.reshape(0, 0)
+
+
+def brute_force_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    id_field: str = "vec_id",
+    field: str = "embedding",
+    round_to: int = 6,
+):
+    """Exact cosine top-k: Dataset[(id, score)] of the k best matches.
+    Ties broken by ascending id (deterministic)."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    q_ref = ray.put(q)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _embedding_matrix(batch, field)
+            if mat.shape[0] == 0:
+                return pa.table(
+                    {id_field: batch[id_field], "score": pa.array([], pa.float64())}
+                )
+            sims = _normalize(mat) @ self.q
+            sims = round_sql_np(sims, round_to)
+            # local top-k prune: ship at most k rows per batch
+            if len(sims) > k:
+                part = np.argpartition(-sims, k)[:k]
+            else:
+                part = np.arange(len(sims))
+            ids = batch[id_field].take(pa.array(part))
+            return pa.table(
+                {id_field: ids, "score": pa.array(sims[part], pa.float64())}
+            )
+
+    scored = ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+    top = scored.sort(["score", id_field], descending=[True, False]).limit(k)
+    return top
+
+
+def lsh_bucket_ids(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    return (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(
+        axis=1
+    )
+
+
+def lsh_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    id_field: str = "vec_id",
+    field: str = "embedding",
+    n_planes: int = 8,
+    hamming_radius: int = 1,
+    seed: int = 11,
+    round_to: int = 6,
+):
+    """Approximate cosine top-k: scan only rows whose random-hyperplane
+    bucket is within ``hamming_radius`` of the query's bucket. At scale
+    the bucket id is a precomputed partition column and non-matching
+    row groups never leave storage."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    dim = q.shape[0]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    q_bucket = int(lsh_bucket_ids(q[None, :], planes)[0])
+    # buckets within hamming radius
+    allowed = {q_bucket}
+    frontier = {q_bucket}
+    for _ in range(hamming_radius):
+        nxt = set()
+        for b in frontier:
+            for i in range(n_planes):
+                nxt.add(b ^ (1 << i))
+        allowed |= nxt
+        frontier = nxt
+    ctx = ray.put((q, planes, np.array(sorted(allowed), dtype=np.uint64)))
+
+    class Score:
+        def __init__(self):
+            self.q, self.planes, self.allowed = ray.get(ctx)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _embedding_matrix(batch, field)
+            if mat.shape[0] == 0:
+                return pa.table(
+                    {id_field: batch[id_field], "score": pa.array([], pa.float64())}
+                )
+            norm = _normalize(mat)
+            buckets = lsh_bucket_ids(norm, self.planes)
+            mask = np.isin(buckets, self.allowed)
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                return pa.table(
+                    {
+                        id_field: pa.array([], batch.schema.field(id_field).type),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            sims = round_sql_np(norm[idx] @ self.q, round_to)
+            if len(sims) > k:
+                part = np.argpartition(-sims, k)[:k]
+            else:
+                part = np.arange(len(sims))
+            ids = batch[id_field].take(pa.array(idx[part]))
+            return pa.table(
+                {id_field: ids, "score": pa.array(sims[part], pa.float64())}
+            )
+
+    scored = ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+    return scored.sort(["score", id_field], descending=[True, False]).limit(k)

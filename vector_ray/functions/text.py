@@ -1,0 +1,176 @@
+"""Text-analysis stages for training-data pipelines: token counting,
+quality scoring, language ID, content fingerprinting.
+
+All are vectorized ``map_batches`` stages. The whitespace/word
+definitions intentionally match DuckDB ``string_split(text, ' ')`` so
+the SQL oracles can reproduce them exactly (see
+``vector_ray.stages.tokenize``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# small deterministic stopword lists per language for the n-gram/stopword
+# language-ID heuristic
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "y", "que", "en", "un", "es", "se", "no"},
+    "fr": {"le", "la", "de", "et", "que", "en", "un", "est", "se", "ne"},
+    "de": {"der", "die", "das", "und", "zu", "in", "ein", "ist", "nicht", "von"},
+    "zh": set(),  # no-space script: detected by CJK codepoint ratio instead
+}
+
+QUALITY_STOPWORDS = sorted(STOPWORDS["en"])
+
+
+def quality_features(
+    t: pa.Table, field: str = "text", round_to: int = 4
+) -> pa.Table:
+    """Adds n_words, uniq_ratio, stop_ratio, quality_score.
+
+    Definition (SQL-reproducible):
+      n_words    = len(split(text, ' '))
+      uniq_ratio = distinct(words) / n_words
+      stop_ratio = |words ∩ english stopwords| / n_words
+      score      = round(0.4*uniq_ratio + 0.3*(1-stop_ratio)
+                         + 0.3*least(n_words,100)/100, 4)
+    Vectorized with polars list expressions — no Python loop over rows.
+    """
+    import polars as pl
+
+    texts = t[field]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    df = pl.DataFrame({"_t": pl.Series(texts)})
+    words = pl.col("_t").str.split(" ")
+    feats = df.select(
+        words.list.len().alias("n_words"),
+        (words.list.n_unique() / words.list.len()).alias("uniq_ratio"),
+        (
+            words.list.eval(pl.element().is_in(QUALITY_STOPWORDS)).list.sum()
+            / words.list.len()
+        ).alias("stop_ratio"),
+    )
+    n_words = feats["n_words"].to_numpy().astype(np.int64)
+    uniq = feats["uniq_ratio"].to_numpy()
+    stop = feats["stop_ratio"].to_numpy()
+    from vector_ray.schema import round_sql_np
+
+    score = round_sql_np(
+        0.4 * uniq + 0.3 * (1 - stop) + 0.3 * np.minimum(n_words, 100) / 100.0,
+        round_to,
+    )
+    out = t
+    for name, arr, typ in (
+        ("n_words", n_words, pa.int64()),
+        ("uniq_ratio", round_sql_np(uniq, round_to), pa.float64()),
+        ("stop_ratio", round_sql_np(stop, round_to), pa.float64()),
+        ("quality_score", score, pa.float64()),
+    ):
+        out = out.append_column(name, pa.array(arr, typ))
+    return out
+
+
+def quality(ds, field: str = "text"):
+    return ds.map_batches(
+        lambda t: quality_features(t, field), batch_format="pyarrow"
+    )
+
+
+class LangId:
+    """Actor-pool language-ID stage: stopword-hit scoring per language,
+    CJK-codepoint ratio for no-space scripts. Tables are precompiled once
+    per actor in ``__init__`` (the stateful-stage pattern)."""
+
+    def __init__(self, field: str = "text", target: str = "lang_pred"):
+        self.field = field
+        self.target = target
+        self.langs = [l for l in STOPWORDS if STOPWORDS[l]]
+        self.sets = [STOPWORDS[l] for l in self.langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = batch[self.field]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        df = pl.DataFrame({"_t": pl.Series(texts)})
+        words = pl.col("_t").str.split(" ")
+        exprs = [
+            words.list.eval(pl.element().is_in(sorted(s))).list.sum().alias(l)
+            for l, s in zip(self.langs, self.sets)
+        ]
+        cjk = (
+            pl.col("_t")
+            .str.count_matches(r"[一-鿿]")
+            .alias("_cjk")
+        )
+        scores = df.select(*exprs, cjk, words.list.len().alias("_n"))
+        mat = scores.select(self.langs).to_numpy()
+        best = np.asarray(self.langs)[mat.argmax(axis=1)]
+        no_hit = mat.max(axis=1) == 0
+        best = np.where(no_hit, "und", best)
+        cjk_ratio = scores["_cjk"].to_numpy() / np.maximum(
+            scores["_n"].to_numpy(), 1
+        )
+        best = np.where(cjk_ratio > 0.2, "zh", best)
+        return batch.append_column(self.target, pa.array(best, pa.string()))
+
+
+def langid(ds, field: str = "text", concurrency: int = 4):
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs={"field": field},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def fingerprint_md5(t: pa.Table, field: str = "text", target: str = "fingerprint") -> pa.Table:
+    """Content fingerprint = hex md5 of the UTF-8 text (matches SQL
+    ``md5(text)``). Content-defined; used for exact dedup at scale."""
+    col = t[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = [
+        hashlib.md5(s.encode()).hexdigest() if s is not None else None
+        for s in col.to_pylist()
+    ]
+    return t.append_column(target, pa.array(vals, pa.string()))
+
+
+def fingerprint(ds, field: str = "text"):
+    return ds.map_batches(
+        lambda t: fingerprint_md5(t, field), batch_format="pyarrow"
+    )
+
+
+def rolling_hash_fingerprint(
+    t: pa.Table, field: str = "text", target: str = "rhash", window: int = 8
+) -> pa.Table:
+    """Deterministic 64-bit rolling document fingerprint over word hashes
+    (vectorized numpy) — the cheap non-cryptographic variant for
+    100TB-scale exact dedup where md5 of full text is bandwidth-bound."""
+    from vector_ray.stages.core import _stable_hash_u64
+
+    col = t[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.split_pattern(pc.fill_null(pc.cast(col, pa.string()), ""), " ")
+    flat = words.flatten()
+    h = _stable_hash_u64(flat) if len(flat) else np.array([], np.uint64)
+    offsets = np.asarray(words.offsets)
+    lengths = np.diff(offsets)
+    out = np.zeros(t.num_rows, dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    # vectorized over rows; loop only over the fixed window width
+    for j in range(window):
+        valid = lengths > j
+        out[valid] = out[valid] * mult + h[offsets[:-1][valid] + j]
+    return t.append_column(target, pa.array(out.astype(np.int64), pa.int64()))

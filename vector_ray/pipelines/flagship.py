@@ -60,6 +60,23 @@ DEFAULT_ROUTES = {
 READ_COLUMNS = ["doc_id", "tokens", "n_tok", "source", "message"]
 
 
+def tune_read_blocks() -> None:
+    """Size read blocks to the cluster instead of Ray's 200-block floor.
+
+    Ray Data's default ``read_op_min_num_blocks=200`` shreds small/medium
+    inputs into KB-scale blocks, which multiplies task overhead and (with
+    ``partition_cols``) produces hundreds of tiny output files whose
+    metadata then dominates any read-back (measured 17.8s vs 0.2s for the
+    same 500k-row re-read). 2× CPUs keeps every core busy while letting
+    ``target_max_block_size`` govern real block sizes at scale.
+    """
+    from ray.data import DataContext
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ctx = DataContext.get_current()
+    ctx.read_op_min_num_blocks = min(200, max(2 * cpus, 8))
+
+
 @dataclass
 class FlagshipConfig:
     routes: dict[str, str] = field(default_factory=lambda: dict(DEFAULT_ROUTES))
@@ -68,6 +85,10 @@ class FlagshipConfig:
     enrich_concurrency: int = 4
     batch_size: int | None = None  # None = per-block batches (zero-copy)
     num_groups: int | None = None  # checkpoint partition groups
+    parallel_groups: int = 4  # concurrent group executions (driver threads)
+    # remap-style consumption: the raw log line is replaced by its parsed
+    # fields (`. = parse(...)` semantics) — and not re-written to sinks
+    drop_after_parse: tuple = ("message",)
 
 
 def _parse_batch(t: pa.Table, parse_field: str) -> pa.Table:
@@ -92,8 +113,11 @@ def build_dataset(
     label = compile_route_label({"route": cfg.routes})
     parse_field = cfg.parse_field
 
+    drop = [c for c in cfg.drop_after_parse]
+
     def parse(t: pa.Table) -> pa.Table:
-        return _parse_batch(t, parse_field)
+        out = _parse_batch(t, parse_field)
+        return out.drop_columns([c for c in drop if c in out.column_names])
 
     ds = rd.read_parquet(files, columns=READ_COLUMNS)
     ds = ds.map_batches(parse, batch_format="pyarrow", batch_size=cfg.batch_size)
@@ -173,6 +197,7 @@ def run(
     """Run (or resume) the flagship pipeline. Returns a summary dict with
     per-sink aggregate path, lineage records, and throughput numbers."""
     cfg = cfg or FlagshipConfig()
+    tune_read_blocks()
     files = list_input_files(input_path)
     if not files:
         raise FileNotFoundError(f"no parquet shards under {input_path}")
@@ -183,7 +208,12 @@ def run(
         enrich_tbl = enrichment
     enrich_ref = ray.put(enrich_tbl)  # broadcast ONCE for the whole run
 
-    n_groups = cfg.num_groups or max(1, len(files) // 4)
+    # checkpoint groups: few enough that per-group fixed costs (actor-pool
+    # spin-up, stream ramp, final merge) amortize — each group should be
+    # minutes of work at scale — but enough that a failed run loses at
+    # most ~1/32 of progress. Measured at 32 CPUs / 4M rows: 20 groups →
+    # 117s, 4 groups → 19.6s for the identical job.
+    n_groups = cfg.num_groups or min(64, max(4, len(files) // 32))
     groups = _partition_groups(files, n_groups)
 
     store = CheckpointStore(out_dir)
@@ -201,23 +231,17 @@ def run(
     store.open(manifest)
 
     t_start = time.perf_counter()
-    rows_total = tokens_total = 0
     skipped = 0
-    partial_fn = _agg_partial_fn()
     parts_dir = os.path.join(out_dir, "agg_parts")
     routed_dir = os.path.join(out_dir, "routed")
     os.makedirs(parts_dir, exist_ok=True)
 
-    for gid_num, group_files in enumerate(groups):
-        gid = f"group-{gid_num:05d}"
-        if store.is_done(gid):
-            skipped += 1
-            continue
+    def process_group(gid: str, group_files: list[str]) -> tuple[int, int]:
         t0 = time.perf_counter()
+        partial_fn = _agg_partial_fn()
         ds = build_dataset(group_files, enrich_ref, cfg)
 
-        # single pass: write routed rows partitioned by __route, AND
-        # collect per-batch aggregate partials on the same stream
+        # write routed rows partitioned by sink in one pass
         final_dir = os.path.join(routed_dir, gid)
         with store.publish_dir(final_dir) as tmp_dir:
             ds.write_parquet(tmp_dir, partition_cols=[SINK_COLUMN])
@@ -233,8 +257,8 @@ def run(
             promote_options="default",
         )
         part_path = os.path.join(parts_dir, f"{gid}.parquet")
-        pq.write_table(part_tbl, part_path + ".tmp")
-        os.replace(part_path + ".tmp", part_path)
+        pq.write_table(part_tbl, part_path + f".tmp-{gid}")
+        os.replace(part_path + f".tmp-{gid}", part_path)
 
         # lineage + metrics marker (NodeMetrics analog)
         g = part_tbl.group_by([SINK_COLUMN]).aggregate(
@@ -245,8 +269,6 @@ def run(
         }
         g_rows = sum(route_rows.values())
         g_tokens = int(pc.sum(part_tbl["__p_n_tokens"]).as_py() or 0)
-        rows_total += g_rows
-        tokens_total += g_tokens
         store.mark_done(
             gid,
             {
@@ -259,6 +281,32 @@ def run(
                 "agg_part": part_path,
             },
         )
+        return g_rows, g_tokens
+
+    # overlap group executions: each group's stream has a serial ramp
+    # (actor-pool spin-up) and tail (write fan-in, partials); running a few
+    # concurrently keeps the cluster busy across those phases. Ray Data
+    # executes concurrent datasets from separate driver threads.
+    from concurrent.futures import ThreadPoolExecutor
+
+
+    pending: list[tuple[str, list[str]]] = []
+    for gid_num, group_files in enumerate(groups):
+        gid = f"group-{gid_num:05d}"
+        if store.is_done(gid):
+            skipped += 1
+        else:
+            pending.append((gid, group_files))
+
+    rows_total = tokens_total = 0
+    if pending:
+        workers = min(cfg.parallel_groups, len(pending))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for g_rows, g_tokens in pool.map(
+                lambda args: process_group(*args), pending
+            ):
+                rows_total += g_rows
+                tokens_total += g_tokens
 
     # final merge (idempotent, re-runs on resume)
     agg = _merge_agg_parts(parts_dir)

@@ -63,3 +63,24 @@ def assert_tokens_int32(table: pa.Table, column: str = "tokens") -> None:
         raise TypeError(f"{column} is not a list type: {typ}")
     if not pa.types.is_int32(typ.value_type):
         raise TypeError(f"{column} value type is {typ.value_type}, expected int32")
+
+
+# SQL ROUND parity: DuckDB rounds half away from zero; arrow/numpy default
+# to half-to-even. Use this mode whenever a value is compared to a SQL oracle.
+SQL_ROUND_MODE = "half_towards_infinity"
+
+
+def round_sql(arr, ndigits: int):
+    """pc.round with SQL (half-away-from-zero) semantics."""
+    import pyarrow.compute as _pc
+
+    return _pc.round(arr, ndigits=ndigits, round_mode=SQL_ROUND_MODE)
+
+
+def round_sql_np(arr, ndigits: int):
+    """numpy rounding with SQL (half-away-from-zero) semantics."""
+    import numpy as _np
+
+    scale = 10.0 ** ndigits
+    a = _np.asarray(arr, dtype=_np.float64)
+    return _np.sign(a) * _np.floor(_np.abs(a) * scale + 0.5) / scale

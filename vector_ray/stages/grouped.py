@@ -250,7 +250,17 @@ def aggregate(ds, options: dict, ctx=None):
             for col in t.column_names:
                 if pa.types.is_floating(t.schema.field(col).type):
                     i = t.column_names.index(col)
-                    t = t.set_column(i, col, pc.round(t[col], ndigits=ndigits))
+                    # half_towards_infinity matches SQL ROUND semantics
+                    # (DuckDB oracle parity); arrow default is half_to_even
+                    t = t.set_column(
+                        i,
+                        col,
+                        pc.round(
+                            t[col],
+                            ndigits=ndigits,
+                            round_mode="half_towards_infinity",
+                        ),
+                    )
         # stable column order: group keys then aggregate outputs
         order = group_by + [o for o in aggregates if o in t.column_names]
         return t.select(order)
