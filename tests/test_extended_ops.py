@@ -1,0 +1,232 @@
+"""Tests for windows, datadog-search conditions, parse codecs, and the
+functional-test harness."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from vector_ray import run_pipeline
+from vector_ray.datadog import compile_datadog
+from vector_ray.testing import generate_test_spec, run_functional_test
+from vector_ray.vrl import VrlError
+
+EVENTS = [
+    {"id": 1, "user": "a", "ts": 10.0, "v": 1.0},
+    {"id": 2, "user": "a", "ts": 70.0, "v": 2.0},
+    {"id": 3, "user": "a", "ts": 75.0, "v": 3.0},
+    {"id": 4, "user": "b", "ts": 80.0, "v": 4.0},
+    {"id": 5, "user": "a", "ts": 300.0, "v": 5.0},
+]
+
+
+def test_tumbling_window(ray_session):
+    from vector_ray.stages.window import window
+
+    ds = rd.from_items(EVENTS)
+    out = window(
+        ds,
+        {
+            "type": "tumbling",
+            "size_secs": 60,
+            "ts_field": "ts",
+            "key_field": "user",
+            "aggregates": {"n": {"fn": "count"}, "total": {"fn": "sum", "field": "v"}},
+        },
+    ).to_pandas()
+    got = {(r.user, r.window_start): (r.n, r.total) for r in out.itertuples()}
+    assert got[("a", 0.0)] == (1, 1.0)
+    assert got[("a", 60.0)] == (2, 5.0)
+    assert got[("b", 60.0)] == (1, 4.0)
+    assert got[("a", 300.0)] == (1, 5.0)
+
+
+def test_sliding_window(ray_session):
+    from vector_ray.stages.window import window
+
+    ds = rd.from_items(EVENTS[:1])  # ts=10, size 60 slide 30
+    out = window(
+        ds,
+        {
+            "type": "sliding",
+            "size_secs": 60,
+            "slide_secs": 30,
+            "ts_field": "ts",
+            "aggregates": {"n": {"fn": "count"}},
+        },
+    ).to_pandas()
+    # ts=10 belongs to windows starting at -30 and 0
+    assert sorted(out.window_start) == [-30.0, 0.0]
+    assert (out.n == 1).all()
+
+
+def test_session_window(ray_session):
+    from vector_ray.stages.window import window
+
+    ds = rd.from_items(EVENTS)
+    out = window(
+        ds,
+        {
+            "type": "session",
+            "gap_secs": 30,
+            "ts_field": "ts",
+            "key_field": "user",
+            "aggregates": {"n": {"fn": "count"}, "total": {"fn": "sum", "field": "v"}},
+        },
+    ).to_pandas()
+    a = out[out.user == "a"].sort_values("session_start")
+    # user a: sessions {10}, {70,75}, {300}
+    assert list(a.n) == [1, 2, 1]
+    assert list(a.session_start) == [10.0, 70.0, 300.0]
+    assert list(a.session_end) == [10.0, 75.0, 300.0]
+    b = out[out.user == "b"]
+    assert list(b.n) == [1]
+
+
+DD_TBL = pa.table(
+    {
+        "service": ["web", "webapp", "db", None],
+        "status": ["error", "warn", "ok", "error"],
+        "code": [500, 400, 200, 503],
+        "message": ["disk ERROR", "slow request", "fine", "boom"],
+    }
+)
+
+
+def dd(q):
+    return compile_datadog(q)(DD_TBL).to_pylist()
+
+
+def test_datadog_equality_and_wildcards():
+    assert dd("service:web") == [True, False, False, False]
+    assert dd("service:web*") == [True, True, False, False]
+    assert dd("service:*b") == [True, False, True, False]
+    assert dd("service:*eb*") == [True, True, False, False]
+
+
+def test_datadog_bool_ops():
+    assert dd("service:web* AND status:error") == [True, False, False, False]
+    assert dd("service:db OR status:error") == [True, False, True, True]
+    assert dd("-service:web") == [False, True, True, True]
+    assert dd("NOT (service:web OR service:db)") == [False, True, False, True]
+    # adjacency = AND
+    assert dd("service:web* status:warn") == [False, True, False, False]
+
+
+def test_datadog_value_groups_and_numeric():
+    assert dd("status:(error OR warn)") == [True, True, False, True]
+    assert dd("code:>=500") == [True, False, False, True]
+    assert dd("code:<500") == [False, True, True, False]
+
+
+def test_datadog_bare_term_searches_message():
+    assert dd("ERROR") == [True, False, False, False]
+    assert dd('"slow request"') == [False, True, False, False]
+
+
+def test_datadog_filter_stage(ray_session):
+    spec = {
+        "sources": {"in": {"type": "inline", "table": DD_TBL}},
+        "transforms": {
+            "f": {
+                "type": "filter",
+                "inputs": ["in"],
+                "condition": "service:web* AND code:>=400",
+                "condition_type": "datadog_search",
+            }
+        },
+        "sinks": {"out": {"type": "collect", "inputs": ["f"]}},
+    }
+    res = run_pipeline(spec)
+    assert res.sinks["out"].count == 2
+
+
+def test_datadog_bad_syntax():
+    with pytest.raises(VrlError):
+        compile_datadog("service:(a OR")
+
+
+def test_parse_syslog(ray_session):
+    rows = [
+        {"message": "<13>Feb  5 17:32:18 host-a ingestd[123]: started ok"},
+        {"message": "Feb 15 03:02:01 host-b cron: job done"},
+    ]
+    spec = {
+        "sources": {"in": {"type": "inline", "rows": rows}},
+        "transforms": {
+            "p": {"type": "remap", "inputs": ["in"],
+                  "ops": [{"op": "parse_syslog", "field": "message"}]}
+        },
+        "sinks": {"out": {"type": "collect", "inputs": ["p"]}},
+    }
+    got = sorted(
+        run_pipeline(spec).sinks["out"].table.to_pylist(),
+        key=lambda r: r["hostname"],
+    )
+    assert got[0]["priority"] == 13 and got[0]["procid"] == 123
+    assert got[0]["appname"] == "ingestd" and got[0]["body"] == "started ok"
+    assert got[1]["priority"] is None and got[1]["appname"] == "cron"
+
+
+def test_parse_apache_common(ray_session):
+    rows = [{"message": '1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] "GET /x.gif HTTP/1.0" 200 2326'}]
+    spec = {
+        "sources": {"in": {"type": "inline", "rows": rows}},
+        "transforms": {
+            "p": {"type": "remap", "inputs": ["in"],
+                  "ops": [{"op": "parse_apache_common", "field": "message"}]}
+        },
+        "sinks": {"out": {"type": "collect", "inputs": ["p"]}},
+    }
+    r = run_pipeline(spec).sinks["out"].table.to_pylist()[0]
+    assert r["client"] == "1.2.3.4" and r["method"] == "GET"
+    assert r["status"] == 200 and r["size"] == 2326
+
+
+def test_generate_test_spec_rewrite():
+    # golden rewrite check — mirror of the reference's
+    # test_generate_test_config (functional_test.rs:434-462)
+    spec = {
+        "sources": {"logs": {"type": "demo_logs", "count": 100}},
+        "transforms": {"f": {"type": "filter", "inputs": ["logs"],
+                             "condition": '.level == "error"'}},
+        "sinks": {
+            "s1": {"type": "parquet", "inputs": ["f"], "path": "/tmp/x"},
+            "s2": {"type": "console", "inputs": ["logs"]},
+        },
+    }
+    rewritten = generate_test_spec(spec, [{"level": "error"}])
+    assert rewritten.sources["logs"]["type"] == "inline"
+    assert list(rewritten.sinks) == ["__test_output"]
+    assert rewritten.sinks["__test_output"]["inputs"] == ["f", "logs"]
+    assert rewritten.sinks["__test_output"]["type"] == "collect"
+
+
+def test_run_functional_test(ray_session):
+    spec = {
+        "sources": {"logs": {"type": "demo_logs", "count": 100}},
+        "transforms": {"f": {"type": "filter", "inputs": ["logs"],
+                             "condition": '.level == "error"'}},
+        "sinks": {"out": {"type": "parquet", "inputs": ["f"], "path": "/tmp/x"}},
+    }
+    events = [{"level": "error", "id": 1}, {"level": "info", "id": 2},
+              {"level": "error", "id": 3}]
+    result = run_functional_test(spec, events)
+    assert result["status"] == "completed"
+    assert result["input_events"] == 3
+    assert result["output_count"] == 2
+    assert result["dropped_count"] == 1
+    assert {e["id"] for e in result["output_events"]} == {1, 3}
+    assert result["duration_ms"] >= 0
+
+
+def test_functional_test_reports_failure(ray_session):
+    spec = {
+        "sources": {"logs": {"type": "demo_logs", "count": 10}},
+        "transforms": {"f": {"type": "filter", "inputs": ["logs"],
+                             "condition": ".level =="}},  # bad VRL
+        "sinks": {"out": {"type": "blackhole", "inputs": ["f"]}},
+    }
+    result = run_functional_test(spec, [{"level": "x"}])
+    assert result["status"] == "failed"
+    assert result["errors"] and "VrlError" in result["errors"][0]

@@ -1,0 +1,214 @@
+"""Correctness tests for the training-data operator families:
+dedup (exact/minhash/simhash/ngram/embedding), similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def docs_table():
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "the quick brown fox jumps over the lazy dog near the river bend"
+    other = "completely different content about ray data pipelines and arrow tables"
+    rows = [
+        {"doc_id": 1, "text": base, "lang": "en"},
+        {"doc_id": 2, "text": near, "lang": "en"},       # near-dup of 1
+        {"doc_id": 3, "text": base, "lang": "en"},       # exact dup of 1
+        {"doc_id": 4, "text": other, "lang": "en"},
+        {"doc_id": 5, "text": "der hund und die katze sind nicht zu haus", "lang": "de"},
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+def test_minhash_finds_planted_neardup(ray_session):
+    from vector_ray.functions.dedup import minhash_lsh_candidates
+
+    ds = rd.from_arrow(docs_table())
+    pairs = minhash_lsh_candidates(
+        ds, id_field="doc_id", threshold=0.5, shingle_k=2
+    ).to_pandas()
+    got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (1, 3) in got          # exact dup: est_jaccard 1.0
+    assert (1, 2) in got or (2, 3) in got  # near dup found
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_signature_determinism():
+    from vector_ray.functions.dedup import minhash_signatures
+
+    t = docs_table()
+    s1 = minhash_signatures(t, "text")
+    s2 = minhash_signatures(t, "text")
+    assert (s1 == s2).all()
+    # exact dup rows have identical signatures
+    assert (s1[0] == s1[2]).all()
+
+
+def test_simhash_hamming(ray_session):
+    from vector_ray.functions.dedup import simhash_bits, simhash_candidates
+
+    t = docs_table()
+    s = simhash_bits(t, "text")
+    assert s[0] == s[2]  # identical text → identical simhash
+    ham_near = bin(int(s[0]) ^ int(s[1])).count("1")
+    ham_far = bin(int(s[0]) ^ int(s[3])).count("1")
+    assert ham_near < ham_far
+
+    ds = rd.from_arrow(t)
+    pairs = simhash_candidates(ds, id_field="doc_id", max_hamming=ham_near).to_pandas()
+    got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (1, 3) in got
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    from vector_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.from_arrow(docs_table())
+    pairs = ngram_jaccard_pairs(
+        ds, id_field="doc_id", bucket_by=["lang"], shingle_k=2, threshold=0.5
+    ).to_pandas()
+    got = {(a, b): j for a, b, j in zip(pairs.doc_a, pairs.doc_b, pairs.jaccard)}
+    assert got[(1, 3)] == 1.0
+    assert 0.5 <= got[(1, 2)] < 1.0
+
+
+def test_connected_components_keep_min(ray_session):
+    from vector_ray.functions.dedup import connected_components_keep_min
+
+    pairs = rd.from_items(
+        [
+            {"doc_a": 1, "doc_b": 2},
+            {"doc_a": 2, "doc_b": 3},   # chain 1-2-3
+            {"doc_a": 7, "doc_b": 9},
+        ]
+    )
+    labels = connected_components_keep_min(pairs).to_pandas()
+    m = dict(zip(labels.doc_id, labels.cluster))
+    assert m[1] == m[2] == m[3] == 1
+    assert m[7] == m[9] == 7
+
+
+def test_embedding_dup_pairs(ray_session):
+    from vector_ray.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(8)
+    rows = [
+        {"vec_id": 1, "embedding": v.tolist()},
+        {"vec_id": 2, "embedding": (v + 0.001).tolist()},   # near-dup
+        {"vec_id": 3, "embedding": rng.standard_normal(8).tolist()},
+    ]
+    ds = rd.from_items(rows)
+    pairs = embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert got == {(1, 2)}
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    from vector_ray.functions.similarity import brute_force_topk
+
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((100, 16))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(100)]
+    q = mat[7]
+    top = brute_force_topk(rd.from_items(rows), q, k=5).to_pandas()
+    # numpy reference
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ (q / np.linalg.norm(q))
+    expected = set(np.argsort(-sims)[:5].tolist())
+    assert set(top.vec_id) == expected
+    assert top.iloc[0].vec_id == 7 and top.iloc[0].score == 1.0
+
+
+def test_lsh_topk_contains_self(ray_session):
+    from vector_ray.functions.similarity import lsh_topk
+
+    rng = np.random.default_rng(2)
+    mat = rng.standard_normal((200, 16))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(200)]
+    q = mat[11]
+    top = lsh_topk(rd.from_items(rows), q, k=5).to_pandas()
+    assert top.iloc[0].vec_id == 11  # query's own bucket always scanned
+    assert len(top) == 5
+
+
+def test_quality_features_definition():
+    from vector_ray.functions.text import quality_features
+
+    t = pa.table({"text": ["the the fox", "a b c d"]})
+    out = quality_features(t)
+    # row 0: 3 words, 2 unique, stopwords {the,the} → 2/3
+    assert out["n_words"].to_pylist() == [3, 4]
+    assert out["uniq_ratio"].to_pylist()[0] == pytest.approx(2 / 3, abs=1e-4)
+    assert out["stop_ratio"].to_pylist()[0] == pytest.approx(2 / 3, abs=1e-4)
+    # row 1: one stopword "a" → 1/4
+    assert out["stop_ratio"].to_pylist()[1] == pytest.approx(0.25, abs=1e-4)
+
+
+def test_langid(ray_session):
+    from vector_ray.functions.text import langid
+
+    rows = [
+        {"doc_id": 1, "text": "the cat and the dog went to the park"},
+        {"doc_id": 2, "text": "el perro y el gato en la casa no se ve"},
+        {"doc_id": 3, "text": "der hund und die katze ist nicht von hier"},
+        {"doc_id": 4, "text": "zzz qqq xxx"},
+    ]
+    out = langid(rd.from_items(rows), concurrency=1).to_pandas()
+    m = dict(zip(out.doc_id, out.lang_pred))
+    assert m[1] == "en" and m[2] == "es" and m[3] == "de" and m[4] == "und"
+
+
+def test_fingerprints():
+    import hashlib
+
+    from vector_ray.functions.text import fingerprint_md5, rolling_hash_fingerprint
+
+    t = pa.table({"text": ["hello world", "hello world", "other"]})
+    out = fingerprint_md5(t)
+    fps = out["fingerprint"].to_pylist()
+    assert fps[0] == fps[1] == hashlib.md5(b"hello world").hexdigest()
+    assert fps[2] != fps[0]
+
+    rh = rolling_hash_fingerprint(t)["rhash"].to_pylist()
+    assert rh[0] == rh[1] != rh[2]
+
+
+def test_tokenize_matches_split_semantics():
+    from vector_ray.stages.tokenize import tokenize_table
+
+    t = pa.table({"text": ["a b  c", "", None, "single"]})
+    out = tokenize_table(t)
+    # single-space split keeps empty pieces — matches DuckDB string_split
+    assert out["n_tok"].to_pylist() == [4, 1, 1, 1]
+    assert out.schema.field("tokens").type == pa.list_(pa.int32())
+    # determinism
+    out2 = tokenize_table(t)
+    assert out["tokens"].to_pylist() == out2["tokens"].to_pylist()
+
+
+def test_multimodal_plumbing(ray_session):
+    from vector_ray.functions.multimodal import (
+        MediaFeatureExtractor,
+        extract_features,
+        fake_media_table,
+        frame_sample,
+    )
+
+    t = fake_media_table(20, seed=1)
+    ds = rd.from_arrow(t)
+    out = extract_features(ds, mode="fake", concurrency=1).to_pandas()
+    assert len(out) == 20
+    assert len(out.iloc[0].features) == MediaFeatureExtractor.FEATURE_DIM
+    assert (out.payload_bytes > 0).all()
+
+    # stub mode is honest about the missing codec
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(mode="stub")(t.slice(0, 2))
+
+    frames = frame_sample(ds, every_ms=10_000).to_pandas()
+    assert (frames.frame_offset_ms % 10_000 == 0).all()
+    assert len(frames) >= 20

@@ -431,6 +431,74 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, np.asarray(query), k=10)
 
 
+def q_window_tumbling_events(sf_dir: str):
+    from vector_ray.stages.window import window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    out = window(
+        ds,
+        {
+            "type": "tumbling",
+            "size_secs": 3600,
+            "ts_field": "ts",
+            "key_field": "event_type",
+            "aggregates": {
+                "n": {"fn": "count"},
+                "total": {"fn": "sum", "field": "value"},
+            },
+            "round": 2,
+        },
+    )
+    return _collect(out)
+
+
+def q_window_sliding_events(sf_dir: str):
+    from vector_ray.stages.window import window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    out = window(
+        ds,
+        {
+            "type": "sliding",
+            "size_secs": 7200,
+            "slide_secs": 3600,
+            "ts_field": "ts",
+            "aggregates": {"n": {"fn": "count"}},
+        },
+    )
+    return _collect(out)
+
+
+def q_window_session_events(sf_dir: str):
+    from vector_ray.stages.window import window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = window(
+        ds,
+        {
+            "type": "session",
+            "gap_secs": 3600,
+            "ts_field": "ts",
+            "key_field": "user_id",
+            "aggregates": {"n": {"fn": "count"}},
+        },
+    )
+    return out
+
+
+def q_filter_datadog_events(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return core.filter_(
+        ds,
+        {
+            "condition": "event_type:(click OR view) AND value:>=50",
+            "condition_type": "datadog_search",
+        },
+    )
+
+
 # --- rows-only queries (no SQL-expressible oracle) -------------------------
 
 
@@ -518,6 +586,10 @@ QUERIES = {
     "quality_documents": q_quality_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "ann_topk": q_ann_topk,
+    "window_tumbling_events": q_window_tumbling_events,
+    "window_sliding_events": q_window_sliding_events,
+    "window_session_events": q_window_session_events,
+    "filter_datadog_events": q_filter_datadog_events,
     "langid_documents": q_langid_documents,
     "simhash_documents": q_simhash_documents,
     "minhash_pairs_documents": q_minhash_pairs_documents,
@@ -618,6 +690,34 @@ def oracle_sql() -> dict[str, str]:
             ),
             "fingerprint_documents": (
                 "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+            ),
+            "window_tumbling_events": (
+                "SELECT event_type, floor(epoch(ts)/3600)*3600 AS window_start, "
+                "COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+                "FROM events GROUP BY event_type, window_start"
+            ),
+            "window_sliding_events": (
+                # size 7200 slide 3600 → each event lands in exactly 2 windows
+                "SELECT window_start, COUNT(*) AS n FROM ("
+                "  SELECT floor(epoch(ts)/3600)*3600 AS window_start FROM events"
+                "  UNION ALL"
+                "  SELECT (floor(epoch(ts)/3600)-1)*3600 AS window_start FROM events"
+                ") GROUP BY window_start"
+            ),
+            "window_session_events": (
+                "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+                "COUNT(*) AS n FROM ("
+                "  SELECT user_id, ts, SUM(new_session) OVER ("
+                "    PARTITION BY user_id ORDER BY ts) AS sid FROM ("
+                "    SELECT user_id, ts, CASE WHEN epoch(ts) - epoch(lag(ts) OVER ("
+                "      PARTITION BY user_id ORDER BY ts)) > 3600 OR lag(ts) OVER ("
+                "      PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END "
+                "    AS new_session FROM events)"
+                ") GROUP BY user_id, sid"
+            ),
+            "filter_datadog_events": (
+                "SELECT event_id, event_type, value FROM events "
+                "WHERE event_type IN ('click', 'view') AND value >= 50"
             ),
             "ann_topk": (
                 "SELECT e.vec_id, "

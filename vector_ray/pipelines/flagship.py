@@ -300,7 +300,10 @@ def run(
 
     rows_total = tokens_total = 0
     if pending:
-        workers = min(cfg.parallel_groups, len(pending))
+        # each concurrent group pins ≥1 enrich actor (1 CPU); cap overlap
+        # at half the cluster so task pools (read/write) always have CPUs
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        workers = max(1, min(cfg.parallel_groups, len(pending), cpus // 2))
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for g_rows, g_tokens in pool.map(
                 lambda args: process_group(*args), pending

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from vector_ray.stages import core, enrich, grouped, metricops
 from vector_ray.stages.tokenize import tokenize
+from vector_ray.stages.window import window
 
 
 def _pyscript(ds, options, ctx=None):
@@ -43,6 +44,7 @@ TRANSFORMS = {
     "test_basic": core.identity,
     "enrich": enrich.enrich,
     "tokenize": tokenize,
+    "window": window,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

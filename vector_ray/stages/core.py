@@ -116,6 +116,53 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
 
         return _apply
 
+    if kind in ("parse_syslog", "parse_apache_common"):
+        # fixed-format codecs (demo_logs formats syslog / apache_common,
+        # ui config_panel.rs:794-806) — one vectorized extract_regex pass
+        field = op["field"]
+        if kind == "parse_syslog":
+            # "<13>Feb  5 17:32:18 host-a app[123]: message body"
+            pattern = (
+                r"^(?:<(?P<priority>\d+)>)?"
+                r"(?P<stamp>\w{3} +\d+ [\d:]+) "
+                r"(?P<hostname>\S+) (?P<appname>[^\[\s:]+)"
+                r"(?:\[(?P<procid>\d+)\])?: (?P<body>.*)$"
+            )
+            ints = {"priority", "procid"}
+        else:
+            # '1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 2326'
+            pattern = (
+                r'^(?P<client>\S+) \S+ (?P<user>\S+) \[(?P<stamp>[^\]]+)\] '
+                r'"(?P<method>\S+) (?P<path>\S+) (?P<protocol>[^"]+)" '
+                r"(?P<status>\d+) (?P<size>\d+|-)"
+            )
+            ints = {"status", "size"}
+        compiled = re.compile(pattern)
+        names = list(compiled.groupindex)
+
+        def _apply(t: pa.Table) -> pa.Table:
+            col = t[field]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            extracted = pc.extract_regex(col, pattern=pattern)
+            for name in names:
+                vals = pc.struct_field(extracted, name)
+                if name in ints:
+                    ok = pc.match_substring_regex(vals, r"^\d+$")
+                    vals = pc.if_else(
+                        pc.fill_null(ok, False), vals, pa.scalar(None, pa.string())
+                    )
+                    vals = pc.cast(vals, pa.int64())
+                t = _set_column(t, name, vals)
+            return t
+
+        return _apply
+
+    if kind == "parse_logfmt":
+        # logfmt == whitespace-separated k=v pairs; same machinery as
+        # parse_kv with an explicit key list (Ray blocks need one schema)
+        return _compile_op({**op, "op": "parse_kv"})
+
     if kind == "parse_json":
         # `. = parse_json!(string!(.message))` analog (config.rs:412):
         # extract the requested keys from a JSON-string column. Uses a
@@ -187,14 +234,41 @@ def remap(ds, options: dict, ctx=None):
 # ---------------------------------------------------------------------------
 
 
-def compile_filter(options: dict) -> Callable[[pa.Table], pa.Table]:
-    cond = options["condition"]
+def compile_condition(cond, condition_type: str = "vrl"):
+    """Compile a condition of any supported syntax to a mask function —
+    the reference's condition_type dispatch (config_panel.rs:1461-1467):
+    vrl (default) | datadog_search | is_log | is_metric | is_trace."""
+    import numpy as np
+
     if callable(cond):
-        return lambda t: t.filter(cond(t))
-    syntax = options.get("condition_type", "vrl")
-    if syntax != "vrl":
-        raise VrlError(f"unsupported condition syntax {syntax!r} (vrl only)")
-    mask = compile_predicate(cond)
+        return cond
+    if condition_type == "vrl":
+        return compile_predicate(cond)
+    if condition_type == "datadog_search":
+        from vector_ray.datadog import compile_datadog
+
+        return compile_datadog(cond)
+    if condition_type in ("is_log", "is_metric", "is_trace"):
+        # our Arrow mapping: metric rows carry the MetricEvent columns
+        # (name/kind/value, shared/src/messages.rs:145-171); logs don't;
+        # traces are not modeled.
+        def type_mask(t: pa.Table):
+            is_metric = {"name", "kind", "value"} <= set(t.column_names)
+            keep = (
+                is_metric
+                if condition_type == "is_metric"
+                else (not is_metric if condition_type == "is_log" else False)
+            )
+            return pa.array(np.full(t.num_rows, keep))
+
+        return type_mask
+    raise VrlError(f"unsupported condition syntax {condition_type!r}")
+
+
+def compile_filter(options: dict) -> Callable[[pa.Table], pa.Table]:
+    mask = compile_condition(
+        options["condition"], options.get("condition_type", "vrl")
+    )
     return lambda t: t.filter(mask(t))
 
 

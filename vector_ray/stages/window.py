@@ -1,0 +1,162 @@
+"""Windowed aggregation — batch-mode implementation of time windows.
+
+The reference's throttle/reduce/aggregate transforms carry streaming
+window options (``window_secs``, ``ends_when``, ``interval_ms`` —
+ui config_panel.rs:1684-1706, 1771-1791, 1845-1857). Ray Data has no
+event-time/watermark machinery, so windows become derived grouping
+columns over the (already complete) batch input — the documented
+batch-window approximation (SURVEY.md §2.6):
+
+* **tumbling** — window id = floor(ts / size); two-phase aggregate on
+  (key, window): no per-group materialization, skew-safe.
+* **sliding** — each row replicates into ceil(size/slide) windows in a
+  vectorized ``map_batches`` explode, then tumbling-style two-phase
+  aggregate. Replication factor is size/slide — callers own that cost.
+* **session** — per key, sorted by ts, a gap > timeout starts a new
+  session: ``groupby(key).map_groups`` with a numpy cumsum over gap
+  flags. Requires whole-key groups (one shuffle on key); sessions are
+  assumed to fit a worker (state the partitioning assumption).
+
+All emit ``window_start`` (epoch seconds, float) + the requested
+aggregates; deterministic and SQL-oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vector_ray.stages.grouped import aggregate as agg_stage
+
+
+def _epoch_secs(col) -> pc.Expression:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        unit = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[col.type.unit]
+        return pc.divide(pc.cast(pc.cast(col, pa.int64()), pa.float64()), unit)
+    return pc.cast(col, pa.float64())
+
+
+def tumbling(ds, options: dict, ctx=None):
+    """options: size_secs, ts_field, key_field(s), aggregates, round."""
+    size = float(options["size_secs"])
+    ts_field = options.get("ts_field", "ts")
+    keys = options.get("key_fields") or (
+        [options["key_field"]] if options.get("key_field") else []
+    )
+
+    def add_window(t: pa.Table) -> pa.Table:
+        secs = _epoch_secs(t[ts_field])
+        win = pc.multiply(pc.floor(pc.divide(secs, size)), size)
+        if isinstance(win, pa.ChunkedArray):
+            win = win.combine_chunks()
+        return t.append_column("window_start", win)
+
+    windowed = ds.map_batches(add_window, batch_format="pyarrow")
+    return agg_stage(
+        windowed,
+        {
+            "group_by": keys + ["window_start"],
+            "aggregates": options["aggregates"],
+            "round": options.get("round"),
+        },
+        ctx,
+    )
+
+
+def sliding(ds, options: dict, ctx=None):
+    """options: size_secs, slide_secs, ts_field, key_field(s), aggregates."""
+    size = float(options["size_secs"])
+    slide = float(options.get("slide_secs", size))
+    ts_field = options.get("ts_field", "ts")
+    keys = options.get("key_fields") or (
+        [options["key_field"]] if options.get("key_field") else []
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        secs_arr = _epoch_secs(t[ts_field])
+        if isinstance(secs_arr, pa.ChunkedArray):
+            secs_arr = secs_arr.combine_chunks()
+        secs = secs_arr.to_numpy(zero_copy_only=False)
+        # windows with start w*slide where w*slide <= ts < w*slide + size
+        first = np.ceil((secs - size) / slide + 1e-9).astype(np.int64)
+        last = np.floor(secs / slide + 1e-9).astype(np.int64)
+        counts = np.maximum(last - first + 1, 0)
+        total = int(counts.sum())
+        row_id = np.repeat(np.arange(len(secs)), counts)
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        w = (np.repeat(first, counts) + within) * slide
+        out = t.take(pa.array(row_id))
+        return out.append_column("window_start", pa.array(w, pa.float64()))
+
+    windowed = ds.map_batches(explode, batch_format="pyarrow")
+    return agg_stage(
+        windowed,
+        {
+            "group_by": keys + ["window_start"],
+            "aggregates": options["aggregates"],
+            "round": options.get("round"),
+        },
+        ctx,
+    )
+
+
+def session(ds, options: dict, ctx=None):
+    """options: gap_secs, ts_field, key_field, aggregates (sum/count/
+    min/max/mean over listed fields, computed per session)."""
+    gap = float(options["gap_secs"])
+    ts_field = options.get("ts_field", "ts")
+    key = options["key_field"]
+    aggregates: dict = options["aggregates"]
+
+    def sessions(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(ts_field, "ascending")])
+        g = g.take(idx)
+        secs_arr = _epoch_secs(g[ts_field])
+        if isinstance(secs_arr, pa.ChunkedArray):
+            secs_arr = secs_arr.combine_chunks()
+        secs = secs_arr.to_numpy(zero_copy_only=False)
+        new_session = np.ones(len(secs), dtype=np.int64)
+        if len(secs) > 1:
+            new_session[1:] = (np.diff(secs) > gap).astype(np.int64)
+        sid = np.cumsum(new_session)
+        g = g.append_column("__sid", pa.array(sid))
+        cols: dict[str, pa.Array] = {}
+        specs = []
+        for out, spec in aggregates.items():
+            fn = spec["fn"]
+            if fn == "count":
+                specs.append(([], "count_all"))
+            else:
+                specs.append((spec["field"], fn))
+        ga = g.group_by(["__sid"]).aggregate(
+            specs + [(ts_field, "min"), (ts_field, "max")]
+        )
+        n = ga.num_rows
+        cols[key] = pa.array([g[key][0].as_py()] * n, g.schema.field(key).type)
+        start = ga[f"{ts_field}_min"]
+        cols["session_start"] = start.combine_chunks() if isinstance(start, pa.ChunkedArray) else start
+        end = ga[f"{ts_field}_max"]
+        cols["session_end"] = end.combine_chunks() if isinstance(end, pa.ChunkedArray) else end
+        for out, spec in aggregates.items():
+            src = "count_all" if spec["fn"] == "count" else f"{spec['field']}_{spec['fn']}"
+            v = ga[src]
+            cols[out] = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        return pa.table(cols)
+
+    return ds.groupby(key).map_groups(sessions, batch_format="pyarrow")
+
+
+def window(ds, options: dict, ctx=None):
+    kind = options.get("type", "tumbling")
+    if kind == "tumbling":
+        return tumbling(ds, options, ctx)
+    if kind == "sliding":
+        return sliding(ds, options, ctx)
+    if kind == "session":
+        return session(ds, options, ctx)
+    raise ValueError(f"unknown window type {kind!r}")
