@@ -1,0 +1,83 @@
+"""Tests for explicit partitioning / skew / join machinery."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def test_hash_bucket_deterministic(ray_session):
+    from vector_ray.stages.shuffle import hash_bucket
+
+    rows = [{"k": f"key-{i%7}", "v": i} for i in range(50)]
+    b1 = hash_bucket(rd.from_items(rows), "k", 8).to_pandas()
+    b2 = hash_bucket(rd.from_items(rows), "k", 8).to_pandas()
+    assert (b1.sort_values("v").__bucket.values == b2.sort_values("v").__bucket.values).all()
+    # same key → same bucket
+    per_key = b1.groupby("k")["__bucket"].nunique()
+    assert (per_key == 1).all()
+
+
+def test_salted_topk_matches_direct(ray_session):
+    from vector_ray.stages.shuffle import topk_per_key
+
+    rng = np.random.default_rng(5)
+    # zipf-skewed keys: one hot key dominating
+    keys = np.where(rng.random(500) < 0.7, "hot", rng.choice(["a", "b", "c"], 500))
+    rows = [
+        {"k": str(k), "score": int(s), "id": i}
+        for i, (k, s) in enumerate(zip(keys, rng.integers(0, 1000, 500)))
+    ]
+    out = topk_per_key(
+        rd.from_items(rows), "k", "score", k=3, tiebreak="id", salt_buckets=8
+    ).to_pandas()
+
+    df = pd.DataFrame(rows)
+    expected = (
+        df.sort_values(["score", "id"], ascending=[False, True])
+        .groupby("k")
+        .head(3)
+    )
+    got = set(zip(out.k, out.id))
+    want = set(zip(expected.k, expected.id))
+    assert got == want
+
+
+def test_bucketed_join_inner(ray_session):
+    from vector_ray.stages.shuffle import bucketed_join
+
+    left = [{"k": i % 10, "lv": i} for i in range(100)]
+    right = [{"k": k, "rv": k * 100} for k in range(7)]  # keys 7,8,9 unmatched
+    out = bucketed_join(
+        rd.from_items(left), rd.from_items(right), "k", num_buckets=4
+    ).to_pandas()
+    expected = pd.DataFrame(left).merge(pd.DataFrame(right), on="k")
+    assert len(out) == len(expected) == 70
+    assert set(zip(out.k, out.lv, out.rv)) == set(
+        zip(expected.k, expected.lv, expected.rv)
+    )
+
+
+def test_bucketed_join_overlapping_columns(ray_session):
+    from vector_ray.stages.shuffle import bucketed_join
+
+    left = [{"k": 1, "v": 10}, {"k": 2, "v": 20}]
+    right = [{"k": 1, "v": 111}, {"k": 2, "v": 222}]
+    out = bucketed_join(
+        rd.from_items(left), rd.from_items(right), "k", num_buckets=2
+    ).to_pandas().sort_values("k")
+    assert list(out.columns) == ["k", "v", "v_r"]
+    assert list(out.v) == [10, 20] and list(out.v_r) == [111, 222]
+
+
+def test_bucketed_join_left(ray_session):
+    from vector_ray.stages.shuffle import bucketed_join
+
+    left = [{"k": 1, "lv": 1}, {"k": 9, "lv": 9}]
+    right = [{"k": 1, "rv": 100}]
+    out = bucketed_join(
+        rd.from_items(left), rd.from_items(right), "k", num_buckets=2, how="left"
+    ).to_pandas().sort_values("k")
+    assert len(out) == 2
+    assert out[out.k == 9].rv.isna().all()

@@ -486,6 +486,44 @@ def q_window_session_events(sf_dir: str):
     return out
 
 
+def q_topk_per_source(sf_dir: str):
+    """Skew-safe per-key top-k via salted sub-groups (the explicit
+    skew-handling path for per-group logic on hot keys)."""
+    from vector_ray.stages.shuffle import topk_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    out = topk_per_key(
+        ds, "source", "n_chars", k=3, tiebreak="doc_id", salt_buckets=8
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Explicit bucketed large×large hash join (one shuffle, per-bucket
+    pandas merge)."""
+    from vector_ray.stages.shuffle import bucketed_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow",
+    )
+    out = bucketed_join(orders, customer, "o_custkey", num_buckets=16)
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "o_totalprice", "c_name"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_filter_datadog_events(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
@@ -590,6 +628,8 @@ QUERIES = {
     "window_sliding_events": q_window_sliding_events,
     "window_session_events": q_window_session_events,
     "filter_datadog_events": q_filter_datadog_events,
+    "topk_per_source": q_topk_per_source,
+    "join_orders_customer": q_join_orders_customer,
     "langid_documents": q_langid_documents,
     "simhash_documents": q_simhash_documents,
     "minhash_pairs_documents": q_minhash_pairs_documents,
@@ -718,6 +758,16 @@ def oracle_sql() -> dict[str, str]:
             "filter_datadog_events": (
                 "SELECT event_id, event_type, value FROM events "
                 "WHERE event_type IN ('click', 'view') AND value >= 50"
+            ),
+            "topk_per_source": (
+                "SELECT doc_id, source, n_chars FROM ("
+                "  SELECT doc_id, source, n_chars, row_number() OVER ("
+                "    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+                "  FROM documents) WHERE rn <= 3"
+            ),
+            "join_orders_customer": (
+                "SELECT o_orderkey, o_custkey, o_totalprice, c_name "
+                "FROM orders JOIN customer ON o_custkey = c_custkey"
             ),
             "ann_topk": (
                 "SELECT e.vec_id, "

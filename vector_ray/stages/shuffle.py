@@ -1,0 +1,181 @@
+"""Explicit partitioning / shuffle / skew machinery.
+
+The north rule requires source-key skew to be handled explicitly (the
+``source`` column is zipf-distributed by construction). Three tools:
+
+* ``hash_bucket`` — deterministic hash-partition column (FNV over key
+  bytes % B): pick ONE partitioning key, reuse it across stages.
+* ``salted_map_groups`` — per-group logic on hot keys without shipping a
+  whole key to one worker: salt each row into (key, salt) sub-groups,
+  run the per-group fn per sub-group, then merge the (at most B) partial
+  results per key in a second, tiny ``map_groups``. Correct whenever the
+  per-group computation is mergeable (top-k, count, distinct, sample).
+* ``bucketed_join`` — the portable large×large equi-join: tag and union
+  both sides, hash-shuffle once on the bucket column, and join matching
+  buckets pairwise inside ``map_groups`` (pandas merge per bucket).
+  Partitioning assumption: each bucket's two sides fit a worker; size B
+  accordingly and salt hot keys upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vector_ray.stages.core import _stable_hash_u64
+
+BUCKET_COLUMN = "__bucket"
+SALT_COLUMN = "__salt"
+
+
+def _key_hash(t: pa.Table, key: str) -> np.ndarray:
+    col = t[key]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return vals * np.uint64(0x9E3779B97F4A7C15)
+    return _stable_hash_u64(pc.cast(col, pa.string()))
+
+
+def hash_bucket(ds, key: str, num_buckets: int, column: str = BUCKET_COLUMN):
+    """Append a deterministic hash-partition column for ``key``."""
+
+    def add(t: pa.Table) -> pa.Table:
+        b = (_key_hash(t, key) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column(column, pa.array(b))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def salted_map_groups(
+    ds,
+    key: str | list[str],
+    partial_fn,
+    merge_fn,
+    salt_buckets: int = 16,
+):
+    """groupby(key).map_groups(fn) for skewed keys.
+
+    ``partial_fn(table) -> table`` runs once per (key, salt) sub-group;
+    ``merge_fn(table) -> table`` merges a key's partials (≤ salt_buckets
+    rows of partial output per key). Salt is derived from a per-row hash
+    of the row's position-independent content (first non-key column) so
+    it is deterministic.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        # salt on a deterministic per-row value: hash of all column data
+        # would be ideal; row index within batch is NOT deterministic
+        # across block layouts, so hash the first non-key column
+        salt_src = next(
+            (c for c in t.column_names if c not in keys), keys[0]
+        )
+        h = _key_hash(t, salt_src)
+        return t.append_column(
+            SALT_COLUMN,
+            pa.array((h % np.uint64(salt_buckets)).astype(np.int64)),
+        )
+
+    def drop_salt(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in (SALT_COLUMN,) if c in t.column_names])
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = salted.groupby(keys + [SALT_COLUMN]).map_groups(
+        lambda g: partial_fn(drop_salt(g)), batch_format="pyarrow"
+    )
+    return partials.groupby(keys).map_groups(merge_fn, batch_format="pyarrow")
+
+
+def topk_per_key(
+    ds,
+    key: str,
+    order_by: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    salt_buckets: int = 16,
+):
+    """Skew-safe per-key top-k (the canonical salted_map_groups use)."""
+    sort_keys = [(order_by, "descending" if descending else "ascending")]
+    if tiebreak:
+        sort_keys.append((tiebreak, "ascending"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        return t.take(idx.slice(0, k))
+
+    return salted_map_groups(
+        ds, key, local_topk, local_topk, salt_buckets=salt_buckets
+    )
+
+
+def bucketed_join(
+    left,
+    right,
+    key: str | list[str],
+    num_buckets: int = 32,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Explicit partitioned hash join of two large Datasets.
+
+    One hash shuffle total: both sides are tagged, unioned, bucketed on
+    the join key, and each bucket joins its two sides with a pandas
+    merge inside ``map_groups``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    lschema, rschema = left.schema(), right.schema()
+    left_cols = list(lschema.names)
+    # same-named non-key right columns get the suffix up front
+    rename = {
+        c: (f"{c}{suffix}" if c in left_cols and c not in keys else c)
+        for c in rschema.names
+    }
+    right_cols = [rename[c] for c in rschema.names]
+    # unified schema for the single shuffle: union of both sides + nulls
+    types: dict[str, pa.DataType] = {}
+    for name, typ in zip(lschema.names, lschema.types):
+        types[name] = typ
+    for name, typ in zip(rschema.names, rschema.types):
+        types[rename[name]] = typ
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if side == "r":
+                t = t.rename_columns([rename[c] for c in t.column_names])
+            b = (_key_hash(t, keys[0]) % np.uint64(num_buckets)).astype(np.int64)
+            cols = {}
+            for c in all_cols:
+                if c in t.column_names:
+                    v = t[c]
+                    cols[c] = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                else:
+                    cols[c] = pa.nulls(t.num_rows, types[c])
+            cols[BUCKET_COLUMN] = pa.array(b)
+            cols["__side"] = pa.array([side] * t.num_rows)
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pyarrow")
+    rt = right.map_batches(tag("r"), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def join_bucket(g):
+        # pandas merge on empty frames preserves dtypes, so no
+        # empty-bucket special case needed
+        l = g[g["__side"] == "l"][left_cols]
+        r = g[g["__side"] == "r"][right_cols]
+        return l.merge(
+            r,
+            on=keys,
+            how="inner" if how == "inner" else "left",
+        )
+
+    return both.groupby(BUCKET_COLUMN).map_groups(
+        join_bucket, batch_format="pandas"
+    )
