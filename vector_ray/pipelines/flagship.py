@@ -44,6 +44,7 @@ from vector_ray.stages.core import ROUTE_COLUMN, compile_route_label
 # hive partition dirs must not start with "_" (pyarrow dataset discovery
 # ignores "_"/"." prefixes), so the flagship uses a plain column name
 SINK_COLUMN = "route"
+DEAD_LETTER_ROUTE = "_deadletter"
 from vector_ray.stages.enrich import Enricher
 from vector_ray.stages.grouped import compile_partial_agg
 from vector_ray.state.checkpoint import CheckpointStore
@@ -89,6 +90,11 @@ class FlagshipConfig:
     # remap-style consumption: the raw log line is replaced by its parsed
     # fields (`. = parse(...)` semantics) — and not re-written to sinks
     drop_after_parse: tuple = ("message",)
+    # quarantine unparseable rows into a "_deadletter" route partition
+    dead_letter: bool = False
+    # per-stage NodeMetrics into markers/metrics.json (tiny per-batch
+    # fire-and-forget actor call)
+    collect_metrics: bool = True
 
 
 def _parse_batch(t: pa.Table, parse_field: str) -> pa.Table:
@@ -108,16 +114,37 @@ def build_dataset(
     files: list[str],
     enrich_ref,
     cfg: FlagshipConfig,
+    metrics_hub=None,
+    metrics_prefix: str = "",
 ) -> "rd.Dataset":
-    """The lazy parse→enrich→route-label dataset for a set of shards."""
-    label = compile_route_label({"route": cfg.routes})
+    """The lazy parse→enrich→route-label dataset for a set of shards.
+
+    With ``metrics_hub`` (a MetricsHub actor handle), each stage reports
+    per-batch rows/bytes under ``{metrics_prefix}{stage}`` — the
+    per-component NodeMetrics analog (shared/src/messages.rs:103-122),
+    keyed per partition group for the lineage markers.
+    """
+    routes = dict(cfg.routes)
+    if cfg.dead_letter:
+        # quarantine route for rows the parse stage could not structure
+        # (the dropped-event accounting analog, functional_test.rs:170-174);
+        # first-match-wins puts it ahead of the content routes
+        routes = {DEAD_LETTER_ROUTE: "!exists(.level) && !exists(.status)", **routes}
+    label = compile_route_label({"route": routes})
     parse_field = cfg.parse_field
 
     drop = [c for c in cfg.drop_after_parse]
 
+    def report(stage: str, t: pa.Table) -> pa.Table:
+        if metrics_hub is not None:
+            metrics_hub.add.remote(f"{metrics_prefix}{stage}", t.num_rows, t.nbytes)
+        return t
+
     def parse(t: pa.Table) -> pa.Table:
         out = _parse_batch(t, parse_field)
-        return out.drop_columns([c for c in drop if c in out.column_names])
+        return report(
+            "parse", out.drop_columns([c for c in drop if c in out.column_names])
+        )
 
     ds = rd.read_parquet(files, columns=READ_COLUMNS)
     ds = ds.map_batches(parse, batch_format="pyarrow", batch_size=cfg.batch_size)
@@ -131,10 +158,15 @@ def build_dataset(
         concurrency=(1, cfg.enrich_concurrency),
         num_cpus=1,
     )
+
     def label_and_rename(t: pa.Table) -> pa.Table:
+        t = report("enrich", t)
         t = label(t)
-        return t.rename_columns(
-            [SINK_COLUMN if c == ROUTE_COLUMN else c for c in t.column_names]
+        return report(
+            "route",
+            t.rename_columns(
+                [SINK_COLUMN if c == ROUTE_COLUMN else c for c in t.column_names]
+            ),
         )
 
     return ds.map_batches(
@@ -220,6 +252,7 @@ def run(
     manifest = {
         "pipeline": "flagship",
         "routes": cfg.routes,
+        "dead_letter": cfg.dead_letter,
         "group_key": cfg.group_key,
         "input_files": files,
         "num_groups": len(groups),
@@ -230,6 +263,12 @@ def run(
         shutil.rmtree(out_dir)
     store.open(manifest)
 
+    hub = None
+    if cfg.collect_metrics:
+        from vector_ray.state.metrics import MetricsHub
+
+        hub = MetricsHub.remote()
+
     t_start = time.perf_counter()
     skipped = 0
     parts_dir = os.path.join(out_dir, "agg_parts")
@@ -239,7 +278,10 @@ def run(
     def process_group(gid: str, group_files: list[str]) -> tuple[int, int]:
         t0 = time.perf_counter()
         partial_fn = _agg_partial_fn()
-        ds = build_dataset(group_files, enrich_ref, cfg)
+        ds = build_dataset(
+            group_files, enrich_ref, cfg,
+            metrics_hub=hub, metrics_prefix=f"{gid}/",
+        )
 
         # write routed rows partitioned by sink in one pass
         final_dir = os.path.join(routed_dir, gid)
@@ -269,6 +311,16 @@ def run(
         }
         g_rows = sum(route_rows.values())
         g_tokens = int(pc.sum(part_tbl["__p_n_tokens"]).as_py() or 0)
+        stage_metrics = {}
+        if hub is not None:
+            # best-effort: per-stage NodeMetrics for this group (exact
+            # row accounting comes from the aggregate partials above)
+            snap = ray.get(hub.snapshot.remote())
+            stage_metrics = {
+                k.split("/", 1)[1]: v
+                for k, v in snap.items()
+                if k.startswith(f"{gid}/")
+            }
         store.mark_done(
             gid,
             {
@@ -276,6 +328,7 @@ def run(
                 "rows": g_rows,
                 "tokens": g_tokens,
                 "route_rows": route_rows,
+                "stage_metrics": stage_metrics,
                 "duration_sec": round(time.perf_counter() - t0, 3),
                 "routed_dir": final_dir,
                 "agg_part": part_path,
@@ -310,6 +363,22 @@ def run(
             ):
                 rows_total += g_rows
                 tokens_total += g_tokens
+
+    if hub is not None:
+        # settled run-level metrics (fire-and-forget adds need to drain)
+        import json as _json
+
+        snap = ray.get(hub.snapshot.remote())
+        for _ in range(20):
+            time.sleep(0.05)
+            again = ray.get(hub.snapshot.remote())
+            if again == snap:
+                break
+            snap = again
+        mpath = os.path.join(out_dir, "metrics.json")
+        with open(mpath + ".tmp", "w") as f:
+            _json.dump(snap, f, indent=2, sort_keys=True)
+        os.replace(mpath + ".tmp", mpath)
 
     # final merge (idempotent, re-runs on resume)
     agg = _merge_agg_parts(parts_dir)
