@@ -240,12 +240,18 @@ def run(
         enrich_tbl = enrichment
     enrich_ref = ray.put(enrich_tbl)  # broadcast ONCE for the whole run
 
-    # checkpoint groups: few enough that per-group fixed costs (actor-pool
-    # spin-up, stream ramp, final merge) amortize — each group should be
-    # minutes of work at scale — but enough that a failed run loses at
-    # most ~1/32 of progress. Measured at 32 CPUs / 4M rows: 20 groups →
-    # 117s, 4 groups → 19.6s for the identical job.
-    n_groups = cfg.num_groups or min(64, max(4, len(files) // 32))
+    # checkpoint groups sized by BYTES, not file count: each group should
+    # be enough work to amortize its fixed costs (actor-pool spin-up,
+    # stream ramp, final merge) — ~64MB per CPU per group — while capping
+    # worst-case progress lost to a crash. Measured at 32 CPUs: 500MB in
+    # 1 group → 2.7s vs 4 groups → 5.0s; 3GB in 4 groups → 19.6s vs 20
+    # groups → 117s.
+    if cfg.num_groups:
+        n_groups = cfg.num_groups
+    else:
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_groups = max(1, min(512, round(total_bytes / (64e6 * cpus))))
     groups = _partition_groups(files, n_groups)
 
     store = CheckpointStore(out_dir)
