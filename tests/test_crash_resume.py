@@ -1,0 +1,105 @@
+"""Hard-crash resume: SIGKILL a flagship run mid-flight, rerun, and
+assert completed groups are not reprocessed and the final output is
+identical to an uninterrupted run (the north rule's resumability)."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pyarrow.parquet as pq
+import pytest
+
+WORKER = """
+import ray, warnings, sys, json
+warnings.filterwarnings("ignore")
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, "/root/repo")
+from vector_ray.pipelines import flagship
+seq_dir, enrich, out_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+s = flagship.run(seq_dir, out_dir, enrich,
+                 flagship.FlagshipConfig(num_groups=6, parallel_groups=1,
+                                         enrich_concurrency=2))
+print("SUMMARY " + json.dumps(s))
+ray.shutdown()
+"""
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from vector_ray import datagen
+
+    root = tmp_path_factory.mktemp("crash_corpus")
+    seq = root / "seq"
+    seq.mkdir()
+    for i in range(6):
+        pq.write_table(
+            datagen.generate_batch(i * 2000, 2000), seq / f"shard-{i:05d}.parquet"
+        )
+    enrich = root / "enrichment.parquet"
+    pq.write_table(datagen.enrichment_table(), enrich)
+    return str(seq), str(enrich)
+
+
+def run_worker(seq, enrich, out_dir, kill_after_markers=None, timeout=240):
+    proc = subprocess.Popen(
+        [sys.executable, "-c", WORKER, seq, enrich, out_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        start_new_session=True,
+    )
+    marker_dir = os.path.join(out_dir, "_markers")
+    t0 = time.time()
+    if kill_after_markers is not None:
+        while time.time() - t0 < timeout:
+            done = (
+                len([f for f in os.listdir(marker_dir) if f.endswith(".json")])
+                if os.path.isdir(marker_dir)
+                else 0
+            )
+            if done >= kill_after_markers:
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+                return None
+            if proc.poll() is not None:
+                break  # finished before we could kill it
+            time.sleep(0.2)
+    out, _ = proc.communicate(timeout=timeout)
+    for line in out.splitlines():
+        if line.startswith("SUMMARY "):
+            return json.loads(line[len("SUMMARY "):])
+    return None
+
+
+def test_sigkill_mid_run_then_resume(corpus, tmp_path):
+    seq, enrich = corpus
+    out_dir = str(tmp_path / "out")
+
+    first = run_worker(seq, enrich, out_dir, kill_after_markers=2)
+    marker_dir = os.path.join(out_dir, "_markers")
+    done_after_kill = len(
+        [f for f in os.listdir(marker_dir) if f.endswith(".json")]
+    )
+    if first is not None:
+        pytest.skip("run finished before the kill landed; nothing to resume")
+    assert 1 <= done_after_kill < 6
+
+    second = run_worker(seq, enrich, out_dir)
+    assert second is not None, "resume run did not complete"
+    assert second["groups_skipped"] >= done_after_kill
+    assert second["rows_total"] == 12000
+
+    # uninterrupted reference run → identical aggregates
+    ref_dir = str(tmp_path / "ref")
+    ref = run_worker(seq, enrich, ref_dir)
+    a = pq.read_table(second["aggregates"])
+    b = pq.read_table(ref["aggregates"])
+    assert a.equals(b)
+
+    # no stray tmp dirs survive the crash + resume
+    for root, dirs, _ in os.walk(out_dir):
+        for d in dirs:
+            assert not d.startswith(".tmp-"), f"leftover tmp dir {d}"

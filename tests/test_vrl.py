@@ -96,3 +96,28 @@ def test_bad_syntax_raises():
         compile_expr("unknownfn(.a)")
     with pytest.raises(VrlError):
         compile_expr(".a @@ 3")
+
+
+def test_string_functions():
+    t = pa.table({"s": ["  Hello  ", "foo-bar", None]})
+    assert compile_expr('replace(.s, r"o", "0")')(t).to_pylist() == [
+        "  Hell0  ", "f00-bar", None]
+    assert compile_expr("trim(.s)")(t).to_pylist() == ["Hello", "foo-bar", None]
+    assert compile_expr('split(.s, "-")')(t).to_pylist()[1] == ["foo", "bar"]
+    import hashlib
+
+    assert compile_expr("md5(.s)")(t).to_pylist()[1] == hashlib.md5(
+        b"foo-bar").hexdigest()
+
+
+def test_now_returns_timestamp():
+    t = pa.table({"x": [1]})
+    v = compile_expr("now()")(t)
+    assert pa.types.is_timestamp(v.type)
+
+
+def test_regex_literal_preserves_backslashes():
+    t = pa.table({"msg": ["user=Bob id=77", "nothing here"]})
+    assert compile_expr(r'replace(.msg, r"user=\w+", "X")')(t).to_pylist() == [
+        "X id=77", "nothing here"]
+    assert compile_expr(r'match(.msg, r"id=\d+")')(t).to_pylist() == [True, False]

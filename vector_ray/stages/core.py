@@ -49,7 +49,9 @@ def _parse_program(source: str) -> list[dict]:
 
 
 def _set_column(table: pa.Table, name: str, values) -> pa.Table:
-    if not hasattr(values, "type"):  # python scalar → broadcast
+    if isinstance(values, pa.Scalar):  # arrow scalar (e.g. now()) → broadcast
+        values = pa.array([values.as_py()] * table.num_rows, values.type)
+    elif not hasattr(values, "type"):  # python scalar → broadcast
         values = pa.array([values] * table.num_rows)
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()

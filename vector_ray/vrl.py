@@ -165,6 +165,54 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
     if base == "downcase":
         inner = args[0]
         return lambda t: pc.utf8_lower(inner(t))
+    if base == "replace":
+        s, pat, rep = args
+        return lambda t: pc.replace_substring_regex(
+            s(t), pattern=_as_py_str(pat), replacement=_as_py_str(rep)
+        )
+    if base == "slice":
+        s, start, stop = args
+        return lambda t: pc.utf8_slice_codeunits(
+            pc.cast(s(t), pa.string()),
+            start=int(start(pa.table({}))),
+            stop=int(stop(pa.table({}))),
+        )
+    if base in ("trim", "strip"):
+        inner = args[0]
+        return lambda t: pc.utf8_trim_whitespace(pc.cast(inner(t), pa.string()))
+    if base == "split":
+        s, sep = args
+        return lambda t: pc.split_pattern(
+            pc.cast(s(t), pa.string()), pattern=_as_py_str(sep)
+        )
+    if base == "now":
+        # wall-clock timestamp (dev/configs/production/vector.toml:24-30
+        # usage); inherently nondeterministic — excluded from oracles
+        import datetime
+
+        return lambda t: pa.scalar(
+            datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+            pa.timestamp("us"),
+        )
+    if base in ("md5", "sha256"):
+        import hashlib
+
+        algo = getattr(hashlib, base)
+        inner = args[0]
+
+        def _hash(t: pa.Table) -> Value:
+            col = pc.cast(inner(t), pa.string())
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pa.array(
+                [
+                    algo(s.encode()).hexdigest() if s is not None else None
+                    for s in col.to_pylist()
+                ],
+                pa.string(),
+            )
+
+        return _hash
     if base == "abs":
         inner = args[0]
         return lambda t: pc.abs(inner(t))
@@ -310,8 +358,14 @@ class _Parser:
             return lambda t, lit=lit: lit
         if kind in ("string", "regex"):
             raw = val[1:] if kind == "regex" else val
+            quote = raw[0]
             body = raw[1:-1]
-            lit = re.sub(r"\\(.)", r"\1", body)
+            if kind == "regex":
+                # raw-string semantics: backslashes are regex syntax;
+                # only the quote character is unescaped
+                lit = body.replace("\\" + quote, quote)
+            else:
+                lit = re.sub(r"\\(.)", r"\1", body)
             return lambda t, lit=lit: lit
         if kind == "field":
             name = val[1:]
