@@ -230,3 +230,30 @@ def test_functional_test_reports_failure(ray_session):
     result = run_functional_test(spec, [{"level": "x"}])
     assert result["status"] == "failed"
     assert result["errors"] and "VrlError" in result["errors"][0]
+
+
+def test_parse_gelf(ray_session):
+    rows = [{"payload": '{"version": "1.1", "host": "h1", "short_message": "boom", "level": 3}'}]
+    spec = {
+        "sources": {"in": {"type": "inline", "rows": rows}},
+        "transforms": {
+            "p": {"type": "remap", "inputs": ["in"],
+                  "ops": [{"op": "parse_gelf", "field": "payload"}]}
+        },
+        "sinks": {"out": {"type": "collect", "inputs": ["p"]}},
+    }
+    r = run_pipeline(spec).sinks["out"].table.to_pylist()[0]
+    assert r["host"] == "h1" and r["message"] == "boom" and r["level"] == 3
+    assert "short_message" not in r
+
+
+def test_parse_json_malformed_rows_null(ray_session):
+    rows = [{"p": '{"a": 1}'}, {"p": "not json"}, {"p": '["array"]'}, {"p": None}]
+    spec = {
+        "sources": {"in": {"type": "inline", "rows": rows}},
+        "transforms": {"t": {"type": "remap", "inputs": ["in"],
+                             "ops": [{"op": "parse_json", "field": "p", "keys": ["a"]}]}},
+        "sinks": {"out": {"type": "collect", "inputs": ["t"]}},
+    }
+    got = run_pipeline(spec).sinks["out"].table.to_pylist()
+    assert [r["a"] for r in got] == [1, None, None, None]

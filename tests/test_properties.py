@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the pure batch kernels — no Ray
+session needed."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts)
+def test_tokenize_invariants(values):
+    from vector_ray.stages.tokenize import tokenize_table
+
+    t = pa.table({"text": pa.array(values, pa.string())})
+    out = tokenize_table(t)
+    n_tok = out["n_tok"].to_pylist()
+    toks = out["tokens"].to_pylist()
+    for text, n, tk in zip(values, n_tok, toks):
+        assert n == len(text.split(" ")) == len(tk)
+        assert all(0 <= x < 50257 for x in tk)
+    # deterministic
+    again = tokenize_table(t)
+    assert out["tokens"].to_pylist() == again["tokens"].to_pylist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=10),
+)
+def test_sample_partition_property(ids, rate):
+    """The rate offsets partition the input: disjoint and complete."""
+    from vector_ray.stages.core import compile_sample
+
+    t = pa.table({"id": pa.array(ids, pa.int64())})
+    seen = []
+    for off in range(rate):
+        part = compile_sample({"rate": rate, "offset": off, "key_field": "id"})(t)
+        seen.extend(part["id"].to_pylist())
+    assert sorted(seen) == sorted(ids)
+
+
+@settings(max_examples=20, deadline=None)
+@given(texts)
+def test_minhash_bounds_and_selfsim(values):
+    from vector_ray.functions.dedup import minhash_signatures
+
+    t = pa.table({"text": pa.array(values, pa.string())})
+    sig = minhash_signatures(t, "text")
+    assert sig.shape == (len(values), 64)
+    # identical texts → identical signatures
+    for i, a in enumerate(values):
+        for j, b in enumerate(values):
+            if a == b:
+                assert (sig[i] == sig[j]).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6), min_size=1, max_size=50),
+       st.integers(min_value=0, max_value=6))
+def test_round_sql_matches_duckdb(vals, nd):
+    import duckdb
+
+    from vector_ray.schema import round_sql_np
+
+    mine = round_sql_np(np.array(vals), nd)
+    con = duckdb.connect()
+    theirs = [
+        con.sql(f"select round({repr(v)}::DOUBLE, {nd})").fetchone()[0]
+        for v in vals
+    ]
+    assert np.allclose(mine, theirs, rtol=0, atol=10.0 ** (-nd) / 1e6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts)
+def test_stable_hash_is_stable_and_chunk_invariant(values):
+    from vector_ray.stages.core import _stable_hash_u64
+
+    arr = pa.array(values, pa.string())
+    h1 = _stable_hash_u64(arr)
+    h2 = _stable_hash_u64(arr)
+    assert (h1 == h2).all()
+    # equal strings hash equal; hashing a slice matches the full run
+    if len(values) > 2:
+        part = _stable_hash_u64(pa.array(values[1:], pa.string()))
+        assert (h1[1:] == part).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=30))
+def test_route_label_partitions_rows(kinds):
+    from vector_ray.stages.core import ROUTE_COLUMN, compile_route_label
+
+    t = pa.table({"k": pa.array(kinds, pa.string())})
+    label = compile_route_label(
+        {"route": {"ra": '.k == "a"', "rb": '.k == "b"'}}
+    )
+    out = label(t)
+    routes = out[ROUTE_COLUMN].to_pylist()
+    for k, r in zip(kinds, routes):
+        assert r == {"a": "ra", "b": "rb"}.get(k, "_unmatched")

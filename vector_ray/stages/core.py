@@ -160,6 +160,30 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
 
         return _apply
 
+    if kind == "parse_gelf":
+        # GELF codec (config_panel.rs:853-896 codec list): JSON payload
+        # with fixed fields; short_message surfaces as `message`
+        inner = _compile_op(
+            {
+                "op": "parse_json",
+                "field": op["field"],
+                "keys": op.get(
+                    "keys",
+                    ["version", "host", "short_message", "full_message",
+                     "timestamp", "level"],
+                ),
+            }
+        )
+
+        def _gelf(t: pa.Table) -> pa.Table:
+            t = inner(t)
+            if "short_message" in t.column_names:
+                t = _set_column(t, "message", t["short_message"])
+                t = t.drop_columns(["short_message"])
+            return t
+
+        return _gelf
+
     if kind == "parse_logfmt":
         # logfmt == whitespace-separated k=v pairs; same machinery as
         # parse_kv with an explicit key list (Ray blocks need one schema)
@@ -177,13 +201,31 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
         field = op["field"]
         keys = op.get("keys")
 
+        def _parse_lines(lines: list[str]) -> pa.Table:
+            buf = io.BytesIO(("\n".join(lines) + "\n").encode())
+            return pa_json.read_json(buf)
+
         def _apply(t: pa.Table) -> pa.Table:
             col = pc.cast(t[field], pa.string())
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            filled = pc.fill_null(col, "{}")
-            buf = io.BytesIO(("\n".join(filled.to_pylist()) + "\n").encode())
-            parsed = pa_json.read_json(buf)
+            lines = pc.fill_null(col, "{}").to_pylist()
+            try:
+                parsed = _parse_lines(lines)
+            except pa.ArrowInvalid:
+                # dirty batch: malformed rows become {} (null fields) —
+                # VRL's fallible parse_json ?? semantics; slow path only
+                # when the vectorized parse fails
+                import json as _json
+
+                clean = []
+                for line in lines:
+                    try:
+                        obj = _json.loads(line)
+                        clean.append(line if isinstance(obj, dict) else "{}")
+                    except ValueError:
+                        clean.append("{}")
+                parsed = _parse_lines(clean)
             use = keys if keys is not None else parsed.column_names
             for key in use:
                 if key in parsed.column_names:
