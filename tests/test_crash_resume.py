@@ -103,3 +103,29 @@ def test_sigkill_mid_run_then_resume(corpus, tmp_path):
     for root, dirs, _ in os.walk(out_dir):
         for d in dirs:
             assert not d.startswith(".tmp-"), f"leftover tmp dir {d}"
+
+
+def test_resume_reuses_original_group_count(corpus, tmp_path):
+    """A resumed run on a different-sized cluster must keep the original
+    group partitioning (markers reference group ids)."""
+    import json as _json
+
+    seq, enrich = corpus
+    out_dir = str(tmp_path / "gout")
+    run_worker(seq, enrich, out_dir)  # num_groups=6 pinned in WORKER
+    # resume with a worker that does NOT pin num_groups (default sizing)
+    worker2 = WORKER.replace(
+        "flagship.FlagshipConfig(num_groups=6, parallel_groups=1,\n"
+        "                                         enrich_concurrency=2)",
+        "flagship.FlagshipConfig(enrich_concurrency=2)",
+    )
+    assert "num_groups" not in worker2
+    import subprocess as sp
+    import sys as _sys
+
+    out = sp.run([_sys.executable, "-c", worker2, seq, enrich, out_dir],
+                 capture_output=True, text=True, timeout=240)
+    line = [l for l in out.stdout.splitlines() if l.startswith("SUMMARY ")]
+    assert line, out.stderr[-400:]
+    s = _json.loads(line[0][8:])
+    assert s["groups"] == 6 and s["groups_skipped"] == 6

@@ -257,3 +257,26 @@ def test_parse_json_malformed_rows_null(ray_session):
     }
     got = run_pipeline(spec).sinks["out"].table.to_pylist()
     assert [r["a"] for r in got] == [1, None, None, None]
+
+
+def test_datadog_quoted_field_value():
+    t = pa.table({"service": ["web server", "web", None]})
+    got = compile_datadog('service:"web server"')(t).to_pylist()
+    assert got == [True, False, False]
+
+
+def test_parse_json_heterogeneous_types(ray_session):
+    rows = [{"p": '{"k": 1}'}, {"p": '{"k": "x"}'}]
+    spec = {
+        "sources": {"in": {"type": "inline", "rows": rows}},
+        "transforms": {"t": {"type": "remap", "inputs": ["in"],
+                             "ops": [{"op": "parse_json", "field": "p",
+                                      "keys": ["k"], "types": {"k": "string"}}]}},
+        "sinks": {"out": {"type": "collect", "inputs": ["t"]}},
+    }
+    got = sorted(
+        run_pipeline(spec).sinks["out"].table.to_pylist(), key=lambda r: r["k"]
+    )
+    # declared type makes the schema stable across blocks; conflicting
+    # values coerce instead of crashing
+    assert [r["k"] for r in got] == ["1", "x"]

@@ -212,3 +212,11 @@ def test_multimodal_plumbing(ray_session):
     frames = frame_sample(ds, every_ms=10_000).to_pandas()
     assert (frames.frame_offset_ms % 10_000 == 0).all()
     assert len(frames) >= 20
+
+
+def test_connected_components_nonconvergence_raises(ray_session):
+    from vector_ray.functions.dedup import connected_components_keep_min
+
+    chain = rd.from_items([{"doc_a": i, "doc_b": i + 1} for i in range(8)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_keep_min(chain, max_rounds=2)

@@ -121,3 +121,14 @@ def test_regex_literal_preserves_backslashes():
     assert compile_expr(r'replace(.msg, r"user=\w+", "X")')(t).to_pylist() == [
         "X id=77", "nothing here"]
     assert compile_expr(r'match(.msg, r"id=\d+")')(t).to_pylist() == [True, False]
+
+
+def test_replace_literal_vs_regex():
+    t = pa.table({"s": ["a.b.c", "v1 (v1)"]})
+    # plain string = literal substring
+    assert compile_expr('replace(.s, ".", "-")')(t).to_pylist() == [
+        "a-b-c", "v1 (v1)"]
+    assert compile_expr('replace(.s, "(v1)", "v2")')(t).to_pylist() == [
+        "a.b.c", "v1 v2"]
+    # regex literal = pattern
+    assert compile_expr(r'replace(.s, r".", "-")')(t).to_pylist()[0] == "-----"

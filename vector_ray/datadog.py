@@ -177,6 +177,10 @@ class _Parser:
                 False,
             )
         if kind == "term":
+            if val.endswith(":") and self.peek()[0] == "quoted":
+                # quoted field value: service:"web server"
+                field = val[:-1]
+                return _value_mask(field, self.next()[1])
             if val.endswith(":") and self.peek()[0] == "lpar":
                 # field:(a OR b) value group
                 field = val[:-1]

@@ -342,10 +342,18 @@ def embedding_dup_pairs(
     )
 
 
-def connected_components_keep_min(pairs_ds, max_rounds: int = 10):
+def connected_components_keep_min(pairs_ds, max_rounds: int = 25):
     """Union near-dup pairs into clusters by iterative min-label
-    propagation (distributed groupby rounds, no driver union-find), and
-    return Dataset[(doc_id, cluster)] where cluster = min doc_id."""
+    propagation; returns Dataset[(doc_id, cluster)] with cluster = min
+    doc_id of the component.
+
+    Convergence needs one round per hop of the longest chain; if
+    ``max_rounds`` is exhausted before the labels stabilize a
+    RuntimeError is raised (silent partial labels would leave duplicate
+    copies alive). Scale note: each round currently broadcasts the full
+    node→label map to the relabel tasks — fine for candidate-pair sets
+    (tiny vs corpus), not for corpus-sized graphs; for those, relabel
+    via ``stages.shuffle.bucketed_join`` on the node key instead."""
 
     def explode(t: pa.Table) -> pa.Table:
         a = t["doc_a"]
@@ -371,6 +379,7 @@ def connected_components_keep_min(pairs_ds, max_rounds: int = 10):
         return pa.table({"node": [node], "label": [min([node] + peers)]})
 
     labels = edges.groupby("node").map_groups(min_label, batch_format="pyarrow")
+    converged = False
     for _ in range(max_rounds):
         # join labels back onto edges and re-propagate
         ltbl = pa.concat_tables(
@@ -394,8 +403,14 @@ def connected_components_keep_min(pairs_ds, max_rounds: int = 10):
         nmap = dict(zip(ntbl["node"].to_pylist(), ntbl["label"].to_pylist()))
         if nmap == lmap:
             labels = new_labels
+            converged = True
             break
         labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(duplicate chain longer than max_rounds?); raise max_rounds"
+        )
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
     )

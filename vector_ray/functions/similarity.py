@@ -34,6 +34,17 @@ def _embedding_matrix(batch: pa.Table, field: str) -> np.ndarray:
     return flat.reshape(len(col), dim) if dim else flat.reshape(0, 0)
 
 
+def _topk_indices(sims: np.ndarray, ids, k: int) -> np.ndarray:
+    """Indices of the k best scores, ties broken by ascending id —
+    identical ordering to the final `sort(score desc, id asc)`."""
+    if len(sims) <= k:
+        return np.arange(len(sims))
+    id_vals = np.asarray(ids.to_pylist())
+    order = np.argsort(id_vals, kind="stable")          # secondary: id asc
+    order = order[np.argsort(-sims[order], kind="stable")]  # primary: score desc
+    return order[:k]
+
+
 def brute_force_topk(
     ds,
     query: np.ndarray,
@@ -60,11 +71,10 @@ def brute_force_topk(
                 )
             sims = _normalize(mat) @ self.q
             sims = round_sql_np(sims, round_to)
-            # local top-k prune: ship at most k rows per batch
-            if len(sims) > k:
-                part = np.argpartition(-sims, k)[:k]
-            else:
-                part = np.arange(len(sims))
+            # local top-k prune with the SAME tie-break as the global
+            # sort (score desc, id asc): a bare argpartition could drop
+            # the smaller-id row of a tie at the local k boundary
+            part = _topk_indices(sims, batch[id_field], k)
             ids = batch[id_field].take(pa.array(part))
             return pa.table(
                 {id_field: ids, "score": pa.array(sims[part], pa.float64())}
@@ -139,10 +149,7 @@ def lsh_topk(
                     }
                 )
             sims = round_sql_np(norm[idx] @ self.q, round_to)
-            if len(sims) > k:
-                part = np.argpartition(-sims, k)[:k]
-            else:
-                part = np.arange(len(sims))
+            part = _topk_indices(sims, batch[id_field].take(pa.array(idx)), k)
             ids = batch[id_field].take(pa.array(idx[part]))
             return pa.table(
                 {id_field: ids, "score": pa.array(sims[part], pa.float64())}

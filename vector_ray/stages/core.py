@@ -200,10 +200,48 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
 
         field = op["field"]
         keys = op.get("keys")
+        # declared output types make the schema identical across blocks —
+        # per-batch inference can otherwise drift (one block's ints, the
+        # next block's strings) and fail Ray's schema unification
+        types = op.get("types", {})
+        _t = {"int": pa.int64(), "float": pa.float64(), "string": pa.string(),
+              "bool": pa.bool_()}
 
         def _parse_lines(lines: list[str]) -> pa.Table:
             buf = io.BytesIO(("\n".join(lines) + "\n").encode())
             return pa_json.read_json(buf)
+
+        def _rowwise(lines: list[str]) -> pa.Table:
+            # last-resort per-row parse: handles malformed rows AND
+            # valid-but-type-heterogeneous values (e.g. {"k":1} then
+            # {"k":"x"}, which the vectorized reader rejects). Values
+            # whose type conflicts with the column majority become null;
+            # fully conflicting columns fall back to strings.
+            import json as _json
+
+            objs = []
+            for line in lines:
+                try:
+                    obj = _json.loads(line)
+                    objs.append(obj if isinstance(obj, dict) else {})
+                except ValueError:
+                    objs.append({})
+            names = keys if keys is not None else sorted(
+                {k for o in objs for k in o}
+            )
+            cols = {}
+            for name in names:
+                vals = [o.get(name) for o in objs]
+                try:
+                    cols[name] = pa.array(vals)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    cols[name] = pa.array(
+                        [None if v is None else str(v) for v in vals],
+                        pa.string(),
+                    )
+            return pa.table(cols) if cols else pa.table(
+                {"__empty": pa.nulls(len(lines))}
+            )
 
         def _apply(t: pa.Table) -> pa.Table:
             col = pc.cast(t[field], pa.string())
@@ -213,25 +251,23 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
             try:
                 parsed = _parse_lines(lines)
             except pa.ArrowInvalid:
-                # dirty batch: malformed rows become {} (null fields) —
-                # VRL's fallible parse_json ?? semantics; slow path only
-                # when the vectorized parse fails
-                import json as _json
-
-                clean = []
-                for line in lines:
-                    try:
-                        obj = _json.loads(line)
-                        clean.append(line if isinstance(obj, dict) else "{}")
-                    except ValueError:
-                        clean.append("{}")
-                parsed = _parse_lines(clean)
+                # dirty batch: fall back to per-row parsing — the slow
+                # path runs only when the vectorized C++ parse fails
+                parsed = _rowwise(lines)
             use = keys if keys is not None else parsed.column_names
             for key in use:
                 if key in parsed.column_names:
-                    t = _set_column(t, key, parsed[key])
+                    vals = parsed[key]
+                    if key in types:
+                        want = _t[types[key]]
+                        try:
+                            vals = pc.cast(vals, want)
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                            vals = pc.cast(pc.cast(vals, pa.string()), want, safe=False)
+                    t = _set_column(t, key, vals)
                 else:
-                    t = _set_column(t, key, pa.nulls(t.num_rows))
+                    typ = _t[types[key]] if key in types else pa.null()
+                    t = _set_column(t, key, pa.nulls(t.num_rows, typ))
             return t
 
         return _apply

@@ -34,7 +34,11 @@ def _key_hash(t: pa.Table, key: str) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        # fill nulls BEFORE to_numpy: a null-bearing int column converts
+        # via float64 (NaN), which corrupts >2^53 keys and makes the NaN
+        # cast platform-dependent — same key, different bucket
+        filled = pc.fill_null(pc.cast(col, pa.int64()), 0)
+        vals = filled.to_numpy(zero_copy_only=False).astype(np.uint64)
         return vals * np.uint64(0x9E3779B97F4A7C15)
     return _stable_hash_u64(pc.cast(col, pa.string()))
 
@@ -67,13 +71,20 @@ def salted_map_groups(
     keys = [key] if isinstance(key, str) else list(key)
 
     def add_salt(t: pa.Table) -> pa.Table:
-        # salt on a deterministic per-row value: hash of all column data
-        # would be ideal; row index within batch is NOT deterministic
-        # across block layouts, so hash the first non-key column
-        salt_src = next(
-            (c for c in t.column_names if c not in keys), keys[0]
-        )
-        h = _key_hash(t, salt_src)
+        # deterministic per-row salt: XOR of hashes over ALL non-key
+        # columns (a single column could be constant within a hot key,
+        # which would collapse every row into one sub-group and defeat
+        # the skew mitigation). Row index is NOT usable — it depends on
+        # block layout.
+        non_key = [c for c in t.column_names if c not in keys]
+        if non_key:
+            h = np.zeros(t.num_rows, dtype=np.uint64)
+            for c in non_key:
+                h ^= _key_hash(t, c)
+        else:
+            # key-only rows are interchangeable within a group: any
+            # deterministic-enough spread is correct post-merge
+            h = np.arange(t.num_rows, dtype=np.uint64)
         return t.append_column(
             SALT_COLUMN,
             pa.array((h % np.uint64(salt_buckets)).astype(np.int64)),
@@ -126,6 +137,8 @@ def bucketed_join(
     the join key, and each bucket joins its two sides with a pandas
     merge inside ``map_groups``.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r} (inner | left)")
     keys = [key] if isinstance(key, str) else list(key)
     lschema, rschema = left.schema(), right.schema()
     left_cols = list(lschema.names)
@@ -165,17 +178,20 @@ def bucketed_join(
     rt = right.map_batches(tag("r"), batch_format="pyarrow")
     both = lt.union(rt)
 
-    def join_bucket(g):
-        # pandas merge on empty frames preserves dtypes, so no
-        # empty-bucket special case needed
-        l = g[g["__side"] == "l"][left_cols]
-        r = g[g["__side"] == "r"][right_cols]
-        return l.merge(
-            r,
-            on=keys,
-            how="inner" if how == "inner" else "left",
-        )
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native per-bucket hash join: a pandas round-trip would
+        # promote the union's null-padded int columns to float64 (lossy
+        # above 2^53 and a schema mismatch vs SQL oracles)
+        side = g["__side"]
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        l = g.filter(pc.equal(side, "l")).select(left_cols).combine_chunks()
+        r = g.filter(pc.equal(side, "r")).select(right_cols).combine_chunks()
+        out = l.join(r, keys=keys, join_type=join_type)
+        return out.select(all_cols).combine_chunks()
 
     return both.groupby(BUCKET_COLUMN).map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
     )

@@ -167,7 +167,13 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
         return lambda t: pc.utf8_lower(inner(t))
     if base == "replace":
         s, pat, rep = args
-        return lambda t: pc.replace_substring_regex(
+        # VRL replace(): a regex literal (r"...") substitutes by pattern,
+        # a plain string substitutes the LITERAL substring
+        if getattr(pat, "is_regex", False):
+            return lambda t: pc.replace_substring_regex(
+                s(t), pattern=_as_py_str(pat), replacement=_as_py_str(rep)
+            )
+        return lambda t: pc.replace_substring(
             s(t), pattern=_as_py_str(pat), replacement=_as_py_str(rep)
         )
     if base == "slice":
@@ -366,7 +372,9 @@ class _Parser:
                 lit = body.replace("\\" + quote, quote)
             else:
                 lit = re.sub(r"\\(.)", r"\1", body)
-            return lambda t, lit=lit: lit
+            fn = lambda t, lit=lit: lit  # noqa: E731
+            fn.is_regex = kind == "regex"
+            return fn
         if kind == "field":
             name = val[1:]
             return lambda t, name=name: _col(t, name)
