@@ -23,43 +23,10 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
-_REGISTERED = False
-
-
 def _ensure_workers_can_import() -> None:
-    """Ray worker processes inherit the DRIVER's import environment from
-    ray.init time — if the driver started Ray from another cwd, workers
-    cannot import vector_ray and every task referencing its classes
-    death-loops on deserialization. Registering the package for
-    pickle-by-value ships the code inside each task instead, so workers
-    never need the import."""
-    global _REGISTERED
-    if _REGISTERED:
-        return
-    # import the module tree up front so every submodule is registered
-    import vector_ray  # noqa: F401
-    import vector_ray.datagen  # noqa: F401
-    import vector_ray.entry_queries  # noqa: F401
-    import vector_ray.functions.dedup  # noqa: F401
-    import vector_ray.functions.multimodal  # noqa: F401
-    import vector_ray.functions.similarity  # noqa: F401
-    import vector_ray.functions.text  # noqa: F401
-    import vector_ray.pipelines.flagship  # noqa: F401
-    import vector_ray.stages.shuffle  # noqa: F401
-    import vector_ray.stages.window  # noqa: F401
-    import vector_ray.testing  # noqa: F401
+    from vector_ray._compat import register_package_for_workers
 
-    try:
-        import vector_ray.stages.enrich as _probe
-        from ray import cloudpickle
-
-        # only needed when workers can't already import the package
-        for name, mod in list(sys.modules.items()):
-            if name.startswith("vector_ray") and mod is not None:
-                cloudpickle.register_pickle_by_value(mod)
-    except Exception:
-        pass
-    _REGISTERED = True
+    register_package_for_workers()
 
 
 def entry() -> Any:

@@ -47,8 +47,10 @@ def run_bench() -> dict:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from vector_ray import datagen
+    from vector_ray._compat import register_package_for_workers
     from vector_ray.pipelines import flagship
 
+    register_package_for_workers()
     tag = datagen.tag_for_sf_dir(sf_dir)
     seq_dir = datagen.ensure_corpus(tag)
     enrich_path = datagen.enrichment_path(tag)
@@ -137,8 +139,10 @@ def scaling_worker(ncpu: int, tag: str) -> None:
     DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from vector_ray import datagen
+    from vector_ray._compat import register_package_for_workers
     from vector_ray.pipelines import flagship
 
+    register_package_for_workers()
     seq = datagen.ensure_corpus(tag)
     import ray.data as rd
 

@@ -32,6 +32,9 @@ def _init_ray(num_cpus: int | None) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from vector_ray._compat import register_package_for_workers
+
+    register_package_for_workers()
 
 
 def cmd_validate(args) -> int:

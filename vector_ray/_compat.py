@@ -40,3 +40,47 @@ def install_fsspec_http_stub() -> None:
     mod.HTTPFileSystem = HTTPFileSystem
     sys.modules["fsspec.implementations.http"] = mod
     setattr(sys.modules["fsspec.implementations"], "http", mod)
+
+
+_REGISTERED_FOR_WORKERS = False
+
+
+def register_package_for_workers() -> None:
+    """Ship vector_ray code inside serialized tasks (cloudpickle
+    by-value) so Ray workers never need to import the package — workers
+    inherit the driver's import environment from ray.init time, which
+    lacks the repo dir whenever the host process started elsewhere.
+    Symptom otherwise: tasks referencing vector_ray classes death-loop
+    on deserialization (an infinite hang, not an error)."""
+    global _REGISTERED_FOR_WORKERS
+    if _REGISTERED_FOR_WORKERS:
+        return
+    import importlib
+    import sys
+
+    for name in (
+        "vector_ray",
+        "vector_ray.datagen",
+        "vector_ray.entry_queries",
+        "vector_ray.functions.dedup",
+        "vector_ray.functions.multimodal",
+        "vector_ray.functions.similarity",
+        "vector_ray.functions.text",
+        "vector_ray.pipelines.flagship",
+        "vector_ray.stages.shuffle",
+        "vector_ray.stages.window",
+        "vector_ray.testing",
+    ):
+        try:
+            importlib.import_module(name)
+        except ImportError:
+            pass
+    try:
+        from ray import cloudpickle
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("vector_ray") and mod is not None:
+                cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass
+    _REGISTERED_FOR_WORKERS = True
