@@ -524,6 +524,49 @@ def q_join_orders_customer(sf_dir: str):
     )
 
 
+def q_topk_orders(sf_dir: str):
+    """Global sort + limit (the tap/test top-k pattern,
+    functional_test.rs:206-212): 10 most expensive orders."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_distinct_sources(sf_dir: str):
+    """Set op: distinct values of one column (ds.unique ~ SELECT DISTINCT)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    vals = sorted(ds.unique("source"))
+    return pa.table({"source": pa.array(vals, pa.string())})
+
+
+def q_union_names(sf_dir: str):
+    """Multi-input stream union (validation/mod.rs:475-490 semantics)."""
+    region = rd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    return region.union(nation)
+
+
+def q_dedupe_events(sf_dir: str):
+    """Exact dedupe on a composite key, first-by-timestamp representative."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    out = grouped.dedupe(
+        ds,
+        {"match": ["user_id", "event_type"], "order_by": ["ts", "event_id"]},
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "event_type"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_filter_datadog_events(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
@@ -630,6 +673,10 @@ QUERIES = {
     "filter_datadog_events": q_filter_datadog_events,
     "topk_per_source": q_topk_per_source,
     "join_orders_customer": q_join_orders_customer,
+    "topk_orders": q_topk_orders,
+    "distinct_sources": q_distinct_sources,
+    "union_names": q_union_names,
+    "dedupe_events": q_dedupe_events,
     "langid_documents": q_langid_documents,
     "simhash_documents": q_simhash_documents,
     "minhash_pairs_documents": q_minhash_pairs_documents,
@@ -758,6 +805,21 @@ def oracle_sql() -> dict[str, str]:
             "filter_datadog_events": (
                 "SELECT event_id, event_type, value FROM events "
                 "WHERE event_type IN ('click', 'view') AND value >= 50"
+            ),
+            "topk_orders": (
+                "SELECT o_orderkey, o_totalprice FROM orders "
+                "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+            ),
+            "distinct_sources": ("SELECT DISTINCT source FROM documents"),
+            "union_names": (
+                "SELECT r_name AS name FROM region "
+                "UNION ALL SELECT n_name FROM nation"
+            ),
+            "dedupe_events": (
+                "SELECT event_id, user_id, event_type FROM ("
+                "  SELECT event_id, user_id, event_type, row_number() OVER ("
+                "    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn "
+                "  FROM events) WHERE rn = 1"
             ),
             "topk_per_source": (
                 "SELECT doc_id, source, n_chars FROM ("
