@@ -55,32 +55,13 @@ def register_package_for_workers() -> None:
     global _REGISTERED_FOR_WORKERS
     if _REGISTERED_FOR_WORKERS:
         return
-    import importlib
-    import sys
-
-    for name in (
-        "vector_ray",
-        "vector_ray.datagen",
-        "vector_ray.entry_queries",
-        "vector_ray.functions.dedup",
-        "vector_ray.functions.multimodal",
-        "vector_ray.functions.similarity",
-        "vector_ray.functions.text",
-        "vector_ray.pipelines.flagship",
-        "vector_ray.stages.shuffle",
-        "vector_ray.stages.window",
-        "vector_ray.testing",
-    ):
-        try:
-            importlib.import_module(name)
-        except ImportError:
-            pass
     try:
+        import vector_ray
         from ray import cloudpickle
 
-        for name, mod in list(sys.modules.items()):
-            if name.startswith("vector_ray") and mod is not None:
-                cloudpickle.register_pickle_by_value(mod)
+        # registering the top-level package covers every submodule,
+        # including ones imported later (cloudpickle walks parents)
+        cloudpickle.register_pickle_by_value(vector_ray)
     except Exception:
         pass
     _REGISTERED_FOR_WORKERS = True

@@ -36,10 +36,20 @@ def _embedding_matrix(batch: pa.Table, field: str) -> np.ndarray:
 
 def _topk_indices(sims: np.ndarray, ids, k: int) -> np.ndarray:
     """Indices of the k best scores, ties broken by ascending id —
-    identical ordering to the final `sort(score desc, id asc)`."""
+    identical ordering to the final `sort(score desc, id asc)`
+    (null ids sort last, matching ray's nulls-last default)."""
     if len(sims) <= k:
         return np.arange(len(sims))
-    id_vals = np.asarray(ids.to_pylist())
+    id_list = ids.to_pylist()
+    if any(v is None for v in id_list):
+        order = np.array(
+            sorted(
+                range(len(sims)),
+                key=lambda i: (-sims[i], id_list[i] is None, id_list[i] or 0),
+            )
+        )
+        return order[:k]
+    id_vals = np.asarray(id_list)
     order = np.argsort(id_vals, kind="stable")          # secondary: id asc
     order = order[np.argsort(-sims[order], kind="stable")]  # primary: score desc
     return order[:k]

@@ -246,18 +246,15 @@ def run(
     # worst-case progress lost to a crash. Measured at 32 CPUs: 500MB in
     # 1 group → 2.7s vs 4 groups → 5.0s; 3GB in 4 groups → 19.6s vs 20
     # groups → 117s.
-    existing_manifest_path = os.path.join(out_dir, "manifest.json")
+    prior_manifest = CheckpointStore(out_dir).read_manifest() if resume else None
     if cfg.num_groups:
         n_groups = cfg.num_groups
-    elif resume and os.path.exists(existing_manifest_path):
+    elif prior_manifest is not None:
         # a resumed run must reuse the ORIGINAL group partitioning: the
         # default below depends on cluster CPU count, and resuming on a
         # different-sized cluster would otherwise re-partition the input
         # and invalidate every completed marker
-        import json as _json
-
-        with open(existing_manifest_path) as f:
-            n_groups = int(_json.load(f)["num_groups"])
+        n_groups = int(prior_manifest["num_groups"])
     else:
         total_bytes = sum(os.path.getsize(f) for f in files)
         cpus = int(ray.cluster_resources().get("CPU", 8))

@@ -206,6 +206,31 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
         types = op.get("types", {})
         _t = {"int": pa.int64(), "float": pa.float64(), "string": pa.string(),
               "bool": pa.bool_()}
+        bad_types = {k: v for k, v in types.items() if v not in _t}
+        if bad_types:
+            # fail at compile time with a config error, not a per-batch
+            # KeyError inside Ray workers
+            raise VrlError(
+                f"parse_json types must be one of {sorted(_t)}; got {bad_types}"
+            )
+
+        def _coerce(vals, want: pa.DataType):
+            """Cast with null-on-failure semantics (fallible VRL cast)."""
+            try:
+                return pc.cast(vals, want)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                pass
+            py = {
+                pa.int64(): int, pa.float64(): float, pa.bool_(): bool,
+                pa.string(): str,
+            }[want]
+            out = []
+            for v in pc.cast(vals, pa.string()).to_pylist():
+                try:
+                    out.append(py(v) if v is not None else None)
+                except (ValueError, TypeError):
+                    out.append(None)
+            return pa.array(out, want)
 
         def _parse_lines(lines: list[str]) -> pa.Table:
             buf = io.BytesIO(("\n".join(lines) + "\n").encode())
@@ -239,9 +264,9 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
                         [None if v is None else str(v) for v in vals],
                         pa.string(),
                     )
-            return pa.table(cols) if cols else pa.table(
-                {"__empty": pa.nulls(len(lines))}
-            )
+            # an all-malformed block with no declared keys contributes no
+            # columns — never leak a placeholder into the user schema
+            return pa.table(cols) if cols else None
 
         def _apply(t: pa.Table) -> pa.Table:
             col = pc.cast(t[field], pa.string())
@@ -254,16 +279,13 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
                 # dirty batch: fall back to per-row parsing — the slow
                 # path runs only when the vectorized C++ parse fails
                 parsed = _rowwise(lines)
-            use = keys if keys is not None else parsed.column_names
+            parsed_names = parsed.column_names if parsed is not None else []
+            use = keys if keys is not None else parsed_names
             for key in use:
-                if key in parsed.column_names:
+                if key in parsed_names:
                     vals = parsed[key]
                     if key in types:
-                        want = _t[types[key]]
-                        try:
-                            vals = pc.cast(vals, want)
-                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                            vals = pc.cast(pc.cast(vals, pa.string()), want, safe=False)
+                        vals = _coerce(vals, _t[types[key]])
                     t = _set_column(t, key, vals)
                 else:
                     typ = _t[types[key]] if key in types else pa.null()

@@ -36,11 +36,25 @@ def _key_hash(t: pa.Table, key: str) -> np.ndarray:
     if pa.types.is_integer(col.type):
         # fill nulls BEFORE to_numpy: a null-bearing int column converts
         # via float64 (NaN), which corrupts >2^53 keys and makes the NaN
-        # cast platform-dependent — same key, different bucket
-        filled = pc.fill_null(pc.cast(col, pa.int64()), 0)
+        # cast platform-dependent — same key, different bucket. Unsigned
+        # columns widen to uint64 (an int64 cast would reject >= 2^63).
+        wide = (
+            pa.uint64() if pa.types.is_unsigned_integer(col.type) else pa.int64()
+        )
+        filled = pc.fill_null(pc.cast(col, wide), 0)
         vals = filled.to_numpy(zero_copy_only=False).astype(np.uint64)
         return vals * np.uint64(0x9E3779B97F4A7C15)
     return _stable_hash_u64(pc.cast(col, pa.string()))
+
+
+def _hashable(typ: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(typ)
+        or pa.types.is_floating(typ)
+        or pa.types.is_string(typ)
+        or pa.types.is_large_string(typ)
+        or pa.types.is_boolean(typ)
+    )
 
 
 def hash_bucket(ds, key: str, num_buckets: int, column: str = BUCKET_COLUMN):
@@ -71,12 +85,17 @@ def salted_map_groups(
     keys = [key] if isinstance(key, str) else list(key)
 
     def add_salt(t: pa.Table) -> pa.Table:
-        # deterministic per-row salt: XOR of hashes over ALL non-key
-        # columns (a single column could be constant within a hot key,
-        # which would collapse every row into one sub-group and defeat
-        # the skew mitigation). Row index is NOT usable — it depends on
-        # block layout.
-        non_key = [c for c in t.column_names if c not in keys]
+        # deterministic per-row salt: XOR of hashes over all HASHABLE
+        # non-key columns (a single column could be constant within a
+        # hot key, which would collapse every row into one sub-group and
+        # defeat the skew mitigation; list/struct/binary columns are
+        # skipped — they have no string cast). Row index is NOT usable —
+        # it depends on block layout.
+        non_key = [
+            c
+            for c in t.column_names
+            if c not in keys and _hashable(t.schema.field(c).type)
+        ]
         if non_key:
             h = np.zeros(t.num_rows, dtype=np.uint64)
             for c in non_key:

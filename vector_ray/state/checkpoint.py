@@ -69,6 +69,13 @@ class CheckpointStore:
         os.rename(tmp, path)
         return False
 
+    def read_manifest(self) -> dict | None:
+        path = os.path.join(self.run_dir, "manifest.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def _sweep_tmp(self) -> None:
         for root, dirs, _ in os.walk(self.run_dir):
             for d in list(dirs):
