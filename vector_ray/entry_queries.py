@@ -435,8 +435,17 @@ def q_window_tumbling_events(sf_dir: str):
     from vector_ray.stages.window import window
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    # sum integer micro-units: float sums are order-dependent and at
+    # scale the error can cross the rounding boundary (oracle parity)
+    def micros(t: pa.Table) -> pa.Table:
+        m = pc.cast(round_sql(pc.multiply(t["value"], 1e6), 0), pa.int64())
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return t.append_column("value_micros", m)
+
     out = window(
-        ds,
+        ds.map_batches(micros, batch_format="pyarrow"),
         {
             "type": "tumbling",
             "size_secs": 3600,
@@ -444,9 +453,8 @@ def q_window_tumbling_events(sf_dir: str):
             "key_field": "event_type",
             "aggregates": {
                 "n": {"fn": "count"},
-                "total": {"fn": "sum", "field": "value"},
+                "total_micros": {"fn": "sum", "field": "value_micros", "int": True},
             },
-            "round": 2,
         },
     )
     return _collect(out)
@@ -772,7 +780,7 @@ def oracle_sql() -> dict[str, str]:
                 "  FROM w) "
                 "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
                 "ROUND(uniq_ratio, 4) AS uniq_ratio, ROUND(stop_ratio, 4) AS stop_ratio, "
-                "ROUND(0.4*uniq_ratio + 0.3*(1-stop_ratio) + 0.3*LEAST(n_words, 100)/100.0, 4) "
+                "ROUND(ROUND(0.4*uniq_ratio + 0.3*(1-stop_ratio) + 0.3*LEAST(n_words, 100)/100.0, 9), 4) "
                 "AS quality_score FROM f"
             ),
             "fingerprint_documents": (
@@ -780,8 +788,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             "window_tumbling_events": (
                 "SELECT event_type, floor(epoch(ts)/3600)*3600 AS window_start, "
-                "COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
-                "FROM events GROUP BY event_type, window_start"
+                "COUNT(*) AS n, "
+                "CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) "
+                "AS total_micros FROM events GROUP BY event_type, window_start"
             ),
             "window_sliding_events": (
                 # size 7200 slide 3600 → each event lands in exactly 2 windows

@@ -61,10 +61,11 @@ def quality_features(
     stop = feats["stop_ratio"].to_numpy()
     from vector_ray.schema import round_sql_np
 
-    score = round_sql_np(
-        0.4 * uniq + 0.3 * (1 - stop) + 0.3 * np.minimum(n_words, 100) / 100.0,
-        round_to,
-    )
+    raw = 0.4 * uniq + 0.3 * (1 - stop) + 0.3 * np.minimum(n_words, 100) / 100.0
+    # double rounding (9 → 4 decimals): the multi-term float sum differs
+    # from SQL's evaluation in the last ulp, which can land on opposite
+    # sides of the half-boundary; both sides round through 9 decimals
+    score = round_sql_np(round_sql_np(raw, 9), round_to)
     out = t
     for name, arr, typ in (
         ("n_words", n_words, pa.int64()),
