@@ -26,7 +26,89 @@ import ray.data as rd
 
 from vector_ray.stages.core import _stable_hash_u64
 
+
+def round_sql_scalar(x: float, ndigits: int) -> float:
+    """Half-away-from-zero scalar round (SQL ROUND semantics)."""
+    import math
+
+    scale = 10.0 ** ndigits
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+# Hot-bucket guard: a degenerate corpus (many identical docs) can land N
+# rows in one LSH bucket; pair generation is O(n²) within a bucket, so
+# buckets beyond this cap are truncated DETERMINISTICALLY (first
+# max_bucket_rows by id) and the drop is logged — never a silent cap.
+DEFAULT_MAX_BUCKET_ROWS = 2048
+_PAIR_BLOCK = 256  # row-block size for the vectorized n×n comparisons
+
+
+def _cap_bucket(group: pa.Table, id_field: str, max_rows: int, what: str) -> pa.Table:
+    if group.num_rows <= max_rows:
+        return group
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s bucket (band=%s bucket=%s) has %d rows > cap %d; keeping the "
+        "first %d by %s — %d rows dropped from pair generation",
+        what,
+        group["band"][0].as_py() if "band" in group.column_names else "?",
+        group["bucket"][0].as_py() if "bucket" in group.column_names else "?",
+        group.num_rows,
+        max_rows,
+        max_rows,
+        id_field,
+        group.num_rows - max_rows,
+    )
+    order = pc.sort_indices(group, sort_keys=[(id_field, "ascending")])
+    return group.take(order.slice(0, max_rows))
+
+
+def _ids_array(group: pa.Table, id_field: str) -> np.ndarray:
+    ids = group[id_field]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return np.asarray(ids.to_pylist())
+
+
+def _pair_result(
+    ids: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    metric_name: str,
+    metric_vals: np.ndarray,
+    id_type: pa.DataType,
+    metric_type: pa.DataType,
+) -> pa.Table:
+    """(doc_a, doc_b, metric) with doc_a = min(id pair) — fully vectorized.
+    Empty results keep the id column's type so block schemas unify."""
+    if len(xs) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], id_type),
+                "doc_b": pa.array([], id_type),
+                metric_name: pa.array([], metric_type),
+            }
+        )
+    a, b = ids[xs], ids[ys]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {
+            "doc_a": pa.array(lo.tolist(), id_type),
+            "doc_b": pa.array(hi.tolist(), id_type),
+            metric_name: pa.array(metric_vals.tolist(), metric_type),
+        }
+    )
+
+
+def _fixed_list_matrix(col, width: int, dtype) -> np.ndarray:
+    """Zero-copy-ish (n, width) matrix from a fixed-size-list column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten()  # handles both fixed-size and plain list layouts
+    return np.asarray(flat, dtype=dtype).reshape(len(col), width)
 
 
 def _word_hashes(col: pa.ChunkedArray | pa.Array):
@@ -138,33 +220,34 @@ def minhash_lsh_candidates(
             }
         )
 
+    max_bucket_rows = DEFAULT_MAX_BUCKET_ROWS
+
     def pairs(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field(id_field).type
+        group = _cap_bucket(group, id_field, max_bucket_rows, "minhash")
         n = group.num_rows
+        ids = _ids_array(group, id_field)
         if n < 2:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], group.schema.field(id_field).type),
-                    "doc_b": pa.array([], group.schema.field(id_field).type),
-                    "est_jaccard": pa.array([], pa.float64()),
-                }
-            )
-        ids = group[id_field].to_pylist()
-        sig = np.asarray(group["sig"].to_pylist(), dtype=np.int64)
-        ia, ib, est = [], [], []
-        for x in range(n):
-            for y in range(x + 1, n):
-                if ids[x] == ids[y]:
-                    continue
-                j = float(np.mean(sig[x] == sig[y]))
-                if j >= threshold:
-                    a_, b_ = sorted((ids[x], ids[y]))
-                    ia.append(a_)
-                    ib.append(b_)
-                    est.append(round(j, 4))
-        return pa.table(
-            {"doc_a": pa.array(ia), "doc_b": pa.array(ib),
-             "est_jaccard": pa.array(est, pa.float64())}
-        )
+            return _pair_result(ids, np.array([], np.int64), np.array([], np.int64),
+                                "est_jaccard", np.array([], np.float64),
+                                id_type, pa.float64())
+        sig = _fixed_list_matrix(group["sig"], num_perm, np.int64)
+        # vectorized upper-triangle signature comparison, in row blocks to
+        # bound the n×block×num_perm temporary (no Python pair loop)
+        xs_all, ys_all, est_all = [], [], []
+        for start in range(0, n, _PAIR_BLOCK):
+            stop = min(start + _PAIR_BLOCK, n)
+            est = (sig[start:stop, None, :] == sig[None, :, :]).mean(axis=2)
+            bx, by = np.nonzero(est >= threshold)
+            gx = bx + start
+            keep = (gx < by) & (ids[gx] != ids[by])  # upper triangle, distinct ids
+            xs_all.append(gx[keep])
+            ys_all.append(by[keep])
+            est_all.append(np.round(est[bx[keep], by[keep]], 4))
+        xs = np.concatenate(xs_all)
+        ys = np.concatenate(ys_all)
+        est_v = np.concatenate(est_all)
+        return _pair_result(ids, xs, ys, "est_jaccard", est_v, id_type, pa.float64())
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
     cand = buckets.groupby(["band", "bucket"]).map_groups(
@@ -227,25 +310,38 @@ def simhash_candidates(
             )
         return pa.concat_tables(parts)
 
+    max_bucket_rows = DEFAULT_MAX_BUCKET_ROWS
+
     def pairs(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field(id_field).type
+        group = _cap_bucket(group, id_field, max_bucket_rows, "simhash")
         n = group.num_rows
-        ids = group[id_field].to_pylist()
-        sh = np.asarray(group["simhash"].to_pylist(), dtype=np.uint64)
-        ia, ib, dist = [], [], []
-        for x in range(n):
-            for y in range(x + 1, n):
-                if ids[x] == ids[y]:
-                    continue
-                d = int(bin(int(sh[x]) ^ int(sh[y])).count("1"))
-                if d <= max_hamming:
-                    a_, b_ = sorted((ids[x], ids[y]))
-                    ia.append(a_)
-                    ib.append(b_)
-                    dist.append(d)
-        return pa.table(
-            {"doc_a": pa.array(ia), "doc_b": pa.array(ib),
-             "hamming": pa.array(dist, pa.int64())}
-        )
+        ids = _ids_array(group, id_field)
+        if n < 2:
+            return _pair_result(ids, np.array([], np.int64), np.array([], np.int64),
+                                "hamming", np.array([], np.int64),
+                                id_type, pa.int64())
+        sh = group["simhash"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        sh = np.asarray(sh, dtype=np.int64).astype(np.uint64)
+        # vectorized XOR + popcount over row blocks (no Python pair loop)
+        xs_all, ys_all, d_all = [], [], []
+        for start in range(0, n, _PAIR_BLOCK):
+            stop = min(start + _PAIR_BLOCK, n)
+            xor = sh[start:stop, None] ^ sh[None, :]          # (b, n) uint64
+            bytes_ = xor.view(np.uint8).reshape(stop - start, n, 8)
+            d = np.unpackbits(bytes_, axis=2).sum(axis=2).astype(np.int64)
+            bx, by = np.nonzero(d <= max_hamming)
+            gx = bx + start
+            keep = (gx < by) & (ids[gx] != ids[by])
+            xs_all.append(gx[keep])
+            ys_all.append(by[keep])
+            d_all.append(d[bx[keep], by[keep]])
+        xs = np.concatenate(xs_all)
+        ys = np.concatenate(ys_all)
+        dv = np.concatenate(d_all)
+        return _pair_result(ids, xs, ys, "hamming", dv, id_type, pa.int64())
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
     cand = buckets.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pyarrow")
@@ -268,6 +364,8 @@ def ngram_jaccard_pairs(
     bucket_by = bucket_by or ["lang"]
 
     def pairs(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field(id_field).type
+        group = _cap_bucket(group, id_field, DEFAULT_MAX_BUCKET_ROWS, "ngram")
         offsets, h = _word_hashes(group[field])
         sh_off, sh = _shingle_hashes(offsets, h, shingle_k)
         sets = [
@@ -286,13 +384,27 @@ def ngram_jaccard_pairs(
                     a_, b_ = sorted((ids[x], ids[y]))
                     ia.append(a_)
                     ib.append(b_)
-                    jc.append(round(j, 4))
+                    # SQL ROUND (half away from zero) — oracle parity:
+                    # jaccard is a small-int ratio, so exact .xxxx5
+                    # half-boundaries (e.g. 1/32) genuinely occur
+                    jc.append(round_sql_scalar(j, 4))
         return pa.table(
-            {"doc_a": pa.array(ia), "doc_b": pa.array(ib),
+            {"doc_a": pa.array(ia, id_type), "doc_b": pa.array(ib, id_type),
              "jaccard": pa.array(jc, pa.float64())}
         )
 
     return ds.groupby(bucket_by).map_groups(pairs, batch_format="pyarrow")
+
+
+def _embed_matrix(group: pa.Table, field: str) -> np.ndarray:
+    col = group[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    n = len(col)
+    dim = flat.shape[0] // n if n else 0
+    mat = flat.reshape(n, dim) if n else flat.reshape(0, 0)
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
 def embedding_dup_pairs(
@@ -300,45 +412,190 @@ def embedding_dup_pairs(
     id_field: str = "vec_id",
     field: str = "embedding",
     threshold: float = 0.95,
-    ref_table: pa.Table | None = None,
+    num_buckets: int = 8,
+    round_to: int = 6,
 ):
-    """Embedding-cosine near-dup pairs: each batch is compared against a
-    broadcast reference matrix (numpy matmul per batch). For corpus-scale
-    all-pairs, pass the (bucketed) reference explicitly."""
+    """EXACT embedding-cosine near-dup pairs, distributed — the default
+    path never materializes the corpus on the driver.
+
+    Block-pair join: each row is hashed to one of B buckets by id; a row
+    in bucket g is replicated to every unordered bucket-pair (min(g,j),
+    max(g,j)). One groupby on the pair id then compares the two buckets'
+    matrices with a single numpy matmul per group (upper triangle for the
+    diagonal pairs). Every distinct id pair lands in exactly ONE group —
+    no dedupe pass. Work is O(n²/2) split across B(B+1)/2 independent
+    tasks, each holding ≤ 2n/B rows; choose B so two buckets fit a
+    worker. Exact all-pairs is inherently quadratic — at true corpus
+    scale use ``embedding_dup_pairs_lsh`` (approximate candidates) and
+    verify candidates exactly.
+
+    Cosine is double-rounded (9 → ``round_to`` decimals) and the
+    threshold applied to the ROUNDED value, so a SQL oracle computing
+    ``ROUND(ROUND(list_cosine_similarity(..), 9), round_to)`` agrees even
+    at the last-ulp boundary.
+    """
+    from vector_ray.schema import round_sql_np
+
+    from vector_ray.stages.shuffle import _key_hash
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        g = (_key_hash(t, id_field) % np.uint64(num_buckets)).astype(np.int64)
+        n = t.num_rows
+        pis, pjs, idx = [], [], []
+        for j in range(num_buckets):
+            pis.append(np.minimum(g, j))
+            pjs.append(np.maximum(g, j))
+            idx.append(np.arange(n))
+        cols = {
+            "__pi": pa.array(np.concatenate(pis)),
+            "__pj": pa.array(np.concatenate(pjs)),
+            "__g": pa.array(np.tile(g, num_buckets)),
+        }
+        take = pa.array(np.concatenate(idx))
+        base = t.select([id_field, field]).take(take)
+        for name in (id_field, field):
+            col = base[name]
+            cols[name] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pa.table(cols)
+
+    def compare(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field(id_field).type
+        pi = group["__pi"][0].as_py()
+        pj = group["__pj"][0].as_py()
+        gcol = group["__g"]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        gv = np.asarray(gcol)
+        empty = _pair_result(
+            np.array([]), np.array([], np.int64), np.array([], np.int64),
+            "cosine", np.array([], np.float64), id_type, pa.float64())
+        if pi == pj:
+            ids = _ids_array(group, id_field)
+            mat = _embed_matrix(group, field)
+            if len(ids) < 2:
+                return empty
+            sims = round_sql_np(round_sql_np(mat @ mat.T, 9), round_to)
+            xs, ys = np.nonzero(np.triu(sims >= threshold, k=1))
+            keep = ids[xs] != ids[ys]
+            return _pair_result(ids, xs[keep], ys[keep], "cosine",
+                                sims[xs[keep], ys[keep]], id_type, pa.float64())
+        a_tbl = group.filter(pa.array(gv == pi))
+        b_tbl = group.filter(pa.array(gv == pj))
+        if a_tbl.num_rows == 0 or b_tbl.num_rows == 0:
+            return empty
+        a_ids, b_ids = _ids_array(a_tbl, id_field), _ids_array(b_tbl, id_field)
+        sims = round_sql_np(
+            round_sql_np(_embed_matrix(a_tbl, field) @ _embed_matrix(b_tbl, field).T, 9),
+            round_to,
+        )
+        xs, ys = np.nonzero(sims >= threshold)
+        keep = a_ids[xs] != b_ids[ys]
+        xs, ys = xs[keep], ys[keep]
+        if len(xs) == 0:
+            return empty
+        a, b = a_ids[xs], b_ids[ys]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "doc_a": pa.array(lo.tolist(), id_type),
+                "doc_b": pa.array(hi.tolist(), id_type),
+                "cosine": pa.array(sims[xs, ys].tolist(), pa.float64()),
+            }
+        )
+
+    exploded = ds.map_batches(to_pairs, batch_format="pyarrow")
+    return exploded.groupby(["__pi", "__pj"]).map_groups(
+        compare, batch_format="pyarrow"
+    )
+
+
+def embedding_dup_pairs_lsh(
+    ds,
+    id_field: str = "vec_id",
+    field: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 11,
+    dim: int | None = None,
+    round_to: int = 6,
+):
+    """APPROXIMATE embedding near-dup pairs — the corpus-scale path.
+
+    Random-hyperplane LSH: `bands` independent sets of `n_planes`
+    hyperplanes; rows sharing any band bucket become candidates and are
+    verified with exact cosine inside the bucket group (vectorized
+    matmul, capped hot buckets). Recall < 1 by construction: pairs whose
+    band buckets all differ are missed — that is the documented trade
+    for linear candidate generation. Partitioning assumption: near-dup
+    vectors collide in ≥1 band (raise `bands` for recall).
+    """
     import ray
 
-    if ref_table is None:
-        ref_table = pa.concat_tables(
-            ray.get(ds.materialize().to_arrow_refs()), promote_options="default"
-        )
-    ref_ids = np.asarray(ref_table[id_field].to_pylist())
-    ref = np.asarray(ref_table[field].to_pylist(), dtype=np.float64)
-    ref_n = ref / np.maximum(np.linalg.norm(ref, axis=1, keepdims=True), 1e-12)
-    ref_obj = ray.put((ref_ids, ref_n))
+    from vector_ray.functions.similarity import lsh_bucket_ids
+    from vector_ray.schema import round_sql_np
 
-    class Compare:
+    if dim is None:
+        typ = ds.schema().base_schema.field(field).type
+        dim = getattr(typ, "list_size", None)  # fixed-size list carries it
+        if dim is None:
+            dim = len(ds.take(1)[0][field])  # plain list: probe one row
+    rng = np.random.default_rng(seed)
+    planes = [rng.standard_normal((n_planes, dim)) for _ in range(bands)]
+    planes_ref = ray.put(planes)
+
+    class ToBuckets:
         def __init__(self):
-            self.ids, self.mat = ray.get(ref_obj)
+            self.planes = ray.get(planes_ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch[id_field].to_pylist())
-            v = np.asarray(batch[field].to_pylist(), dtype=np.float64)
-            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            sims = v @ self.mat.T
-            ia, ib, cs = [], [], []
-            xs, ys = np.nonzero(sims >= threshold)
-            for x, y in zip(xs, ys):
-                if ids[x] < self.ids[y]:
-                    ia.append(ids[x])
-                    ib.append(self.ids[y])
-                    cs.append(round(float(sims[x, y]), 4))
-            return pa.table(
-                {"doc_a": pa.array(ia), "doc_b": pa.array(ib),
-                 "cosine": pa.array(cs, pa.float64())}
-            )
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _embed_matrix(t, field)
+            n = t.num_rows
+            parts = []
+            ids = t[id_field]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            emb = t[field]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            for band, pl in enumerate(self.planes):
+                buckets = lsh_bucket_ids(mat, pl).astype(np.int64) if n else np.array([], np.int64)
+                parts.append(
+                    pa.table(
+                        {
+                            "band": pa.array(np.full(n, band, dtype=np.int32)),
+                            "bucket": pa.array(buckets),
+                            id_field: ids,
+                            field: emb,
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
 
-    return ds.map_batches(
-        Compare, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    def verify(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field(id_field).type
+        group = _cap_bucket(group, id_field, DEFAULT_MAX_BUCKET_ROWS, "embedding-lsh")
+        ids = _ids_array(group, id_field)
+        if len(ids) < 2:
+            return _pair_result(ids, np.array([], np.int64), np.array([], np.int64),
+                                "cosine", np.array([], np.float64),
+                                id_type, pa.float64())
+        mat = _embed_matrix(group, field)
+        sims = round_sql_np(round_sql_np(mat @ mat.T, 9), round_to)
+        xs, ys = np.nonzero(np.triu(sims >= threshold, k=1))
+        keep = ids[xs] != ids[ys]
+        return _pair_result(ids, xs[keep], ys[keep], "cosine",
+                            sims[xs[keep], ys[keep]], id_type, pa.float64())
+
+    buckets = ds.map_batches(
+        ToBuckets, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+    cand = buckets.groupby(["band", "bucket"]).map_groups(
+        verify, batch_format="pyarrow"
+    )
+    # a pair can collide in several bands — keep one copy
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
 
 

@@ -381,15 +381,26 @@ def filter_(ds, options: dict, ctx=None):
 # ---------------------------------------------------------------------------
 # route (palette.rs:132, config_panel.rs:1643-1667): label once with a
 # __route column; named outputs = filtered views / partitioned writes.
-# First matching route wins (Vector semantics); unmatched → "_unmatched".
+#
+# DIVERGENCE from upstream Vector: Vector's route delivers an event to
+# EVERY output whose condition matches; our default mode="exclusive" is
+# first-match-wins (each row gets exactly ONE label), which is what makes
+# the single-pass partitioned sink write and the per-sink aggregate
+# counts well-defined. Pipelines ported from Vector configs that rely on
+# multi-output delivery should pass mode="all": one labeled COPY of the
+# row is emitted per matching route (rows matching nothing get one
+# "_unmatched" copy), at the cost of output duplication.
 # ---------------------------------------------------------------------------
 
 
 def compile_route_label(options: dict) -> Callable[[pa.Table], pa.Table]:
     routes = options["route"]
+    mode = options.get("mode", "exclusive")
+    if mode not in ("exclusive", "all"):
+        raise VrlError(f"route mode must be 'exclusive' or 'all', got {mode!r}")
     compiled = [(name, compile_predicate(cond)) for name, cond in routes.items()]
 
-    def _label(t: pa.Table) -> pa.Table:
+    def _label_exclusive(t: pa.Table) -> pa.Table:
         label = np.full(t.num_rows, UNMATCHED, dtype=object)
         assigned = np.zeros(t.num_rows, dtype=bool)
         for name, mask_fn in compiled:
@@ -401,7 +412,29 @@ def compile_route_label(options: dict) -> Callable[[pa.Table], pa.Table]:
             assigned |= hit
         return _set_column(t, ROUTE_COLUMN, pa.array(label, pa.string()))
 
-    return _label
+    def _label_all(t: pa.Table) -> pa.Table:
+        # one labeled copy per matching route (upstream Vector semantics)
+        parts = []
+        matched = np.zeros(t.num_rows, dtype=bool)
+        for name, mask_fn in compiled:
+            m = mask_fn(t)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            hit = np.asarray(m.to_numpy(zero_copy_only=False))
+            matched |= hit
+            sub = t.filter(pa.array(hit))
+            parts.append(
+                _set_column(sub, ROUTE_COLUMN, pa.array([name] * sub.num_rows, pa.string()))
+            )
+        rest = t.filter(pa.array(~matched))
+        parts.append(
+            _set_column(
+                rest, ROUTE_COLUMN, pa.array([UNMATCHED] * rest.num_rows, pa.string())
+            )
+        )
+        return pa.concat_tables([p for p in parts])
+
+    return _label_all if mode == "all" else _label_exclusive
 
 
 def route(ds, options: dict, ctx=None):

@@ -26,6 +26,12 @@ def _load_table(table_ref) -> pa.Table:
     if isinstance(table_ref, pa.Table):
         return table_ref
     if isinstance(table_ref, str):
+        # Vector's enrichment_tables are CSV files (validation/mod.rs:184);
+        # parquet is the columnar-native path
+        if table_ref.endswith(".csv"):
+            from pyarrow import csv as pa_csv
+
+            return pa_csv.read_csv(table_ref)
         return pq.read_table(table_ref)
     return ray.get(table_ref)  # ObjectRef
 
@@ -60,6 +66,10 @@ class Enricher:
         keys = batch[self.key]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
+        if keys.type != self.key_values.type:
+            # CSV-inferred lookup keys may be wider than the batch key
+            # (e.g. int64 vs int32); widen the batch side, never the table
+            keys = pc.cast(keys, self.key_values.type)
         indices = pc.index_in(keys, value_set=self.key_values)
         if self.on_miss == "drop":
             hit = pc.is_valid(indices)

@@ -54,9 +54,44 @@ def dedupe(ds, options: dict, ctx=None):
 # throttle — at most `threshold` events per (key, window); window =
 # floor(ts / window_secs). Deterministic: survivors are the first
 # `threshold` rows ordered by ``order_by`` (default the ts field).
+#
+# Two-phase (skew-safe): a per-batch local prune keeps at most
+# `threshold` rows per (key, window) BEFORE the groupby shuffle, so a
+# hot key ships ≤ threshold × num_blocks rows instead of its full group.
+# Correct because the global first-`threshold` of a group is always a
+# subset of the union of each block's local first-`threshold`.
 # ---------------------------------------------------------------------------
 
 THROTTLE_WINDOW = "__window"
+
+
+def local_head_per_group(
+    t: pa.Table, group_cols: list[str], order_by: list[str], n: int
+) -> pa.Table:
+    """Keep the first `n` rows per group-tuple WITHIN this table —
+    vectorized: one sort + numpy group-boundary rank, no per-group loop.
+    Null-boundary comparisons conservatively count as a group change
+    (splitting a group locally only keeps extra rows — still a superset
+    of the global head, so pruning stays correct)."""
+    if t.num_rows == 0:
+        return t
+    sort_keys = [(c, "ascending") for c in group_cols + order_by]
+    ts = t.take(pc.sort_indices(t, sort_keys=sort_keys)).combine_chunks()
+    nrows = ts.num_rows
+    change = np.zeros(nrows, dtype=bool)
+    change[0] = True
+    for c in group_cols:
+        a = ts[c]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        neq = pc.not_equal(a.slice(1), a.slice(0, nrows - 1))
+        change[1:] |= np.asarray(
+            pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+        )
+    starts = np.flatnonzero(change)
+    gid = np.cumsum(change) - 1
+    rank = np.arange(nrows) - starts[gid]
+    return ts.filter(pa.array(rank < n))
 
 
 def throttle(ds, options: dict, ctx=None):
@@ -67,7 +102,7 @@ def throttle(ds, options: dict, ctx=None):
     order_by = list(options.get("order_by") or [ts_field])
     group_cols = ([key] if key else []) + [THROTTLE_WINDOW]
 
-    def add_window(t: pa.Table) -> pa.Table:
+    def add_window_and_prune(t: pa.Table) -> pa.Table:
         ts = t[ts_field]
         if pa.types.is_timestamp(ts.type):
             secs = pc.cast(pc.cast(ts, pa.int64()), pa.float64())
@@ -78,13 +113,15 @@ def throttle(ds, options: dict, ctx=None):
         win = pc.cast(pc.floor(pc.divide(secs, window_secs)), pa.int64())
         if isinstance(win, pa.ChunkedArray):
             win = win.combine_chunks()
-        return t.append_column(THROTTLE_WINDOW, win)
+        t = t.append_column(THROTTLE_WINDOW, win)
+        # phase 1: local prune — bounds what the shuffle moves per key
+        return local_head_per_group(t, group_cols, order_by, threshold)
 
     def head(t: pa.Table) -> pa.Table:
         return _first_by(t, order_by, threshold)
 
     out = (
-        ds.map_batches(add_window, batch_format="pyarrow")
+        ds.map_batches(add_window_and_prune, batch_format="pyarrow")
         .groupby(group_cols)
         .map_groups(head, batch_format="pyarrow")
     )
@@ -105,15 +142,25 @@ def reduce_(ds, options: dict, ctx=None):
     strategies: dict = dict(options.get("merge_strategies") or {})
     order_by = list(options.get("order_by") or group_by)
     count_as = options.get("count_field")  # emit group size under this name
+    # ends_when (config_panel.rs:1771-1791): a VRL condition that CLOSES
+    # the current window — the matching row is the window's last row and
+    # the next row starts a new window. Batch mode: rows are ordered by
+    # ``order_by`` within the group; window id = number of end-marker
+    # rows strictly before the row. Emitted under ``window_field``.
+    ends_when = options.get("ends_when")
+    window_field = options.get("window_field", "wid")
+    predicate = None
+    if ends_when is not None:
+        from vector_ray.vrl import compile_predicate
 
-    def merge(t: pa.Table) -> pa.Table:
-        t_sorted = t.take(
-            pc.sort_indices(t, sort_keys=[(c, "ascending") for c in order_by])
-        )
+        predicate = compile_predicate(ends_when)
+
+    def merge_one(t_sorted: pa.Table) -> dict:
         out: dict[str, pa.Array] = {}
+        n = t_sorted.num_rows
         for col in group_by:
             out[col] = t_sorted[col].slice(0, 1).combine_chunks()
-        for col in t.column_names:
+        for col in t_sorted.column_names:
             if col in group_by:
                 continue
             strat = strategies.get(col, "first")
@@ -121,7 +168,7 @@ def reduce_(ds, options: dict, ctx=None):
             if strat == "first":
                 out[col] = c.slice(0, 1).combine_chunks()
             elif strat == "last":
-                out[col] = c.slice(len(t) - 1, 1).combine_chunks()
+                out[col] = c.slice(n - 1, 1).combine_chunks()
             elif strat == "sum":
                 out[col] = pa.array([pc.sum(c).as_py()])
             elif strat == "min":
@@ -138,8 +185,30 @@ def reduce_(ds, options: dict, ctx=None):
             else:
                 raise ValueError(f"unknown merge strategy {strat!r} for {col}")
         if count_as:
-            out[count_as] = pa.array([len(t)], pa.int64())
-        return pa.table(out)
+            out[count_as] = pa.array([n], pa.int64())
+        return out
+
+    def merge(t: pa.Table) -> pa.Table:
+        t_sorted = t.take(
+            pc.sort_indices(t, sort_keys=[(c, "ascending") for c in order_by])
+        ).combine_chunks()
+        if predicate is None:
+            return pa.table(merge_one(t_sorted))
+        mask = predicate(t_sorted)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        ends = np.asarray(mask.to_numpy(zero_copy_only=False)).astype(np.int64)
+        # window id = end-markers strictly before the row (marker row is
+        # INCLUSIVE — it is its window's last row)
+        wid = np.concatenate([[0], np.cumsum(ends)[:-1]])
+        parts = []
+        for w in np.unique(wid):
+            sel = np.nonzero(wid == w)[0]
+            sub = t_sorted.slice(int(sel[0]), len(sel))
+            out = merge_one(sub)
+            out[window_field] = pa.array([int(w)], pa.int64())
+            parts.append(pa.table(out))
+        return pa.concat_tables(parts)
 
     return ds.groupby(group_by).map_groups(merge, batch_format="pyarrow")
 
@@ -147,14 +216,31 @@ def reduce_(ds, options: dict, ctx=None):
 # ---------------------------------------------------------------------------
 # aggregate — two-phase grouped aggregation.
 #   options = {"group_by": [...],
-#              "aggregates": {out_name: {"fn": "sum|count|mean|min|max",
-#                                        "field": col}},
+#              "aggregates": {out_name: {"fn": "sum|count|mean|min|max"
+#                                              "|count_distinct|quantile"
+#                                              "|p50|p90|p99|median",
+#                                        "field": col, "q": float}},
 #              "round": int | None}
 # Phase 1 (map_batches): pa.Table.group_by per batch → one partial row per
 # key per batch. Phase 2: ray groupby over partials (tiny shuffle).
+#
+# Quantiles (the Distribution/Histogram/Summary metric value kinds,
+# reference shared/src/messages.rs:176-183) and exact count_distinct are
+# also two-phase: the per-batch partial collapses a key's values to a
+# (distinct, for count_distinct) LIST — so the shuffle moves one value
+# column per key per batch, never whole rows — and the final per-key
+# merge concatenates the partial lists and computes the exact statistic
+# (np.quantile linear interpolation == SQL quantile_cont). The per-key
+# value vector lives on one worker during the merge — the same
+# requirement any exact quantile has.
 # ---------------------------------------------------------------------------
 
 _PA_FN = {"sum": "sum", "min": "min", "max": "max"}
+_QUANTILE_FN = {"p50": 0.5, "median": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+def _agg_q(fn: str, spec: dict) -> float:
+    return float(spec.get("q")) if fn == "quantile" else _QUANTILE_FN[fn]
 
 
 def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
@@ -168,6 +254,10 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
             specs.append(("count", None, f"__pc_{out}"))
         elif fn in _PA_FN:
             specs.append((fn, field, f"__p_{out}"))
+        elif fn in _QUANTILE_FN or fn == "quantile":
+            specs.append(("list", field, f"__pl_{out}"))
+        elif fn == "count_distinct":
+            specs.append(("distinct", field, f"__pd_{out}"))
         else:
             raise ValueError(f"unknown aggregate fn {fn!r}")
 
@@ -175,7 +265,12 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
         if t.num_rows == 0:
             cols = {c: pa.array([], t.schema.field(c).type) for c in group_by}
             for kind, field, name in specs:
-                typ = pa.int64() if kind == "count" else t.schema.field(field).type
+                if kind == "count":
+                    typ = pa.int64()
+                elif kind in ("list", "distinct"):
+                    typ = pa.list_(t.schema.field(field).type)
+                else:
+                    typ = t.schema.field(field).type
                 if kind == "sum" and pa.types.is_integer(typ):
                     typ = pa.int64()
                 elif kind == "sum":
@@ -204,10 +299,87 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
     return partial
 
 
+def _round_and_order(t: pa.Table, group_by, aggregates, ndigits) -> pa.Table:
+    if ndigits is not None:
+        for col in t.column_names:
+            if pa.types.is_floating(t.schema.field(col).type):
+                i = t.column_names.index(col)
+                # half_towards_infinity matches SQL ROUND semantics
+                # (DuckDB oracle parity); arrow default is half_to_even
+                t = t.set_column(
+                    i,
+                    col,
+                    pc.round(t[col], ndigits=ndigits, round_mode="half_towards_infinity"),
+                )
+    order = group_by + [o for o in aggregates if o in t.column_names]
+    return t.select(order)
+
+
+def _aggregate_with_lists(ds, group_by, aggregates, ndigits):
+    """Final phase when quantile / count_distinct aggregates are present:
+    per-key map_groups over the partials (partial rows carry value lists
+    for those aggregates and scalar partials for the rest)."""
+
+    def merge_key(g: pa.Table) -> pa.Table:
+        out: dict = {c: g[c].slice(0, 1).combine_chunks() for c in group_by}
+        for name, spec in aggregates.items():
+            fn = spec["fn"]
+            if fn == "count":
+                out[name] = pa.array([pc.sum(g[f"__p_{name}"]).as_py() or 0], pa.int64())
+            elif fn == "sum":
+                v = pc.sum(g[f"__p_{name}"]).as_py()
+                typ = pa.int64() if spec.get("int") else pa.float64()
+                out[name] = pa.array([v], typ)
+            elif fn == "min":
+                out[name] = pa.array([pc.min(g[f"__p_{name}"]).as_py()],
+                                     g.schema.field(f"__p_{name}").type)
+            elif fn == "max":
+                out[name] = pa.array([pc.max(g[f"__p_{name}"]).as_py()],
+                                     g.schema.field(f"__p_{name}").type)
+            elif fn == "mean":
+                s = pc.sum(g[f"__ps_{name}"]).as_py() or 0.0
+                c = pc.sum(g[f"__pc_{name}"]).as_py() or 0
+                out[name] = pa.array([s / c if c else None], pa.float64())
+            elif fn in _QUANTILE_FN or fn == "quantile":
+                col = g[f"__pl_{name}"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                vals = np.asarray(col.flatten(), dtype=np.float64)
+                q = _agg_q(fn, spec)
+                # np.quantile 'linear' == SQL quantile_cont interpolation
+                out[name] = pa.array(
+                    [float(np.quantile(vals, q)) if len(vals) else None],
+                    pa.float64(),
+                )
+            elif fn == "count_distinct":
+                col = g[f"__pd_{name}"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                flat = col.flatten()
+                out[name] = pa.array(
+                    [len(pc.unique(flat.drop_null()))], pa.int64()
+                )
+        return pa.table(out)
+
+    partial = compile_partial_agg(group_by, aggregates)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = partials.groupby(group_by).map_groups(merge_key, batch_format="pyarrow")
+    return final.map_batches(
+        lambda t: _round_and_order(t, group_by, aggregates, ndigits),
+        batch_format="pyarrow",
+    )
+
+
 def aggregate(ds, options: dict, ctx=None):
     group_by = list(options["group_by"])
     aggregates = dict(options["aggregates"])
     ndigits = options.get("round")
+
+    if any(
+        s["fn"] in _QUANTILE_FN or s["fn"] in ("quantile", "count_distinct")
+        for s in aggregates.values()
+    ):
+        return _aggregate_with_lists(ds, group_by, aggregates, ndigits)
 
     partial = compile_partial_agg(group_by, aggregates)
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -246,23 +418,7 @@ def aggregate(ds, options: dict, ctx=None):
         for out in count_outs + sum_int:
             i = t.column_names.index(out)
             t = t.set_column(i, out, pc.cast(t[out], pa.int64()))
-        if ndigits is not None:
-            for col in t.column_names:
-                if pa.types.is_floating(t.schema.field(col).type):
-                    i = t.column_names.index(col)
-                    # half_towards_infinity matches SQL ROUND semantics
-                    # (DuckDB oracle parity); arrow default is half_to_even
-                    t = t.set_column(
-                        i,
-                        col,
-                        pc.round(
-                            t[col],
-                            ndigits=ndigits,
-                            round_mode="half_towards_infinity",
-                        ),
-                    )
         # stable column order: group keys then aggregate outputs
-        order = group_by + [o for o in aggregates if o in t.column_names]
-        return t.select(order)
+        return _round_and_order(t, group_by, aggregates, ndigits)
 
     return final.map_batches(finish, batch_format="pyarrow")

@@ -103,37 +103,55 @@ def metric_to_log(ds, options: dict, ctx=None):
 # values per tag column. Batch mode needs a deterministic "allowed set"
 # (Vector's is first-seen, which has no meaning without arrival order):
 # we keep the `value_limit` most frequent values (ties broken by value
-# order), computed with a small two-phase count, then either drop rows
-# ("drop_event") or null the tag ("drop_tag").
+# order), then either drop rows ("drop_event") or null the tag
+# ("drop_tag").
+#
+# Scale design: this is inherently two-pass (pass 1 computes the allowed
+# set, pass 2 applies it), but the allowed set is computed ENTIRELY in
+# Ray — per-batch partial counts → groupby sum → distributed sort →
+# limit(value_limit). The driver only ever holds ≤ value_limit rows per
+# field (the operator's own bound), never the unbounded distinct-value
+# set that this operator exists to guard against. The sets are broadcast
+# once (ray.put) and fetched once per apply-actor in __init__.
 # ---------------------------------------------------------------------------
 
+_TCL_COUNT = "__tcl_cnt"
 
-def tag_cardinality_limit(ds, options: dict, ctx=None):
-    fields = list(options.get("fields") or [options["field"]])
-    limit = int(options.get("value_limit", 500))
-    action = options.get("limit_exceeded_action", "drop_tag")
 
-    allowed: dict[str, set] = {}
-    for f in fields:
-        counts = (
-            ds.map_batches(
-                lambda t, f=f: t.group_by([f]).aggregate([([], "count_all")]),
-                batch_format="pyarrow",
-            )
-            .groupby(f)
-            .sum("count_all")
-        )
-        pdf = counts.to_pandas()
-        pdf = pdf.sort_values(
-            ["sum(count_all)", f], ascending=[False, True]
-        ).head(limit)
-        allowed[f] = set(pdf[f])
+def _top_values(ds, field: str, limit: int) -> list:
+    """The `limit` most frequent non-null values of `field`, ties broken
+    by ascending value — computed distributed, never materializing more
+    than `limit` rows on the driver."""
 
-    def apply(t: pa.Table) -> pa.Table:
-        for f in fields:
-            ok = pc.is_in(t[f], value_set=pa.array(sorted(allowed[f])))
-            ok = pc.fill_null(ok, False)
-            if action == "drop_event":
+    def partial(t: pa.Table, f=field) -> pa.Table:
+        g = t.select([f]).group_by([f]).aggregate([([], "count_all")])
+        g = g.rename_columns([f, _TCL_COUNT])
+        return g.filter(pc.is_valid(g[f]))
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(field)
+        .sum(_TCL_COUNT)
+    )
+    top = counts.sort(
+        [f"sum({_TCL_COUNT})", field], descending=[True, False]
+    ).limit(limit)
+    return [row[field] for row in top.take_all()]  # ≤ limit rows by construction
+
+
+class _TagLimiter:
+    """Apply-stage actor: fetches the broadcast allowed sets once."""
+
+    def __init__(self, allowed_ref, action: str):
+        import ray
+
+        self.allowed = ray.get(allowed_ref)  # {field: pa.Array of allowed values}
+        self.action = action
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        for f, value_set in self.allowed.items():
+            ok = pc.fill_null(pc.is_in(t[f], value_set=value_set), False)
+            if self.action == "drop_event":
                 t = t.filter(ok)
             else:
                 col = pc.if_else(ok, t[f], pa.scalar(None, t.schema.field(f).type))
@@ -142,4 +160,22 @@ def tag_cardinality_limit(ds, options: dict, ctx=None):
                 t = t.set_column(t.column_names.index(f), f, col)
         return t
 
-    return ds.map_batches(apply, batch_format="pyarrow")
+
+def tag_cardinality_limit(ds, options: dict, ctx=None):
+    import ray
+
+    fields = list(options.get("fields") or [options["field"]])
+    limit = int(options.get("value_limit", 500))
+    action = options.get("limit_exceeded_action", "drop_tag")
+
+    allowed = {
+        f: pa.array(sorted(_top_values(ds, f, limit))) for f in fields
+    }
+    allowed_ref = ray.put(allowed)
+    return ds.map_batches(
+        _TagLimiter,
+        fn_constructor_kwargs={"allowed_ref": allowed_ref, "action": action},
+        batch_format="pyarrow",
+        concurrency=(1, options.get("concurrency", 4)),
+        num_cpus=1,
+    )

@@ -12,9 +12,9 @@ The north rule requires source-key skew to be handled explicitly (the
   per-group computation is mergeable (top-k, count, distinct, sample).
 * ``bucketed_join`` — the portable large×large equi-join: tag and union
   both sides, hash-shuffle once on the bucket column, and join matching
-  buckets pairwise inside ``map_groups`` (pandas merge per bucket).
-  Partitioning assumption: each bucket's two sides fit a worker; size B
-  accordingly and salt hot keys upstream.
+  buckets pairwise inside ``map_groups`` (Arrow-native ``pa.Table.join``
+  per bucket). Partitioning assumption: each bucket's two sides fit a
+  worker; size B accordingly and salt hot keys upstream.
 """
 
 from __future__ import annotations
@@ -167,6 +167,18 @@ def bucketed_join(
         for c in rschema.names
     }
     right_cols = [rename[c] for c in rschema.names]
+    # the two sides must agree on key column types: the union carries ONE
+    # key column, so a silent dtype overwrite (int32 left vs int64 right)
+    # would produce conflicting block schemas and fail mid-shuffle
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    for k in keys:
+        lt, rt = ltypes[k], rtypes[k]
+        if lt != rt:
+            raise TypeError(
+                f"bucketed_join key {k!r} dtype mismatch: left={lt} right={rt}; "
+                f"cast both sides to a common type before joining"
+            )
     # unified schema for the single shuffle: union of both sides + nulls
     types: dict[str, pa.DataType] = {}
     for name, typ in zip(lschema.names, lschema.types):

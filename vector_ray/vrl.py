@@ -92,12 +92,23 @@ _CMP = {
     ">": pc.greater,
     "<": pc.less,
 }
+def _mod(a: Value, b: Value) -> Value:
+    """Truncated remainder (VRL / SQL semantics: -7 % 3 == -1). Arrow's
+    integer divide already truncates; float quotients are trunc'd
+    explicitly so float and int operands agree with the SQL oracle."""
+    q = pc.divide(a, b)
+    qt = q.type if hasattr(q, "type") else None
+    if (qt is not None and pa.types.is_floating(qt)) or isinstance(q, float):
+        q = pc.trunc(q)
+    return pc.subtract(a, pc.multiply(q, b))
+
+
 _ARITH = {
     "+": pc.add,
     "-": pc.subtract,
     "*": pc.multiply,
     "/": pc.divide,
-    "%": lambda a, b: pc.subtract(a, pc.multiply(pc.floor(pc.divide(a, b)), b)),
+    "%": _mod,
 }
 
 
@@ -200,6 +211,22 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
             datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
             pa.timestamp("us"),
         )
+    if base == "parse_timestamp":
+        # VRL parse_timestamp(value, format) with chrono %-codes →
+        # vectorized pc.strptime. Plain form is fallible (unparseable →
+        # null); `parse_timestamp!` raises on the first bad value.
+        s, fmt = args
+        fmt_str = _as_py_str(fmt)
+        return lambda t: pc.strptime(
+            pc.cast(s(t), pa.string()),
+            format=fmt_str,
+            unit="us",
+            error_is_null=not fallible,
+        )
+    if base == "format_timestamp":
+        s, fmt = args
+        fmt_str = _as_py_str(fmt)
+        return lambda t: pc.strftime(s(t), format=fmt_str)
     if base in ("md5", "sha256"):
         import hashlib
 
@@ -317,16 +344,34 @@ class _Parser:
             self.next()
             right = self.add()
             fn, l, r = _CMP[op], left, right
+            ordering = op in (">", ">=", "<", "<=")
 
-            def _compare(t: pa.Table, fn=fn, l=l, r=r) -> Value:
+            def _compare(t: pa.Table, fn=fn, l=l, r=r, op=op) -> Value:
                 lv, rv = l(t), r(t)
-                # string column vs numeric literal (or vice versa): VRL
-                # compares after casting the literal to string
                 lt = lv.type if hasattr(lv, "type") else None
                 if lt is not None and pa.types.is_string(lt) and isinstance(rv, (int, float)):
-                    rv = str(rv)
+                    if ordering:
+                        # ordering a string column against a number: coerce
+                        # the COLUMN to float (lexicographic comparison of
+                        # digit strings is silently wrong: "50" > "1000")
+                        lv = pc.cast(lv, pa.float64())
+                        rv = float(rv)
+                    else:
+                        rv = str(rv)
                 if lt is not None and (pa.types.is_integer(lt) or pa.types.is_floating(lt)) and isinstance(rv, str):
-                    lv = pc.cast(lv, pa.string())
+                    if ordering:
+                        # VRL raises a type error rather than producing a
+                        # lexicographic mask; coerce the literal if it is
+                        # numeric, else fail loudly
+                        try:
+                            rv = float(rv) if ("." in rv or "e" in rv.lower()) else int(rv)
+                        except ValueError:
+                            raise VrlError(
+                                f"cannot order numeric field against "
+                                f"non-numeric string {rv!r} (op {op})"
+                            )
+                    else:
+                        lv = pc.cast(lv, pa.string())
                 return fn(lv, rv)
 
             return _compare
