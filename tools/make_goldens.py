@@ -1,0 +1,260 @@
+"""Generate frozen golden parquet files for the queries whose semantics
+are not SQL-expressible (seeded-rng LSH pruning, minhash/simhash word
+hashing, the deterministic fake media features).
+
+Each golden is computed by an INDEPENDENT straight-line reimplementation
+(per-row Python loops, no vector_ray imports except the shared fixture
+generator for multimodal) of the same published algorithm definition, so
+a golden match means two implementations agree — not that one file was
+copied from the other. The driver's oracle SQL for these queries is
+``SELECT * FROM read_parquet('<golden>')``.
+
+Run from the repo root after any testdata regeneration:
+
+    python tools/make_goldens.py
+
+``tests/test_goldens.py`` recomputes these and fails loudly if the
+committed goldens have drifted from the current /root/testdata inputs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
+SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-comparison scale
+
+U64 = 1 << 64
+FNV_OFFSET = 0xCBF29CE484222325
+FNV_PRIME = 0x100000001B3
+SHINGLE_MULT = 0x100000001B3
+BAND_MULT = 0x9E3779B97F4A7C15
+MERSENNE = (1 << 61) - 1
+
+
+def fnv1a(s: str) -> int:
+    out = FNV_OFFSET
+    for byte in s.encode():
+        out = ((out ^ byte) * FNV_PRIME) % U64
+    return out
+
+
+def to_i64(v: int) -> int:
+    return v - U64 if v >= (1 << 63) else v
+
+
+def word_hashes(text: str) -> list[int]:
+    return [fnv1a(w) for w in text.split(" ")]
+
+
+def shingles(h: list[int], k: int = 3) -> list[int]:
+    L = len(h)
+    n_sh = max(L - k + 1, min(L, 1))
+    out = []
+    for start in range(n_sh):
+        s = 0
+        for j in range(k):
+            idx = min(start + j, L - 1)
+            s = (s * SHINGLE_MULT + h[idx]) % U64
+        out.append(s)
+    return out
+
+
+def simhash64(text: str) -> int:
+    votes = [0] * 64
+    for h in word_hashes(text):
+        for bit in range(64):
+            votes[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def golden_simhash(docs: pa.Table) -> pa.Table:
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash": pa.array([to_i64(simhash64(t)) for t in texts], pa.int64()),
+        }
+    )
+
+
+def minhash_sig(sh: list[int], a: np.ndarray, b: np.ndarray) -> list[int]:
+    num_perm = len(a)
+    sig = [U64 - 1] * num_perm
+    for s in sh:
+        for p in range(num_perm):
+            # emulate numpy uint64 wraparound arithmetic exactly
+            v = ((int(a[p]) * s) % U64 + int(b[p])) % U64 % MERSENNE
+            if v < sig[p]:
+                sig[p] = v
+    return sig
+
+
+def golden_minhash_pairs(
+    docs: pa.Table, num_perm=64, bands=16, shingle_k=3, threshold=0.4, seed=7
+) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    ids = docs["doc_id"].to_pylist()
+    sigs = [
+        minhash_sig(shingles(word_hashes(t), shingle_k), a, b)
+        for t in docs["text"].to_pylist()
+    ]
+    rows_per_band = num_perm // bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, sig in enumerate(sigs):
+        for band in range(bands):
+            acc = 0
+            for j in range(rows_per_band):
+                acc = (acc * BAND_MULT + sig[band * rows_per_band + j]) % U64
+            buckets.setdefault((band, to_i64(acc)), []).append(i)
+    seen: dict[tuple[int, int], float] = {}
+    for members in buckets.values():
+        for xi in range(len(members)):
+            for yi in range(xi + 1, len(members)):
+                x, y = members[xi], members[yi]
+                if ids[x] == ids[y]:
+                    continue
+                est = sum(sx == sy for sx, sy in zip(sigs[x], sigs[y])) / num_perm
+                if est >= threshold:
+                    key = (min(ids[x], ids[y]), max(ids[x], ids[y]))
+                    seen.setdefault(key, float(np.round(est, 4)))
+    pairs = sorted(seen.items())
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0][0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[0][1] for p in pairs], pa.int64()),
+            "est_jaccard": pa.array([p[1] for p in pairs], pa.float64()),
+        }
+    )
+
+
+def round_half_away(x: float, nd: int) -> float:
+    import math
+
+    scale = 10.0 ** nd
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+
+def golden_ann_lsh(
+    emb: pa.Table, k=10, n_planes=8, hamming_radius=1, seed=11, round_to=6
+) -> pa.Table:
+    ids = emb["vec_id"].to_pylist()
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in emb["embedding"].to_pylist()]
+    )
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    q = mat[ids.index(0)]
+    dim = mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def bucket(v: np.ndarray) -> int:
+        bits = (planes @ v) > 0
+        return int(sum(1 << i for i, on in enumerate(bits) if on))
+
+    q_bucket = bucket(q)
+    allowed = {q_bucket}
+    frontier = {q_bucket}
+    for _ in range(hamming_radius):
+        nxt = set()
+        for bk in frontier:
+            for i in range(n_planes):
+                nxt.add(bk ^ (1 << i))
+        allowed |= nxt
+        frontier = nxt
+    scored = []
+    for i, vid in enumerate(ids):
+        if bucket(mat[i]) in allowed:
+            s = float(mat[i] @ q)
+            scored.append((round_half_away(s, round_to), vid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    top = scored[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([t[1] for t in top], pa.int64()),
+            "score": pa.array([t[0] for t in top], pa.float64()),
+        }
+    )
+
+
+def golden_multimodal(n=200, seed=3, feature_dim=16) -> pa.Table:
+    # the fixture generator is shared (it IS the input definition); the
+    # feature computation below is the independent reimplementation
+    from vector_ray.functions.multimodal import fake_media_table
+
+    media = fake_media_table(n, seed=seed)
+    out_ids, out_types, out_bytes, digests, argmaxes = [], [], [], [], []
+    for mid, mtype, payload in zip(
+        media["media_id"].to_pylist(),
+        media["media_type"].to_pylist(),
+        media["payload"].to_pylist(),
+    ):
+        counts = [0] * feature_dim
+        for byte in payload:
+            counts[byte // (256 // feature_dim)] += 1
+        feats = [np.float32(c / max(len(payload), 1)) for c in counts]
+        digest = 0.0
+        for i, f in enumerate(feats):
+            digest += float(f) * (i + 1)
+        best = 0
+        for i in range(1, feature_dim):
+            if feats[i] > feats[best]:
+                best = i
+        out_ids.append(mid)
+        out_types.append(mtype)
+        out_bytes.append(len(payload))
+        digests.append(round_half_away(round_half_away(digest, 9), 6))
+        argmaxes.append(best)
+    return pa.table(
+        {
+            "media_id": pa.array(out_ids, pa.string()),
+            "media_type": pa.array(out_types, pa.string()),
+            "payload_bytes": pa.array(out_bytes, pa.int64()),
+            "feat_digest": pa.array(digests, pa.float64()),
+            "feat_argmax": pa.array(argmaxes, pa.int64()),
+        }
+    )
+
+
+GOLDENS = {
+    "simhash_documents": lambda: golden_simhash(
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ),
+    "minhash_pairs_documents": lambda: golden_minhash_pairs(
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ),
+    "ann_lsh_topk": lambda: golden_ann_lsh(
+        pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ),
+    "multimodal_features": golden_multimodal,
+}
+
+
+def main() -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, fn in GOLDENS.items():
+        tbl = fn()
+        path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+        pq.write_table(tbl, path)
+        print(f"{name}: {tbl.num_rows} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,8 @@ Ray is initialised by the caller — nothing here calls ray.init().
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -31,6 +33,17 @@ from vector_ray.stages.tokenize import tokenize_table
 # The driver compares at sf0.01; oracle SQL for synthetic-corpus queries
 # hardcodes that corpus path (generated on demand by oracle_sql()/queries()).
 ORACLE_TAG = "sf0.01"
+
+# Frozen goldens for the seeded-rng / hash-pipeline queries that SQL
+# cannot recompute (minhash/simhash word hashing, LSH pruning, fake
+# media features). Each golden is produced by an INDEPENDENT per-row
+# reimplementation in tools/make_goldens.py and validated by
+# tests/test_goldens.py; the oracle SQL just reads the parquet.
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "goldens",
+)
 
 
 def _seq_glob(tag: str) -> str:
@@ -628,10 +641,13 @@ def q_ngram_pairs_documents(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
+    # exact distributed block-pair all-pairs; threshold 0.4 chosen so the
+    # expected result on the random test embeddings is NON-empty (59
+    # pairs at sf0.01) — a 0-row pass proves nothing
     from vector_ray.functions.dedup import embedding_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, threshold=0.9)
+    return embedding_dup_pairs(ds, threshold=0.4)
 
 
 def q_ann_lsh_topk(sf_dir: str):
@@ -647,10 +663,160 @@ def q_ann_lsh_topk(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
+    """Media feature extraction (deterministic fake decode), projected to
+    scalar digests (weighted feature dot + argmax) so the golden oracle
+    compares exact values without list-column hashing ambiguity."""
     from vector_ray.functions.multimodal import extract_features, fake_media_table
+    from vector_ray.schema import round_sql_np
 
     ds = rd.from_arrow(fake_media_table(200, seed=3))
-    return extract_features(ds, mode="fake", concurrency=2)
+    feats = extract_features(ds, mode="fake", concurrency=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        col = t["features"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(t.num_rows, 16)
+        w = np.arange(1, 17, dtype=np.float64)
+        dg = round_sql_np(round_sql_np(mat @ w, 9), 6)
+        am = mat.argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "payload_bytes": t["payload_bytes"],
+                "feat_digest": pa.array(dg, pa.float64()),
+                "feat_argmax": pa.array(am, pa.int64()),
+            }
+        )
+
+    return feats.map_batches(digest, batch_format="pyarrow")
+
+
+def q_agg_quantile_events(sf_dir: str):
+    """Distribution/Histogram/Summary metric value kinds
+    (shared/src/messages.rs:176-183): exact two-phase quantiles +
+    exact distinct cardinality."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    agg = grouped.aggregate(
+        ds,
+        {
+            "group_by": ["event_type"],
+            "aggregates": {
+                "p50": {"fn": "p50", "field": "value"},
+                "p90": {"fn": "p90", "field": "value"},
+                "p99": {"fn": "p99", "field": "value"},
+                "n_users": {"fn": "count_distinct", "field": "user_id"},
+            },
+            "round": 4,
+        },
+    )
+    return _collect(agg)
+
+
+def q_reduce_ends_when_events(sf_dir: str):
+    """reduce with the ends_when window-close predicate
+    (config_panel.rs:1771-1791): a purchase event closes the window."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    out = grouped.reduce_(
+        ds,
+        {
+            "group_by": ["user_id"],
+            "ends_when": '.event_type == "purchase"',
+            "order_by": ["ts", "event_id"],
+            "merge_strategies": {
+                "ts": "min",
+                "event_id": "drop",
+                "event_type": "drop",
+            },
+            "count_field": "n",
+        },
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["start_ts" if c == "ts" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_enrich_customer_csv(sf_dir: str):
+    """enrich_customer variant fed from a CSV enrichment table — Vector's
+    enrichment_tables are CSV files (validation/mod.rs:184)."""
+    from pyarrow import csv as pa_csv
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    csv_dir = "/tmp/vector_ray_data/enrich_csv"
+    os.makedirs(csv_dir, exist_ok=True)
+    csv_path = f"{csv_dir}/nation_{tag}.csv"
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).rename_columns(["c_nationkey", "n_name"])
+    pa_csv.write_csv(nation, csv_path)
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    out = enrich_stage(ds, {"table": csv_path, "key": "c_nationkey"})
+    return out.map_batches(
+        lambda t: t.select(["c_custkey", "c_name", "n_name"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_remap_timestamp_events(sf_dir: str):
+    """VRL parse_timestamp/format_timestamp round-trip in a remap program."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    remapped = core.remap(
+        ds,
+        {
+            "source": (
+                '.day = format_timestamp(.ts, "%Y-%m-%d")\n'
+                '.ts2 = parse_timestamp(format_timestamp(.ts, "%Y-%m-%d %H:%M:%S"), '
+                '"%Y-%m-%d %H:%M:%S")'
+            )
+        },
+    )
+    return remapped.map_batches(
+        lambda t: t.select(["event_id", "day", "ts2"]), batch_format="pyarrow"
+    )
+
+
+def q_route_events_all(sf_dir: str):
+    """route mode='all' — upstream Vector's multi-output delivery: one
+    labeled copy per matching route."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    labeled = core.route(
+        ds,
+        {
+            "route": {"purchases": '.event_type == "purchase"', "big": ".value >= 50"},
+            "mode": "all",
+        },
+    )
+    agg = grouped.aggregate(
+        labeled,
+        {"group_by": [core.ROUTE_COLUMN], "aggregates": {"n": {"fn": "count"}}},
+    )
+    tbl = _collect(agg)
+    return tbl.rename_columns(["route", "n"])
+
+
+def q_embedding_dups_lsh(sf_dir: str):
+    """Approximate banded-LSH variant of embedding near-dup pairs (the
+    corpus-scale path). Rows-only check: recall < 1 by construction, so
+    equality with the exact SQL self-join is not the contract;
+    tests/test_functions.py asserts it returns a subset of the exact
+    pairs with high recall on the fixture."""
+    from vector_ray.functions.dedup import embedding_dup_pairs_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs_lsh(ds, threshold=0.4, bands=8, n_planes=6)
 
 
 QUERIES = {
@@ -692,6 +858,12 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "agg_quantile_events": q_agg_quantile_events,
+    "reduce_ends_when_events": q_reduce_ends_when_events,
+    "enrich_customer_csv": q_enrich_customer_csv,
+    "remap_timestamp_events": q_remap_timestamp_events,
+    "route_events_all": q_route_events_all,
+    "embedding_dups_lsh": q_embedding_dups_lsh,
 }
 
 _STOPLIST_SQL = "['a','and','for','in','is','it','of','that','the','to']"
@@ -846,6 +1018,107 @@ def oracle_sql() -> dict[str, str]:
                 "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score "
                 "FROM embeddings e ORDER BY score DESC, e.vec_id LIMIT 10"
             ),
+            # exact all-pairs cosine self-join; threshold applied to the
+            # double-rounded (9 -> 6) value on BOTH sides so last-ulp
+            # engine differences cannot flip membership at the boundary
+            "embedding_dups": (
+                "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+                "FROM embeddings) "
+                "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, "
+                "ROUND(ROUND(list_cosine_similarity(a.v, b.v), 9), 6) AS cosine "
+                "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+                "WHERE ROUND(ROUND(list_cosine_similarity(a.v, b.v), 9), 6) >= 0.4"
+            ),
+            # exact n-gram Jaccard recomputation: 3-word shingles with the
+            # same short-row clamping as _shingle_hashes (rows shorter
+            # than k contribute ONE shingle built from clamped indices);
+            # the threshold filters the RAW ratio (matching the Python
+            # `if j >= threshold` before rounding)
+            "ngram_pairs_documents": (
+                "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws "
+                "  FROM documents), "
+                "s AS (SELECT doc_id, lang, CASE "
+                "  WHEN len(ws) < 3 THEN [array_to_string("
+                "    list_transform(range(3), j -> ws[least(1 + j, len(ws))]), ' ')] "
+                "  ELSE list_transform(range(len(ws) - 2), "
+                "    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END AS sh "
+                "  FROM w), "
+                "d AS (SELECT doc_id, lang, list_distinct(sh) AS sh FROM s) "
+                "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM ("
+                "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                "    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+                "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac "
+                "  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+                "  WHERE len(list_intersect(a.sh, b.sh)) > 0) WHERE jac >= 0.3"
+            ),
+            # exact langid recomputation: per-language stopword hit counts
+            # (duplicates counted), argmax with first-wins tie-break in
+            # [en, es, fr, de] order, 'und' when no hits, CJK-codepoint
+            # ratio > 0.2 overrides to 'zh'
+            "langid_documents": (
+                "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws "
+                "  FROM documents), "
+                "c AS (SELECT doc_id, "
+                "  len(list_filter(ws, x -> list_contains("
+                "    ['the','a','of','and','to','in','is','it','that','for'], x))) AS en, "
+                "  len(list_filter(ws, x -> list_contains("
+                "    ['el','la','de','y','que','en','un','es','se','no'], x))) AS es, "
+                "  len(list_filter(ws, x -> list_contains("
+                "    ['le','la','de','et','que','en','un','est','se','ne'], x))) AS fr, "
+                "  len(list_filter(ws, x -> list_contains("
+                "    ['der','die','das','und','zu','in','ein','ist','nicht','von'], x))) AS de, "
+                "  len(regexp_extract_all(text, '[一-鿿]')) AS cjk, "
+                "  greatest(len(ws), 1) AS n FROM w) "
+                "SELECT doc_id, CASE "
+                "  WHEN CAST(cjk AS DOUBLE) / n > 0.2 THEN 'zh' "
+                "  WHEN greatest(en, es, fr, de) = 0 THEN 'und' "
+                "  WHEN en >= es AND en >= fr AND en >= de THEN 'en' "
+                "  WHEN es >= fr AND es >= de THEN 'es' "
+                "  WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang_pred FROM c"
+            ),
+            "agg_quantile_events": (
+                "SELECT event_type, "
+                "ROUND(ROUND(quantile_cont(value, 0.5), 9), 4) AS p50, "
+                "ROUND(ROUND(quantile_cont(value, 0.9), 9), 4) AS p90, "
+                "ROUND(ROUND(quantile_cont(value, 0.99), 9), 4) AS p99, "
+                "COUNT(DISTINCT user_id) AS n_users "
+                "FROM events GROUP BY event_type"
+            ),
+            "reduce_ends_when_events": (
+                "SELECT user_id, MIN(ts) AS start_ts, COUNT(*) AS n, wid FROM ("
+                "  SELECT user_id, ts, "
+                "  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER ("
+                "    PARTITION BY user_id ORDER BY ts, event_id "
+                "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "  - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS wid "
+                "  FROM events) GROUP BY user_id, wid"
+            ),
+            "enrich_customer_csv": (
+                "SELECT c_custkey, c_name, n_name FROM customer "
+                "LEFT JOIN nation ON c_nationkey = n_nationkey"
+            ),
+            "remap_timestamp_events": (
+                "SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, "
+                "strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts2 "
+                "FROM events"
+            ),
+            "route_events_all": (
+                "SELECT route, COUNT(*) AS n FROM ("
+                "  SELECT 'purchases' AS route FROM events WHERE event_type = 'purchase' "
+                "  UNION ALL SELECT 'big' FROM events WHERE value >= 50 "
+                "  UNION ALL SELECT '_unmatched' FROM events "
+                "  WHERE NOT (event_type = 'purchase' OR value >= 50)"
+                ") GROUP BY route"
+            ),
         }
     )
+    # frozen-golden oracles (independent reimplementation committed as
+    # parquet; see tools/make_goldens.py + tests/test_goldens.py)
+    for name in (
+        "simhash_documents",
+        "minhash_pairs_documents",
+        "ann_lsh_topk",
+        "multimodal_features",
+    ):
+        sql[name] = f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
     return sql

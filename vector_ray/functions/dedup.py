@@ -94,12 +94,74 @@ def _pair_result(
         )
     a, b = ids[xs], ids[ys]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
+    if lo.dtype == object:
+        # string/object ids: no zero-copy path exists
+        doc_a = pa.array(lo.tolist(), id_type)
+        doc_b = pa.array(hi.tolist(), id_type)
+    else:
+        # numeric ids: numpy -> Arrow without materializing Python objects
+        # (a .tolist() here costs 3 Python objects per pair — 100M+ on a
+        # degenerate corpus at the bucket cap)
+        doc_a = pc.cast(pa.array(lo), id_type)
+        doc_b = pc.cast(pa.array(hi), id_type)
     return pa.table(
         {
-            "doc_a": pa.array(lo.tolist(), id_type),
-            "doc_b": pa.array(hi.tolist(), id_type),
-            metric_name: pa.array(metric_vals.tolist(), metric_type),
+            "doc_a": doc_a,
+            "doc_b": doc_b,
+            metric_name: pc.cast(pa.array(metric_vals), metric_type),
         }
+    )
+
+
+def _dedupe_pairs(cand, valcol: str, num_buckets: int = 32):
+    """Keep one row per (doc_a, doc_b): hash-bucket the pair key into
+    ``num_buckets`` groups, then a VECTORIZED per-bucket dedupe (Arrow
+    sort + consecutive-duplicate mask). The value column is identical
+    across a pair's duplicate rows (computed from the full
+    signature/vector, not the band), so keeping the first is exact.
+
+    Why not ``groupby([doc_a, doc_b])``: one Python group call per
+    DISTINCT PAIR — on a degenerate corpus (every doc identical) that is
+    millions of calls funneled through one groupby; and Ray's native
+    multi-key min() aggregate is ~30× slower than this per-bucket path
+    on the same input (measured: 58.7s vs <2s at 2M candidate rows)."""
+    from vector_ray.stages.shuffle import _key_hash
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ha = _key_hash(t, "doc_a")
+        hb = _key_hash(t, "doc_b")
+        mixed = ha ^ ((hb << np.uint64(13)) | (hb >> np.uint64(51)))
+        return t.append_column(
+            "__pair_bucket",
+            pa.array((mixed % np.uint64(num_buckets)).astype(np.int64)),
+        )
+
+    def dedupe_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__pair_bucket"]).combine_chunks()
+        n = g.num_rows
+        if n < 2:
+            return g
+        order = pc.sort_indices(
+            g, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]
+        )
+        g = g.take(order).combine_chunks()
+        a = g["doc_a"].combine_chunks()
+        b = g["doc_b"].combine_chunks()
+        # type-agnostic consecutive-duplicate mask (works for string ids)
+        diff = pc.or_(
+            pc.not_equal(a.slice(1), a.slice(0, n - 1)),
+            pc.not_equal(b.slice(1), b.slice(0, n - 1)),
+        )
+        keep = pa.concat_arrays(
+            [pa.array([True]), pc.fill_null(diff, True).combine_chunks()
+             if isinstance(diff, pa.ChunkedArray) else pc.fill_null(diff, True)]
+        )
+        return g.filter(keep)
+
+    return (
+        cand.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__pair_bucket")
+        .map_groups(dedupe_bucket, batch_format="pyarrow")
     )
 
 
@@ -178,6 +240,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 7,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
 ):
     """MinHash+LSH near-duplicate candidate pairs.
 
@@ -220,8 +283,6 @@ def minhash_lsh_candidates(
             }
         )
 
-    max_bucket_rows = DEFAULT_MAX_BUCKET_ROWS
-
     def pairs(group: pa.Table) -> pa.Table:
         id_type = group.schema.field(id_field).type
         group = _cap_bucket(group, id_field, max_bucket_rows, "minhash")
@@ -254,9 +315,7 @@ def minhash_lsh_candidates(
         pairs, batch_format="pyarrow"
     )
     # a pair can match in several bands — dedupe on (doc_a, doc_b)
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _dedupe_pairs(cand, "est_jaccard")
 
 
 def simhash_bits(t: pa.Table, field: str = "text") -> np.ndarray:
@@ -284,7 +343,11 @@ def simhash(ds, id_field: str = "doc_id", field: str = "text"):
 
 
 def simhash_candidates(
-    ds, id_field: str = "doc_id", field: str = "text", max_hamming: int = 3
+    ds,
+    id_field: str = "doc_id",
+    field: str = "text",
+    max_hamming: int = 3,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
 ):
     """Near-dup pairs by SimHash banding: 4 bands of 16 bits; pairs
     sharing any band verified by exact hamming distance."""
@@ -309,8 +372,6 @@ def simhash_candidates(
                 )
             )
         return pa.concat_tables(parts)
-
-    max_bucket_rows = DEFAULT_MAX_BUCKET_ROWS
 
     def pairs(group: pa.Table) -> pa.Table:
         id_type = group.schema.field(id_field).type
@@ -345,9 +406,7 @@ def simhash_candidates(
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
     cand = buckets.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pyarrow")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _dedupe_pairs(cand, "hamming")
 
 
 def ngram_jaccard_pairs(
@@ -594,9 +653,7 @@ def embedding_dup_pairs_lsh(
         verify, batch_format="pyarrow"
     )
     # a pair can collide in several bands — keep one copy
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _dedupe_pairs(cand, "cosine")
 
 
 def connected_components_keep_min(pairs_ds, max_rounds: int = 25):
@@ -670,4 +727,198 @@ def connected_components_keep_min(pairs_ds, max_rounds: int = 25):
         )
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
+    )
+
+
+
+
+def _local_union_find(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
+    """Union-find with path-halving over one partition's edges; returns
+    node -> root (root = min id of the local fragment)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != x:
+            parent[x] = parent.get(r, r)  # path halving
+            x = parent[x]
+            r = parent.get(x, x)
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # keep the smaller id as root so roots are fragment minima
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    return {x: find(x) for x in parent}
+
+
+def connected_components_distributed(
+    pairs_ds,
+    num_buckets: int = 32,
+    max_rounds: int = 12,
+    local_threshold: int = 500_000,
+):
+    """Distributed connected components over a near-dup pair graph by
+    iterative CONTRACTION (the MapReduce-CC family of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): partition the edge
+    list, run local union-find per partition (one task each), replace
+    the graph by edges between the per-partition roots, recurse until
+    the edge set fits one task, then unwind the contraction layers with
+    one hash-join per layer.
+
+    The driver never holds a node→label map — only dataset handles and
+    a per-round edge COUNT. Contrast with min-label propagation: a
+    100k-hop chain needs O(log L) shuffle rounds there (and measured
+    pathological round-time growth in a long Ray loop); contraction
+    resolves the same chain in 1-2 rounds because a sorted range
+    partition keeps runs of the chain together and each local
+    union-find collapses its whole partition at once.
+
+    Returns Dataset[(doc_id:int64, cluster:int64)], cluster = min doc
+    id of the component (same contract as
+    ``connected_components_keep_min``, the cheap driver-side path for
+    tiny candidate sets).
+
+    Scale notes: per round, edges are SORTED by endpoint (range
+    partition → long runs co-located), local union-find runs once per
+    block (vectorizable cost E/blocks each), and the contracted graph
+    is ≤ one edge per (node, partition) incidence — geometric shrink
+    for real near-dup graphs. ``local_threshold`` bounds the final
+    single-task solve; raise it on big-memory workers.
+    """
+    from vector_ray.stages.shuffle import _key_hash, bucketed_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_a"], pa.int64())
+        b = pc.cast(t["doc_b"], pa.int64())
+        return pa.table(
+            {"na": pc.min_element_wise(a, b), "nb": pc.max_element_wise(a, b)}
+        )
+
+    edges = pairs_ds.map_batches(norm, batch_format="pyarrow").materialize()
+    layers = []  # one (node, root) mapping Dataset per contraction round
+
+    def uf_block(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        a = np.asarray(t["na"], dtype=np.int64)
+        b = np.asarray(t["nb"], dtype=np.int64)
+        m = _local_union_find(a, b)
+        nodes = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+        roots = np.fromiter(m.values(), dtype=np.int64, count=len(m))
+        return pa.table({"node": pa.array(nodes), "root": pa.array(roots)})
+
+    def root_edges_bucket(g: pa.Table) -> pa.Table:
+        # nodes seen in >1 partition connect their roots: sort by node,
+        # link consecutive differing roots (a chain over the root set is
+        # a valid spanning structure; a star is not required)
+        g = g.drop_columns(["__cc_bucket"]).combine_chunks()
+        order = pc.sort_indices(
+            g, sort_keys=[("node", "ascending"), ("root", "ascending")]
+        )
+        g = g.take(order).combine_chunks()
+        node = np.asarray(g["node"], dtype=np.int64)
+        root = np.asarray(g["root"], dtype=np.int64)
+        if len(node) < 2:
+            return pa.table(
+                {"na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
+            )
+        same = (node[1:] == node[:-1]) & (root[1:] != root[:-1])
+        lo = np.minimum(root[1:][same], root[:-1][same])
+        hi = np.maximum(root[1:][same], root[:-1][same])
+        return pa.table({"na": pa.array(lo), "nb": pa.array(hi)})
+
+    def add_node_bucket(t: pa.Table) -> pa.Table:
+        h = _key_hash(t, "node")
+        return t.append_column(
+            "__cc_bucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        )
+
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges <= local_threshold:
+            break
+        # range-partition by na (sort co-locates id-adjacent edges) and
+        # solve each block locally
+        mapping = (
+            edges.sort("na")
+            .repartition(num_buckets)
+            .map_batches(uf_block, batch_format="pyarrow")
+            .materialize()
+        )
+        layers.append(mapping)
+        # contracted graph: edges between roots that share a node
+        edges = (
+            mapping.map_batches(add_node_bucket, batch_format="pyarrow")
+            .groupby("__cc_bucket")
+            .map_groups(root_edges_bucket, batch_format="pyarrow")
+            .repartition(num_buckets)
+            .materialize()
+        )
+        new_count = edges.count()
+        if new_count >= n_edges:
+            raise RuntimeError(
+                "contraction failed to shrink the graph "
+                f"({n_edges} -> {new_count} edges); raise local_threshold"
+            )
+        n_edges = new_count
+
+    if n_edges > local_threshold:
+        raise RuntimeError(
+            f"graph still has {n_edges} edges after {max_rounds} contraction "
+            "rounds; raise max_rounds or local_threshold"
+        )
+
+    # final solve: one task over the residual edge list
+    final_labels = (
+        edges.repartition(1)
+        .map_batches(uf_block, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+
+    # unwind: label(v) = label(root(v)), falling back to root(v) itself
+    # when the root never reached the contracted graph (its fragment was
+    # a whole component, so the root is already the component min)
+    labels = final_labels
+    for mapping in reversed(layers):
+        as_root = labels.map_batches(
+            lambda t: t.rename_columns(["root", "rlabel"]), batch_format="pyarrow"
+        )
+        labels = (
+            bucketed_join(mapping, as_root, key="root", num_buckets=num_buckets, how="left")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "label": pc.coalesce(t["rlabel"], t["root"]),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            # a node can appear in several partitions (one mapping row
+            # each); all rows resolve to the same component label, keep one
+            .map_batches(add_node_bucket, batch_format="pyarrow")
+            .groupby("__cc_bucket")
+            .map_groups(
+                lambda g: g.drop_columns(["__cc_bucket"])
+                .combine_chunks()
+                .group_by("node")
+                .aggregate([("label", "min")])
+                .rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+            .repartition(num_buckets)
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster": t["label"]}),
+        batch_format="pyarrow",
     )

@@ -10,6 +10,7 @@ family).
 from __future__ import annotations
 
 from vector_ray.stages import core, enrich, grouped, metricops
+from vector_ray.stages.framing import frame
 from vector_ray.stages.tokenize import tokenize
 from vector_ray.stages.window import window
 
@@ -45,6 +46,7 @@ TRANSFORMS = {
     "enrich": enrich.enrich,
     "tokenize": tokenize,
     "window": window,
+    "frame": frame,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

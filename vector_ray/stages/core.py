@@ -189,6 +189,80 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
         # parse_kv with an explicit key list (Ray blocks need one schema)
         return _compile_op({**op, "op": "parse_kv"})
 
+    if kind == "parse_native_json":
+        # Vector's native_json codec (config_panel.rs:853-896): each
+        # line is an event ENVELOPE — {"log": {...}} or {"metric":
+        # {"name": ..., "tags": {...}, "counter": {"value": v} |
+        # "gauge": {"value": v}}}. Unwrap: log keys become columns
+        # (declared via keys/types like parse_json), metric rows get
+        # metric_name / metric_kind / metric_value, and __kind says
+        # which envelope each row carried.
+        import json as _json
+
+        field = op["field"]
+        keys = op.get("keys", [])
+        types = op.get("types", {})
+        _t = {"int": pa.int64(), "float": pa.float64(), "string": pa.string(),
+              "bool": pa.bool_()}
+        bad = {k: v for k, v in types.items() if v not in _t}
+        if bad:
+            raise VrlError(
+                f"parse_native_json types must be one of {sorted(_t)}; got {bad}"
+            )
+
+        def _native(t: pa.Table) -> pa.Table:
+            col = pc.cast(t[field], pa.string())
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            kinds, names, mkinds, mvals = [], [], [], []
+            logs: dict[str, list] = {k: [] for k in keys}
+            for line in pc.fill_null(col, "{}").to_pylist():
+                try:
+                    env = _json.loads(line)
+                except ValueError:
+                    env = {}
+                if isinstance(env, dict) and "metric" in env:
+                    m = env["metric"] or {}
+                    kinds.append("metric")
+                    names.append(m.get("name"))
+                    vk = "counter" if "counter" in m else (
+                        "gauge" if "gauge" in m else None
+                    )
+                    mkinds.append(vk)
+                    mvals.append((m.get(vk) or {}).get("value") if vk else None)
+                    for k in keys:
+                        logs[k].append(None)
+                else:
+                    log = (env or {}).get("log", {}) if isinstance(env, dict) else {}
+                    kinds.append("log")
+                    names.append(None)
+                    mkinds.append(None)
+                    mvals.append(None)
+                    for k in keys:
+                        logs[k].append(log.get(k) if isinstance(log, dict) else None)
+            t = _set_column(t, "__kind", pa.array(kinds, pa.string()))
+            t = _set_column(t, "metric_name", pa.array(names, pa.string()))
+            t = _set_column(t, "metric_kind", pa.array(mkinds, pa.string()))
+            t = _set_column(t, "metric_value", pa.array(mvals, pa.float64()))
+            for k in keys:
+                want = _t.get(types.get(k), None)
+                vals = pa.array(logs[k], want) if want else pa.array(logs[k])
+                t = _set_column(t, k, vals)
+            return t
+
+        return _native
+
+    if kind == "parse_native":
+        # Vector's `native` codec is protobuf-framed
+        # (config_panel.rs:853-896); this container has no protobuf
+        # runtime, so the codec is an HONEST declared stub — same policy
+        # as the multimodal decode kernel (functions/multimodal.py)
+        raise VrlError(
+            "the protobuf `native` codec requires a protobuf runtime, "
+            "which is not available here; use `parse_native_json` "
+            "(Vector's native_json codec) instead"
+        )
+
     if kind == "parse_json":
         # `. = parse_json!(string!(.message))` analog (config.rs:412):
         # extract the requested keys from a JSON-string column. Uses a

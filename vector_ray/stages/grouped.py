@@ -346,9 +346,15 @@ def _aggregate_with_lists(ds, group_by, aggregates, ndigits):
                     col = col.combine_chunks()
                 vals = np.asarray(col.flatten(), dtype=np.float64)
                 q = _agg_q(fn, spec)
-                # np.quantile 'linear' == SQL quantile_cont interpolation
+                # np.quantile 'linear' == SQL quantile_cont interpolation;
+                # pre-round through 9 decimals so the interpolation's
+                # last-ulp difference vs the SQL engine can't land on
+                # opposite sides of the final rounding boundary (the
+                # oracle applies the same ROUND(ROUND(x, 9), d))
+                from vector_ray.schema import round_sql_np
+
                 out[name] = pa.array(
-                    [float(np.quantile(vals, q)) if len(vals) else None],
+                    [float(round_sql_np(np.quantile(vals, q), 9)) if len(vals) else None],
                     pa.float64(),
                 )
             elif fn == "count_distinct":

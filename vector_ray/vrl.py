@@ -226,7 +226,17 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
     if base == "format_timestamp":
         s, fmt = args
         fmt_str = _as_py_str(fmt)
-        return lambda t: pc.strftime(s(t), format=fmt_str)
+
+        def _format_ts(t: pa.Table) -> Value:
+            v = s(t)
+            # arrow strftime prints fractional seconds inside %S for
+            # sub-second units; chrono/VRL/SQL %S is integer seconds —
+            # truncate unless the format asks for %f explicitly
+            if "%f" not in fmt_str and hasattr(v, "type") and pa.types.is_timestamp(v.type):
+                v = pc.cast(v, pa.timestamp("s"), safe=False)
+            return pc.strftime(v, format=fmt_str)
+
+        return _format_ts
     if base in ("md5", "sha256"):
         import hashlib
 
