@@ -482,3 +482,59 @@ def test_parse_native_json_codec(ray_session):
 
     with pytest.raises(VrlError, match="native_json"):
         core.compile_remap({"ops": [{"op": "parse_native", "field": "message"}]})
+
+
+# ---------------------------------------------------------------------------
+# histogram bucket counts (count_le) + set metric kind
+# ---------------------------------------------------------------------------
+
+
+def test_aggregate_count_le_buckets(ray_session):
+    from vector_ray.stages import grouped
+
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0, 100, 3000)
+    keys = rng.choice(["x", "y"], 3000)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(5)
+    out = _collect(
+        grouped.aggregate(
+            ds,
+            {
+                "group_by": ["k"],
+                "aggregates": {
+                    "le_30": {"fn": "count_le", "field": "v", "le": 30.0},
+                    "le_60": {"fn": "count_le", "field": "v", "le": 60.0},
+                    "p50": {"fn": "p50", "field": "v"},  # mixed with list path
+                },
+                "round": 4,
+            },
+        )
+    ).sort_by([("k", "ascending")])
+    for i, k in enumerate(out["k"].to_pylist()):
+        sel = vals[keys == k]
+        assert out["le_30"][i].as_py() == int((sel <= 30.0).sum())
+        assert out["le_60"][i].as_py() == int((sel <= 60.0).sum())
+
+
+def test_log_to_metric_set_kind(ray_session):
+    from vector_ray.stages import metricops
+
+    t = pa.table({"user": [1, 2, 2, 3], "evt": ["a", "a", "b", "b"]})
+    out = _collect(
+        metricops.log_to_metric(
+            rd.from_arrow(t),
+            {
+                "metrics": [
+                    {
+                        "type": "set",
+                        "name": "users",
+                        "field": "user",
+                        "tags": {"evt": ".evt"},
+                    }
+                ]
+            },
+        )
+    )
+    assert out["kind"].to_pylist() == ["set"] * 4
+    assert out["set_member"].to_pylist() == ["1", "2", "2", "3"]
+    assert all(v is None for v in out["value"].to_pylist())

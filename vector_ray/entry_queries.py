@@ -819,6 +819,116 @@ def q_embedding_dups_lsh(sf_dir: str):
     return embedding_dup_pairs_lsh(ds, threshold=0.4, bands=8, n_planes=6)
 
 
+def q_agg_histogram_events(sf_dir: str):
+    """Histogram metric value kind (shared/src/messages.rs:176-183):
+    Prometheus-style cumulative `le` bucket counts via the two-phase
+    `count_le` aggregate."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    agg = grouped.aggregate(
+        ds,
+        {
+            "group_by": ["event_type"],
+            "aggregates": {
+                "le_25": {"fn": "count_le", "field": "value", "le": 25.0},
+                "le_50": {"fn": "count_le", "field": "value", "le": 50.0},
+                "le_75": {"fn": "count_le", "field": "value", "le": 75.0},
+                "n": {"fn": "count"},
+            },
+        },
+    )
+    return _collect(agg)
+
+
+def q_log_to_metric_set_events(sf_dir: str):
+    """`set` metric value kind: members emitted per event, cardinality
+    aggregated downstream with count_distinct (the batch analog of
+    Vector's Set metric)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    metrics = metricops.log_to_metric(
+        ds,
+        {
+            "metrics": [
+                {
+                    "type": "set",
+                    "name": "users_seen",
+                    "namespace": "app",
+                    "field": "user_id",
+                    "tags": {"event_type": ".event_type"},
+                }
+            ]
+        },
+    )
+    agg = grouped.aggregate(
+        metrics,
+        {
+            "group_by": ["name", "kind", "event_type"],
+            "aggregates": {
+                "members": {"fn": "count_distinct", "field": "set_member"}
+            },
+        },
+    )
+    return _collect(agg)
+
+
+def q_frame_documents(sf_dir: str):
+    """character_delimited framing (config_panel.rs:853-896): explode each
+    document's text into one row per space-separated frame, carrying the
+    other columns."""
+    from vector_ray.stages.framing import frame
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    framed = frame(ds, {"method": "character_delimited", "delimiter": " ", "field": "text"})
+    agg = grouped.aggregate(
+        framed,
+        {
+            "group_by": ["doc_id", "lang"],
+            "aggregates": {"frames": {"fn": "count"}},
+        },
+    )
+    return _collect(agg)
+
+
+def q_native_json_events(sf_dir: str):
+    """native_json codec round-trip: build Vector native event envelopes
+    from event rows (vectorized string assembly), then decode them back
+    with parse_native_json. The oracle recomputes the fields directly."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            '{"log": {"event_type": "',
+            pc.cast(t["event_type"], pa.string()),
+            '", "value": ',
+            pc.cast(pc.cast(t["value"], pa.float64()), pa.string()),
+            "}}",
+            "",
+        )
+        return pa.table({"event_id": t["event_id"], "message": line})
+
+    encoded = ds.map_batches(encode, batch_format="pyarrow")
+    decoded = core.remap(
+        encoded,
+        {
+            "ops": [
+                {
+                    "op": "parse_native_json",
+                    "field": "message",
+                    "keys": ["event_type", "value"],
+                    "types": {"event_type": "string", "value": "float"},
+                }
+            ]
+        },
+    )
+    return decoded.map_batches(
+        lambda t: t.select(["event_id", "__kind", "event_type", "value"]).rename_columns(
+            ["event_id", "kind", "event_type", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "flagship_agg": q_flagship_agg,
     "flagship_routed": q_flagship_routed,
@@ -864,6 +974,10 @@ QUERIES = {
     "remap_timestamp_events": q_remap_timestamp_events,
     "route_events_all": q_route_events_all,
     "embedding_dups_lsh": q_embedding_dups_lsh,
+    "agg_histogram_events": q_agg_histogram_events,
+    "log_to_metric_set_events": q_log_to_metric_set_events,
+    "frame_documents": q_frame_documents,
+    "native_json_events": q_native_json_events,
 }
 
 _STOPLIST_SQL = "['a','and','for','in','is','it','of','that','the','to']"
@@ -1101,6 +1215,29 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, "
                 "strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts2 "
                 "FROM events"
+            ),
+            "agg_histogram_events": (
+                "SELECT event_type, "
+                "CAST(SUM(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_25, "
+                "CAST(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_50, "
+                "CAST(SUM(CASE WHEN value <= 75.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_75, "
+                "COUNT(*) AS n FROM events GROUP BY event_type"
+            ),
+            "log_to_metric_set_events": (
+                "SELECT 'users_seen' AS name, 'set' AS kind, event_type, "
+                "COUNT(DISTINCT user_id) AS members "
+                "FROM events GROUP BY event_type"
+            ),
+            # no document is empty or ends with the delimiter in the test
+            # corpus, so frame count == split length (the framer's
+            # trailing-empty-frame drop never fires here)
+            "frame_documents": (
+                "SELECT doc_id, lang, "
+                "CAST(len(string_split(text, ' ')) AS BIGINT) AS frames "
+                "FROM documents"
+            ),
+            "native_json_events": (
+                "SELECT event_id, 'log' AS kind, event_type, value FROM events"
             ),
             "route_events_all": (
                 "SELECT route, COUNT(*) AS n FROM ("

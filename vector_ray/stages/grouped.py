@@ -245,6 +245,11 @@ def _agg_q(fn: str, spec: dict) -> float:
 
 def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
     specs = []  # (partial_col_in, pa_agg, partial_out_name)
+    # histogram bucket counts (Vector's Histogram/Summary metric values,
+    # shared/src/messages.rs:176-183, Prometheus-style cumulative `le`
+    # buckets): count rows with field <= le, two-phase via a 0/1
+    # indicator column summed like any other partial
+    ind_specs = []  # (out, field, le)
     for out, spec in aggregates.items():
         fn, field = spec["fn"], spec.get("field")
         if fn == "count":
@@ -258,10 +263,25 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
             specs.append(("list", field, f"__pl_{out}"))
         elif fn == "count_distinct":
             specs.append(("distinct", field, f"__pd_{out}"))
+        elif fn == "count_le":
+            ind_specs.append((out, field, float(spec["le"])))
+            specs.append(("sum", f"__ind_{out}", f"__p_{out}"))
         else:
             raise ValueError(f"unknown aggregate fn {fn!r}")
 
+    def add_indicators(t: pa.Table) -> pa.Table:
+        for out, field, le in ind_specs:
+            ind = pc.cast(
+                pc.fill_null(pc.less_equal(t[field], le), False), pa.int64()
+            )
+            t = t.append_column(
+                f"__ind_{out}",
+                ind.combine_chunks() if isinstance(ind, pa.ChunkedArray) else ind,
+            )
+        return t
+
     def partial(t: pa.Table) -> pa.Table:
+        t = add_indicators(t)
         if t.num_rows == 0:
             cols = {c: pa.array([], t.schema.field(c).type) for c in group_by}
             for kind, field, name in specs:
@@ -324,7 +344,7 @@ def _aggregate_with_lists(ds, group_by, aggregates, ndigits):
         out: dict = {c: g[c].slice(0, 1).combine_chunks() for c in group_by}
         for name, spec in aggregates.items():
             fn = spec["fn"]
-            if fn == "count":
+            if fn in ("count", "count_le"):
                 out[name] = pa.array([pc.sum(g[f"__p_{name}"]).as_py() or 0], pa.int64())
             elif fn == "sum":
                 v = pc.sum(g[f"__p_{name}"]).as_py()
@@ -393,7 +413,7 @@ def aggregate(ds, options: dict, ctx=None):
     ray_aggs = []
     for out, spec in aggregates.items():
         fn = spec["fn"]
-        if fn == "count":
+        if fn in ("count", "count_le"):
             ray_aggs.append(Sum(f"__p_{out}", alias_name=out))
         elif fn == "mean":
             ray_aggs.append(Sum(f"__ps_{out}", alias_name=f"__s_{out}"))
@@ -407,7 +427,9 @@ def aggregate(ds, options: dict, ctx=None):
     final = partials.groupby(group_by).aggregate(*ray_aggs)
 
     mean_outs = [o for o, s in aggregates.items() if s["fn"] == "mean"]
-    count_outs = [o for o, s in aggregates.items() if s["fn"] == "count"]
+    count_outs = [
+        o for o, s in aggregates.items() if s["fn"] in ("count", "count_le")
+    ]
     sum_int = [
         o for o, s in aggregates.items()
         if s["fn"] == "sum" and s.get("int", False)

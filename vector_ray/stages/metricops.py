@@ -40,21 +40,35 @@ def log_to_metric(ds, options: dict, ctx=None):
         for m, tags in compiled:
             n = t.num_rows
             kind = m.get("type", "counter")
-            if kind == "counter" and not m.get("increment_by_value"):
+            # metric value kinds beyond counter/gauge
+            # (shared/src/messages.rs:176-183): `set` emits the value as
+            # a string member (cardinality computed downstream with the
+            # `count_distinct` aggregate); distribution / histogram /
+            # summary emit raw float samples (quantiles via the
+            # p50/p90/p99 aggregates, buckets via `count_le`)
+            set_member = None
+            if kind == "set":
+                sm = pc.cast(t[m["field"]], pa.string())
+                set_member = sm.combine_chunks() if isinstance(sm, pa.ChunkedArray) else sm
+                value = pa.nulls(n, pa.float64())
+            elif kind == "counter" and not m.get("increment_by_value"):
                 value = pa.array([1.0] * n)
             else:
                 value = pc.cast(t[m["field"]], pa.float64())
                 if isinstance(value, pa.ChunkedArray):
                     value = value.combine_chunks()
+            metric_kind = {
+                "gauge": "absolute",
+                "counter": "incremental",
+            }.get(kind, kind)  # set/distribution/histogram/summary keep their name
             cols = {
                 "name": pa.array([m["name"]] * n, pa.string()),
                 "namespace": pa.array([m.get("namespace", "")] * n, pa.string()),
-                "kind": pa.array(
-                    ["absolute" if kind == "gauge" else "incremental"] * n,
-                    pa.string(),
-                ),
+                "kind": pa.array([metric_kind] * n, pa.string()),
                 "value": value,
             }
+            if set_member is not None:
+                cols["set_member"] = set_member
             for tag, src in tags.items():
                 if callable(src):
                     v = src(t)
