@@ -194,6 +194,49 @@ def golden_ann_lsh(
     )
 
 
+def golden_embedding_dups_lsh(
+    emb: pa.Table, threshold=0.4, bands=8, n_planes=6, seed=11, round_to=6
+) -> pa.Table:
+    """Banded random-hyperplane LSH near-dup pairs: rows sharing any
+    band bucket are candidates, verified with exact cosine, one row per
+    pair. Assumes no bucket exceeds the 2048-row cap at sf0.01 (checked
+    by an assert)."""
+    ids = emb["vec_id"].to_pylist()
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in emb["embedding"].to_pylist()]
+    )
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dim = mat.shape[1]
+    rng = np.random.default_rng(seed)
+    band_planes = [rng.standard_normal((n_planes, dim)) for _ in range(bands)]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for band, planes in enumerate(band_planes):
+        for i in range(mat.shape[0]):
+            bits = (planes @ mat[i]) > 0
+            bk = int(sum(1 << j for j, on in enumerate(bits) if on))
+            buckets.setdefault((band, bk), []).append(i)
+    seen: dict[tuple[int, int], float] = {}
+    for members in buckets.values():
+        assert len(members) <= 2048, "bucket exceeds the implementation cap"
+        for xi in range(len(members)):
+            for yi in range(xi + 1, len(members)):
+                x, y = members[xi], members[yi]
+                if ids[x] == ids[y]:
+                    continue
+                cos = round_half_away(round_half_away(float(mat[x] @ mat[y]), 9), round_to)
+                if cos >= threshold:
+                    key = (min(ids[x], ids[y]), max(ids[x], ids[y]))
+                    seen.setdefault(key, cos)
+    pairs = sorted(seen.items())
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0][0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[0][1] for p in pairs], pa.int64()),
+            "cosine": pa.array([p[1] for p in pairs], pa.float64()),
+        }
+    )
+
+
 def golden_multimodal(n=200, seed=3, feature_dim=16) -> pa.Table:
     # the fixture generator is shared (it IS the input definition); the
     # feature computation below is the independent reimplementation
@@ -244,6 +287,9 @@ GOLDENS = {
         pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     ),
     "multimodal_features": golden_multimodal,
+    "embedding_dups_lsh": lambda: golden_embedding_dups_lsh(
+        pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ),
 }
 
 

@@ -809,10 +809,12 @@ def q_route_events_all(sf_dir: str):
 
 def q_embedding_dups_lsh(sf_dir: str):
     """Approximate banded-LSH variant of embedding near-dup pairs (the
-    corpus-scale path). Rows-only check: recall < 1 by construction, so
-    equality with the exact SQL self-join is not the contract;
-    tests/test_functions.py asserts it returns a subset of the exact
-    pairs with high recall on the fixture."""
+    corpus-scale path). Oracle: frozen golden parquet from the
+    independent straight-line reimplementation in tools/make_goldens.py
+    (recall < 1 vs the exact self-join by construction, so the contract
+    is the LSH algorithm's own output, not the exact pair set);
+    tests/test_functions.py additionally asserts high recall vs the
+    exact pairs on the fixture."""
     from vector_ray.functions.dedup import embedding_dup_pairs_lsh
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -929,6 +931,121 @@ def q_native_json_events(sf_dir: str):
     )
 
 
+def q_native_events(sf_dir: str):
+    """`native` protobuf codec round-trip (config_panel.rs:853-896):
+    encode event rows as protobuf Event messages (stages/native_codec),
+    drop the source columns, decode with the parse_native remap op. The
+    oracle recomputes the fields directly — a hash match proves the wire
+    round-trip is exact (protobuf doubles are bit-exact, unlike JSON)."""
+    from vector_ray.stages.native_codec import encode_log_rows
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        enc = encode_log_rows(t, keys=["event_type", "value"])
+        return enc.select(["event_id", "message"])
+
+    encoded = ds.map_batches(encode, batch_format="pyarrow")
+    decoded = core.remap(
+        encoded,
+        {
+            "ops": [
+                {
+                    "op": "parse_native",
+                    "field": "message",
+                    "keys": ["event_type", "value"],
+                    "types": {"event_type": "string", "value": "float"},
+                }
+            ]
+        },
+    )
+    return decoded.map_batches(
+        lambda t: t.select(["event_id", "__kind", "event_type", "value"]).rename_columns(
+            ["event_id", "kind", "event_type", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_metric_to_log_events(sf_dir: str):
+    """metric_to_log (palette.rs:143): metric rows from log_to_metric →
+    aggregate → back to log rows with metric_-prefixed columns."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    metrics = metricops.log_to_metric(
+        ds,
+        {
+            "metrics": [
+                {
+                    "type": "counter",
+                    "name": "events_total",
+                    "namespace": "app",
+                    "tags": {"event_type": ".event_type"},
+                }
+            ]
+        },
+    )
+    agg = grouped.aggregate(
+        metrics,
+        {
+            "group_by": ["name", "namespace", "kind", "event_type"],
+            "aggregates": {"value": {"fn": "sum", "field": "value"}},
+            "round": 2,
+        },
+    )
+    logs = metricops.metric_to_log(agg, {})
+    return _collect(logs)
+
+
+def q_pyscript_events(sf_dir: str):
+    """lua / pyscript user-extension slot (palette.rs:128): an arbitrary
+    batch UDF routed through the transform registry."""
+    from vector_ray.stages import TRANSFORMS
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def udf(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type_uc": pc.utf8_upper(t["event_type"]),
+                # ×2 is exact in binary floating point — hash-safe vs SQL
+                "value2": pc.multiply(pc.cast(t["value"], pa.float64()), 2.0),
+            }
+        )
+
+    return TRANSFORMS["pyscript"](ds, {"fn": udf})
+
+
+def q_test_basic_events(sf_dir: str):
+    """test_basic (palette.rs:149): identity transform via the registry."""
+    from vector_ray.stages import TRANSFORMS
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return TRANSFORMS["test_basic"](ds, {})
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN top-k in its exact configuration (n_probe = n_centroids →
+    every row scanned), so the brute-force SQL oracle applies; the
+    pruned n_probe < n_centroids path is recall-tested in
+    tests/test_functions.py."""
+    from vector_ray.functions.similarity import ivf_topk
+
+    query = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0]
+        .as_py()
+    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, np.asarray(query), k=10, n_centroids=16, n_probe=16)
+
+
 QUERIES = {
     "flagship_agg": q_flagship_agg,
     "flagship_routed": q_flagship_routed,
@@ -978,6 +1095,11 @@ QUERIES = {
     "log_to_metric_set_events": q_log_to_metric_set_events,
     "frame_documents": q_frame_documents,
     "native_json_events": q_native_json_events,
+    "native_events": q_native_events,
+    "metric_to_log_events": q_metric_to_log_events,
+    "pyscript_events": q_pyscript_events,
+    "test_basic_events": q_test_basic_events,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 _STOPLIST_SQL = "['a','and','for','in','is','it','of','that','the','to']"
@@ -1239,6 +1361,28 @@ def oracle_sql() -> dict[str, str]:
             "native_json_events": (
                 "SELECT event_id, 'log' AS kind, event_type, value FROM events"
             ),
+            "native_events": (
+                "SELECT event_id, 'log' AS kind, event_type, value FROM events"
+            ),
+            "metric_to_log_events": (
+                "SELECT 'events_total' AS metric_name, 'app' AS metric_namespace, "
+                "'incremental' AS metric_kind, event_type, "
+                "ROUND(CAST(COUNT(*) AS DOUBLE), 2) AS metric_value "
+                "FROM events GROUP BY event_type"
+            ),
+            "pyscript_events": (
+                "SELECT event_id, UPPER(event_type) AS event_type_uc, "
+                "value * 2 AS value2 FROM events"
+            ),
+            "test_basic_events": (
+                "SELECT event_id, event_type, value FROM events"
+            ),
+            "ann_ivf_topk": (
+                "SELECT e.vec_id, "
+                "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+                "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score "
+                "FROM embeddings e ORDER BY score DESC, e.vec_id LIMIT 10"
+            ),
             "route_events_all": (
                 "SELECT route, COUNT(*) AS n FROM ("
                 "  SELECT 'purchases' AS route FROM events WHERE event_type = 'purchase' "
@@ -1256,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_documents",
         "ann_lsh_topk",
         "multimodal_features",
+        "embedding_dups_lsh",
     ):
         sql[name] = f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
     return sql

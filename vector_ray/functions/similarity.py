@@ -97,6 +97,97 @@ def brute_force_topk(
     return top
 
 
+def train_ivf_centroids(
+    ds,
+    field: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train IVF centroids with Lloyd k-means on a BOUNDED sample
+    (``ds.limit(sample_size)`` — the only driver materialization, capped
+    by construction; at corpus scale you train on a sample regardless).
+    Deterministic: seeded init from evenly spaced sample rows. Returns
+    L2-normalized centroids (spherical k-means, cosine geometry)."""
+    sample = ds.limit(sample_size).take_all()
+    mat = _normalize(np.array([r[field] for r in sample], dtype=np.float64))
+    n = mat.shape[0]
+    k = min(n_centroids, n)
+    idx = np.linspace(0, n - 1, k).astype(int)
+    cent = mat[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    # stable order so bucket ids are deterministic across runs
+    order = np.lexsort(cent.T[::-1])
+    return cent[order]
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    id_field: str = "vec_id",
+    field: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 7,
+    round_to: int = 6,
+):
+    """IVF approximate cosine top-k: coarse-quantize rows to their
+    nearest centroid and scan only rows whose centroid is among the
+    ``n_probe`` centroids closest to the query. ``n_probe >=
+    n_centroids`` degenerates to the exact brute-force scan (the oracle
+    configuration). At corpus scale the centroid id is a precomputed
+    partition column and non-probed partitions never leave storage —
+    same pushdown note as lsh_topk."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    cent = train_ivf_centroids(
+        ds, field=field, n_centroids=n_centroids, sample_size=sample_size, seed=seed
+    )
+    probes = np.argsort(-(cent @ q))[: max(1, n_probe)]
+    ctx = ray.put((q, cent, np.sort(probes)))
+
+    class Score:
+        def __init__(self):
+            self.q, self.cent, self.probes = ray.get(ctx)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _embedding_matrix(batch, field)
+            if mat.shape[0] == 0:
+                return pa.table(
+                    {id_field: batch[id_field], "score": pa.array([], pa.float64())}
+                )
+            norm = _normalize(mat)
+            assign = np.argmax(norm @ self.cent.T, axis=1)
+            idx = np.nonzero(np.isin(assign, self.probes))[0]
+            if len(idx) == 0:
+                return pa.table(
+                    {
+                        id_field: pa.array([], batch.schema.field(id_field).type),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            sims = round_sql_np(norm[idx] @ self.q, round_to)
+            part = _topk_indices(sims, batch[id_field].take(pa.array(idx)), k)
+            ids = batch[id_field].take(pa.array(idx[part]))
+            return pa.table(
+                {id_field: ids, "score": pa.array(sims[part], pa.float64())}
+            )
+
+    scored = ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+    return scored.sort(["score", id_field], descending=[True, False]).limit(k)
+
+
 def lsh_bucket_ids(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (mat @ planes.T) > 0
     return (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(

@@ -253,15 +253,14 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
         return _native
 
     if kind == "parse_native":
-        # Vector's `native` codec is protobuf-framed
-        # (config_panel.rs:853-896); this container has no protobuf
-        # runtime, so the codec is an HONEST declared stub — same policy
-        # as the multimodal decode kernel (functions/multimodal.py)
-        raise VrlError(
-            "the protobuf `native` codec requires a protobuf runtime, "
-            "which is not available here; use `parse_native_json` "
-            "(Vector's native_json codec) instead"
-        )
+        # Vector's `native` codec: protobuf wire-format event envelope
+        # (config_panel.rs:853-896; event model messages.rs:124-183).
+        # Runtime-built descriptor + upb C parse; see
+        # stages/native_codec.py. Raises VrlError at compile time if no
+        # protobuf runtime is available.
+        from vector_ray.stages.native_codec import compile_parse_native
+
+        return compile_parse_native(op)
 
     if kind == "parse_json":
         # `. = parse_json!(string!(.message))` analog (config.rs:412):

@@ -35,7 +35,12 @@ FRAMING_METHODS = (
 def _explode(t: pa.Table, field: str, frames_per_row: np.ndarray, flat_frames) -> pa.Table:
     """Repeat non-payload columns per frame and attach the frame column."""
     idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), frames_per_row)
-    out = t.drop_columns([field]).take(pa.array(idx))
+    rest = t.drop_columns([field])
+    if not rest.column_names:
+        # payload-only table: a zero-column table has num_rows == 0, so
+        # take() can't carry the row count — build the result directly
+        return pa.table({field: flat_frames})
+    out = rest.take(pa.array(idx))
     return out.append_column(field, flat_frames)
 
 
