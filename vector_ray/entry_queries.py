@@ -1030,6 +1030,35 @@ def q_test_basic_events(sf_dir: str):
     return TRANSFORMS["test_basic"](ds, {})
 
 
+def q_encode_logfmt_events(sf_dir: str):
+    """Sink-side logfmt encode (config_panel.rs:1877-1921 encoding.codec)
+    round-tripped through the parse_kv decode op. Arrow's float→string
+    cast emits the shortest round-trippable repr, so decode restores the
+    identical doubles and the hash must match the raw rows."""
+    from vector_ray.stages.encode import encode as encode_stage
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    enc = encode_stage(ds, {"codec": "logfmt", "fields": ["event_type", "value"]})
+    stripped = enc.map_batches(
+        lambda t: t.select(["event_id", "message"]), batch_format="pyarrow"
+    )
+    dec = core.remap(
+        stripped,
+        {
+            "ops": [
+                {"op": "parse_kv", "field": "message",
+                 "keys": ["event_type", "value"], "types": {"value": "float"}}
+            ]
+        },
+    )
+    return dec.map_batches(
+        lambda t: t.select(["event_id", "event_type", "value"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF ANN top-k in its exact configuration (n_probe = n_centroids →
     every row scanned), so the brute-force SQL oracle applies; the
@@ -1100,6 +1129,7 @@ QUERIES = {
     "pyscript_events": q_pyscript_events,
     "test_basic_events": q_test_basic_events,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "encode_logfmt_events": q_encode_logfmt_events,
 }
 
 _STOPLIST_SQL = "['a','and','for','in','is','it','of','that','the','to']"
@@ -1375,6 +1405,9 @@ def oracle_sql() -> dict[str, str]:
                 "value * 2 AS value2 FROM events"
             ),
             "test_basic_events": (
+                "SELECT event_id, event_type, value FROM events"
+            ),
+            "encode_logfmt_events": (
                 "SELECT event_id, event_type, value FROM events"
             ),
             "ann_ivf_topk": (

@@ -70,9 +70,38 @@ def collect_sink(ds, options: dict, ctx=None) -> SinkResult:
     return SinkResult(kind="collect", count=tbl.num_rows, table=tbl)
 
 
+def _maybe_select(ds, options: dict):
+    # encoding.only_fields analog (config_panel.rs:1909-1921): CSV in
+    # particular cannot hold list columns (e.g. tokens), so sinks accept
+    # a column selection
+    if options.get("columns"):
+        return ds.select_columns(list(options["columns"]))
+    return ds
+
+
+def csv_sink(ds, options: dict, ctx=None) -> SinkResult:
+    """file sink with encoding.codec=csv (config_panel.rs:1909-1921):
+    partitioned CSV directory. Pass ``columns`` to drop non-scalar
+    columns (CSV cannot represent lists)."""
+    path = options["path"]
+    os.makedirs(path, exist_ok=True)
+    _maybe_select(ds, options).write_csv(path)
+    return SinkResult(kind="csv", path=path)
+
+
+def json_sink(ds, options: dict, ctx=None) -> SinkResult:
+    """file sink with encoding.codec=json: newline-delimited JSON files."""
+    path = options["path"]
+    os.makedirs(path, exist_ok=True)
+    _maybe_select(ds, options).write_json(path)
+    return SinkResult(kind="json", path=path)
+
+
 SINKS = {
     "parquet": parquet_sink,
     "file": parquet_sink,
+    "csv": csv_sink,
+    "json": json_sink,
     "console": console_sink,
     "blackhole": blackhole_sink,
     "collect": collect_sink,

@@ -10,6 +10,7 @@ family).
 from __future__ import annotations
 
 from vector_ray.stages import core, enrich, grouped, metricops
+from vector_ray.stages.encode import encode
 from vector_ray.stages.framing import frame
 from vector_ray.stages.tokenize import tokenize
 from vector_ray.stages.window import window
@@ -47,6 +48,7 @@ TRANSFORMS = {
     "tokenize": tokenize,
     "window": window,
     "frame": frame,
+    "encode": encode,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]
