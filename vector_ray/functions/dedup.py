@@ -603,33 +603,33 @@ def embedding_dup_pairs_lsh(
     planes = [rng.standard_normal((n_planes, dim)) for _ in range(bands)]
     planes_ref = ray.put(planes)
 
-    class ToBuckets:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mat = _embed_matrix(t, field)
-            n = t.num_rows
-            parts = []
-            ids = t[id_field]
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            emb = t[field]
-            if isinstance(emb, pa.ChunkedArray):
-                emb = emb.combine_chunks()
-            for band, pl in enumerate(self.planes):
-                buckets = lsh_bucket_ids(mat, pl).astype(np.int64) if n else np.array([], np.int64)
-                parts.append(
-                    pa.table(
-                        {
-                            "band": pa.array(np.full(n, band, dtype=np.int32)),
-                            "bucket": pa.array(buckets),
-                            id_field: ids,
-                            field: emb,
-                        }
-                    )
+    # task pool, not an actor pool: the only worker state is the tiny
+    # broadcast plane set, and ray.get of a local object is near-free
+    # (see similarity.brute_force_topk for the measurement)
+    def to_buckets(t: pa.Table) -> pa.Table:
+        all_planes = ray.get(planes_ref)
+        mat = _embed_matrix(t, field)
+        n = t.num_rows
+        parts = []
+        ids = t[id_field]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        emb = t[field]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        for band, pl in enumerate(all_planes):
+            buckets = lsh_bucket_ids(mat, pl).astype(np.int64) if n else np.array([], np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(n, band, dtype=np.int32)),
+                        "bucket": pa.array(buckets),
+                        id_field: ids,
+                        field: emb,
+                    }
                 )
-            return pa.concat_tables(parts)
+            )
+        return pa.concat_tables(parts)
 
     def verify(group: pa.Table) -> pa.Table:
         id_type = group.schema.field(id_field).type
@@ -646,9 +646,7 @@ def embedding_dup_pairs_lsh(
         return _pair_result(ids, xs[keep], ys[keep], "cosine",
                             sims[xs[keep], ys[keep]], id_type, pa.float64())
 
-    buckets = ds.map_batches(
-        ToBuckets, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
-    )
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
     cand = buckets.groupby(["band", "bucket"]).map_groups(
         verify, batch_format="pyarrow"
     )
