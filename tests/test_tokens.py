@@ -1,0 +1,172 @@
+"""Tests for the tokens-axis corpus operators: sequence packing,
+vocabulary top-k, and n-gram contamination (vector_ray/functions/tokens.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+import ray.data as rd
+
+
+def _collect(ds) -> pa.Table:
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
+
+
+@pytest.fixture(scope="module")
+def corpus_files(ray_session, tmp_path_factory):
+    """A tiny multi-shard corpus with adversarial shapes: a doc longer
+    than one chunk, 1-token docs, and a shard boundary mid-chunk."""
+    root = tmp_path_factory.mktemp("tokcorpus")
+    rng = np.random.default_rng(7)
+    files = []
+    start = 0
+    for shard, n in enumerate([40, 1, 25]):
+        n_tok = rng.integers(1, 60, size=n).astype(np.int32)
+        if shard == 0:
+            n_tok[3] = 300  # spans several 128-token chunks
+        total = int(n_tok.sum())
+        flat = rng.integers(0, 1000, size=total, dtype=np.int32)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(n_tok, out=offsets[1:])
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    [f"doc-{i:010d}" for i in range(start, start + n)]
+                ),
+                "tokens": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+                "n_tok": pa.array(n_tok, pa.int32()),
+            }
+        )
+        p = str(root / f"shard-{shard:05d}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+        start += n
+    return files
+
+
+def _serial_concat(files):
+    vals = []
+    for p in sorted(files):
+        arr = pq.read_table(p, columns=["tokens"])["tokens"].combine_chunks()
+        vals.append(arr.values.to_numpy(zero_copy_only=False))
+    return np.concatenate(vals)
+
+
+def test_pack_sequences_byte_exact(ray_session, corpus_files):
+    from vector_ray.functions.tokens import pack_sequences
+
+    L = 128
+    out = _collect(pack_sequences(corpus_files, chunk_len=L))
+    out = out.take(pc.sort_indices(out, sort_keys=[("chunk_id", "ascending")]))
+    flat = _serial_concat(corpus_files)
+
+    assert out.num_rows == (len(flat) + L - 1) // L
+    got = np.concatenate(
+        [c.values.to_numpy(zero_copy_only=False) for c in out["tokens"].chunks]
+    )
+    assert np.array_equal(got, flat)  # byte-exact concat order
+    lens = pc.list_value_length(out["tokens"]).to_numpy(zero_copy_only=False)
+    assert (lens[:-1] == L).all() and lens[-1] == len(flat) - L * (len(lens) - 1)
+    assert pc.sum(out["n_tok"]).as_py() == len(flat)
+    # chunk ids are dense 0..n-1
+    assert out["chunk_id"].to_pylist() == list(range(out.num_rows))
+
+
+def test_pack_sequences_n_docs(ray_session, corpus_files):
+    from vector_ray.functions.tokens import pack_sequences
+
+    out = _collect(pack_sequences(corpus_files, chunk_len=128))
+    # every doc contributes ≥1 piece; sum(n_docs) == total pieces ≥ n_docs
+    n_docs_total = sum(
+        pq.read_table(p, columns=["doc_id"]).num_rows for p in corpus_files
+    )
+    assert pc.sum(out["n_docs"]).as_py() >= n_docs_total
+    assert pc.min(out["n_docs"]).as_py() >= 1
+
+
+def test_token_topk_matches_numpy(ray_session, corpus_files):
+    from vector_ray.functions.tokens import token_topk
+
+    ds = rd.read_parquet(corpus_files, columns=["tokens"])
+    out = _collect(token_topk(ds, k=20)).to_pandas()
+    flat = _serial_concat(corpus_files)
+    counts = np.bincount(flat, minlength=1000)
+    order = np.lexsort((np.arange(len(counts)), -counts))[:20]
+    assert out["token"].tolist() == order.tolist()
+    assert out["cnt"].tolist() == counts[order].tolist()
+
+
+def test_contamination_flags_planted_dup(ray_session, tmp_path):
+    from vector_ray.functions.tokens import ngram_contamination
+
+    rng = np.random.default_rng(11)
+    n = 100
+    rows = [rng.integers(0, 1000, size=30, dtype=np.int32) for _ in range(n)]
+    # doc 0 is an "eval" doc (0 % 5 == 0 with every=5); plant its 8-gram
+    # inside doc 7 (not an eval doc) and nowhere else
+    rows[7][10:18] = rows[0][5:13]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i:010d}" for i in range(n)]),
+            "tokens": pa.array([r.tolist() for r in rows], pa.list_(pa.int32())),
+        }
+    )
+    p = str(tmp_path / "shard-00000.parquet")
+    pq.write_table(t, p)
+
+    out = _collect(ngram_contamination([p], n=8, every=5)).to_pandas()
+    out = out.set_index("doc_id")
+    assert bool(out.loc["doc-0000000007", "contaminated"])
+    assert out.loc["doc-0000000007", "n_gram_hits"] >= 1
+    # eval docs flag themselves (self-contamination by construction)
+    assert bool(out.loc["doc-0000000000", "contaminated"])
+    # a non-eval doc with no planted overlap stays clean
+    clean = out.drop(
+        [f"doc-{i:010d}" for i in range(0, n, 5)] + ["doc-0000000007"]
+    )
+    assert not clean["contaminated"].any()
+
+
+def test_gram_windows_respect_row_boundaries():
+    from vector_ray.functions.tokens import _gram_windows
+
+    values = np.arange(10, dtype=np.int32)
+    offsets = np.array([0, 4, 10], dtype=np.int64)  # rows of 4 and 6 tokens
+    starts, row_of = _gram_windows(values, offsets, 3)
+    # row 0 (len 4): starts 0,1; row 1 (len 6): starts 4..7
+    assert starts.tolist() == [0, 1, 4, 5, 6, 7]
+    assert row_of.tolist() == [0, 0, 1, 1, 1, 1]
+
+
+def test_vrl_redact(ray_session):
+    from vector_ray.stages import core
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": [1, 2],
+                "msg": [
+                    "user bob@example.com from 10.1.2.3 pid 4421",
+                    "nothing here",
+                ],
+            }
+        )
+    )
+    out = _collect(
+        core.remap(
+            ds, {"source": '.clean = redact(.msg, "email", "ipv4", "digits")'}
+        )
+    ).to_pandas().sort_values("id")
+    assert out["clean"].tolist() == [
+        "user [REDACTED] from [REDACTED] pid [REDACTED]",
+        "nothing here",
+    ]

@@ -1075,6 +1075,61 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, np.asarray(query), k=10, n_centroids=16, n_probe=16)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Exact concat-and-chunk sequence packing over the tokenized corpus
+    (the GPT pre-training sample layout); byte-exact vs a serial concat."""
+    from vector_ray.functions.tokens import pack_sequences
+
+    tag = _tag(sf_dir)
+    from vector_ray.pipelines import flagship
+
+    files = flagship.list_input_files(datagen.sequences_dir(tag))
+    return pack_sequences(files, chunk_len=2048)
+
+
+def q_token_topk(sf_dir: str):
+    """Top-50 most frequent token ids (vocab histogram, two-phase
+    bincount combiner)."""
+    from vector_ray.functions.tokens import token_topk
+
+    tag = _tag(sf_dir)
+    from vector_ray.pipelines import flagship
+
+    files = flagship.list_input_files(datagen.sequences_dir(tag))
+    return token_topk(rd.read_parquet(files, columns=["tokens"]), k=50)
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination scan: flag corpus docs sharing any token
+    8-gram with the broadcast eval set (docs with id % 97 == 0)."""
+    from vector_ray.functions.tokens import ngram_contamination
+
+    tag = _tag(sf_dir)
+    from vector_ray.pipelines import flagship
+
+    files = flagship.list_input_files(datagen.sequences_dir(tag))
+    return ngram_contamination(files, n=8, every=97)
+
+
+def q_redact_corpus(sf_dir: str):
+    """VRL redact() PII scrub of the corpus message line (digit runs →
+    [REDACTED]), RE2 semantics on both sides."""
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        _seq_files(tag), columns=["doc_id", "message"]
+    )
+    remapped = core.remap(ds, {"source": '.clean = redact(.message, "digits")'})
+    return remapped.map_batches(
+        lambda t: t.select(["doc_id", "clean"]), batch_format="pyarrow"
+    )
+
+
+def _seq_files(tag: str) -> list[str]:
+    from vector_ray.pipelines import flagship
+
+    return flagship.list_input_files(datagen.sequences_dir(tag))
+
+
 QUERIES = {
     "flagship_agg": q_flagship_agg,
     "flagship_routed": q_flagship_routed,
@@ -1129,15 +1184,65 @@ QUERIES = {
     "pyscript_events": q_pyscript_events,
     "test_basic_events": q_test_basic_events,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "pack_sequences_corpus": q_pack_sequences,
+    "token_topk_corpus": q_token_topk,
+    "contamination_corpus": q_contamination,
+    "redact_corpus": q_redact_corpus,
     "encode_logfmt_events": q_encode_logfmt_events,
 }
 
 _STOPLIST_SQL = "['a','and','for','in','is','it','of','that','the','to']"
 
 
+def _tokens_oracles() -> dict[str, str]:
+    seq = _seq_glob(ORACLE_TAG)
+    return {
+        "pack_sequences_corpus": (
+            "WITH base AS ("
+            "  SELECT doc_id, tokens, n_tok, COALESCE(SUM(n_tok) OVER ("
+            "    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            f"  ), 0) AS st FROM read_parquet('{seq}')), "
+            "tok AS ("
+            "  SELECT doc_id, st + generate_subscripts(tokens, 1) - 1 AS gpos, "
+            "  unnest(tokens) AS tok FROM base) "
+            "SELECT CAST(gpos // 2048 AS BIGINT) AS chunk_id, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_tok, "
+            "list(tok ORDER BY gpos) AS tokens "
+            "FROM tok GROUP BY 1"
+        ),
+        "token_topk_corpus": (
+            "SELECT CAST(tok AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS cnt "
+            f"FROM (SELECT unnest(tokens) AS tok FROM read_parquet('{seq}')) "
+            "GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50"
+        ),
+        "contamination_corpus": (
+            f"WITH seq AS (SELECT doc_id, tokens, n_tok FROM read_parquet('{seq}')), "
+            "ev AS (SELECT tokens, n_tok FROM seq "
+            "  WHERE CAST(substr(doc_id, 5) AS BIGINT) % 97 = 0), "
+            "evp AS (SELECT tokens, unnest(generate_series(1, "
+            "  CAST(n_tok AS BIGINT) - 7)) AS i FROM ev), "
+            "evg AS (SELECT DISTINCT tokens[i:i+7] AS gram FROM evp), "
+            "dp AS (SELECT doc_id, tokens, unnest(generate_series(1, "
+            "  CAST(n_tok AS BIGINT) - 7)) AS i FROM seq), "
+            "dg AS (SELECT doc_id, tokens[i:i+7] AS gram FROM dp), "
+            "hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n "
+            "  FROM dg JOIN evg USING (gram) GROUP BY 1) "
+            "SELECT s.doc_id, COALESCE(h.n, 0) AS n_gram_hits, "
+            "COALESCE(h.n, 0) > 0 AS contaminated "
+            "FROM seq s LEFT JOIN hits h USING (doc_id)"
+        ),
+        "redact_corpus": (
+            "SELECT doc_id, regexp_replace(message, '\\d+', '[REDACTED]', 'g') "
+            f"AS clean FROM read_parquet('{seq}')"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     datagen.ensure_corpus(ORACLE_TAG)  # oracle reads the same corpus files
     sql = dict(_flagship_oracles())
+    sql.update(_tokens_oracles())
     sql.update(
         {
             "filter_events": (

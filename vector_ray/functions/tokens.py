@@ -1,0 +1,352 @@
+"""Token-level corpus operations: sequence packing, vocabulary stats,
+and benchmark-contamination checks.
+
+These are the tokens-axis operators a pre-training data pipeline runs
+over the ``(doc_id, tokens: list<int32>, n_tok, source)`` corpus that the
+reference's log pipeline feeds (BASELINE.json input_hint). They have no
+single reference transform; they compose the same Ray Data machinery the
+rest of the engine uses (map_batches over zero-copy Arrow, two-phase
+aggregation, broadcast small sides).
+
+Scale notes (100 TB):
+
+* ``pack_sequences`` is exact GPT-style concat-and-chunk packing. The
+  only all-to-all move is the groupby on ``chunk_id`` — and its input is
+  the per-file *piece* stream, already merged to chunk granularity per
+  file, so each chunk's payload crosses the wire once. chunk_id is
+  monotone in input order, so a range partitioner (which Ray's sort-based
+  shuffle uses) keeps the exchange near-local on a real cluster.
+* ``token_topk`` is a classic combiner aggregation: per-batch
+  ``np.bincount`` partials (vocab-bounded) → small groupby → top-k.
+  Shuffled bytes are O(vocab × blocks), independent of corpus size.
+* ``ngram_contamination`` broadcasts the benchmark n-gram set once
+  (``ray.put``) and matches per batch with vectorized 64-bit hashing +
+  exact verification of hash hits; the corpus is never shuffled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from vector_ray.schema import VOCAB_SIZE
+
+__all__ = [
+    "pack_sequences",
+    "token_topk",
+    "benchmark_ngrams",
+    "ngram_contamination",
+]
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def _flat_tokens(t: pa.Table, col: str = "tokens") -> tuple[np.ndarray, np.ndarray]:
+    """(values:int32, offsets:int64) of a list<int32> column, zero-copy."""
+    arr = t[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # single chunk after combine
+        if arr.num_chunks == 0:
+            return np.empty(0, np.int32), np.zeros(1, np.int64)
+        arr = arr.chunk(0)
+    values = arr.values.to_numpy(zero_copy_only=False)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return values, offsets
+
+
+def _file_token_counts(files: list[str]) -> list[int]:
+    """Per-file sum(n_tok), read column-pruned in parallel Ray tasks.
+
+    The result is one int per file — the only thing the driver ever
+    holds. At 10^12 sequences this is #shards ints (~10^5), not rows.
+    """
+
+    @ray.remote(num_cpus=1)
+    def _count(path: str) -> int:
+        return int(pc.sum(pq.read_table(path, columns=["n_tok"])["n_tok"]).as_py())
+
+    return ray.get([_count.remote(p) for p in files])
+
+
+def _emit_pieces(batch: pa.Table, bases: dict[str, int], chunk_len: int) -> pa.Table:
+    """Read each file in ``batch`` and emit chunk-aligned token pieces.
+
+    A *piece* is a maximal run of one document's tokens that falls inside
+    one chunk. Piece boundaries are the union of row boundaries and chunk
+    boundaries, so the flattened values array is reused as-is (no gather —
+    only the list offsets change).
+    """
+    out: list[pa.Table] = []
+    for path in batch["path"].to_pylist():
+        base = bases[path]
+        t = pq.read_table(path, columns=["doc_id", "tokens", "n_tok"])
+        values, offsets = _flat_tokens(t)
+        total = int(offsets[-1])
+        if total == 0:
+            continue
+        # chunk boundaries that fall strictly inside this file's range
+        first_cut = (base // chunk_len + 1) * chunk_len
+        cuts = np.arange(first_cut, base + total, chunk_len, dtype=np.int64) - base
+        piece_offsets = np.union1d(offsets, cuts)
+        starts = piece_offsets[:-1]
+        # row index owning each piece; row boundaries are a subset of
+        # piece_offsets so every piece sits inside exactly one row
+        row_idx = np.searchsorted(offsets, starts, side="right") - 1
+        chunk_id = (base + starts) // chunk_len
+        tokens = pa.ListArray.from_arrays(
+            pa.array(piece_offsets, pa.int32()), pa.array(values, pa.int32())
+        )
+        out.append(
+            pa.table(
+                {
+                    "chunk_id": pa.array(chunk_id, pa.int64()),
+                    "pos": pa.array(base + starts, pa.int64()),
+                    "doc_id": pc.take(t["doc_id"].combine_chunks(), pa.array(row_idx)),
+                    "tokens": tokens,
+                }
+            )
+        )
+    if not out:
+        return pa.table(
+            {
+                "chunk_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.string()),
+                "tokens": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+    return pa.concat_tables(out)
+
+
+def _merge_partial(batch: pa.Table) -> pa.Table:
+    """Combiner: merge pieces of the same chunk within one block.
+
+    Pieces arrive sorted by (chunk_id, pos) within each file's output, so
+    a chunk's pieces are contiguous; one np.unique finds the group
+    boundaries and the values array is reused with coarser offsets.
+    Collapses ~n_docs pieces per block to ~n_chunks partials before the
+    shuffle.
+    """
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "chunk_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "tokens": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+    chunk_ids = batch["chunk_id"].to_numpy(zero_copy_only=False)
+    pos = batch["pos"].to_numpy(zero_copy_only=False)
+    values, offsets = _flat_tokens(batch)
+    uniq, first = np.unique(chunk_ids, return_index=True)
+    group_ends = np.append(first[1:], len(chunk_ids))
+    new_offsets = np.append(offsets[first], offsets[-1])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(new_offsets.astype(np.int32)), pa.array(values, pa.int32())
+    )
+    return pa.table(
+        {
+            "chunk_id": pa.array(uniq, pa.int64()),
+            "pos": pa.array(pos[first], pa.int64()),
+            "n_docs": pa.array((group_ends - first).astype(np.int64)),
+            "tokens": tokens,
+        }
+    )
+
+
+def _assemble(group: pa.Table) -> pa.Table:
+    """Final merge of one chunk's partials (≥2 rows only when a chunk
+    straddled two input files)."""
+    order = pc.sort_indices(group, sort_keys=[("pos", "ascending")])
+    g = group.take(order)
+    values, _ = _flat_tokens(g)
+    return pa.table(
+        {
+            "chunk_id": pa.array([g["chunk_id"][0].as_py()], pa.int64()),
+            "n_docs": pa.array([int(pc.sum(g["n_docs"]).as_py())], pa.int64()),
+            "n_tok": pa.array([len(values)], pa.int64()),
+            "tokens": pa.array([values], pa.list_(pa.int32())),
+        }
+    )
+
+
+def pack_sequences(files: list[str], chunk_len: int = 2048) -> rd.Dataset:
+    """Exact concat-and-chunk packing of a tokenized corpus.
+
+    Concatenate every document's tokens in doc_id order (== sorted file
+    order: shards are written with sequential doc ranges) and cut the
+    stream into fixed ``chunk_len`` windows — the standard pre-training
+    sample layout. Output: one row per chunk
+    ``(chunk_id, n_docs, n_tok, tokens)``; every chunk has exactly
+    ``chunk_len`` tokens except the last.
+
+    Deterministic and exactly order-preserving: byte-equal to a serial
+    concat regardless of parallelism.
+    """
+    files = sorted(files)
+    counts = _file_token_counts(files)
+    bases = {p: int(b) for p, b in zip(files, np.cumsum([0] + counts[:-1]))}
+    bases_ref = ray.put(bases)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return _merge_partial(_emit_pieces(batch, ray.get(bases_ref), chunk_len))
+
+    meta = rd.from_items(
+        [{"path": p} for p in files], override_num_blocks=len(files)
+    )
+    pieces = meta.map_batches(emit, batch_format="pyarrow", batch_size=1)
+    return pieces.groupby("chunk_id").map_groups(_assemble, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+def token_topk(ds: rd.Dataset, k: int = 50) -> rd.Dataset:
+    """Top-k most frequent token ids across the corpus.
+
+    Two-phase: per-batch ``np.bincount`` partials (O(vocab) per block, no
+    row-level shuffle) → groupby-sum over ≤ vocab keys → global sort.
+    Ties break deterministically on ascending token id.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, _ = _flat_tokens(t)
+        counts = np.bincount(values, minlength=VOCAB_SIZE)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "token": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    summed = partials.groupby("token").sum("cnt")
+    summed = summed.map_batches(
+        lambda t: t.rename_columns(["token", "cnt"]), batch_format="pyarrow"
+    )
+    return summed.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (n-gram overlap vs a broadcast eval set)
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _gram_windows(values: np.ndarray, offsets: np.ndarray, n: int):
+    """All length-``n`` token windows that do not cross a row boundary.
+
+    Returns (starts, row_idx) into ``values``; vectorized — no per-row
+    loop.
+    """
+    total = len(values)
+    if total < n:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.arange(0, total - n + 1, dtype=np.int64)
+    n_rows = len(offsets) - 1
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+    valid = row_of[starts] == row_of[starts + n - 1]
+    starts = starts[valid]
+    return starts, row_of[starts]
+
+
+def _hash_grams(values: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized FNV-1a over each window's ``n`` int32 tokens."""
+    h = np.full(len(starts), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            h ^= values[starts + j].astype(np.uint64)
+            h *= _FNV_PRIME
+    return h
+
+
+def benchmark_ngrams(
+    files: list[str], n: int = 8, every: int = 97
+) -> tuple[np.ndarray, dict[int, set[bytes]]]:
+    """Build the eval-set n-gram index: docs whose numeric id is divisible
+    by ``every`` stand in for a benchmark suite. Returns (sorted unique
+    hashes, hash → exact gram bytes) — the broadcast small side.
+    """
+    hashes: list[np.ndarray] = []
+    exact: dict[int, set[bytes]] = {}
+    for path in sorted(files):
+        t = pq.read_table(path, columns=["doc_id", "tokens"])
+        ids = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+        mask = pa.array(ids.to_numpy(zero_copy_only=False) % every == 0)
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            continue
+        values, offsets = _flat_tokens(t)
+        starts, _ = _gram_windows(values, offsets, n)
+        h = _hash_grams(values, starts, n)
+        hashes.append(h)
+        for s, hv in zip(starts, h):
+            exact.setdefault(int(hv), set()).add(
+                values[s : s + n].astype(np.int32).tobytes()
+            )
+    if not hashes:
+        return np.empty(0, np.uint64), {}
+    return np.unique(np.concatenate(hashes)), exact
+
+
+class ContaminationChecker:
+    """Actor-pool stage: flag documents sharing any token ``n``-gram with
+    the broadcast benchmark set.
+
+    Matching is two-level: vectorized hash membership (np.isin against
+    the sorted benchmark hashes), then exact byte comparison of the few
+    hash hits — so the output is exact n-gram overlap, not probabilistic.
+    """
+
+    def __init__(self, bench_ref, n: int = 8):
+        self.hashes, self.exact = ray.get(bench_ref)
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = self.n
+        values, offsets = _flat_tokens(t)
+        starts, row_of = _gram_windows(values, offsets, n)
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        if len(starts) and len(self.hashes):
+            h = _hash_grams(values, starts, n)
+            cand = np.nonzero(np.isin(h, self.hashes))[0]
+            for i in cand:
+                s = int(starts[i])
+                gram = values[s : s + n].astype(np.int32).tobytes()
+                if gram in self.exact.get(int(h[i]), ()):  # exact verify
+                    hits[row_of[i]] += 1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_gram_hits": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+
+def ngram_contamination(
+    files: list[str], n: int = 8, every: int = 97, concurrency=(1, 8)
+) -> rd.Dataset:
+    """Corpus-wide contamination scan. The benchmark index is built once,
+    ``ray.put`` once, and fetched once per actor (never per batch)."""
+    bench_ref = ray.put(benchmark_ngrams(files, n=n, every=every))
+    ds = rd.read_parquet(files, columns=["doc_id", "tokens"])
+    return ds.map_batches(
+        ContaminationChecker,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -187,6 +187,30 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
         return lambda t: pc.replace_substring(
             s(t), pattern=_as_py_str(pat), replacement=_as_py_str(rep)
         )
+    if base == "redact":
+        # VRL redact(value, filter...) — PII scrubbing (Vector's redact
+        # transform/function). Each filter is a named builtin class or a
+        # regex; matches are replaced with "[REDACTED]". Vectorized via
+        # RE2 (pc.replace_substring_regex), same engine DuckDB uses, so
+        # oracle parity is exact.
+        named = {
+            "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+            "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+            "us_ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+            "digits": r"\d+",
+        }
+        s = args[0]
+        pats = [named.get(_as_py_str(a), _as_py_str(a)) for a in args[1:]]
+
+        def _redact(t: pa.Table) -> Value:
+            v = pc.cast(s(t), pa.string())
+            for p in pats:
+                v = pc.replace_substring_regex(
+                    v, pattern=p, replacement="[REDACTED]"
+                )
+            return v
+
+        return _redact
     if base == "slice":
         s, start, stop = args
         return lambda t: pc.utf8_slice_codeunits(
