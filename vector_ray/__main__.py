@@ -19,16 +19,22 @@ import warnings
 
 
 def _init_ray(num_cpus: int | None) -> None:
+    import os
+
     import ray
 
     if not ray.is_initialized():
+        # Under `ray job submit` the job runtime exports RAY_ADDRESS for
+        # the running cluster — attach to it (num_cpus is a local-only
+        # knob and must not be passed when connecting). Standalone runs
+        # default to a private local instance.
+        address = os.environ.get("RAY_ADDRESS", "local")
         kwargs = {}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(
-            address="local", include_dashboard=False,
-            logging_level="ERROR", **kwargs,
-        )
+        if address == "local":
+            kwargs["include_dashboard"] = False
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
+        ray.init(address=address, logging_level="ERROR", **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
