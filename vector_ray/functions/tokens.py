@@ -125,7 +125,7 @@ def _emit_pieces(batch: pa.Table, bases: dict[str, int], chunk_len: int) -> pa.T
     return pa.concat_tables(out)
 
 
-def _merge_partial(batch: pa.Table) -> pa.Table:
+def _merge_partial(batch: pa.Table, chunk_len: int) -> pa.Table:
     """Combiner: merge pieces of the same chunk within one block.
 
     Pieces arrive sorted by (chunk_id, pos) within each file's output, so
@@ -141,6 +141,7 @@ def _merge_partial(batch: pa.Table) -> pa.Table:
                 "pos": pa.array([], pa.int64()),
                 "n_docs": pa.array([], pa.int64()),
                 "tokens": pa.array([], pa.list_(pa.int32())),
+                "complete": pa.array([], pa.bool_()),
             }
         )
     chunk_ids = batch["chunk_id"].to_numpy(zero_copy_only=False)
@@ -152,12 +153,16 @@ def _merge_partial(batch: pa.Table) -> pa.Table:
     tokens = pa.ListArray.from_arrays(
         pa.array(new_offsets.astype(np.int32)), pa.array(values, pa.int32())
     )
+    # a partial holding exactly chunk_len tokens IS the whole chunk (no
+    # other file can contribute to it) — it can skip the shuffle
+    complete = np.diff(new_offsets) == chunk_len
     return pa.table(
         {
             "chunk_id": pa.array(uniq, pa.int64()),
             "pos": pa.array(pos[first], pa.int64()),
             "n_docs": pa.array((group_ends - first).astype(np.int64)),
             "tokens": tokens,
+            "complete": pa.array(complete),
         }
     )
 
@@ -174,6 +179,19 @@ def _assemble(group: pa.Table) -> pa.Table:
             "n_docs": pa.array([int(pc.sum(g["n_docs"]).as_py())], pa.int64()),
             "n_tok": pa.array([len(values)], pa.int64()),
             "tokens": pa.array([values], pa.list_(pa.int32())),
+        }
+    )
+
+
+def _finalize_complete(batch: pa.Table) -> pa.Table:
+    """Shape a batch of already-complete partials like _assemble output."""
+    n_tok = pc.cast(pc.list_value_length(batch["tokens"]), pa.int64())
+    return pa.table(
+        {
+            "chunk_id": batch["chunk_id"],
+            "n_docs": batch["n_docs"],
+            "n_tok": n_tok,
+            "tokens": batch["tokens"],
         }
     )
 
@@ -197,13 +215,32 @@ def pack_sequences(files: list[str], chunk_len: int = 2048) -> rd.Dataset:
     bases_ref = ray.put(bases)
 
     def emit(batch: pa.Table) -> pa.Table:
-        return _merge_partial(_emit_pieces(batch, ray.get(bases_ref), chunk_len))
+        return _merge_partial(
+            _emit_pieces(batch, ray.get(bases_ref), chunk_len), chunk_len
+        )
 
     meta = rd.from_items(
         [{"path": p} for p in files], override_num_blocks=len(files)
     )
     pieces = meta.map_batches(emit, batch_format="pyarrow", batch_size=1)
-    return pieces.groupby("chunk_id").map_groups(_assemble, batch_format="pyarrow")
+    # Complete chunks (the overwhelming majority — all but ~2 per file)
+    # bypass the shuffle; only file-boundary partials go through the
+    # groupby. materialize() here holds the chunk stream once in the
+    # object store — the same residency the old full groupby needed for
+    # its sort, but now ~0% of it moves between nodes.
+    pieces = pieces.materialize()
+    done = pieces.map_batches(
+        lambda t: _finalize_complete(t.filter(t["complete"])),
+        batch_format="pyarrow",
+    )
+    boundary = pieces.map_batches(
+        lambda t: t.filter(pc.invert(t["complete"])).drop_columns(["complete"]),
+        batch_format="pyarrow",
+    )
+    merged = boundary.groupby("chunk_id").map_groups(
+        _assemble, batch_format="pyarrow"
+    )
+    return done.union(merged)
 
 
 # ---------------------------------------------------------------------------
