@@ -310,30 +310,45 @@ def _hash_grams(values: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
     return h
 
 
+def _eval_grams_for_file(
+    path: str, n: int, every: int
+) -> tuple[np.ndarray, list[tuple[int, bytes]]]:
+    """One file's eval-doc n-grams: (hashes, [(hash, gram bytes)])."""
+    t = pq.read_table(path, columns=["doc_id", "tokens"])
+    ids = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+    mask = pa.array(ids.to_numpy(zero_copy_only=False) % every == 0)
+    t = t.filter(mask)
+    if t.num_rows == 0:
+        return np.empty(0, np.uint64), []
+    values, offsets = _flat_tokens(t)
+    starts, _ = _gram_windows(values, offsets, n)
+    h = _hash_grams(values, starts, n)
+    pairs = [
+        (int(hv), values[s : s + n].astype(np.int32).tobytes())
+        for s, hv in zip(starts, h)
+    ]
+    return h, pairs
+
+
 def benchmark_ngrams(
     files: list[str], n: int = 8, every: int = 97
 ) -> tuple[np.ndarray, dict[int, set[bytes]]]:
     """Build the eval-set n-gram index: docs whose numeric id is divisible
     by ``every`` stand in for a benchmark suite. Returns (sorted unique
     hashes, hash → exact gram bytes) — the broadcast small side.
+
+    Extraction fans out as one Ray task per file (the corpus is never
+    read on the driver); only the filtered eval grams — the genuinely
+    small side — come back. A real deployment would read an external
+    benchmark table here instead.
     """
-    hashes: list[np.ndarray] = []
+    task = ray.remote(num_cpus=1)(_eval_grams_for_file)
+    results = ray.get([task.remote(p, n, every) for p in sorted(files)])
+    hashes = [h for h, _ in results if len(h)]
     exact: dict[int, set[bytes]] = {}
-    for path in sorted(files):
-        t = pq.read_table(path, columns=["doc_id", "tokens"])
-        ids = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
-        mask = pa.array(ids.to_numpy(zero_copy_only=False) % every == 0)
-        t = t.filter(mask)
-        if t.num_rows == 0:
-            continue
-        values, offsets = _flat_tokens(t)
-        starts, _ = _gram_windows(values, offsets, n)
-        h = _hash_grams(values, starts, n)
-        hashes.append(h)
-        for s, hv in zip(starts, h):
-            exact.setdefault(int(hv), set()).add(
-                values[s : s + n].astype(np.int32).tobytes()
-            )
+    for _, pairs in results:
+        for hv, gram in pairs:
+            exact.setdefault(hv, set()).add(gram)
     if not hashes:
         return np.empty(0, np.uint64), {}
     return np.unique(np.concatenate(hashes)), exact
