@@ -248,31 +248,73 @@ def pack_sequences(files: list[str], chunk_len: int = 2048) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def token_topk(ds: rd.Dataset, k: int = 50) -> rd.Dataset:
+def token_topk(ds: rd.Dataset, k: int = 50, num_parts: int = 32) -> rd.Dataset:
     """Top-k most frequent token ids across the corpus.
 
-    Two-phase: per-batch ``np.bincount`` partials (O(vocab) per block, no
-    row-level shuffle) → groupby-sum over ≤ vocab keys → global sort.
-    Ties break deterministically on ascending token id.
+    Dense tree reduction instead of a row-level groupby: each *block*
+    collapses to ONE row holding its full ``np.bincount`` vector
+    (vocab × 8 B ≈ 400 KB), those rows merge elementwise in
+    ``num_parts`` groups, and the ≤ ``num_parts`` survivors merge once
+    more in a single final task that takes top-k with ``argpartition``.
+    Nothing row-level is ever shuffled or sorted — total exchanged bytes
+    are O(blocks × vocab), independent of corpus size, and the result is
+    exact (integer sum is associative). Ties break deterministically on
+    ascending token id.
     """
+
+    def _sum_rows(t: pa.Table) -> np.ndarray:
+        """Elementwise sum of a batch of dense count rows."""
+        flat = t["cnt"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        return flat.reshape(t.num_rows, VOCAB_SIZE).sum(axis=0)
 
     def partial(t: pa.Table) -> pa.Table:
         values, _ = _flat_tokens(t)
-        counts = np.bincount(values, minlength=VOCAB_SIZE)
-        nz = np.nonzero(counts)[0]
+        counts = np.bincount(values, minlength=VOCAB_SIZE).astype(np.int64)
+        if len(counts) > VOCAB_SIZE:  # token id outside the vocab bound
+            raise ValueError(
+                f"token id >= VOCAB_SIZE ({len(counts) - 1} >= {VOCAB_SIZE})"
+            )
+        # spread merge load; any assignment is correct (sum commutes)
+        part = int(counts[: max(1, VOCAB_SIZE // 64)].sum()) % num_parts
         return pa.table(
             {
-                "token": pa.array(nz.astype(np.int64)),
-                "cnt": pa.array(counts[nz].astype(np.int64)),
+                "part": pa.array([part], pa.int64()),
+                "cnt": pa.array([counts], pa.list_(pa.int64())),
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    summed = partials.groupby("token").sum("cnt")
-    summed = summed.map_batches(
-        lambda t: t.rename_columns(["token", "cnt"]), batch_format="pyarrow"
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": pa.array([0], pa.int64()),
+                "cnt": pa.array([_sum_rows(group)], pa.list_(pa.int64())),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        total = _sum_rows(t)
+        kk = min(k, VOCAB_SIZE)
+        # exact (cnt desc, token asc) selection: everything above the
+        # k-th largest count, then boundary ties by ascending token id
+        kth = np.partition(total, VOCAB_SIZE - kk)[VOCAB_SIZE - kk]
+        above = np.nonzero(total > kth)[0]
+        ties = np.nonzero(total == kth)[0][: kk - len(above)]
+        top = np.concatenate([above, ties])
+        top = top[np.lexsort((top, -total[top]))]
+        return pa.table(
+            {
+                "token": pa.array(top.astype(np.int64)),
+                "cnt": pa.array(total[top].astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = partials.groupby("part").map_groups(merge, batch_format="pyarrow")
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
     )
-    return summed.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
 # ---------------------------------------------------------------------------
