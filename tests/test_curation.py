@@ -1,0 +1,140 @@
+"""Tests for the corpus-curation operators (vector_ray/functions/curation.py):
+mixture sampling, train/val split, curriculum length-binning, and
+repetition scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from vector_ray.functions.curation import (
+    HASH_MOD,
+    MIX_MULT,
+    SPLIT_MULT,
+    length_buckets,
+    mixture_sample,
+    repetition_stats,
+    split_assign,
+)
+
+
+def _collect(ds) -> pa.Table:
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
+
+
+def _corpus(n=2000, seed=3) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    ids = [f"doc-{i:010d}" for i in range(n)]
+    sources = np.asarray(["web", "forum", "wiki", "code"])[
+        rng.integers(0, 4, size=n)
+    ]
+    n_tok = rng.integers(1, 50, size=n).astype(np.int32)
+    flat = rng.integers(0, 100, size=int(n_tok.sum()), dtype=np.int32)
+    offsets = np.zeros(n + 1, np.int32)
+    np.cumsum(n_tok, out=offsets[1:])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "tokens": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+            "n_tok": pa.array(n_tok),
+            "source": pa.array(sources, pa.string()),
+        }
+    )
+
+
+def test_mixture_sample_deterministic_and_rate(ray_session):
+    t = _corpus()
+    rates = {"web": 0.25, "forum": 0.5}
+    a = _collect(mixture_sample(rd.from_arrow(t), rates)).sort_by("doc_id")
+    b = _collect(
+        mixture_sample(rd.from_arrow(t).repartition(7), rates)
+    ).sort_by("doc_id")
+    # deterministic: identical result regardless of partitioning
+    assert a.equals(b)
+    # non-listed sources are kept in full
+    full = t.filter(pa.compute.is_in(t["source"], pa.array(["wiki", "code"])))
+    kept = a.filter(pa.compute.is_in(a["source"], pa.array(["wiki", "code"])))
+    assert kept.num_rows == full.num_rows
+    # sampled sources land near their rate (hash is uniform)
+    n_web_in = t.filter(pa.compute.equal(t["source"], "web")).num_rows
+    n_web_out = a.filter(pa.compute.equal(a["source"], "web")).num_rows
+    assert 0.15 < n_web_out / n_web_in < 0.35
+    # selection matches the documented hash rule exactly
+    ids = np.array([int(d[4:]) for d in a["doc_id"].to_pylist()], np.uint64)
+    with np.errstate(over="ignore"):
+        h = (ids * np.uint64(MIX_MULT)) % np.uint64(HASH_MOD)
+    rate = np.array(
+        [rates.get(s, 1.0) for s in a["source"].to_pylist()]
+    )
+    assert bool(np.all(h < rate * HASH_MOD))
+
+
+def test_split_assign_stable_and_disjoint(ray_session):
+    t = _corpus()
+    out = _collect(split_assign(rd.from_arrow(t), val_per_mille=100)).sort_by(
+        "doc_id"
+    )
+    assert out.num_rows == t.num_rows
+    splits = set(out["split"].to_pylist())
+    assert splits <= {"train", "val"}
+    n_val = out.filter(pa.compute.equal(out["split"], "val")).num_rows
+    assert 0.05 < n_val / t.num_rows < 0.15  # ~10%
+    # stability: assignment is a pure function of doc_id
+    again = _collect(
+        split_assign(rd.from_arrow(t).repartition(5), val_per_mille=100)
+    ).sort_by("doc_id")
+    assert out["split"].equals(again["split"])
+    ids = np.array([int(d[4:]) for d in out["doc_id"].to_pylist()], np.uint64)
+    with np.errstate(over="ignore"):
+        h = (ids * np.uint64(SPLIT_MULT)) % np.uint64(HASH_MOD)
+    expect = np.where(h % 1000 < 100, "val", "train")
+    assert out["split"].to_pylist() == expect.tolist()
+
+
+def test_length_buckets_totals(ray_session):
+    t = _corpus()
+    out = _collect(length_buckets(rd.from_arrow(t), bucket_size=16))
+    assert int(pa.compute.sum(out["n_docs"]).as_py()) == t.num_rows
+    assert int(pa.compute.sum(out["sum_tok"]).as_py()) == int(
+        pa.compute.sum(t["n_tok"]).as_py()
+    )
+    # every bucket id is n_tok // 16 for some doc
+    assert set(out["bucket"].to_pylist()) <= set(
+        (np.asarray(t["n_tok"]) // 16).tolist()
+    )
+
+
+def test_repetition_stats_exact(ray_session):
+    # hand-built rows with known type/repeat structure
+    t = pa.table(
+        {
+            "doc_id": pa.array(["doc-0000000001", "doc-0000000002", "doc-0000000003"]),
+            "tokens": pa.array(
+                [[1, 1, 1, 1], [1, 2, 3, 4, 5], [7] * 40],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    out = _collect(repetition_stats(rd.from_arrow(t), max_freq_pct=5)).sort_by(
+        "doc_id"
+    )
+    assert out["n_types"].to_pylist() == [1, 5, 1]
+    assert out["max_cnt"].to_pylist() == [4, 1, 40]
+    # repetitive iff max_cnt*20 >= n_tok: 80>=4 T, 20>=5 T... careful:
+    # row2 max_cnt=1 -> 20 >= 5 is True; threshold flags docs whose top
+    # token exceeds 5% of tokens, so short docs always trip it.
+    assert out["repetitive"].to_pylist() == [True, True, True]
+    long_uniform = pa.table(
+        {
+            "doc_id": pa.array(["doc-0000000009"]),
+            "tokens": pa.array([list(range(50))], pa.list_(pa.int32())),
+        }
+    )
+    out2 = _collect(repetition_stats(rd.from_arrow(long_uniform), max_freq_pct=5))
+    assert out2["repetitive"].to_pylist() == [False]  # 1*20 < 50

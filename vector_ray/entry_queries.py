@@ -1130,6 +1130,76 @@ def _seq_files(tag: str) -> list[str]:
     return flagship.list_input_files(datagen.sequences_dir(tag))
 
 
+# sampling rates for the mixture_sample_corpus query — downweight the
+# crawl-heavy sources (the standard pre-training rebalance)
+_MIX_RATES = {"web": 0.25, "forum": 0.5}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic per-source mixture sampling (data-mixing rebalance;
+    hash-of-doc-id selection, reproducible at any cluster size)."""
+    from vector_ray.functions.curation import mixture_sample
+
+    ds = rd.read_parquet(
+        _seq_files(_tag(sf_dir)), columns=["doc_id", "source", "n_tok"]
+    )
+    return mixture_sample(ds, _MIX_RATES)
+
+
+def q_split_counts(sf_dir: str):
+    """Leakage-free hash-based train/val split, summarized per
+    (split, source): doc and token counts."""
+    from vector_ray.functions.curation import split_assign
+    from vector_ray.stages import grouped
+
+    ds = rd.read_parquet(
+        _seq_files(_tag(sf_dir)), columns=["doc_id", "source", "n_tok"]
+    )
+    with_split = split_assign(ds, val_per_mille=10).map_batches(
+        lambda t: pa.table(
+            {
+                "split": t["split"],
+                "source": t["source"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = grouped.aggregate(
+        with_split,
+        {
+            "group_by": ["split", "source"],
+            "aggregates": {
+                "n_docs": {"fn": "count"},
+                "sum_tok": {"fn": "sum", "field": "n_tok", "int": True},
+            },
+        },
+    )
+    return _collect(agg)
+
+
+def q_length_buckets(sf_dir: str):
+    """Curriculum length-binning: docs + tokens per (source, n_tok//256)
+    bucket (two-phase partial aggregation)."""
+    from vector_ray.functions.curation import length_buckets
+
+    ds = rd.read_parquet(
+        _seq_files(_tag(sf_dir)), columns=["doc_id", "source", "n_tok"]
+    )
+    return _collect(length_buckets(ds, bucket_size=256))
+
+
+def q_repetition_corpus(sf_dir: str):
+    """Per-doc token-repetition quality signals (distinct tokens, max
+    token count, integer-exact repetitive flag)."""
+    from vector_ray.functions.curation import repetition_stats
+
+    ds = rd.read_parquet(
+        _seq_files(_tag(sf_dir)), columns=["doc_id", "tokens"]
+    )
+    return repetition_stats(ds, max_freq_pct=5)
+
+
 QUERIES = {
     "flagship_agg": q_flagship_agg,
     "flagship_routed": q_flagship_routed,
@@ -1189,6 +1259,10 @@ QUERIES = {
     "contamination_corpus": q_contamination,
     "redact_corpus": q_redact_corpus,
     "encode_logfmt_events": q_encode_logfmt_events,
+    "mixture_sample_corpus": q_mixture_sample,
+    "split_counts_corpus": q_split_counts,
+    "length_buckets_corpus": q_length_buckets,
+    "repetition_corpus": q_repetition_corpus,
 }
 
 _STOPLIST_SQL = "['a','and','for','in','is','it','of','that','the','to']"
@@ -1235,6 +1309,38 @@ def _tokens_oracles() -> dict[str, str]:
         "redact_corpus": (
             "SELECT doc_id, regexp_replace(message, '\\d+', '[REDACTED]', 'g') "
             f"AS clean FROM read_parquet('{seq}')"
+        ),
+        # HUGEINT product mod 4294967296 == numpy uint64-wrap mod 2^32
+        # (2^32 divides 2^64), so hash selection matches at any id scale
+        "mixture_sample_corpus": (
+            f"SELECT doc_id, source, n_tok FROM read_parquet('{seq}') "
+            "WHERE (CAST(substr(doc_id, 5) AS HUGEINT) * 2654435761) "
+            "% 4294967296 < 4294967296 * (CASE source "
+            "WHEN 'web' THEN 0.25 WHEN 'forum' THEN 0.5 ELSE 1.0 END)"
+        ),
+        "split_counts_corpus": (
+            "SELECT CASE WHEN (CAST(substr(doc_id, 5) AS HUGEINT) "
+            "* 2246822519) % 4294967296 % 1000 < 10 THEN 'val' "
+            "ELSE 'train' END AS split, source, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            f"CAST(SUM(n_tok) AS BIGINT) AS sum_tok FROM read_parquet('{seq}') "
+            "GROUP BY 1, 2"
+        ),
+        "length_buckets_corpus": (
+            "SELECT source, CAST(n_tok // 256 AS BIGINT) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_tok) AS BIGINT) AS sum_tok "
+            f"FROM read_parquet('{seq}') GROUP BY 1, 2"
+        ),
+        "repetition_corpus": (
+            "WITH tok AS (SELECT doc_id, unnest(tokens) AS tok "
+            f"FROM read_parquet('{seq}')), "
+            "c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2), "
+            "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types, "
+            "CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c GROUP BY 1) "
+            "SELECT a.doc_id, a.n_types, a.max_cnt, "
+            "a.max_cnt * 20 >= s.n_tok AS repetitive "
+            f"FROM a JOIN read_parquet('{seq}') s USING (doc_id)"
         ),
     }
 

@@ -1,0 +1,159 @@
+"""Corpus-curation operators for pre-training data pipelines: mixture
+sampling, train/val splitting, curriculum length-binning, and intra-doc
+repetition scoring.
+
+These run over the tokenized corpus ``(doc_id, tokens: list<int32>,
+n_tok, source)`` (BASELINE.json input_hint). All are embarrassingly
+parallel ``map_batches`` stages — no shuffle except the tiny final
+groupby in the binning/split summaries — so they stream at any corpus
+size.
+
+Determinism at 100 TB: document selection uses a multiplicative hash of
+the numeric doc id computed modulo 2^64 (numpy uint64 wrap) then modulo
+2^32. Because 2^32 divides 2^64 the result equals the true product mod
+2^32 at ANY id magnitude, so the same doc lands in the same
+split/sample on every run, cluster size, and an exact-arithmetic SQL
+oracle (HUGEINT product mod 4294967296) agrees bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from vector_ray.schema import VOCAB_SIZE
+
+__all__ = [
+    "mixture_sample",
+    "split_assign",
+    "length_buckets",
+    "repetition_stats",
+]
+
+# Knuth multiplicative-hash constant (sampling) and xxhash PRIME32_2
+# (splitting) — distinct multipliers so the two selections decorrelate.
+MIX_MULT = 2654435761
+SPLIT_MULT = 2246822519
+HASH_MOD = 1 << 32
+
+
+def _doc_hash(t: pa.Table, mult: int) -> np.ndarray:
+    """(numeric doc id * mult) mod 2^32, exact at any id magnitude."""
+    ids = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+    ids = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = ids * np.uint64(mult)  # wraps mod 2^64; mod 2^32 unaffected
+    return (h % np.uint64(HASH_MOD)).astype(np.float64)
+
+
+def _source_rates(
+    t: pa.Table, rates: dict[str, float], default: float
+) -> np.ndarray:
+    """Per-row sampling rate via dictionary-encoded source (vectorized —
+    the Python lookup runs once per DISTINCT source, not per row)."""
+    enc = t["source"].combine_chunks().dictionary_encode()
+    per_code = np.array(
+        [float(rates.get(s, default)) for s in enc.dictionary.to_pylist()]
+    )
+    return per_code[enc.indices.to_numpy(zero_copy_only=False)]
+
+
+def mixture_sample(
+    ds: rd.Dataset, rates: dict[str, float], default: float = 1.0
+) -> rd.Dataset:
+    """Deterministic per-source downsampling — the data-mixing step that
+    rebalances a crawl-heavy corpus before training. Keeps a doc iff
+    ``hash(doc_id) < rate[source] * 2^32``; reproducible across runs and
+    cluster sizes (unlike random sampling), and SQL-checkable.
+    """
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = _doc_hash(t, MIX_MULT) < _source_rates(t, rates, default) * HASH_MOD
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def split_assign(ds: rd.Dataset, val_per_mille: int = 10) -> rd.Dataset:
+    """Leakage-free train/val assignment: ``val`` iff
+    ``hash(doc_id) % 1000 < val_per_mille``. Hash-based (not positional),
+    so the split survives repartitioning, resharding, and incremental
+    corpus growth — every doc keeps its split forever."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        is_val = (_doc_hash(t, SPLIT_MULT) % 1000) < val_per_mille
+        split = np.where(is_val, "val", "train")
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def length_buckets(ds: rd.Dataset, bucket_size: int = 256) -> rd.Dataset:
+    """Curriculum length-binning summary: docs and tokens per
+    (source, n_tok // bucket_size) bucket. Two-phase: per-batch partial
+    counts collapse each block to ≤ sources × buckets rows before the
+    small groupby — shuffled bytes independent of corpus size."""
+    from vector_ray.stages import grouped
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        bucket = pc.divide(pc.cast(t["n_tok"], pa.int64()), bucket_size)
+        return pa.table(
+            {
+                "source": t["source"],
+                "bucket": bucket,
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            }
+        )
+
+    binned = ds.map_batches(bucketize, batch_format="pyarrow")
+    return grouped.aggregate(
+        binned,
+        {
+            "group_by": ["source", "bucket"],
+            "aggregates": {
+                "n_docs": {"fn": "count"},
+                "sum_tok": {"fn": "sum", "field": "n_tok", "int": True},
+            },
+        },
+    )
+
+
+def repetition_stats(ds: rd.Dataset, max_freq_pct: int = 5) -> rd.Dataset:
+    """Per-doc token-repetition quality signals: distinct-token count,
+    max single-token count, and a ``repetitive`` flag
+    (``max_cnt * (100 // max_freq_pct) >= n_tok`` — integer compare, no
+    float-boundary ambiguity vs the SQL oracle).
+
+    Fully vectorized: one np.unique over (row, token) keys per batch —
+    no per-row loop, no shuffle.
+    """
+    mult = 100 // max_freq_pct
+
+    def stats(t: pa.Table) -> pa.Table:
+        arr = t["tokens"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.list_(pa.int32()))
+        values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        key = row_of * VOCAB_SIZE + values
+        uniq, counts = np.unique(key, return_counts=True)
+        urow = uniq // VOCAB_SIZE
+        n_types = np.bincount(urow, minlength=n).astype(np.int64)
+        max_cnt = np.zeros(n, dtype=np.int64)
+        np.maximum.at(max_cnt, urow, counts)
+        n_tok = offsets[1:] - offsets[:-1]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_types": pa.array(n_types),
+                "max_cnt": pa.array(max_cnt),
+                "repetitive": pa.array(max_cnt * mult >= n_tok),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
