@@ -63,14 +63,16 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     # headline: flagship end-to-end (parse → enrich → route-partitioned
-    # write → two-phase aggregate) with checkpoint markers. Best of two
+    # write → two-phase aggregate) with checkpoint markers. Best of three
     # repeats: the shared sandbox host shows 2-5x steal-noise swings
-    # between identical runs, and min-of-2 measures the engine rather
-    # than whichever neighbor was busy.
+    # between identical runs (observed: 19.6s vs 3.5s for the same job
+    # minutes apart), and min-of-3 measures the engine rather than
+    # whichever neighbor was busy.
     out_dir = f"/tmp/vector_ray_bench/{tag}/flagship"
     best = None
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
+        os.sync()  # corpus generation's dirty pages must not steal disk BW
         t0 = time.perf_counter()
         summary = flagship.run(
             seq_dir,

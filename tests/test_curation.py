@@ -16,6 +16,7 @@ from vector_ray.functions.curation import (
     HASH_MOD,
     MIX_MULT,
     SPLIT_MULT,
+    epoch_shuffle,
     length_buckets,
     mixture_sample,
     repetition_stats,
@@ -108,6 +109,35 @@ def test_length_buckets_totals(ray_session):
     assert set(out["bucket"].to_pylist()) <= set(
         (np.asarray(t["n_tok"]) // 16).tolist()
     )
+
+
+def test_epoch_shuffle_orders_and_permutes(ray_session):
+    t = _corpus(n=500)
+    out1 = epoch_shuffle(rd.from_arrow(t).repartition(4), epoch=1)
+    # stream in sorted order and check global monotonicity + permutation
+    keys, ids = [], []
+    for b in out1.iter_batches(batch_format="pyarrow"):
+        keys.extend(b["shuffle_key"].to_pylist())
+        ids.extend(b["doc_id"].to_pylist())
+    assert keys == sorted(keys)
+    assert sorted(ids) == t["doc_id"].to_pylist()
+    # different epoch -> different order; same epoch -> identical order
+    ids2 = [
+        d
+        for b in epoch_shuffle(rd.from_arrow(t), epoch=2).iter_batches(
+            batch_format="pyarrow"
+        )
+        for d in b["doc_id"].to_pylist()
+    ]
+    ids1b = [
+        d
+        for b in epoch_shuffle(rd.from_arrow(t), epoch=1).iter_batches(
+            batch_format="pyarrow"
+        )
+        for d in b["doc_id"].to_pylist()
+    ]
+    assert ids2 != ids
+    assert ids1b == ids
 
 
 def test_repetition_stats_exact(ray_session):

@@ -1189,6 +1189,15 @@ def q_length_buckets(sf_dir: str):
     return _collect(length_buckets(ds, bucket_size=256))
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-1 training-order reshuffle; the oracle checks
+    the per-doc shuffle key (the permutation), order-insensitively."""
+    from vector_ray.functions.curation import epoch_shuffle
+
+    ds = rd.read_parquet(_seq_files(_tag(sf_dir)), columns=["doc_id"])
+    return epoch_shuffle(ds, epoch=1)
+
+
 def q_repetition_corpus(sf_dir: str):
     """Per-doc token-repetition quality signals (distinct tokens, max
     token count, integer-exact repetitive flag)."""
@@ -1260,6 +1269,7 @@ QUERIES = {
     "redact_corpus": q_redact_corpus,
     "encode_logfmt_events": q_encode_logfmt_events,
     "mixture_sample_corpus": q_mixture_sample,
+    "epoch_shuffle_corpus": q_epoch_shuffle,
     "split_counts_corpus": q_split_counts,
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
@@ -1317,6 +1327,12 @@ def _tokens_oracles() -> dict[str, str]:
             "WHERE (CAST(substr(doc_id, 5) AS HUGEINT) * 2654435761) "
             "% 4294967296 < 4294967296 * (CASE source "
             "WHEN 'web' THEN 0.25 WHEN 'forum' THEN 0.5 ELSE 1.0 END)"
+        ),
+        # epoch 1 ⇒ multiplier MIX_MULT^2 mod 2^32 = 4293315681
+        "epoch_shuffle_corpus": (
+            "SELECT doc_id, CAST((CAST(substr(doc_id, 5) AS HUGEINT) "
+            "* 4293315681) % 4294967296 AS BIGINT) AS shuffle_key "
+            f"FROM read_parquet('{seq}')"
         ),
         "split_counts_corpus": (
             "SELECT CASE WHEN (CAST(substr(doc_id, 5) AS HUGEINT) "

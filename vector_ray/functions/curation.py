@@ -31,6 +31,7 @@ __all__ = [
     "split_assign",
     "length_buckets",
     "repetition_stats",
+    "epoch_shuffle",
 ]
 
 # Knuth multiplicative-hash constant (sampling) and xxhash PRIME32_2
@@ -118,6 +119,31 @@ def length_buckets(ds: rd.Dataset, bucket_size: int = 256) -> rd.Dataset:
                 "sum_tok": {"fn": "sum", "field": "n_tok", "int": True},
             },
         },
+    )
+
+
+def epoch_shuffle(ds: rd.Dataset, epoch: int = 0) -> rd.Dataset:
+    """Deterministic per-epoch global reshuffle — the training-order
+    shuffle a data loader needs, reproducible across runs and cluster
+    sizes (``ds.random_shuffle`` is not).
+
+    Each epoch multiplies the numeric doc id by a distinct odd constant
+    mod 2^32 — ``MIX_MULT^(epoch+1) mod 2^32`` (odd power of an odd
+    constant stays odd ⇒ still a permutation of the low 32 bits, and
+    successive epochs decorrelate, unlike ``MULT + 2*epoch`` whose
+    orders are nearly identical for small ids) — then sorts on the
+    resulting ``shuffle_key`` (Ray's sort-based range shuffle — the one
+    intentional all-to-all; key is uniform so range partitions balance).
+    ``doc_id`` breaks the rare key ties so the order is total.
+    """
+    mult = pow(MIX_MULT, epoch + 1, HASH_MOD)
+
+    def key(t: pa.Table) -> pa.Table:
+        h = _doc_hash(t, mult).astype(np.int64)
+        return t.append_column("shuffle_key", pa.array(h, pa.int64()))
+
+    return ds.map_batches(key, batch_format="pyarrow").sort(
+        ["shuffle_key", "doc_id"]
     )
 
 
