@@ -1,0 +1,69 @@
+"""End-to-end test for the pre-training prep pipeline
+(vector_ray/pipelines/pretrain.py): mixture → split → filtered exact
+packing → epoch shuffle → partitioned parquet.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+import ray.data as rd
+
+from vector_ray import datagen
+from vector_ray.pipelines import pretrain
+
+
+@pytest.fixture(scope="module")
+def seq_dir(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pretrain_corpus")
+    for i in range(4):
+        pq.write_table(
+            datagen.generate_batch(i * 1500, 1500),
+            str(root / f"shard-{i:05d}.parquet"),
+        )
+    return str(root)
+
+
+def test_pretrain_run_end_to_end(seq_dir, tmp_path):
+    cfg = pretrain.PretrainConfig(
+        rates={"web": 0.25, "forum": 0.5}, val_per_mille=50, chunk_len=512,
+        epoch=1,
+    )
+    out = str(tmp_path / "out")
+    s = pretrain.run(seq_dir, out, cfg)
+    assert s["n_train_chunks"] > 0 and s["n_val_docs"] > 0
+
+    train = pq.read_table(s["train_dir"])
+    # chunks are exactly chunk_len except at most one trailing chunk
+    lens = train["n_tok"].to_pylist()
+    assert sum(1 for x in lens if x != 512) <= 1
+    # tokens column type preserved
+    assert train.schema.field("tokens").type == pa.list_(pa.int32())
+    # shuffle key present and consistent with chunk_id permutation
+    assert "shuffle_key" in train.column_names
+
+    # byte-exact equivalence vs filter-then-serial-concat reference
+    tables = [
+        pq.read_table(f, columns=["doc_id", "tokens", "n_tok", "source"])
+        for f in sorted(__import__("glob").glob(f"{seq_dir}/*.parquet"))
+    ]
+    full = pa.concat_tables(tables)
+    keep = pretrain.train_filter(cfg)(full)
+    flat = np.concatenate(
+        [np.asarray(x, dtype=np.int32) for x in keep["tokens"].to_pylist()]
+    )
+    got = train.sort_by("chunk_id")
+    got_flat = np.concatenate(
+        [np.asarray(x, np.int32) for x in got["tokens"].to_pylist()]
+    )
+    assert np.array_equal(got_flat, flat)
+    # val docs are disjoint from train docs and match the split rule
+    val_ids = set(
+        pq.read_table(s["val_dir"], columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    train_ids = set(keep["doc_id"].to_pylist())
+    assert not (val_ids & train_ids)

@@ -1189,6 +1189,19 @@ def q_length_buckets(sf_dir: str):
     return _collect(length_buckets(ds, bucket_size=256))
 
 
+def q_pretrain_pack(sf_dir: str):
+    """Pre-training prep composite: mixture-sample + train-split filter
+    applied INSIDE exact sequence packing (chunk stream byte-identical
+    to filter-then-pack, no materialized intermediate)."""
+    from vector_ray.functions.tokens import pack_sequences
+    from vector_ray.pipelines.pretrain import PretrainConfig, train_filter
+
+    cfg = PretrainConfig(rates=dict(_MIX_RATES), val_per_mille=10)
+    return pack_sequences(
+        _seq_files(_tag(sf_dir)), chunk_len=2048, row_filter=train_filter(cfg)
+    )
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch-1 training-order reshuffle; the oracle checks
     the per-doc shuffle key (the permutation), order-insensitively."""
@@ -1270,6 +1283,7 @@ QUERIES = {
     "encode_logfmt_events": q_encode_logfmt_events,
     "mixture_sample_corpus": q_mixture_sample,
     "epoch_shuffle_corpus": q_epoch_shuffle,
+    "pretrain_pack_corpus": q_pretrain_pack,
     "split_counts_corpus": q_split_counts,
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
@@ -1327,6 +1341,29 @@ def _tokens_oracles() -> dict[str, str]:
             "WHERE (CAST(substr(doc_id, 5) AS HUGEINT) * 2654435761) "
             "% 4294967296 < 4294967296 * (CASE source "
             "WHEN 'web' THEN 0.25 WHEN 'forum' THEN 0.5 ELSE 1.0 END)"
+        ),
+        # same packing SQL as pack_sequences_corpus over the
+        # mixture-sampled + train-split subset (both hash rules inline)
+        "pretrain_pack_corpus": (
+            "WITH kept AS ("
+            f"  SELECT doc_id, tokens, n_tok FROM read_parquet('{seq}') "
+            "  WHERE (CAST(substr(doc_id, 5) AS HUGEINT) * 2654435761) "
+            "    % 4294967296 < 4294967296 * (CASE source "
+            "    WHEN 'web' THEN 0.25 WHEN 'forum' THEN 0.5 ELSE 1.0 END) "
+            "  AND (CAST(substr(doc_id, 5) AS HUGEINT) * 2246822519) "
+            "    % 4294967296 % 1000 >= 10), "
+            "base AS ("
+            "  SELECT doc_id, tokens, n_tok, COALESCE(SUM(n_tok) OVER ("
+            "    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "  ), 0) AS st FROM kept), "
+            "tok AS ("
+            "  SELECT doc_id, st + generate_subscripts(tokens, 1) - 1 AS gpos, "
+            "  unnest(tokens) AS tok FROM base) "
+            "SELECT CAST(gpos // 2048 AS BIGINT) AS chunk_id, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_tok, "
+            "list(tok ORDER BY gpos) AS tokens "
+            "FROM tok GROUP BY 1"
         ),
         # epoch 1 ⇒ multiplier MIX_MULT^2 mod 2^32 = 4293315681
         "epoch_shuffle_corpus": (

@@ -41,10 +41,18 @@ SPLIT_MULT = 2246822519
 HASH_MOD = 1 << 32
 
 
-def _doc_hash(t: pa.Table, mult: int) -> np.ndarray:
-    """(numeric doc id * mult) mod 2^32, exact at any id magnitude."""
-    ids = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
-    ids = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+def _doc_hash(t: pa.Table, mult: int, field: str = "doc_id") -> np.ndarray:
+    """(numeric id * mult) mod 2^32, exact at any id magnitude. ``field``
+    may be the ``doc-<digits>`` string id or any integer column."""
+    col = t[field]
+    if pa.types.is_integer(col.type):
+        ids = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        ids = (
+            pc.cast(pc.utf8_slice_codeunits(col, 4, 99), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
     with np.errstate(over="ignore"):
         h = ids * np.uint64(mult)  # wraps mod 2^64; mod 2^32 unaffected
     return (h % np.uint64(HASH_MOD)).astype(np.float64)
@@ -122,7 +130,9 @@ def length_buckets(ds: rd.Dataset, bucket_size: int = 256) -> rd.Dataset:
     )
 
 
-def epoch_shuffle(ds: rd.Dataset, epoch: int = 0) -> rd.Dataset:
+def epoch_shuffle(
+    ds: rd.Dataset, epoch: int = 0, id_field: str = "doc_id"
+) -> rd.Dataset:
     """Deterministic per-epoch global reshuffle — the training-order
     shuffle a data loader needs, reproducible across runs and cluster
     sizes (``ds.random_shuffle`` is not).
@@ -139,11 +149,11 @@ def epoch_shuffle(ds: rd.Dataset, epoch: int = 0) -> rd.Dataset:
     mult = pow(MIX_MULT, epoch + 1, HASH_MOD)
 
     def key(t: pa.Table) -> pa.Table:
-        h = _doc_hash(t, mult).astype(np.int64)
+        h = _doc_hash(t, mult, id_field).astype(np.int64)
         return t.append_column("shuffle_key", pa.array(h, pa.int64()))
 
     return ds.map_batches(key, batch_format="pyarrow").sort(
-        ["shuffle_key", "doc_id"]
+        ["shuffle_key", id_field]
     )
 
 

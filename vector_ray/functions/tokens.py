@@ -61,21 +61,31 @@ def _flat_tokens(t: pa.Table, col: str = "tokens") -> tuple[np.ndarray, np.ndarr
     return values, offsets
 
 
-def _file_token_counts(files: list[str]) -> list[int]:
+def _file_token_counts(files: list[str], row_filter=None) -> list[int]:
     """Per-file sum(n_tok), read column-pruned in parallel Ray tasks.
 
     The result is one int per file — the only thing the driver ever
     holds. At 10^12 sequences this is #shards ints (~10^5), not rows.
+    ``row_filter`` (a pure function of row content, e.g. a hash-based
+    mixture/split mask) is applied before counting so the packed stream
+    and the chunk bases agree; filters needing doc_id/source read those
+    columns too.
     """
+    cols = ["n_tok"] if row_filter is None else ["doc_id", "source", "n_tok"]
 
     @ray.remote(num_cpus=1)
     def _count(path: str) -> int:
-        return int(pc.sum(pq.read_table(path, columns=["n_tok"])["n_tok"]).as_py())
+        t = pq.read_table(path, columns=cols)
+        if row_filter is not None:
+            t = row_filter(t)
+        return int(pc.sum(t["n_tok"]).as_py() or 0)
 
     return ray.get([_count.remote(p) for p in files])
 
 
-def _emit_pieces(batch: pa.Table, bases: dict[str, int], chunk_len: int) -> pa.Table:
+def _emit_pieces(
+    batch: pa.Table, bases: dict[str, int], chunk_len: int, row_filter=None
+) -> pa.Table:
     """Read each file in ``batch`` and emit chunk-aligned token pieces.
 
     A *piece* is a maximal run of one document's tokens that falls inside
@@ -86,7 +96,12 @@ def _emit_pieces(batch: pa.Table, bases: dict[str, int], chunk_len: int) -> pa.T
     out: list[pa.Table] = []
     for path in batch["path"].to_pylist():
         base = bases[path]
-        t = pq.read_table(path, columns=["doc_id", "tokens", "n_tok"])
+        cols = ["doc_id", "tokens", "n_tok"]
+        if row_filter is not None:
+            cols.append("source")
+        t = pq.read_table(path, columns=cols)
+        if row_filter is not None:
+            t = row_filter(t)
         values, offsets = _flat_tokens(t)
         total = int(offsets[-1])
         if total == 0:
@@ -196,7 +211,9 @@ def _finalize_complete(batch: pa.Table) -> pa.Table:
     )
 
 
-def pack_sequences(files: list[str], chunk_len: int = 2048) -> rd.Dataset:
+def pack_sequences(
+    files: list[str], chunk_len: int = 2048, row_filter=None
+) -> rd.Dataset:
     """Exact concat-and-chunk packing of a tokenized corpus.
 
     Concatenate every document's tokens in doc_id order (== sorted file
@@ -207,16 +224,20 @@ def pack_sequences(files: list[str], chunk_len: int = 2048) -> rd.Dataset:
     ``chunk_len`` tokens except the last.
 
     Deterministic and exactly order-preserving: byte-equal to a serial
-    concat regardless of parallelism.
+    concat regardless of parallelism. ``row_filter`` (a PURE function of
+    row content — e.g. a hash-based mixture/split mask from
+    ``functions.curation``) packs only the surviving docs; it runs in
+    both the count pass and the emit pass, so chunk bases stay exact.
     """
     files = sorted(files)
-    counts = _file_token_counts(files)
+    counts = _file_token_counts(files, row_filter)
     bases = {p: int(b) for p, b in zip(files, np.cumsum([0] + counts[:-1]))}
     bases_ref = ray.put(bases)
 
     def emit(batch: pa.Table) -> pa.Table:
         return _merge_partial(
-            _emit_pieces(batch, ray.get(bases_ref), chunk_len), chunk_len
+            _emit_pieces(batch, ray.get(bases_ref), chunk_len, row_filter),
+            chunk_len,
         )
 
     meta = rd.from_items(
