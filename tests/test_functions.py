@@ -214,6 +214,61 @@ def test_multimodal_plumbing(ray_session):
     assert len(frames) >= 20
 
 
+def test_real_media_codecs_roundtrip():
+    """synth_wav/synth_bmp produce valid files; decode recovers exactly
+    what was encoded."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from vector_ray.functions.multimodal import (
+        decode_bmp,
+        decode_wav,
+        synth_bmp,
+        synth_wav,
+    )
+
+    payload = synth_wav(seed=5, duration_ms=100, rate=8000)
+    # stdlib wave accepts the container
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 8000)
+        assert w.getnframes() == 800
+    x, rate, nch = decode_wav(payload)
+    assert (rate, nch, len(x)) == (8000, 1, 800)
+    assert np.max(np.abs(x)) <= 1.0
+
+    bmp = synth_bmp(seed=5, width=10, height=7)  # stride padding exercised
+    px = decode_bmp(bmp)
+    assert px.shape == (7, 10, 3)
+    # decode inverts encode: regenerate the same pixel block
+    rng = np.random.default_rng(5)
+    expect_bgr = rng.integers(0, 256, size=(7, 10, 3), dtype=np.uint8)
+    assert np.array_equal(px, expect_bgr[..., ::-1])
+
+
+def test_real_media_extractor(ray_session):
+    from vector_ray.functions.multimodal import (
+        MediaFeatureExtractor,
+        extract_features,
+        real_media_table,
+    )
+
+    t = real_media_table(12, seed=2)
+    out = extract_features(rd.from_arrow(t), mode="real", concurrency=1).to_pandas()
+    assert len(out) == 12
+    flags = {row.features[8] for _, row in out.iterrows()}
+    assert flags == {1.0, 2.0}  # both audio and image rows decoded
+    # real mode refuses formats without a stdlib codec
+    import pyarrow as _pa
+
+    jpeg_row = t.slice(0, 1).set_column(
+        2, "media_type", _pa.array(["image/jpeg"])
+    )
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(mode="real")(jpeg_row)
+
+
 def test_connected_components_nonconvergence_raises(ray_session):
     from vector_ray.functions.dedup import connected_components_keep_min
 

@@ -276,6 +276,118 @@ def golden_multimodal(n=200, seed=3, feature_dim=16) -> pa.Table:
     )
 
 
+def _parse_wav_independent(payload: bytes):
+    """RIFF/WAVE parse WITHOUT the stdlib wave module: walk the chunk
+    list with struct, pull fmt + data. Returns (mono float64 samples,
+    rate, n_channels)."""
+    import struct
+
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    pos, rate, nch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _, nch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    assert bits == 16 and data is not None
+    x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate, nch
+
+
+def _parse_bmp_independent(payload: bytes):
+    """BMP parse via explicit little-endian int reads (no struct.unpack
+    of whole headers): returns uint8 RGB (h, w, 3)."""
+
+    def u32(o):
+        return int.from_bytes(payload[o : o + 4], "little")
+
+    def i32(o):
+        return int.from_bytes(payload[o : o + 4], "little", signed=True)
+
+    def u16(o):
+        return int.from_bytes(payload[o : o + 2], "little")
+
+    assert payload[:2] == b"BM"
+    off = u32(10)
+    w, h = i32(18), i32(22)
+    assert u16(28) == 24 and u32(30) == 0
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(h):
+        row = payload[off + r * stride : off + r * stride + w * 3]
+        px = np.frombuffer(row, np.uint8).reshape(w, 3)[:, ::-1]  # BGR->RGB
+        rows.append(px)
+    img = np.stack(rows)
+    return img[::-1] if bottom_up else img
+
+
+def golden_media_real(n=200, seed=11, dim=16) -> pa.Table:
+    """Independent recomputation of q_media_features_wavbmp: payloads
+    come from the shared fixture generator (it IS the input definition);
+    the header parsing + feature math below never touch
+    vector_ray.functions.multimodal's decoders."""
+    from vector_ray.functions.multimodal import real_media_table
+
+    media = real_media_table(n, seed=seed)
+    ids, types, nbytes, digests, argmaxes = [], [], [], [], []
+    wvec = np.arange(1, dim + 1, dtype=np.float64)
+    for mid, mtype, payload in zip(
+        media["media_id"].to_pylist(),
+        media["media_type"].to_pylist(),
+        media["payload"].to_pylist(),
+    ):
+        f = np.zeros(dim, np.float64)
+        if mtype == "audio/wav":
+            x, rate, nch = _parse_wav_independent(payload)
+            segs = np.array_split(x, 8)
+            f[:8] = [np.sqrt(np.mean(s * s)) if len(s) else 0.0 for s in segs]
+            f[8] = 1.0
+            f[9] = nch
+            f[10] = rate / 48000.0
+            f[11] = len(x) / rate
+            f[12] = np.sqrt(np.mean(x * x)) if len(x) else 0.0
+            f[13] = np.max(np.abs(x)) if len(x) else 0.0
+            f[14] = (
+                float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+                if len(x) > 1
+                else 0.0
+            )
+        else:
+            px = _parse_bmp_independent(payload).astype(np.float64)
+            hh, ww, _ = px.shape
+            lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+            hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+            f[:8] = hist / lum.size
+            f[8] = 2.0
+            f[9] = ww / 1024.0
+            f[10] = hh / 1024.0
+            f[11] = ww / hh
+            f[12:15] = px.reshape(-1, 3).mean(axis=0) / 255.0
+        f32 = f.astype(np.float32)
+        digest = float(f32.astype(np.float64) @ wvec)
+        ids.append(mid)
+        types.append(mtype)
+        nbytes.append(len(payload))
+        digests.append(round_half_away(round_half_away(digest, 9), 6))
+        argmaxes.append(int(np.argmax(f32)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(types, pa.string()),
+            "payload_bytes": pa.array(nbytes, pa.int64()),
+            "feat_digest": pa.array(digests, pa.float64()),
+            "feat_argmax": pa.array(argmaxes, pa.int64()),
+        }
+    )
+
+
 GOLDENS = {
     "simhash_documents": lambda: golden_simhash(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
@@ -287,6 +399,7 @@ GOLDENS = {
         pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     ),
     "multimodal_features": golden_multimodal,
+    "media_features_wavbmp": golden_media_real,
     "embedding_dups_lsh": lambda: golden_embedding_dups_lsh(
         pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     ),

@@ -667,30 +667,46 @@ def q_multimodal_features(sf_dir: str):
     scalar digests (weighted feature dot + argmax) so the golden oracle
     compares exact values without list-column hashing ambiguity."""
     from vector_ray.functions.multimodal import extract_features, fake_media_table
-    from vector_ray.schema import round_sql_np
 
     ds = rd.from_arrow(fake_media_table(200, seed=3))
     feats = extract_features(ds, mode="fake", concurrency=2)
+    return feats.map_batches(_feature_digest, batch_format="pyarrow")
 
-    def digest(t: pa.Table) -> pa.Table:
-        col = t["features"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(t.num_rows, 16)
-        w = np.arange(1, 17, dtype=np.float64)
-        dg = round_sql_np(round_sql_np(mat @ w, 9), 6)
-        am = mat.argmax(axis=1).astype(np.int64)
-        return pa.table(
-            {
-                "media_id": t["media_id"],
-                "media_type": t["media_type"],
-                "payload_bytes": t["payload_bytes"],
-                "feat_digest": pa.array(dg, pa.float64()),
-                "feat_argmax": pa.array(am, pa.int64()),
-            }
-        )
 
-    return feats.map_batches(digest, batch_format="pyarrow")
+def _feature_digest(t: pa.Table) -> pa.Table:
+    """Project a FixedSizeList<16> feature column to scalar digests
+    (weighted dot + argmax) so golden oracles compare exact values
+    without list-column hashing ambiguity."""
+    from vector_ray.schema import round_sql_np
+
+    col = t["features"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mat = np.asarray(col.flatten(), dtype=np.float64).reshape(t.num_rows, 16)
+    w = np.arange(1, 17, dtype=np.float64)
+    dg = round_sql_np(round_sql_np(mat @ w, 9), 6)
+    am = mat.argmax(axis=1).astype(np.int64)
+    return pa.table(
+        {
+            "media_id": t["media_id"],
+            "media_type": t["media_type"],
+            "payload_bytes": t["payload_bytes"],
+            "feat_digest": pa.array(dg, pa.float64()),
+            "feat_argmax": pa.array(am, pa.int64()),
+        }
+    )
+
+
+def q_media_features_real(sf_dir: str):
+    """REAL stdlib media decode (PCM WAV via wave, 24-bit BMP via
+    struct) + 16-dim descriptors over deterministic synthesized
+    payloads; golden oracle decodes the same bytes with an independent
+    header parser."""
+    from vector_ray.functions.multimodal import extract_features, real_media_table
+
+    ds = rd.from_arrow(real_media_table(200, seed=11))
+    feats = extract_features(ds, mode="real", concurrency=2)
+    return feats.map_batches(_feature_digest, batch_format="pyarrow")
 
 
 def q_agg_quantile_events(sf_dir: str):
@@ -1284,6 +1300,7 @@ QUERIES = {
     "mixture_sample_corpus": q_mixture_sample,
     "epoch_shuffle_corpus": q_epoch_shuffle,
     "pretrain_pack_corpus": q_pretrain_pack,
+    "media_features_wavbmp": q_media_features_real,
     "split_counts_corpus": q_split_counts,
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
@@ -1698,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk",
         "multimodal_features",
         "embedding_dups_lsh",
+        "media_features_wavbmp",
     ):
         sql[name] = f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
     return sql
