@@ -269,6 +269,33 @@ def test_real_media_extractor(ray_session):
         MediaFeatureExtractor(mode="real")(jpeg_row)
 
 
+def test_resize_bmp_exact(ray_session):
+    import numpy as np
+
+    from vector_ray.functions.multimodal import (
+        decode_bmp,
+        real_media_table,
+        resize_bmp,
+        resize_images,
+        synth_bmp,
+    )
+
+    bmp = synth_bmp(seed=9, width=20, height=12)
+    out = resize_bmp(bmp, 16, 16)
+    px = decode_bmp(out)
+    assert px.shape == (16, 16, 3)
+    src = decode_bmp(bmp)
+    # nearest-neighbor definition: out[r,c] = src[r*h//16, c*w//16]
+    rows = (np.arange(16) * 12) // 16
+    cols = (np.arange(16) * 20) // 16
+    assert np.array_equal(px, src[rows][:, cols])
+
+    t = real_media_table(8, seed=4)
+    res = resize_images(rd.from_arrow(t), 16, 16, concurrency=1).to_pandas()
+    assert (res[res.media_type == "image/bmp"].resized).all()
+    assert not (res[res.media_type == "audio/wav"].resized).any()
+
+
 def test_connected_components_nonconvergence_raises(ray_session):
     from vector_ray.functions.dedup import connected_components_keep_min
 

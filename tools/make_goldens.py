@@ -388,6 +388,69 @@ def golden_media_real(n=200, seed=11, dim=16) -> pa.Table:
     )
 
 
+def golden_media_resize(n=200, seed=11, out_w=16, out_h=16) -> pa.Table:
+    """Independent recomputation of q_media_resize_bmp: per-pixel Python
+    loops for both the resize and the re-encode, then md5."""
+    import hashlib
+
+    from vector_ray.functions.multimodal import real_media_table
+
+    media = real_media_table(n, seed=seed)
+    ids, types, widths, heights, resized, md5s = [], [], [], [], [], []
+    for mid, mtype, payload in zip(
+        media["media_id"].to_pylist(),
+        media["media_type"].to_pylist(),
+        media["payload"].to_pylist(),
+    ):
+        if mtype == "image/bmp":
+            px = _parse_bmp_independent(payload)  # (h, w, 3) RGB
+            h, w, _ = px.shape
+            # nearest-neighbor, explicit loops
+            out_rows = []
+            for r in range(out_h):
+                sr = (r * h) // out_h
+                row = []
+                for c in range(out_w):
+                    sc = (c * w) // out_w
+                    rgb = px[sr][sc]
+                    row.append(bytes((int(rgb[2]), int(rgb[1]), int(rgb[0]))))
+                out_rows.append(b"".join(row))
+            pad = b"\x00" * ((-(out_w * 3)) % 4)
+            body = b"".join(out_rows[r] + pad for r in range(out_h - 1, -1, -1))
+            import struct as _s
+
+            off = 54
+            enc = (
+                _s.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+                + _s.pack(
+                    "<IiiHHIIiiII",
+                    40, out_w, out_h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+                )
+                + body
+            )
+            widths.append(out_w)
+            heights.append(out_h)
+            resized.append(True)
+            md5s.append(hashlib.md5(enc).hexdigest())
+        else:
+            widths.append(0)
+            heights.append(0)
+            resized.append(False)
+            md5s.append(hashlib.md5(payload).hexdigest())
+        ids.append(mid)
+        types.append(mtype)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(types, pa.string()),
+            "width": pa.array(np.array(widths, np.int32)),
+            "height": pa.array(np.array(heights, np.int32)),
+            "resized": pa.array(resized, pa.bool_()),
+            "payload_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
 GOLDENS = {
     "simhash_documents": lambda: golden_simhash(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
@@ -400,6 +463,7 @@ GOLDENS = {
     ),
     "multimodal_features": golden_multimodal,
     "media_features_wavbmp": golden_media_real,
+    "media_resize_bmp": golden_media_resize,
     "embedding_dups_lsh": lambda: golden_embedding_dups_lsh(
         pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     ),

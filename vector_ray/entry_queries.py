@@ -709,6 +709,34 @@ def q_media_features_real(sf_dir: str):
     return feats.map_batches(_feature_digest, batch_format="pyarrow")
 
 
+def q_media_resize_bmp(sf_dir: str):
+    """Real nearest-neighbor BMP resize (decode → numpy gather →
+    re-encode); oracle golden re-resizes the same payloads with an
+    independent per-pixel implementation and compares md5 of the
+    emitted bytes."""
+    import hashlib
+
+    from vector_ray.functions.multimodal import real_media_table, resize_images
+
+    ds = rd.from_arrow(real_media_table(200, seed=11))
+    resized = resize_images(ds, out_w=16, out_h=16, concurrency=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        md5 = [hashlib.md5(p).hexdigest() for p in t["payload"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "width": t["width"],
+                "height": t["height"],
+                "resized": t["resized"],
+                "payload_md5": pa.array(md5, pa.string()),
+            }
+        )
+
+    return resized.map_batches(digest, batch_format="pyarrow")
+
+
 def q_agg_quantile_events(sf_dir: str):
     """Distribution/Histogram/Summary metric value kinds
     (shared/src/messages.rs:176-183): exact two-phase quantiles +
@@ -1301,6 +1329,7 @@ QUERIES = {
     "epoch_shuffle_corpus": q_epoch_shuffle,
     "pretrain_pack_corpus": q_pretrain_pack,
     "media_features_wavbmp": q_media_features_real,
+    "media_resize_bmp": q_media_resize_bmp,
     "split_counts_corpus": q_split_counts,
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
@@ -1716,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features",
         "embedding_dups_lsh",
         "media_features_wavbmp",
+        "media_resize_bmp",
     ):
         sql[name] = f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
     return sql

@@ -271,6 +271,81 @@ def extract_features(ds, mode: str = "fake", concurrency: int = 4,
     )
 
 
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a 24-bit BMP, re-encoded as BMP.
+
+    Pure numpy integer-gather (no per-pixel loop): source row/col for
+    each output pixel is ``floor(i * src / dst)``.
+    """
+    px = decode_bmp(payload)  # (h, w, 3) RGB
+    h, w, _ = px.shape
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    out = px[rows][:, cols]  # (out_h, out_w, 3)
+    # re-encode: BGR, bottom-up, 4-byte-aligned rows
+    bgr = out[..., ::-1]
+    pad = (-(out_w * 3)) % 4
+    body = b"".join(
+        bgr[r].tobytes() + b"\x00" * pad for r in range(out_h - 1, -1, -1)
+    )
+    pixel_offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", pixel_offset + len(body), 0, 0, pixel_offset
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + body
+
+
+class ImageResizer:
+    """Actor-pool stage: nearest-neighbor resize of image/bmp payloads
+    to a fixed (width, height); non-BMP rows pass through unchanged with
+    ``resized=False`` (a real deployment adds jpeg/png kernels here)."""
+
+    def __init__(self, out_w: int, out_h: int):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads, types = t["payload"].to_pylist(), t["media_type"].to_pylist()
+        new_payloads, widths, heights, resized = [], [], [], []
+        for p, mt in zip(payloads, types):
+            if mt == "image/bmp":
+                new_payloads.append(resize_bmp(p, self.out_w, self.out_h))
+                widths.append(self.out_w)
+                heights.append(self.out_h)
+                resized.append(True)
+            else:
+                new_payloads.append(p)
+                widths.append(0)
+                heights.append(0)
+                resized.append(False)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "payload": pa.array(new_payloads, pa.binary()),
+                "width": pa.array(np.array(widths, np.int32)),
+                "height": pa.array(np.array(heights, np.int32)),
+                "resized": pa.array(resized, pa.bool_()),
+            }
+        )
+
+
+def resize_images(ds, out_w: int = 16, out_h: int = 16, concurrency: int = 4,
+                  batch_size: int = 64):
+    """Image-resize stage (same byte-budgeted batching rationale as
+    extract_features)."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
 def frame_sample(ds, every_ms: int = 1000):
     """Video frame-sampling plumbing: expands each row into frame-time
     offsets (the decode itself is the stubbed kernel above)."""

@@ -428,6 +428,7 @@ class ContaminationChecker:
 
     def __init__(self, bench_ref, n: int = 8):
         self.hashes, self.exact = ray.get(bench_ref)
+        self.hashes = np.sort(self.hashes)  # once per ACTOR, not per batch
         self.n = n
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -437,7 +438,12 @@ class ContaminationChecker:
         hits = np.zeros(t.num_rows, dtype=np.int64)
         if len(starts) and len(self.hashes):
             h = _hash_grams(values, starts, n)
-            cand = np.nonzero(np.isin(h, self.hashes))[0]
+            # membership via searchsorted on the pre-sorted benchmark
+            # hashes: O(W log H) with no per-call sort of the W window
+            # hashes (np.isin would re-sort every batch)
+            idx = np.searchsorted(self.hashes, h)
+            idx[idx == len(self.hashes)] = 0
+            cand = np.nonzero(self.hashes[idx] == h)[0]
             for i in cand:
                 s = int(starts[i])
                 gram = values[s : s + n].astype(np.int32).tobytes()
