@@ -296,6 +296,32 @@ def test_resize_bmp_exact(ray_session):
     assert not (res[res.media_type == "audio/wav"].resized).any()
 
 
+def test_resample_wav_exact(ray_session):
+    import numpy as np
+
+    from vector_ray.functions.multimodal import (
+        decode_wav,
+        real_media_table,
+        resample_audio,
+        resample_wav,
+        synth_wav,
+    )
+
+    wavb = synth_wav(seed=3, duration_ms=100, rate=8000)  # 800 frames
+    out = resample_wav(wavb, 16000)
+    y, rate, nch = decode_wav(out)
+    assert (rate, nch, len(y)) == (16000, 1, 1600)
+    x, _, _ = decode_wav(wavb)
+    # zero-order hold: every source sample appears twice at 2x rate
+    assert np.array_equal(y.reshape(-1, 2)[:, 0], x)
+    assert np.array_equal(y.reshape(-1, 2)[:, 1], x)
+
+    t = real_media_table(8, seed=4)
+    res = resample_audio(rd.from_arrow(t), 16000, concurrency=1).to_pandas()
+    assert (res[res.media_type == "audio/wav"].resampled).all()
+    assert not (res[res.media_type == "image/bmp"].resampled).any()
+
+
 def test_connected_components_nonconvergence_raises(ray_session):
     from vector_ray.functions.dedup import connected_components_keep_min
 

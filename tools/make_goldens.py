@@ -451,6 +451,57 @@ def golden_media_resize(n=200, seed=11, out_w=16, out_h=16) -> pa.Table:
     )
 
 
+def golden_media_resample(n=200, seed=11, out_rate=16000) -> pa.Table:
+    """Independent recomputation of q_media_resample_wav: RIFF chunk
+    walker + per-sample Python loop + hand-built WAV container (no
+    stdlib wave module), then md5."""
+    import hashlib
+    import struct as _s
+
+    from vector_ray.functions.multimodal import real_media_table
+
+    media = real_media_table(n, seed=seed)
+    ids, types, rates, flags, md5s = [], [], [], [], []
+    for mid, mtype, payload in zip(
+        media["media_id"].to_pylist(),
+        media["media_type"].to_pylist(),
+        media["payload"].to_pylist(),
+    ):
+        if mtype == "audio/wav":
+            x, rate, _ = _parse_wav_independent(payload)
+            n_out = max(1, len(x) * out_rate // rate)
+            pcm = bytearray()
+            for i in range(n_out):
+                j = min((i * rate) // out_rate, len(x) - 1)
+                v = x[j] * 32768.0
+                v = -32768.0 if v < -32768.0 else (32767.0 if v > 32767.0 else v)
+                pcm += _s.pack("<h", int(v))
+            # hand-built PCM16 mono RIFF container
+            data = bytes(pcm)
+            fmt = _s.pack("<HHIIHH", 1, 1, out_rate, out_rate * 2, 2, 16)
+            body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            body += b"data" + _s.pack("<I", len(data)) + data
+            enc = b"RIFF" + _s.pack("<I", len(body)) + body
+            rates.append(out_rate)
+            flags.append(True)
+            md5s.append(hashlib.md5(enc).hexdigest())
+        else:
+            rates.append(0)
+            flags.append(False)
+            md5s.append(hashlib.md5(payload).hexdigest())
+        ids.append(mid)
+        types.append(mtype)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(types, pa.string()),
+            "sample_rate": pa.array(np.array(rates, np.int32)),
+            "resampled": pa.array(flags, pa.bool_()),
+            "payload_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
 GOLDENS = {
     "simhash_documents": lambda: golden_simhash(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
@@ -464,6 +515,7 @@ GOLDENS = {
     "multimodal_features": golden_multimodal,
     "media_features_wavbmp": golden_media_real,
     "media_resize_bmp": golden_media_resize,
+    "media_resample_wav": golden_media_resample,
     "embedding_dups_lsh": lambda: golden_embedding_dups_lsh(
         pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     ),

@@ -737,6 +737,32 @@ def q_media_resize_bmp(sf_dir: str):
     return resized.map_batches(digest, batch_format="pyarrow")
 
 
+def q_media_resample_wav(sf_dir: str):
+    """Real PCM WAV resample to 16 kHz (decode → nearest-sample gather →
+    re-encode); golden oracle recomputes with an independent RIFF parser
+    and per-sample loop, compared by md5 of the emitted bytes."""
+    import hashlib
+
+    from vector_ray.functions.multimodal import real_media_table, resample_audio
+
+    ds = rd.from_arrow(real_media_table(200, seed=11))
+    out = resample_audio(ds, out_rate=16000, concurrency=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        md5 = [hashlib.md5(p).hexdigest() for p in t["payload"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "sample_rate": t["sample_rate"],
+                "resampled": t["resampled"],
+                "payload_md5": pa.array(md5, pa.string()),
+            }
+        )
+
+    return out.map_batches(digest, batch_format="pyarrow")
+
+
 def q_agg_quantile_events(sf_dir: str):
     """Distribution/Histogram/Summary metric value kinds
     (shared/src/messages.rs:176-183): exact two-phase quantiles +
@@ -1330,6 +1356,7 @@ QUERIES = {
     "pretrain_pack_corpus": q_pretrain_pack,
     "media_features_wavbmp": q_media_features_real,
     "media_resize_bmp": q_media_resize_bmp,
+    "media_resample_wav": q_media_resample_wav,
     "split_counts_corpus": q_split_counts,
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
@@ -1746,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups_lsh",
         "media_features_wavbmp",
         "media_resize_bmp",
+        "media_resample_wav",
     ):
         sql[name] = f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
     return sql

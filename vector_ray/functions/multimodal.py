@@ -298,6 +298,70 @@ def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
     return header + info + body
 
 
+def resample_wav(payload: bytes, out_rate: int) -> bytes:
+    """Nearest-sample rate conversion of a PCM16 WAV, re-encoded.
+
+    ``out[i] = x[i * in_rate // out_rate]`` — a pure numpy gather (the
+    zero-order-hold resampler; a real deployment swaps in a polyphase
+    kernel, the stage contract is identical).
+    """
+    x, rate, _ = decode_wav(payload)  # mono float64 in [-1, 1]
+    n_out = max(1, len(x) * out_rate // rate)
+    idx = (np.arange(n_out, dtype=np.int64) * rate) // out_rate
+    y = x[np.minimum(idx, len(x) - 1)]
+    pcm = np.clip(y * 32768.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(out_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class AudioResampler:
+    """Actor-pool stage: resample audio/wav payloads to ``out_rate``;
+    non-WAV rows pass through with ``resampled=False``."""
+
+    def __init__(self, out_rate: int):
+        self.out_rate = out_rate
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads, types = t["payload"].to_pylist(), t["media_type"].to_pylist()
+        outs, rates, flags = [], [], []
+        for p, mt in zip(payloads, types):
+            if mt == "audio/wav":
+                outs.append(resample_wav(p, self.out_rate))
+                rates.append(self.out_rate)
+                flags.append(True)
+            else:
+                outs.append(p)
+                rates.append(0)
+                flags.append(False)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "payload": pa.array(outs, pa.binary()),
+                "sample_rate": pa.array(np.array(rates, np.int32)),
+                "resampled": pa.array(flags, pa.bool_()),
+            }
+        )
+
+
+def resample_audio(ds, out_rate: int = 16000, concurrency: int = 4,
+                   batch_size: int = 64):
+    """Audio-resample stage (byte-budgeted batching, actor pool)."""
+    return ds.map_batches(
+        AudioResampler,
+        fn_constructor_kwargs={"out_rate": out_rate},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
 class ImageResizer:
     """Actor-pool stage: nearest-neighbor resize of image/bmp payloads
     to a fixed (width, height); non-BMP rows pass through unchanged with
