@@ -67,3 +67,25 @@ def test_pretrain_run_end_to_end(seq_dir, tmp_path):
     )
     train_ids = set(keep["doc_id"].to_pylist())
     assert not (val_ids & train_ids)
+
+    # resume: a rerun skips both completed stages and output is unchanged
+    s2 = pretrain.run(seq_dir, out, cfg)
+    assert s2["stages_skipped"] == 2
+    assert s2["n_train_chunks"] == s["n_train_chunks"]
+
+    # crash-resume: wipe ONE stage's marker + output; only it reruns
+    import os
+    import shutil
+
+    os.remove(f"{out}/_markers/train_chunks.json")
+    shutil.rmtree(s["train_dir"])
+    s3 = pretrain.run(seq_dir, out, cfg)
+    assert s3["stages_skipped"] == 1
+    redone = pq.read_table(s3["train_dir"]).sort_by("chunk_id")
+    assert redone.equals(train.sort_by("chunk_id"))
+
+    # config drift is refused
+    with pytest.raises(RuntimeError):
+        pretrain.run(
+            seq_dir, out, pretrain.PretrainConfig(chunk_len=1024)
+        )

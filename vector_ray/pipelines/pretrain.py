@@ -73,40 +73,84 @@ def train_filter(cfg: PretrainConfig):
     return keep
 
 
-def run(seq_dir: str, out_dir: str, cfg: PretrainConfig | None = None) -> dict:
-    """Execute the prep pipeline; returns a summary dict."""
+def run(
+    seq_dir: str,
+    out_dir: str,
+    cfg: PretrainConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Execute the prep pipeline; returns a summary dict.
+
+    Resumable mid-pipeline: each stage (``val_docs``, ``train_chunks``)
+    publishes atomically (write to ``.tmp-`` then rename) and drops a
+    lineage marker; a rerun skips completed stages — the same
+    checkpoint contract as the flagship (``state/checkpoint.py``). A
+    config change is detected via the manifest hash and refused.
+    """
+    from vector_ray.state.checkpoint import CheckpointStore
+
     cfg = cfg or PretrainConfig()
     files = list_input_files(seq_dir)
+    store = CheckpointStore(out_dir)
+    store.open(
+        {
+            "pipeline": "pretrain",
+            "seq_dir": seq_dir,
+            "files": files,
+            "rates": sorted(cfg.rates.items()),
+            "default_rate": cfg.default_rate,
+            "val_per_mille": cfg.val_per_mille,
+            "chunk_len": cfg.chunk_len,
+            "epoch": cfg.epoch,
+        }
+    )
     t0 = time.perf_counter()
+    skipped = 0
+    val_dir = os.path.join(out_dir, "val_docs")
+    train_dir = os.path.join(out_dir, "train_chunks")
 
     # val docs: sampled, split == val, kept as whole documents
-    val = split_assign(
-        mixture_sample(
-            rd.read_parquet(
-                files, columns=["doc_id", "tokens", "n_tok", "source"]
+    if resume and store.is_done("val_docs"):
+        skipped += 1
+    else:
+        val = split_assign(
+            mixture_sample(
+                rd.read_parquet(
+                    files, columns=["doc_id", "tokens", "n_tok", "source"]
+                ),
+                cfg.rates,
+                cfg.default_rate,
             ),
-            cfg.rates,
-            cfg.default_rate,
-        ),
-        cfg.val_per_mille,
-    ).map_batches(
-        lambda t: t.filter(pa.compute.equal(t["split"], "val")),
-        batch_format="pyarrow",
-    )
-    val_dir = os.path.join(out_dir, "val_docs")
-    val.write_parquet(val_dir)
+            cfg.val_per_mille,
+        ).map_batches(
+            lambda t: t.filter(pa.compute.equal(t["split"], "val")),
+            batch_format="pyarrow",
+        )
+        with store.publish_dir(val_dir) as tmp:
+            val.write_parquet(tmp)
+        store.mark_done(
+            "val_docs",
+            {"rows": rd.read_parquet(val_dir, columns=["doc_id"]).count()},
+        )
 
     # train chunks: filter applied inside pack (no materialized copy)
-    chunks = pack_sequences(
-        files, chunk_len=cfg.chunk_len, row_filter=train_filter(cfg)
-    )
-    ordered = (
-        chunks
-        if cfg.epoch is None
-        else epoch_shuffle(chunks, cfg.epoch, id_field="chunk_id")
-    )
-    train_dir = os.path.join(out_dir, "train_chunks")
-    ordered.write_parquet(train_dir)
+    if resume and store.is_done("train_chunks"):
+        skipped += 1
+    else:
+        chunks = pack_sequences(
+            files, chunk_len=cfg.chunk_len, row_filter=train_filter(cfg)
+        )
+        ordered = (
+            chunks
+            if cfg.epoch is None
+            else epoch_shuffle(chunks, cfg.epoch, id_field="chunk_id")
+        )
+        with store.publish_dir(train_dir) as tmp:
+            ordered.write_parquet(tmp)
+        store.mark_done(
+            "train_chunks",
+            {"rows": rd.read_parquet(train_dir, columns=["chunk_id"]).count()},
+        )
 
     tr = rd.read_parquet(train_dir, columns=["n_tok"])
     n_chunks = tr.count()
@@ -118,6 +162,7 @@ def run(seq_dir: str, out_dir: str, cfg: PretrainConfig | None = None) -> dict:
         "n_val_docs": n_val,
         "chunk_len": cfg.chunk_len,
         "epoch": cfg.epoch,
+        "stages_skipped": skipped,
         "sec": round(time.perf_counter() - t0, 3),
         "train_dir": train_dir,
         "val_dir": val_dir,
