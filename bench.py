@@ -118,6 +118,15 @@ def run_bench() -> dict:
     queries["pack_2048"] = timed(
         lambda: pack_sequences(_fl.list_input_files(seq_dir), 2048).count()
     )
+    # vocab top-k: dense bincount tree reduction, no row-level shuffle
+    from vector_ray.functions.tokens import token_topk
+
+    queries["token_topk"] = timed(
+        lambda: token_topk(
+            rd.read_parquet(_fl.list_input_files(seq_dir), columns=["tokens"]),
+            k=50,
+        ).count()
+    )
 
     result = {
         "metric": "flagship parse->enrich->route->aggregate e2e seconds",
