@@ -1281,6 +1281,36 @@ def q_epoch_shuffle(sf_dir: str):
     return epoch_shuffle(ds, epoch=1)
 
 
+def q_parse_grok_corpus(sf_dir: str):
+    """Grok parse of the corpus syslog-ish message line
+    (%{PATTERN:field:type} expanded to one vectorized extract_regex)."""
+    from vector_ray.stages import core
+
+    ds = rd.read_parquet(_seq_files(_tag(sf_dir)), columns=["doc_id", "message"])
+    parsed = core.remap(
+        ds,
+        {
+            "ops": [
+                {
+                    "op": "parse_grok",
+                    "field": "message",
+                    "pattern": (
+                        r"^%{HOSTNAME:host} %{USERNAME:app}\[%{POSINT:pid:int}\]: "
+                        r"level=%{WORD:level} status=%{POSINT:status:int} "
+                        r"latency_ms=%{POSINT:latency_ms:int} doc=%{NOTSPACE:doc}"
+                    ),
+                }
+            ]
+        },
+    )
+    return parsed.map_batches(
+        lambda t: t.select(
+            ["doc_id", "host", "app", "pid", "level", "status", "latency_ms"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_repetition_corpus(sf_dir: str):
     """Per-doc token-repetition quality signals (distinct tokens, max
     token count, integer-exact repetitive flag)."""
@@ -1357,6 +1387,7 @@ QUERIES = {
     "media_features_wavbmp": q_media_features_real,
     "media_resize_bmp": q_media_resize_bmp,
     "media_resample_wav": q_media_resample_wav,
+    "parse_grok_corpus": q_parse_grok_corpus,
     "split_counts_corpus": q_split_counts,
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
@@ -1457,6 +1488,17 @@ def _tokens_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_tok) AS BIGINT) AS sum_tok "
             f"FROM read_parquet('{seq}') GROUP BY 1, 2"
+        ),
+        "parse_grok_corpus": (
+            "SELECT doc_id, "
+            "regexp_extract(message, '^([0-9A-Za-z][0-9A-Za-z.-]*) ', 1) AS host, "
+            "regexp_extract(message, '^\\S+ ([a-zA-Z0-9._-]+)\\[', 1) AS app, "
+            "CAST(regexp_extract(message, '\\[(\\d+)\\]', 1) AS BIGINT) AS pid, "
+            "regexp_extract(message, 'level=(\\w+)', 1) AS level, "
+            "CAST(regexp_extract(message, 'status=(\\d+)', 1) AS BIGINT) AS status, "
+            "CAST(regexp_extract(message, 'latency_ms=(\\d+)', 1) AS BIGINT) "
+            "AS latency_ms "
+            f"FROM read_parquet('{seq}')"
         ),
         "repetition_corpus": (
             "WITH tok AS (SELECT doc_id, unnest(tokens) AS tok "

@@ -95,6 +95,23 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
 
         return _apply
 
+    if kind == "parse_grok":
+        # grok expression (%{PATTERN:field:type}) expanded once at
+        # compile time into a named-group regex, then identical to
+        # parse_regex: one vectorized extract_regex per batch
+        from vector_ray.grok import grok_to_regex
+
+        regex, grok_types = grok_to_regex(op["pattern"])
+        merged = {**grok_types, **op.get("types", {})}
+        return _compile_op(
+            {
+                "op": "parse_regex",
+                "field": op["field"],
+                "pattern": regex,
+                "types": merged,
+            }
+        )
+
     if kind == "parse_kv":
         # logfmt-ish `k=v` pairs: one extract_regex per requested key
         field = op["field"]
