@@ -140,6 +140,35 @@ def test_epoch_shuffle_orders_and_permutes(ray_session):
     assert ids1b == ids
 
 
+def test_curation_via_spec_dag(ray_session, tmp_path):
+    """The curation ops are first-class spec-DAG transform types."""
+    import pyarrow.parquet as pq
+
+    from vector_ray import run_pipeline
+
+    src = str(tmp_path / "corpus.parquet")
+    pq.write_table(_corpus(800), src)
+    out = str(tmp_path / "out")
+    run_pipeline(
+        {
+            "sources": {"corpus": {"type": "parquet", "path": src}},
+            "transforms": {
+                "mix": {
+                    "type": "mixture_sample",
+                    "inputs": ["corpus"],
+                    "rates": {"web": 0.25},
+                },
+                "split": {"type": "split_assign", "inputs": ["mix"],
+                          "val_per_mille": 100},
+            },
+            "sinks": {"s": {"type": "parquet", "inputs": ["split"], "path": out}},
+        }
+    )
+    got = pq.read_table(out)
+    assert set(got["split"].to_pylist()) <= {"train", "val"}
+    assert 0 < got.num_rows < 800  # mixture dropped some web docs
+
+
 def test_repetition_stats_exact(ray_session):
     # hand-built rows with known type/repeat structure
     t = pa.table(

@@ -9,7 +9,7 @@ family).
 
 from __future__ import annotations
 
-from vector_ray.stages import core, enrich, grouped, metricops
+from vector_ray.stages import core, curate, enrich, grouped, metricops
 from vector_ray.stages.encode import encode
 from vector_ray.stages.framing import frame
 from vector_ray.stages.tokenize import tokenize
@@ -49,6 +49,12 @@ TRANSFORMS = {
     "window": window,
     "frame": frame,
     "encode": encode,
+    # corpus-curation family (functions/curation.py)
+    "mixture_sample": curate.mixture_sample,
+    "split_assign": curate.split_assign,
+    "epoch_shuffle": curate.epoch_shuffle,
+    "length_buckets": curate.length_buckets,
+    "repetition_stats": curate.repetition_stats,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]
