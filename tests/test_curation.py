@@ -169,6 +169,63 @@ def test_curation_via_spec_dag(ray_session, tmp_path):
     assert 0 < got.num_rows < 800  # mixture dropped some web docs
 
 
+def test_epoch0_shuffle_decorrelated_from_mixture(ray_session):
+    """Docs surviving mixture_sample must NOT cluster at the front of
+    the epoch-0 order (regression: epoch 0 once reused MIX_MULT)."""
+    t = _corpus(n=4000)
+    sampled = _collect(mixture_sample(rd.from_arrow(t), {"web": 0.25}))
+    order = [
+        d
+        for b in epoch_shuffle(rd.from_arrow(sampled), epoch=0).iter_batches(
+            batch_format="pyarrow"
+        )
+        for d, s in zip(b["doc_id"].to_pylist(), b["source"].to_pylist())
+        if s == "web"
+    ]
+    all_ids = [
+        d
+        for b in epoch_shuffle(rd.from_arrow(sampled), epoch=0).iter_batches(
+            batch_format="pyarrow"
+        )
+        for d in b["doc_id"].to_pylist()
+    ]
+    pos = {d: i for i, d in enumerate(all_ids)}
+    mean_web_pos = np.mean([pos[d] for d in order]) / len(all_ids)
+    assert 0.35 < mean_web_pos < 0.65  # uniform ≈ 0.5; MIX_MULT bug gave ≈0.25
+
+
+def test_repetition_stats_out_of_range_and_empty(ray_session):
+    from vector_ray.schema import VOCAB_SIZE
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["doc-0000000001", "doc-0000000002", "doc-0000000003"]),
+            "tokens": pa.array(
+                [[VOCAB_SIZE + 5], [0], []], pa.list_(pa.int32())
+            ),
+        }
+    )
+    out = _collect(repetition_stats(rd.from_arrow(t))).sort_by("doc_id")
+    # ids beyond any assumed vocab bound stay per-doc (no key bleed)
+    assert out["n_types"].to_pylist() == [1, 1, 0]
+    assert out["max_cnt"].to_pylist() == [1, 1, 0]
+    # empty docs are not repetitive
+    assert out["repetitive"].to_pylist() == [True, True, False]
+    with pytest.raises(Exception):
+        _collect(
+            repetition_stats(
+                rd.from_arrow(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(["doc-0000000009"]),
+                            "tokens": pa.array([[-1]], pa.list_(pa.int32())),
+                        }
+                    )
+                )
+            )
+        )
+
+
 def test_repetition_stats_exact(ray_session):
     # hand-built rows with known type/repeat structure
     t = pa.table(

@@ -31,6 +31,8 @@ def test_anonymous_and_unknown():
         grok_to_regex(r"%{NOPE:x}")
     with pytest.raises(VrlError):
         grok_to_regex(r"%{WORD:a} %{INT:a}")  # duplicate field
+    with pytest.raises(VrlError):
+        grok_to_regex(r"%{POSINT:2xx}")  # digit-leading field name
 
 
 def test_all_patterns_are_re2_safe():

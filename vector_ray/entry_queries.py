@@ -1469,10 +1469,10 @@ def _tokens_oracles() -> dict[str, str]:
             "list(tok ORDER BY gpos) AS tokens "
             "FROM tok GROUP BY 1"
         ),
-        # epoch 1 ⇒ multiplier MIX_MULT^2 mod 2^32 = 4293315681
+        # epoch 1 ⇒ multiplier EPOCH_MULT^2 mod 2^32 = 1089202273
         "epoch_shuffle_corpus": (
             "SELECT doc_id, CAST((CAST(substr(doc_id, 5) AS HUGEINT) "
-            "* 4293315681) % 4294967296 AS BIGINT) AS shuffle_key "
+            "* 1089202273) % 4294967296 AS BIGINT) AS shuffle_key "
             f"FROM read_parquet('{seq}')"
         ),
         "split_counts_corpus": (
@@ -1500,15 +1500,19 @@ def _tokens_oracles() -> dict[str, str]:
             "AS latency_ms "
             f"FROM read_parquet('{seq}')"
         ),
+        # LEFT JOIN from the corpus so zero-token docs keep a row
+        # (n_types 0, not repetitive) — same semantics as the engine
         "repetition_corpus": (
             "WITH tok AS (SELECT doc_id, unnest(tokens) AS tok "
             f"FROM read_parquet('{seq}')), "
             "c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2), "
             "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types, "
             "CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c GROUP BY 1) "
-            "SELECT a.doc_id, a.n_types, a.max_cnt, "
-            "a.max_cnt * 20 >= s.n_tok AS repetitive "
-            f"FROM a JOIN read_parquet('{seq}') s USING (doc_id)"
+            "SELECT s.doc_id, COALESCE(a.n_types, 0) AS n_types, "
+            "COALESCE(a.max_cnt, 0) AS max_cnt, "
+            "(s.n_tok > 0 AND COALESCE(a.max_cnt, 0) * 20 >= s.n_tok) "
+            "AS repetitive "
+            f"FROM read_parquet('{seq}') s LEFT JOIN a USING (doc_id)"
         ),
     }
 

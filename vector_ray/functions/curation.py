@@ -24,8 +24,6 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from vector_ray.schema import VOCAB_SIZE
-
 __all__ = [
     "mixture_sample",
     "split_assign",
@@ -34,10 +32,12 @@ __all__ = [
     "epoch_shuffle",
 ]
 
-# Knuth multiplicative-hash constant (sampling) and xxhash PRIME32_2
-# (splitting) — distinct multipliers so the two selections decorrelate.
+# Knuth multiplicative-hash constant (sampling), xxhash PRIME32_2
+# (splitting), and xxhash PRIME32_5 (epoch shuffling) — distinct
+# multipliers so the three selections decorrelate.
 MIX_MULT = 2654435761
 SPLIT_MULT = 2246822519
+EPOCH_MULT = 374761393
 HASH_MOD = 1 << 32
 
 
@@ -138,15 +138,20 @@ def epoch_shuffle(
     sizes (``ds.random_shuffle`` is not).
 
     Each epoch multiplies the numeric doc id by a distinct odd constant
-    mod 2^32 — ``MIX_MULT^(epoch+1) mod 2^32`` (odd power of an odd
+    mod 2^32 — ``EPOCH_MULT^(epoch+1) mod 2^32`` (odd power of an odd
     constant stays odd ⇒ still a permutation of the low 32 bits, and
     successive epochs decorrelate, unlike ``MULT + 2*epoch`` whose
-    orders are nearly identical for small ids) — then sorts on the
-    resulting ``shuffle_key`` (Ray's sort-based range shuffle — the one
-    intentional all-to-all; key is uniform so range partitions balance).
-    ``doc_id`` breaks the rare key ties so the order is total.
+    orders are nearly identical for small ids). EPOCH_MULT is its own
+    constant, NOT ``MIX_MULT``/``SPLIT_MULT``: if epoch 0 reused the
+    mixture hash, docs surviving ``mixture_sample(rate=r)`` would all
+    have shuffle keys below ``r * 2^32`` and the downsampled sources
+    would cluster at the front of the "shuffled" order. Then sorts on
+    the resulting ``shuffle_key`` (Ray's sort-based range shuffle — the
+    one intentional all-to-all; key is uniform so range partitions
+    balance). ``id_field`` breaks the rare key ties so the order is
+    total.
     """
-    mult = pow(MIX_MULT, epoch + 1, HASH_MOD)
+    mult = pow(EPOCH_MULT, epoch + 1, HASH_MOD)
 
     def key(t: pa.Table) -> pa.Table:
         h = _doc_hash(t, mult, id_field).astype(np.int64)
@@ -176,19 +181,27 @@ def repetition_stats(ds: rd.Dataset, max_freq_pct: int = 5) -> rd.Dataset:
         offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         n = t.num_rows
         row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
-        key = row_of * VOCAB_SIZE + values
+        # key stride = actual token-id range in THIS batch (not a fixed
+        # vocab bound): an id >= the assumed stride would bleed a doc's
+        # counts into the next row's key space and silently corrupt both
+        if len(values) and values.min() < 0:
+            raise ValueError("repetition_stats requires non-negative token ids")
+        stride = int(values.max()) + 1 if len(values) else 1
+        key = row_of * stride + values
         uniq, counts = np.unique(key, return_counts=True)
-        urow = uniq // VOCAB_SIZE
+        urow = uniq // stride
         n_types = np.bincount(urow, minlength=n).astype(np.int64)
         max_cnt = np.zeros(n, dtype=np.int64)
         np.maximum.at(max_cnt, urow, counts)
         n_tok = offsets[1:] - offsets[:-1]
+        # empty docs are not "repetitive" (nothing repeats in them)
+        rep = (n_tok > 0) & (max_cnt * mult >= n_tok)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "n_types": pa.array(n_types),
                 "max_cnt": pa.array(max_cnt),
-                "repetitive": pa.array(max_cnt * mult >= n_tok),
+                "repetitive": pa.array(rep),
             }
         )
 

@@ -64,6 +64,39 @@ def fake_media_table(n: int, seed: int = 0) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def encode_wav(pcm: np.ndarray, rate: int) -> bytes:
+    """PCM16 mono samples (int16 ndarray) → WAV container bytes. The
+    single encoder shared by synth_wav and resample_wav (goldens compare
+    md5 of emitted bytes, so there must be exactly one writer)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def encode_bmp(px_rgb: np.ndarray) -> bytes:
+    """uint8 RGB (h, w, 3) → uncompressed 24-bit BMP bytes (BGR,
+    bottom-up, 4-byte-aligned rows). The single encoder shared by
+    synth_bmp and resize_bmp — exact inverse of decode_bmp."""
+    height, width, _ = px_rgb.shape
+    bgr = px_rgb[..., ::-1]
+    pad = (-(width * 3)) % 4
+    body = b"".join(
+        bgr[r].tobytes() + b"\x00" * pad for r in range(height - 1, -1, -1)
+    )
+    pixel_offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", pixel_offset + len(body), 0, 0, pixel_offset
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + body
+
+
 def synth_wav(seed: int, duration_ms: int = 250, rate: int = 8000) -> bytes:
     """Valid PCM16 mono WAV bytes: a seeded sine + noise mixture."""
     rng = np.random.default_rng(seed)
@@ -72,31 +105,15 @@ def synth_wav(seed: int, duration_ms: int = 250, rate: int = 8000) -> bytes:
     freq = 200.0 + float(rng.integers(0, 2000))
     x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(n)
     pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(rate)
-        w.writeframes(pcm.tobytes())
-    return buf.getvalue()
+    return encode_wav(pcm, rate)
 
 
 def synth_bmp(seed: int, width: int = 32, height: int = 24) -> bytes:
-    """Valid uncompressed 24-bit BMP bytes with seeded pixels."""
+    """Valid uncompressed 24-bit BMP bytes with seeded pixels (the rng
+    block is in BGR layout, matching the on-disk order)."""
     rng = np.random.default_rng(seed)
-    px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)  # BGR
-    row_bytes = width * 3
-    pad = (-row_bytes) % 4
-    body = b"".join(
-        px[r].tobytes() + b"\x00" * pad for r in range(height - 1, -1, -1)
-    )  # bottom-up row order, 4-byte-aligned rows
-    pixel_offset = 14 + 40
-    file_size = pixel_offset + len(body)
-    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
-    )
-    return header + info + body
+    px_bgr = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    return encode_bmp(px_bgr[..., ::-1])
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
@@ -281,21 +298,7 @@ def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
     h, w, _ = px.shape
     rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
     cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
-    out = px[rows][:, cols]  # (out_h, out_w, 3)
-    # re-encode: BGR, bottom-up, 4-byte-aligned rows
-    bgr = out[..., ::-1]
-    pad = (-(out_w * 3)) % 4
-    body = b"".join(
-        bgr[r].tobytes() + b"\x00" * pad for r in range(out_h - 1, -1, -1)
-    )
-    pixel_offset = 14 + 40
-    header = struct.pack(
-        "<2sIHHI", b"BM", pixel_offset + len(body), 0, 0, pixel_offset
-    )
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(body), 2835, 2835, 0, 0
-    )
-    return header + info + body
+    return encode_bmp(px[rows][:, cols])
 
 
 def resample_wav(payload: bytes, out_rate: int) -> bytes:
@@ -310,13 +313,7 @@ def resample_wav(payload: bytes, out_rate: int) -> bytes:
     idx = (np.arange(n_out, dtype=np.int64) * rate) // out_rate
     y = x[np.minimum(idx, len(x) - 1)]
     pcm = np.clip(y * 32768.0, -32768, 32767).astype("<i2")
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(out_rate)
-        w.writeframes(pcm.tobytes())
-    return buf.getvalue()
+    return encode_wav(pcm, out_rate)
 
 
 class AudioResampler:

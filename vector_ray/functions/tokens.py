@@ -61,17 +61,19 @@ def _flat_tokens(t: pa.Table, col: str = "tokens") -> tuple[np.ndarray, np.ndarr
     return values, offsets
 
 
-def _file_token_counts(files: list[str], row_filter=None) -> list[int]:
+def _file_token_counts(
+    files: list[str], row_filter=None, filter_columns=()
+) -> list[int]:
     """Per-file sum(n_tok), read column-pruned in parallel Ray tasks.
 
     The result is one int per file — the only thing the driver ever
     holds. At 10^12 sequences this is #shards ints (~10^5), not rows.
     ``row_filter`` (a pure function of row content, e.g. a hash-based
     mixture/split mask) is applied before counting so the packed stream
-    and the chunk bases agree; filters needing doc_id/source read those
-    columns too.
+    and the chunk bases agree; ``filter_columns`` names the extra
+    columns the filter needs read.
     """
-    cols = ["n_tok"] if row_filter is None else ["doc_id", "source", "n_tok"]
+    cols = ["n_tok"] + [c for c in filter_columns if c != "n_tok"]
 
     @ray.remote(num_cpus=1)
     def _count(path: str) -> int:
@@ -84,7 +86,11 @@ def _file_token_counts(files: list[str], row_filter=None) -> list[int]:
 
 
 def _emit_pieces(
-    batch: pa.Table, bases: dict[str, int], chunk_len: int, row_filter=None
+    batch: pa.Table,
+    bases: dict[str, int],
+    chunk_len: int,
+    row_filter=None,
+    filter_columns=(),
 ) -> pa.Table:
     """Read each file in ``batch`` and emit chunk-aligned token pieces.
 
@@ -96,9 +102,9 @@ def _emit_pieces(
     out: list[pa.Table] = []
     for path in batch["path"].to_pylist():
         base = bases[path]
-        cols = ["doc_id", "tokens", "n_tok"]
-        if row_filter is not None:
-            cols.append("source")
+        cols = ["doc_id", "tokens", "n_tok"] + [
+            c for c in filter_columns if c not in ("doc_id", "tokens", "n_tok")
+        ]
         t = pq.read_table(path, columns=cols)
         if row_filter is not None:
             t = row_filter(t)
@@ -212,7 +218,10 @@ def _finalize_complete(batch: pa.Table) -> pa.Table:
 
 
 def pack_sequences(
-    files: list[str], chunk_len: int = 2048, row_filter=None
+    files: list[str],
+    chunk_len: int = 2048,
+    row_filter=None,
+    filter_columns: tuple = ("doc_id", "source"),
 ) -> rd.Dataset:
     """Exact concat-and-chunk packing of a tokenized corpus.
 
@@ -228,15 +237,20 @@ def pack_sequences(
     row content — e.g. a hash-based mixture/split mask from
     ``functions.curation``) packs only the surviving docs; it runs in
     both the count pass and the emit pass, so chunk bases stay exact.
+    ``filter_columns`` lists the columns the filter reads (beyond the
+    always-read doc_id/tokens/n_tok) so schemas without them still pack.
     """
     files = sorted(files)
-    counts = _file_token_counts(files, row_filter)
+    fcols = filter_columns if row_filter is not None else ()
+    counts = _file_token_counts(files, row_filter, fcols)
     bases = {p: int(b) for p, b in zip(files, np.cumsum([0] + counts[:-1]))}
     bases_ref = ray.put(bases)
 
     def emit(batch: pa.Table) -> pa.Table:
         return _merge_partial(
-            _emit_pieces(batch, ray.get(bases_ref), chunk_len, row_filter),
+            _emit_pieces(
+                batch, ray.get(bases_ref), chunk_len, row_filter, fcols
+            ),
             chunk_len,
         )
 
@@ -316,12 +330,23 @@ def token_topk(ds: rd.Dataset, k: int = 50, num_parts: int = 32) -> rd.Dataset:
 
     def finish(t: pa.Table) -> pa.Table:
         total = _sum_rows(t)
-        kk = min(k, VOCAB_SIZE)
+        # only tokens that actually occur (a corpus with < k distinct
+        # tokens must return < k rows, like GROUP BY ... LIMIT k)
+        nz = np.nonzero(total)[0]
+        kk = min(k, len(nz))
+        if kk == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        cnts = total[nz]
         # exact (cnt desc, token asc) selection: everything above the
         # k-th largest count, then boundary ties by ascending token id
-        kth = np.partition(total, VOCAB_SIZE - kk)[VOCAB_SIZE - kk]
-        above = np.nonzero(total > kth)[0]
-        ties = np.nonzero(total == kth)[0][: kk - len(above)]
+        kth = np.partition(cnts, len(cnts) - kk)[len(cnts) - kk]
+        above = nz[cnts > kth]
+        ties = nz[cnts == kth][: kk - len(above)]
         top = np.concatenate([above, ties])
         top = top[np.lexsort((top, -total[top]))]
         return pa.table(

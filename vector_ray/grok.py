@@ -43,8 +43,11 @@ GROK_PATTERNS: dict[str, str] = {
     "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
 }
 
+# field must be a valid regex group name (no leading digit) — a
+# digit-leading field would emit (?P<1x>...) and surface as a raw
+# re.error instead of the VrlError contract
 _GROK_REF = re.compile(
-    r"%\{(?P<name>[A-Z0-9_]+)(?::(?P<field>[A-Za-z0-9_]+))?(?::(?P<type>int|float))?\}"
+    r"%\{(?P<name>[A-Z0-9_]+)(?::(?P<field>[A-Za-z_][A-Za-z0-9_]*))?(?::(?P<type>int|float))?\}"
 )
 
 _MAX_DEPTH = 10
@@ -84,6 +87,11 @@ def grok_to_regex(pattern: str) -> tuple[str, dict[str, str]]:
         out = new
     else:
         raise VrlError("grok pattern nesting exceeds max depth")
-    if _GROK_REF.search(out):
-        raise VrlError("grok pattern failed to fully expand")
+    if "%{" in out:
+        # catches both unexpandable nesting AND malformed refs that the
+        # ref regex refuses (e.g. a digit-leading field name)
+        raise VrlError(
+            f"grok pattern contains an invalid or unexpandable reference: "
+            f"{out[out.index('%{'):][:40]!r}"
+        )
     return out, {f: t for f, t in types.items() if t != "string"}

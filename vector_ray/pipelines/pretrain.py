@@ -112,6 +112,7 @@ def run(
     # val docs: sampled, split == val, kept as whole documents
     if resume and store.is_done("val_docs"):
         skipped += 1
+        n_val = int(store.records()["val_docs"]["rows"])
     else:
         val = split_assign(
             mixture_sample(
@@ -128,14 +129,15 @@ def run(
         )
         with store.publish_dir(val_dir) as tmp:
             val.write_parquet(tmp)
-        store.mark_done(
-            "val_docs",
-            {"rows": rd.read_parquet(val_dir, columns=["doc_id"]).count()},
-        )
+        # count from parquet footers (metadata-only, no data scan)
+        n_val = rd.read_parquet(val_dir, columns=["doc_id"]).count()
+        store.mark_done("val_docs", {"rows": n_val})
 
     # train chunks: filter applied inside pack (no materialized copy)
     if resume and store.is_done("train_chunks"):
         skipped += 1
+        rec = store.records()["train_chunks"]
+        n_chunks, train_tokens = int(rec["rows"]), int(rec["tokens"])
     else:
         chunks = pack_sequences(
             files, chunk_len=cfg.chunk_len, row_filter=train_filter(cfg)
@@ -147,15 +149,12 @@ def run(
         )
         with store.publish_dir(train_dir) as tmp:
             ordered.write_parquet(tmp)
-        store.mark_done(
-            "train_chunks",
-            {"rows": rd.read_parquet(train_dir, columns=["chunk_id"]).count()},
-        )
+        # one pruned pass over n_tok; count() is footer-metadata-only
+        tr = rd.read_parquet(train_dir, columns=["n_tok"])
+        n_chunks = tr.count()
+        train_tokens = int(tr.sum("n_tok") or 0)
+        store.mark_done("train_chunks", {"rows": n_chunks, "tokens": train_tokens})
 
-    tr = rd.read_parquet(train_dir, columns=["n_tok"])
-    n_chunks = tr.count()
-    train_tokens = int(tr.sum("n_tok") or 0)
-    n_val = rd.read_parquet(val_dir, columns=["doc_id"]).count()
     return {
         "n_train_chunks": n_chunks,
         "train_tokens": train_tokens,
