@@ -81,3 +81,57 @@ def test_bucketed_join_left(ray_session):
     ).to_pandas().sort_values("k")
     assert len(out) == 2
     assert out[out.k == 9].rv.isna().all()
+
+
+def test_asof_join_basic(ray_session):
+    from vector_ray.stages.shuffle import bucketed_asof_join
+
+    left = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "k": pa.array(["a", "a", "a", "b", "c"]),
+            "t": pa.array([10, 25, 5, 40, 50], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"]),
+            "t": pa.array([10, 20, 41], pa.int64()),
+            "snap": pa.array([100, 200, 300], pa.int64()),
+        }
+    )
+    out = (
+        bucketed_asof_join(
+            rd.from_arrow(left), rd.from_arrow(right), by="k", on="t"
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    # id1: t=10 matches right t=10 (inclusive); id2: t=25 -> t=20;
+    # id3: t=5 precedes all -> null; id4: t=40 < 41 -> null; id5: no key
+    assert out.snap.tolist()[0] == 100
+    assert out.snap.tolist()[1] == 200
+    assert pd.isna(out.snap.tolist()[2])
+    assert pd.isna(out.snap.tolist()[3])
+    assert pd.isna(out.snap.tolist()[4])
+
+    inner = bucketed_asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), by="k", on="t", how="inner"
+    ).to_pandas()
+    assert sorted(inner.id.tolist()) == [1, 2]
+
+
+def test_asof_join_dtype_mismatch(ray_session):
+    from vector_ray.stages.shuffle import bucketed_asof_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "t": pa.array([1], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1], pa.int32()), "t": pa.array([1], pa.int64()),
+                  "v": pa.array([1], pa.int64())})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        bucketed_asof_join(left, right, by="k", on="t")

@@ -1281,6 +1281,49 @@ def q_epoch_shuffle(sf_dir: str):
     return epoch_shuffle(ds, epoch=1)
 
 
+def q_asof_purchases(sf_dir: str):
+    """As-of join: every event picks the user's most recent purchase at
+    or before its timestamp (bucketed one-shuffle searchsorted merge vs
+    DuckDB ASOF JOIN). Purchases are pre-deduped per (user, ts) so the
+    match is deterministic."""
+    from vector_ray.stages.shuffle import bucketed_asof_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    left = events.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+
+    def purchases(t: pa.Table) -> pa.Table:
+        p = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": p["user_id"],
+                "ts": p["ts"],
+                "purchase_id": p["event_id"],
+                "purchase_value": p["value"],
+            }
+        )
+
+    # dedup per (user, ts): keep the max-purchase_id row (the as-of
+    # determinism contract — right side unique per (by, on))
+    def keep_max(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("purchase_id", "descending")]
+        )
+        return g.take(order[:1])
+
+    right = (
+        events.map_batches(purchases, batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .map_groups(keep_max, batch_format="pyarrow")
+    )
+    return bucketed_asof_join(left, right, by="user_id", on="ts")
+
+
 def q_parse_grok_corpus(sf_dir: str):
     """Grok parse of the corpus syslog-ish message line
     (%{PATTERN:field:type} expanded to one vectorized extract_regex)."""
@@ -1388,6 +1431,7 @@ QUERIES = {
     "media_resize_bmp": q_media_resize_bmp,
     "media_resample_wav": q_media_resample_wav,
     "parse_grok_corpus": q_parse_grok_corpus,
+    "asof_purchases": q_asof_purchases,
     "split_counts_corpus": q_split_counts,
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
@@ -1488,6 +1532,16 @@ def _tokens_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_tok) AS BIGINT) AS sum_tok "
             f"FROM read_parquet('{seq}') GROUP BY 1, 2"
+        ),
+        "asof_purchases": (
+            "WITH p0 AS (SELECT user_id, ts, event_id AS purchase_id, "
+            "value AS purchase_value FROM events WHERE event_type = 'purchase'), "
+            "p AS (SELECT user_id, ts, MAX(purchase_id) AS purchase_id, "
+            "arg_max(purchase_value, purchase_id) AS purchase_value "
+            "FROM p0 GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, e.ts, p.purchase_id, "
+            "p.purchase_value FROM events e ASOF LEFT JOIN p "
+            "ON e.user_id = p.user_id AND e.ts >= p.ts"
         ),
         "parse_grok_corpus": (
             "SELECT doc_id, "

@@ -226,3 +226,166 @@ def bucketed_join(
     return both.groupby(BUCKET_COLUMN).map_groups(
         join_bucket, batch_format="pyarrow"
     )
+
+
+def bucketed_asof_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    num_buckets: int = 32,
+    how: str = "left",
+    suffix: str = "_r",
+):
+    """Distributed as-of join: each left row picks the right row with the
+    LARGEST ``on`` value <= its own, within the same ``by`` key — the
+    telemetry/"latest snapshot" join (events to their most recent config
+    push, trades to quotes). Ray Data has no native as-of join.
+
+    Same one-shuffle shape as ``bucketed_join``: tag + union both sides,
+    hash-bucket on ``by``, and merge each bucket with a fully vectorized
+    searchsorted over a (key-code, time) composite — no per-row or
+    per-key Python loop. Determinism contract: the right side must be
+    unique per (by, on) pair (pre-aggregate duplicates first), otherwise
+    which duplicate wins is undefined.
+
+    ``on`` may be any integer or timestamp type (compared on the int64
+    representation, identical across sides by the dtype check).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"unsupported as-of join type {how!r} (left | inner)")
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    for col in (by, on):
+        if ltypes[col] != rtypes[col]:
+            raise TypeError(
+                f"asof join column {col!r} dtype mismatch: "
+                f"{ltypes[col]} vs {rtypes[col]}"
+            )
+    left_cols = list(lschema.names)
+    rename = {
+        c: (f"{c}{suffix}" if c in left_cols else c)
+        for c in rschema.names
+        if c not in (by, on)
+    }
+    rename[by], rename[on] = by, on
+    right_out = [rename[c] for c in rschema.names if c not in (by, on)]
+
+    types: dict[str, pa.DataType] = {
+        name: typ for name, typ in zip(lschema.names, lschema.types)
+    }
+    for name, typ in zip(rschema.names, rschema.types):
+        types[rename[name]] = typ
+    all_cols = list(dict.fromkeys(left_cols + right_out))
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if side == "r":
+                t = t.rename_columns([rename[c] for c in t.column_names])
+            b = (_key_hash(t, by) % np.uint64(num_buckets)).astype(np.int64)
+            cols = {}
+            for c in all_cols:
+                if c in t.column_names:
+                    v = t[c]
+                    cols[c] = (
+                        v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                    )
+                else:
+                    cols[c] = pa.nulls(t.num_rows, types[c])
+            cols[BUCKET_COLUMN] = pa.array(b)
+            cols["__side"] = pa.array([side] * t.num_rows)
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def _on_i64(t: pa.Table) -> np.ndarray:
+        col = t[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        is_l = pc.equal(side, "l")
+        l = g.filter(is_l).combine_chunks()
+        r = g.filter(pc.invert(is_l)).combine_chunks()
+        if l.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], types[c]) for c in all_cols}
+            )
+        if r.num_rows == 0:
+            # no snapshot rows in this bucket: left join yields all-null
+            # right columns, inner join yields nothing
+            if how == "inner":
+                return pa.table({c: pa.array([], types[c]) for c in all_cols})
+            cols = {c: l[c] for c in left_cols}
+            for c in right_out:
+                cols[c] = pa.nulls(l.num_rows, types[c])
+            return pa.table({c: cols[c] for c in all_cols})
+        # key codes shared across both sides via one dictionary encode
+        key_all = pa.chunked_array(
+            list(l[by].chunks) + list(r[by].chunks), type=types[by]
+        ).combine_chunks()
+        if isinstance(key_all, pa.ChunkedArray):  # pyarrow version dependent
+            key_all = (
+                key_all.chunk(0)
+                if key_all.num_chunks
+                else pa.array([], types[by])
+            )
+        codes = (
+            key_all.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lcode, rcode = codes[: l.num_rows], codes[l.num_rows :]
+        lon, ron = (
+            _on_i64(l),
+            _on_i64(r) if r.num_rows else np.empty(0, np.int64),
+        )
+        # composite (code, on) -> single int64; span bounded per bucket
+        lo = min(lon.min(), ron.min()) if len(ron) else lon.min()
+        hi = max(lon.max(), ron.max()) if len(ron) else lon.max()
+        span = int(hi) - int(lo) + 2
+        n_codes = int(codes.max()) + 1 if len(codes) else 1
+        if n_codes * span >= (1 << 62):
+            raise OverflowError(
+                "asof composite key overflow: shrink the bucket's time "
+                "range or key cardinality (increase num_buckets)"
+            )
+        rcomp = rcode * span + (ron - lo) + 1
+        order = np.argsort(rcomp, kind="stable")
+        rcomp = rcomp[order]
+        lcomp = lcode * span + (lon - lo) + 1
+        idx = np.searchsorted(rcomp, lcomp, side="right") - 1
+        valid = idx >= 0
+        if len(ron):
+            valid &= rcode[order[np.maximum(idx, 0)]] == lcode
+        else:
+            valid[:] = False
+        take = order[np.maximum(idx, 0)]
+        cols = {c: l[c] for c in left_cols}
+        mask = pa.array(~valid)
+        for c in right_out:
+            src = r[c].combine_chunks() if r.num_rows else pa.array([], types[c])
+            if r.num_rows:
+                taken = src.take(
+                    pa.array(np.where(valid, take, 0), pa.int64())
+                )
+                cols[c] = pc.if_else(mask, pa.nulls(l.num_rows, types[c]), taken)
+            else:
+                cols[c] = pa.nulls(l.num_rows, types[c])
+        out = pa.table({c: cols[c] for c in all_cols})
+        if how == "inner":
+            out = out.filter(pa.array(valid))
+        return out
+
+    return both.groupby(BUCKET_COLUMN).map_groups(
+        merge_bucket, batch_format="pyarrow"
+    )
