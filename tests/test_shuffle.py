@@ -135,3 +135,37 @@ def test_asof_join_dtype_mismatch(ray_session):
 
     with _pytest.raises(TypeError):
         bucketed_asof_join(left, right, by="k", on="t")
+
+
+def test_range_join_semantics(ray_session):
+    from vector_ray.stages.shuffle import bucketed_range_join
+
+    left = pa.table(
+        {
+            "id": pa.array(list(range(6)), pa.int64()),
+            "v": pa.array([0.0, 4.9, 5.0, 7.5, 9.99, 10.0], pa.float64()),
+        }
+    )
+    # [0,5) ; [5,10) ; wide [0,10) overlaps both; empty [100,200)
+    right = pa.table(
+        {
+            "band": pa.array(["a", "b", "wide", "none"]),
+            "lo": pa.array([0.0, 5.0, 0.0, 100.0], pa.float64()),
+            "hi": pa.array([5.0, 10.0, 10.0, 200.0], pa.float64()),
+        }
+    )
+    out = (
+        bucketed_range_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            value="v", lo="lo", hi="hi", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["id", "band"])
+    )
+    by_id = out.groupby("id")["band"].apply(lambda s: sorted(s))
+    assert by_id[0] == ["a", "wide"]       # lo inclusive
+    assert by_id[1] == ["a", "wide"]
+    assert by_id[2] == ["b", "wide"]       # 5.0 crosses into [5,10)
+    assert by_id[4] == ["b", "wide"]
+    assert 5 not in by_id.index            # 10.0 >= every hi (exclusive)
+    assert "none" not in set(out.band)

@@ -1324,6 +1324,37 @@ def q_asof_purchases(sf_dir: str):
     return bucketed_asof_join(left, right, by="user_id", on="ts")
 
 
+_VALUE_BANDS = [
+    ("low", 0.0, 20.0),
+    ("mid", 15.0, 60.0),   # overlaps low AND high: many-to-many join
+    ("high", 50.0, 120.0),
+]
+
+
+def q_range_join_events(sf_dir: str):
+    """Range (interval) join: every event matched to every value band
+    containing it (bucketed interval-replication join vs a DuckDB
+    inequality join; overlapping bands make it many-to-many)."""
+    from vector_ray.stages.shuffle import bucketed_range_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    bands = rd.from_arrow(
+        pa.table(
+            {
+                "band": pa.array([b for b, _, _ in _VALUE_BANDS]),
+                "lo": pa.array([lo for _, lo, _ in _VALUE_BANDS], pa.float64()),
+                "hi": pa.array([hi for _, _, hi in _VALUE_BANDS], pa.float64()),
+            }
+        )
+    )
+    return bucketed_range_join(
+        events, bands, value="value", lo="lo", hi="hi", num_buckets=8,
+        bounds=(0.0, 120.0),
+    )
+
+
 def q_parse_grok_corpus(sf_dir: str):
     """Grok parse of the corpus syslog-ish message line
     (%{PATTERN:field:type} expanded to one vectorized extract_regex)."""
@@ -1432,6 +1463,7 @@ QUERIES = {
     "media_resample_wav": q_media_resample_wav,
     "parse_grok_corpus": q_parse_grok_corpus,
     "asof_purchases": q_asof_purchases,
+    "range_join_events": q_range_join_events,
     "split_counts_corpus": q_split_counts,
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
@@ -1532,6 +1564,12 @@ def _tokens_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_tok) AS BIGINT) AS sum_tok "
             f"FROM read_parquet('{seq}') GROUP BY 1, 2"
+        ),
+        "range_join_events": (
+            "WITH bands(band, lo, hi) AS (VALUES "
+            "('low', 0.0, 20.0), ('mid', 15.0, 60.0), ('high', 50.0, 120.0)) "
+            "SELECT e.event_id, e.value, b.band, b.lo, b.hi FROM events e "
+            "JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
         ),
         "asof_purchases": (
             "WITH p0 AS (SELECT user_id, ts, event_id AS purchase_id, "

@@ -389,3 +389,133 @@ def bucketed_asof_join(
     return both.groupby(BUCKET_COLUMN).map_groups(
         merge_bucket, batch_format="pyarrow"
     )
+
+
+def bucketed_range_join(
+    left,
+    right,
+    value: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    num_buckets: int = 16,
+    bounds: tuple | None = None,
+    suffix: str = "_r",
+):
+    """Distributed range (interval) join: each left row matches every
+    right interval with ``lo <= value < hi`` (inner, many-to-many —
+    overlapping intervals emit one output row per match).
+
+    Scale shape: the value domain is cut into ``num_buckets`` uniform
+    ranges; every left row hashes to exactly ONE bucket (its value's
+    range) while each interval is REPLICATED to all buckets it overlaps
+    — so a match can only happen in the left row's bucket and no
+    duplicates arise. One shuffle total; per bucket the match is a
+    numpy mask per resident interval (vectorized over the left side).
+    Partitioning assumption: intervals-per-bucket stays modest (wide
+    intervals replicate widely); pick num_buckets to match the interval
+    width distribution.
+
+    ``bounds=(min, max)`` of the value domain skips the extra min/max
+    pass over the left side.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    left_cols = list(lschema.names)
+    rename = {
+        c: (f"{c}{suffix}" if c in left_cols else c) for c in rschema.names
+    }
+    right_out = [rename[c] for c in rschema.names]
+    types: dict[str, pa.DataType] = dict(ltypes)
+    for name, typ in zip(rschema.names, rschema.types):
+        types[rename[name]] = typ
+    all_cols = list(dict.fromkeys(left_cols + right_out))
+    rlo, rhi = rename[lo], rename[hi]
+
+    if bounds is None:
+        vmin = left.min(value)
+        vmax = left.max(value)
+    else:
+        vmin, vmax = bounds
+    vmin, vmax = float(vmin), float(vmax)
+    width = (vmax - vmin) / num_buckets or 1.0
+
+    def _bucket_of(vals: np.ndarray) -> np.ndarray:
+        b = np.floor((vals - vmin) / width).astype(np.int64)
+        return np.clip(b, 0, num_buckets - 1)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        vals = t[value].combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {}
+        for c in all_cols:
+            if c in t.column_names:
+                v = t[c]
+                cols[c] = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            else:
+                cols[c] = pa.nulls(t.num_rows, types[c])
+        cols[BUCKET_COLUMN] = pa.array(_bucket_of(vals.astype(np.float64)))
+        cols["__side"] = pa.array(["l"] * t.num_rows)
+        return pa.table(cols)
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([rename[c] for c in t.column_names])
+        los = t[rlo].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        his = t[rhi].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        b_lo = _bucket_of(los)
+        # hi is exclusive: an interval touching a bucket's start only
+        # via hi does not overlap it
+        b_hi = _bucket_of(np.nextafter(his, -np.inf))
+        reps = (b_hi - b_lo + 1).astype(np.int64)
+        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        offsets = np.concatenate([[0], np.cumsum(reps)])
+        buckets = np.concatenate(
+            [np.arange(b_lo[i], b_hi[i] + 1) for i in range(t.num_rows)]
+        ) if t.num_rows else np.empty(0, np.int64)
+        rt = t.take(pa.array(row_idx))
+        cols = {}
+        for c in all_cols:
+            if c in rt.column_names:
+                v = rt[c]
+                cols[c] = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            else:
+                cols[c] = pa.nulls(rt.num_rows, types[c])
+        cols[BUCKET_COLUMN] = pa.array(buckets)
+        cols["__side"] = pa.array(["r"] * rt.num_rows)
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(replicate_right, batch_format="pyarrow")
+    )
+
+    def match_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        is_l = pc.equal(side, "l")
+        l = g.filter(is_l).combine_chunks()
+        r = g.filter(pc.invert(is_l)).combine_chunks()
+        empty = pa.table({c: pa.array([], types[c]) for c in all_cols})
+        if l.num_rows == 0 or r.num_rows == 0:
+            return empty
+        vals = l[value].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        los = r[rlo].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        his = r[rhi].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        out_parts = []
+        for i in range(r.num_rows):  # intervals per bucket assumed modest
+            mask = (vals >= los[i]) & (vals < his[i])
+            if not mask.any():
+                continue
+            lm = l.filter(pa.array(mask))
+            cols = {c: lm[c] for c in left_cols}
+            for c in right_out:
+                cols[c] = pa.concat_arrays(
+                    [r[c].combine_chunks().slice(i, 1)] * lm.num_rows
+                ) if lm.num_rows else pa.array([], types[c])
+            out_parts.append(pa.table({c: cols[c] for c in all_cols}))
+        if not out_parts:
+            return empty
+        return pa.concat_tables(out_parts)
+
+    return both.groupby(BUCKET_COLUMN).map_groups(
+        match_bucket, batch_format="pyarrow"
+    )
