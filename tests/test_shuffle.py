@@ -169,3 +169,62 @@ def test_range_join_semantics(ray_session):
     assert by_id[4] == ["b", "wide"]
     assert 5 not in by_id.index            # 10.0 >= every hi (exclusive)
     assert "none" not in set(out.band)
+
+
+def test_asof_join_null_keys(ray_session):
+    """Null by/on values match nothing (SQL semantics) instead of
+    corrupting the int64 composite via a NaN round-trip."""
+    from vector_ray.stages.shuffle import bucketed_asof_join
+
+    left = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "k": pa.array(["a", None, "a"]),
+            "t": pa.array([25, 25, None], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["a", None]),
+            "t": pa.array([10, 5], pa.int64()),
+            "snap": pa.array([100, 999], pa.int64()),
+        }
+    )
+    out = (
+        bucketed_asof_join(
+            rd.from_arrow(left), rd.from_arrow(right), by="k", on="t"
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out.snap.tolist()[0] == 100          # normal match survives
+    assert pd.isna(out.snap.tolist()[1])        # null key -> no match
+    assert pd.isna(out.snap.tolist()[2])        # null on  -> no match
+    assert len(out) == 3                        # left join keeps all rows
+
+    inner = bucketed_asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), by="k", on="t", how="inner"
+    ).to_pandas()
+    assert inner.id.tolist() == [1]
+
+
+def test_range_join_inverted_interval(ray_session):
+    """hi <= lo intervals are empty: dropped, not a crash."""
+    from vector_ray.stages.shuffle import bucketed_range_join
+
+    left = pa.table(
+        {"id": pa.array([0, 1], pa.int64()),
+         "v": pa.array([1.0, 6.0], pa.float64())}
+    )
+    right = pa.table(
+        {
+            "band": pa.array(["ok", "empty", "inverted"]),
+            "lo": pa.array([0.0, 3.0, 8.0], pa.float64()),
+            "hi": pa.array([10.0, 3.0, 2.0], pa.float64()),
+        }
+    )
+    out = bucketed_range_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        value="v", num_buckets=3,
+    ).to_pandas()
+    assert sorted(out.band) == ["ok", "ok"]

@@ -316,9 +316,27 @@ def bucketed_asof_join(
         is_l = pc.equal(side, "l")
         l = g.filter(is_l).combine_chunks()
         r = g.filter(pc.invert(is_l)).combine_chunks()
+        # SQL semantics: a null key or null 'on' matches nothing. Nulls
+        # would otherwise corrupt the int64 composite (NaN round-trip).
+        r = r.filter(
+            pc.and_(pc.is_valid(r[by]), pc.is_valid(r[on]))
+        ).combine_chunks()
+        l_ok = pc.and_(pc.is_valid(l[by]), pc.is_valid(l[on]))
+        l_null = l.filter(pc.invert(l_ok)).combine_chunks()
+        l = l.filter(l_ok).combine_chunks()
+
+        def _with_null_left(out: pa.Table) -> pa.Table:
+            if how == "inner" or l_null.num_rows == 0:
+                return out
+            cols = {c: l_null[c] for c in left_cols}
+            for c in right_out:
+                cols[c] = pa.nulls(l_null.num_rows, types[c])
+            pad = pa.table({c: cols[c] for c in all_cols})
+            return pa.concat_tables([out, pad])
+
         if l.num_rows == 0:
-            return pa.table(
-                {c: pa.array([], types[c]) for c in all_cols}
+            return _with_null_left(
+                pa.table({c: pa.array([], types[c]) for c in all_cols})
             )
         if r.num_rows == 0:
             # no snapshot rows in this bucket: left join yields all-null
@@ -328,7 +346,7 @@ def bucketed_asof_join(
             cols = {c: l[c] for c in left_cols}
             for c in right_out:
                 cols[c] = pa.nulls(l.num_rows, types[c])
-            return pa.table({c: cols[c] for c in all_cols})
+            return _with_null_left(pa.table({c: cols[c] for c in all_cols}))
         # key codes shared across both sides via one dictionary encode
         key_all = pa.chunked_array(
             list(l[by].chunks) + list(r[by].chunks), type=types[by]
@@ -384,7 +402,7 @@ def bucketed_asof_join(
         out = pa.table({c: cols[c] for c in all_cols})
         if how == "inner":
             out = out.filter(pa.array(valid))
-        return out
+        return _with_null_left(out)
 
     return both.groupby(BUCKET_COLUMN).map_groups(
         merge_bucket, batch_format="pyarrow"
@@ -433,8 +451,12 @@ def bucketed_range_join(
     rlo, rhi = rename[lo], rename[hi]
 
     if bounds is None:
-        vmin = left.min(value)
-        vmax = left.max(value)
+        # one aggregate pass, not two — left's lineage would otherwise
+        # re-execute for .min and again for .max
+        from ray.data.aggregate import Max, Min
+
+        mm = left.aggregate(Min(value), Max(value))
+        vmin, vmax = mm[f"min({value})"], mm[f"max({value})"]
     else:
         vmin, vmax = bounds
     vmin, vmax = float(vmin), float(vmax)
@@ -465,12 +487,12 @@ def bucketed_range_join(
         # hi is exclusive: an interval touching a bucket's start only
         # via hi does not overlap it
         b_hi = _bucket_of(np.nextafter(his, -np.inf))
-        reps = (b_hi - b_lo + 1).astype(np.int64)
+        # empty/inverted intervals (hi <= lo) replicate nowhere
+        reps = np.maximum((b_hi - b_lo + 1), 0).astype(np.int64)
         row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
-        offsets = np.concatenate([[0], np.cumsum(reps)])
         buckets = np.concatenate(
-            [np.arange(b_lo[i], b_hi[i] + 1) for i in range(t.num_rows)]
-        ) if t.num_rows else np.empty(0, np.int64)
+            [np.arange(b_lo[i], b_hi[i] + 1) for i in range(t.num_rows) if reps[i]]
+        ) if row_idx.size else np.empty(0, np.int64)
         rt = t.take(pa.array(row_idx))
         cols = {}
         for c in all_cols:
