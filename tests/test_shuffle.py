@@ -171,6 +171,38 @@ def test_range_join_semantics(ray_session):
     assert "none" not in set(out.band)
 
 
+def test_join_semi_anti_full(ray_session):
+    from vector_ray.stages.shuffle import bucketed_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 4], pa.int64()),
+         "lv": pa.array(["a", "b", "c", "d"])}
+    )
+    # duplicate keys on the right: semi/anti must not multiply left rows
+    right = pa.table(
+        {"k": pa.array([2, 2, 4, 9], pa.int64()),
+         "rv": pa.array([20, 21, 40, 90], pa.int64())}
+    )
+    semi = bucketed_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", num_buckets=2, how="semi"
+    ).to_pandas().sort_values("k")
+    assert semi.k.tolist() == [2, 4]
+    assert list(semi.columns) == ["k", "lv"]
+
+    anti = bucketed_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", num_buckets=2, how="anti"
+    ).to_pandas().sort_values("k")
+    assert anti.k.tolist() == [1, 3]
+
+    full = bucketed_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", num_buckets=2, how="full"
+    ).to_pandas().sort_values(["k", "rv"])
+    # key 9 exists only on the right: full outer keeps it with null lv
+    assert sorted(full.k.tolist()) == [1, 2, 2, 3, 4, 9]
+    assert full[full.k == 9].lv.isna().all()
+    assert full[full.k == 1].rv.isna().all()
+
+
 def test_asof_join_null_keys(ray_session):
     """Null by/on values match nothing (SQL semantics) instead of
     corrupting the int64 composite via a NaN round-trip."""

@@ -545,6 +545,52 @@ def q_join_orders_customer(sf_dir: str):
     )
 
 
+def _customer_vs_event_users(sf_dir: str, how: str):
+    """customer semi/anti-joined against the set of event user ids —
+    the contamination-filter shape (keep rows whose key is (not) in a
+    large blocklist) as one bucketed shuffle, duplicate-heavy right side."""
+    from vector_ray.stages.shuffle import bucketed_join
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    users = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+    return bucketed_join(customer, users, "c_custkey", num_buckets=16, how=how)
+
+
+def q_semi_join_customers(sf_dir: str):
+    return _customer_vs_event_users(sf_dir, "semi")
+
+
+def q_anti_join_customers(sf_dir: str):
+    return _customer_vs_event_users(sf_dir, "anti")
+
+
+def q_full_join_user_counts(sf_dir: str):
+    """Full outer bucketed join: per-user event counts against the
+    customer table. Exercises left-only keys (user 0 has no customer
+    row) and right-only keys (customers above 149 have no events)."""
+    from vector_ray.stages.shuffle import bucketed_join
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .groupby("user_id")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["c_custkey", "n_events"]),
+            batch_format="pyarrow",
+        )
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return bucketed_join(counts, customer, "c_custkey", num_buckets=16, how="full")
+
+
 def q_topk_orders(sf_dir: str):
     """Global sort + limit (the tap/test top-k pattern,
     functional_test.rs:206-212): 10 most expensive orders."""
@@ -1424,6 +1470,9 @@ QUERIES = {
     "filter_datadog_events": q_filter_datadog_events,
     "topk_per_source": q_topk_per_source,
     "join_orders_customer": q_join_orders_customer,
+    "semi_join_customers": q_semi_join_customers,
+    "anti_join_customers": q_anti_join_customers,
+    "full_join_user_counts": q_full_join_user_counts,
     "topk_orders": q_topk_orders,
     "distinct_sources": q_distinct_sources,
     "union_names": q_union_names,
@@ -1752,6 +1801,21 @@ def oracle_sql() -> dict[str, str]:
             "join_orders_customer": (
                 "SELECT o_orderkey, o_custkey, o_totalprice, c_name "
                 "FROM orders JOIN customer ON o_custkey = c_custkey"
+            ),
+            "semi_join_customers": (
+                "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+                "(SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)"
+            ),
+            "anti_join_customers": (
+                "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+                "(SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)"
+            ),
+            "full_join_user_counts": (
+                "SELECT COALESCE(u.user_id, c.c_custkey) AS c_custkey, "
+                "u.n_events, c.c_name FROM "
+                "(SELECT user_id, count(*) AS n_events FROM events "
+                " GROUP BY user_id) u "
+                "FULL JOIN customer c ON u.user_id = c.c_custkey"
             ),
             "ann_topk": (
                 "SELECT e.vec_id, "

@@ -153,11 +153,19 @@ def bucketed_join(
     """Explicit partitioned hash join of two large Datasets.
 
     One hash shuffle total: both sides are tagged, unioned, bucketed on
-    the join key, and each bucket joins its two sides with a pandas
-    merge inside ``map_groups``.
+    the join key, and each bucket joins its two sides Arrow-natively
+    inside ``map_groups``.
+
+    ``how``: inner | left | full — row-combining joins; semi | anti —
+    filtering joins that return LEFT columns only (anti is the
+    contamination-filter shape: keep left rows with NO key match in
+    right, e.g. drop training docs whose fingerprint appears in an
+    eval-set blocklist).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"unsupported join type {how!r} (inner | left)")
+    if how not in ("inner", "left", "full", "semi", "anti"):
+        raise ValueError(
+            f"unsupported join type {how!r} (inner | left | full | semi | anti)"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     lschema, rschema = left.schema(), right.schema()
     left_cols = list(lschema.names)
@@ -209,7 +217,14 @@ def bucketed_join(
     rt = right.map_batches(tag("r"), batch_format="pyarrow")
     both = lt.union(rt)
 
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = {
+        "inner": "inner",
+        "left": "left outer",
+        "full": "full outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }[how]
+    out_cols = left_cols if how in ("semi", "anti") else all_cols
 
     def join_bucket(g: pa.Table) -> pa.Table:
         # arrow-native per-bucket hash join: a pandas round-trip would
@@ -221,7 +236,7 @@ def bucketed_join(
         l = g.filter(pc.equal(side, "l")).select(left_cols).combine_chunks()
         r = g.filter(pc.equal(side, "r")).select(right_cols).combine_chunks()
         out = l.join(r, keys=keys, join_type=join_type)
-        return out.select(all_cols).combine_chunks()
+        return out.select(out_cols).combine_chunks()
 
     return both.groupby(BUCKET_COLUMN).map_groups(
         join_bucket, batch_format="pyarrow"
