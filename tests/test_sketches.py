@@ -1,0 +1,149 @@
+"""Mergeable sketch aggregates (functions/sketches.py): accuracy
+bounds, merge-order invariance, null handling, and the grouped
+aggregate integration."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from vector_ray.functions.sketches import (
+    HLL_M,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+    ll_indices,
+    ll_merge,
+    ll_quantile,
+    ll_value,
+)
+from vector_ray.stages.core import _stable_hash_u64
+
+
+def _hashes(values) -> np.ndarray:
+    return _stable_hash_u64(pa.array([str(v) for v in values]))
+
+
+def test_hll_error_bound():
+    # 3 sigma of the published 1.04/sqrt(m) standard error
+    for n in (100, 5_000, 50_000):
+        est = hll_estimate(hll_registers(_hashes(range(n))))
+        assert abs(est - n) / n < 3 * 1.04 / np.sqrt(HLL_M), (n, est)
+
+
+def test_hll_duplicates_do_not_inflate():
+    vals = [f"u{i % 500}" for i in range(20_000)]
+    est = hll_estimate(hll_registers(_hashes(vals)))
+    assert abs(est - 500) / 500 < 0.05
+
+
+def test_hll_merge_equals_whole():
+    """Register-max merge of arbitrary splits == sketch of the union
+    (the property that makes the shuffle order irrelevant)."""
+    all_vals = [f"k{i}" for i in range(10_000)]
+    whole = hll_registers(_hashes(all_vals))
+    parts = [
+        hll_registers(_hashes(all_vals[i::7])).tobytes() for i in range(7)
+    ]
+    assert np.array_equal(hll_merge(parts), whole)
+
+
+def test_ll_quantile_relative_error():
+    rng = np.random.default_rng(42)
+    vals = np.exp(rng.normal(3, 2, size=20_000))  # heavy-tailed
+    u, c = ll_merge(ll_indices(vals), np.ones(len(vals), np.int64))
+    for q in (0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q, method="lower")
+        approx = ll_quantile(u, c, q)
+        assert abs(approx - exact) / exact < 2 ** -(7 + 1) + 1e-12, (q, approx, exact)
+
+
+def test_ll_negative_zero_and_order():
+    vals = np.array([-100.0, -1.5, 0.0, 0.0, 2.0, 300.0])
+    ix = ll_indices(vals)
+    assert (np.diff(ix) >= 0).all()  # index order == value order
+    u, c = ll_merge(ix, np.ones(len(vals), np.int64))
+    assert ll_quantile(u, c, 0.0) == pytest.approx(-100.0, rel=0.01)
+    assert ll_quantile(u, c, 1.0) == pytest.approx(300.0, rel=0.01)
+    # rank 2 and 3 are the zeros
+    assert ll_quantile(u, c, 0.5) == 0.0
+
+
+def test_ll_value_roundtrip():
+    for v in (1e-300, 0.007, 1.0, 123456.789, 8.8e250):
+        for s in (v, -v):
+            ix = int(ll_indices(np.array([s]))[0])
+            rep = ll_value(ix)
+            assert abs(rep - s) / abs(s) <= 2 ** -8, (s, rep)
+
+
+def test_ll_rejects_non_finite():
+    with pytest.raises(ValueError):
+        ll_indices(np.array([1.0, np.inf]))
+
+
+def test_aggregate_sketch_integration(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import aggregate
+
+    rng = np.random.default_rng(7)
+    n = 30_000
+    keys = np.where(rng.random(n) < 0.5, "a", "b")
+    users = rng.integers(0, 2_000, size=n)
+    vals = rng.gamma(2.0, 10.0, size=n)
+    t = pa.table(
+        {
+            "k": pa.array(keys),
+            "user": pa.array(users, pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    out = aggregate(
+        ds,
+        {
+            "group_by": ["k"],
+            "aggregates": {
+                "nd": {"fn": "approx_count_distinct", "field": "user"},
+                "p90": {"fn": "approx_p90", "field": "v"},
+                "qq": {"fn": "approx_quantile", "field": "v", "q": 0.5},
+            },
+        },
+    ).to_pandas().set_index("k")
+    import pandas as pd
+
+    df = t.to_pandas()
+    for k, grp in df.groupby("k"):
+        exact_nd = grp.user.nunique()
+        assert abs(out.loc[k, "nd"] - exact_nd) / exact_nd < 0.05
+        exact_p90 = np.quantile(grp.v, 0.9, method="lower")
+        assert abs(out.loc[k, "p90"] - exact_p90) / exact_p90 < 0.01
+        exact_med = np.quantile(grp.v, 0.5, method="lower")
+        assert abs(out.loc[k, "qq"] - exact_med) / exact_med < 0.01
+
+
+def test_aggregate_sketch_nulls_ignored(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import aggregate
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 6),
+            "u": pa.array([1, 1, 2, None, None, 3], pa.int64()),
+            "v": pa.array([10.0, None, 20.0, 30.0, None, 40.0]),
+        }
+    )
+    out = aggregate(
+        rd.from_arrow(t).repartition(3),
+        {
+            "group_by": ["k"],
+            "aggregates": {
+                "nd": {"fn": "approx_count_distinct", "field": "u"},
+                "med": {"fn": "approx_p50", "field": "v"},
+            },
+        },
+    ).to_pandas()
+    assert out.nd.tolist() == [3]
+    # values {10,20,30,40}: rank floor(0.5*3)=1 -> 20 (within bucket error)
+    assert abs(out.med[0] - 20.0) / 20.0 < 0.01

@@ -502,6 +502,100 @@ def golden_media_resample(n=200, seed=11, out_rate=16000) -> pa.Table:
     )
 
 
+def _fmix64_int(h: int) -> int:
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) % U64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) % U64
+    h ^= h >> 33
+    return h
+
+
+def golden_agg_sketch(events: pa.Table) -> pa.Table:
+    """Independent recomputation of q_agg_sketch_events: HyperLogLog
+    (P=12, fmix64 over FNV-1a of the value's string form) + log-linear
+    histogram quantiles (K=7 mantissa bits via math.frexp), all
+    per-row Python loops and exact-int register/denominator math."""
+    import math
+
+    P, M = 12, 1 << 12
+    SUB, OFF = 1 << 7, 1100
+    groups: dict[str, dict] = {}
+    for et, uid, val in zip(
+        events["event_type"].to_pylist(),
+        events["user_id"].to_pylist(),
+        events["value"].to_pylist(),
+    ):
+        g = groups.setdefault(et, {"reg": [0] * M, "hist": {}, "n": 0})
+        h = _fmix64_int(fnv1a(str(uid)))
+        ridx = h >> (64 - P)
+        w = (h << P) % U64
+        rho = (64 + 1 - w.bit_length()) if w > 0 else (64 - P) + 1
+        if rho > g["reg"][ridx]:
+            g["reg"][ridx] = rho
+        v = float(val)
+        if v == 0.0:
+            bix = 0
+        else:
+            mant, exp = math.frexp(abs(v))
+            sub = int(math.floor((mant - 0.5) * (2 * SUB)))
+            pidx = (exp + OFF) * SUB + sub
+            bix = -pidx if v < 0 else pidx
+        g["hist"][bix] = g["hist"].get(bix, 0) + 1
+        g["n"] += 1
+
+    alpha = 0.7213 / (1 + 1.079 / M)
+    shift = (64 - P) + 1
+
+    def estimate(reg) -> int:
+        denom, zeros = 0, 0
+        for r in reg:
+            denom += 1 << (shift - r)
+            if r == 0:
+                zeros += 1
+        e = alpha * M * M * float(1 << shift) / float(denom)
+        if e <= 2.5 * M and zeros:
+            e = M * math.log(M / zeros)
+        return int(math.floor(e + 0.5))
+
+    def quantile(hist, n, q) -> float:
+        rank = int(math.floor(q * (n - 1)))
+        cum = 0
+        for bix in sorted(hist):
+            cum += hist[bix]
+            if cum >= rank + 1:
+                if bix == 0:
+                    return 0.0
+                sign = -1.0 if bix < 0 else 1.0
+                p = -bix if bix < 0 else bix
+                return sign * math.ldexp(
+                    0.5 + (2 * (p % SUB) + 1) / (4.0 * SUB), p // SUB - OFF
+                )
+        raise AssertionError("rank beyond histogram")
+
+    ets = sorted(groups)
+    return pa.table(
+        {
+            "event_type": pa.array(ets, pa.string()),
+            "nd_users": pa.array(
+                [estimate(groups[e]["reg"]) for e in ets], pa.int64()
+            ),
+            "ap50": pa.array(
+                [round_half_away(quantile(groups[e]["hist"], groups[e]["n"], 0.5), 6) for e in ets],
+                pa.float64(),
+            ),
+            "ap90": pa.array(
+                [round_half_away(quantile(groups[e]["hist"], groups[e]["n"], 0.9), 6) for e in ets],
+                pa.float64(),
+            ),
+            "ap99": pa.array(
+                [round_half_away(quantile(groups[e]["hist"], groups[e]["n"], 0.99), 6) for e in ets],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 GOLDENS = {
     "simhash_documents": lambda: golden_simhash(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
@@ -518,6 +612,12 @@ GOLDENS = {
     "media_resample_wav": golden_media_resample,
     "embedding_dups_lsh": lambda: golden_embedding_dups_lsh(
         pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ),
+    "agg_sketch_events": lambda: golden_agg_sketch(
+        pq.read_table(
+            f"{SF_DIR}/events.parquet",
+            columns=["event_type", "user_id", "value"],
+        )
     ),
 }
 

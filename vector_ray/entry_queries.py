@@ -832,6 +832,32 @@ def q_agg_quantile_events(sf_dir: str):
     return _collect(agg)
 
 
+def q_agg_sketch_events(sf_dir: str):
+    """Mergeable-sketch aggregates (functions/sketches.py) — the 100 TB
+    path beside the exact quantile/count_distinct: HyperLogLog distinct
+    users + log-linear-histogram quantiles per event type.  The shuffle
+    moves fixed-size sketch state per (key, batch), never value lists.
+    Deterministic (no RNG, no libm bucketing), so oracle-checked
+    against the independent reimplementation in tools/make_goldens.py."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    agg = grouped.aggregate(
+        ds,
+        {
+            "group_by": ["event_type"],
+            "aggregates": {
+                "nd_users": {"fn": "approx_count_distinct", "field": "user_id"},
+                "ap50": {"fn": "approx_p50", "field": "value"},
+                "ap90": {"fn": "approx_p90", "field": "value"},
+                "ap99": {"fn": "approx_quantile", "field": "value", "q": 0.99},
+            },
+            "round": 6,
+        },
+    )
+    return _collect(agg)
+
+
 def q_reduce_ends_when_events(sf_dir: str):
     """reduce with the ends_when window-close predicate
     (config_panel.rs:1771-1791): a purchase event closes the window."""
@@ -1485,6 +1511,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
     "agg_quantile_events": q_agg_quantile_events,
+    "agg_sketch_events": q_agg_sketch_events,
     "reduce_ends_when_events": q_reduce_ends_when_events,
     "enrich_customer_csv": q_enrich_customer_csv,
     "remap_timestamp_events": q_remap_timestamp_events,
@@ -1976,6 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features_wavbmp",
         "media_resize_bmp",
         "media_resample_wav",
+        "agg_sketch_events",
     ):
         sql[name] = f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
     return sql

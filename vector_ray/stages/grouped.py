@@ -218,7 +218,10 @@ def reduce_(ds, options: dict, ctx=None):
 #   options = {"group_by": [...],
 #              "aggregates": {out_name: {"fn": "sum|count|mean|min|max"
 #                                              "|count_distinct|quantile"
-#                                              "|p50|p90|p99|median",
+#                                              "|p50|p90|p99|median"
+#                                              "|approx_count_distinct"
+#                                              "|approx_quantile"
+#                                              "|approx_p50|approx_p90|...",
 #                                        "field": col, "q": float}},
 #              "round": int | None}
 # Phase 1 (map_batches): pa.Table.group_by per batch → one partial row per
@@ -237,10 +240,18 @@ def reduce_(ds, options: dict, ctx=None):
 
 _PA_FN = {"sum": "sum", "min": "min", "max": "max"}
 _QUANTILE_FN = {"p50": 0.5, "median": 0.5, "p90": 0.9, "p99": 0.99}
+_APPROX_QUANTILE_FN = {
+    "approx_p50": 0.5,
+    "approx_median": 0.5,
+    "approx_p90": 0.9,
+    "approx_p99": 0.99,
+}
 
 
 def _agg_q(fn: str, spec: dict) -> float:
-    return float(spec.get("q")) if fn == "quantile" else _QUANTILE_FN[fn]
+    if fn in ("quantile", "approx_quantile"):
+        return float(spec.get("q"))
+    return _QUANTILE_FN.get(fn) or _APPROX_QUANTILE_FN[fn]
 
 
 def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
@@ -250,6 +261,11 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
     # buckets): count rows with field <= le, two-phase via a 0/1
     # indicator column summed like any other partial
     ind_specs = []  # (out, field, le)
+    # sketch aggregates (functions/sketches.py): the per-batch partial
+    # is FIXED-SIZE state per key (HLL registers / occupied log-linear
+    # buckets), so the shuffle cost is independent of rows-per-key —
+    # the 100 TB path next to the exact list-carrying variants
+    sketch_specs = []  # (out, "hll" | "ll", field)
     for out, spec in aggregates.items():
         fn, field = spec["fn"], spec.get("field")
         if fn == "count":
@@ -263,6 +279,12 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
             specs.append(("list", field, f"__pl_{out}"))
         elif fn == "count_distinct":
             specs.append(("distinct", field, f"__pd_{out}"))
+        elif fn == "approx_count_distinct":
+            specs.append(("list", f"__skh_{out}", f"__raw_{out}"))
+            sketch_specs.append((out, "hll", field))
+        elif fn in _APPROX_QUANTILE_FN or fn == "approx_quantile":
+            specs.append(("list", f"__skx_{out}", f"__raw_{out}"))
+            sketch_specs.append((out, "ll", field))
         elif fn == "count_le":
             ind_specs.append((out, field, float(spec["le"])))
             specs.append(("sum", f"__ind_{out}", f"__p_{out}"))
@@ -278,6 +300,47 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
                 f"__ind_{out}",
                 ind.combine_chunks() if isinstance(ind, pa.ChunkedArray) else ind,
             )
+        # whole-batch vectorized sketch inputs: the FNV value hash for
+        # HLL, the log-linear bucket index for approx quantiles; the
+        # arrow group_by then only collects small per-key lists of them
+        for out, kind, field in sketch_specs:
+            col = t[field]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if kind == "hll":
+                if pa.types.is_floating(col.type):
+                    raise ValueError(
+                        "approx_count_distinct over float columns is not "
+                        "supported (string form is not canonical); cast "
+                        "or hash upstream"
+                    )
+                from vector_ray.functions.sketches import HLL_NULL
+                from vector_ray.stages.core import _stable_hash_u64
+
+                h = _stable_hash_u64(pc.cast(col, pa.string()))
+                # nulls don't count as a distinct value: tag them with a
+                # sentinel the register builder skips (a real value
+                # hashing to it is a 2^-64 event inside a ~1.6 %-error op)
+                if col.null_count:
+                    nulls = np.asarray(
+                        pc.is_null(col).to_numpy(zero_copy_only=False)
+                    )
+                    h = np.where(nulls, HLL_NULL, h)
+                t = t.append_column(f"__skh_{out}", pa.array(h, pa.uint64()))
+            else:
+                from vector_ray.functions.sketches import LL_NULL, ll_indices
+
+                vals = pc.cast(col, pa.float64())
+                npv = vals.to_numpy(zero_copy_only=False)
+                # nulls arrive as NaN from to_numpy: tag with the null
+                # sentinel (dropped at the per-key conversion below)
+                if col.null_count:
+                    null_mask = np.isnan(npv)
+                    ix = ll_indices(np.where(null_mask, 0.0, npv))
+                    ix = np.where(null_mask, LL_NULL, ix)
+                else:
+                    ix = ll_indices(npv)
+                t = t.append_column(f"__skx_{out}", pa.array(ix, pa.int64()))
         return t
 
     def partial(t: pa.Table) -> pa.Table:
@@ -285,6 +348,8 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
         if t.num_rows == 0:
             cols = {c: pa.array([], t.schema.field(c).type) for c in group_by}
             for kind, field, name in specs:
+                if name.startswith("__raw_"):
+                    continue  # sketch partials are emitted below
                 if kind == "count":
                     typ = pa.int64()
                 elif kind in ("list", "distinct"):
@@ -296,6 +361,12 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
                 elif kind == "sum":
                     typ = pa.float64()
                 cols[name] = pa.array([], typ)
+            for out, kind, _ in sketch_specs:
+                if kind == "hll":
+                    cols[f"__ph_{out}"] = pa.array([], pa.binary())
+                else:
+                    cols[f"__pi_{out}"] = pa.array([], pa.list_(pa.int64()))
+                    cols[f"__pn_{out}"] = pa.array([], pa.list_(pa.int64()))
             return pa.table(cols)
         agg_specs, renames, seen = [], {}, set()
         for kind, field, name in specs:
@@ -314,6 +385,38 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
         for src, names in renames.items():
             for name in names:
                 cols[name] = g[src]
+        # collapse each key's sketch-input list into fixed-size state:
+        # HLL register bytes / occupied (bucket, count) pairs — this is
+        # what crosses the shuffle instead of the raw values
+        for out, kind, _ in sketch_specs:
+            raw = cols.pop(f"__raw_{out}")
+            if isinstance(raw, pa.ChunkedArray):
+                raw = raw.combine_chunks()
+            if kind == "hll":
+                from vector_ray.functions.sketches import HLL_NULL, hll_registers
+
+                regs = []
+                for i in range(len(raw)):
+                    hs = np.asarray(
+                        raw[i].values.to_numpy(zero_copy_only=False)
+                    ).astype(np.uint64)
+                    hs = hs[hs != HLL_NULL]
+                    regs.append(hll_registers(hs).tobytes())
+                cols[f"__ph_{out}"] = pa.array(regs, pa.binary())
+            else:
+                from vector_ray.functions.sketches import LL_NULL
+
+                idx_lists, cnt_lists = [], []
+                for i in range(len(raw)):
+                    ix = np.asarray(
+                        raw[i].values.to_numpy(zero_copy_only=False), np.int64
+                    )
+                    ix = ix[ix != LL_NULL]
+                    u, c = np.unique(ix, return_counts=True)
+                    idx_lists.append(u.tolist())
+                    cnt_lists.append(c.tolist())
+                cols[f"__pi_{out}"] = pa.array(idx_lists, pa.list_(pa.int64()))
+                cols[f"__pn_{out}"] = pa.array(cnt_lists, pa.list_(pa.int64()))
         return pa.table(cols)
 
     return partial
@@ -385,6 +488,31 @@ def _aggregate_with_lists(ds, group_by, aggregates, ndigits):
                 out[name] = pa.array(
                     [len(pc.unique(flat.drop_null()))], pa.int64()
                 )
+            elif fn == "approx_count_distinct":
+                from vector_ray.functions.sketches import hll_estimate, hll_merge
+
+                col = g[f"__ph_{name}"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                reg = hll_merge(col.to_pylist())
+                out[name] = pa.array([hll_estimate(reg)], pa.int64())
+            elif fn in _APPROX_QUANTILE_FN or fn == "approx_quantile":
+                from vector_ray.functions.sketches import ll_merge, ll_quantile
+
+                ic = g[f"__pi_{name}"]
+                nc = g[f"__pn_{name}"]
+                if isinstance(ic, pa.ChunkedArray):
+                    ic = ic.combine_chunks()
+                if isinstance(nc, pa.ChunkedArray):
+                    nc = nc.combine_chunks()
+                # per-row lists are emitted pairwise by the partial, so
+                # the flattened arrays stay elementwise aligned
+                ii = np.asarray(ic.flatten().to_numpy(zero_copy_only=False), np.int64)
+                cc = np.asarray(nc.flatten().to_numpy(zero_copy_only=False), np.int64)
+                u, c = ll_merge(ii, cc)
+                out[name] = pa.array(
+                    [ll_quantile(u, c, _agg_q(fn, spec))], pa.float64()
+                )
         return pa.table(out)
 
     partial = compile_partial_agg(group_by, aggregates)
@@ -402,7 +530,10 @@ def aggregate(ds, options: dict, ctx=None):
     ndigits = options.get("round")
 
     if any(
-        s["fn"] in _QUANTILE_FN or s["fn"] in ("quantile", "count_distinct")
+        s["fn"] in _QUANTILE_FN
+        or s["fn"] in _APPROX_QUANTILE_FN
+        or s["fn"]
+        in ("quantile", "count_distinct", "approx_count_distinct", "approx_quantile")
         for s in aggregates.values()
     ):
         return _aggregate_with_lists(ds, group_by, aggregates, ndigits)
