@@ -122,6 +122,35 @@ def test_aggregate_sketch_integration(ray_session):
         assert abs(out.loc[k, "qq"] - exact_med) / exact_med < 0.01
 
 
+def test_sketch_via_spec_dag(ray_session):
+    """approx_* fns flow through the generic aggregate transform type."""
+    from vector_ray import run_pipeline
+
+    rows = [
+        {"k": "a", "u": i % 7, "v": float(i + 1)} for i in range(100)
+    ]
+    out = run_pipeline(
+        {
+            "sources": {"in": {"type": "inline", "rows": rows}},
+            "transforms": {
+                "agg": {
+                    "type": "aggregate",
+                    "inputs": ["in"],
+                    "group_by": ["k"],
+                    "aggregates": {
+                        "nd": {"fn": "approx_count_distinct", "field": "u"},
+                        "med": {"fn": "approx_p50", "field": "v"},
+                    },
+                }
+            },
+            "sinks": {"out": {"type": "collect", "inputs": ["agg"]}},
+        }
+    ).sinks["out"]
+    row = out.table.to_pylist()[0]
+    assert row["nd"] == 7
+    assert abs(row["med"] - 50.0) / 50.0 < 0.01
+
+
 def test_aggregate_sketch_nulls_ignored(ray_session):
     import ray.data as rd
 
