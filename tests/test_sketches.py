@@ -176,3 +176,36 @@ def test_aggregate_sketch_nulls_ignored(ray_session):
     assert out.nd.tolist() == [3]
     # values {10,20,30,40}: rank floor(0.5*3)=1 -> 20 (within bucket error)
     assert abs(out.med[0] - 20.0) / 20.0 < 0.01
+
+
+def test_partial_shares_sketch_columns_per_field():
+    """N sketch aggregates over one column ship ONE partial per
+    (kind, field) across the shuffle — p50/p90/p99 of the same field
+    must not triple the shuffled state."""
+    from vector_ray.stages.grouped import compile_partial_agg
+
+    partial = compile_partial_agg(
+        ["k"],
+        {
+            "p50": {"fn": "approx_p50", "field": "v"},
+            "p90": {"fn": "approx_p90", "field": "v"},
+            "p99": {"fn": "approx_p99", "field": "v"},
+            "nd1": {"fn": "approx_count_distinct", "field": "u"},
+            "nd2": {"fn": "approx_count_distinct", "field": "u"},
+        },
+    )
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"]),
+            "u": pa.array([1, 2, 2], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    out = partial(t)
+    assert sorted(out.column_names) == [
+        "__ph_u", "__pi_v", "__pn_v", "k",
+    ]
+    # the empty-batch path emits the identical schema
+    empty = partial(t.slice(0, 0))
+    assert sorted(empty.column_names) == sorted(out.column_names)
+    assert empty.schema.equals(out.schema)

@@ -280,10 +280,15 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
         elif fn == "count_distinct":
             specs.append(("distinct", field, f"__pd_{out}"))
         elif fn == "approx_count_distinct":
-            specs.append(("list", f"__skh_{out}", f"__raw_{out}"))
+            # sketch inputs/partials are keyed by FIELD, not output name:
+            # N sketch aggregates over one column share one hash/index
+            # column, one per-key list, and one shuffled partial
+            if ("hll", field) not in {(k, f) for _, k, f in sketch_specs}:
+                specs.append(("list", f"__skh_{field}", f"__rawh_{field}"))
             sketch_specs.append((out, "hll", field))
         elif fn in _APPROX_QUANTILE_FN or fn == "approx_quantile":
-            specs.append(("list", f"__skx_{out}", f"__raw_{out}"))
+            if ("ll", field) not in {(k, f) for _, k, f in sketch_specs}:
+                specs.append(("list", f"__skx_{field}", f"__rawx_{field}"))
             sketch_specs.append((out, "ll", field))
         elif fn == "count_le":
             ind_specs.append((out, field, float(spec["le"])))
@@ -302,8 +307,10 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
             )
         # whole-batch vectorized sketch inputs: the FNV value hash for
         # HLL, the log-linear bucket index for approx quantiles; the
-        # arrow group_by then only collects small per-key lists of them
-        for out, kind, field in sketch_specs:
+        # arrow group_by then only collects small per-key lists of them.
+        # One input column per distinct (kind, field) — N aggregates
+        # over the same column share it.
+        for kind, field in dict.fromkeys((k, f) for _, k, f in sketch_specs):
             col = t[field]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
@@ -326,21 +333,24 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
                         pc.is_null(col).to_numpy(zero_copy_only=False)
                     )
                     h = np.where(nulls, HLL_NULL, h)
-                t = t.append_column(f"__skh_{out}", pa.array(h, pa.uint64()))
+                t = t.append_column(f"__skh_{field}", pa.array(h, pa.uint64()))
             else:
                 from vector_ray.functions.sketches import LL_NULL, ll_indices
 
                 vals = pc.cast(col, pa.float64())
                 npv = vals.to_numpy(zero_copy_only=False)
-                # nulls arrive as NaN from to_numpy: tag with the null
-                # sentinel (dropped at the per-key conversion below)
+                # null-mask from arrow validity, NOT np.isnan: a genuine
+                # (non-null) NaN value must reach ll_indices and raise,
+                # not be silently dropped as if it were a null
                 if col.null_count:
-                    null_mask = np.isnan(npv)
+                    null_mask = np.asarray(
+                        pc.is_null(col).to_numpy(zero_copy_only=False)
+                    )
                     ix = ll_indices(np.where(null_mask, 0.0, npv))
                     ix = np.where(null_mask, LL_NULL, ix)
                 else:
                     ix = ll_indices(npv)
-                t = t.append_column(f"__skx_{out}", pa.array(ix, pa.int64()))
+                t = t.append_column(f"__skx_{field}", pa.array(ix, pa.int64()))
         return t
 
     def partial(t: pa.Table) -> pa.Table:
@@ -348,7 +358,7 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
         if t.num_rows == 0:
             cols = {c: pa.array([], t.schema.field(c).type) for c in group_by}
             for kind, field, name in specs:
-                if name.startswith("__raw_"):
+                if name.startswith(("__rawh_", "__rawx_")):
                     continue  # sketch partials are emitted below
                 if kind == "count":
                     typ = pa.int64()
@@ -361,12 +371,12 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
                 elif kind == "sum":
                     typ = pa.float64()
                 cols[name] = pa.array([], typ)
-            for out, kind, _ in sketch_specs:
+            for kind, field in dict.fromkeys((k, f) for _, k, f in sketch_specs):
                 if kind == "hll":
-                    cols[f"__ph_{out}"] = pa.array([], pa.binary())
+                    cols[f"__ph_{field}"] = pa.array([], pa.binary())
                 else:
-                    cols[f"__pi_{out}"] = pa.array([], pa.list_(pa.int64()))
-                    cols[f"__pn_{out}"] = pa.array([], pa.list_(pa.int64()))
+                    cols[f"__pi_{field}"] = pa.array([], pa.list_(pa.int64()))
+                    cols[f"__pn_{field}"] = pa.array([], pa.list_(pa.int64()))
             return pa.table(cols)
         agg_specs, renames, seen = [], {}, set()
         for kind, field, name in specs:
@@ -388,8 +398,11 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
         # collapse each key's sketch-input list into fixed-size state:
         # HLL register bytes / occupied (bucket, count) pairs — this is
         # what crosses the shuffle instead of the raw values
-        for out, kind, _ in sketch_specs:
-            raw = cols.pop(f"__raw_{out}")
+        for kind, field in dict.fromkeys((k, f) for _, k, f in sketch_specs):
+            if kind == "hll":
+                raw = cols.pop(f"__rawh_{field}")
+            else:
+                raw = cols.pop(f"__rawx_{field}")
             if isinstance(raw, pa.ChunkedArray):
                 raw = raw.combine_chunks()
             if kind == "hll":
@@ -402,7 +415,7 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
                     ).astype(np.uint64)
                     hs = hs[hs != HLL_NULL]
                     regs.append(hll_registers(hs).tobytes())
-                cols[f"__ph_{out}"] = pa.array(regs, pa.binary())
+                cols[f"__ph_{field}"] = pa.array(regs, pa.binary())
             else:
                 from vector_ray.functions.sketches import LL_NULL
 
@@ -415,8 +428,8 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
                     u, c = np.unique(ix, return_counts=True)
                     idx_lists.append(u.tolist())
                     cnt_lists.append(c.tolist())
-                cols[f"__pi_{out}"] = pa.array(idx_lists, pa.list_(pa.int64()))
-                cols[f"__pn_{out}"] = pa.array(cnt_lists, pa.list_(pa.int64()))
+                cols[f"__pi_{field}"] = pa.array(idx_lists, pa.list_(pa.int64()))
+                cols[f"__pn_{field}"] = pa.array(cnt_lists, pa.list_(pa.int64()))
         return pa.table(cols)
 
     return partial
@@ -491,7 +504,7 @@ def _aggregate_with_lists(ds, group_by, aggregates, ndigits):
             elif fn == "approx_count_distinct":
                 from vector_ray.functions.sketches import hll_estimate, hll_merge
 
-                col = g[f"__ph_{name}"]
+                col = g[f"__ph_{spec['field']}"]
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
                 reg = hll_merge(col.to_pylist())
@@ -499,8 +512,8 @@ def _aggregate_with_lists(ds, group_by, aggregates, ndigits):
             elif fn in _APPROX_QUANTILE_FN or fn == "approx_quantile":
                 from vector_ray.functions.sketches import ll_merge, ll_quantile
 
-                ic = g[f"__pi_{name}"]
-                nc = g[f"__pn_{name}"]
+                ic = g[f"__pi_{spec['field']}"]
+                nc = g[f"__pn_{spec['field']}"]
                 if isinstance(ic, pa.ChunkedArray):
                     ic = ic.combine_chunks()
                 if isinstance(nc, pa.ChunkedArray):

@@ -167,6 +167,16 @@ def bucketed_join(
             f"unsupported join type {how!r} (inner | left | full | semi | anti)"
         )
     keys = [key] if isinstance(key, str) else list(key)
+    if how in ("semi", "anti"):
+        # filtering joins never read right payload columns: ship only the
+        # key columns across the shuffle, deduped per batch (a blocklist
+        # with many repeats of a hot key shrinks before it moves)
+        kl = list(keys)
+
+        def _keys_only(t: pa.Table) -> pa.Table:
+            return t.select(kl).group_by(kl).aggregate([])
+
+        right = right.map_batches(_keys_only, batch_format="pyarrow")
     lschema, rschema = left.schema(), right.schema()
     left_cols = list(lschema.names)
     # same-named non-key right columns get the suffix up front
