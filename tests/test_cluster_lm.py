@@ -1,0 +1,215 @@
+"""Distributed k-means, SemDeDup pruning, and unigram-LM scoring
+(functions/cluster.py, functions/lm.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _toy_embeddings(n=120, dim=8, k=3, seed=11):
+    """k well-separated gaussian blobs; ids interleave the blobs so the
+    smallest-id init picks rows from several clusters."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, dim)) * 6
+    X = np.vstack([centers[i % k] + rng.normal(size=dim) for i in range(n)])
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in X],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def _numpy_kmeans(t, k, iters):
+    ids = np.asarray(t["vec_id"])
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    X = X[order]
+
+    def norm(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    c = X[:k].copy()
+    for _ in range(iters):
+        a = np.argmax(norm(X) @ norm(c).T, axis=1)
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c, np.argmax(norm(X) @ norm(c).T, axis=1), ids[order]
+
+
+def test_kmeans_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.cluster import kmeans_assign, kmeans_fit
+
+    t = _toy_embeddings()
+    ds = rd.from_arrow(t).repartition(5)
+    cent = kmeans_fit(ds, k=3, iters=3)
+    ref_cent, ref_assign, ref_ids = _numpy_kmeans(t, 3, 3)
+    assert np.allclose(cent, ref_cent, rtol=1e-12, atol=1e-12)
+    out = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    assert (out.cluster.to_numpy() == ref_assign).all()
+    # the blobs are well separated: every cluster non-empty (also the
+    # assumption the SQL-oracle CTE documents)
+    assert len(set(out.cluster)) == 3
+
+
+def test_kmeans_oracle_fixture_has_no_empty_clusters(ray_session):
+    """Backs the _kmeans_cte docstring: on the sf0.01 embeddings with
+    k=10/iters=3, no Lloyd iteration empties a cluster (the SQL CTE
+    drops empty clusters, the Ray path keeps the old centroid — they
+    only agree while all clusters stay occupied)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)[np.argsort(ids)]
+
+    def norm(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    c = X[:10].copy()
+    for _ in range(3):
+        a = np.argmax(norm(X) @ norm(c).T, axis=1)
+        counts = np.bincount(a, minlength=10)
+        assert (counts > 0).all()
+        for j in range(10):
+            c[j] = X[a == j].mean(axis=0)
+    assert (np.bincount(np.argmax(norm(X) @ norm(c).T, axis=1), minlength=10) > 0).all()
+
+
+def test_semdedup_drops_near_duplicates(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.cluster import kmeans_fit, semdedup
+
+    t = _toy_embeddings()
+    X = np.array(t["embedding"].to_pylist())
+    # append two near-copies of row 0 (tiny perturbation)
+    rng = np.random.default_rng(3)
+    dups = [X[0] + rng.normal(scale=1e-3, size=X.shape[1]).astype(np.float32) for _ in range(2)]
+    t2 = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(X) + 2)), pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in X] + [d.tolist() for d in dups],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(t2).repartition(4)
+    cent = kmeans_fit(ds, k=3, iters=3)
+    out = semdedup(ds, cent, tau=0.999).to_pandas().set_index("vec_id")
+    assert not out.loc[len(X), "kept"] and not out.loc[len(X) + 1, "kept"]
+    assert out.loc[0, "kept"]  # the lowest id of the dup set survives
+
+
+def test_semdedup_pessimistic_chain_rule(ray_session):
+    """The exists-lower-id rule: in a chain a~b, b~c (a!~c), BOTH b and
+    c are dropped (c via b even though b itself was dropped) — the
+    documented pessimistic divergence from greedy keep-set SemDeDup."""
+    import ray.data as rd
+
+    from vector_ray.functions.cluster import semdedup
+
+    # 2-d unit vectors at angles 0, 25, 50 degrees; tau between
+    # cos(25deg)=.906 and cos(50deg)=.643: a~b and b~c but not a~c
+    ang = np.deg2rad([0.0, 25.0, 50.0])
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[float(np.cos(a)), float(np.sin(a))] for a in ang],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    cent = np.array([[1.0, 0.5]])  # one cluster
+    out = (
+        semdedup(rd.from_arrow(t), cent, tau=0.8)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out.kept.tolist() == [True, False, False]
+
+
+def test_semdedup_max_cluster_guard(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.cluster import semdedup
+
+    t = _toy_embeddings(n=30)
+    cent = np.ones((1, 8))
+    with pytest.raises(Exception, match="max_cluster"):
+        semdedup(rd.from_arrow(t), cent, tau=0.9, max_cluster=10).materialize()
+
+
+def test_unigram_lm_hand_computed(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.lm import lm_score
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a a b", "a b c", "zz zz"]),
+        }
+    )
+    # corpus: a=3 b=2 c=1 zz=2, N=8; vocab_size=3 keeps a,b,zz (count
+    # desc, word asc -> ties b/zz broken to b first; zz count 2 ties b:
+    # order a(3), b(2), zz(2)); c is OOV. denom = 8 + 3 + 1 = 12
+    out = (
+        lm_score(rd.from_arrow(docs), vocab_size=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    denom = 12.0
+    exp0 = -(2 * np.log(4 / denom) + np.log(3 / denom)) / 3
+    exp1 = -(np.log(4 / denom) + np.log(3 / denom) + np.log(1 / denom)) / 3
+    exp2 = -(2 * np.log(3 / denom)) / 2
+    assert abs(out.loc[0, "nll"] - exp0) < 1e-3
+    assert abs(out.loc[1, "nll"] - exp1) < 1e-3
+    assert abs(out.loc[2, "nll"] - exp2) < 1e-3
+    # corpus-like doc scores lower than the OOV-bearing doc
+    assert out.loc[0, "nll"] < out.loc[1, "nll"]
+
+
+def test_lm_and_cluster_via_spec_dag(ray_session):
+    from vector_ray import run_pipeline
+
+    rows = [
+        {"doc_id": i, "text": "a b c" if i % 2 else "a a a"} for i in range(40)
+    ]
+    out = run_pipeline(
+        {
+            "sources": {"in": {"type": "inline", "rows": rows}},
+            "transforms": {
+                "score": {"type": "lm_score", "inputs": ["in"], "vocab_size": 2}
+            },
+            "sinks": {"out": {"type": "collect", "inputs": ["score"]}},
+        }
+    ).sinks["out"]
+    tbl = out.table
+    assert "nll" in tbl.column_names and tbl.num_rows == 40
+
+    emb = _toy_embeddings(n=60)
+    out2 = run_pipeline(
+        {
+            "sources": {
+                "e": {"type": "inline", "rows": emb.to_pylist()}
+            },
+            "transforms": {
+                "cl": {"type": "kmeans", "inputs": ["e"], "k": 3, "iters": 2}
+            },
+            "sinks": {"out": {"type": "collect", "inputs": ["cl"]}},
+        }
+    ).sinks["out"]
+    assert "cluster" in out2.table.column_names
+    assert out2.table.num_rows == 60

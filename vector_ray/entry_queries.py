@@ -1468,6 +1468,48 @@ def q_repetition_corpus(sf_dir: str):
     return repetition_stats(ds, max_freq_pct=5)
 
 
+def q_lm_score_documents(sf_dir: str):
+    """CCNet-style corpus LM quality filter: add-one-smoothed unigram
+    model trained over the whole corpus (two-phase counts), broadcast,
+    per-doc mean negative log-likelihood."""
+    from vector_ray.functions.lm import lm_score
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = lm_score(ds, vocab_size=30)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "nll"]), batch_format="pyarrow"
+    )
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Full-corpus distributed Lloyd k-means (cosine), deterministic
+    init from the k smallest ids, fixed 3 iterations; per-row cluster
+    assignment checked exactly against the SQL CTE recomputation."""
+    from vector_ray.functions.cluster import kmeans_assign, kmeans_fit
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = kmeans_fit(ds, k=10, iters=3)
+    return kmeans_assign(ds, cent).map_batches(
+        lambda t: t.select(["vec_id", "cluster"]), batch_format="pyarrow"
+    )
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup-style semantic dedup: k-means partition, then
+    within-cluster cosine pruning (drop any row with a lower-id
+    neighbor at cosine >= tau). tau=0.4 chosen so the expected drop
+    set on the test embeddings is NON-empty."""
+    from vector_ray.functions.cluster import kmeans_fit, semdedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = kmeans_fit(ds, k=10, iters=3)
+    return semdedup(ds, cent, tau=0.4)
+
+
 QUERIES = {
     "flagship_agg": q_flagship_agg,
     "flagship_routed": q_flagship_routed,
@@ -1543,6 +1585,9 @@ QUERIES = {
     "split_counts_corpus": q_split_counts,
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
+    "lm_score_documents": q_lm_score_documents,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup_embeddings": q_semdedup_embeddings,
 }
 
 _STOPLIST_SQL = "['a','and','for','in','is','it','of','that','the','to']"
@@ -1683,6 +1728,40 @@ def _tokens_oracles() -> dict[str, str]:
             f"FROM read_parquet('{seq}') s LEFT JOIN a USING (doc_id)"
         ),
     }
+
+
+def _kmeans_cte(k: int = 10, iters: int = 3) -> str:
+    """CTE chain recomputing kmeans_fit+kmeans_assign exactly: init =
+    k smallest ids, iters Lloyd updates (element-wise AVG of raw
+    vectors), final assignment by (cosine desc, cluster asc). Assumes
+    no cluster goes empty (holds on the test embeddings — asserted in
+    tests/test_cluster_lm.py)."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, "
+        f"emb AS cent FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cluster FROM ("
+            f"SELECT e.vec_id, c.cluster, ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cluster ASC) AS rk "
+            f"FROM e CROSS JOIN c{i} c) WHERE rk = 1)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT cluster, list(val ORDER BY pos) AS cent FROM ("
+            f"SELECT a.cluster, u.pos, AVG(u.val) AS val FROM a{i} a JOIN e USING (vec_id), "
+            f"LATERAL (SELECT UNNEST(e.emb) AS val, "
+            f"generate_subscripts(e.emb, 1) AS pos) u "
+            f"GROUP BY a.cluster, u.pos) GROUP BY cluster)"
+        )
+    parts.append(
+        f"af AS (SELECT vec_id, cluster FROM ("
+        f"SELECT e.vec_id, c.cluster, ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY list_cosine_similarity(e.emb, c.cent) DESC, c.cluster ASC) AS rk "
+        f"FROM e CROSS JOIN c{iters} c) WHERE rk = 1)"
+    )
+    return "WITH " + ", ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1989,6 +2068,31 @@ def oracle_sql() -> dict[str, str]:
                 "  UNION ALL SELECT '_unmatched' FROM events "
                 "  WHERE NOT (event_type = 'purchase' OR value >= 50)"
                 ") GROUP BY route"
+            ),
+            "lm_score_documents": (
+                # same model as functions/lm.py: add-one unigram over a
+                # top-30 vocabulary, OOV = count 0, denom = N + V + 1
+                "WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word "
+                "  FROM documents), "
+                "cnt AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word), "
+                "vocab AS (SELECT word, n FROM cnt ORDER BY n DESC, word ASC LIMIT 30), "
+                "sc AS (SELECT w.doc_id, ln(COALESCE(v.n, 0) + 1.0) - "
+                "  ln((SELECT SUM(n) FROM cnt) + 31.0) AS lp "
+                "  FROM w LEFT JOIN vocab v USING (word)) "
+                "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
+                "FROM sc GROUP BY doc_id"
+            ),
+            "kmeans_embeddings": (
+                _kmeans_cte(k=10, iters=3)
+                + " SELECT vec_id, cluster FROM af"
+            ),
+            "semdedup_embeddings": (
+                _kmeans_cte(k=10, iters=3)
+                + " SELECT af.vec_id, af.cluster, NOT EXISTS ("
+                "  SELECT 1 FROM af b JOIN e e2 ON b.vec_id = e2.vec_id "
+                "  WHERE b.cluster = af.cluster AND b.vec_id < af.vec_id "
+                "    AND list_cosine_similarity(e2.emb, e.emb) >= 0.4"
+                ") AS kept FROM af JOIN e ON e.vec_id = af.vec_id"
             ),
         }
     )

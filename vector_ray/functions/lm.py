@@ -1,0 +1,141 @@
+"""Corpus language-model quality scoring (CCNet-style perplexity
+filter): train an add-one-smoothed unigram LM over the whole corpus,
+then score every document by mean negative log-likelihood. Low-NLL
+documents look like the corpus; high-NLL documents are outliers —
+the standard "LM filter" step of web-scale pretraining pipelines
+(CCNet uses a KenLM 5-gram; the unigram variant keeps the same
+two-phase distributed shape with an exactly SQL-reproducible model).
+
+Distributed shape (100 TB path):
+  1. word counts: per-batch ``np.unique`` partials -> small groupby sum
+     (the shuffle carries one row per distinct word per block, never
+     raw tokens);
+  2. vocabulary: top-``vocab_size`` words by (count desc, word asc) —
+     a bounded sort+limit on the counts table, NOT the corpus;
+  3. scoring: the (word -> count) table is broadcast once via
+     ``ray.put`` and fetched once per actor; each batch scores
+     vectorized (unique words per batch -> dict lookup per UNIQUE,
+     ``np.add.reduceat`` per document).
+
+Word definition matches DuckDB ``string_split(text, ' ')`` so the SQL
+oracle reproduces the model bit-for-bit (see oracle in
+``entry_queries``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+from vector_ray.schema import round_sql_np
+
+
+def _word_lists(t: pa.Table, field: str) -> pa.Array:
+    col = t[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.split_pattern(col, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    return words
+
+
+def word_counts(ds, field: str = "text"):
+    """Dataset of (word, n) over the corpus — two-phase (per-batch
+    ``np.unique`` partial, then one small groupby sum over distinct
+    words)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = _word_lists(t, field)
+        flat = words.flatten()
+        u, c = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        return pa.table(
+            {"word": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())}
+        )
+
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+    return counts.groupby("word").aggregate(Sum("n", alias_name="n"))
+
+
+def unigram_model(ds, field: str = "text", vocab_size: int = 30):
+    """(vocab dict word->count, total_tokens, vocab_size). The counts
+    table is materialized once (bounded by distinct-word count — the
+    word-count table itself, spillable); vocabulary selection is a
+    sort+limit over that small table with the deterministic tie rule
+    (count desc, word asc) the SQL oracle uses."""
+    counts = word_counts(ds, field).materialize()
+    total = int(counts.sum("n"))
+    top = (
+        counts.sort(key=["n", "word"], descending=[True, False])
+        .limit(vocab_size)
+        .take_all()
+    )
+    vocab = {r["word"]: int(r["n"]) for r in top}
+    return vocab, total, vocab_size
+
+
+class LmScorer:
+    """Actor-pool callable: add-one-smoothed unigram NLL per document.
+
+    p(w) = (c_w + 1) / (N + V + 1) for vocabulary words, and
+    (0 + 1) / (N + V + 1) for out-of-vocabulary words (the +1 mass is
+    uniform, so OOV is just c_w = 0). Score = -mean(log p) over the
+    document's words; lower = more corpus-like.
+    """
+
+    def __init__(self, model_ref, field: str = "text", target: str = "nll",
+                 round_to: int = 4):
+        vocab, total, vsize = (
+            ray.get(model_ref) if not isinstance(model_ref, tuple) else model_ref
+        )
+        self.vocab = vocab
+        self.log_denom = float(np.log(total + vsize + 1.0))
+        self.field = field
+        self.target = target
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words = _word_lists(batch, self.field)
+        flat = np.asarray(words.flatten(), dtype=object)
+        # recompute starts from lengths: a sliced ListArray's raw offsets
+        # index the PARENT values buffer, not the flattened copy
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            # python lookup per UNIQUE word only, never per token
+            ulogp = np.array(
+                [np.log(self.vocab.get(w, 0) + 1.0) for w in uniq],
+                dtype=np.float64,
+            ) - self.log_denom
+            logp = ulogp[inv]
+            starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+            # reduceat misbehaves on empty segments; documents always
+            # have >= 1 word (split of "" is [""]), enforced here
+            if (lens == 0).any():
+                raise ValueError("empty word list: null text upstream?")
+            sums = np.add.reduceat(logp, starts)
+            nll = -(sums / lens)
+        else:
+            nll = np.zeros(0)
+        # pre-round through 9 digits so the final 4-digit round can't
+        # disagree with the SQL oracle on a boundary ulp
+        nll = round_sql_np(round_sql_np(nll, 9), self.round_to)
+        return batch.append_column(self.target, pa.array(nll, pa.float64()))
+
+
+def lm_score(ds, field: str = "text", vocab_size: int = 30,
+             concurrency=(1, 4), model=None):
+    """Full pipeline: train the corpus unigram LM (two passes over the
+    corpus: counts + scoring), broadcast it, score every document."""
+    if model is None:
+        model = unigram_model(ds, field, vocab_size)
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        LmScorer,
+        fn_constructor_kwargs={"model_ref": model_ref, "field": field},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -55,6 +55,10 @@ TRANSFORMS = {
     "epoch_shuffle": curate.epoch_shuffle,
     "length_buckets": curate.length_buckets,
     "repetition_stats": curate.repetition_stats,
+    # semantic-curation family (functions/lm.py, functions/cluster.py)
+    "lm_score": curate.lm_score,
+    "kmeans": curate.kmeans,
+    "semdedup": curate.semdedup,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

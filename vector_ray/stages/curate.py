@@ -14,6 +14,9 @@ __all__ = [
     "epoch_shuffle",
     "length_buckets",
     "repetition_stats",
+    "lm_score",
+    "kmeans",
+    "semdedup",
 ]
 
 
@@ -44,3 +47,55 @@ def length_buckets(ds, options: dict, ctx=None):
 def repetition_stats(ds, options: dict, ctx=None):
     """{"type": "repetition_stats", "max_freq_pct": 5}"""
     return curation.repetition_stats(ds, int(options.get("max_freq_pct", 5)))
+
+
+def lm_score(ds, options: dict, ctx=None):
+    """{"type": "lm_score", "field": "text", "vocab_size": 30} — corpus
+    unigram-LM NLL scoring (functions/lm.py); trains on the stage's own
+    input (two passes over the upstream dataset)."""
+    from vector_ray.functions.lm import lm_score as _lm_score
+
+    return _lm_score(
+        ds,
+        field=options.get("field", "text"),
+        vocab_size=int(options.get("vocab_size", 30)),
+    )
+
+
+def kmeans(ds, options: dict, ctx=None):
+    """{"type": "kmeans", "k": 10, "iters": 3, "id_field": "vec_id",
+    "field": "embedding"} — full-corpus Lloyd fit + cluster column
+    (functions/cluster.py). The upstream dataset is re-executed once
+    per iteration; feed it a source read, not an expensive subgraph."""
+    from vector_ray.functions.cluster import kmeans_assign, kmeans_fit
+
+    id_field = options.get("id_field", "vec_id")
+    field = options.get("field", "embedding")
+    cent = kmeans_fit(
+        ds,
+        k=int(options.get("k", 10)),
+        iters=int(options.get("iters", 3)),
+        id_field=id_field,
+        field=field,
+    )
+    return kmeans_assign(ds, cent, id_field=id_field, field=field)
+
+
+def semdedup(ds, options: dict, ctx=None):
+    """{"type": "semdedup", "k": 10, "iters": 3, "tau": 0.9} —
+    cluster-partitioned semantic dedup (functions/cluster.py)."""
+    from vector_ray.functions.cluster import kmeans_fit
+    from vector_ray.functions.cluster import semdedup as _semdedup
+
+    id_field = options.get("id_field", "vec_id")
+    field = options.get("field", "embedding")
+    cent = kmeans_fit(
+        ds,
+        k=int(options.get("k", 10)),
+        iters=int(options.get("iters", 3)),
+        id_field=id_field,
+        field=field,
+    )
+    return _semdedup(
+        ds, cent, float(options["tau"]), id_field=id_field, field=field
+    )
