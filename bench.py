@@ -127,6 +127,17 @@ def run_bench() -> dict:
             k=50,
         ).count()
     )
+    # corpus LM scoring: dense count tree reduction + broadcast logp +
+    # vectorized per-sequence NLL (two passes over every token)
+    from vector_ray.functions.lm import token_lm_score
+
+    queries["lm_tokens"] = timed(
+        lambda: token_lm_score(
+            rd.read_parquet(
+                _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
+            )
+        ).count()
+    )
 
     result = {
         "metric": "flagship parse->enrich->route->aggregate e2e seconds",

@@ -213,3 +213,33 @@ def test_lm_and_cluster_via_spec_dag(ray_session):
     ).sinks["out"]
     assert "cluster" in out2.table.column_names
     assert out2.table.num_rows == 60
+
+
+def test_token_lm_dense_hand_computed(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.lm import token_lm_score
+    from vector_ray.schema import VOCAB_SIZE
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "tokens": pa.array(
+                [[1, 1, 2], [1, 3], []], pa.list_(pa.int32())
+            ),
+        }
+    )
+    out = (
+        token_lm_score(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # corpus counts: tok1=3 tok2=1 tok3=1, N=5, denom = 5 + VOCAB_SIZE
+    denom = 5.0 + VOCAB_SIZE
+    exp_a = -(2 * np.log(4 / denom) + np.log(2 / denom)) / 3
+    exp_b = -(np.log(4 / denom) + np.log(2 / denom)) / 2
+    assert abs(out.loc["a", "nll"] - exp_a) < 1e-3
+    assert abs(out.loc["b", "nll"] - exp_b) < 1e-3
+    # zero-token row is dropped, not scored
+    assert "c" not in out.index
+    assert out.loc["a", "nll"] < out.loc["b", "nll"]

@@ -1481,6 +1481,18 @@ def q_lm_score_documents(sf_dir: str):
     )
 
 
+def q_lm_tokens_corpus(sf_dir: str):
+    """Dense token-level unigram-LM scoring over the tokenized corpus
+    (bincount tree reduction + one log-prob vector broadcast)."""
+    from vector_ray.functions.lm import token_lm_score
+
+    ds = rd.read_parquet(_seq_files(_tag(sf_dir)), columns=["doc_id", "tokens"])
+    out = token_lm_score(ds)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "nll"]), batch_format="pyarrow"
+    )
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Full-corpus distributed Lloyd k-means (cosine), deterministic
     init from the k smallest ids, fixed 3 iterations; per-row cluster
@@ -1586,6 +1598,7 @@ QUERIES = {
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
     "lm_score_documents": q_lm_score_documents,
+    "lm_tokens_corpus": q_lm_tokens_corpus,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -1630,6 +1643,18 @@ def _tokens_oracles() -> dict[str, str]:
             "SELECT s.doc_id, COALESCE(h.n, 0) AS n_gram_hits, "
             "COALESCE(h.n, 0) > 0 AS contaminated "
             "FROM seq s LEFT JOIN hits h USING (doc_id)"
+        ),
+        "lm_tokens_corpus": (
+            # dense add-one unigram LM: p(t) = (c_t + 1)/(N + VOCAB_SIZE);
+            # every corpus token has c_t > 0 so a plain JOIN suffices
+            f"WITH tk AS (SELECT doc_id, unnest(tokens) AS tok "
+            f"  FROM read_parquet('{seq}')), "
+            "cnt AS (SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok), "
+            "sc AS (SELECT tk.doc_id, ln(c.n + 1.0) - "
+            "  ln((SELECT SUM(n) FROM cnt) + 50257.0) AS lp "
+            "  FROM tk JOIN cnt c USING (tok)) "
+            "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
+            "FROM sc GROUP BY doc_id"
         ),
         "redact_corpus": (
             "SELECT doc_id, regexp_replace(message, '\\d+', '[REDACTED]', 'g') "

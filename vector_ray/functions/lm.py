@@ -139,3 +139,112 @@ def lm_score(ds, field: str = "text", vocab_size: int = 30,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# token-level variant: dense-vocabulary unigram LM over the tokenized
+# corpus (the 100 TB path — integer ids, no string hashing, counts as
+# one dense vector per block)
+# ---------------------------------------------------------------------------
+
+
+def token_counts_dense(ds, field: str = "tokens", num_parts: int = 32) -> np.ndarray:
+    """Global dense token-count vector via the same tree reduction as
+    ``tokens.token_topk``: one ``np.bincount`` row per block, merged
+    elementwise in ``num_parts`` groups; the driver sees at most
+    ``num_parts`` rows of VOCAB_SIZE int64 — O(vocab x parts) bytes,
+    independent of corpus size."""
+    from vector_ray.functions.tokens import _flat_tokens
+    from vector_ray.schema import VOCAB_SIZE
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, _ = _flat_tokens(t, field)
+        counts = np.bincount(values, minlength=VOCAB_SIZE).astype(np.int64)
+        if len(counts) > VOCAB_SIZE:
+            raise ValueError(
+                f"token id >= VOCAB_SIZE ({len(counts) - 1} >= {VOCAB_SIZE})"
+            )
+        part = int(counts[: max(1, VOCAB_SIZE // 64)].sum()) % num_parts
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "cnt": pa.array([counts], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        flat = group["cnt"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        summed = flat.reshape(group.num_rows, VOCAB_SIZE).sum(axis=0)
+        return pa.table(
+            {
+                "part": pa.array([0], pa.int64()),
+                "cnt": pa.array([summed], pa.list_(pa.int64())),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    total = np.zeros(VOCAB_SIZE, dtype=np.int64)
+    for r in merged:
+        total += np.asarray(r["cnt"], dtype=np.int64)
+    return total
+
+
+class TokenLmScorer:
+    """Actor-pool callable: dense add-one unigram NLL per sequence.
+
+    p(t) = (c_t + 1) / (N + VOCAB_SIZE); scoring is pure array
+    indexing (``logp[token_ids]``) + ``np.add.reduceat`` — no hashing,
+    no dictionary. Rows with zero tokens are dropped (unscorable; the
+    SQL GROUP BY drops them identically)."""
+
+    def __init__(self, logp_ref, field: str = "tokens", target: str = "nll",
+                 round_to: int = 4):
+        self.logp = ray.get(logp_ref) if not isinstance(logp_ref, np.ndarray) else logp_ref
+        self.field = field
+        self.target = target
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from vector_ray.functions.tokens import _flat_tokens
+
+        values, offsets = _flat_tokens(batch, self.field)
+        lens = np.diff(offsets)
+        nonempty = lens > 0
+        if not nonempty.all():
+            batch = batch.filter(pa.array(nonempty))
+            values, offsets = _flat_tokens(batch, self.field)
+            lens = np.diff(offsets)
+        if len(values):
+            logp = self.logp[values]
+            starts = offsets[:-1]
+            sums = np.add.reduceat(logp, starts) if len(starts) else np.zeros(0)
+            nll = -(sums / lens)
+        else:
+            nll = np.zeros(0)
+        nll = round_sql_np(round_sql_np(nll, 9), self.round_to)
+        return batch.append_column(self.target, pa.array(nll, pa.float64()))
+
+
+def token_lm_score(ds, field: str = "tokens", concurrency=(1, 8)):
+    """Two-pass corpus LM scoring over tokenized sequences: dense
+    counts (tree reduction), one 8·VOCAB_SIZE-byte broadcast of the
+    log-prob vector, then vectorized per-sequence NLL."""
+    from vector_ray.schema import VOCAB_SIZE
+
+    counts = token_counts_dense(ds, field)
+    n_total = int(counts.sum())
+    logp = np.log(counts + 1.0) - np.log(n_total + float(VOCAB_SIZE))
+    logp_ref = ray.put(logp)
+    return ds.map_batches(
+        TokenLmScorer,
+        fn_constructor_kwargs={"logp_ref": logp_ref, "field": field},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
