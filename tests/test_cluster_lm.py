@@ -243,3 +243,51 @@ def test_token_lm_dense_hand_computed(ray_session):
     # zero-token row is dropped, not scored
     assert "c" not in out.index
     assert out.loc["a", "nll"] < out.loc["b", "nll"]
+
+
+def test_hot_spans_hand_computed(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.spans import hot_span_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "x y z a b",      # windows: xyz, yza, zab
+                    "x y z c d",      # xyz, yzc, zcd
+                    "q x y z e",      # qxy, xyz, yze
+                    "m n",            # shorter than 3 words: 0 windows
+                ]
+            ),
+        }
+    )
+    # "x y z" occurs 3 times; everything else once -> min_count=3 makes
+    # it the only hot gram
+    out = (
+        hot_span_stats(rd.from_arrow(docs).repartition(2), n=3, min_count=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.n_windows.tolist() == [3, 3, 3, 0]
+    assert out.n_hot.tolist() == [1, 1, 1, 0]
+    assert out.hot_ratio.tolist() == [0.3333, 0.3333, 0.3333, 0.0]
+
+
+def test_hot_spans_max_hot_guard(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.spans import hot_span_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(4)), pa.int64()),
+            "text": pa.array(["a b c d e"] * 4),
+        }
+    )
+    with pytest.raises(ValueError, match="max_hot"):
+        hot_span_stats(
+            rd.from_arrow(docs), n=3, min_count=2, max_hot=1
+        )

@@ -1493,6 +1493,15 @@ def q_lm_tokens_corpus(sf_dir: str):
     )
 
 
+def q_hot_spans_documents(sf_dir: str):
+    """Repeated-phrase boilerplate stats: 3-word grams occurring >= 4
+    times corpus-wide; per-doc hot-window count and ratio."""
+    from vector_ray.functions.spans import hot_span_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return hot_span_stats(ds, n=3, min_count=4)
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Full-corpus distributed Lloyd k-means (cosine), deterministic
     init from the k smallest ids, fixed 3 iterations; per-row cluster
@@ -1599,6 +1608,7 @@ QUERIES = {
     "repetition_corpus": q_repetition_corpus,
     "lm_score_documents": q_lm_score_documents,
     "lm_tokens_corpus": q_lm_tokens_corpus,
+    "hot_spans_documents": q_hot_spans_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2106,6 +2116,23 @@ def oracle_sql() -> dict[str, str]:
                 "  FROM w LEFT JOIN vocab v USING (word)) "
                 "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
                 "FROM sc GROUP BY doc_id"
+            ),
+            "hot_spans_documents": (
+                "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+                "  FROM documents), "
+                "g AS (SELECT doc_id, ws[i:i+2] AS gram FROM ("
+                "  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i "
+                "  FROM w)), "
+                "cnt AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram), "
+                "hot AS (SELECT gram FROM cnt WHERE n >= 4), "
+                "hits AS (SELECT doc_id, COUNT(*) AS n_hot FROM g "
+                "  JOIN hot USING (gram) GROUP BY doc_id) "
+                "SELECT w.doc_id, CAST(GREATEST(len(ws) - 2, 0) AS BIGINT) AS n_windows, "
+                "COALESCE(h.n_hot, 0) AS n_hot, "
+                "CASE WHEN len(ws) - 2 > 0 THEN ROUND(ROUND("
+                "  CAST(COALESCE(h.n_hot, 0) AS DOUBLE) / (len(ws) - 2), 9), 4) "
+                "ELSE 0.0 END AS hot_ratio "
+                "FROM w LEFT JOIN hits h USING (doc_id)"
             ),
             "kmeans_embeddings": (
                 _kmeans_cte(k=10, iters=3)

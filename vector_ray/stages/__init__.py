@@ -59,6 +59,7 @@ TRANSFORMS = {
     "lm_score": curate.lm_score,
     "kmeans": curate.kmeans,
     "semdedup": curate.semdedup,
+    "hot_spans": curate.hot_spans,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

@@ -17,6 +17,7 @@ __all__ = [
     "lm_score",
     "kmeans",
     "semdedup",
+    "hot_spans",
 ]
 
 
@@ -98,4 +99,19 @@ def semdedup(ds, options: dict, ctx=None):
     )
     return _semdedup(
         ds, cent, float(options["tau"]), id_field=id_field, field=field
+    )
+
+
+def hot_spans(ds, options: dict, ctx=None):
+    """{"type": "hot_spans", "n": 3, "min_count": 4} — corpus-frequency
+    repeated-phrase (boilerplate) stats (functions/spans.py); trains on
+    the stage's own input (two passes)."""
+    from vector_ray.functions.spans import hot_span_stats
+
+    return hot_span_stats(
+        ds,
+        field=options.get("field", "text"),
+        id_field=options.get("id_field", "doc_id"),
+        n=int(options.get("n", 3)),
+        min_count=int(options.get("min_count", 4)),
     )
