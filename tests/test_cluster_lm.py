@@ -291,3 +291,30 @@ def test_hot_spans_max_hot_guard(ray_session):
         hot_span_stats(
             rd.from_arrow(docs), n=3, min_count=2, max_hot=1
         )
+
+
+def test_semdedup_greedy_keeps_chain_tail(ray_session):
+    """greedy=True implements published SemDeDup: c survives the
+    a~b~c chain because its only tau-neighbor b was itself dropped."""
+    import ray.data as rd
+
+    from vector_ray.functions.cluster import semdedup
+
+    ang = np.deg2rad([0.0, 25.0, 50.0])
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[float(np.cos(a)), float(np.sin(a))] for a in ang],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    cent = np.array([[1.0, 0.5]])
+    out = (
+        semdedup(rd.from_arrow(t), cent, tau=0.8, greedy=True)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out.kept.tolist() == [True, False, True]

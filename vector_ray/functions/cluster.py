@@ -144,9 +144,18 @@ def semdedup(
     id_field: str = "vec_id",
     field: str = "embedding",
     max_cluster: int = 200_000,
+    greedy: bool = False,
 ):
-    """Cluster-partitioned near-dup pruning: (id, cluster, kept) where
-    kept = no lower-id row in the same cluster has cosine >= tau.
+    """Cluster-partitioned near-dup pruning: (id, cluster, kept).
+
+    Default rule (SQL-EXISTS-expressible, what the oracle checks):
+    kept = no lower-id row in the same cluster has cosine >= tau —
+    pessimistic, since a chain a~b~c drops both b and c even when
+    a !~ c. ``greedy=True`` gives the published SemDeDup semantics
+    instead: process each cluster in id order and drop a row only if
+    it is within tau of an already-KEPT row (chain keeps c). Greedy is
+    sequential per cluster but vectorized per step (one similarity-row
+    scan against the kept mask), and has no SQL oracle.
 
     The per-group work is O(cluster_size^2) vectorized; size k so that
     n/k stays within ``max_cluster`` (guard raises rather than letting
@@ -165,8 +174,17 @@ def semdedup(
         ids = np.asarray(ids_col, dtype=np.int64)
         x = _normalize(_matrix(g, field))
         sims = x @ x.T
-        lower = ids[None, :] < ids[:, None]
-        dropped = ((sims >= tau) & lower).any(axis=1)
+        if greedy:
+            order = np.argsort(ids)
+            kept_o = np.zeros(len(ids), dtype=bool)
+            sims_o = sims[np.ix_(order, order)]
+            for i in range(len(ids)):
+                kept_o[i] = not (sims_o[i, :i][kept_o[:i]] >= tau).any()
+            dropped = np.empty(len(ids), dtype=bool)
+            dropped[order] = ~kept_o
+        else:
+            lower = ids[None, :] < ids[:, None]
+            dropped = ((sims >= tau) & lower).any(axis=1)
         cl = g["cluster"]
         if isinstance(cl, pa.ChunkedArray):
             cl = cl.combine_chunks()
