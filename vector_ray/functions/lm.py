@@ -196,55 +196,46 @@ def token_counts_dense(ds, field: str = "tokens", num_parts: int = 32) -> np.nda
     return total
 
 
-class TokenLmScorer:
-    """Actor-pool callable: dense add-one unigram NLL per sequence.
+def token_lm_score(ds, field: str = "tokens", target: str = "nll",
+                   round_to: int = 4):
+    """Two-pass corpus LM scoring over tokenized sequences: dense
+    counts (tree reduction), one 8·VOCAB_SIZE-byte broadcast of the
+    log-prob vector, then vectorized per-sequence NLL.
 
     p(t) = (c_t + 1) / (N + VOCAB_SIZE); scoring is pure array
     indexing (``logp[token_ids]``) + ``np.add.reduceat`` — no hashing,
     no dictionary. Rows with zero tokens are dropped (unscorable; the
-    SQL GROUP BY drops them identically)."""
-
-    def __init__(self, logp_ref, field: str = "tokens", target: str = "nll",
-                 round_to: int = 4):
-        self.logp = ray.get(logp_ref) if not isinstance(logp_ref, np.ndarray) else logp_ref
-        self.field = field
-        self.target = target
-        self.round_to = round_to
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from vector_ray.functions.tokens import _flat_tokens
-
-        values, offsets = _flat_tokens(batch, self.field)
-        lens = np.diff(offsets)
-        nonempty = lens > 0
-        if not nonempty.all():
-            batch = batch.filter(pa.array(nonempty))
-            values, offsets = _flat_tokens(batch, self.field)
-            lens = np.diff(offsets)
-        if len(values):
-            logp = self.logp[values]
-            starts = offsets[:-1]
-            sums = np.add.reduceat(logp, starts) if len(starts) else np.zeros(0)
-            nll = -(sums / lens)
-        else:
-            nll = np.zeros(0)
-        nll = round_sql_np(round_sql_np(nll, 9), self.round_to)
-        return batch.append_column(self.target, pa.array(nll, pa.float64()))
-
-
-def token_lm_score(ds, field: str = "tokens", concurrency=(1, 8)):
-    """Two-pass corpus LM scoring over tokenized sequences: dense
-    counts (tree reduction), one 8·VOCAB_SIZE-byte broadcast of the
-    log-prob vector, then vectorized per-sequence NLL."""
+    SQL GROUP BY drops them identically). The scorer holds no state
+    beyond the broadcast vector, so it runs as a TASK pool on whole
+    blocks (per-task ``ray.get`` of the ref is a zero-copy local
+    object-store read) — no actor-pool spin-up on the scan."""
     from vector_ray.schema import VOCAB_SIZE
 
     counts = token_counts_dense(ds, field)
     n_total = int(counts.sum())
     logp = np.log(counts + 1.0) - np.log(n_total + float(VOCAB_SIZE))
     logp_ref = ray.put(logp)
-    return ds.map_batches(
-        TokenLmScorer,
-        fn_constructor_kwargs={"logp_ref": logp_ref, "field": field},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        from vector_ray.functions.tokens import _flat_tokens
+
+        lp = ray.get(logp_ref)
+        values, offsets = _flat_tokens(batch, field)
+        lens = np.diff(offsets)
+        nonempty = lens > 0
+        if not nonempty.all():
+            batch = batch.filter(pa.array(nonempty))
+            values, offsets = _flat_tokens(batch, field)
+            lens = np.diff(offsets)
+        if len(values):
+            # reduceat's LAST segment runs to the end of the array: trim
+            # the values buffer to the final offset in case the arrow
+            # array is a slice whose parent buffer extends past it
+            sums = np.add.reduceat(lp[values[: offsets[-1]]], offsets[:-1])
+            nll = -(sums / lens)
+        else:
+            nll = np.zeros(0)
+        nll = round_sql_np(round_sql_np(nll, 9), round_to)
+        return batch.append_column(target, pa.array(nll, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
