@@ -318,3 +318,59 @@ def test_semdedup_greedy_keeps_chain_tail(ray_session):
         .sort_index()
     )
     assert out.kept.tolist() == [True, False, True]
+
+
+def test_budget_select_hand_computed(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.selection import budget_select
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "score": pa.array([0.9, 0.5, 0.9, 0.7, 0.2]),
+            "w": pa.array([4, 3, 5, 2, 1], pa.int64()),
+        }
+    )
+    # order: (0.9, id0 w4) (0.9, id2 w5) (0.7, id3 w2) (0.5, id1 w3)
+    # (0.2, id4 w1); cum: 4, 9, 11, 14, 15 -> budget 11 keeps 0,2,3
+    out = (
+        budget_select(
+            rd.from_arrow(t).repartition(3), budget=11,
+            score_field="score", weight_field="w", id_field="doc_id",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.doc_id.tolist() == [0, 2, 3]
+    # budget mid-way through a tie bin: same score 0.9, id ASC wins
+    out2 = budget_select(
+        rd.from_arrow(t).repartition(3), budget=5,
+        score_field="score", weight_field="w", id_field="doc_id",
+    ).to_pandas()
+    assert out2.doc_id.tolist() == [0]
+    # budget covers everything
+    out3 = budget_select(
+        rd.from_arrow(t), budget=100,
+        score_field="score", weight_field="w", id_field="doc_id",
+    ).to_pandas()
+    assert len(out3) == 5
+
+
+def test_budget_select_rejects_nonpositive_weight(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.selection import budget_select
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "score": pa.array([0.5, 0.6]),
+            "w": pa.array([3, 0], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="strictly positive"):
+        budget_select(
+            rd.from_arrow(t), budget=2, score_field="score",
+            weight_field="w", id_field="doc_id",
+        ).materialize()

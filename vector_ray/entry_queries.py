@@ -1502,6 +1502,26 @@ def q_hot_spans_documents(sf_dir: str):
     return hot_span_stats(ds, n=3, min_count=4)
 
 
+def q_budget_select_documents(sf_dir: str):
+    """Quality-ordered selection under a 10k-word budget: keep docs by
+    (quality_score desc, doc_id asc) while the running word count stays
+    within budget — histogram-threshold plan, no global sort."""
+    from vector_ray.functions.selection import budget_select
+    from vector_ray.functions.text import quality_features
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = ds.map_batches(
+        lambda t: quality_features(t).select(
+            ["doc_id", "n_words", "quality_score"]
+        ),
+        batch_format="pyarrow",
+    )
+    return budget_select(
+        scored, budget=10_000, score_field="quality_score",
+        weight_field="n_words",
+    )
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Full-corpus distributed Lloyd k-means (cosine), deterministic
     init from the k smallest ids, fixed 3 iterations; per-row cluster
@@ -1609,6 +1629,7 @@ QUERIES = {
     "lm_score_documents": q_lm_score_documents,
     "lm_tokens_corpus": q_lm_tokens_corpus,
     "hot_spans_documents": q_hot_spans_documents,
+    "budget_select_documents": q_budget_select_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2116,6 +2137,22 @@ def oracle_sql() -> dict[str, str]:
                 "  FROM w LEFT JOIN vocab v USING (word)) "
                 "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
                 "FROM sc GROUP BY doc_id"
+            ),
+            "budget_select_documents": (
+                # same quality_score definition as quality_documents,
+                # then a window-function prefix under the word budget
+                "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+                "f AS (SELECT doc_id, len(ws) AS n_words, "
+                "  CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws) AS uniq_ratio, "
+                f"  CAST(len(list_filter(ws, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)/len(ws) AS stop_ratio "
+                "  FROM w), "
+                "q AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+                "  ROUND(ROUND(0.4*uniq_ratio + 0.3*(1-stop_ratio) + "
+                "    0.3*LEAST(n_words, 100)/100.0, 9), 4) AS quality_score FROM f), "
+                "r AS (SELECT *, SUM(n_words) OVER ("
+                "  ORDER BY quality_score DESC, doc_id ASC "
+                "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q) "
+                "SELECT doc_id, n_words, quality_score FROM r WHERE cum <= 10000"
             ),
             "hot_spans_documents": (
                 "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "

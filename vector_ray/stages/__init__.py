@@ -60,6 +60,7 @@ TRANSFORMS = {
     "kmeans": curate.kmeans,
     "semdedup": curate.semdedup,
     "hot_spans": curate.hot_spans,
+    "budget_select": curate.budget_select,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

@@ -18,6 +18,7 @@ __all__ = [
     "kmeans",
     "semdedup",
     "hot_spans",
+    "budget_select",
 ]
 
 
@@ -114,4 +115,22 @@ def hot_spans(ds, options: dict, ctx=None):
         id_field=options.get("id_field", "doc_id"),
         n=int(options.get("n", 3)),
         min_count=int(options.get("min_count", 4)),
+    )
+
+
+def budget_select(ds, options: dict, ctx=None):
+    """{"type": "budget_select", "budget": 10000, "score_field": "q",
+    "weight_field": "n_tok"} — keep best-scoring rows until the global
+    weight budget fills (functions/selection.py)."""
+    from vector_ray.functions.selection import budget_select as _bs
+
+    return _bs(
+        ds,
+        budget=int(options["budget"]),
+        score_field=options["score_field"],
+        weight_field=options["weight_field"],
+        id_field=options.get("id_field", "doc_id"),
+        bins=int(options.get("bins", 4096)),
+        lo=float(options.get("lo", 0.0)),
+        hi=float(options.get("hi", 1.0)),
     )
