@@ -374,3 +374,98 @@ def test_budget_select_rejects_nonpositive_weight(ray_session):
             rd.from_arrow(t), budget=2, score_field="score",
             weight_field="w", id_field="doc_id",
         ).materialize()
+
+
+def test_variance_aggregates_both_paths(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import aggregate
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(50, 12, size=4000)
+    keys = np.where(np.arange(4000) % 2 == 0, "a", "b")
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(6)
+
+    # fast path (no list-based aggregates in the spec)
+    fast = aggregate(
+        ds,
+        {
+            "group_by": ["k"],
+            "aggregates": {
+                "vs": {"fn": "var", "field": "v"},
+                "sp": {"fn": "stddev_pop", "field": "v"},
+            },
+        },
+    ).to_pandas().set_index("k")
+    # list path (variance mixed with an exact quantile)
+    listp = aggregate(
+        ds,
+        {
+            "group_by": ["k"],
+            "aggregates": {
+                "vs": {"fn": "var", "field": "v"},
+                "sp": {"fn": "stddev_pop", "field": "v"},
+                "med": {"fn": "p50", "field": "v"},
+            },
+        },
+    ).to_pandas().set_index("k")
+    import pandas as pd
+
+    df = t.to_pandas()
+    for k, grp in df.groupby("k"):
+        for res in (fast, listp):
+            assert abs(res.loc[k, "vs"] - grp.v.var(ddof=1)) < 1e-6
+            assert abs(res.loc[k, "sp"] - grp.v.std(ddof=0)) < 1e-6
+    # single-row group: sample variance undefined -> null
+    one = aggregate(
+        rd.from_arrow(pa.table({"k": ["z"], "v": [3.0]})),
+        {"group_by": ["k"], "aggregates": {"vs": {"fn": "var", "field": "v"}}},
+    ).to_pandas()
+    assert one.vs.isna().all()
+
+
+def test_reduce_extended_merge_strategies(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import reduce_
+
+    t = pa.table(
+        {
+            "k": pa.array(["g", "g", "g"]),
+            "ord": pa.array([1, 2, 3], pa.int64()),
+            "msg": pa.array(["x", "y", "x"]),
+            "arr": pa.array([[1, 2], [3], [4, 5, 6]], pa.list_(pa.int64())),
+        }
+    )
+    out = reduce_(
+        rd.from_arrow(t),
+        {
+            "group_by": ["k"],
+            "order_by": ["ord"],
+            "merge_strategies": {
+                "msg": "concat_newline",
+                "arr": "longest_array",
+                "ord": "array",
+            },
+        },
+    ).to_pandas()
+    assert out.msg[0] == "x\ny\nx"
+    assert list(out.arr[0]) == [4, 5, 6]
+    assert list(out.ord[0]) == [1, 2, 3]
+
+    out2 = reduce_(
+        rd.from_arrow(t),
+        {
+            "group_by": ["k"],
+            "order_by": ["ord"],
+            "merge_strategies": {
+                "msg": "flat_unique",
+                "arr": "shortest_array",
+                "ord": "retain",
+            },
+        },
+    ).to_pandas()
+    assert sorted(out2.msg[0]) == ["x", "y"]
+    assert list(out2.arr[0]) == [3]
+    assert out2.ord[0] == 3

@@ -1502,6 +1502,27 @@ def q_hot_spans_documents(sf_dir: str):
     return hot_span_stats(ds, n=3, min_count=4)
 
 
+def q_agg_var_events(sf_dir: str):
+    """Two-phase moment aggregates: sample/population variance and
+    stddev (sum, sum-of-squares, count partials)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    agg = grouped.aggregate(
+        ds,
+        {
+            "group_by": ["event_type"],
+            "aggregates": {
+                "n": {"fn": "count"},
+                "v_samp": {"fn": "var", "field": "value"},
+                "v_pop": {"fn": "var_pop", "field": "value"},
+                "sd_samp": {"fn": "stddev", "field": "value"},
+                "sd_pop": {"fn": "stddev_pop", "field": "value"},
+            },
+            "round": 4,
+        },
+    )
+    return _collect(agg)
+
+
 def q_budget_select_documents(sf_dir: str):
     """Quality-ordered selection under a 10k-word budget: keep docs by
     (quality_score desc, doc_id asc) while the running word count stays
@@ -1630,6 +1651,7 @@ QUERIES = {
     "lm_tokens_corpus": q_lm_tokens_corpus,
     "hot_spans_documents": q_hot_spans_documents,
     "budget_select_documents": q_budget_select_documents,
+    "agg_var_events": q_agg_var_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2137,6 +2159,14 @@ def oracle_sql() -> dict[str, str]:
                 "  FROM w LEFT JOIN vocab v USING (word)) "
                 "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
                 "FROM sc GROUP BY doc_id"
+            ),
+            "agg_var_events": (
+                "SELECT event_type, COUNT(*) AS n, "
+                "ROUND(ROUND(var_samp(value), 9), 4) AS v_samp, "
+                "ROUND(ROUND(var_pop(value), 9), 4) AS v_pop, "
+                "ROUND(ROUND(stddev_samp(value), 9), 4) AS sd_samp, "
+                "ROUND(ROUND(stddev_pop(value), 9), 4) AS sd_pop "
+                "FROM events GROUP BY event_type"
             ),
             "budget_select_documents": (
                 # same quality_score definition as quality_documents,

@@ -165,9 +165,11 @@ def reduce_(ds, options: dict, ctx=None):
                 continue
             strat = strategies.get(col, "first")
             c = t_sorted[col]
-            if strat == "first":
+            # "discard"/"retain" are Vector's names for keep-first /
+            # keep-last (config_panel.rs merge-strategy list)
+            if strat in ("first", "discard"):
                 out[col] = c.slice(0, 1).combine_chunks()
-            elif strat == "last":
+            elif strat in ("last", "retain"):
                 out[col] = c.slice(n - 1, 1).combine_chunks()
             elif strat == "sum":
                 out[col] = pa.array([pc.sum(c).as_py()])
@@ -180,6 +182,34 @@ def reduce_(ds, options: dict, ctx=None):
             elif strat == "concat":
                 strs = pc.cast(c, pa.string()).to_pylist()
                 out[col] = pa.array([" ".join(s for s in strs if s is not None)])
+            elif strat == "concat_newline":
+                strs = pc.cast(c, pa.string()).to_pylist()
+                out[col] = pa.array(["\n".join(s for s in strs if s is not None)])
+            elif strat == "array":
+                out[col] = pa.array(
+                    [c.combine_chunks().to_pylist()], pa.list_(c.type)
+                )
+            elif strat == "flat_unique":
+                cc = c.combine_chunks()
+                if pa.types.is_list(cc.type) or pa.types.is_large_list(cc.type):
+                    flat, typ = cc.flatten(), cc.type.value_type
+                else:
+                    flat, typ = cc, cc.type
+                uniq = pc.unique(flat.drop_null())
+                # deterministic order (Vector's is hash-set order — any
+                # stable rule is as faithful; sorted is reproducible)
+                uniq = uniq.take(pc.sort_indices(uniq))
+                out[col] = pa.array([uniq.to_pylist()], pa.list_(typ))
+            elif strat in ("longest_array", "shortest_array"):
+                cc = c.combine_chunks()
+                if not (pa.types.is_list(cc.type) or pa.types.is_large_list(cc.type)):
+                    raise ValueError(f"{strat} requires a list column, got {cc.type}")
+                lens = pc.list_value_length(cc).to_numpy(zero_copy_only=False)
+                lens = np.where(np.isnan(lens.astype(np.float64)), -1, lens)
+                # first occurrence wins ties (argmax/argmin semantics)
+                i = int(np.argmax(lens) if strat == "longest_array" else
+                        np.argmin(np.where(lens < 0, np.iinfo(np.int64).max, lens)))
+                out[col] = cc.slice(i, 1)
             elif strat == "drop":
                 continue
             else:
@@ -239,6 +269,15 @@ def reduce_(ds, options: dict, ctx=None):
 # ---------------------------------------------------------------------------
 
 _PA_FN = {"sum": "sum", "min": "min", "max": "max"}
+# variance family: (sample?, sqrt?) — matches SQL var_samp/var_pop/
+# stddev_samp/stddev_pop over non-null columns (like mean, the count
+# leg counts rows; feed non-null fields)
+_VAR_FN = {
+    "var": (True, False),
+    "var_pop": (False, False),
+    "stddev": (True, True),
+    "stddev_pop": (False, True),
+}
 _QUANTILE_FN = {"p50": 0.5, "median": 0.5, "p90": 0.9, "p99": 0.99}
 _APPROX_QUANTILE_FN = {
     "approx_p50": 0.5,
@@ -273,6 +312,12 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
         elif fn == "mean":
             specs.append(("sum", field, f"__ps_{out}"))
             specs.append(("count", None, f"__pc_{out}"))
+        elif fn in _VAR_FN:
+            # two-phase moments: sum(x), sum(x^2), n — combined at the
+            # final merge into sample/population variance or stddev
+            specs.append(("sum", f"__sq_{out}", f"__pq_{out}"))
+            specs.append(("sum", field, f"__ps_{out}"))
+            specs.append(("count", None, f"__pc_{out}"))
         elif fn in _PA_FN:
             specs.append((fn, field, f"__p_{out}"))
         elif fn in _QUANTILE_FN or fn == "quantile":
@@ -296,7 +341,21 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
         else:
             raise ValueError(f"unknown aggregate fn {fn!r}")
 
+    var_specs = [
+        (out, spec["field"])
+        for out, spec in aggregates.items()
+        if spec["fn"] in _VAR_FN
+    ]
+
     def add_indicators(t: pa.Table) -> pa.Table:
+        for out, field in var_specs:
+            sq = pc.multiply(
+                pc.cast(t[field], pa.float64()), pc.cast(t[field], pa.float64())
+            )
+            t = t.append_column(
+                f"__sq_{out}",
+                sq.combine_chunks() if isinstance(sq, pa.ChunkedArray) else sq,
+            )
         for out, field, le in ind_specs:
             ind = pc.cast(
                 pc.fill_null(pc.less_equal(t[field], le), False), pa.int64()
@@ -476,6 +535,19 @@ def _aggregate_with_lists(ds, group_by, aggregates, ndigits):
                 s = pc.sum(g[f"__ps_{name}"]).as_py() or 0.0
                 c = pc.sum(g[f"__pc_{name}"]).as_py() or 0
                 out[name] = pa.array([s / c if c else None], pa.float64())
+            elif fn in _VAR_FN:
+                sample, sqrt_ = _VAR_FN[fn]
+                s = pc.sum(g[f"__ps_{name}"]).as_py() or 0.0
+                q = pc.sum(g[f"__pq_{name}"]).as_py() or 0.0
+                c = pc.sum(g[f"__pc_{name}"]).as_py() or 0
+                denom = (c - 1) if sample else c
+                if denom <= 0:
+                    out[name] = pa.array([None], pa.float64())
+                else:
+                    v = max((q - s * s / c) / denom, 0.0)
+                    out[name] = pa.array(
+                        [np.sqrt(v) if sqrt_ else v], pa.float64()
+                    )
             elif fn in _QUANTILE_FN or fn == "quantile":
                 col = g[f"__pl_{name}"]
                 if isinstance(col, pa.ChunkedArray):
@@ -562,6 +634,10 @@ def aggregate(ds, options: dict, ctx=None):
         elif fn == "mean":
             ray_aggs.append(Sum(f"__ps_{out}", alias_name=f"__s_{out}"))
             ray_aggs.append(Sum(f"__pc_{out}", alias_name=f"__c_{out}"))
+        elif fn in _VAR_FN:
+            ray_aggs.append(Sum(f"__ps_{out}", alias_name=f"__s_{out}"))
+            ray_aggs.append(Sum(f"__pq_{out}", alias_name=f"__q_{out}"))
+            ray_aggs.append(Sum(f"__pc_{out}", alias_name=f"__c_{out}"))
         elif fn == "sum":
             ray_aggs.append(Sum(f"__p_{out}", alias_name=out))
         elif fn == "min":
@@ -570,6 +646,7 @@ def aggregate(ds, options: dict, ctx=None):
             ray_aggs.append(Max(f"__p_{out}", alias_name=out))
     final = partials.groupby(group_by).aggregate(*ray_aggs)
 
+    var_outs = [o for o, s in aggregates.items() if s["fn"] in _VAR_FN]
     mean_outs = [o for o, s in aggregates.items() if s["fn"] == "mean"]
     count_outs = [
         o for o, s in aggregates.items() if s["fn"] in ("count", "count_le")
@@ -580,6 +657,21 @@ def aggregate(ds, options: dict, ctx=None):
     ]
 
     def finish(t: pa.Table) -> pa.Table:
+        for out in var_outs:
+            sample, sqrt_ = _VAR_FN[aggregates[out]["fn"]]
+            s = np.asarray(pc.cast(t[f"__s_{out}"], pa.float64()))
+            q = np.asarray(pc.cast(t[f"__q_{out}"], pa.float64()))
+            c = np.asarray(pc.cast(t[f"__c_{out}"], pa.float64()))
+            denom = (c - 1.0) if sample else c
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = np.maximum((q - s * s / c) / denom, 0.0)
+            v = np.where(denom <= 0, np.nan, v)
+            if sqrt_:
+                v = np.sqrt(v)
+            arr = pa.array(v, pa.float64())
+            arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, pa.float64()), arr)
+            t = t.append_column(out, arr)
+            t = t.drop_columns([f"__s_{out}", f"__q_{out}", f"__c_{out}"])
         for out in mean_outs:
             mean = pc.divide(
                 pc.cast(t[f"__s_{out}"], pa.float64()),
