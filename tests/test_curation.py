@@ -254,3 +254,37 @@ def test_repetition_stats_exact(ray_session):
     )
     out2 = _collect(repetition_stats(rd.from_arrow(long_uniform), max_freq_pct=5))
     assert out2["repetitive"].to_pylist() == [False]  # 1*20 < 50
+
+
+def test_stratified_sample_exact_counts_and_stability(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.functions.curation import stratified_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200), pa.int64()),
+            "source": pa.array(
+                ["web"] * 150 + ["book"] * 45 + ["tiny"] * 5
+            ),
+        }
+    )
+    out = (
+        stratified_sample(rd.from_arrow(t).repartition(6), 10)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    counts = out.source.value_counts().to_dict()
+    # exactly n per stratum; a stratum smaller than n yields all of it
+    assert counts == {"web": 10, "book": 10, "tiny": 5}
+    # deterministic across repartitionings
+    out2 = (
+        stratified_sample(rd.from_arrow(t).repartition(2), 10)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.doc_id.tolist() == out2.doc_id.tolist()
+    # helper column is dropped from the result
+    assert "__strath" not in out.columns

@@ -1502,6 +1502,20 @@ def q_hot_spans_documents(sf_dir: str):
     return hot_span_stats(ds, n=3, min_count=4)
 
 
+def q_stratified_sample_documents(sf_dir: str):
+    """Exact deterministic per-language sampling: 20 docs per lang by
+    (hash(doc_id) asc, doc_id asc) rank."""
+    from vector_ray.functions.curation import stratified_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = stratified_sample(ds, 20, key="lang", id_field="doc_id")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
 def q_agg_var_events(sf_dir: str):
     """Two-phase moment aggregates: sample/population variance and
     stddev (sum, sum-of-squares, count partials)."""
@@ -1652,6 +1666,7 @@ QUERIES = {
     "hot_spans_documents": q_hot_spans_documents,
     "budget_select_documents": q_budget_select_documents,
     "agg_var_events": q_agg_var_events,
+    "stratified_sample_documents": q_stratified_sample_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2159,6 +2174,15 @@ def oracle_sql() -> dict[str, str]:
                 "  FROM w LEFT JOIN vocab v USING (word)) "
                 "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
                 "FROM sc GROUP BY doc_id"
+            ),
+            "stratified_sample_documents": (
+                # same multiplicative hash as functions/curation.py
+                # STRAT_MULT; doc_id * mult stays under 2^63 at test scale
+                "SELECT doc_id, lang FROM ("
+                "  SELECT doc_id, lang, ROW_NUMBER() OVER ("
+                "    PARTITION BY lang "
+                "    ORDER BY (doc_id * 3266489917) % 4294967296, doc_id"
+                "  ) AS rn FROM documents) WHERE rn <= 20"
             ),
             "agg_var_events": (
                 "SELECT event_type, COUNT(*) AS n, "

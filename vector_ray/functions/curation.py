@@ -30,6 +30,7 @@ __all__ = [
     "length_buckets",
     "repetition_stats",
     "epoch_shuffle",
+    "stratified_sample",
 ]
 
 # Knuth multiplicative-hash constant (sampling), xxhash PRIME32_2
@@ -206,3 +207,36 @@ def repetition_stats(ds: rd.Dataset, max_freq_pct: int = 5) -> rd.Dataset:
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+# xxhash PRIME32_3 — a fourth multiplier, decorrelated from the
+# mixture/split/epoch selections above
+STRAT_MULT = 3266489917
+
+
+def stratified_sample(
+    ds: rd.Dataset, n_per_key: int, key: str = "source",
+    id_field: str = "doc_id",
+) -> rd.Dataset:
+    """EXACTLY ``n_per_key`` rows per key (fewer if the stratum is
+    smaller), deterministic: rows rank within their key by
+    (hash(id) asc, id asc) and the first n win. Unlike rate-based
+    ``mixture_sample`` this guarantees the stratum count; like it, the
+    selection is stable across runs, repartitioning, and cluster sizes.
+    Skew-safe two-phase via ``topk_per_key`` (per-block local head, so
+    a hot stratum ships at most n x blocks rows, then salted merge)."""
+
+    def add_rank_hash(t: pa.Table) -> pa.Table:
+        h = _doc_hash(t, STRAT_MULT, id_field).astype(np.int64)
+        return t.append_column("__strath", pa.array(h))
+
+    from vector_ray.stages.shuffle import topk_per_key
+
+    ranked = ds.map_batches(add_rank_hash, batch_format="pyarrow")
+    out = topk_per_key(
+        ranked, key, "__strath", n_per_key, descending=False,
+        tiebreak=id_field,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["__strath"]), batch_format="pyarrow"
+    )

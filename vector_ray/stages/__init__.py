@@ -61,6 +61,7 @@ TRANSFORMS = {
     "semdedup": curate.semdedup,
     "hot_spans": curate.hot_spans,
     "budget_select": curate.budget_select,
+    "stratified_sample": curate.stratified_sample,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

@@ -19,6 +19,7 @@ __all__ = [
     "semdedup",
     "hot_spans",
     "budget_select",
+    "stratified_sample",
 ]
 
 
@@ -133,4 +134,15 @@ def budget_select(ds, options: dict, ctx=None):
         bins=int(options.get("bins", 4096)),
         lo=float(options.get("lo", 0.0)),
         hi=float(options.get("hi", 1.0)),
+    )
+
+
+def stratified_sample(ds, options: dict, ctx=None):
+    """{"type": "stratified_sample", "n_per_key": 20, "key": "source"}
+    — exact deterministic per-stratum sampling (functions/curation.py)."""
+    return curation.stratified_sample(
+        ds,
+        int(options["n_per_key"]),
+        key=options.get("key", "source"),
+        id_field=options.get("id_field", "doc_id"),
     )
