@@ -209,3 +209,26 @@ def test_partial_shares_sketch_columns_per_field():
     empty = partial(t.slice(0, 0))
     assert sorted(empty.column_names) == sorted(out.column_names)
     assert empty.schema.equals(out.schema)
+
+
+def test_bloom_no_false_negatives_and_fpr_bound():
+    from vector_ray.functions.sketches import bloom_build, bloom_contains
+
+    rng = np.random.default_rng(9)
+    members = rng.integers(0, 2**63, size=20_000, dtype=np.uint64)
+    m_bits = len(members) * 16  # 16 bits/key, k=8 -> design FPR ~5e-4
+    bf = bloom_build(members, m_bits, k=8)
+    assert bloom_contains(bf, members, m_bits, k=8).all()
+    probe = rng.integers(0, 2**63, size=200_000, dtype=np.uint64)
+    outside = probe[~np.isin(probe, members)]
+    fpr = bloom_contains(bf, outside, m_bits, k=8).mean()
+    assert fpr < 5e-3, fpr  # 10x headroom over the design rate
+
+
+def test_bloom_empty():
+    from vector_ray.functions.sketches import bloom_build, bloom_contains
+
+    bf = bloom_build(np.empty(0, np.uint64), 1024)
+    assert not bloom_contains(
+        bf, np.array([1, 2, 3], np.uint64), 1024
+    ).any()

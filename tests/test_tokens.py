@@ -170,3 +170,38 @@ def test_vrl_redact(ray_session):
         "user [REDACTED] from [REDACTED] pid [REDACTED]",
         "nothing here",
     ]
+
+
+def test_contamination_bloom_upper_bounds_exact(ray_session, tmp_path):
+    from vector_ray.functions.tokens import ngram_contamination
+
+    rng = np.random.default_rng(23)
+    rows = [rng.integers(0, 1000, size=40, dtype=np.int32) for _ in range(200)]
+    rows[11][4:12] = rows[0][9:17]  # plant one eval 8-gram in doc 11
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i:010d}" for i in range(200)]),
+            "tokens": pa.array([r.tolist() for r in rows], pa.list_(pa.int32())),
+        }
+    )
+    p = str(tmp_path / "shard-00000.parquet")
+    pq.write_table(t, p)
+    exact = (
+        ngram_contamination([p], n=8, every=7)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    bloom = (
+        ngram_contamination([p], n=8, every=7, index="bloom")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # no false negatives: every exact hit is a bloom hit, counts are
+    # an upper bound
+    assert (bloom.n_gram_hits >= exact.n_gram_hits).all()
+    assert bloom.contaminated[exact.contaminated].all()
+    # at 16 bits/key the FP inflation should be tiny on this corpus
+    extra = int(bloom.n_gram_hits.sum() - exact.n_gram_hits.sum())
+    assert extra <= max(5, 0.01 * exact.n_gram_hits.sum())

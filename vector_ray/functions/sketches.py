@@ -182,3 +182,54 @@ def ll_quantile(idx_sorted: np.ndarray, counts: np.ndarray, q: float):
     cum = np.cumsum(counts)
     pos = int(np.searchsorted(cum, rank + 1))
     return ll_value(int(idx_sorted[pos]))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter over pre-hashed uint64 keys — the broadcast-membership
+# scale path. A 10^9-gram benchmark blocklist is ~8 GB as exact uint64
+# hashes but ~2 GB at 16 bits/key with FPR ~5e-4; at 100 TB the Bloom
+# is what you ray.put. Double hashing (Kirsch-Mitzenmacher): the k
+# probe positions derive from two 64-bit hashes, so membership tests
+# stay fully vectorized. No false negatives ever; false positives at
+# the standard (1 - e^(-k/bits_per_key))^k rate.
+# ---------------------------------------------------------------------------
+
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _bloom_probes(hashes: np.ndarray, m_bits: int, k: int):
+    h1 = np.asarray(hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = (h1 * _BLOOM_MIX) | np.uint64(1)
+        for i in range(k):
+            yield (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+
+def bloom_build(hashes: np.ndarray, m_bits: int, k: int = 8) -> np.ndarray:
+    """uint64-word bit array with every key's k probe bits set."""
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    if len(hashes):
+        for idx in _bloom_probes(hashes, m_bits, k):
+            np.bitwise_or.at(
+                words,
+                (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+    return words
+
+
+def bloom_contains(
+    words: np.ndarray, hashes: np.ndarray, m_bits: int, k: int = 8
+) -> np.ndarray:
+    """Vectorized membership mask; true for every inserted key, true
+    for a non-member only at the design FPR."""
+    mask = np.ones(len(hashes), dtype=bool)
+    if not len(hashes):
+        return mask
+    for idx in _bloom_probes(hashes, m_bits, k):
+        bits = (
+            words[(idx >> np.uint64(6)).astype(np.int64)]
+            >> (idx & np.uint64(63))
+        ) & np.uint64(1)
+        mask &= bits.astype(bool)
+    return mask

@@ -483,13 +483,66 @@ class ContaminationChecker:
         )
 
 
+class BloomContaminationChecker:
+    """Approximate variant: membership against a broadcast Bloom filter
+    instead of the exact hash index — the scale path when the benchmark
+    gram set is too large to ship exactly (the Bloom is bits_per_key/64
+    the size of the uint64 hash set). No false negatives (every truly
+    contaminated doc is flagged); a clean doc is flagged only at the
+    filter's FPR, so hit counts are an upper bound on exact overlap."""
+
+    def __init__(self, bloom_ref, n: int = 8):
+        self.words, self.m_bits, self.k = ray.get(bloom_ref)
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from vector_ray.functions.sketches import bloom_contains
+
+        values, offsets = _flat_tokens(t)
+        starts, row_of = _gram_windows(values, offsets, self.n)
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        if len(starts):
+            h = _hash_grams(values, starts, self.n)
+            is_hit = bloom_contains(self.words, h, self.m_bits, self.k)
+            np.add.at(hits, row_of[is_hit], 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_gram_hits": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+
 def ngram_contamination(
-    files: list[str], n: int = 8, every: int = 97, concurrency=(1, 8)
+    files: list[str], n: int = 8, every: int = 97, concurrency=(1, 8),
+    index: str = "exact", bloom_bits_per_key: int = 16, bloom_k: int = 8,
 ) -> rd.Dataset:
     """Corpus-wide contamination scan. The benchmark index is built once,
-    ``ray.put`` once, and fetched once per actor (never per batch)."""
-    bench_ref = ray.put(benchmark_ngrams(files, n=n, every=every))
+    ``ray.put`` once, and fetched once per actor (never per batch).
+
+    ``index="exact"`` (default, oracle-checked): sorted hash membership
+    + exact byte verify. ``index="bloom"``: broadcast a Bloom filter
+    over the benchmark gram hashes instead — bits_per_key/64 the
+    memory, upper-bound semantics (no false negatives)."""
+    hashes, exact = benchmark_ngrams(files, n=n, every=every)
     ds = rd.read_parquet(files, columns=["doc_id", "tokens"])
+    if index == "bloom":
+        from vector_ray.functions.sketches import bloom_build
+
+        m_bits = max(64, len(hashes) * bloom_bits_per_key)
+        bloom_ref = ray.put(
+            (bloom_build(hashes, m_bits, bloom_k), m_bits, bloom_k)
+        )
+        return ds.map_batches(
+            BloomContaminationChecker,
+            fn_constructor_kwargs={"bloom_ref": bloom_ref, "n": n},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    if index != "exact":
+        raise ValueError(f"unknown contamination index {index!r}")
+    bench_ref = ray.put((hashes, exact))
     return ds.map_batches(
         ContaminationChecker,
         fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
