@@ -469,3 +469,33 @@ def test_reduce_extended_merge_strategies(ray_session):
     assert sorted(out2.msg[0]) == ["x", "y"]
     assert list(out2.arr[0]) == [3]
     assert out2.ord[0] == 3
+
+
+def test_tfidf_top_term_hand_computed(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.text import tfidf_top_term
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["rare common common", "common common", "rare rare common"]
+            ),
+        }
+    )
+    # N=3; df(common)=3 -> idf = ln(4/4)+1 = 1; df(rare)=2 -> ln(4/3)+1
+    out = (
+        tfidf_top_term(rd.from_arrow(docs).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    idf_rare = np.log(4.0 / 3.0) + 1.0
+    # doc0: rare*1 vs common*2 -> common (2.0 > 1.29)
+    assert out.loc[0, "top_term"] == "common" and out.loc[0, "tfidf"] == 2.0
+    # doc1: only common, tf=2
+    assert out.loc[1, "top_term"] == "common"
+    # doc2: rare tf=2 (2.58) beats common tf=1
+    assert out.loc[2, "top_term"] == "rare"
+    assert abs(out.loc[2, "tfidf"] - 2 * idf_rare) < 1e-3

@@ -1502,6 +1502,15 @@ def q_hot_spans_documents(sf_dir: str):
     return hot_span_stats(ds, n=3, min_count=4)
 
 
+def q_tfidf_documents(sf_dir: str):
+    """Per-doc top TF-IDF term (smoothed idf, two-phase DF counts,
+    broadcast idf table)."""
+    from vector_ray.functions.text import tfidf_top_term
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_term(ds)
+
+
 def q_stratified_sample_documents(sf_dir: str):
     """Exact deterministic per-language sampling: 20 docs per lang by
     (hash(doc_id) asc, doc_id asc) rank."""
@@ -1667,6 +1676,7 @@ QUERIES = {
     "budget_select_documents": q_budget_select_documents,
     "agg_var_events": q_agg_var_events,
     "stratified_sample_documents": q_stratified_sample_documents,
+    "tfidf_documents": q_tfidf_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2174,6 +2184,19 @@ def oracle_sql() -> dict[str, str]:
                 "  FROM w LEFT JOIN vocab v USING (word)) "
                 "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
                 "FROM sc GROUP BY doc_id"
+            ),
+            "tfidf_documents": (
+                "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+                "  FROM documents), "
+                "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word), "
+                "df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word), "
+                "sc AS (SELECT tf.doc_id, tf.word, tf.tf * "
+                "  (ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df.df + 1.0)) + 1.0) "
+                "  AS score FROM tf JOIN df USING (word)), "
+                "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+                "  ORDER BY score DESC, word ASC) AS rn FROM sc) "
+                "SELECT doc_id, word AS top_term, "
+                "ROUND(ROUND(score, 9), 4) AS tfidf FROM r WHERE rn = 1"
             ),
             "stratified_sample_documents": (
                 # same multiplicative hash as functions/curation.py

@@ -175,3 +175,102 @@ def rolling_hash_fingerprint(
         valid = lengths > j
         out[valid] = out[valid] * mult + h[offsets[:-1][valid] + j]
     return t.append_column(target, pa.array(out.astype(np.int64), pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: corpus document frequencies (two-phase, batch-partitioned
+# exactness) + per-doc top term
+# ---------------------------------------------------------------------------
+
+
+def doc_frequencies(ds, field: str = "text"):
+    """Dataset of (word, df) — number of DOCUMENTS containing each word.
+    Each document lives in exactly one batch, so per-batch distinct
+    (word, doc) counting sums exactly across the corpus; the shuffle
+    carries one row per distinct word per block."""
+    import ray.data  # noqa: F401  (Sum import site)
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        flat = np.asarray(words.flatten(), dtype=object)
+        row_id = np.repeat(
+            np.arange(len(words)),
+            np.asarray(pc.list_value_length(words), dtype=np.int64),
+        )
+        uniq, code = np.unique(flat, return_inverse=True)
+        # distinct (doc, word) pairs within the batch
+        pair = row_id.astype(np.int64) * len(uniq) + code
+        upair = np.unique(pair)
+        u, c = np.unique(upair % len(uniq), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(uniq[u], pa.string()),
+                "df": pa.array(c, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+
+def tfidf_top_term(ds, field: str = "text", id_field: str = "doc_id",
+                   round_to: int = 4):
+    """Per-document top TF-IDF term: score = tf * (ln((N+1)/(df+1)) + 1)
+    (smoothed sklearn-style idf), winner by (score DESC, word ASC).
+
+    The (word -> idf) table is broadcast once; per-batch scoring is one
+    np.unique for codes + one lexsort for the per-doc argmax."""
+    import ray
+
+    from vector_ray.schema import round_sql_np
+
+    n_docs = ds.count()
+    df_rows = doc_frequencies(ds, field).take_all()
+    idf = {
+        r["word"]: float(np.log((n_docs + 1.0) / (r["df"] + 1.0)) + 1.0)
+        for r in df_rows
+    }
+    idf_ref = ray.put(idf)
+
+    def top_term(t: pa.Table) -> pa.Table:
+        idf_map = ray.get(idf_ref)
+        col = t[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        flat = np.asarray(words.flatten(), dtype=object)
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        row_id = np.repeat(np.arange(len(words)), lens)
+        uniq, code = np.unique(flat, return_inverse=True)
+        # tf per (doc, word): unique over the pair key
+        pair = row_id.astype(np.int64) * len(uniq) + code
+        upair, tf = np.unique(pair, return_counts=True)
+        prow, pcode = upair // len(uniq), upair % len(uniq)
+        uidf = np.array([idf_map[w] for w in uniq], dtype=np.float64)
+        score = tf * uidf[pcode]
+        # per-row argmax with (score desc, word asc): np.unique returns
+        # uniq SORTED, so ascending code == ascending word
+        order = np.lexsort((pcode, -score, prow))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = prow[order][1:] != prow[order][:-1]
+        win = order[first]
+        ids = t[id_field]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sc = round_sql_np(round_sql_np(score[win], 9), round_to)
+        return pa.table(
+            {
+                id_field: ids.take(pa.array(prow[win])),
+                "top_term": pa.array(uniq[pcode[win]].astype(object), pa.string()),
+                "tfidf": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(top_term, batch_format="pyarrow")
