@@ -686,6 +686,31 @@ def q_ngram_pairs_documents(sf_dir: str):
     return ngram_jaccard_pairs(ds, bucket_by=["lang"], threshold=0.3)
 
 
+def q_near_dedupe_documents(sf_dir: str):
+    """End-to-end near-dup resolution: exact n-gram-Jaccard candidate
+    pairs -> distributed connected components (contraction CC) ->
+    canonical representative = component min id. Output one row per
+    doc in the pair graph: (doc_id, cluster, kept)."""
+    from vector_ray.functions.dedup import (
+        connected_components_distributed,
+        ngram_jaccard_pairs,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pairs = ngram_jaccard_pairs(ds, bucket_by=["lang"], threshold=0.3)
+    cc = connected_components_distributed(pairs)
+
+    def flag(t: pa.Table) -> pa.Table:
+        kept = pc.equal(t["doc_id"], t["cluster"])
+        return t.append_column(
+            "kept", kept.combine_chunks() if isinstance(kept, pa.ChunkedArray) else kept
+        )
+
+    return cc.map_batches(flag, batch_format="pyarrow")
+
+
 def q_embedding_dups(sf_dir: str):
     # exact distributed block-pair all-pairs; threshold 0.4 chosen so the
     # expected result on the random test embeddings is NON-empty (59
@@ -1677,6 +1702,7 @@ QUERIES = {
     "agg_var_events": q_agg_var_events,
     "stratified_sample_documents": q_stratified_sample_documents,
     "tfidf_documents": q_tfidf_documents,
+    "near_dedupe_documents": q_near_dedupe_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2184,6 +2210,32 @@ def oracle_sql() -> dict[str, str]:
                 "  FROM w LEFT JOIN vocab v USING (word)) "
                 "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
                 "FROM sc GROUP BY doc_id"
+            ),
+            "near_dedupe_documents": (
+                # same pair definition as ngram_pairs_documents, then
+                # transitive closure by recursive min-label reach
+                "WITH RECURSIVE w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws "
+                "  FROM documents), "
+                "s AS (SELECT doc_id, lang, CASE "
+                "  WHEN len(ws) < 3 THEN [array_to_string("
+                "    list_transform(range(3), j -> ws[least(1 + j, len(ws))]), ' ')] "
+                "  ELSE list_transform(range(len(ws) - 2), "
+                "    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END AS sh "
+                "  FROM w), "
+                "d AS (SELECT doc_id, lang, list_distinct(sh) AS sh FROM s), "
+                "p AS (SELECT doc_a, doc_b FROM ("
+                "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                "    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+                "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac "
+                "  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+                "  WHERE len(list_intersect(a.sh, b.sh)) > 0) WHERE jac >= 0.3), "
+                "e AS (SELECT doc_a AS u, doc_b AS v FROM p "
+                "  UNION SELECT doc_b, doc_a FROM p), "
+                "n AS (SELECT DISTINCT u AS node FROM e), "
+                "reach AS (SELECT node, node AS r FROM n "
+                "  UNION SELECT e.u, reach.r FROM e JOIN reach ON reach.node = e.v) "
+                "SELECT node AS doc_id, MIN(r) AS cluster, "
+                "node = MIN(r) AS kept FROM reach GROUP BY node"
             ),
             "tfidf_documents": (
                 "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
