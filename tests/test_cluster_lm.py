@@ -499,3 +499,33 @@ def test_tfidf_top_term_hand_computed(ray_session):
     # doc2: rare tf=2 (2.58) beats common tf=1
     assert out.loc[2, "top_term"] == "rare"
     assert abs(out.loc[2, "tfidf"] - 2 * idf_rare) < 1e-3
+
+
+def test_zscore_hand_computed_and_zero_variance(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import zscore
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "k": pa.array(["a", "a", "a", "b", "b"]),
+            "v": pa.array([1.0, 2.0, 3.0, 7.0, 7.0]),
+        }
+    )
+    out = (
+        zscore(
+            rd.from_arrow(t).repartition(2),
+            {"group_by": "k", "field": "v", "target": "z", "round": 4},
+        )
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    # group a: mean 2, stddev_pop sqrt(2/3)
+    sd = np.sqrt(2.0 / 3.0)
+    assert abs(out.loc[0, "z"] - (-1.0 / sd)) < 1e-3
+    assert abs(out.loc[1, "z"]) < 1e-9
+    assert abs(out.loc[2, "z"] - (1.0 / sd)) < 1e-3
+    # zero-variance group normalizes to null, not inf
+    assert np.isnan(out.loc[3, "z"]) and np.isnan(out.loc[4, "z"])

@@ -1527,6 +1527,22 @@ def q_hot_spans_documents(sf_dir: str):
     return hot_span_stats(ds, n=3, min_count=4)
 
 
+def q_zscore_events(sf_dir: str):
+    """Per-group z-score normalization of event values (two-phase
+    moments broadcast, vectorized second pass)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = grouped.zscore(
+        ds,
+        {"group_by": "event_type", "field": "value", "target": "z", "round": 4},
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "z"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_tfidf_documents(sf_dir: str):
     """Per-doc top TF-IDF term (smoothed idf, two-phase DF counts,
     broadcast idf table)."""
@@ -1703,6 +1719,7 @@ QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "tfidf_documents": q_tfidf_documents,
     "near_dedupe_documents": q_near_dedupe_documents,
+    "zscore_events": q_zscore_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2210,6 +2227,14 @@ def oracle_sql() -> dict[str, str]:
                 "  FROM w LEFT JOIN vocab v USING (word)) "
                 "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
                 "FROM sc GROUP BY doc_id"
+            ),
+            "zscore_events": (
+                "SELECT event_id, event_type, "
+                "ROUND(ROUND((value - m) / s, 9), 4) AS z FROM ("
+                "  SELECT event_id, event_type, value, "
+                "    AVG(value) OVER (PARTITION BY event_type) AS m, "
+                "    STDDEV_POP(value) OVER (PARTITION BY event_type) AS s "
+                "  FROM events)"
             ),
             "near_dedupe_documents": (
                 # same pair definition as ngram_pairs_documents, then

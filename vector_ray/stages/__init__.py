@@ -38,6 +38,7 @@ TRANSFORMS = {
     "dedupe": grouped.dedupe,
     "reduce": grouped.reduce_,
     "aggregate": grouped.aggregate,
+    "zscore": grouped.zscore,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,
     "tag_cardinality_limit": metricops.tag_cardinality_limit,

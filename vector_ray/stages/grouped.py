@@ -686,3 +686,65 @@ def aggregate(ds, options: dict, ctx=None):
         return _round_and_order(t, group_by, aggregates, ndigits)
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def zscore(ds, options: dict, ctx=None):
+    """Per-group z-score normalization: z = (x - mean_g) / stddev_pop_g.
+
+    {"type": "zscore", "group_by": "event_type", "field": "value",
+     "target": "z", "round": 4}
+
+    Two passes: the per-group moments come from the two-phase
+    ``aggregate`` (a tiny table, one row per group) and broadcast via
+    ``ray.put``; the second pass normalizes each batch with a
+    dictionary-encoded key lookup (one Python dict hit per DISTINCT
+    key per batch). A zero-variance group normalizes to null. For key
+    spaces too large to broadcast, join the stats back with
+    ``bucketed_join`` instead — this stage targets the telemetry shape
+    (bounded group count, unbounded rows)."""
+    import ray as _ray
+
+    from vector_ray.schema import round_sql_np
+
+    key = options["group_by"]
+    if not isinstance(key, str):
+        raise ValueError("zscore group_by must be a single key column")
+    field = options["field"]
+    target = options.get("target", "z")
+    ndigits = options.get("round")
+
+    stats = aggregate(
+        ds,
+        {
+            "group_by": [key],
+            "aggregates": {
+                "__m": {"fn": "mean", "field": field},
+                "__s": {"fn": "stddev_pop", "field": field},
+            },
+        },
+    ).take_all()
+    table = {
+        r[key]: (float(r["__m"]), float(r["__s"]) if r["__s"] is not None else 0.0)
+        for r in stats
+    }
+    ref = _ray.put(table)
+
+    def norm(t: pa.Table) -> pa.Table:
+        lookup = _ray.get(ref)
+        enc = t[key].combine_chunks().dictionary_encode()
+        ms = np.array(
+            [lookup.get(k, (np.nan, 0.0)) for k in enc.dictionary.to_pylist()]
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        mean, std = ms[codes, 0], ms[codes, 1]
+        x = np.asarray(pc.cast(t[field], pa.float64()))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (x - mean) / std
+        z = np.where(std == 0.0, np.nan, z)
+        if ndigits is not None:
+            z = round_sql_np(round_sql_np(z, 9), ndigits)
+        arr = pa.array(z, pa.float64())
+        arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, pa.float64()), arr)
+        return t.append_column(target, arr)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
