@@ -221,18 +221,27 @@ def doc_frequencies(ds, field: str = "text"):
 
 
 def tfidf_top_term(ds, field: str = "text", id_field: str = "doc_id",
-                   round_to: int = 4):
+                   round_to: int = 4, max_vocab: int = 20_000_000):
     """Per-document top TF-IDF term: score = tf * (ln((N+1)/(df+1)) + 1)
     (smoothed sklearn-style idf), winner by (score DESC, word ASC).
 
     The (word -> idf) table is broadcast once; per-batch scoring is one
-    np.unique for codes + one lexsort for the per-doc argmax."""
+    np.unique for codes + one lexsort for the per-doc argmax. The
+    broadcast is bounded by ``max_vocab`` (raises, never truncates —
+    a silent cap would change winners): beyond that, join the df table
+    back by word with ``bucketed_join`` instead of broadcasting."""
     import ray
 
     from vector_ray.schema import round_sql_np
 
     n_docs = ds.count()
     df_rows = doc_frequencies(ds, field).take_all()
+    if len(df_rows) > max_vocab:
+        raise ValueError(
+            f"corpus vocabulary {len(df_rows)} exceeds max_vocab="
+            f"{max_vocab}; use a bucketed_join of the df table instead "
+            f"of the broadcast path"
+        )
     idf = {
         r["word"]: float(np.log((n_docs + 1.0) / (r["df"] + 1.0)) + 1.0)
         for r in df_rows

@@ -713,6 +713,7 @@ def zscore(ds, options: dict, ctx=None):
     target = options.get("target", "z")
     ndigits = options.get("round")
 
+    max_groups = int(options.get("max_groups", 5_000_000))
     stats = aggregate(
         ds,
         {
@@ -723,6 +724,12 @@ def zscore(ds, options: dict, ctx=None):
             },
         },
     ).take_all()
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"zscore over {len(stats)} groups exceeds max_groups="
+            f"{max_groups}; join the stats back with bucketed_join "
+            f"instead of broadcasting"
+        )
     table = {
         r[key]: (float(r["__m"]), float(r["__s"]) if r["__s"] is not None else 0.0)
         for r in stats
