@@ -529,3 +529,35 @@ def test_zscore_hand_computed_and_zero_variance(ray_session):
     assert abs(out.loc[2, "z"] - (1.0 / sd)) < 1e-3
     # zero-variance group normalizes to null, not inf
     assert np.isnan(out.loc[3, "z"]) and np.isnan(out.loc[4, "z"])
+
+
+def test_funnel_strict_ordering(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import funnel
+
+    # u1: full funnel in order; u2: click BEFORE view (only view counts);
+    # u3: view only; u4: purchase with no view (0 steps)
+    rows = [
+        ("u1", "view", 1), ("u1", "click", 2), ("u1", "purchase", 3),
+        ("u2", "click", 1), ("u2", "view", 2),
+        ("u3", "view", 5),
+        ("u4", "purchase", 9),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows]),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    out = (
+        funnel(
+            rd.from_arrow(t).repartition(3),
+            {"group_by": "user_id", "steps": ["view", "click", "purchase"]},
+        )
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert out.steps_completed.tolist() == [3, 1, 1, 0]

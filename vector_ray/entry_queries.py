@@ -1527,6 +1527,21 @@ def q_hot_spans_documents(sf_dir: str):
     return hot_span_stats(ds, n=3, min_count=4)
 
 
+def q_funnel_events(sf_dir: str):
+    """Per-user funnel progression view -> click -> purchase, each step
+    strictly after the previous (greedy-earliest matching)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return grouped.funnel(
+        ds,
+        {
+            "group_by": "user_id",
+            "steps": ["view", "click", "purchase"],
+        },
+    )
+
+
 def q_zscore_events(sf_dir: str):
     """Per-group z-score normalization of event values (two-phase
     moments broadcast, vectorized second pass)."""
@@ -1720,6 +1735,7 @@ QUERIES = {
     "tfidf_documents": q_tfidf_documents,
     "near_dedupe_documents": q_near_dedupe_documents,
     "zscore_events": q_zscore_events,
+    "funnel_events": q_funnel_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2227,6 +2243,23 @@ def oracle_sql() -> dict[str, str]:
                 "  FROM w LEFT JOIN vocab v USING (word)) "
                 "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
                 "FROM sc GROUP BY doc_id"
+            ),
+            "funnel_events": (
+                "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+                "  WHERE event_type = 'view' GROUP BY user_id), "
+                "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+                "  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+                "  WHERE e.event_type = 'click' GROUP BY e.user_id), "
+                "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+                "  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+                "  WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+                "u AS (SELECT DISTINCT user_id FROM events) "
+                "SELECT u.user_id, CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 "
+                "  WHEN s2.t2 IS NOT NULL THEN 2 "
+                "  WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+                "AS steps_completed FROM u "
+                "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+                "LEFT JOIN s3 USING (user_id)"
             ),
             "zscore_events": (
                 "SELECT event_id, event_type, "

@@ -39,6 +39,7 @@ TRANSFORMS = {
     "reduce": grouped.reduce_,
     "aggregate": grouped.aggregate,
     "zscore": grouped.zscore,
+    "funnel": grouped.funnel,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,
     "tag_cardinality_limit": metricops.tag_cardinality_limit,

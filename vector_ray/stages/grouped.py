@@ -755,3 +755,49 @@ def zscore(ds, options: dict, ctx=None):
         return t.append_column(target, arr)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def funnel(ds, options: dict, ctx=None):
+    """Per-entity funnel progression: how far each entity advances
+    through an ordered step sequence, each step strictly after the
+    previous one (greedy-earliest matching, which is optimal for
+    sequence containment).
+
+    {"type": "funnel", "group_by": "user_id", "steps":
+     ["view", "click", "purchase"], "type_field": "event_type",
+     "ts_field": "ts"}
+
+    One hash shuffle on the entity key; each group resolves its steps
+    with len(steps) vectorized min-scans (no per-row Python). Output:
+    (key, steps_completed) for every entity."""
+    key = options["group_by"]
+    steps = list(options["steps"])
+    type_field = options.get("type_field", "event_type")
+    ts_field = options.get("ts_field", "ts")
+    out_field = options.get("out_field", "steps_completed")
+
+    def resolve(g: pa.Table) -> pa.Table:
+        types = g[type_field]
+        ts = g[ts_field]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        done, prev = 0, None
+        for step in steps:
+            mask = pc.equal(types, step)
+            if prev is not None:
+                mask = pc.and_(mask, pc.greater(ts, prev))
+            cand = ts.filter(pc.fill_null(mask, False))
+            if len(cand) == 0:
+                break
+            prev = pc.min(cand)
+            done += 1
+        return pa.table(
+            {
+                key: g[key].slice(0, 1).combine_chunks(),
+                out_field: pa.array([done], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(resolve, batch_format="pyarrow")
