@@ -561,3 +561,35 @@ def test_funnel_strict_ordering(ray_session):
         .sort_index()
     )
     assert out.steps_completed.tolist() == [3, 1, 1, 0]
+
+
+def test_interarrival_gap_stats(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import interarrival
+
+    # k1: gaps 2s and 4s (out of order in the input); k2: single event
+    t = pa.table(
+        {
+            "key": pa.array(["k1", "k1", "k2", "k1"]),
+            "ts": pa.array(
+                [7_000_000, 1_000_000, 5_000_000, 3_000_000],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = (
+        interarrival(
+            rd.from_arrow(t).repartition(2),
+            {"group_by": "key", "ts_field": "ts"},
+        )
+        .to_pandas()
+        .set_index("key")
+        .sort_index()
+    )
+    assert out.loc["k1", "n_events"] == 3
+    assert out.loc["k1", "mean_gap_s"] == 3.0
+    assert out.loc["k1", "max_gap_s"] == 4.0
+    assert out.loc["k2", "n_events"] == 1
+    assert np.isnan(out.loc["k2", "mean_gap_s"])
+    assert np.isnan(out.loc["k2", "max_gap_s"])

@@ -1542,6 +1542,15 @@ def q_funnel_events(sf_dir: str):
     )
 
 
+def q_interarrival_events(sf_dir: str):
+    """Per-user inter-arrival gap statistics (heartbeat/gap detection):
+    one hash shuffle, per-group sort + vectorized diff."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return grouped.interarrival(
+        ds, {"group_by": "user_id", "ts_field": "ts", "round": 4}
+    )
+
+
 def q_zscore_events(sf_dir: str):
     """Per-group z-score normalization of event values (two-phase
     moments broadcast, vectorized second pass)."""
@@ -1736,6 +1745,7 @@ QUERIES = {
     "near_dedupe_documents": q_near_dedupe_documents,
     "zscore_events": q_zscore_events,
     "funnel_events": q_funnel_events,
+    "interarrival_events": q_interarrival_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2260,6 +2270,14 @@ def oracle_sql() -> dict[str, str]:
                 "AS steps_completed FROM u "
                 "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
                 "LEFT JOIN s3 USING (user_id)"
+            ),
+            "interarrival_events": (
+                "WITH g AS (SELECT user_id, epoch(ts) - lag(epoch(ts)) OVER ("
+                "  PARTITION BY user_id ORDER BY ts) AS gap FROM events) "
+                "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+                "ROUND(ROUND(AVG(gap), 9), 4) AS mean_gap_s, "
+                "ROUND(ROUND(MAX(gap), 9), 4) AS max_gap_s "
+                "FROM g GROUP BY user_id"
             ),
             "zscore_events": (
                 "SELECT event_id, event_type, "

@@ -40,6 +40,7 @@ TRANSFORMS = {
     "aggregate": grouped.aggregate,
     "zscore": grouped.zscore,
     "funnel": grouped.funnel,
+    "interarrival": grouped.interarrival,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,
     "tag_cardinality_limit": metricops.tag_cardinality_limit,

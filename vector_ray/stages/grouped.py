@@ -801,3 +801,50 @@ def funnel(ds, options: dict, ctx=None):
         )
 
     return ds.groupby(key).map_groups(resolve, batch_format="pyarrow")
+
+
+def interarrival(ds, options: dict, ctx=None):
+    """Per-key event-gap statistics — the heartbeat/gap-detection shape
+    (how regularly does each source emit?).
+
+    {"type": "interarrival", "group_by": "user_id", "ts_field": "ts",
+     "round": 4}
+
+    One hash shuffle on the key; each group sorts its timestamps once
+    and diffs them vectorized. Output per key: n_events, mean_gap_s,
+    max_gap_s (null for single-event keys, like SQL AVG/MAX over an
+    empty lag set)."""
+    from vector_ray.schema import round_sql_np
+
+    key = options["group_by"]
+    ts_field = options.get("ts_field", "ts")
+    ndigits = options.get("round")
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ts = g[ts_field]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            unit = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[ts.type.unit]
+            secs = np.asarray(pc.cast(ts, pa.int64())) / unit
+        else:
+            secs = np.asarray(pc.cast(ts, pa.float64()))
+        secs = np.sort(secs)
+        if len(secs) > 1:
+            d = np.diff(secs)
+            mean_gap, max_gap = float(d.mean()), float(d.max())
+            if ndigits is not None:
+                mean_gap = float(round_sql_np(round_sql_np(mean_gap, 9), ndigits))
+                max_gap = float(round_sql_np(round_sql_np(max_gap, 9), ndigits))
+        else:
+            mean_gap = max_gap = None
+        return pa.table(
+            {
+                key: g[key].slice(0, 1).combine_chunks(),
+                "n_events": pa.array([len(secs)], pa.int64()),
+                "mean_gap_s": pa.array([mean_gap], pa.float64()),
+                "max_gap_s": pa.array([max_gap], pa.float64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(gaps, batch_format="pyarrow")
