@@ -593,3 +593,58 @@ def test_interarrival_gap_stats(ray_session):
     assert out.loc["k2", "n_events"] == 1
     assert np.isnan(out.loc["k2", "mean_gap_s"])
     assert np.isnan(out.loc["k2", "max_gap_s"])
+
+
+def test_sessionize_gap_rule(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import sessionize
+
+    # k1: events at 0s, 10s, 2000s, 2010s, 5000s with gap_s=1800
+    # -> sessions 0,0,1,1,2; tied timestamps share a session
+    t = pa.table(
+        {
+            "key": pa.array(["k1"] * 5 + ["k2", "k2"]),
+            "ts": pa.array(
+                [0, 10_000_000, 2_000_000_000, 2_010_000_000, 5_000_000_000,
+                 7_000_000, 7_000_000],
+                pa.timestamp("us"),
+            ),
+            "eid": pa.array(list(range(7)), pa.int64()),
+        }
+    )
+    out = (
+        sessionize(
+            rd.from_arrow(t).repartition(3),
+            {"group_by": "key", "ts_field": "ts", "gap_s": 1800},
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    assert out.session_id.tolist() == [0, 0, 1, 1, 2, 0, 0]
+
+
+def test_cumulative_running_sum(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import cumulative
+
+    t = pa.table(
+        {
+            "key": pa.array(["a", "a", "a", "b"]),
+            "ts": pa.array([3, 1, 2, 9], pa.int64()),
+            "eid": pa.array([10, 11, 12, 13], pa.int64()),
+            "v": pa.array([1.5, 2.0, 4.0, 7.0]),
+        }
+    )
+    out = (
+        cumulative(
+            rd.from_arrow(t).repartition(2),
+            {"group_by": "key", "order_by": ["ts", "eid"], "field": "v"},
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    # a ordered by ts: eid 11 (2.0), 12 (+4.0=6.0), 10 (+1.5=7.5)
+    assert out.rn.tolist() == [3, 1, 2, 1]
+    assert out.cum_v.tolist() == [7.5, 2.0, 6.0, 7.0]

@@ -1551,6 +1551,38 @@ def q_interarrival_events(sf_dir: str):
     )
 
 
+def q_sessionize_events(sf_dir: str):
+    """Per-event session-id assignment (new session after a >30 min gap
+    per user) — vectorized diff+cumsum per key."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return grouped.sessionize(
+        ds, {"group_by": "user_id", "ts_field": "ts", "gap_s": 1800}
+    )
+
+
+def q_cumulative_events(sf_dir: str):
+    """Per-user running row_number + cumulative value sum ordered by
+    (ts, event_id) — the SQL window-function shape."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = grouped.cumulative(
+        ds,
+        {
+            "group_by": "user_id",
+            "order_by": ["ts", "event_id"],
+            "field": "value",
+            "round": 4,
+        },
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "rn", "cum_value"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_zscore_events(sf_dir: str):
     """Per-group z-score normalization of event values (two-phase
     moments broadcast, vectorized second pass)."""
@@ -1746,6 +1778,8 @@ QUERIES = {
     "zscore_events": q_zscore_events,
     "funnel_events": q_funnel_events,
     "interarrival_events": q_interarrival_events,
+    "sessionize_events": q_sessionize_events,
+    "cumulative_events": q_cumulative_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2278,6 +2312,22 @@ def oracle_sql() -> dict[str, str]:
                 "ROUND(ROUND(AVG(gap), 9), 4) AS mean_gap_s, "
                 "ROUND(ROUND(MAX(gap), 9), 4) AS max_gap_s "
                 "FROM g GROUP BY user_id"
+            ),
+            "sessionize_events": (
+                "SELECT event_id, user_id, ts, CAST(SUM(CASE WHEN gap > 1800 "
+                "  THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts "
+                "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+                "FROM (SELECT event_id, user_id, ts, "
+                "  epoch(ts) - lag(epoch(ts)) OVER ("
+                "    PARTITION BY user_id ORDER BY ts) AS gap FROM events)"
+            ),
+            "cumulative_events": (
+                "SELECT event_id, user_id, "
+                "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+                "ROUND(ROUND(SUM(value) OVER (PARTITION BY user_id "
+                "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 9), 4) "
+                "AS cum_value FROM events "
+                "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
             ),
             "zscore_events": (
                 "SELECT event_id, event_type, "

@@ -41,6 +41,8 @@ TRANSFORMS = {
     "zscore": grouped.zscore,
     "funnel": grouped.funnel,
     "interarrival": grouped.interarrival,
+    "sessionize": grouped.sessionize,
+    "cumulative": grouped.cumulative,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,
     "tag_cardinality_limit": metricops.tag_cardinality_limit,

@@ -848,3 +848,94 @@ def interarrival(ds, options: dict, ctx=None):
         )
 
     return ds.groupby(key).map_groups(gaps, batch_format="pyarrow")
+
+
+def sessionize(ds, options: dict, ctx=None):
+    """Per-event session assignment: a new session starts whenever the gap
+    from the key's previous event exceeds ``gap_s`` (the classic 30-min
+    inactivity rule; the per-EVENT counterpart of the session WINDOW
+    aggregate in stages/window.py).
+
+    {"type": "sessionize", "group_by": "user_id", "ts_field": "ts",
+     "gap_s": 1800, "target": "session_id"}
+
+    One hash shuffle on the key; each group argsorts its timestamps once
+    and labels sessions with a vectorized diff + cumsum (0-based within
+    the key). Tied timestamps have gap 0, so labels are deterministic
+    regardless of tie order — the same property the SQL-window oracle
+    relies on. All input columns pass through untouched."""
+    key = options["group_by"]
+    ts_field = options.get("ts_field", "ts")
+    gap_s = float(options.get("gap_s", 1800.0))
+    target = options.get("target", "session_id")
+
+    def label(g: pa.Table) -> pa.Table:
+        ts = g[ts_field]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            unit = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[ts.type.unit]
+            secs = np.asarray(pc.cast(ts, pa.int64())) / unit
+        else:
+            secs = np.asarray(pc.cast(ts, pa.float64()))
+        order = np.argsort(secs, kind="stable")
+        sid = np.zeros(len(secs), dtype=np.int64)
+        if len(secs) > 1:
+            sid[order[1:]] = np.cumsum(np.diff(secs[order]) > gap_s)
+        return g.append_column(target, pa.array(sid, pa.int64()))
+
+    return ds.groupby(key).map_groups(label, batch_format="pyarrow")
+
+
+def cumulative(ds, options: dict, ctx=None):
+    """Per-key running window aggregates: row_number and cumulative sum of
+    a value field, ordered by an explicit (deterministic) sort-key list.
+
+    {"type": "cumulative", "group_by": "user_id",
+     "order_by": ["ts", "event_id"], "field": "value",
+     "round": 4}
+
+    One hash shuffle on the key; each group lexsorts once and runs
+    vectorized cumsum — the running-total order matches SQL's sequential
+    window accumulation, so sums agree bit-for-bit modulo the documented
+    double-round. ``order_by`` must make rows unique within a key (pass a
+    unique id as the last column) or running sums are not well-defined."""
+    from vector_ray.schema import round_sql_np
+
+    key = options["group_by"]
+    order_by = options["order_by"]
+    field = options["field"]
+    ndigits = options.get("round")
+
+    def _sortable(col: pa.ChunkedArray) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_timestamp(col.type):
+            return np.asarray(pc.cast(col, pa.int64()))
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return np.asarray(col.to_pandas())
+        return np.asarray(col)
+
+    def running(g: pa.Table) -> pa.Table:
+        # np.lexsort: last key is primary
+        keys = [_sortable(g[c]) for c in reversed(order_by)]
+        order = np.lexsort(keys)
+        vals = np.asarray(
+            pc.cast(
+                g[field].combine_chunks()
+                if isinstance(g[field], pa.ChunkedArray)
+                else g[field],
+                pa.float64(),
+            )
+        )
+        csum = np.cumsum(vals[order])
+        if ndigits is not None:
+            csum = round_sql_np(round_sql_np(csum, 9), ndigits)
+        rn = np.empty(len(order), dtype=np.int64)
+        rn[order] = np.arange(1, len(order) + 1)
+        out = np.empty(len(order), dtype=np.float64)
+        out[order] = csum
+        return g.append_column("rn", pa.array(rn, pa.int64())).append_column(
+            f"cum_{field}", pa.array(out, pa.float64())
+        )
+
+    return ds.groupby(key).map_groups(running, batch_format="pyarrow")
