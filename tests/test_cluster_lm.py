@@ -648,3 +648,58 @@ def test_cumulative_running_sum(ray_session):
     # a ordered by ts: eid 11 (2.0), 12 (+4.0=6.0), 10 (+1.5=7.5)
     assert out.rn.tolist() == [3, 1, 2, 1]
     assert out.cum_v.tolist() == [7.5, 2.0, 6.0, 7.0]
+
+
+def test_rollup_two_keys(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import rollup
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"]),
+            "b": pa.array(["p", "q", "p"]),
+            "v": pa.array([1.0, 2.0, 4.0]),
+        }
+    )
+    out = rollup(
+        rd.from_arrow(t).repartition(2),
+        {
+            "group_by": ["a", "b"],
+            "aggregates": {
+                "n": {"fn": "count"},
+                "s": {"fn": "sum", "field": "v"},
+                "m": {"fn": "mean", "field": "v"},
+            },
+        },
+    ).to_pandas()
+    # 3 finest + 2 per-a + 1 grand total
+    assert len(out) == 6
+    key = out.fillna({"a": "<null>", "b": "<null>"}).set_index(["a", "b"])
+    assert key.loc[("x", "p"), "s"] == 1.0
+    assert key.loc[("x", "<null>"), "s"] == 3.0
+    assert key.loc[("x", "<null>"), "n"] == 2
+    assert key.loc[("<null>", "<null>"), "s"] == 7.0
+    assert key.loc[("<null>", "<null>"), "n"] == 3
+    assert abs(key.loc[("<null>", "<null>"), "m"] - 7.0 / 3) < 1e-9
+
+
+def test_pivot_sum_mode(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import pivot
+
+    t = pa.table(
+        {
+            "k": pa.array(["u", "u", "u", "w"]),
+            "cat": pa.array(["view", "click", "view", "click"]),
+            "v": pa.array([1.0, 10.0, 2.0, 5.0]),
+        }
+    )
+    out = pivot(
+        rd.from_arrow(t).repartition(2),
+        {"group_by": "k", "pivot": "cat", "values": ["view", "click"],
+         "fn": "sum", "field": "v", "prefix": "s_"},
+    ).to_pandas().set_index("k").sort_index()
+    assert out.loc["u", "s_view"] == 3.0 and out.loc["u", "s_click"] == 10.0
+    assert out.loc["w", "s_view"] == 0.0 and out.loc["w", "s_click"] == 5.0

@@ -1583,6 +1583,45 @@ def q_cumulative_events(sf_dir: str):
     )
 
 
+def q_rollup_events(sf_dir: str):
+    """SQL-ROLLUP-style multi-level aggregate in one pass: per (source,
+    event_type), per source, and grand total from the events join —
+    coarser levels re-aggregate the tiny finest-level table."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped.rollup(
+        ds,
+        {
+            "group_by": ["event_type"],
+            "aggregates": {
+                "n": {"fn": "count"},
+                "total": {"fn": "sum", "field": "value"},
+                "avg_value": {"fn": "mean", "field": "value"},
+            },
+            "round": 4,
+        },
+    )
+
+
+def q_pivot_events(sf_dir: str):
+    """Categorical pivot: one row per user, one count column per event
+    type (two-phase indicator sums)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped.pivot(
+        ds,
+        {
+            "group_by": "user_id",
+            "pivot": "event_type",
+            "values": ["view", "click", "purchase"],
+            "fn": "count",
+            "prefix": "n_",
+        },
+    )
+
+
 def q_zscore_events(sf_dir: str):
     """Per-group z-score normalization of event values (two-phase
     moments broadcast, vectorized second pass)."""
@@ -1780,6 +1819,8 @@ QUERIES = {
     "interarrival_events": q_interarrival_events,
     "sessionize_events": q_sessionize_events,
     "cumulative_events": q_cumulative_events,
+    "rollup_events": q_rollup_events,
+    "pivot_events": q_pivot_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2312,6 +2353,22 @@ def oracle_sql() -> dict[str, str]:
                 "ROUND(ROUND(AVG(gap), 9), 4) AS mean_gap_s, "
                 "ROUND(ROUND(MAX(gap), 9), 4) AS max_gap_s "
                 "FROM g GROUP BY user_id"
+            ),
+            "rollup_events": (
+                "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+                "ROUND(ROUND(SUM(value), 9), 4) AS total, "
+                "ROUND(ROUND(AVG(value), 9), 4) AS avg_value "
+                "FROM events GROUP BY ROLLUP(event_type)"
+            ),
+            "pivot_events": (
+                "SELECT user_id, "
+                "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+                "  AS BIGINT) AS n_view, "
+                "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+                "  AS BIGINT) AS n_click, "
+                "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+                "  AS BIGINT) AS n_purchase "
+                "FROM events GROUP BY user_id"
             ),
             "sessionize_events": (
                 "SELECT event_id, user_id, ts, CAST(SUM(CASE WHEN gap > 1800 "

@@ -43,6 +43,8 @@ TRANSFORMS = {
     "interarrival": grouped.interarrival,
     "sessionize": grouped.sessionize,
     "cumulative": grouped.cumulative,
+    "rollup": grouped.rollup,
+    "pivot": grouped.pivot,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,
     "tag_cardinality_limit": metricops.tag_cardinality_limit,

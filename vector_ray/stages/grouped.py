@@ -939,3 +939,182 @@ def cumulative(ds, options: dict, ctx=None):
         )
 
     return ds.groupby(key).map_groups(running, batch_format="pyarrow")
+
+
+def rollup(ds, options: dict, ctx=None):
+    """Multi-level (SQL ROLLUP) aggregation in ONE pass over the data:
+    the finest level runs the normal two-phase aggregate; every coarser
+    level re-aggregates the (tiny) finest-level table, never the input.
+
+    {"type": "rollup", "group_by": ["source", "event_type"],
+     "aggregates": {"n": {"fn": "count"}, "total": {"fn": "sum",
+                    "field": "value"}}, "round": 4}
+
+    Output = union of len(group_by)+1 levels; dropped key columns are
+    NULL, exactly like ``GROUP BY ROLLUP``. Supported fns: the
+    re-aggregatable family sum / count / min / max / mean (mean carries
+    internal sum+count through the levels). Quantile/distinct fns are
+    not decomposable across levels — use ``aggregate`` per level."""
+    group_by = list(options["group_by"])
+    aggregates = dict(options["aggregates"])
+    ndigits = options.get("round")
+
+    _REAGG = {"sum", "count", "min", "max", "mean"}
+    bad = {o: s["fn"] for o, s in aggregates.items() if s["fn"] not in _REAGG}
+    if bad:
+        raise ValueError(f"rollup supports {sorted(_REAGG)}; got {bad}")
+
+    # finest level with mean decomposed into internal sum + count
+    base_aggs: dict = {}
+    for out, spec in aggregates.items():
+        if spec["fn"] == "mean":
+            base_aggs[f"__rs_{out}"] = {"fn": "sum", "field": spec["field"]}
+            base_aggs[f"__rc_{out}"] = {"fn": "count"}
+        else:
+            base_aggs[out] = spec
+    base = aggregate(ds, {"group_by": group_by, "aggregates": base_aggs})
+    # capture key dtypes ONCE on the driver (a Dataset must never ride
+    # into a map_batches closure)
+    in_schema = ds.schema()
+    key_types = {k: in_schema.base_schema.field(k).type for k in group_by}
+
+    def finish_level(t: pa.Table, present: list[str]) -> pa.Table:
+        cols: dict = {}
+        for k in group_by:
+            if k in present:
+                cols[k] = t[k]
+            else:
+                # typed nulls so the union of levels has ONE schema
+                cols[k] = pa.nulls(t.num_rows, key_types[k])
+        for out, spec in aggregates.items():
+            if spec["fn"] == "mean":
+                v = pc.divide(
+                    pc.cast(t[f"__rs_{out}"], pa.float64()),
+                    pc.cast(t[f"__rc_{out}"], pa.float64()),
+                )
+            else:
+                v = t[out]
+                if spec["fn"] == "count" or spec.get("int"):
+                    v = pc.cast(v, pa.int64())
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            cols[out] = v
+        out_t = pa.table(cols)
+        if ndigits is not None:
+            from vector_ray.schema import round_sql
+
+            for out, spec in aggregates.items():
+                if pa.types.is_floating(out_t.schema.field(out).type):
+                    i = out_t.column_names.index(out)
+                    out_t = out_t.set_column(
+                        i, out, round_sql(round_sql(out_t[out], 9), ndigits)
+                    )
+        return out_t
+
+    levels = [base.map_batches(
+        lambda t: finish_level(t, group_by), batch_format="pyarrow"
+    )]
+    for depth in range(len(group_by) - 1, -1, -1):
+        present = group_by[:depth]
+        re_aggs = []
+        for out, spec in aggregates.items():
+            fn = spec["fn"]
+            if fn == "mean":
+                re_aggs.append(Sum(f"__rs_{out}", alias_name=f"__rs_{out}"))
+                re_aggs.append(Sum(f"__rc_{out}", alias_name=f"__rc_{out}"))
+            elif fn in ("sum", "count"):
+                re_aggs.append(Sum(out, alias_name=out))
+            elif fn == "min":
+                re_aggs.append(Min(out, alias_name=out))
+            elif fn == "max":
+                re_aggs.append(Max(out, alias_name=out))
+        if present:
+            lvl = base.groupby(present).aggregate(*re_aggs)
+        else:
+            lvl = base.groupby(group_by[:1]).aggregate(*re_aggs)
+            # grand total: one more fold over the per-key rows (tiny)
+            lvl = lvl.map_batches(
+                lambda t: _fold_total(t, aggregates), batch_format="pyarrow"
+            ).repartition(1).map_batches(
+                lambda t: _fold_total(t, aggregates), batch_format="pyarrow"
+            )
+        levels.append(lvl.map_batches(
+            lambda t, p=tuple(present): finish_level(t, list(p)),
+            batch_format="pyarrow",
+        ))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def _fold_total(t: pa.Table, aggregates: dict) -> pa.Table:
+    if t.num_rows == 0:
+        return t.select([c for c in t.column_names if c != "__none"])
+    cols: dict = {}
+    for out, spec in aggregates.items():
+        fn = spec["fn"]
+        if fn == "mean":
+            cols[f"__rs_{out}"] = pa.array([pc.sum(t[f"__rs_{out}"]).as_py()])
+            cols[f"__rc_{out}"] = pa.array(
+                [pc.sum(t[f"__rc_{out}"]).as_py()], pa.int64()
+            )
+        elif fn in ("sum", "count"):
+            cols[out] = pa.array([pc.sum(t[out]).as_py()], t.schema.field(out).type)
+        elif fn == "min":
+            cols[out] = pa.array([pc.min(t[out]).as_py()], t.schema.field(out).type)
+        elif fn == "max":
+            cols[out] = pa.array([pc.max(t[out]).as_py()], t.schema.field(out).type)
+    return pa.table(cols)
+
+
+def pivot(ds, options: dict, ctx=None):
+    """Categorical pivot to wide columns — the feature-engineering shape
+    (one row per key, one count/sum column per category value).
+
+    {"type": "pivot", "group_by": "user_id", "pivot": "event_type",
+     "values": ["view", "click", "purchase"], "fn": "count",
+     "field": null, "prefix": "n_"}
+
+    Two-phase like ``aggregate``: per-batch vectorized indicator sums
+    (one row per key per batch) then a tiny groupby Sum — the category
+    list must be explicit (bounded output schema; discover it first with
+    ``distinct`` if unknown)."""
+    key = options["group_by"]
+    pivot_col = options["pivot"]
+    values = list(options["values"])
+    fn = options.get("fn", "count")
+    field = options.get("field")
+    prefix = options.get("prefix", "n_")
+    if fn not in ("count", "sum"):
+        raise ValueError(f"pivot fn must be count|sum, got {fn!r}")
+
+    out_names = [f"{prefix}{v}" for v in values]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cat = t[pivot_col]
+        base = {key: t[key]}
+        for v, out in zip(values, out_names):
+            ind = pc.cast(pc.equal(cat, v), pa.int64())
+            ind = pc.if_else(pc.is_null(ind), pa.scalar(0, pa.int64()), ind)
+            if fn == "sum":
+                ind = pc.multiply(
+                    pc.cast(ind, pa.float64()), pc.cast(t[field], pa.float64())
+                )
+            base[out] = ind.combine_chunks() if isinstance(ind, pa.ChunkedArray) else ind
+        return pa.table(base).group_by([key]).aggregate(
+            [(out, "sum") for out in out_names]
+        ).rename_columns([key] + out_names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = partials.groupby(key).aggregate(
+        *[Sum(out, alias_name=out) for out in out_names]
+    )
+    if fn == "count":
+        final = final.map_batches(
+            lambda t: pa.table(
+                {key: t[key], **{o: pc.cast(t[o], pa.int64()) for o in out_names}}
+            ),
+            batch_format="pyarrow",
+        )
+    return final
