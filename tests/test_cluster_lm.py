@@ -703,3 +703,93 @@ def test_pivot_sum_mode(ray_session):
     ).to_pandas().set_index("k").sort_index()
     assert out.loc["u", "s_view"] == 3.0 and out.loc["u", "s_click"] == 10.0
     assert out.loc["w", "s_view"] == 0.0 and out.loc["w", "s_click"] == 5.0
+
+
+def test_explode_nulls_and_empties(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.reshape import explode
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "xs": pa.array([[10, 20], [], None, [30]], pa.list_(pa.int32())),
+        }
+    )
+    out = (
+        explode(
+            rd.from_arrow(t).repartition(2),
+            {"field": "xs", "keep": ["id"], "index_field": "pos",
+             "target": "x"},
+        )
+        .to_pandas()
+        .sort_values(["id", "pos"])
+    )
+    assert out.id.tolist() == [1, 1, 4]
+    assert out.pos.tolist() == [0, 1, 0]
+    assert out.x.tolist() == [10, 20, 30]
+
+
+def test_rank_modes_and_ties(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.reshape import rank
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4),
+            "v": pa.array([5.0, 7.0, 7.0, 9.0]),
+            "i": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    for mode, want in [
+        ("rank", [4, 2, 2, 1]),
+        ("dense_rank", [3, 2, 2, 1]),
+        ("percent_rank", [1.0, 1 / 3, 1 / 3, 0.0]),
+    ]:
+        out = (
+            rank(
+                rd.from_arrow(t).repartition(2),
+                {"group_by": "g", "order_by": "v", "descending": True,
+                 "mode": mode, "target": "r"},
+            )
+            .to_pandas()
+            .sort_values("i")
+        )
+        assert out.r.tolist() == want, mode
+
+
+def test_lag_delta_and_unpivot(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.reshape import lag_delta, unpivot
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a"]),
+            "ts": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([10.0, 7.0, 12.0]),
+        }
+    )
+    out = (
+        lag_delta(
+            rd.from_arrow(t).repartition(2),
+            {"group_by": "k", "order_by": ["ts"], "field": "v",
+             "target": "d"},
+        )
+        .to_pandas()
+        .sort_values("ts")
+    )
+    assert np.isnan(out.d.tolist()[0])
+    assert out.d.tolist()[1:] == [-3.0, 5.0]
+
+    w = pa.table({"id": pa.array([1], pa.int64()),
+                  "x": pa.array([2], pa.int64()),
+                  "y": pa.array([3.5])})
+    long = unpivot(
+        rd.from_arrow(w),
+        {"id_fields": ["id"], "fields": ["x", "y"], "key_field": "m",
+         "value_field": "val"},
+    ).to_pandas().sort_values("m")
+    assert long.m.tolist() == ["x", "y"]
+    assert long.val.tolist() == [2.0, 3.5]

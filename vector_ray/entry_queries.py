@@ -1622,6 +1622,79 @@ def q_pivot_events(sf_dir: str):
     )
 
 
+def q_explode_embeddings(sf_dir: str):
+    """UNNEST a list column to one row per element (doc id + position +
+    value) — shuffle-free, vectorized on list offsets."""
+    from vector_ray.stages import reshape
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = reshape.explode(
+        ds,
+        {"field": "embedding", "keep": ["vec_id"], "index_field": "pos",
+         "target": "val"},
+    )
+    from vector_ray.schema import round_sql
+
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("val"),
+            "val",
+            round_sql(pc.cast(t["val"], pa.float64()), 6),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_unpivot_events(sf_dir: str):
+    """Wide -> long: per-user event-type counts unpivoted to (user_id,
+    metric, n) rows — the metric wide/long inverse of pivot."""
+    from vector_ray.stages import reshape
+
+    wide = q_pivot_events(sf_dir)
+    return reshape.unpivot(
+        wide,
+        {"id_fields": ["user_id"], "fields": ["n_view", "n_click", "n_purchase"],
+         "key_field": "metric", "value_field": "n"},
+    )
+
+
+def q_rank_events(sf_dir: str):
+    """Per-event-type dense rank by value descending (tie-aware SQL
+    window ranking)."""
+    from vector_ray.stages import reshape
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return reshape.rank(
+        ds,
+        {"group_by": "event_type", "order_by": "value", "descending": True,
+         "mode": "dense_rank", "target": "r"},
+    )
+
+
+def q_lag_delta_events(sf_dir: str):
+    """Per-user value delta from the previous event ordered by
+    (ts, event_id) — first event per user is null."""
+    from vector_ray.stages import reshape
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = reshape.lag_delta(
+        ds,
+        {"group_by": "user_id", "order_by": ["ts", "event_id"],
+         "field": "value", "target": "delta", "round": 4},
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "delta"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_zscore_events(sf_dir: str):
     """Per-group z-score normalization of event values (two-phase
     moments broadcast, vectorized second pass)."""
@@ -1821,6 +1894,10 @@ QUERIES = {
     "cumulative_events": q_cumulative_events,
     "rollup_events": q_rollup_events,
     "pivot_events": q_pivot_events,
+    "explode_embeddings": q_explode_embeddings,
+    "unpivot_events": q_unpivot_events,
+    "rank_events": q_rank_events,
+    "lag_delta_events": q_lag_delta_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2369,6 +2446,32 @@ def oracle_sql() -> dict[str, str]:
                 "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
                 "  AS BIGINT) AS n_purchase "
                 "FROM events GROUP BY user_id"
+            ),
+            "explode_embeddings": (
+                "SELECT vec_id, "
+                "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos, "
+                "ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS val "
+                "FROM embeddings"
+            ),
+            "unpivot_events": (
+                "WITH w AS (SELECT user_id, "
+                "  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv, "
+                "  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc, "
+                "  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np "
+                "  FROM events GROUP BY user_id) "
+                "SELECT user_id, 'n_view' AS metric, CAST(nv AS DOUBLE) AS n FROM w "
+                "UNION ALL SELECT user_id, 'n_click', CAST(nc AS DOUBLE) FROM w "
+                "UNION ALL SELECT user_id, 'n_purchase', CAST(np AS DOUBLE) FROM w"
+            ),
+            "rank_events": (
+                "SELECT event_id, event_type, value, "
+                "CAST(DENSE_RANK() OVER (PARTITION BY event_type "
+                "  ORDER BY value DESC) AS BIGINT) AS r FROM events"
+            ),
+            "lag_delta_events": (
+                "SELECT event_id, user_id, "
+                "ROUND(ROUND(value - LAG(value) OVER (PARTITION BY user_id "
+                "  ORDER BY ts, event_id), 9), 4) AS delta FROM events"
             ),
             "sessionize_events": (
                 "SELECT event_id, user_id, ts, CAST(SUM(CASE WHEN gap > 1800 "

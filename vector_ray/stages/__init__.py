@@ -9,7 +9,7 @@ family).
 
 from __future__ import annotations
 
-from vector_ray.stages import core, curate, enrich, grouped, metricops
+from vector_ray.stages import core, curate, enrich, grouped, metricops, reshape
 from vector_ray.stages.encode import encode
 from vector_ray.stages.framing import frame
 from vector_ray.stages.tokenize import tokenize
@@ -45,6 +45,10 @@ TRANSFORMS = {
     "cumulative": grouped.cumulative,
     "rollup": grouped.rollup,
     "pivot": grouped.pivot,
+    "explode": reshape.explode,
+    "unpivot": reshape.unpivot,
+    "rank": reshape.rank,
+    "lag_delta": reshape.lag_delta,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,
     "tag_cardinality_limit": metricops.tag_cardinality_limit,
