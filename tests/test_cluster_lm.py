@@ -793,3 +793,29 @@ def test_lag_delta_and_unpivot(ray_session):
     ).to_pandas().sort_values("m")
     assert long.m.tolist() == ["x", "y"]
     assert long.val.tolist() == [2.0, 3.5]
+
+
+def test_ntile_bucket_sizes(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.reshape import rank
+
+    # n=10, k=4 -> bucket sizes 3,3,2,2; n=2, k=4 -> buckets 1,2
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 10 + ["b"] * 2),
+            "i": pa.array(list(range(10)) + [0, 1], pa.int64()),
+        }
+    )
+    out = (
+        rank(
+            rd.from_arrow(t).repartition(3),
+            {"group_by": "g", "order_by": "i", "mode": "ntile",
+             "n_buckets": 4, "target": "q"},
+        )
+        .to_pandas()
+        .sort_values(["g", "i"])
+    )
+    a = out[out.g == "a"].q.tolist()
+    assert a == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert out[out.g == "b"].q.tolist() == [1, 2]

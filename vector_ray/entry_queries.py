@@ -1675,6 +1675,21 @@ def q_rank_events(sf_dir: str):
     )
 
 
+def q_ntile_events(sf_dir: str):
+    """Per-event-type NTILE(4) quartile bucketing ordered by event_id
+    (row-position semantics, first n%k buckets one row larger)."""
+    from vector_ray.stages import reshape
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    return reshape.rank(
+        ds,
+        {"group_by": "event_type", "order_by": "event_id", "mode": "ntile",
+         "n_buckets": 4, "target": "quartile"},
+    )
+
+
 def q_lag_delta_events(sf_dir: str):
     """Per-user value delta from the previous event ordered by
     (ts, event_id) — first event per user is null."""
@@ -1897,6 +1912,7 @@ QUERIES = {
     "explode_embeddings": q_explode_embeddings,
     "unpivot_events": q_unpivot_events,
     "rank_events": q_rank_events,
+    "ntile_events": q_ntile_events,
     "lag_delta_events": q_lag_delta_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
@@ -2467,6 +2483,11 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT event_id, event_type, value, "
                 "CAST(DENSE_RANK() OVER (PARTITION BY event_type "
                 "  ORDER BY value DESC) AS BIGINT) AS r FROM events"
+            ),
+            "ntile_events": (
+                "SELECT event_id, event_type, "
+                "CAST(NTILE(4) OVER (PARTITION BY event_type "
+                "  ORDER BY event_id) AS BIGINT) AS quartile FROM events"
             ),
             "lag_delta_events": (
                 "SELECT event_id, user_id, "

@@ -128,8 +128,9 @@ def rank(ds, options: dict, ctx=None):
     descending = bool(options.get("descending", False))
     mode = options.get("mode", "rank")
     target = options.get("target", mode)
-    if mode not in ("rank", "dense_rank", "percent_rank"):
+    if mode not in ("rank", "dense_rank", "percent_rank", "ntile"):
         raise ValueError(f"unknown rank mode {mode!r}")
+    n_buckets = int(options.get("n_buckets", 4))
 
     def _rank(g: pa.Table) -> pa.Table:
         (vals,) = _order_values(g, [order_col])
@@ -151,6 +152,18 @@ def rank(ds, options: dict, ctx=None):
             ranked = np.cumsum(new_run)
         elif mode == "rank":
             ranked = first_pos
+        elif mode == "ntile":
+            # SQL NTILE(k): first (n % k) buckets get ceil(n/k) rows —
+            # row-position based, NOT tie-aware (matches the window fn)
+            big = n % n_buckets
+            size_big = -(-n // n_buckets)  # ceil
+            size_small = n // n_buckets
+            cut = big * size_big
+            ranked = np.where(
+                pos <= cut,
+                (pos - 1) // max(size_big, 1) + 1,
+                big + (pos - cut - 1) // max(size_small, 1) + 1,
+            ).astype(np.int64)
         else:  # percent_rank = (rank - 1) / (n - 1), 0 for n == 1
             ranked = (first_pos - 1) / (n - 1) if n > 1 else np.zeros(n)
         out = np.empty(n, dtype=ranked.dtype)
