@@ -819,3 +819,50 @@ def test_ntile_bucket_sizes(ray_session):
     a = out[out.g == "a"].q.tolist()
     assert a == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
     assert out[out.g == "b"].q.tolist() == [1, 2]
+
+
+def test_profile_columns_nulls(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.dataops import profile_columns
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, None, 3], pa.int64()),
+            "b": pa.array(["x", None, None, "x"]),
+        }
+    )
+    out = (
+        profile_columns(rd.from_arrow(t).repartition(2), ["a", "b"])
+        .to_pandas()
+        .set_index("column")
+    )
+    assert out.loc["a", "n"] == 4 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 2
+    assert out.loc["b", "n_null"] == 2 and out.loc["b", "n_distinct"] == 1
+
+
+def test_corpus_diff_statuses(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.dataops import corpus_diff
+
+    old = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "fp": pa.array(["a", "b", "c"]),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 4], pa.int64()),
+            "fp": pa.array(["b", "CHANGED", "d"]),
+        }
+    )
+    out = (
+        corpus_diff(rd.from_arrow(old), rd.from_arrow(new), num_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.status.to_dict() == {1: "removed", 3: "changed", 4: "added"}

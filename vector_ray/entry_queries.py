@@ -1710,6 +1710,52 @@ def q_lag_delta_events(sf_dir: str):
     )
 
 
+def q_profile_events(sf_dir: str):
+    """One-pass per-column data-quality profile (rows / nulls / exact
+    distinct) over three events columns."""
+    from vector_ray.functions.dataops import profile_columns
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    return profile_columns(ds, ["user_id", "event_type", "value"])
+
+
+def q_corpus_diff_documents(sf_dir: str):
+    """Snapshot diff on the documents table: old drops doc_id%10==7,
+    new drops %10==3 and edits the text of %10==4 — one bucketed
+    full-outer join on md5 fingerprints, emitting added/removed/changed."""
+    from vector_ray.functions.dataops import corpus_diff
+    from vector_ray.functions.text import fingerprint_md5
+
+    def snap(drop_mod: int, edit_mod: int | None):
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            mod10 = pa.array(
+                np.asarray(t["doc_id"].combine_chunks()) % 10, pa.int64()
+            )
+            t = t.filter(pc.not_equal(mod10, pa.scalar(drop_mod, pa.int64())))
+            if edit_mod is not None:
+                edited = pc.binary_join_element_wise(t["text"], "!", "")
+                mask = pc.equal(
+                    pa.array(
+                        np.asarray(t["doc_id"].combine_chunks()) % 10,
+                        pa.int64(),
+                    ),
+                    pa.scalar(edit_mod, pa.int64()),
+                )
+                text = pc.if_else(mask, edited, t["text"])
+                t = t.set_column(t.column_names.index("text"), "text", text)
+            return fingerprint_md5(t, field="text", target="fp")
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    return corpus_diff(snap(7, None), snap(3, 4), key="doc_id", fingerprint="fp")
+
+
 def q_zscore_events(sf_dir: str):
     """Per-group z-score normalization of event values (two-phase
     moments broadcast, vectorized second pass)."""
@@ -1914,6 +1960,8 @@ QUERIES = {
     "rank_events": q_rank_events,
     "ntile_events": q_ntile_events,
     "lag_delta_events": q_lag_delta_events,
+    "profile_events": q_profile_events,
+    "corpus_diff_documents": q_corpus_diff_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2483,6 +2531,31 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT event_id, event_type, value, "
                 "CAST(DENSE_RANK() OVER (PARTITION BY event_type "
                 "  ORDER BY value DESC) AS BIGINT) AS r FROM events"
+            ),
+            "profile_events": (
+                "SELECT 'user_id' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n, "
+                "CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                " AS n_null, "
+                "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events "
+                "UNION ALL SELECT 'event_type', CAST(COUNT(*) AS BIGINT), "
+                "CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+                "CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events "
+                "UNION ALL SELECT 'value', CAST(COUNT(*) AS BIGINT), "
+                "CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+                "CAST(COUNT(DISTINCT value) AS BIGINT) FROM events"
+            ),
+            "corpus_diff_documents": (
+                "WITH oldd AS (SELECT doc_id, md5(text) AS fp FROM documents "
+                "  WHERE doc_id % 10 != 7), "
+                "newd AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 4 "
+                "  THEN text || '!' ELSE text END) AS fp FROM documents "
+                "  WHERE doc_id % 10 != 3) "
+                "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+                "CASE WHEN o.doc_id IS NULL THEN 'added' "
+                "  WHEN n.doc_id IS NULL THEN 'removed' "
+                "  ELSE 'changed' END AS status "
+                "FROM oldd o FULL JOIN newd n ON o.doc_id = n.doc_id "
+                "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp != n.fp"
             ),
             "ntile_events": (
                 "SELECT event_id, event_type, "
