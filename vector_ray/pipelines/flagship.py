@@ -95,6 +95,11 @@ class FlagshipConfig:
     # per-stage NodeMetrics into markers/metrics.json (tiny per-batch
     # fire-and-forget actor call)
     collect_metrics: bool = True
+    # alert thresholds over the settled run metrics (state/alerts.py,
+    # reference alerts/mod.rs:56-79); None disables each rule
+    alert_min_events_per_minute: float | None = None
+    alert_max_latency_s: float | None = None
+    alert_max_error_pct: float | None = None
 
 
 def _parse_batch(t: pa.Table, parse_field: str) -> pa.Table:
@@ -400,10 +405,39 @@ def run(
     os.replace(agg_path + ".tmp", agg_path)
 
     elapsed = time.perf_counter() - t_start
+
+    alerts: list[str] = []
+    if hub is not None and any(
+        x is not None
+        for x in (
+            cfg.alert_min_events_per_minute,
+            cfg.alert_max_latency_s,
+            cfg.alert_max_error_pct,
+        )
+    ):
+        from vector_ray.state.alerts import evaluate_alerts
+
+        fired = evaluate_alerts(
+            snap,
+            elapsed_s=elapsed,
+            min_events_per_minute=cfg.alert_min_events_per_minute,
+            max_latency_s=cfg.alert_max_latency_s,
+            max_error_pct=cfg.alert_max_error_pct,
+        )
+        alerts = [str(a) for a in fired]
+        if alerts:
+            apath = os.path.join(out_dir, "alerts.json")
+            with open(apath + ".tmp", "w") as f:
+                import json as _json
+
+                _json.dump(alerts, f, indent=2)
+            os.replace(apath + ".tmp", apath)
+
     records = store.records()
     all_rows = sum(r["rows"] for r in records.values())
     all_tokens = sum(r["tokens"] for r in records.values())
     return {
+        "alerts": alerts,
         "out_dir": out_dir,
         "aggregates": agg_path,
         "routed_dir": routed_dir,
