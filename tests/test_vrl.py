@@ -132,3 +132,54 @@ def test_replace_literal_vs_regex():
         "a.b.c", "v1 v2"]
     # regex literal = pattern
     assert compile_expr(r'replace(.s, r".", "-")')(t).to_pylist()[0] == "-----"
+
+
+def test_string_utility_functions():
+    t = pa.table({"s": ["  hi  ", "abcdef", None]})
+    assert compile_expr("strip_whitespace(.s)")(t).to_pylist() == [
+        "hi", "abcdef", None]
+    assert compile_expr("truncate(.s, 3)")(t).to_pylist() == [
+        "  h", "abc", None]
+
+
+def test_to_string_and_to_bool():
+    t = pa.table({"n": [1, 0, None], "s": ["true", "NO", "junk"]})
+    assert compile_expr("to_string(.n)")(t).to_pylist() == ["1", "0", None]
+    assert compile_expr("to_bool(.s)")(t).to_pylist() == [True, False, None]
+    assert compile_expr("to_bool(.n)")(t).to_pylist() == [True, False, None]
+    import pytest
+
+    from vector_ray.vrl import VrlError
+
+    with pytest.raises(VrlError):
+        compile_expr("to_bool!(.s)")(t)
+
+
+def test_base64_roundtrip():
+    t = pa.table({"s": ["hello", "", None]})
+    enc = compile_expr("encode_base64(.s)")(t)
+    assert enc.to_pylist() == ["aGVsbG8=", "", None]
+    t2 = pa.table({"e": enc})
+    assert compile_expr("decode_base64(.e)")(t2).to_pylist() == [
+        "hello", "", None]
+    bad = pa.table({"e": ["!!!notb64"]})
+    assert compile_expr("decode_base64(.e)")(bad).to_pylist() == [None]
+
+
+def test_parse_url_op():
+    from vector_ray.stages.core import _compile_op
+
+    t = pa.table({"url": [
+        "https://a.example.org:8080/p/q?x=1#frag",
+        "http://plain.host",
+        "not a url",
+        None,
+    ]})
+    out = _compile_op({"op": "parse_url", "field": "url"})(t)
+    assert out["url_scheme"].to_pylist() == ["https", "http", None, None]
+    assert out["url_host"].to_pylist() == [
+        "a.example.org", "plain.host", None, None]
+    assert out["url_port"].to_pylist() == ["8080", None, None, None]
+    assert out["url_path"].to_pylist() == ["/p/q", None, None, None]
+    assert out["url_query"].to_pylist() == ["x=1", None, None, None]
+    assert out["url_fragment"].to_pylist() == ["frag", None, None, None]

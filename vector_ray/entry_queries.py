@@ -1710,6 +1710,38 @@ def q_lag_delta_events(sf_dir: str):
     )
 
 
+def q_parse_url_documents(sf_dir: str):
+    """VRL parse_url(): one vectorized regex decomposition of a URL
+    column into scheme/host/port/path/query/fragment columns. URLs are
+    synthesized deterministically from documents columns so the oracle
+    knows the ground-truth parts."""
+    from vector_ray.stages.core import remap
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+
+    def make_url(t: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://",
+            t["source"].combine_chunks(),
+            ".example.org/docs/",
+            pc.cast(t["doc_id"], pa.string()),
+            "?lang=",
+            t["lang"].combine_chunks(),
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    out = remap(
+        ds.map_batches(make_url, batch_format="pyarrow"),
+        {"ops": [{"op": "parse_url", "field": "url", "prefix": "url_"}]},
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["url"]), batch_format="pyarrow"
+    )
+
+
 def q_profile_events(sf_dir: str):
     """One-pass per-column data-quality profile (rows / nulls / exact
     distinct) over three events columns."""
@@ -1962,6 +1994,7 @@ QUERIES = {
     "lag_delta_events": q_lag_delta_events,
     "profile_events": q_profile_events,
     "corpus_diff_documents": q_corpus_diff_documents,
+    "parse_url_documents": q_parse_url_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2531,6 +2564,14 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT event_id, event_type, value, "
                 "CAST(DENSE_RANK() OVER (PARTITION BY event_type "
                 "  ORDER BY value DESC) AS BIGINT) AS r FROM events"
+            ),
+            "parse_url_documents": (
+                "SELECT doc_id, 'https' AS url_scheme, "
+                "source || '.example.org' AS url_host, "
+                "CAST(NULL AS VARCHAR) AS url_port, "
+                "'/docs/' || CAST(doc_id AS VARCHAR) AS url_path, "
+                "'lang=' || lang AS url_query, "
+                "CAST(NULL AS VARCHAR) AS url_fragment FROM documents"
             ),
             "profile_events": (
                 "SELECT 'user_id' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n, "

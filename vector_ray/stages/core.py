@@ -112,6 +112,38 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
             }
         )
 
+    if kind == "parse_url":
+        # VRL parse_url(): decompose a URL column into scheme / host /
+        # port / path / query / fragment columns — ONE vectorized
+        # extract_regex per batch (RFC-3986-ish, same shape DuckDB
+        # regexp_extract can reproduce for the oracle). Unparseable or
+        # null rows yield all-null parts.
+        field = op["field"]
+        prefix = op.get("prefix", "url_")
+        _URL_RE = (
+            r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://"
+            r"(?P<host>[^/:?#]*)(?::(?P<port>[0-9]+))?"
+            r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$"
+        )
+
+        def _apply(t: pa.Table) -> pa.Table:
+            col = t[field]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            parts = pc.extract_regex(pc.cast(col, pa.string()), pattern=_URL_RE)
+            for name in ("scheme", "host", "port", "path", "query", "fragment"):
+                vals = pc.struct_field(parts, name)
+                # optional groups match as empty strings; VRL yields null
+                vals = pc.if_else(
+                    pc.equal(vals, pa.scalar("", pa.string())),
+                    pa.scalar(None, pa.string()),
+                    vals,
+                )
+                t = _set_column(t, f"{prefix}{name}", vals)
+            return t
+
+        return _apply
+
     if kind == "parse_kv":
         # logfmt-ish `k=v` pairs: one extract_regex per requested key
         field = op["field"]

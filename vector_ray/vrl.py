@@ -280,6 +280,73 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
             )
 
         return _hash
+    if base == "strip_whitespace":
+        inner = args[0]
+        return lambda t: pc.utf8_trim_whitespace(pc.cast(inner(t), pa.string()))
+    if base == "truncate":
+        # VRL truncate(s, limit): cut to at most `limit` characters
+        inner, limit = args[0], args[1]
+        nchars = int(_as_py_num(limit))
+        return lambda t: pc.utf8_slice_codeunits(
+            pc.cast(inner(t), pa.string()), 0, nchars
+        )
+    if base == "to_string":
+        inner = args[0]
+        return lambda t: pc.cast(inner(t), pa.string(), safe=False)
+    if base == "to_bool":
+        inner = args[0]
+
+        def _to_bool(t: pa.Table) -> Value:
+            v = inner(t)
+            if hasattr(v, "type") and (
+                pa.types.is_string(v.type) or pa.types.is_large_string(v.type)
+            ):
+                lowered = pc.utf8_lower(v)
+                true_m = pc.is_in(
+                    lowered, value_set=pa.array(["true", "t", "yes", "y", "1"])
+                )
+                false_m = pc.is_in(
+                    lowered, value_set=pa.array(["false", "f", "no", "n", "0"])
+                )
+                out = pc.if_else(
+                    true_m,
+                    pa.scalar(True),
+                    pc.if_else(false_m, pa.scalar(False), pa.scalar(None, pa.bool_())),
+                )
+                if fallible:
+                    bad = pc.and_(pc.invert(pc.is_null(v)), pc.is_null(out))
+                    if pc.any(bad).as_py():
+                        raise VrlError("to_bool!: unparseable boolean string")
+                return out
+            return pc.cast(v, pa.bool_(), safe=False)
+
+        return _to_bool
+    if base in ("encode_base64", "decode_base64"):
+        import base64 as _b64
+
+        inner = args[0]
+        enc = base == "encode_base64"
+
+        def _b64fn(t: pa.Table) -> Value:
+            col = pc.cast(inner(t), pa.string())
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out = []
+            for s in col.to_pylist():
+                if s is None:
+                    out.append(None)
+                elif enc:
+                    out.append(_b64.b64encode(s.encode()).decode())
+                else:
+                    try:
+                        out.append(_b64.b64decode(s.encode()).decode())
+                    except Exception:
+                        if fallible:
+                            raise VrlError(f"decode_base64!: invalid input {s!r}")
+                        out.append(None)
+            return pa.array(out, pa.string())
+
+        return _b64fn
     if base == "abs":
         inner = args[0]
         return lambda t: pc.abs(inner(t))
@@ -300,6 +367,15 @@ def _as_py_str(compiled: Compiled) -> str:
     if not isinstance(v, str):
         raise VrlError("expected a string literal argument")
     return v
+
+
+def _as_py_num(compiled: Compiled) -> float:
+    v = compiled(pa.table({}))
+    if hasattr(v, "as_py"):
+        v = v.as_py()
+    if not isinstance(v, (int, float)) or isinstance(v, bool):
+        raise VrlError("expected a numeric literal argument")
+    return float(v)
 
 
 class _Parser:
