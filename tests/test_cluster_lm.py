@@ -866,3 +866,19 @@ def test_corpus_diff_statuses(ray_session):
         .sort_index()
     )
     assert out.status.to_dict() == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_profile_columns_approx_hll(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.dataops import profile_columns
+
+    t = pa.table({"a": pa.array(list(range(2000)) * 2, pa.int64())})
+    out = (
+        profile_columns(rd.from_arrow(t).repartition(4), ["a"], approx=True)
+        .to_pandas()
+        .set_index("column")
+    )
+    assert out.loc["a", "n"] == 4000
+    # HLL with 2^14 registers: well within a few % at 2k distinct
+    assert abs(out.loc["a", "n_distinct"] - 2000) / 2000 < 0.05

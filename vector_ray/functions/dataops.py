@@ -24,13 +24,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def profile_columns(ds, columns: list[str]):
+def profile_columns(ds, columns: list[str], approx: bool = False):
     """One-pass per-column profile: (column, n, n_null, n_distinct).
 
     Exact distinct via the two-phase list-merging aggregate (the per-key
     distinct set lives on one worker at the final merge — same
-    requirement as any exact COUNT(DISTINCT); use the HLL aggregate for
-    unbounded-cardinality columns).
+    requirement as any exact COUNT(DISTINCT)). ``approx=True`` swaps in
+    the mergeable HLL sketch (functions/sketches.py): fixed-size state
+    per column regardless of cardinality — the 100 TB default for
+    columns like doc_id where the distinct set itself is corpus-sized.
     """
     from vector_ray.stages.grouped import aggregate
 
@@ -65,7 +67,10 @@ def profile_columns(ds, columns: list[str]):
             "aggregates": {
                 "n": {"fn": "count"},
                 "n_null": {"fn": "sum", "field": "nul", "int": True},
-                "n_distinct": {"fn": "count_distinct", "field": "val"},
+                "n_distinct": {
+                    "fn": "approx_count_distinct" if approx else "count_distinct",
+                    "field": "val",
+                },
             },
         },
     )
