@@ -138,6 +138,17 @@ def run_bench() -> dict:
             )
         ).count()
     )
+    # pretrain prep e2e (mixture + split filter inside exact packing,
+    # epoch shuffle, partitioned writes + checkpoints): the tokens-axis
+    # counterpart of the flagship headline
+    from vector_ray.pipelines import pretrain
+
+    def _pretrain_once() -> None:
+        pdir = f"/tmp/vector_ray_bench/{tag}/pretrain"
+        shutil.rmtree(pdir, ignore_errors=True)
+        pretrain.run(seq_dir, pdir, pretrain.PretrainConfig(), resume=False)
+
+    queries["pretrain_pack"] = timed(_pretrain_once)
 
     result = {
         "metric": "flagship parse->enrich->route->aggregate e2e seconds",

@@ -29,6 +29,17 @@ def _pyscript(ds, options, ctx=None):
     )
 
 
+def _profile(ds, options, ctx=None):
+    """Data-quality profile stage (functions/dataops.py): per-column
+    rows / nulls / distinct counts; ``approx`` swaps exact distinct for
+    the mergeable HLL sketch."""
+    from vector_ray.functions.dataops import profile_columns
+
+    return profile_columns(
+        ds, options["columns"], approx=bool(options.get("approx", False))
+    )
+
+
 TRANSFORMS = {
     "remap": core.remap,
     "filter": core.filter_,
@@ -49,6 +60,7 @@ TRANSFORMS = {
     "unpivot": reshape.unpivot,
     "rank": reshape.rank,
     "lag_delta": reshape.lag_delta,
+    "profile": _profile,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,
     "tag_cardinality_limit": metricops.tag_cardinality_limit,
