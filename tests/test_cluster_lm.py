@@ -882,3 +882,36 @@ def test_profile_columns_approx_hll(ray_session):
     assert out.loc["a", "n"] == 4000
     # HLL with 2^14 registers: well within a few % at 2k distinct
     assert abs(out.loc["a", "n_distinct"] - 2000) / 2000 < 0.05
+
+
+def test_log_templates_masks_and_counts(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.reshape import log_templates
+
+    t = pa.table(
+        {
+            "message": pa.array(
+                [
+                    "conn from 10.0.0.1 port 443",
+                    "conn from 10.0.0.99 port 80",
+                    "disk full on /dev/sda1",
+                ]
+            )
+        }
+    )
+    out = (
+        log_templates(
+            rd.from_arrow(t).repartition(2),
+            {"field": "message", "masks": [["[0-9]+", "<N>"]]},
+        )
+        .to_pandas()
+        .set_index("template")
+        .sort_index()
+    )
+    assert out.loc["conn from <N>.<N>.<N>.<N> port <N>", "n"] == 2
+    assert (
+        out.loc["conn from <N>.<N>.<N>.<N> port <N>", "example"]
+        == "conn from 10.0.0.1 port 443"
+    )
+    assert out.loc["disk full on /dev/sda<N>", "n"] == 1

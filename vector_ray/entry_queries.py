@@ -1742,6 +1742,17 @@ def q_parse_url_documents(sf_dir: str):
     )
 
 
+def q_log_templates_corpus(sf_dir: str):
+    """Drain-style log template mining over the corpus message lines:
+    mask numbers, count per structural template, keep the MIN example."""
+    from vector_ray.stages import reshape
+
+    ds = rd.read_parquet(_seq_files(_tag(sf_dir)), columns=["message"])
+    return reshape.log_templates(
+        ds, {"field": "message", "masks": [["[0-9]+", "<N>"]], "example": True}
+    )
+
+
 def q_profile_events(sf_dir: str):
     """One-pass per-column data-quality profile (rows / nulls / exact
     distinct) over three events columns."""
@@ -1995,6 +2006,7 @@ QUERIES = {
     "profile_events": q_profile_events,
     "corpus_diff_documents": q_corpus_diff_documents,
     "parse_url_documents": q_parse_url_documents,
+    "log_templates_corpus": q_log_templates_corpus,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2122,6 +2134,11 @@ def _tokens_oracles() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, e.ts, p.purchase_id, "
             "p.purchase_value FROM events e ASOF LEFT JOIN p "
             "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
+        "log_templates_corpus": (
+            "SELECT regexp_replace(message, '[0-9]+', '<N>', 'g') AS template, "
+            "CAST(COUNT(*) AS BIGINT) AS n, MIN(message) AS example "
+            f"FROM read_parquet('{seq}') GROUP BY 1"
         ),
         "parse_grok_corpus": (
             "SELECT doc_id, "

@@ -61,6 +61,7 @@ TRANSFORMS = {
     "rank": reshape.rank,
     "lag_delta": reshape.lag_delta,
     "profile": _profile,
+    "log_templates": reshape.log_templates,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,
     "tag_cardinality_limit": metricops.tag_cardinality_limit,

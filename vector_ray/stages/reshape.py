@@ -211,3 +211,48 @@ def lag_delta(ds, options: dict, ctx=None):
         return g.append_column(target, arr)
 
     return ds.groupby(key).map_groups(_delta, batch_format="pyarrow")
+
+
+def log_templates(ds, options: dict, ctx=None):
+    """Drain-style log template mining, batch form: mask the variable
+    parts of each message (numbers by default, plus optional custom
+    masks), then count occurrences per template — the "what is this
+    log line, structurally" rollup every telemetry pipeline runs.
+
+    {"type": "log_templates", "field": "message",
+     "masks": [["[0-9]+", "<N>"]],      # [pattern, replacement] pairs
+     "example": true}                    # keep MIN(message) per template
+
+    Two-phase: one vectorized regex replace + per-batch partial counts
+    (one row per template per batch crosses the shuffle, never raw
+    messages), then a tiny groupby merge. Template cardinality is the
+    number of distinct log SHAPES — bounded in practice, which is the
+    point of the operator."""
+    from ray.data.aggregate import Min, Sum
+
+    field = options["field"]
+    masks = [tuple(m) for m in options.get("masks", [["[0-9]+", "<N>"]])]
+    keep_example = bool(options.get("example", True))
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = _combine(pc.cast(t[field], pa.string()))
+        tpl = col
+        for pat, repl in masks:
+            tpl = pc.replace_substring_regex(tpl, pattern=pat, replacement=repl)
+        base = pa.table({"template": tpl, "__msg": col})
+        agg = base.group_by(["template"]).aggregate(
+            [("__msg", "count"), ("__msg", "min")]
+        )
+        return agg.rename_columns(["template", "__n", "__ex"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum("__n", alias_name="n")]
+    if keep_example:
+        aggs.append(Min("__ex", alias_name="example"))
+    final = partials.groupby("template").aggregate(*aggs)
+    return final.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n"), "n", pc.cast(t["n"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
