@@ -116,3 +116,31 @@ def test_empty_rollup_and_profile(ray_session):
     assert out.count() == 0
     prof = profile_columns(ds, ["user_id", "value"]).take_all()
     assert prof == []
+
+
+def test_parquet_pushdown_filter(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vector_ray.sources import parquet_source
+
+    t = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "s": pa.array(["a" if i % 2 else "b" for i in range(100)]),
+        }
+    )
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(t, path, row_group_size=10)
+    out = parquet_source(
+        {"path": path, "where": [["k", ">=", 90], ["s", "==", "a"]]}
+    ).to_pandas()
+    assert sorted(out.k.tolist()) == [91, 93, 95, 97, 99]
+    # in-list + null ops compile
+    out2 = parquet_source(
+        {"path": path, "where": [["k", "in", [3, 4]], ["s", "is_not_null"]]}
+    ).to_pandas()
+    assert sorted(out2.k.tolist()) == [3, 4]
+    import pytest
+
+    with pytest.raises(ValueError):
+        parquet_source({"path": path, "where": [["k", "like", "x"]]})

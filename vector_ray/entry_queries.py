@@ -1753,6 +1753,20 @@ def q_log_templates_corpus(sf_dir: str):
     )
 
 
+def q_pushdown_events(sf_dir: str):
+    """Predicate pushdown at the Parquet scan (row-group pruning):
+    [value >= 90 AND event_type == purchase] never leaves storage."""
+    from vector_ray.sources import parquet_source
+
+    return parquet_source(
+        {
+            "path": f"{sf_dir}/events.parquet",
+            "columns": ["event_id", "event_type", "value"],
+            "where": [["value", ">=", 90.0], ["event_type", "==", "purchase"]],
+        }
+    )
+
+
 def q_profile_events(sf_dir: str):
     """One-pass per-column data-quality profile (rows / nulls / exact
     distinct) over three events columns."""
@@ -2007,6 +2021,7 @@ QUERIES = {
     "corpus_diff_documents": q_corpus_diff_documents,
     "parse_url_documents": q_parse_url_documents,
     "log_templates_corpus": q_log_templates_corpus,
+    "pushdown_events": q_pushdown_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2589,6 +2604,10 @@ def oracle_sql() -> dict[str, str]:
                 "'/docs/' || CAST(doc_id AS VARCHAR) AS url_path, "
                 "'lang=' || lang AS url_query, "
                 "CAST(NULL AS VARCHAR) AS url_fragment FROM documents"
+            ),
+            "pushdown_events": (
+                "SELECT event_id, event_type, value FROM events "
+                "WHERE value >= 90 AND event_type = 'purchase'"
             ),
             "profile_events": (
                 "SELECT 'user_id' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n, "

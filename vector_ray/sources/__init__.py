@@ -20,14 +20,53 @@ def _paths(options: dict):
     return options.get("paths") or options["path"]
 
 
+_PUSHDOWN_OPS = {
+    "==": lambda f, v: f == v,
+    "!=": lambda f, v: f != v,
+    "<": lambda f, v: f < v,
+    "<=": lambda f, v: f <= v,
+    ">": lambda f, v: f > v,
+    ">=": lambda f, v: f >= v,
+    "in": lambda f, v: f.isin(list(v)),
+    "is_null": lambda f, v: f.is_null(),
+    "is_not_null": lambda f, v: ~f.is_null(),
+}
+
+
+def compile_pushdown(where: list):
+    """Compile ``[[column, op, literal], ...]`` (AND-ed) to a pyarrow
+    dataset expression for row-group pruning at the read. Ops:
+    == != < <= > >= in is_null is_not_null."""
+    import pyarrow.dataset as pads
+
+    expr = None
+    for clause in where:
+        col, op = clause[0], clause[1]
+        lit = clause[2] if len(clause) > 2 else None
+        if op not in _PUSHDOWN_OPS:
+            raise ValueError(
+                f"unsupported pushdown op {op!r} (one of {sorted(_PUSHDOWN_OPS)})"
+            )
+        e = _PUSHDOWN_OPS[op](pads.field(col), lit)
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
 def parquet_source(options: dict, ctx=None):
     """`file` source analog for the real corpus: column-pruned parallel
-    Parquet read (prune at the read — SURVEY.md 'Optimize for scale')."""
+    Parquet read (prune at the read — SURVEY.md 'Optimize for scale').
+
+    ``where`` (list of [column, op, literal] clauses, AND-ed) pushes a
+    row filter into the scan: pyarrow skips whole row groups whose
+    column statistics exclude the predicate — at 100 TB this is the
+    difference between reading a day and reading the year."""
     kwargs = {}
     if options.get("columns"):
         kwargs["columns"] = list(options["columns"])
     if options.get("override_num_blocks"):
         kwargs["override_num_blocks"] = int(options["override_num_blocks"])
+    if options.get("where"):
+        kwargs["filter"] = compile_pushdown(options["where"])
     return rd.read_parquet(_paths(options), **kwargs)
 
 
