@@ -915,3 +915,29 @@ def test_log_templates_masks_and_counts(ray_session):
         == "conn from 10.0.0.1 port 443"
     )
     assert out.loc["disk full on /dev/sda<N>", "n"] == 1
+
+
+def test_rank_multi_column_order(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.reshape import rank
+
+    # order by (v, w): (1,1), (1,1), (1,2), (2,1) -> dense ranks 1,1,2,3
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4),
+            "v": pa.array([1, 1, 1, 2], pa.int64()),
+            "w": pa.array([1, 1, 2, 1], pa.int64()),
+            "i": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    out = (
+        rank(
+            rd.from_arrow(t).repartition(2),
+            {"group_by": "g", "order_by": ["v", "w"], "mode": "dense_rank",
+             "target": "r"},
+        )
+        .to_pandas()
+        .sort_values("i")
+    )
+    assert out.r.tolist() == [1, 1, 2, 3]

@@ -120,11 +120,10 @@ def rank(ds, options: dict, ctx=None):
     tie-aware ranks vectorized (first-of-run detection on the sorted
     order, cumsum for dense, propagation for competition rank)."""
     key = options["group_by"]
-    order_col = options["order_by"]
-    if isinstance(order_col, list):
-        if len(order_col) != 1:
-            raise ValueError("rank orders by exactly one column")
-        order_col = order_col[0]
+    order_cols = options["order_by"]
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    order_cols = list(order_cols)
     descending = bool(options.get("descending", False))
     mode = options.get("mode", "rank")
     target = options.get("target", mode)
@@ -133,18 +132,24 @@ def rank(ds, options: dict, ctx=None):
     n_buckets = int(options.get("n_buckets", 4))
 
     def _rank(g: pa.Table) -> pa.Table:
-        (vals,) = _order_values(g, [order_col])
-        n = len(vals)
+        vals_list = _order_values(g, order_cols)
+        n = len(vals_list[0])
         # dtype-agnostic descending: reverse the ascending order (ties
-        # stay contiguous, and rank depends only on the value runs)
-        order = np.argsort(vals, kind="stable")
+        # stay contiguous, and rank depends only on the value runs);
+        # applies to the whole ordering (uniform direction, like a
+        # single ORDER BY ... DESC over all columns)
+        order = np.lexsort(list(reversed(vals_list)))
         if descending:
             order = order[::-1]
-        sv = vals[order]
-        # new_run[i] = 1 when sorted row i starts a new distinct value
+        # new_run[i] = 1 when sorted row i starts a new distinct TUPLE
+        # of order values (a tie must match on every order column)
         new_run = np.ones(n, dtype=np.int64)
         if n > 1:
-            new_run[1:] = (sv[1:] != sv[:-1]).astype(np.int64)
+            diff = np.zeros(n - 1, dtype=bool)
+            for vals in vals_list:
+                sv = vals[order]
+                diff |= sv[1:] != sv[:-1]
+            new_run[1:] = diff.astype(np.int64)
         pos = np.arange(1, n + 1, dtype=np.int64)
         # competition rank: position of the first row of the run
         first_pos = np.maximum.accumulate(np.where(new_run == 1, pos, 0))
