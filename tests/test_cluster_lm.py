@@ -941,3 +941,36 @@ def test_rank_multi_column_order(ray_session):
         .sort_values("i")
     )
     assert out.r.tolist() == [1, 1, 2, 3]
+
+
+def test_cube_and_grouping_sets(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import rollup
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"]),
+            "b": pa.array(["p", "q", "p"]),
+            "v": pa.array([1.0, 2.0, 4.0]),
+        }
+    )
+    cube = rollup(
+        rd.from_arrow(t).repartition(2),
+        {"group_by": ["a", "b"], "mode": "cube",
+         "aggregates": {"s": {"fn": "sum", "field": "v"}}},
+    ).to_pandas()
+    # 3 finest + 2 per-a + 2 per-b + 1 total = 8
+    assert len(cube) == 8
+    k = cube.fillna({"a": "-", "b": "-"}).set_index(["a", "b"])
+    assert k.loc[("-", "p"), "s"] == 5.0  # per-b level (cube-only)
+    assert k.loc[("-", "-"), "s"] == 7.0
+
+    sets = rollup(
+        rd.from_arrow(t).repartition(2),
+        {"group_by": ["a", "b"], "mode": "sets", "sets": [["b"]],
+         "aggregates": {"s": {"fn": "sum", "field": "v"}}},
+    ).to_pandas()
+    # ONLY the requested set appears
+    assert len(sets) == 2 and sets.a.isna().all()
+    assert sorted(sets.s.tolist()) == [2.0, 5.0]

@@ -1604,6 +1604,32 @@ def q_rollup_events(sf_dir: str):
     )
 
 
+def q_cube_events(sf_dir: str):
+    """SQL CUBE over (event_type, user-parity bucket): all four key
+    subsets from one input pass (coarser levels re-aggregate the finest
+    level)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        par = pa.array(np.asarray(t["user_id"].combine_chunks()) % 2, pa.int64())
+        return t.append_column("user_parity", par)
+
+    return grouped.rollup(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        {
+            "group_by": ["event_type", "user_parity"],
+            "mode": "cube",
+            "aggregates": {
+                "n": {"fn": "count"},
+                "total": {"fn": "sum", "field": "value"},
+            },
+            "round": 4,
+        },
+    )
+
+
 def q_pivot_events(sf_dir: str):
     """Categorical pivot: one row per user, one count column per event
     type (two-phase indicator sums)."""
@@ -2011,6 +2037,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "cumulative_events": q_cumulative_events,
     "rollup_events": q_rollup_events,
+    "cube_events": q_cube_events,
     "pivot_events": q_pivot_events,
     "explode_embeddings": q_explode_embeddings,
     "unpivot_events": q_unpivot_events,
@@ -2565,6 +2592,12 @@ def oracle_sql() -> dict[str, str]:
                 "ROUND(ROUND(SUM(value), 9), 4) AS total, "
                 "ROUND(ROUND(AVG(value), 9), 4) AS avg_value "
                 "FROM events GROUP BY ROLLUP(event_type)"
+            ),
+            "cube_events": (
+                "SELECT event_type, user_id % 2 AS user_parity, "
+                "CAST(COUNT(*) AS BIGINT) AS n, "
+                "ROUND(ROUND(SUM(value), 9), 4) AS total "
+                "FROM events GROUP BY CUBE(event_type, user_parity)"
             ),
             "pivot_events": (
                 "SELECT user_id, "

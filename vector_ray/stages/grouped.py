@@ -954,7 +954,12 @@ def rollup(ds, options: dict, ctx=None):
     NULL, exactly like ``GROUP BY ROLLUP``. Supported fns: the
     re-aggregatable family sum / count / min / max / mean (mean carries
     internal sum+count through the levels). Quantile/distinct fns are
-    not decomposable across levels — use ``aggregate`` per level."""
+    not decomposable across levels — use ``aggregate`` per level.
+
+    ``mode``: "rollup" (default, prefix hierarchy) | "cube" (every key
+    subset, 2^k levels) | "sets" with an explicit ``sets`` list of key
+    subsets (SQL GROUPING SETS; the finest level is always included as
+    the re-aggregation base)."""
     group_by = list(options["group_by"])
     aggregates = dict(options["aggregates"])
     ndigits = options.get("round")
@@ -1011,11 +1016,39 @@ def rollup(ds, options: dict, ctx=None):
                     )
         return out_t
 
-    levels = [base.map_batches(
-        lambda t: finish_level(t, group_by), batch_format="pyarrow"
-    )]
-    for depth in range(len(group_by) - 1, -1, -1):
-        present = group_by[:depth]
+    mode = options.get("mode", "rollup")
+    emit_finest = True
+    if mode == "rollup":
+        key_sets = [group_by[:d] for d in range(len(group_by) - 1, -1, -1)]
+    elif mode == "cube":
+        from itertools import combinations
+
+        key_sets = [
+            list(c)
+            for r in range(len(group_by) - 1, -1, -1)
+            for c in combinations(group_by, r)
+        ]
+    elif mode == "sets":
+        requested = [list(s) for s in options["sets"]]
+        for s in requested:
+            unknown = [k for k in s if k not in group_by]
+            if unknown:
+                raise ValueError(f"grouping set {s} has non-key columns {unknown}")
+        # the full key set is always COMPUTED (it is the re-aggregation
+        # base) but only EMITTED when requested
+        if not requested:
+            raise ValueError("mode='sets' requires a non-empty sets list")
+        emit_finest = any(set(s) == set(group_by) for s in requested)
+        key_sets = [s for s in requested if set(s) != set(group_by)]
+    else:
+        raise ValueError(f"unknown rollup mode {mode!r}")
+
+    levels = []
+    if emit_finest:
+        levels.append(base.map_batches(
+            lambda t: finish_level(t, group_by), batch_format="pyarrow"
+        ))
+    for present in key_sets:
         re_aggs = []
         for out, spec in aggregates.items():
             fn = spec["fn"]
