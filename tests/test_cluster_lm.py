@@ -974,3 +974,30 @@ def test_cube_and_grouping_sets(ray_session):
     # ONLY the requested set appears
     assert len(sets) == 2 and sets.a.isna().all()
     assert sorted(sets.s.tolist()) == [2.0, 5.0]
+
+
+def test_calendar_window_units(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from vector_ray.stages.window import window
+
+    ts = [
+        datetime.datetime(2026, 1, 31, 23, 59),
+        datetime.datetime(2026, 2, 1, 0, 1),
+        datetime.datetime(2026, 2, 15, 12, 0),
+    ]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "v": pa.array([1.0, 2.0, 3.0])})
+    out = (
+        window(
+            rd.from_arrow(t).repartition(2),
+            {"type": "calendar", "unit": "month", "ts_field": "ts",
+             "aggregates": {"n": {"fn": "count"}}},
+        )
+        .to_pandas()
+        .sort_values("window_start")
+    )
+    assert out.n.tolist() == [1, 2]  # Jan: 1 event, Feb: 2 events
+    assert out.window_start.dt.day.tolist() == [1, 1]

@@ -473,6 +473,27 @@ def q_window_tumbling_events(sf_dir: str):
     return _collect(out)
 
 
+def q_window_calendar_events(sf_dir: str):
+    """Calendar-aligned daily windows (floor_temporal == date_trunc):
+    month-length-exact, unlike fixed-seconds tumbling."""
+    from vector_ray.stages.window import window
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    out = window(
+        ds,
+        {
+            "type": "calendar",
+            "unit": "day",
+            "ts_field": "ts",
+            "key_field": "event_type",
+            "aggregates": {"n": {"fn": "count"}},
+        },
+    )
+    return _collect(out)
+
+
 def q_window_sliding_events(sf_dir: str):
     from vector_ray.stages.window import window
 
@@ -1971,6 +1992,7 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "ann_topk": q_ann_topk,
     "window_tumbling_events": q_window_tumbling_events,
+    "window_calendar_events": q_window_calendar_events,
     "window_sliding_events": q_window_sliding_events,
     "window_session_events": q_window_session_events,
     "filter_datadog_events": q_filter_datadog_events,
@@ -2339,6 +2361,11 @@ def oracle_sql() -> dict[str, str]:
                 "COUNT(*) AS n, "
                 "CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) "
                 "AS total_micros FROM events GROUP BY event_type, window_start"
+            ),
+            "window_calendar_events": (
+                "SELECT event_type, date_trunc('day', ts) AS window_start, "
+                "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+                "GROUP BY event_type, window_start"
             ),
             "window_sliding_events": (
                 # size 7200 slide 3600 → each event lands in exactly 2 windows

@@ -66,6 +66,44 @@ def tumbling(ds, options: dict, ctx=None):
     )
 
 
+def calendar(ds, options: dict, ctx=None):
+    """Calendar-aligned tumbling windows (hour/day/week/month/year):
+    the label is the truncated timestamp itself (pc.floor_temporal ==
+    SQL date_trunc), so month-length irregularity is handled exactly.
+
+    options: unit, ts_field, key_field(s), aggregates, round."""
+    unit = options.get("unit", "day")
+    ts_field = options.get("ts_field", "ts")
+    keys = options.get("key_fields") or (
+        [options["key_field"]] if options.get("key_field") else []
+    )
+    if unit not in ("minute", "hour", "day", "week", "month", "quarter", "year"):
+        raise ValueError(f"unsupported calendar unit {unit!r}")
+
+    def add_window(t: pa.Table) -> pa.Table:
+        col = t[ts_field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_timestamp(col.type):
+            raise TypeError(f"{ts_field} must be a timestamp column")
+        # ISO week starts Monday, like date_trunc('week', ...)
+        win = pc.floor_temporal(
+            col, unit=unit, week_starts_monday=True
+        )
+        return t.append_column("window_start", win)
+
+    windowed = ds.map_batches(add_window, batch_format="pyarrow")
+    return agg_stage(
+        windowed,
+        {
+            "group_by": keys + ["window_start"],
+            "aggregates": options["aggregates"],
+            "round": options.get("round"),
+        },
+        ctx,
+    )
+
+
 def sliding(ds, options: dict, ctx=None):
     """options: size_secs, slide_secs, ts_field, key_field(s), aggregates."""
     size = float(options["size_secs"])
@@ -159,4 +197,6 @@ def window(ds, options: dict, ctx=None):
         return sliding(ds, options, ctx)
     if kind == "session":
         return session(ds, options, ctx)
+    if kind == "calendar":
+        return calendar(ds, options, ctx)
     raise ValueError(f"unknown window type {kind!r}")
