@@ -1001,3 +1001,28 @@ def test_calendar_window_units(ray_session):
     )
     assert out.n.tolist() == [1, 2]  # Jan: 1 event, Feb: 2 events
     assert out.window_start.dt.day.tolist() == [1, 1]
+
+
+def test_rank_string_order_with_nulls(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.reshape import rank
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4),
+            "s": pa.array(["beta", None, "alpha", "beta"]),
+            "i": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    out = (
+        rank(
+            rd.from_arrow(t).repartition(2),
+            {"group_by": "g", "order_by": "s", "mode": "dense_rank",
+             "target": "r"},
+        )
+        .to_pandas()
+        .sort_values("i")
+    )
+    # alpha=1, beta=2 (tie), null last=3
+    assert out.r.tolist() == [2, 3, 1, 2]

@@ -912,7 +912,16 @@ def cumulative(ds, options: dict, ctx=None):
         if pa.types.is_timestamp(col.type):
             return np.asarray(pc.cast(col, pa.int64()))
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            return np.asarray(col.to_pandas())
+            # dense rank: order-preserving int keys, null-safe (numpy
+            # cannot sort object arrays containing None); nulls last
+            return np.asarray(
+                pc.rank(
+                    col,
+                    sort_keys="ascending",
+                    null_placement="at_end",
+                    tiebreaker="dense",
+                )
+            )
         return np.asarray(col)
 
     def running(g: pa.Table) -> pa.Table:

@@ -100,9 +100,22 @@ def _order_values(g: pa.Table, order_by: list[str]) -> list[np.ndarray]:
     for c in order_by:
         col = _combine(g[c])
         if pa.types.is_timestamp(col.type):
+            # nulls -> NaN, which numpy sorts last (SQL NULLS LAST)
             out.append(np.asarray(pc.cast(col, pa.int64())))
         elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            out.append(np.asarray(col.to_pandas()))
+            # dense rank preserves order AND equality while mapping to
+            # ints — null-safe (numpy cannot sort object arrays with
+            # None); nulls rank last and equal, like SQL peers
+            out.append(
+                np.asarray(
+                    pc.rank(
+                        col,
+                        sort_keys="ascending",
+                        null_placement="at_end",
+                        tiebreaker="dense",
+                    )
+                )
+            )
         else:
             out.append(np.asarray(col))
     return out
