@@ -73,3 +73,51 @@ def test_flagship_survives_worker_kill(ray_session, tmp_path):
     )
     assert s1["rows_total"] == s0["rows_total"]
     assert agg0.equals(agg1)
+
+
+def _kill_metrics_hub(killed: list, deadline_s: float = 20.0) -> None:
+    deadline = time.time() + deadline_s
+    while time.time() < deadline and not killed:
+        time.sleep(0.5)
+        out = subprocess.run(
+            ["pgrep", "-f", "ray::MetricsHub"], capture_output=True, text=True
+        )
+        for pid_s in out.stdout.split():
+            try:
+                os.kill(int(pid_s), signal.SIGKILL)
+                killed.append(int(pid_s))
+                return
+            except (OSError, ValueError):
+                continue
+
+
+def test_flagship_survives_metrics_hub_kill(ray_session, tmp_path):
+    """The metrics actor is advisory — killing it mid-run must not fail
+    the job (max_restarts=-1 + safe_snapshot): rows and aggregates stay
+    exact because accounting lives in the checkpoint markers."""
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    for i in range(4):
+        pq.write_table(
+            datagen.generate_batch(i * 10000, 10000),
+            str(seq / f"shard-{i:05d}.parquet"),
+        )
+    enrich = str(tmp_path / "enrich.parquet")
+    pq.write_table(datagen.enrichment_table(), enrich)
+
+    killed: list = []
+    t = threading.Thread(target=_kill_metrics_hub, args=(killed,))
+    t.start()
+    s = flagship.run(
+        str(seq),
+        str(tmp_path / "out"),
+        enrich,
+        flagship.FlagshipConfig(num_groups=4),
+        resume=False,
+    )
+    t.join()
+    if not killed:
+        pytest.skip("hub process not caught - inconclusive")
+    assert s["rows_total"] == 40000
+    agg = pq.read_table(str(tmp_path / "out" / "aggregates.parquet"))
+    assert sum(agg.column("n_rows").to_pylist()) == 40000

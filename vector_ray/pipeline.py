@@ -180,10 +180,12 @@ def run_pipeline(spec, ctx: PipelineContext | None = None) -> RunResult:
         # settle (two consecutive identical snapshots) before reading
         import time
 
-        metrics = ray.get(ctx.metrics.snapshot.remote())
+        from vector_ray.state.metrics import safe_snapshot
+
+        metrics = safe_snapshot(ctx.metrics)
         for _ in range(20):
             time.sleep(0.05)
-            again = ray.get(ctx.metrics.snapshot.remote())
+            again = safe_snapshot(ctx.metrics)
             if again == metrics:
                 break
             metrics = again

@@ -332,8 +332,11 @@ def run(
         stage_metrics = {}
         if hub is not None:
             # best-effort: per-stage NodeMetrics for this group (exact
-            # row accounting comes from the aggregate partials above)
-            snap = ray.get(hub.snapshot.remote())
+            # row accounting comes from the aggregate partials above);
+            # a dead/restarting hub yields {} rather than failing the job
+            from vector_ray.state.metrics import safe_snapshot
+
+            snap = safe_snapshot(hub)
             stage_metrics = {
                 k.split("/", 1)[1]: v
                 for k, v in snap.items()
@@ -386,10 +389,12 @@ def run(
         # settled run-level metrics (fire-and-forget adds need to drain)
         import json as _json
 
-        snap = ray.get(hub.snapshot.remote())
+        from vector_ray.state.metrics import safe_snapshot
+
+        snap = safe_snapshot(hub)
         for _ in range(20):
             time.sleep(0.05)
-            again = ray.get(hub.snapshot.remote())
+            again = safe_snapshot(hub)
             if again == snap:
                 break
             snap = again

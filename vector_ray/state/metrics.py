@@ -15,8 +15,14 @@ from collections import defaultdict
 import ray
 
 
-@ray.remote(num_cpus=0)
+@ray.remote(num_cpus=0, max_restarts=-1)
 class MetricsHub:
+    """Counters are best-effort observability: if the hub's node dies the
+    actor restarts EMPTY (``max_restarts=-1``) and later adds resume —
+    jobs must never fail over metrics. Exact row/token accounting lives
+    in the checkpoint markers (aggregate partials), not here; use
+    ``safe_snapshot`` from job code."""
+
     def __init__(self):
         self._c: dict[str, dict[str, float]] = defaultdict(
             lambda: {"rows": 0, "bytes": 0, "batches": 0, "errors": 0}
@@ -34,6 +40,16 @@ class MetricsHub:
 
     def reset(self) -> None:
         self._c.clear()
+
+
+def safe_snapshot(hub) -> dict:
+    """Fetch a hub snapshot without letting a dead/restarting metrics
+    actor fail the JOB (metrics are advisory; correctness is in the
+    checkpoint markers). Returns {} when the hub is unreachable."""
+    try:
+        return ray.get(hub.snapshot.remote(), timeout=30)
+    except Exception:
+        return {}
 
 
 def instrument(ds, component: str, hub):
