@@ -1800,6 +1800,86 @@ def q_log_templates_corpus(sf_dir: str):
     )
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped multi-way join: lineitem x supplier x nation x
+    region, ASIA only — the star-schema pattern. Dimension tables
+    (supplier/nation/region) are TINY next to lineitem, so they join on
+    the driver and broadcast ONCE (ray.put); the fact table streams
+    through one vectorized lookup + two-phase integer-cents aggregate.
+    No shuffle at any scale (the only wide op is the final tiny groupby
+    over per-batch partials)."""
+    import ray as _ray
+
+    from vector_ray.schema import round_sql_np
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = supp.join(
+        nat, keys=["s_nationkey"], right_keys=["n_nationkey"]
+    ).join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    dim = dim.filter(pc.equal(dim["r_name"], "ASIA")).select(
+        ["s_suppkey", "n_name"]
+    )
+    dim_ref = _ray.put(dim)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class Lookup:
+        def __init__(self, ref):
+            t = _ray.get(ref)
+            keys = np.asarray(t["s_suppkey"].combine_chunks())
+            order = np.argsort(keys)
+            self.keys = keys[order]
+            self.names = t["n_name"].combine_chunks().take(
+                pa.array(order, pa.int64())
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = np.asarray(t["l_suppkey"].combine_chunks())
+            pos = np.searchsorted(self.keys, sk)
+            pos_c = np.clip(pos, 0, len(self.keys) - 1)
+            hit = self.keys[pos_c] == sk
+            if not hit.any():
+                return pa.table(
+                    {"n_name": pa.array([], pa.string()),
+                     "rev_micros": pa.array([], pa.int64())}
+                )
+            rev = np.asarray(
+                pc.cast(t["l_extendedprice"].combine_chunks(), pa.float64())
+            ) * (1.0 - np.asarray(
+                pc.cast(t["l_discount"].combine_chunks(), pa.float64())
+            ))
+            micros = np.asarray(
+                round_sql_np(rev * 10000.0, 0), dtype=np.int64
+            )
+            names = self.names.take(pa.array(pos_c[hit], pa.int64()))
+            return pa.table(
+                {"n_name": names, "rev_micros": pa.array(micros[hit], pa.int64())}
+            )
+
+    joined = ds.map_batches(
+        Lookup,
+        fn_constructor_args=(dim_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return grouped.aggregate(
+        joined,
+        {
+            "group_by": ["n_name"],
+            "aggregates": {
+                "revenue_micros": {"fn": "sum", "field": "rev_micros", "int": True}
+            },
+        },
+    )
+
+
 def q_pushdown_events(sf_dir: str):
     """Predicate pushdown at the Parquet scan (row-group pruning):
     [value >= 90 AND event_type == purchase] never leaves storage."""
@@ -2071,6 +2151,7 @@ QUERIES = {
     "parse_url_documents": q_parse_url_documents,
     "log_templates_corpus": q_log_templates_corpus,
     "pushdown_events": q_pushdown_events,
+    "revenue_by_nation": q_revenue_by_nation,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2664,6 +2745,15 @@ def oracle_sql() -> dict[str, str]:
                 "'/docs/' || CAST(doc_id AS VARCHAR) AS url_path, "
                 "'lang=' || lang AS url_query, "
                 "CAST(NULL AS VARCHAR) AS url_fragment FROM documents"
+            ),
+            "revenue_by_nation": (
+                "SELECT n_name, CAST(SUM(CAST(ROUND("
+                "  l_extendedprice * (1 - l_discount) * 10000.0, 0) AS BIGINT))"
+                "  AS BIGINT) AS revenue_micros "
+                "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+                "JOIN nation ON s_nationkey = n_nationkey "
+                "JOIN region ON n_regionkey = r_regionkey "
+                "WHERE r_name = 'ASIA' GROUP BY n_name"
             ),
             "pushdown_events": (
                 "SELECT event_id, event_type, value FROM events "
