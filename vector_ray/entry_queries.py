@@ -1880,6 +1880,34 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_brand_volume(sf_dir: str):
+    """lineitem x part as a LARGE x LARGE bucketed hash join (both sides
+    scale with sf, unlike the broadcast star dims), then per-brand
+    quantity totals via the two-phase aggregate."""
+    from vector_ray.stages.shuffle import bucketed_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(li, part, "l_partkey", num_buckets=16)
+    return grouped.aggregate(
+        joined,
+        {
+            "group_by": ["p_brand"],
+            "aggregates": {
+                "n": {"fn": "count"},
+                "qty": {"fn": "sum", "field": "l_quantity", "int": True},
+            },
+        },
+    )
+
+
 def q_pushdown_events(sf_dir: str):
     """Predicate pushdown at the Parquet scan (row-group pruning):
     [value >= 90 AND event_type == purchase] never leaves storage."""
@@ -2152,6 +2180,7 @@ QUERIES = {
     "log_templates_corpus": q_log_templates_corpus,
     "pushdown_events": q_pushdown_events,
     "revenue_by_nation": q_revenue_by_nation,
+    "brand_volume": q_brand_volume,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
 }
@@ -2745,6 +2774,12 @@ def oracle_sql() -> dict[str, str]:
                 "'/docs/' || CAST(doc_id AS VARCHAR) AS url_path, "
                 "'lang=' || lang AS url_query, "
                 "CAST(NULL AS VARCHAR) AS url_fragment FROM documents"
+            ),
+            "brand_volume": (
+                "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, "
+                "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty "
+                "FROM lineitem JOIN part ON l_partkey = p_partkey "
+                "GROUP BY p_brand"
             ),
             "revenue_by_nation": (
                 "SELECT n_name, CAST(SUM(CAST(ROUND("
