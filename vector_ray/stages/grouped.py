@@ -769,7 +769,11 @@ def funnel(ds, options: dict, ctx=None):
 
     One hash shuffle on the entity key; each group resolves its steps
     with len(steps) vectorized min-scans (no per-row Python). Output:
-    (key, steps_completed) for every entity."""
+    (key, steps_completed) for every entity.
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's
+    rows fit one worker; a pathologically hot key becomes a straggler
+    (pre-split upstream or salt if a key can exceed worker memory)."""
     key = options["group_by"]
     steps = list(options["steps"])
     type_field = options.get("type_field", "event_type")
@@ -813,7 +817,11 @@ def interarrival(ds, options: dict, ctx=None):
     One hash shuffle on the key; each group sorts its timestamps once
     and diffs them vectorized. Output per key: n_events, mean_gap_s,
     max_gap_s (null for single-event keys, like SQL AVG/MAX over an
-    empty lag set)."""
+    empty lag set).
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's
+    rows fit one worker; a pathologically hot key becomes a straggler
+    (pre-split upstream or salt if a key can exceed worker memory)."""
     from vector_ray.schema import round_sql_np
 
     key = options["group_by"]
@@ -863,7 +871,11 @@ def sessionize(ds, options: dict, ctx=None):
     and labels sessions with a vectorized diff + cumsum (0-based within
     the key). Tied timestamps have gap 0, so labels are deterministic
     regardless of tie order — the same property the SQL-window oracle
-    relies on. All input columns pass through untouched."""
+    relies on. All input columns pass through untouched.
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's
+    rows fit one worker; a pathologically hot key becomes a straggler
+    (pre-split upstream or salt if a key can exceed worker memory)."""
     key = options["group_by"]
     ts_field = options.get("ts_field", "ts")
     gap_s = float(options.get("gap_s", 1800.0))
@@ -899,7 +911,11 @@ def cumulative(ds, options: dict, ctx=None):
     vectorized cumsum — the running-total order matches SQL's sequential
     window accumulation, so sums agree bit-for-bit modulo the documented
     double-round. ``order_by`` must make rows unique within a key (pass a
-    unique id as the last column) or running sums are not well-defined."""
+    unique id as the last column) or running sums are not well-defined.
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's
+    rows fit one worker; a pathologically hot key becomes a straggler
+    (pre-split upstream or salt if a key can exceed worker memory)."""
     from vector_ray.schema import round_sql_np
 
     key = options["group_by"]

@@ -131,7 +131,11 @@ def rank(ds, options: dict, ctx=None):
 
     One hash shuffle on the key; each group argsorts once and computes
     tie-aware ranks vectorized (first-of-run detection on the sorted
-    order, cumsum for dense, propagation for competition rank)."""
+    order, cumsum for dense, propagation for competition rank).
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's
+    rows fit one worker; a pathologically hot key becomes a straggler
+    (pre-split upstream or salt if a key can exceed worker memory)."""
     key = options["group_by"]
     order_cols = options["order_by"]
     if isinstance(order_cols, str):
@@ -202,7 +206,11 @@ def lag_delta(ds, options: dict, ctx=None):
      "target": "delta", "round": 4}
 
     ``order_by`` must make rows unique within a key or lag() is not
-    well-defined."""
+    well-defined.
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's
+    rows fit one worker; a pathologically hot key becomes a straggler
+    (pre-split upstream or salt if a key can exceed worker memory)."""
     from vector_ray.schema import round_sql_np
 
     key = options["group_by"]
