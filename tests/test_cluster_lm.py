@@ -1026,3 +1026,38 @@ def test_rank_string_order_with_nulls(ray_session):
     )
     # alpha=1, beta=2 (tie), null last=3
     assert out.r.tolist() == [2, 3, 1, 2]
+
+
+def test_dsir_prefers_target_like_docs(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.lm import dsir_score
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha alpha beta",     # target-like
+                    "alpha beta beta",      # target-like
+                    "gamma delta gamma",    # corpus-only
+                    "delta delta gamma",    # corpus-only
+                ]
+            ),
+        }
+    )
+    target = pa.table({"text": pa.array(["alpha beta alpha", "alpha beta"])})
+    out = (
+        dsir_score(
+            rd.from_arrow(docs).repartition(2),
+            rd.from_arrow(target),
+            vocab_size=10,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # docs made of target words score higher than corpus-only docs
+    assert min(out.loc[1, "logratio"], out.loc[2, "logratio"]) > max(
+        out.loc[3, "logratio"], out.loc[4, "logratio"]
+    )

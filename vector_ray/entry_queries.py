@@ -1548,6 +1548,24 @@ def q_hot_spans_documents(sf_dir: str):
     return hot_span_stats(ds, n=3, min_count=4)
 
 
+def q_dsir_documents(sf_dir: str):
+    """DSIR importance scoring: per-doc mean log-ratio between an
+    English-target unigram LM and the corpus unigram LM (two count
+    passes, one broadcast, one vectorized scoring pass)."""
+    from vector_ray.functions.lm import dsir_score
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    target = ds.filter(expr="lang == 'en'")
+    out = dsir_score(
+        ds.map_batches(lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"),
+        target.map_batches(lambda t: t.select(["text"]), batch_format="pyarrow"),
+        vocab_size=30,
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "logratio"]), batch_format="pyarrow"
+    )
+
+
 def q_funnel_events(sf_dir: str):
     """Per-user funnel progression view -> click -> purchase, each step
     strictly after the previous (greedy-earliest matching)."""
@@ -2163,6 +2181,7 @@ QUERIES = {
     "near_dedupe_documents": q_near_dedupe_documents,
     "zscore_events": q_zscore_events,
     "funnel_events": q_funnel_events,
+    "dsir_documents": q_dsir_documents,
     "interarrival_events": q_interarrival_events,
     "sessionize_events": q_sessionize_events,
     "cumulative_events": q_cumulative_events,
@@ -2697,6 +2716,27 @@ def oracle_sql() -> dict[str, str]:
                 "  ln((SELECT SUM(n) FROM cnt) + 31.0) AS lp "
                 "  FROM w LEFT JOIN vocab v USING (word)) "
                 "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
+                "FROM sc GROUP BY doc_id"
+            ),
+            "dsir_documents": (
+                # both legs mirror the lm_score_documents model exactly:
+                # add-one unigram over a top-30 vocab, denom = N + V + 1
+                "WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word "
+                "  FROM documents), "
+                "cnt AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word), "
+                "vocab AS (SELECT word, n FROM cnt ORDER BY n DESC, word ASC LIMIT 30), "
+                "tw AS (SELECT UNNEST(string_split(text, ' ')) AS word "
+                "  FROM documents WHERE lang = 'en'), "
+                "tcnt AS (SELECT word, COUNT(*) AS n FROM tw GROUP BY word), "
+                "tvocab AS (SELECT word, n FROM tcnt ORDER BY n DESC, word ASC LIMIT 30), "
+                "sc AS (SELECT w.doc_id, "
+                "  (ln(COALESCE(tv.n, 0) + 1.0) - "
+                "   ln((SELECT SUM(n) FROM tcnt) + 31.0)) - "
+                "  (ln(COALESCE(v.n, 0) + 1.0) - "
+                "   ln((SELECT SUM(n) FROM cnt) + 31.0)) AS lr "
+                "  FROM w LEFT JOIN vocab v USING (word) "
+                "  LEFT JOIN tvocab tv USING (word)) "
+                "SELECT doc_id, ROUND(ROUND(AVG(lr), 9), 4) AS logratio "
                 "FROM sc GROUP BY doc_id"
             ),
             "funnel_events": (

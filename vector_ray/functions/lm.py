@@ -239,3 +239,75 @@ def token_lm_score(ds, field: str = "tokens", target: str = "nll",
         return batch.append_column(target, pa.array(nll, pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every corpus
+# document by mean per-word log-likelihood RATIO between a target-domain
+# unigram LM and the corpus unigram LM. Higher = more target-like.
+# Same distributed shape as lm_score: two count passes (each a tiny
+# shuffle of per-block word partials), ONE broadcast of both models,
+# one vectorized scoring pass.
+# ---------------------------------------------------------------------------
+
+
+class DsirScorer:
+    """Actor-pool callable: per-document mean(log p_target - log p_corpus)
+    with the same add-one unigram construction as LmScorer (so both legs
+    are SQL-reproducible)."""
+
+    def __init__(self, models_ref, field: str = "text",
+                 target: str = "logratio", round_to: int = 4):
+        tgt, cor = ray.get(models_ref)
+        tvocab, ttotal, tvsize = tgt
+        cvocab, ctotal, cvsize = cor
+        self.tvocab, self.cvocab = tvocab, cvocab
+        self.t_denom = float(np.log(ttotal + tvsize + 1.0))
+        self.c_denom = float(np.log(ctotal + cvsize + 1.0))
+        self.field = field
+        self.target = target
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words = _word_lists(batch, self.field)
+        flat = np.asarray(words.flatten(), dtype=object)
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            ulr = np.array(
+                [
+                    (np.log(self.tvocab.get(w, 0) + 1.0) - self.t_denom)
+                    - (np.log(self.cvocab.get(w, 0) + 1.0) - self.c_denom)
+                    for w in uniq
+                ],
+                dtype=np.float64,
+            )
+            lr = ulr[inv]
+            if (lens == 0).any():
+                raise ValueError("empty word list: null text upstream?")
+            starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+            score = np.add.reduceat(lr, starts) / lens
+        else:
+            score = np.zeros(0)
+        score = round_sql_np(round_sql_np(score, self.round_to + 5),
+                             self.round_to)
+        return batch.append_column(
+            self.target, pa.array(score, pa.float64())
+        )
+
+
+def dsir_score(ds, target_ds, field: str = "text", vocab_size: int = 30,
+               concurrency=(1, 4)):
+    """Score ``ds`` documents by target-vs-corpus importance log-ratio.
+    ``target_ds`` is the (usually much smaller) target-domain sample;
+    both unigram models are built distributed and broadcast once."""
+    tgt = unigram_model(target_ds, field, vocab_size)
+    cor = unigram_model(ds, field, vocab_size)
+    models_ref = ray.put((tgt, cor))
+    return ds.map_batches(
+        DsirScorer,
+        fn_constructor_kwargs={"models_ref": models_ref, "field": field},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
