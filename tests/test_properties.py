@@ -111,3 +111,63 @@ def test_route_label_partitions_rows(kinds):
     routes = out[ROUTE_COLUMN].to_pylist()
     for k, r in zip(kinds, routes):
         assert r == {"a": "ra", "b": "rb"}.get(k, "_unmatched")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from(["rank", "dense_rank", "percent_rank"]),
+    st.booleans(),
+)
+def test_rank_kernel_matches_pandas(values, mode, descending):
+    import pandas as pd
+
+    from vector_ray.stages.reshape import rank_table
+
+    g = pa.table({"v": pa.array(values, pa.float64())})
+    out = rank_table(
+        g, order_cols=["v"], descending=descending, mode=mode, target="r"
+    )["r"].to_pylist()
+    s = pd.Series(values)
+    method = {"rank": "min", "dense_rank": "dense", "percent_rank": "min"}[mode]
+    ref = s.rank(method=method, ascending=not descending)
+    if mode == "percent_rank":
+        n = len(values)
+        ref = (ref - 1) / (n - 1) if n > 1 else ref * 0.0
+        assert np.allclose(out, ref.tolist())
+    else:
+        assert out == [int(x) for x in ref.tolist()]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),  # unique-ified below
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_lag_delta_kernel_matches_pandas(rows):
+    import pandas as pd
+
+    from vector_ray.stages.reshape import lag_delta_table
+
+    # make order keys unique (lag over duplicate keys is ill-defined)
+    ts = list(range(len(rows)))
+    vals = [v for _, v in rows]
+    g = pa.table(
+        {"ts": pa.array(ts, pa.int64()), "v": pa.array(vals, pa.float64())}
+    )
+    out = lag_delta_table(g, order_by=["ts"], field="v", target="d")[
+        "d"
+    ].to_pylist()
+    ref = pd.Series(vals).diff().tolist()
+    assert out[0] is None
+    assert np.allclose(out[1:], ref[1:])

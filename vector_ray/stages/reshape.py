@@ -149,51 +149,67 @@ def rank(ds, options: dict, ctx=None):
     n_buckets = int(options.get("n_buckets", 4))
 
     def _rank(g: pa.Table) -> pa.Table:
-        vals_list = _order_values(g, order_cols)
-        n = len(vals_list[0])
-        # dtype-agnostic descending: reverse the ascending order (ties
-        # stay contiguous, and rank depends only on the value runs);
-        # applies to the whole ordering (uniform direction, like a
-        # single ORDER BY ... DESC over all columns)
-        order = np.lexsort(list(reversed(vals_list)))
-        if descending:
-            order = order[::-1]
-        # new_run[i] = 1 when sorted row i starts a new distinct TUPLE
-        # of order values (a tie must match on every order column)
-        new_run = np.ones(n, dtype=np.int64)
-        if n > 1:
-            diff = np.zeros(n - 1, dtype=bool)
-            for vals in vals_list:
-                sv = vals[order]
-                diff |= sv[1:] != sv[:-1]
-            new_run[1:] = diff.astype(np.int64)
-        pos = np.arange(1, n + 1, dtype=np.int64)
-        # competition rank: position of the first row of the run
-        first_pos = np.maximum.accumulate(np.where(new_run == 1, pos, 0))
-        if mode == "dense_rank":
-            ranked = np.cumsum(new_run)
-        elif mode == "rank":
-            ranked = first_pos
-        elif mode == "ntile":
-            # SQL NTILE(k): first (n % k) buckets get ceil(n/k) rows —
-            # row-position based, NOT tie-aware (matches the window fn)
-            big = n % n_buckets
-            size_big = -(-n // n_buckets)  # ceil
-            size_small = n // n_buckets
-            cut = big * size_big
-            ranked = np.where(
-                pos <= cut,
-                (pos - 1) // max(size_big, 1) + 1,
-                big + (pos - cut - 1) // max(size_small, 1) + 1,
-            ).astype(np.int64)
-        else:  # percent_rank = (rank - 1) / (n - 1), 0 for n == 1
-            ranked = (first_pos - 1) / (n - 1) if n > 1 else np.zeros(n)
-        out = np.empty(n, dtype=ranked.dtype)
-        out[order] = ranked
-        typ = pa.float64() if mode == "percent_rank" else pa.int64()
-        return g.append_column(target, pa.array(out, typ))
+        return rank_table(
+            g, order_cols=order_cols, descending=descending, mode=mode,
+            n_buckets=n_buckets, target=target,
+        )
 
     return ds.groupby(key).map_groups(_rank, batch_format="pyarrow")
+
+
+def rank_table(
+    g: pa.Table,
+    *,
+    order_cols: list[str],
+    descending: bool = False,
+    mode: str = "rank",
+    n_buckets: int = 4,
+    target: str = "rank",
+) -> pa.Table:
+    """Pure per-group ranking kernel (one key's rows) — see ``rank``."""
+    vals_list = _order_values(g, order_cols)
+    n = len(vals_list[0])
+    # dtype-agnostic descending: reverse the ascending order (ties
+    # stay contiguous, and rank depends only on the value runs);
+    # applies to the whole ordering (uniform direction, like a
+    # single ORDER BY ... DESC over all columns)
+    order = np.lexsort(list(reversed(vals_list)))
+    if descending:
+        order = order[::-1]
+    # new_run[i] = 1 when sorted row i starts a new distinct TUPLE
+    # of order values (a tie must match on every order column)
+    new_run = np.ones(n, dtype=np.int64)
+    if n > 1:
+        diff = np.zeros(n - 1, dtype=bool)
+        for vals in vals_list:
+            sv = vals[order]
+            diff |= sv[1:] != sv[:-1]
+        new_run[1:] = diff.astype(np.int64)
+    pos = np.arange(1, n + 1, dtype=np.int64)
+    # competition rank: position of the first row of the run
+    first_pos = np.maximum.accumulate(np.where(new_run == 1, pos, 0))
+    if mode == "dense_rank":
+        ranked = np.cumsum(new_run)
+    elif mode == "rank":
+        ranked = first_pos
+    elif mode == "ntile":
+        # SQL NTILE(k): first (n % k) buckets get ceil(n/k) rows —
+        # row-position based, NOT tie-aware (matches the window fn)
+        big = n % n_buckets
+        size_big = -(-n // n_buckets)  # ceil
+        size_small = n // n_buckets
+        cut = big * size_big
+        ranked = np.where(
+            pos <= cut,
+            (pos - 1) // max(size_big, 1) + 1,
+            big + (pos - cut - 1) // max(size_small, 1) + 1,
+        ).astype(np.int64)
+    else:  # percent_rank = (rank - 1) / (n - 1), 0 for n == 1
+        ranked = (first_pos - 1) / (n - 1) if n > 1 else np.zeros(n)
+    out = np.empty(n, dtype=ranked.dtype)
+    out[order] = ranked
+    typ = pa.float64() if mode == "percent_rank" else pa.int64()
+    return g.append_column(target, pa.array(out, typ))
 
 
 def lag_delta(ds, options: dict, ctx=None):
@@ -211,8 +227,6 @@ def lag_delta(ds, options: dict, ctx=None):
     Partitioning assumption (same as SQL PARTITION BY): one key's
     rows fit one worker; a pathologically hot key becomes a straggler
     (pre-split upstream or salt if a key can exceed worker memory)."""
-    from vector_ray.schema import round_sql_np
-
     key = options["group_by"]
     order_by = list(options["order_by"])
     field = options["field"]
@@ -220,23 +234,39 @@ def lag_delta(ds, options: dict, ctx=None):
     ndigits = options.get("round")
 
     def _delta(g: pa.Table) -> pa.Table:
-        keys = _order_values(g, order_by)
-        order = np.lexsort(list(reversed(keys)))
-        vals = np.asarray(pc.cast(_combine(g[field]), pa.float64()))
-        sv = vals[order]
-        d = np.empty(len(sv), dtype=np.float64)
-        d[0] = np.nan
-        if len(sv) > 1:
-            d[1:] = sv[1:] - sv[:-1]
-        if ndigits is not None:
-            d = round_sql_np(round_sql_np(d, 9), ndigits)
-        out = np.empty(len(sv), dtype=np.float64)
-        out[order] = d
-        arr = pa.array(out, pa.float64())
-        arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, pa.float64()), arr)
-        return g.append_column(target, arr)
+        return lag_delta_table(
+            g, order_by=order_by, field=field, target=target, ndigits=ndigits
+        )
 
     return ds.groupby(key).map_groups(_delta, batch_format="pyarrow")
+
+
+def lag_delta_table(
+    g: pa.Table,
+    *,
+    order_by: list[str],
+    field: str,
+    target: str,
+    ndigits: int | None = None,
+) -> pa.Table:
+    """Pure per-group lag-difference kernel — see ``lag_delta``."""
+    from vector_ray.schema import round_sql_np
+
+    keys = _order_values(g, order_by)
+    order = np.lexsort(list(reversed(keys)))
+    vals = np.asarray(pc.cast(_combine(g[field]), pa.float64()))
+    sv = vals[order]
+    d = np.empty(len(sv), dtype=np.float64)
+    d[0] = np.nan
+    if len(sv) > 1:
+        d[1:] = sv[1:] - sv[:-1]
+    if ndigits is not None:
+        d = round_sql_np(round_sql_np(d, 9), ndigits)
+    out = np.empty(len(sv), dtype=np.float64)
+    out[order] = d
+    arr = pa.array(out, pa.float64())
+    arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, pa.float64()), arr)
+    return g.append_column(target, arr)
 
 
 def log_templates(ds, options: dict, ctx=None):
