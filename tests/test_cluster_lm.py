@@ -1061,3 +1061,32 @@ def test_dsir_prefers_target_like_docs(ray_session):
     assert min(out.loc[1, "logratio"], out.loc[2, "logratio"]) > max(
         out.loc[3, "logratio"], out.loc[4, "logratio"]
     )
+
+
+def test_training_batches_shapes_and_determinism(ray_session):
+    from vector_ray.functions.tokens import pack_sequences, training_batches
+    from vector_ray.pipelines import flagship as _fl
+
+    import os
+
+    from vector_ray import datagen
+
+    seq_dir = datagen.ensure_corpus("sf0.001")
+    chunks = pack_sequences(_fl.list_input_files(seq_dir), chunk_len=128)
+    mats = list(training_batches(chunks, batch_size=4, chunk_len=128))
+    assert mats, "no batches yielded"
+    for m in mats:
+        assert m.shape == (4, 128) and m.dtype == np.int32
+    # deterministic across iterations
+    chunks2 = pack_sequences(_fl.list_input_files(seq_dir), chunk_len=128)
+    mats2 = list(training_batches(chunks2, batch_size=4, chunk_len=128))
+    assert len(mats) == len(mats2)
+    assert all((a == b).all() for a, b in zip(mats, mats2))
+    # epoch shuffle changes the order but not the multiset of chunks
+    chunks3 = pack_sequences(_fl.list_input_files(seq_dir), chunk_len=128)
+    mats3 = list(training_batches(chunks3, batch_size=4, chunk_len=128, epoch=1))
+    assert len(mats3) == len(mats)
+    flat = sorted(tuple(r) for m in mats for r in m)
+    flat3 = sorted(tuple(r) for m in mats3 for r in m)
+    assert flat == flat3
+    assert any((a != b).any() for a, b in zip(mats, mats3))

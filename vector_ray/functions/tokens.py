@@ -549,3 +549,47 @@ def ngram_contamination(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def training_batches(
+    chunks_ds: "rd.Dataset",
+    batch_size: int = 8,
+    chunk_len: int = 2048,
+    epoch: int | None = None,
+    drop_last: bool = True,
+):
+    """Last-mile trainer feed: yield dense ``int32 [batch_size, chunk_len]``
+    numpy matrices from a packed-chunk Dataset (``pack_sequences`` /
+    ``pretrain.run`` output), optionally in the deterministic per-epoch
+    shuffled order (``functions/curation.epoch_shuffle`` key).
+
+    Streaming: backed by ``iter_batches`` — blocks flow with
+    backpressure, nothing materializes beyond one Arrow batch. Short
+    chunks (the corpus tail) and, with ``drop_last``, the ragged final
+    batch are dropped — the standard fixed-shape trainer contract.
+    """
+    ds = chunks_ds
+    if epoch is not None:
+        from vector_ray.functions.curation import epoch_shuffle
+
+        ds = epoch_shuffle(ds, epoch=epoch, id_field="chunk_id")
+    rows = np.empty((0, chunk_len), dtype=np.int32)
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        full = lens == chunk_len
+        if not full.any():
+            continue
+        flat = np.asarray(toks.flatten(), dtype=np.int32)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        idx = (
+            starts[full][:, None] + np.arange(chunk_len, dtype=np.int64)[None, :]
+        )
+        rows = np.concatenate([rows, flat[idx]], axis=0)
+        while len(rows) >= batch_size:
+            yield rows[:batch_size]
+            rows = rows[batch_size:]
+    if len(rows) and not drop_last:
+        yield rows
