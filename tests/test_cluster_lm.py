@@ -1090,3 +1090,26 @@ def test_training_batches_shapes_and_determinism(ray_session):
     flat3 = sorted(tuple(r) for m in mats3 for r in m)
     assert flat == flat3
     assert any((a != b).any() for a, b in zip(mats, mats3))
+
+
+def test_quantile_bucket_boundaries(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import quantile_bucket
+
+    # values 1..8: quartile thresholds 2.75, 4.5, 6.25
+    t = pa.table(
+        {
+            "i": pa.array(list(range(8)), pa.int64()),
+            "v": pa.array([float(x) for x in range(1, 9)]),
+        }
+    )
+    out = (
+        quantile_bucket(
+            rd.from_arrow(t).repartition(3),
+            {"field": "v", "buckets": 4, "target": "q"},
+        )
+        .to_pandas()
+        .sort_values("i")
+    )
+    assert out.q.tolist() == [1, 1, 2, 2, 3, 3, 4, 4]

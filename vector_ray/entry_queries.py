@@ -1926,6 +1926,17 @@ def q_brand_volume(sf_dir: str):
     )
 
 
+def q_quantile_bucket_events(sf_dir: str):
+    """Global quartile bucketing of event values: exact quantile_cont
+    thresholds computed two-phase, broadcast, one searchsorted pass."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return grouped.quantile_bucket(
+        ds, {"field": "value", "buckets": 4, "target": "qbucket"}
+    )
+
+
 def q_pushdown_events(sf_dir: str):
     """Predicate pushdown at the Parquet scan (row-group pruning):
     [value >= 90 AND event_type == purchase] never leaves storage."""
@@ -2198,6 +2209,7 @@ QUERIES = {
     "parse_url_documents": q_parse_url_documents,
     "log_templates_corpus": q_log_templates_corpus,
     "pushdown_events": q_pushdown_events,
+    "quantile_bucket_events": q_quantile_bucket_events,
     "revenue_by_nation": q_revenue_by_nation,
     "brand_volume": q_brand_volume,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -2829,6 +2841,17 @@ def oracle_sql() -> dict[str, str]:
                 "JOIN nation ON s_nationkey = n_nationkey "
                 "JOIN region ON n_regionkey = r_regionkey "
                 "WHERE r_name = 'ASIA' GROUP BY n_name"
+            ),
+            "quantile_bucket_events": (
+                "WITH t AS (SELECT "
+                "  ROUND(quantile_cont(value, 0.25), 9) AS t1, "
+                "  ROUND(quantile_cont(value, 0.50), 9) AS t2, "
+                "  ROUND(quantile_cont(value, 0.75), 9) AS t3 FROM events) "
+                "SELECT event_id, value, CAST(1 "
+                "  + CASE WHEN value >= t1 THEN 1 ELSE 0 END "
+                "  + CASE WHEN value >= t2 THEN 1 ELSE 0 END "
+                "  + CASE WHEN value >= t3 THEN 1 ELSE 0 END AS BIGINT) "
+                "AS qbucket FROM events, t"
             ),
             "pushdown_events": (
                 "SELECT event_id, event_type, value FROM events "

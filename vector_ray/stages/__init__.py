@@ -56,6 +56,7 @@ TRANSFORMS = {
     "cumulative": grouped.cumulative,
     "rollup": grouped.rollup,
     "pivot": grouped.pivot,
+    "quantile_bucket": grouped.quantile_bucket,
     "explode": reshape.explode,
     "unpivot": reshape.unpivot,
     "rank": reshape.rank,

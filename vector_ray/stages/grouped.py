@@ -1176,3 +1176,72 @@ def pivot(ds, options: dict, ctx=None):
             batch_format="pyarrow",
         )
     return final
+
+
+def quantile_bucket(ds, options: dict, ctx=None):
+    """Global quantile bucketing: assign every row the corpus-level
+    quantile bucket of a value column (the length-percentile-filter
+    shape: "keep the middle 80% by doc length").
+
+    {"type": "quantile_bucket", "field": "value", "buckets": 4,
+     "target": "qbucket", "approx": false}
+
+    Two passes: the k-1 thresholds come from the two-phase quantile
+    aggregate (exact np.quantile == SQL quantile_cont, or the mergeable
+    log-linear sketch with ``approx``), broadcast once; the second pass
+    assigns buckets with one vectorized searchsorted per batch. Bucket
+    i (1-based) = 1 + number of thresholds <= value; values equal to a
+    threshold land in the upper bucket."""
+    import ray as _ray
+
+    field = options["field"]
+    k = int(options.get("buckets", 4))
+    target = options.get("target", "qbucket")
+    approx = bool(options.get("approx", False))
+    if k < 2:
+        raise ValueError("buckets must be >= 2")
+
+    fn = "approx_quantile" if approx else "quantile"
+    qs = [i / k for i in range(1, k)]
+    stats = aggregate(
+        ds.map_batches(
+            lambda t: t.select([field]).append_column(
+                "__one", pa.array([1] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        {
+            "group_by": ["__one"],
+            "aggregates": {
+                f"q{i}": {"fn": fn, "field": field, "q": q}
+                for i, q in enumerate(qs)
+            },
+        },
+    ).take_all()
+    row = stats[0]
+    from vector_ray.schema import round_sql_np
+
+    # round thresholds to 9 digits on BOTH sides (oracle: ROUND(t, 9))
+    # so a value sitting exactly on a boundary buckets identically
+    thresholds = round_sql_np(
+        np.array([row[f"q{i}"] for i in range(len(qs))], np.float64), 9
+    )
+    thr_ref = _ray.put(thresholds)
+
+    class Assign:
+        def __init__(self, ref):
+            self.thr = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = np.asarray(pc.cast(
+                t[field].combine_chunks()
+                if isinstance(t[field], pa.ChunkedArray) else t[field],
+                pa.float64(),
+            ))
+            b = np.searchsorted(self.thr, vals, side="right") + 1
+            return t.append_column(target, pa.array(b, pa.int64()))
+
+    return ds.map_batches(
+        Assign, fn_constructor_args=(thr_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
