@@ -1,0 +1,44 @@
+"""The shipped example configs (examples/*.toml) must load and run —
+the dev/configs demo-profile contract from the reference
+(vectorize-cli functional-test path over shipped TOML)."""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from vector_ray import run_pipeline, toml_io
+
+
+def _run(path: str):
+    spec = toml_io.load(path)
+    return run_pipeline(spec.to_dict())
+
+
+def test_log_pipeline_example(ray_session):
+    shutil.rmtree("/tmp/vector_ray_examples/log_pipeline", ignore_errors=True)
+    _run("examples/log_pipeline.toml")
+    errors = pq.read_table("/tmp/vector_ray_examples/log_pipeline/errors")
+    assert errors.num_rows > 0 and "level" in errors.column_names
+    shapes = pq.read_table("/tmp/vector_ray_examples/log_pipeline/templates")
+    assert shapes.num_rows > 0 and "template" in shapes.column_names
+
+
+def test_telemetry_example(ray_session):
+    shutil.rmtree("/tmp/vector_ray_examples/telemetry", ignore_errors=True)
+    _run("examples/telemetry_windows.toml")
+    enriched = pq.read_table("/tmp/vector_ray_examples/telemetry/enriched")
+    assert enriched.num_rows == 1000
+    assert {"session_id", "delta"} <= set(enriched.column_names)
+    hourly = pq.read_table("/tmp/vector_ray_examples/telemetry/hourly")
+    assert hourly.num_rows > 0 and "window_start" in hourly.column_names
+
+
+def test_llm_curation_example(ray_session):
+    shutil.rmtree("/tmp/vector_ray_examples/curation", ignore_errors=True)
+    _run("examples/llm_curation.toml")
+    out = pq.read_table("/tmp/vector_ray_examples/curation/docs")
+    assert 0 < out.num_rows < 500  # bottom quartile dropped
+    assert {"nll", "qbucket", "split"} <= set(out.column_names)
+    assert set(out.column("qbucket").to_pylist()) <= {1, 2, 3}

@@ -190,7 +190,9 @@ def session(ds, options: dict, ctx=None):
 
 
 def window(ds, options: dict, ctx=None):
-    kind = options.get("type", "tumbling")
+    # "window" (spec-DAG configs: the DAG compiler strips "type", which
+    # names THIS transform there) or "type" (direct calls) select the kind
+    kind = options.get("window") or options.get("type", "tumbling")
     if kind == "tumbling":
         return tumbling(ds, options, ctx)
     if kind == "sliding":
