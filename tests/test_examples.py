@@ -42,3 +42,20 @@ def test_llm_curation_example(ray_session):
     assert 0 < out.num_rows < 500  # bottom quartile dropped
     assert {"nll", "qbucket", "split"} <= set(out.column_names)
     assert set(out.column("qbucket").to_pylist()) <= {1, 2, 3}
+
+
+def test_explain_plan_classification():
+    from vector_ray import toml_io
+    from vector_ray.explain import MOVEMENT, explain
+    from vector_ray.stages import TRANSFORMS
+
+    # every registered transform has a movement class (new transforms
+    # must be classified here or they silently read as "narrow")
+    missing = sorted(set(TRANSFORMS) - set(MOVEMENT))
+    assert not missing, f"unclassified transforms: {missing}"
+
+    spec = toml_io.load("examples/telemetry_windows.toml")
+    text = explain(spec)
+    assert "sessionize" in text and "[shuffle]" in text
+    assert "window" in text and "[hybrid]" in text
+    assert "2 full shuffle(s)" in text  # sessionize + lag_delta

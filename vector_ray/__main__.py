@@ -56,6 +56,15 @@ def cmd_validate(args) -> int:
     return 0 if result.ok else 1
 
 
+def cmd_explain(args) -> int:
+    from vector_ray.explain import explain
+    from vector_ray.toml_io import load
+
+    spec = load(args.spec)
+    print(explain(spec))
+    return 0
+
+
 def cmd_run(args) -> int:
     from vector_ray.pipeline import run_pipeline
     from vector_ray.toml_io import load
@@ -117,6 +126,10 @@ def main(argv=None) -> int:
     sp = sub.add_parser("validate", help="validate a pipeline TOML")
     sp.add_argument("spec")
     sp.set_defaults(fn=cmd_validate)
+
+    sp = sub.add_parser("explain", help="show the plan + data movement")
+    sp.add_argument("spec")
+    sp.set_defaults(fn=cmd_explain)
 
     sp = sub.add_parser("run", help="run a pipeline TOML")
     sp.add_argument("spec")

@@ -1,0 +1,100 @@
+"""Plan explanation for spec-DAG pipelines — the textual analog of the
+reference's canvas DAG view (ui/src/components/pipeline/view.rs): walk
+the spec in topological order and annotate every node with its data
+movement class, so a user can see the shuffles BEFORE running 100 TB
+through them.
+
+Classification is static, from the transform registry:
+- ``narrow``  — pure map_batches, streams block-local (no data moves)
+- ``shuffle`` — hash-partitions by key (groupby / map_groups / sort)
+- ``hybrid``  — two-phase: narrow partials + a small shuffle of partials
+- ``broadcast`` — builds small state once (driver/actors) + narrow pass
+"""
+
+from __future__ import annotations
+
+# transform type -> movement class (see each stage's docstring for the
+# partitioning assumption behind the classification)
+MOVEMENT = {
+    "remap": "narrow",
+    "filter": "narrow",
+    "route": "narrow",
+    "sample": "narrow",
+    "test_basic": "narrow",
+    "lua": "narrow",
+    "pyscript": "narrow",
+    "explode": "narrow",
+    "unpivot": "narrow",
+    "frame": "narrow",
+    "encode": "narrow",
+    "tokenize": "narrow",
+    "mixture_sample": "narrow",
+    "split_assign": "narrow",
+    "log_to_metric": "hybrid",
+    "metric_to_log": "narrow",
+    "aggregate": "hybrid",
+    "rollup": "hybrid",
+    "pivot": "hybrid",
+    "log_templates": "hybrid",
+    "profile": "hybrid",
+    "length_buckets": "hybrid",
+    "repetition_stats": "narrow",
+    "tag_cardinality_limit": "hybrid",
+    "throttle": "shuffle",
+    "dedupe": "shuffle",
+    "reduce": "shuffle",
+    "window": "hybrid",
+    "sessionize": "shuffle",
+    "cumulative": "shuffle",
+    "interarrival": "shuffle",
+    "funnel": "shuffle",
+    "rank": "shuffle",
+    "lag_delta": "shuffle",
+    "epoch_shuffle": "shuffle",
+    "stratified_sample": "hybrid",
+    "enrich": "broadcast",
+    "zscore": "broadcast",
+    "quantile_bucket": "broadcast",
+    "lm_score": "broadcast",
+    "kmeans": "broadcast",
+    "semdedup": "shuffle",
+    "hot_spans": "broadcast",
+    "budget_select": "broadcast",
+}
+
+
+def explain(spec_dict: dict) -> str:
+    """Render a topologically-ordered plan with movement annotations and
+    a shuffle count summary. Pure metadata — never touches Ray."""
+    from vector_ray.pipeline import PipelineSpec, _topo_order
+
+    spec = (
+        spec_dict
+        if isinstance(spec_dict, PipelineSpec)
+        else PipelineSpec.from_dict(spec_dict)
+    )
+    lines: list[str] = []
+    for name, cfg in spec.sources.items():
+        lines.append(f"source    {name:<20} {cfg.get('type', '?')}")
+    n_shuffles = 0
+    for name in _topo_order(spec):
+        cfg = spec.transforms[name]
+        typ = cfg.get("type", "?")
+        move = MOVEMENT.get(typ, "narrow")
+        if move == "shuffle":
+            n_shuffles += 1
+        ins = ",".join(cfg.get("inputs", []))
+        lines.append(f"transform {name:<20} {typ:<22} [{move}]  <- {ins}")
+    for name, cfg in spec.sinks.items():
+        ins = ",".join(cfg.get("inputs", []))
+        lines.append(f"sink      {name:<20} {cfg.get('type', '?'):<22} <- {ins}")
+    hybrids = sum(
+        1
+        for n in spec.transforms
+        if MOVEMENT.get(spec.transforms[n].get("type"), "narrow") == "hybrid"
+    )
+    lines.append(
+        f"-- {n_shuffles} full shuffle(s), {hybrids} two-phase partial "
+        "aggregation(s); everything else streams block-local"
+    )
+    return "\n".join(lines)
