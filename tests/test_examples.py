@@ -59,3 +59,27 @@ def test_explain_plan_classification():
     assert "sessionize" in text and "[shuffle]" in text
     assert "window" in text and "[hybrid]" in text
     assert "2 full shuffle(s)" in text  # sessionize + lag_delta
+
+
+def test_lineage_report(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vector_ray import datagen
+    from vector_ray.pipelines import flagship
+
+    sys_path = __import__("sys").path
+    if "tools" not in sys_path:
+        sys_path.insert(0, "tools")
+    from lineage_report import report
+
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    pq.write_table(datagen.generate_batch(0, 2000), str(seq / "s0.parquet"))
+    pq.write_table(datagen.enrichment_table(), str(tmp_path / "e.parquet"))
+    flagship.run(
+        str(seq), str(tmp_path / "out"), str(tmp_path / "e.parquet"),
+        flagship.FlagshipConfig(num_groups=2), resume=False,
+    )
+    text = report(str(tmp_path / "out"))
+    assert "TOTAL" in text and "2,000" in text
+    assert "per-stage NodeMetrics" in text
