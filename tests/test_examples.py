@@ -83,3 +83,28 @@ def test_lineage_report(ray_session, tmp_path):
     text = report(str(tmp_path / "out"))
     assert "TOTAL" in text and "2,000" in text
     assert "per-stage NodeMetrics" in text
+
+
+def test_compact_parquet_dir(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from vector_ray.functions.dataops import compact_parquet_dir
+
+    # two leaf partitions, 6 tiny files each
+    for part in ("route=a", "route=b"):
+        d = tmp_path / "out" / part
+        d.mkdir(parents=True)
+        for i in range(6):
+            pq2.write_table(
+                pa.table({"x": pa.array([part, f"f{i}"] * 5)}),
+                str(d / f"small-{i}.parquet"),
+            )
+    before = pq2.read_table(str(tmp_path / "out")).sort_by("x")
+    s = compact_parquet_dir(str(tmp_path / "out"), target_rows_per_file=100)
+    assert s["leaves"] == 2 and s["files_before"] == 12 and s["files_after"] == 2
+    after = pq2.read_table(str(tmp_path / "out")).sort_by("x")
+    assert before.equals(after)
+    import glob as g
+
+    assert len(g.glob(str(tmp_path / "out" / "*" / "*.parquet"))) == 2

@@ -128,3 +128,85 @@ def corpus_diff(
         return out
 
     return joined.map_batches(verdict, batch_format="pyarrow")
+
+
+def compact_parquet_dir(
+    root: str,
+    target_rows_per_file: int = 1_000_000,
+    pattern: str = "*.parquet",
+):
+    """Compact the small-files output of a partitioned, resumable run:
+    rewrite each LEAF directory's many small parquet files into
+    ceil(rows / target) files, atomically (write to a sibling tmp dir,
+    then one os.replace per leaf — a crashed compaction leaves the
+    original files untouched).
+
+    One Ray task per leaf directory (leaves are independent), streaming
+    within the task via Parquet row-group iteration — a leaf larger
+    than worker memory still compacts. Returns a summary dict."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import ray as _ray
+
+    leaves = sorted(
+        {
+            os.path.dirname(p)
+            for p in _glob.glob(
+                os.path.join(root, "**", pattern), recursive=True
+            )
+        }
+    )
+
+    @_ray.remote
+    def compact_leaf(leaf: str) -> tuple[str, int, int]:
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(os.path.join(leaf, pattern)))
+        if len(files) <= 1:
+            return (leaf, len(files), len(files))
+        tmp = leaf + ".compact-tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        writer = None
+        out_idx = rows_in_file = 0
+        schema = _pq.ParquetFile(files[0]).schema_arrow
+        try:
+            for f in files:
+                pf = _pq.ParquetFile(f)
+                for rg in range(pf.num_row_groups):
+                    tbl = pf.read_row_group(rg).cast(schema)
+                    if writer is None:
+                        writer = _pq.ParquetWriter(
+                            os.path.join(tmp, f"part-{out_idx:05d}.parquet"),
+                            schema,
+                        )
+                    writer.write_table(tbl)
+                    rows_in_file += tbl.num_rows
+                    if rows_in_file >= target_rows_per_file:
+                        writer.close()
+                        writer = None
+                        out_idx += 1
+                        rows_in_file = 0
+            if writer is not None:
+                writer.close()
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        n_out = len(_glob.glob(os.path.join(tmp, pattern)))
+        # atomic swap: move originals out, tmp in, then drop originals
+        old = leaf + ".compact-old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(leaf, old)
+        os.replace(tmp, leaf)
+        shutil.rmtree(old)
+        return (leaf, len(files), n_out)
+
+    results = _ray.get([compact_leaf.remote(l) for l in leaves])
+    return {
+        "leaves": len(results),
+        "files_before": sum(r[1] for r in results),
+        "files_after": sum(r[2] for r in results),
+        "details": results,
+    }
