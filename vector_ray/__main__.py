@@ -65,6 +65,20 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from vector_ray.functions.dataops import compact_parquet_dir
+
+    _init_ray(args.num_cpus)
+    summary = compact_parquet_dir(
+        args.dir, target_rows_per_file=args.target_rows
+    )
+    print(json.dumps({k: summary[k] for k in ("leaves", "files_before", "files_after")}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_run(args) -> int:
     from vector_ray.pipeline import run_pipeline
     from vector_ray.toml_io import load
@@ -130,6 +144,11 @@ def main(argv=None) -> int:
     sp = sub.add_parser("explain", help="show the plan + data movement")
     sp.add_argument("spec")
     sp.set_defaults(fn=cmd_explain)
+
+    sp = sub.add_parser("compact", help="compact small parquet files per partition dir")
+    sp.add_argument("dir")
+    sp.add_argument("--target-rows", type=int, default=1_000_000, dest="target_rows")
+    sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("run", help="run a pipeline TOML")
     sp.add_argument("spec")
