@@ -567,12 +567,31 @@ def training_batches(
     backpressure, nothing materializes beyond one Arrow batch. Short
     chunks (the corpus tail) and, with ``drop_last``, the ragged final
     batch are dropped — the standard fixed-shape trainer contract.
+
+    Determinism: the streaming executor completes blocks in any order,
+    so the feed (a) fixes a total order — ``chunk_id`` ascending, or the
+    epoch-shuffle key — and (b) iterates with ``preserve_order`` so the
+    iterator yields that order regardless of task completion timing.
     """
+    from ray.data import DataContext
+
     ds = chunks_ds
     if epoch is not None:
         from vector_ray.functions.curation import epoch_shuffle
 
         ds = epoch_shuffle(ds, epoch=epoch, id_field="chunk_id")
+    else:
+        ds = ds.sort("chunk_id")
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        yield from _iter_matrices(ds, batch_size, chunk_len, drop_last)
+    finally:
+        ctx.execution_options.preserve_order = prev
+
+
+def _iter_matrices(ds, batch_size: int, chunk_len: int, drop_last: bool):
     rows = np.empty((0, chunk_len), dtype=np.int32)
     for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
         toks = batch["tokens"]
