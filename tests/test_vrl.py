@@ -183,3 +183,12 @@ def test_parse_url_op():
     assert out["url_path"].to_pylist() == ["/p/q", None, None, None]
     assert out["url_query"].to_pylist() == ["x=1", None, None, None]
     assert out["url_fragment"].to_pylist() == ["frag", None, None, None]
+
+
+def test_sha_variants():
+    import hashlib
+
+    t = pa.table({"s": ["abc", None]})
+    for algo in ("sha1", "sha512"):
+        out = compile_expr(f"{algo}(.s)")(t).to_pylist()
+        assert out == [getattr(hashlib, algo)(b"abc").hexdigest(), None]

@@ -1590,6 +1590,23 @@ def q_interarrival_events(sf_dir: str):
     )
 
 
+def q_dedupe_events_last(sf_dir: str):
+    """dedupe with keep=last: the LATEST event per (user, type) survives
+    (ordered by ts then event_id for determinism)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return grouped.dedupe(
+        ds,
+        {
+            "match": ["user_id", "event_type"],
+            "order_by": ["ts", "event_id"],
+            "keep": "last",
+        },
+    )
+
+
 def q_sessionize_events(sf_dir: str):
     """Per-event session-id assignment (new session after a >30 min gap
     per user) — vectorized diff+cumsum per key."""
@@ -2194,6 +2211,7 @@ QUERIES = {
     "funnel_events": q_funnel_events,
     "dsir_documents": q_dsir_documents,
     "interarrival_events": q_interarrival_events,
+    "dedupe_events_last": q_dedupe_events_last,
     "sessionize_events": q_sessionize_events,
     "cumulative_events": q_cumulative_events,
     "rollup_events": q_rollup_events,
@@ -2891,6 +2909,12 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT event_id, user_id, "
                 "ROUND(ROUND(value - LAG(value) OVER (PARTITION BY user_id "
                 "  ORDER BY ts, event_id), 9), 4) AS delta FROM events"
+            ),
+            "dedupe_events_last": (
+                "SELECT event_id, user_id, event_type, ts FROM ("
+                "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+                "    ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+                "WHERE rn = 1"
             ),
             "sessionize_events": (
                 "SELECT event_id, user_id, ts, CAST(SUM(CASE WHEN gap > 1800 "

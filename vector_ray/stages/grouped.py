@@ -46,7 +46,20 @@ def _first_by(t: pa.Table, order_by: list[str], n: int = 1) -> pa.Table:
 def dedupe(ds, options: dict, ctx=None):
     match = list(options.get("fields", {}).get("match") or options["match"])
     order_by = list(options.get("order_by") or match[:1])
-    take = lambda t: _first_by(t, order_by)
+    keep = options.get("keep", "first")
+    if keep not in ("first", "last"):
+        raise ValueError(f"dedupe keep must be first|last, got {keep!r}")
+    desc = keep == "last"
+
+    def take(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (c, "descending" if desc else "ascending") for c in order_by
+            ],
+        )
+        return t.take(idx.slice(0, 1))
+
     return ds.groupby(match).map_groups(take, batch_format="pyarrow")
 
 

@@ -261,7 +261,7 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
             return pc.strftime(v, format=fmt_str)
 
         return _format_ts
-    if base in ("md5", "sha256"):
+    if base in ("md5", "sha1", "sha256", "sha512"):
         import hashlib
 
         algo = getattr(hashlib, base)
