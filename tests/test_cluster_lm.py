@@ -1113,3 +1113,46 @@ def test_quantile_bucket_boundaries(ray_session):
         .sort_values("i")
     )
     assert out.q.tolist() == [1, 1, 2, 2, 3, 3, 4, 4]
+
+
+def test_rank_per_column_directions(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.reshape import rank
+
+    # order by (v DESC, w ASC): rows (1,9) (2,1) (2,3) -> v=2 first
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 3),
+            "v": pa.array([1, 2, 2], pa.int64()),
+            "w": pa.array([9, 3, 1], pa.int64()),
+            "i": pa.array([0, 1, 2], pa.int64()),
+        }
+    )
+    out = (
+        rank(
+            rd.from_arrow(t).repartition(2),
+            {"group_by": "g", "order_by": ["v", "w"],
+             "descending": [True, False], "mode": "rank", "target": "r"},
+        )
+        .to_pandas()
+        .sort_values("i")
+    )
+    # order: (2,1) rank1, (2,3) rank2, (1,9) rank3
+    assert out.r.tolist() == [3, 2, 1]
+
+
+def test_dsir_spec_transform(ray_session):
+    from vector_ray import run_pipeline
+
+    res = run_pipeline({
+        "sources": {"docs": {"type": "parquet",
+                             "path": "/root/testdata/sf0.001/documents.parquet",
+                             "columns": ["doc_id", "text", "lang"]}},
+        "transforms": {"scored": {"type": "dsir", "inputs": ["docs"],
+                                  "field": "text",
+                                  "target_condition": '.lang == "en"'}},
+        "sinks": {"out": {"type": "blackhole", "inputs": ["scored"]}},
+    })
+    # every doc scored (the condition selects the TARGET slice, not output)
+    assert res.sinks["out"].count == 500

@@ -60,6 +60,7 @@ MOVEMENT = {
     "semdedup": "shuffle",
     "hot_spans": "broadcast",
     "budget_select": "broadcast",
+    "dsir": "broadcast",
 }
 
 

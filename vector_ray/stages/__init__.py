@@ -87,6 +87,7 @@ TRANSFORMS = {
     "hot_spans": curate.hot_spans,
     "budget_select": curate.budget_select,
     "stratified_sample": curate.stratified_sample,
+    "dsir": curate.dsir,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

@@ -146,3 +146,29 @@ def stratified_sample(ds, options: dict, ctx=None):
         key=options.get("key", "source"),
         id_field=options.get("id_field", "doc_id"),
     )
+
+
+def dsir(ds, options: dict, ctx=None):
+    """{"type": "dsir", "field": "text",
+        "target_condition": ".lang == 'en'", "vocab_size": 30,
+        "target": "logratio"}
+    — DSIR importance scoring (functions/lm.dsir_score) where the
+    target-domain sample is selected from the SAME input by a VRL
+    condition (the practical shape: "score everything by how much it
+    looks like my curated slice")."""
+    from vector_ray.functions.lm import dsir_score
+    from vector_ray.stages.core import compile_filter
+
+    keep = compile_filter(
+        {
+            "condition": options["target_condition"],
+            "condition_type": options.get("condition_type", "vrl"),
+        }
+    )
+    target_ds = ds.map_batches(keep, batch_format="pyarrow")
+    return dsir_score(
+        ds,
+        target_ds,
+        field=options.get("field", "text"),
+        vocab_size=int(options.get("vocab_size", 30)),
+    )

@@ -132,6 +132,8 @@ def rank(ds, options: dict, ctx=None):
     One hash shuffle on the key; each group argsorts once and computes
     tie-aware ranks vectorized (first-of-run detection on the sorted
     order, cumsum for dense, propagation for competition rank).
+    ``descending`` may be a single bool (whole ordering) or a list of
+    bools, one per order column (SQL per-column ASC/DESC).
 
     Partitioning assumption (same as SQL PARTITION BY): one key's
     rows fit one worker; a pathologically hot key becomes a straggler
@@ -141,7 +143,9 @@ def rank(ds, options: dict, ctx=None):
     if isinstance(order_cols, str):
         order_cols = [order_cols]
     order_cols = list(order_cols)
-    descending = bool(options.get("descending", False))
+    descending = options.get("descending", False)
+    if not isinstance(descending, (list, tuple)):
+        descending = bool(descending)
     mode = options.get("mode", "rank")
     target = options.get("target", mode)
     if mode not in ("rank", "dense_rank", "percent_rank", "ntile"):
@@ -169,13 +173,27 @@ def rank_table(
     """Pure per-group ranking kernel (one key's rows) — see ``rank``."""
     vals_list = _order_values(g, order_cols)
     n = len(vals_list[0])
-    # dtype-agnostic descending: reverse the ascending order (ties
-    # stay contiguous, and rank depends only on the value runs);
-    # applies to the whole ordering (uniform direction, like a
-    # single ORDER BY ... DESC over all columns)
-    order = np.lexsort(list(reversed(vals_list)))
-    if descending:
-        order = order[::-1]
+    if isinstance(descending, (list, tuple)):
+        # per-column direction: _order_values maps every dtype to a
+        # numeric key (dense rank for strings), so negation flips order
+        if len(descending) != len(order_cols):
+            raise ValueError("descending list must match order_by length")
+        def flip(v: np.ndarray) -> np.ndarray:
+            if v.dtype.kind == "u":
+                # exact unsigned inversion (negation would wrap)
+                return v.max() - v if len(v) else v
+            return -v  # signed/float negation (INT64_MIN alone would wrap)
+
+        keyed = [
+            (flip(v) if d else v) for v, d in zip(vals_list, descending)
+        ]
+        order = np.lexsort(list(reversed(keyed)))
+    else:
+        # dtype-agnostic uniform descending: reverse the ascending order
+        # (ties stay contiguous, and rank depends only on the value runs)
+        order = np.lexsort(list(reversed(vals_list)))
+        if descending:
+            order = order[::-1]
     # new_run[i] = 1 when sorted row i starts a new distinct TUPLE
     # of order values (a tie must match on every order column)
     new_run = np.ones(n, dtype=np.int64)
