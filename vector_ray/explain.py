@@ -61,6 +61,7 @@ MOVEMENT = {
     "hot_spans": "broadcast",
     "budget_select": "broadcast",
     "dsir": "broadcast",
+    "topk_per_key": "shuffle",
 }
 
 

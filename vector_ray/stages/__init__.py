@@ -29,6 +29,23 @@ def _pyscript(ds, options, ctx=None):
     )
 
 
+def _topk_per_key(ds, options, ctx=None):
+    """Skew-safe per-key top-k as a spec transform (stages/shuffle.py):
+    {"type": "topk_per_key", "key": "source", "order_by": "latency_ms",
+     "k": 5, "descending": true, "tiebreak": "doc_id"}"""
+    from vector_ray.stages.shuffle import topk_per_key
+
+    return topk_per_key(
+        ds,
+        options["key"],
+        options["order_by"],
+        int(options["k"]),
+        descending=bool(options.get("descending", True)),
+        tiebreak=options.get("tiebreak"),
+        salt_buckets=int(options.get("salt_buckets", 16)),
+    )
+
+
 def _profile(ds, options, ctx=None):
     """Data-quality profile stage (functions/dataops.py): per-column
     rows / nulls / distinct counts; ``approx`` swaps exact distinct for
@@ -62,6 +79,7 @@ TRANSFORMS = {
     "rank": reshape.rank,
     "lag_delta": reshape.lag_delta,
     "profile": _profile,
+    "topk_per_key": _topk_per_key,
     "log_templates": reshape.log_templates,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,
