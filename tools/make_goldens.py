@@ -596,7 +596,53 @@ def golden_agg_sketch(events: pa.Table) -> pa.Table:
     )
 
 
+
+def golden_pack_documents(chunk_len: int = 2048) -> pa.Table:
+    """Independent next-fit document packing over the tokenized-sequence
+    corpus: WHOLE docs in ascending doc_id order per source; new bin when
+    the doc does not fit; an oversize doc gets its own bin. Straight-line
+    per-row loop (the engine version is a searchsorted jump)."""
+    import glob
+
+    from vector_ray import datagen  # shared fixture generator only
+
+    datagen.ensure_corpus("sf0.01")
+    files = sorted(glob.glob(datagen.sequences_dir("sf0.01") + "/*.parquet"))
+    tbl = pa.concat_tables(
+        [pq.read_table(f, columns=["doc_id", "source", "n_tok"]) for f in files]
+    )
+    rows = sorted(
+        zip(
+            tbl["source"].to_pylist(),
+            tbl["doc_id"].to_pylist(),
+            tbl["n_tok"].to_pylist(),
+        )
+    )
+    out_src, out_id, out_len, out_bin, out_pos = [], [], [], [], []
+    state: dict = {}  # source -> (bin, fill, pos)
+    for src_v, did, nt in rows:
+        b, fill, pos = state.get(src_v, (0, 0, 0))
+        if fill and fill + nt > chunk_len:
+            b, fill, pos = b + 1, 0, 0
+        out_src.append(src_v)
+        out_id.append(did)
+        out_len.append(nt)
+        out_bin.append(b)
+        out_pos.append(pos)
+        state[src_v] = (b, fill + nt, pos + 1)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.string()),
+            "source": pa.array(out_src, pa.string()),
+            "n_tok": pa.array(out_len, pa.int32()),
+            "bin_id": pa.array(out_bin, pa.int64()),
+            "bin_pos": pa.array(out_pos, pa.int64()),
+        }
+    )
+
+
 GOLDENS = {
+    "pack_documents_corpus": golden_pack_documents,
     "simhash_documents": lambda: golden_simhash(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     ),

@@ -2123,7 +2123,48 @@ def q_semdedup_embeddings(sf_dir: str):
     return semdedup(ds, cent, tau=0.4)
 
 
+
+def q_line_dedupe_documents(sf_dir: str):
+    """Corpus-wide exact line dedup (C4/RefinedWeb line-level pass):
+    reflow each doc into 8-word lines, keep only each line's FIRST
+    (doc_id, line_no) occurrence corpus-wide, reassemble docs from the
+    surviving lines (docs that lose every line drop out)."""
+    from vector_ray.functions.text import line_dedupe, reflow
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(lambda t: reflow(t), batch_format="pyarrow")
+    return line_dedupe(ds)
+
+
+def q_vocab_remap(sf_dir: str):
+    """Vocabulary re-indexing: renumber every token id to its corpus
+    frequency rank (count desc, token asc; 1-based). Dense bincount tree
+    reduction builds the mapping; one broadcast gather applies it."""
+    from vector_ray.functions.tokens import vocab_rank_remap
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(datagen.sequences_dir(tag), columns=["doc_id", "tokens"])
+    return vocab_rank_remap(ds)
+
+
+def q_pack_documents(sf_dir: str):
+    """Document-boundary next-fit packing (padded trainer layout, docs
+    never split): per-source greedy bins of 2048 tokens; oracle is the
+    independent straight-line reimplementation in tools/make_goldens.py."""
+    from vector_ray.functions.tokens import pack_documents
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "source", "n_tok"]
+    )
+    return pack_documents(ds, chunk_len=2048)
+
+
 QUERIES = {
+    "line_dedupe_documents": q_line_dedupe_documents,
+    "vocab_remap_corpus": q_vocab_remap,
+    "pack_documents_corpus": q_pack_documents,
     "flagship_agg": q_flagship_agg,
     "flagship_routed": q_flagship_routed,
     "flagship_parse": q_flagship_parse,
@@ -2253,6 +2294,18 @@ def _tokens_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_tok, "
             "list(tok ORDER BY gpos) AS tokens "
             "FROM tok GROUP BY 1"
+        ),
+        "vocab_remap_corpus": (
+            # dense frequency-rank re-index: every corpus token maps to
+            # its 1-based (count desc, token asc) rank; list order kept
+            f"WITH cnt AS (SELECT tok, COUNT(*) n FROM "
+            f"  (SELECT unnest(tokens) tok FROM read_parquet('{seq}')) GROUP BY 1), "
+            "rk AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) r FROM cnt), "
+            "mp AS (SELECT tok, CAST(r AS INTEGER) AS new FROM rk), "
+            "tk AS (SELECT doc_id, unnest(tokens) tok, "
+            f"  generate_subscripts(tokens, 1) ord FROM read_parquet('{seq}')) "
+            "SELECT doc_id, list(COALESCE(mp.new, 0) ORDER BY ord) AS tokens "
+            "FROM tk LEFT JOIN mp USING (tok) GROUP BY doc_id"
         ),
         "token_topk_corpus": (
             "SELECT CAST(tok AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS cnt "
@@ -2491,6 +2544,16 @@ def oracle_sql() -> dict[str, str]:
                 "  SELECT doc_id, source, n_chars, "
                 "  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn "
                 "  FROM documents) WHERE rn = 1"
+            ),
+            "line_dedupe_documents": (
+                "WITH docs AS (SELECT doc_id, regexp_replace(text, "
+                "  '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS text FROM documents), "
+                "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+                "  generate_subscripts(string_split(text, chr(10)), 1) AS ln FROM docs), "
+                "keep AS (SELECT doc_id, ln, line FROM (SELECT *, ROW_NUMBER() OVER ("
+                "  PARTITION BY line ORDER BY doc_id, ln) rn FROM lines) WHERE rn = 1) "
+                "SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text "
+                "FROM keep GROUP BY doc_id"
             ),
             "tokenize_documents": (
                 "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok "
@@ -3055,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize_bmp",
         "media_resample_wav",
         "agg_sketch_events",
+        "pack_documents_corpus",
     ):
         sql[name] = f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
     return sql

@@ -283,3 +283,113 @@ def tfidf_top_term(ds, field: str = "text", id_field: str = "doc_id",
         )
 
     return ds.map_batches(top_term, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide exact line dedup (the C4 / RefinedWeb "remove duplicated
+# lines across documents" pass: keep only each line's FIRST occurrence,
+# ordered by (id, line_no), then reassemble documents from surviving
+# lines; documents that lose every line disappear).
+#
+# Scale shape (100 TB): two hash shuffles, both bounded.
+#   1. winner election groups by a hash BUCKET of the line text (not
+#      per-line map_groups — millions of tiny groups would pay per-call
+#      overhead), after a per-block local prune keeps one candidate per
+#      distinct line per block, so a line duplicated N times corpus-wide
+#      ships <= num_blocks rows, never N.
+#   2. reassembly groups by a hash bucket of the doc id; inside a bucket
+#      everything is one vectorized sort + offsets build + binary_join.
+# ---------------------------------------------------------------------------
+
+_LN = "__ln"
+
+
+def reflow(t: pa.Table, field: str = "text", words_per_line: int = 8) -> pa.Table:
+    """Re-wrap single-line text into newline-separated lines of
+    ``words_per_line`` whitespace-separated words (RE2 rewrite, matches
+    DuckDB ``regexp_replace(..., 'g')`` byte-for-byte)."""
+    pat = r"((?:\S+ ){%d}\S+) " % (words_per_line - 1)
+    col = pc.replace_substring_regex(t[field], pattern=pat, replacement="\\1\n")
+    return t.set_column(t.column_names.index(field), field, col)
+
+
+def line_dedupe(
+    ds,
+    field: str = "text",
+    id_field: str = "doc_id",
+    delimiter: str = "\n",
+    num_buckets: int = 64,
+):
+    """Corpus-wide exact line dedup; returns (id_field, field) with each
+    line kept only at its first (id, line_no) occurrence."""
+    from vector_ray.stages.grouped import local_head_per_group
+    from vector_ray.stages.shuffle import _key_hash
+
+    def explode_and_prune(t: pa.Table) -> pa.Table:
+        lst = t[field]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        lst = pc.split_pattern(pc.fill_null(lst, ""), pattern=delimiter)
+        lens = np.asarray(pc.list_value_length(lst), dtype=np.int64)
+        parent = np.repeat(np.arange(len(lst), dtype=np.int64), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        ids = t[id_field]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        tbl = pa.table(
+            {
+                id_field: ids.take(pa.array(parent)),
+                _LN: pa.array(pos, pa.int64()),
+                "line": lst.flatten(),
+            }
+        )
+        # local prune: one candidate per distinct line per block bounds
+        # what the election shuffle moves
+        tbl = local_head_per_group(tbl, ["line"], [id_field, _LN], 1)
+        b = (_key_hash(tbl, "line") % np.uint64(num_buckets)).astype(np.int64)
+        return tbl.append_column("__b", pa.array(b))
+
+    def elect(group: pa.Table) -> pa.Table:
+        return local_head_per_group(group, ["line"], [id_field, _LN], 1)
+
+    winners = (
+        ds.map_batches(explode_and_prune, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(elect, batch_format="pyarrow")
+    )
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
+        b = (_key_hash(t, id_field) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    def assemble(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(id_field, "ascending"), (_LN, "ascending")])
+        ids = g[id_field]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = len(ids)
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            neq = pc.not_equal(ids.slice(1), ids.slice(0, n - 1))
+            change[1:] = np.asarray(
+                pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+            )
+        doc_starts = np.flatnonzero(change)
+        offsets = np.concatenate([doc_starts, [n]]).astype(np.int64)
+        lines = g["line"]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, lines), delimiter
+        )
+        return pa.table(
+            {id_field: ids.take(pa.array(doc_starts)), field: joined}
+        )
+
+    return (
+        winners.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(assemble, batch_format="pyarrow")
+    )

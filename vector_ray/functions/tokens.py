@@ -612,3 +612,166 @@ def _iter_matrices(ds, batch_size: int, chunk_len: int, drop_last: bool):
             rows = rows[batch_size:]
     if len(rows) and not drop_last:
         yield rows
+
+
+# ---------------------------------------------------------------------------
+# vocabulary re-indexing (rank remap) — the "sort the vocab by corpus
+# frequency, renumber every token" migration step (tokenizer swaps, GPU
+# embedding-table locality). Counts come from the same dense bincount
+# tree reduction as token_topk; the finished old→new mapping is ONE
+# vocab-sized int32 vector (~200 KB) broadcast via ray.put and applied
+# per batch as a flat numpy gather — the corpus itself never shuffles.
+# ---------------------------------------------------------------------------
+
+
+def token_counts(ds: rd.Dataset, num_parts: int = 32) -> np.ndarray:
+    """Exact dense per-token corpus counts (vocab-sized int64 vector on
+    the driver — bounded by VOCAB_SIZE, never by corpus size)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, _ = _flat_tokens(t)
+        counts = np.bincount(values, minlength=VOCAB_SIZE).astype(np.int64)
+        if len(counts) > VOCAB_SIZE:
+            raise ValueError(
+                f"token id >= VOCAB_SIZE ({len(counts) - 1} >= {VOCAB_SIZE})"
+            )
+        part = int(counts[: max(1, VOCAB_SIZE // 64)].sum()) % num_parts
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "cnt": pa.array([counts], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        flat = group["cnt"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        summed = flat.reshape(group.num_rows, VOCAB_SIZE).sum(axis=0)
+        return pa.table(
+            {
+                "part": pa.array([0], pa.int64()),
+                "cnt": pa.array([summed], pa.list_(pa.int64())),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    total = np.zeros(VOCAB_SIZE, dtype=np.int64)
+    for ref in merged.materialize().to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            flat = t["cnt"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+            total += flat.reshape(t.num_rows, VOCAB_SIZE).sum(axis=0)
+    return total
+
+
+def rank_mapping(counts: np.ndarray) -> np.ndarray:
+    """old_id → 1-based frequency rank (count desc, token asc); tokens
+    absent from the corpus map to 0 (they can never occur downstream)."""
+    order = np.lexsort((np.arange(len(counts)), -counts))
+    mapping = np.zeros(len(counts), dtype=np.int32)
+    nz = counts[order] > 0
+    mapping[order[nz]] = (np.arange(len(counts)) + 1)[: int(nz.sum())].astype(
+        np.int32
+    )
+    return mapping
+
+
+class _TokenRemapper:
+    """Actor-pool stage: fetches the broadcast mapping once per actor."""
+
+    def __init__(self, mapping_ref, col: str):
+        self.mapping = ray.get(mapping_ref)
+        self.col = col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, self.col)
+        new_vals = self.mapping[values]
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(new_vals, pa.int32())
+        )
+        return t.set_column(t.column_names.index(self.col), self.col, arr)
+
+
+def vocab_rank_remap(
+    ds: rd.Dataset, col: str = "tokens", concurrency=(1, 4)
+) -> rd.Dataset:
+    """Renumber every token id to its corpus frequency rank (two passes:
+    dense count reduction, then a broadcast-gather map)."""
+    mapping_ref = ray.put(rank_mapping(token_counts(ds.select_columns([col]))))
+    return ds.map_batches(
+        _TokenRemapper,
+        fn_constructor_args=(mapping_ref, col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# document-boundary packing (next-fit): greedily fill bins of capacity
+# ``chunk_len`` with WHOLE documents in deterministic id order per group
+# — the padded-packing trainer layout when documents must not split
+# (contrast pack_sequences, which concatenates and splits exactly).
+#
+# Exact next-fit is order-sequential (its state does not decompose into
+# an associative combine), so the packing runs per ``group_col`` group:
+# one hash shuffle of (id, group, len) triples — 3 narrow columns, never
+# the token payload — then an O(bins · log n) numpy searchsorted jump
+# per group (no per-document Python loop). At 10^12 rows, run it per
+# (source, shard-range) partition: padding efficiency is insensitive to
+# partition boundaries, and each partition stays sequentially exact.
+# ---------------------------------------------------------------------------
+
+
+def pack_documents(
+    ds: rd.Dataset,
+    chunk_len: int = 2048,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+) -> rd.Dataset:
+    """Per-doc bin assignment: (id, group, len, bin_id, bin_pos).
+
+    Next-fit: docs in ascending ``id_col`` order; a doc opens a new bin
+    when it does not fit in the current one; a doc longer than
+    ``chunk_len`` gets a bin of its own (never truncated here — length
+    filtering is a separate policy stage)."""
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(id_col, "ascending")])
+        lens = np.asarray(
+            pc.cast(g[len_col], pa.int64()).combine_chunks()
+            if isinstance(g[len_col], pa.ChunkedArray)
+            else pc.cast(g[len_col], pa.int64()),
+            dtype=np.int64,
+        )
+        n = len(lens)
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=cum[1:])
+        bin_id = np.empty(n, dtype=np.int64)
+        bin_pos = np.empty(n, dtype=np.int64)
+        i, b = 0, 0
+        while i < n:
+            # largest j with cum[j] - cum[i] <= chunk_len (bin = docs i..j-1)
+            j = int(np.searchsorted(cum, cum[i] + chunk_len, side="right")) - 1
+            if j <= i:  # oversize doc: own bin
+                j = i + 1
+            bin_id[i:j] = b
+            bin_pos[i:j] = np.arange(j - i, dtype=np.int64)
+            b += 1
+            i = j
+        return g.select([id_col, group_col, len_col]).append_column(
+            "bin_id", pa.array(bin_id)
+        ).append_column("bin_pos", pa.array(bin_pos))
+
+    return (
+        ds.select_columns([id_col, group_col, len_col])
+        .groupby(group_col)
+        .map_groups(pack_group, batch_format="pyarrow")
+    )
