@@ -2161,7 +2161,71 @@ def q_pack_documents(sf_dir: str):
     return pack_documents(ds, chunk_len=2048)
 
 
+def q_normalize_documents(sf_dir: str):
+    """Unicode normalization pass (NFC + whitespace collapse + trim).
+    The synthetic corpus is already clean, so each doc first gets a
+    deterministic messy suffix (decomposed accent + tabs + trailing
+    spaces) — the oracle applies the identical concat — making every
+    kernel (NFC compose, collapse, trim) observable in the output."""
+    from vector_ray.functions.text import normalize_text
+
+    suffix = "  Cafe\u0301\tend "  # decomposed e+acute: NFC must compose it
+
+    def mess(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        messy = pc.binary_join_element_wise(col, suffix, "")
+        return t.set_column(t.column_names.index("text"), "text", messy)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(mess, batch_format="pyarrow")
+    return normalize_text(ds)
+
+
+def q_bpe_count_documents(sf_dir: str):
+    """BPE pre-tokenizer token-count estimate per document (GPT-2 split
+    regex, minus RE2-unsupported lookahead); one vectorized RE2 count."""
+    from vector_ray.functions.text import bpe_token_count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bpe_token_count(ds).select_columns(["doc_id", "n_bpe"])
+
+
+def q_gopher_documents(sf_dir: str):
+    """Gopher-style quality rule columns + keep conjunction per doc."""
+    from vector_ray.functions.text import gopher_filter
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return gopher_filter(ds).select_columns(
+        ["doc_id", "n_words", "mean_word_len", "top_word_ratio", "n_stop",
+         "keep"]
+    )
+
+
+def q_token_drift(sf_dir: str):
+    """Per-source token-distribution drift: KL(p_source || p_corpus)
+    over the dense vocab; one streaming count pass, driver sees only
+    |sources| rows."""
+    from vector_ray.functions.lm import source_token_drift
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["source", "tokens"]
+    )
+    return source_token_drift(ds)
+
+
 QUERIES = {
+    "normalize_documents": q_normalize_documents,
+    "bpe_count_documents": q_bpe_count_documents,
+    "gopher_documents": q_gopher_documents,
+    "token_drift_corpus": q_token_drift,
     "line_dedupe_documents": q_line_dedupe_documents,
     "vocab_remap_corpus": q_vocab_remap,
     "pack_documents_corpus": q_pack_documents,
@@ -2294,6 +2358,19 @@ def _tokens_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_tok, "
             "list(tok ORDER BY gpos) AS tokens "
             "FROM tok GROUP BY 1"
+        ),
+        "token_drift_corpus": (
+            # KL(p_source || p_corpus) over tokens present in the source
+            f"WITH per AS (SELECT source, tok, COUNT(*) c FROM "
+            f"  (SELECT source, unnest(tokens) tok FROM read_parquet('{seq}')) "
+            "  GROUP BY 1, 2), "
+            "src AS (SELECT source, SUM(c) ns FROM per GROUP BY 1), "
+            "gcnt AS (SELECT tok, SUM(c) cg FROM per GROUP BY 1), "
+            "tot AS (SELECT SUM(c) n FROM per) "
+            "SELECT source, CAST(ns AS BIGINT) AS n_tokens, "
+            "ROUND(ROUND(SUM((c/ns) * ln((c/ns) / (cg/n))), 9), 4) AS kl "
+            "FROM per JOIN src USING (source) JOIN gcnt USING (tok) "
+            "CROSS JOIN tot GROUP BY source, ns"
         ),
         "vocab_remap_corpus": (
             # dense frequency-rank re-index: every corpus token maps to
@@ -2563,6 +2640,34 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT lang, COUNT(*) AS n_docs, "
                 "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens "
                 "FROM documents GROUP BY lang"
+            ),
+            "normalize_documents": (
+                "SELECT doc_id, trim(regexp_replace(nfc_normalize("
+                "text || '  Cafe' || chr(769) || chr(9) || 'end '), "
+                "'\\s+', ' ', 'g')) AS text FROM documents"
+            ),
+            "bpe_count_documents": (
+                "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+                "$$'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+"
+                "| ?[^\\s\\p{L}\\p{N}]+|\\s+$$)) AS BIGINT) AS n_bpe "
+                "FROM documents"
+            ),
+            "gopher_documents": (
+                "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+                "  AS word FROM documents), "
+                "cnt AS (SELECT doc_id, word, COUNT(*) c FROM w GROUP BY 1, 2), "
+                "agg AS (SELECT doc_id, SUM(c) n, MAX(c) top_c, "
+                "  SUM(c * length(word)) chars, "
+                "  SUM(CASE WHEN word IN ('a','and','for','in','is','it',"
+                "'of','that','the','to') THEN c ELSE 0 END) ns "
+                "  FROM cnt GROUP BY 1) "
+                "SELECT doc_id, CAST(n AS BIGINT) AS n_words, "
+                "ROUND(ROUND(chars * 1.0 / n, 9), 4) AS mean_word_len, "
+                "ROUND(ROUND(top_c * 1.0 / n, 9), 4) AS top_word_ratio, "
+                "CAST(ns AS BIGINT) AS n_stop, "
+                "(n BETWEEN 30 AND 80 AND chars * 1.0 / n BETWEEN 3.0 AND 8.0 "
+                " AND top_c * 1.0 / n <= 0.2 AND ns >= 1) AS keep "
+                "FROM agg"
             ),
             "quality_documents": (
                 "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "

@@ -311,3 +311,101 @@ def dsir_score(ds, target_ds, field: str = "text", vocab_size: int = 30,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source token-distribution drift: KL(p_source || p_corpus) over the
+# dense token vocabulary — the "did one source's token mix shift away
+# from the corpus" monitor (mixture rebalancing, ingestion regression
+# detection). One pass: each batch emits one dense count vector PER
+# DISTINCT SOURCE in the batch (sources are few; vector is VOCAB_SIZE
+# int64 ≈ 400 KB), a per-source groupby sums them, and the driver sees
+# only |sources| rows — never the corpus.
+# ---------------------------------------------------------------------------
+
+
+def source_token_drift(
+    ds, field: str = "tokens", key: str = "source", round_to: int = 4
+) -> pa.Table:
+    """Returns a tiny driver-side table (key, n_tokens, kl) where
+    kl = Σ_t p(t|key)·ln(p(t|key)/p(t)), summed over tokens present in
+    the source (matches the SQL oracle's join-on-present-terms shape)."""
+    from vector_ray.functions.tokens import _flat_tokens
+    from vector_ray.schema import VOCAB_SIZE, round_sql_np
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, field)
+        keys = t[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        lens = np.diff(offsets)
+        denc = keys.dictionary_encode()
+        codes = denc.dictionary.to_pylist()
+        inv = denc.indices.to_numpy(zero_copy_only=False)
+        row_src = np.repeat(inv.astype(np.int64), lens)
+        combined = row_src * VOCAB_SIZE + values.astype(np.int64)
+        counts = np.bincount(
+            combined, minlength=len(codes) * VOCAB_SIZE
+        ).reshape(len(codes), VOCAB_SIZE)
+        return pa.table(
+            {
+                key: pa.array(codes, pa.string()),
+                "cnt": pa.array(list(counts), pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        flat = group["cnt"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        summed = flat.reshape(group.num_rows, VOCAB_SIZE).sum(axis=0)
+        return pa.table(
+            {
+                key: group[key].slice(0, 1),
+                "cnt": pa.array([summed], pa.list_(pa.int64())),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    rows = [
+        t
+        for t in ray.get(merged.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    per = pa.concat_tables(rows) if rows else pa.table(
+        {key: pa.array([], pa.string()), "cnt": pa.array([], pa.list_(pa.int64()))}
+    )
+    names = per[key].to_pylist()
+    mats = [
+        np.asarray(per["cnt"][i].as_py(), dtype=np.int64)
+        for i in range(per.num_rows)
+    ]
+    order = np.argsort(np.asarray(names, dtype=object), kind="stable")
+    names = [names[i] for i in order]
+    mats = [mats[i] for i in order]
+    glob = np.sum(mats, axis=0) if mats else np.zeros(VOCAB_SIZE, np.int64)
+    n_glob = float(glob.sum())
+    out_n, out_kl = [], []
+    for m in mats:
+        ns = float(m.sum())
+        nz = m > 0
+        p = m[nz] / ns
+        q = glob[nz] / n_glob
+        kl = float(np.sum(p * np.log(p / q)))
+        out_n.append(int(ns))
+        out_kl.append(kl)
+    return pa.table(
+        {
+            key: pa.array(names, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "kl": pa.array(
+                round_sql_np(round_sql_np(np.asarray(out_kl, np.float64), 9),
+                             round_to),
+                pa.float64(),
+            ),
+        }
+    )

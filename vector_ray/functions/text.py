@@ -393,3 +393,153 @@ def line_dedupe(
         .groupby("__b")
         .map_groups(assemble, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# unicode text normalization (NFC + whitespace collapse + trim): the
+# standard first pass of a web-corpus cleanup. Pure Arrow kernels
+# (utf8_normalize / replace_substring_regex), shuffle-free, zero-copy.
+# Matches DuckDB trim(regexp_replace(nfc_normalize(x), '\s+', ' ', 'g')).
+# ---------------------------------------------------------------------------
+
+
+def normalize_text_table(
+    t: pa.Table, field: str = "text", form: str = "NFC",
+    collapse_ws: bool = True,
+) -> pa.Table:
+    import polars as pl
+
+    col = t[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # polars (Rust ICU tables), not pc.utf8_normalize: this pyarrow
+    # build's NFC does not COMPOSE (e+U+0301 stays two codepoints),
+    # which diverges from DuckDB/CPython NFC
+    col = pl.Series(col).str.normalize(form).to_arrow()
+    if not isinstance(col, pa.Array):
+        col = pa.array(col)
+    if col.type != pa.string():
+        col = pc.cast(col, pa.string())
+    if collapse_ws:
+        col = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
+        )
+    return t.set_column(t.column_names.index(field), field, col)
+
+
+def normalize_text(ds, field: str = "text", form: str = "NFC"):
+    return ds.map_batches(
+        lambda t: normalize_text_table(t, field, form),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish pre-tokenizer counting (GPT-2 pretoken split): counts the
+# regex pre-tokens a byte-BPE tokenizer would see — the standard cheap
+# "how many tokens will this cost" estimator when the real tokenizer
+# isn't in the container. One vectorized RE2 count per batch; the same
+# pattern runs verbatim in DuckDB regexp_extract_all for the oracle.
+# ---------------------------------------------------------------------------
+
+# GPT-2's pretokenizer, minus the lookahead RE2 lacks (`\s+(?!\S)`);
+# contraction suffixes, letter runs, digit runs, punctuation runs.
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(ds, field: str = "text", target: str = "n_bpe"):
+    """Adds ``target`` = number of BPE pre-tokens in ``field``."""
+
+    def count(t: pa.Table) -> pa.Table:
+        col = t[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = pc.cast(
+            pc.count_substring_regex(col, pattern=BPE_PRETOKEN_RE), pa.int64()
+        )
+        return t.append_column(target, n)
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021 §A1.1, adapted to the
+# space-separated synthetic corpus): per-document rule columns plus the
+# conjunction `keep`. All thresholds compare RAW float values (exact
+# IEEE parity with the SQL oracle — ratios of integers divide the same
+# way in numpy and DuckDB); only the REPORTED columns are rounded.
+# ---------------------------------------------------------------------------
+
+
+def gopher_features(
+    t: pa.Table,
+    field: str = "text",
+    min_words: int = 30,
+    max_words: int = 80,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 8.0,
+    max_top_word_ratio: float = 0.2,
+    min_stopwords: int = 1,
+    round_to: int = 4,
+) -> pa.Table:
+    import polars as pl
+
+    from vector_ray.schema import round_sql_np
+
+    texts = t[field]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    df = pl.DataFrame({"_t": pl.Series(texts)})
+    words = pl.col("_t").str.split(" ")
+    feats = df.select(
+        words.list.len().alias("n"),
+        words.list.eval(pl.element().str.len_chars())
+        .list.sum()
+        .alias("chars"),
+        # most frequent word's count: sort each word list, then the
+        # longest equal run — vectorized as max over value_counts
+        words.list.eval(
+            pl.element().value_counts(sort=False).struct.field("count")
+        )
+        .list.max()
+        .alias("top_c"),
+        words.list.eval(pl.element().is_in(QUALITY_STOPWORDS))
+        .list.sum()
+        .alias("n_stop"),
+    )
+    n = feats["n"].to_numpy().astype(np.int64)
+    chars = feats["chars"].to_numpy().astype(np.int64)
+    top_c = feats["top_c"].to_numpy().astype(np.int64)
+    n_stop = feats["n_stop"].to_numpy().astype(np.int64)
+    nn = np.maximum(n, 1)
+    mwl = chars / nn
+    topr = top_c / nn
+    keep = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (topr <= max_top_word_ratio)
+        & (n_stop >= min_stopwords)
+    )
+    out = t
+    for name, arr, typ in (
+        ("n_words", n, pa.int64()),
+        ("mean_word_len", round_sql_np(round_sql_np(mwl, 9), round_to),
+         pa.float64()),
+        ("top_word_ratio", round_sql_np(round_sql_np(topr, 9), round_to),
+         pa.float64()),
+        ("n_stop", n_stop, pa.int64()),
+        ("keep", keep, pa.bool_()),
+    ):
+        out = out.append_column(name, pa.array(arr, typ))
+    return out
+
+
+def gopher_filter(ds, field: str = "text", **thresholds):
+    return ds.map_batches(
+        lambda t: gopher_features(t, field, **thresholds),
+        batch_format="pyarrow",
+    )
