@@ -1,0 +1,87 @@
+"""Tests for row-local token layout ops: strip, truncate, sliding
+windows, and fill-in-middle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+
+def _collect(ds) -> pa.Table:
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
+
+
+def _mk(docs):
+    return pa.table(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(len(docs))],
+            "tokens": pa.array([list(map(int, d)) for d in docs], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(d) for d in docs], pa.int32()),
+        }
+    )
+
+
+def test_strip_tokens(ray_session):
+    from vector_ray.functions.tokens import strip_tokens
+
+    docs = [[1, 2, 3, 2, 1], [2, 2], [], [4, 5]]
+    out = _collect(strip_tokens(rd.from_arrow(_mk(docs)), blocklist=[2])).sort_by("doc_id")
+    assert out["tokens"].to_pylist() == [[1, 3, 1], [], [], [4, 5]]
+    assert out["n_tok"].to_pylist() == [3, 0, 0, 2]
+    assert out["tokens"].type == pa.list_(pa.int32())
+
+
+def test_truncate_sequences(ray_session):
+    from vector_ray.functions.tokens import truncate_sequences
+
+    docs = [[1, 2, 3, 4, 5], [9], []]
+    out = _collect(truncate_sequences(rd.from_arrow(_mk(docs)), 3)).sort_by("doc_id")
+    assert out["tokens"].to_pylist() == [[1, 2, 3], [9], []]
+    assert out["n_tok"].to_pylist() == [3, 1, 0]
+
+
+def test_window_chunks(ray_session):
+    from vector_ray.functions.tokens import window_chunks
+
+    docs = [list(range(10)), [7], []]
+    out = _collect(window_chunks(rd.from_arrow(_mk(docs)), chunk_len=4, stride=3))
+    out = out.sort_by([("doc_id", "ascending"), ("win_id", "ascending")])
+    got = list(zip(out["doc_id"].to_pylist(), out["win_id"].to_pylist(),
+                   out["tokens"].to_pylist()))
+    assert got == [
+        ("doc-0000000000", 0, [0, 1, 2, 3]),
+        ("doc-0000000000", 1, [3, 4, 5, 6]),
+        ("doc-0000000000", 2, [6, 7, 8, 9]),
+        ("doc-0000000000", 3, [9]),
+        ("doc-0000000001", 0, [7]),
+    ]
+    assert out["n_tok"].to_pylist() == [4, 4, 4, 1, 1]
+
+
+def test_fim_transform_reassembles(ray_session):
+    from vector_ray.functions.tokens import (
+        FIM_MID,
+        FIM_MULT_A,
+        FIM_MULT_B,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+
+    rng = np.random.default_rng(2)
+    docs = [rng.integers(0, 100, size=rng.integers(0, 12)).tolist() for _ in range(30)]
+    out = _collect(fim_transform(rd.from_arrow(_mk(docs)))).sort_by("doc_id")
+    for i, orig in enumerate(docs):
+        seq = out["tokens"][i].as_py()
+        n = len(orig)
+        assert out["n_tok"][i].as_py() == n + 3
+        # recompute split points exactly as the engine defines them
+        a = (i * FIM_MULT_A) % (1 << 32) % (n + 1)
+        b = a + (i * FIM_MULT_B) % (1 << 32) % (n - a + 1)
+        expect = [FIM_PRE] + orig[:a] + [FIM_SUF] + orig[b:] + [FIM_MID] + orig[a:b]
+        assert seq == expect, (i, a, b, n)

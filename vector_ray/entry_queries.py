@@ -2221,7 +2221,59 @@ def q_token_drift(sf_dir: str):
     return source_token_drift(ds)
 
 
+def q_strip_tokens(sf_dir: str):
+    """Special-token scrubbing: drop blocklisted ids from every
+    sequence (one vectorized isin + prefix-sum rebuild per batch)."""
+    from vector_ray.functions.tokens import strip_tokens
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens", "n_tok"]
+    )
+    return strip_tokens(ds, blocklist=[0, 1, 13, 50256])
+
+
+def q_truncate_tokens(sf_dir: str):
+    """Context-length enforcement: hard-truncate to 96 tokens."""
+    from vector_ray.functions.tokens import truncate_sequences
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens", "n_tok"]
+    )
+    return truncate_sequences(ds, max_len=96)
+
+
+def q_window_chunks(sf_dir: str):
+    """Overlapping sliding-window chunking (len 64, stride 48): the
+    long-context eval layout; windows never cross documents."""
+    from vector_ray.functions.tokens import window_chunks
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return window_chunks(ds, chunk_len=64, stride=48)
+
+
+def q_fim_tokens(sf_dir: str):
+    """Deterministic fill-in-middle (PSM) reordering with sentinel ids
+    just past the vocab; split points are mod-2^32 multiplicative
+    hashes of the numeric doc id, recomputed exactly by the oracle."""
+    from vector_ray.functions.tokens import fim_transform
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return fim_transform(ds)
+
+
 QUERIES = {
+    "strip_tokens_corpus": q_strip_tokens,
+    "truncate_tokens_corpus": q_truncate_tokens,
+    "window_chunks_corpus": q_window_chunks,
+    "fim_tokens_corpus": q_fim_tokens,
     "normalize_documents": q_normalize_documents,
     "bpe_count_documents": q_bpe_count_documents,
     "gopher_documents": q_gopher_documents,
@@ -2358,6 +2410,41 @@ def _tokens_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_tok, "
             "list(tok ORDER BY gpos) AS tokens "
             "FROM tok GROUP BY 1"
+        ),
+        "strip_tokens_corpus": (
+            "SELECT doc_id, "
+            "CAST(list_filter(tokens, x -> x NOT IN (0, 1, 13, 50256)) "
+            "  AS INTEGER[]) AS tokens, "
+            "CAST(len(list_filter(tokens, x -> x NOT IN (0, 1, 13, 50256))) "
+            "  AS INTEGER) AS n_tok "
+            f"FROM read_parquet('{seq}')"
+        ),
+        "truncate_tokens_corpus": (
+            "SELECT doc_id, CAST(tokens[1:96] AS INTEGER[]) AS tokens, "
+            "CAST(LEAST(len(tokens), 96) AS INTEGER) AS n_tok "
+            f"FROM read_parquet('{seq}')"
+        ),
+        "window_chunks_corpus": (
+            "WITH w AS (SELECT doc_id, tokens, n, "
+            "  unnest(generate_series(1, n, 48)) AS s "
+            "  FROM (SELECT doc_id, tokens, len(tokens) n "
+            f"        FROM read_parquet('{seq}')) WHERE n > 0) "
+            "SELECT doc_id, CAST((s - 1) / 48 AS BIGINT) AS win_id, "
+            "CAST(tokens[s : LEAST(s + 63, n)] AS INTEGER[]) AS tokens, "
+            "CAST(LEAST(64, n - s + 1) AS INTEGER) AS n_tok FROM w"
+        ),
+        "fim_tokens_corpus": (
+            # PSM reorder with mod-2^32 multiplicative-hash split points
+            "WITH base AS (SELECT doc_id, tokens, len(tokens) n, "
+            "  CAST(doc_id[5:] AS BIGINT) id "
+            f"  FROM read_parquet('{seq}')), "
+            "sp AS (SELECT doc_id, tokens, n, "
+            "  (id * 2654435769) % 4294967296 % (n + 1) AS a, "
+            "  (id * 2870177450) % 4294967296 AS h2 FROM base), "
+            "ab AS (SELECT doc_id, tokens, n, a, a + h2 % (n - a + 1) AS b FROM sp) "
+            "SELECT doc_id, CAST([50257] || tokens[1:a] || [50258] || "
+            "tokens[b+1:] || [50259] || tokens[a+1:b] AS INTEGER[]) AS tokens, "
+            "CAST(n + 3 AS INTEGER) AS n_tok FROM ab"
         ),
         "token_drift_corpus": (
             # KL(p_source || p_corpus) over tokens present in the source

@@ -775,3 +775,194 @@ def pack_documents(
         .groupby(group_col)
         .map_groups(pack_group, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-space cleanup / layout ops: blocklist stripping, truncation,
+# sliding-window chunking, and fill-in-middle reordering. All are
+# shuffle-free offsets-vectorized map_batches bodies over list<int32>
+# (one numpy gather per batch, no per-row loops) — the row-local tier
+# of the tokens axis, beside pack_sequences/pack_documents (which need
+# cross-row state).
+# ---------------------------------------------------------------------------
+
+
+def _rebuild_list(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()),
+        pa.array(values.astype(np.int32), pa.int32()),
+    )
+
+
+def strip_tokens(ds, blocklist, col: str = "tokens"):
+    """Remove every occurrence of the blocklisted ids (special-token /
+    sentinel scrubbing) from each sequence; updates ``n_tok`` when
+    present. One vectorized isin mask + reduceat per batch."""
+    bl = np.asarray(sorted(set(int(b) for b in blocklist)), dtype=np.int64)
+
+    def strip(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, col)
+        keep = ~np.isin(values.astype(np.int64), bl)
+        # per-row kept counts via prefix sums (robust to empty rows,
+        # unlike reduceat, which cannot take a start index == len)
+        csum = np.zeros(len(values) + 1, dtype=np.int64)
+        np.cumsum(keep, out=csum[1:])
+        kept = csum[offsets[1:]] - csum[offsets[:-1]]
+        new_off = np.zeros(len(offsets), dtype=np.int64)
+        np.cumsum(kept, out=new_off[1:])
+        out = t.set_column(
+            t.column_names.index(col), col, _rebuild_list(values[keep], new_off)
+        )
+        if "n_tok" in out.column_names:
+            out = out.set_column(
+                out.column_names.index("n_tok"),
+                "n_tok",
+                pa.array(kept.astype(np.int32), pa.int32()),
+            )
+        return out
+
+    return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def truncate_sequences(ds, max_len: int, col: str = "tokens"):
+    """Hard-truncate every sequence to its first ``max_len`` tokens
+    (context-length enforcement); updates ``n_tok`` when present."""
+
+    def trunc(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, col)
+        lens = np.diff(offsets)
+        new_lens = np.minimum(lens, max_len)
+        new_off = np.zeros(len(offsets), dtype=np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+        total = int(new_off[-1])
+        local = np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1], new_lens)
+        src = np.repeat(offsets[:-1], new_lens) + local
+        out = t.set_column(
+            t.column_names.index(col), col, _rebuild_list(values[src], new_off)
+        )
+        if "n_tok" in out.column_names:
+            out = out.set_column(
+                out.column_names.index("n_tok"),
+                "n_tok",
+                pa.array(new_lens.astype(np.int32), pa.int32()),
+            )
+        return out
+
+    return ds.map_batches(trunc, batch_format="pyarrow")
+
+
+def window_chunks(
+    ds,
+    chunk_len: int,
+    stride: int,
+    col: str = "tokens",
+    id_col: str = "doc_id",
+):
+    """Overlapping sliding-window chunking: windows start at
+    0, stride, 2·stride, … while start < len; each window is
+    ``tokens[start : start+chunk_len]`` (last windows may be short).
+    Emits (id, win_id, tokens, n_tok) — the long-context eval layout
+    (contrast pack_sequences: disjoint concat-and-chunk)."""
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+
+    def windows(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, col)
+        lens = np.diff(offsets)
+        n_win = np.where(lens > 0, (lens - 1) // stride + 1, 0).astype(np.int64)
+        total_w = int(n_win.sum())
+        win_starts = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(n_win, out=win_starts[1:])
+        # window index within its row
+        wlocal = np.arange(total_w, dtype=np.int64) - np.repeat(
+            win_starts[:-1], n_win
+        )
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), n_win)
+        s = wlocal * stride
+        wlen = np.minimum(chunk_len, lens[row] - s)
+        out_off = np.zeros(total_w + 1, dtype=np.int64)
+        np.cumsum(wlen, out=out_off[1:])
+        total = int(out_off[-1])
+        local = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], wlen)
+        src = np.repeat(offsets[:-1][row] + s, wlen) + local
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(row)),
+                "win_id": pa.array(wlocal, pa.int64()),
+                col: _rebuild_list(values[src], out_off),
+                "n_tok": pa.array(wlen.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return ds.map_batches(windows, batch_format="pyarrow")
+
+
+# fill-in-middle: distinct multiplicative-hash constants (xxhash
+# PRIME32_1 and golden-ratio-derived), decorrelated from the curation
+# hashes, reproducible in SQL via exact mod-2^32 integer arithmetic.
+FIM_MULT_A = 2_654_435_769  # 2^32 / golden ratio, rounded to odd+?  (distinct from MIX_MULT)
+FIM_MULT_B = 2_870_177_450  # xxhash PRIME32_1 (wrapped)
+FIM_PRE = VOCAB_SIZE  # sentinel ids just past the vocab
+FIM_SUF = VOCAB_SIZE + 1
+FIM_MID = VOCAB_SIZE + 2
+
+
+def fim_transform(ds, col: str = "tokens", id_col: str = "doc_id"):
+    """Deterministic fill-in-middle (PSM) reordering: split each
+    sequence at hash-derived points a ≤ b and emit
+    ``[PRE] tokens[:a] [SUF] tokens[b:] [MID] tokens[a:b]`` — the FIM
+    objective's data layout (Bavarian et al. 2022), with sentinels just
+    past the vocab. Split points are exact mod-2^32 multiplicative
+    hashes of the numeric doc id, reproducible in SQL."""
+    from vector_ray.functions.curation import _doc_hash
+
+    def fim(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, col)
+        lens = np.diff(offsets)
+        h1 = _doc_hash(t, FIM_MULT_A, id_col).astype(np.int64)
+        h2 = _doc_hash(t, FIM_MULT_B, id_col).astype(np.int64)
+        a = np.where(lens > 0, h1 % np.maximum(lens + 1, 1), 0)
+        b = a + np.where(lens > 0, h2 % np.maximum(lens - a + 1, 1), 0)
+        out_lens = lens + 3
+        out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=out_off[1:])
+        total = int(out_off[-1])
+        j = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], out_lens)
+        A = np.repeat(a, out_lens)
+        NB = np.repeat(lens - b, out_lens)
+        starts = np.repeat(offsets[:-1], out_lens)
+        Bv = np.repeat(b, out_lens)
+        sent1 = j == 0
+        sent2 = j == A + 1
+        sent3 = j == A + 2 + NB
+        prefix = (j >= 1) & (j <= A)
+        suffix = (j > A + 1) & (j < A + 2 + NB)
+        src = np.where(
+            prefix,
+            starts + (j - 1),
+            np.where(
+                suffix,
+                starts + Bv + (j - A - 2),
+                # middle (also dummy 0 for sentinel slots, overwritten)
+                np.minimum(starts + A + (j - A - 3 - NB), len(values) - 1 if len(values) else 0),
+            ),
+        )
+        out_vals = values[np.clip(src, 0, max(len(values) - 1, 0))].astype(np.int64) if len(values) else np.zeros(total, np.int64)
+        out_vals = np.where(sent1, FIM_PRE, out_vals)
+        out_vals = np.where(sent2, FIM_SUF, out_vals)
+        out_vals = np.where(sent3, FIM_MID, out_vals)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids,
+                col: _rebuild_list(out_vals, out_off),
+                "n_tok": pa.array(out_lens.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return ds.map_batches(fim, batch_format="pyarrow")
