@@ -85,3 +85,44 @@ def test_fim_transform_reassembles(ray_session):
         b = a + (i * FIM_MULT_B) % (1 << 32) % (n - a + 1)
         expect = [FIM_PRE] + orig[:a] + [FIM_SUF] + orig[b:] + [FIM_MID] + orig[a:b]
         assert seq == expect, (i, a, b, n)
+
+
+def test_span_dedupe(ray_session):
+    from vector_ray.functions.tokens import span_dedupe
+
+    # doc A and doc B share the span [100..109]; doc C is clean; doc D
+    # repeats its own 8-gram (within-doc duplication also counts)
+    A = [1, 2, 3] + list(range(100, 110)) + [4, 5]
+    B = [9, 8] + list(range(100, 110)) + [7]
+    C = list(range(200, 215))
+    D = list(range(300, 308)) * 2
+    out = _collect(span_dedupe(rd.from_arrow(_mk([A, B, C, D])), n=8)).sort_by("doc_id")
+    toks = out["tokens"].to_pylist()
+    # A: positions 3..12 covered (grams at 3,4,5 duplicated in B)
+    assert toks[0] == [1, 2, 3, 4, 5][:3] + [4, 5]
+    assert toks[1] == [9, 8, 7]
+    assert toks[2] == C
+    assert toks[3] == []
+    assert out["n_removed"].to_pylist() == [10, 10, 0, 16]
+    assert out["n_tok"].to_pylist() == [5, 3, 15, 0]
+    assert out["tokens"].type == pa.list_(pa.int32())
+
+
+def test_plant_duplicates(ray_session):
+    from vector_ray.functions.tokens import plant_duplicates
+
+    docs = [list(range(30)), list(range(5)), list(range(40, 70))]
+    t = pa.table(
+        {
+            "doc_id": ["doc-0000000000", "doc-0000000031", "doc-0000000062"],
+            "tokens": pa.array(docs, pa.list_(pa.int32())),
+        }
+    )
+    out = _collect(plant_duplicates(rd.from_arrow(t), every=31, skip=10, min_len=24))
+    out = out.sort_by("doc_id")
+    ids = out["doc_id"].to_pylist()
+    assert ids == [
+        "doc-0000000000", "doc-0000000031", "doc-0000000062",
+        "dup-doc-0000000000", "dup-doc-0000000062",
+    ]
+    assert out["tokens"].to_pylist()[-2:] == [list(range(10, 30)), list(range(50, 70))]

@@ -2269,7 +2269,23 @@ def q_fim_tokens(sf_dir: str):
     return fim_transform(ds)
 
 
+def q_span_dedupe(sf_dir: str):
+    """Cross-doc duplicate-span removal (Lee et al. substring dedup):
+    plant deterministic duplicates (every 31st doc's tokens[10:] under a
+    dup- id), then drop every token covered by an 8-gram occurring ≥ 2
+    times corpus-wide. Two-phase gram counts → broadcast dup set →
+    vectorized coverage mask."""
+    from vector_ray.functions.tokens import plant_duplicates, span_dedupe
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return span_dedupe(plant_duplicates(ds, every=31, skip=10, min_len=24), n=8)
+
+
 QUERIES = {
+    "span_dedupe_corpus": q_span_dedupe,
     "strip_tokens_corpus": q_strip_tokens,
     "truncate_tokens_corpus": q_truncate_tokens,
     "window_chunks_corpus": q_window_chunks,
@@ -2410,6 +2426,43 @@ def _tokens_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_tok, "
             "list(tok ORDER BY gpos) AS tokens "
             "FROM tok GROUP BY 1"
+        ),
+        "span_dedupe_corpus": (
+            # plant dup-<id> copies of tokens[11:] for id%31==0 docs with
+            # len>=24, then remove tokens covered by any 8-gram occurring
+            # >=2 times over the planted union (exact string-keyed grams;
+            # the engine's 128-bit composite hash is collision-free at
+            # this scale by construction)
+            "WITH orig AS (SELECT doc_id, tokens "
+            f"  FROM read_parquet('{seq}')), "
+            "dups AS (SELECT 'dup-' || doc_id AS doc_id, tokens[11:] AS tokens "
+            "  FROM orig WHERE CAST(doc_id[5:] AS BIGINT) % 31 = 0 "
+            "  AND len(tokens) >= 24), "
+            "allr AS (SELECT * FROM orig UNION ALL SELECT * FROM dups), "
+            "pos AS (SELECT doc_id, tokens[p] AS tk, p "
+            "  FROM (SELECT doc_id, tokens, "
+            "        unnest(generate_series(1, len(tokens))) AS p FROM allr "
+            "        WHERE len(tokens) > 0)), "
+            "grams AS (SELECT doc_id, p AS s, "
+            "  array_to_string(tokens[p:p+7], ',') AS g "
+            "  FROM (SELECT doc_id, tokens, len(tokens) m, "
+            "        unnest(generate_series(1, len(tokens) - 7)) AS p "
+            "        FROM allr WHERE len(tokens) >= 8)), "
+            "dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2), "
+            "starts AS (SELECT doc_id, s FROM grams "
+            "  WHERE g IN (SELECT g FROM dupg)), "
+            "cov AS (SELECT pos.doc_id, pos.p, pos.tk, "
+            "  MAX(CASE WHEN starts.s IS NULL THEN 0 ELSE 1 END) OVER ("
+            "    PARTITION BY pos.doc_id ORDER BY pos.p "
+            "    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered "
+            "  FROM pos LEFT JOIN starts "
+            "  ON starts.doc_id = pos.doc_id AND starts.s = pos.p) "
+            "SELECT doc_id, "
+            "CAST(COALESCE(list(tk ORDER BY p) FILTER (WHERE covered = 0), "
+            "  CAST([] AS INTEGER[])) AS INTEGER[]) AS tokens, "
+            "CAST(COUNT(*) FILTER (WHERE covered = 0) AS INTEGER) AS n_tok, "
+            "CAST(COUNT(*) FILTER (WHERE covered = 1) AS INTEGER) AS n_removed "
+            "FROM cov GROUP BY doc_id"
         ),
         "strip_tokens_corpus": (
             "SELECT doc_id, "

@@ -966,3 +966,200 @@ def fim_transform(ds, col: str = "tokens", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(fim, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate-span removal (substring dedup, Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — batch
+# variant). A token position is removed when ANY corpus-duplicated
+# n-gram covers it. Unlike the reference's event `dedupe` transform
+# (whole-row, stages/grouped.py) this deduplicates WITHIN rows at token
+# granularity, and unlike `ngram_contamination` the duplicate set is the
+# corpus itself, not a broadcast benchmark.
+#
+# Plan shape (the 100 TB story):
+#   pass A  map_batches → per-batch pre-aggregated (h1, h2, count) gram
+#           partials → groupby((h1, h2)).sum — the one unavoidable
+#           all-to-all exchange, O(unique grams × 24 B), combiner-reduced
+#           before the shuffle (never row-level token payloads);
+#   collect only grams with count ≥ min_count — the genuinely small side
+#           for natural-language duplication rates — and broadcast via
+#           ray.put. If the duplicate set itself outgrows worker memory
+#           (adversarially duplicated corpora), the named alternative is
+#           stages/shuffle.bucketed_join of position rows against the
+#           dup-gram table on the hash key, then regroup by doc.
+#   pass B  actor-pool map_batches: recompute gram hashes, membership via
+#           one searchsorted on a 128-bit sort key, coverage by
+#           difference-array cumsum, list rebuild on offsets. No Python
+#           loops anywhere in either pass.
+#
+# Duplicate *detection* keys on a 128-bit composite (two independent
+# 64-bit FNV variants): for G unique grams the expected collision count
+# is G²/2^129 (< 1e-14 even at G = 10^12), so matching the exact-string
+# oracle is safe without shipping gram bytes through the shuffle.
+# ---------------------------------------------------------------------------
+
+_FNV2_OFFSET = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio offset
+_FNV2_PRIME = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash PRIME64_2 (odd)
+
+
+def _hash_grams2(values: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
+    """Second, independent 64-bit gram hash (different offset/prime)."""
+    h = np.full(len(starts), _FNV2_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            h ^= values[starts + j].astype(np.uint64)
+            h *= _FNV2_PRIME
+    return h
+
+
+def _pair_sort_key(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Lexicographic 128-bit sort key: big-endian (h1, h2) byte strings,
+    so numpy's S16 ordering == numeric (h1, h2) ordering — one
+    searchsorted does exact composite membership."""
+    out = np.empty((len(h1), 2), dtype=">u8")
+    out[:, 0] = h1
+    out[:, 1] = h2
+    return out.reshape(-1).view("S16")
+
+
+def plant_duplicates(ds, every: int = 31, skip: int = 10, min_len: int = 24):
+    """Deterministic duplication fixture: for every ``every``-th doc (by
+    numeric id) of length ≥ ``min_len``, emit a copy of ``tokens[skip:]``
+    under id ``dup-<orig>``. Unioned with the original corpus this plants
+    known cross-doc duplicate spans (the copy fully covered, the original
+    covered from position ``skip`` on) — reproducible exactly in SQL."""
+
+    def make(t: pa.Table) -> pa.Table:
+        from vector_ray.functions.curation import _doc_hash  # noqa: F401
+
+        ids = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+        idv = ids.to_numpy(zero_copy_only=False)
+        values, offsets = _flat_tokens(t)
+        lens = np.diff(offsets)
+        keep = (idv % every == 0) & (lens >= min_len)
+        rows = np.flatnonzero(keep)
+        new_lens = lens[rows] - skip
+        new_off = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+        local = np.arange(int(new_off[-1]), dtype=np.int64) - np.repeat(
+            new_off[:-1], new_lens
+        )
+        src = np.repeat(offsets[:-1][rows] + skip, new_lens) + local
+        doc_ids = pc.binary_join_element_wise(
+            pa.array(["dup-"] * len(rows)),
+            t["doc_id"].combine_chunks().take(pa.array(rows)),
+            "",
+        )
+        return pa.table(
+            {"doc_id": doc_ids, "tokens": _rebuild_list(values[src], new_off)}
+        )
+
+    return ds.union(ds.map_batches(make, batch_format="pyarrow"))
+
+
+class _SpanMasker:
+    """Actor-pool pass B: drop every token covered by a broadcast
+    duplicated n-gram. Dup keys fetched + sorted once per ACTOR."""
+
+    def __init__(self, dup_ref, n: int):
+        h1, h2 = ray.get(dup_ref)
+        self.keys = np.sort(_pair_sort_key(h1, h2))
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = self.n
+        values, offsets = _flat_tokens(t)
+        starts, _ = _gram_windows(values, offsets, n)
+        cover = np.zeros(len(values) + 1, dtype=np.int64)
+        if len(starts) and len(self.keys):
+            q = _pair_sort_key(
+                _hash_grams(values, starts, n), _hash_grams2(values, starts, n)
+            )
+            idx = np.searchsorted(self.keys, q)
+            idx[idx == len(self.keys)] = 0
+            dup = starts[self.keys[idx] == q]
+            np.add.at(cover, dup, 1)
+            np.add.at(cover, dup + n, -1)
+        covered = np.cumsum(cover[:-1]) > 0
+        keep = ~covered
+        csum = np.zeros(len(values) + 1, dtype=np.int64)
+        np.cumsum(keep, out=csum[1:])
+        kept = csum[offsets[1:]] - csum[offsets[:-1]]
+        new_off = np.zeros(len(offsets), dtype=np.int64)
+        np.cumsum(kept, out=new_off[1:])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tokens": _rebuild_list(values[keep], new_off),
+                "n_tok": pa.array(kept.astype(np.int32), pa.int32()),
+                "n_removed": pa.array(
+                    (np.diff(offsets) - kept).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+
+def span_dedupe(
+    ds, n: int = 8, min_count: int = 2, concurrency=(1, 8)
+) -> "rd.Dataset":
+    """Remove every token covered by an n-gram that occurs ≥ ``min_count``
+    times corpus-wide. Removes ALL occurrences (batch-deterministic and
+    order-independent, where Lee et al. keep one — a distributed engine
+    has no canonical "first" occurrence without a total order)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t)
+        starts, _ = _gram_windows(values, offsets, n)
+        h1 = _hash_grams(values, starts, n)
+        h2 = _hash_grams2(values, starts, n)
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        new = np.ones(len(h1s), dtype=bool)
+        if len(h1s) > 1:
+            new[1:] = (np.diff(h1s.view(np.int64)) != 0) | (
+                np.diff(h2s.view(np.int64)) != 0
+            )
+        first = np.flatnonzero(new)
+        cnt = np.diff(np.append(first, len(h1s)))
+        return pa.table(
+            {
+                "h1": pa.array(h1s[first].view(np.int64), pa.int64()),
+                "h2": pa.array(h2s[first].view(np.int64), pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .sum("c")
+    )
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(t["sum(c)"], min_count)
+        return t.filter(mask).select(["h1", "h2"])
+
+    dup_tables = [
+        tbl
+        for tbl in ray.get(
+            counts.map_batches(only_dups, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if tbl.num_rows
+    ]
+    if dup_tables:
+        dup = pa.concat_tables(dup_tables)
+        h1 = dup["h1"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h2 = dup["h2"].to_numpy(zero_copy_only=False).view(np.uint64)
+    else:
+        h1 = np.empty(0, np.uint64)
+        h2 = np.empty(0, np.uint64)
+    dup_ref = ray.put((h1, h2))
+    return ds.map_batches(
+        _SpanMasker,
+        fn_constructor_kwargs={"dup_ref": dup_ref, "n": n},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
