@@ -126,3 +126,40 @@ def test_plant_duplicates(ray_session):
         "dup-doc-0000000000", "dup-doc-0000000062",
     ]
     assert out["tokens"].to_pylist()[-2:] == [list(range(10, 30)), list(range(50, 70))]
+
+
+def test_span_corrupt_matches_reference(ray_session):
+    from vector_ray.functions.tokens import (
+        SC_EOS,
+        SC_MULT_A,
+        SC_MULT_B,
+        SC_SENT_BASE,
+        span_corrupt,
+    )
+
+    L, every = 4, 7
+    rng = np.random.default_rng(5)
+    docs = [rng.integers(0, 1000, size=m).tolist()
+            for m in [0, 1, 3, 4, 5, 8, 29, 64, 100, 17]]
+    out = _collect(span_corrupt(rd.from_arrow(_mk(docs)), span_len=L, every=every))
+    out = out.sort_by("doc_id")
+    for i, d in enumerate(docs):
+        inputs, targets, masked_ct = [], [], 0
+        k = 0
+        for b in range((len(d) + L - 1) // L):
+            blk = d[b * L : (b + 1) * L]
+            full = len(blk) == L
+            h = (i * SC_MULT_A + b * SC_MULT_B) % (1 << 32)
+            if full and h % every == 0:
+                inputs.append(SC_SENT_BASE + k)
+                targets.extend([SC_SENT_BASE + k] + blk)
+                k += 1
+                masked_ct += 1
+            else:
+                inputs.extend(blk)
+        targets.append(SC_EOS)
+        assert out["inputs"][i].as_py() == inputs, (i, "inputs")
+        assert out["targets"][i].as_py() == targets, (i, "targets")
+        assert out["n_masked"][i].as_py() == masked_ct
+    assert out["inputs"].type == pa.list_(pa.int32())
+    assert out["targets"].type == pa.list_(pa.int32())

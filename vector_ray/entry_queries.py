@@ -2284,7 +2284,21 @@ def q_span_dedupe(sf_dir: str):
     return span_dedupe(plant_duplicates(ds, every=31, skip=10, min_len=24), n=8)
 
 
+def q_span_corrupt(sf_dir: str):
+    """T5-style span corruption layout: mask ~1/7 of 4-token-aligned
+    blocks per doc (exact integer hash of doc id + block index), emit
+    sentinel-substituted inputs and sentinel-prefixed targets."""
+    from vector_ray.functions.tokens import span_corrupt
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return span_corrupt(ds, span_len=4, every=7)
+
+
 QUERIES = {
+    "span_corrupt_corpus": q_span_corrupt,
     "span_dedupe_corpus": q_span_dedupe,
     "strip_tokens_corpus": q_strip_tokens,
     "truncate_tokens_corpus": q_truncate_tokens,
@@ -2426,6 +2440,38 @@ def _tokens_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_tok, "
             "list(tok ORDER BY gpos) AS tokens "
             "FROM tok GROUP BY 1"
+        ),
+        "span_corrupt_corpus": (
+            # T5 span corruption: block b of doc id masked iff full and
+            # ((id*A + b*B) mod 2^32) % 7 == 0; sentinels just past the
+            # vocab (50267 + k), EOS 50266
+            "WITH base AS (SELECT doc_id, tokens, len(tokens) m, "
+            "  CAST(doc_id[5:] AS BIGINT) id "
+            f"  FROM read_parquet('{seq}')), "
+            "blk AS (SELECT doc_id, tokens, m, id, "
+            "  unnest(generate_series(0, CAST(ceil(m / 4.0) AS BIGINT) - 1)) b "
+            "  FROM base WHERE m > 0), "
+            "fl AS (SELECT doc_id, tokens, m, b, "
+            "  CASE WHEN (b + 1) * 4 <= m "
+            "    AND ((id * 2654435761 + b * 2246822519) % 4294967296) % 7 = 0 "
+            "  THEN 1 ELSE 0 END AS masked FROM blk), "
+            "mk AS (SELECT doc_id, tokens, m, b, masked, "
+            "  SUM(masked) OVER (PARTITION BY doc_id ORDER BY b "
+            "    ROWS UNBOUNDED PRECEDING) - masked AS k FROM fl), "
+            "agg AS (SELECT doc_id, "
+            "  flatten(list(CASE WHEN masked = 1 THEN [50267 + k] "
+            "    ELSE CAST(tokens[b*4+1 : LEAST(b*4+4, m)] AS BIGINT[]) END "
+            "    ORDER BY b)) AS inputs, "
+            "  flatten(list(CASE WHEN masked = 1 "
+            "    THEN [50267 + k] || CAST(tokens[b*4+1 : b*4+4] AS BIGINT[]) "
+            "    ELSE CAST([] AS BIGINT[]) END ORDER BY b)) AS targets, "
+            "  SUM(masked) AS nm FROM mk GROUP BY doc_id) "
+            "SELECT b.doc_id, "
+            "CAST(COALESCE(a.inputs, CAST([] AS BIGINT[])) AS INTEGER[]) AS inputs, "
+            "CAST(COALESCE(a.targets, CAST([] AS BIGINT[])) || [50266] "
+            "  AS INTEGER[]) AS targets, "
+            "CAST(COALESCE(a.nm, 0) AS INTEGER) AS n_masked "
+            "FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id"
         ),
         "span_dedupe_corpus": (
             # plant dup-<id> copies of tokens[11:] for id%31==0 docs with

@@ -1163,3 +1163,120 @@ def span_dedupe(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (Raffel et al. 2020 §3.1.4 objective layout).
+# Deterministic, shuffle-free: spans are L-token-aligned full blocks
+# masked by an exact mod-2^32 hash of (doc id, block index), so they
+# never overlap, every worker computes the same layout with no RNG
+# state, and the oracle reproduces it in integer SQL. Inputs replace
+# each masked block with one sentinel id (just past the vocab, indexed
+# per doc); targets are sentinel + original tokens per masked block,
+# closed by an EOS sentinel. One offsets-vectorized gather per batch.
+# ---------------------------------------------------------------------------
+
+SC_MULT_A = 2_654_435_761  # Knuth multiplicative constant
+SC_MULT_B = 2_246_822_519  # xxhash PRIME32_2
+SC_EOS = VOCAB_SIZE + 9
+SC_SENT_BASE = VOCAB_SIZE + 10
+
+
+def span_corrupt(
+    ds,
+    span_len: int = 4,
+    every: int = 7,
+    col: str = "tokens",
+    id_col: str = "doc_id",
+):
+    """Mask ~1/``every`` of each doc's full ``span_len``-aligned blocks;
+    emit (id, inputs, targets, n_masked). Block b of doc id is masked
+    iff ((id·A + b·B) mod 2^32) % every == 0 and the block is full."""
+    L = span_len
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, col)
+        lens = np.diff(offsets)
+        ids_col = t[id_col]
+        if pa.types.is_integer(ids_col.type):
+            ids = ids_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            ids = (
+                pc.cast(pc.utf8_slice_codeunits(ids_col, 4, 99), pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+        n_blk = ((lens + L - 1) // L).astype(np.int64)
+        nb_tot = int(n_blk.sum())
+        blk_row_start = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(n_blk, out=blk_row_start[1:])
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), n_blk)
+        b = np.arange(nb_tot, dtype=np.int64) - np.repeat(blk_row_start[:-1], n_blk)
+        full = (b + 1) * L <= lens[row]
+        # exact: id·A + b·B < 2^63 for id < 2^32, b < 2^31 — no wrap
+        h = (ids[row] * SC_MULT_A + b * SC_MULT_B) % (1 << 32)
+        masked = full & (h % every == 0)
+        cs = np.cumsum(masked)
+        base = np.concatenate([[0], cs])[blk_row_start[:-1]]
+        k = cs - masked - np.repeat(base, n_blk)  # sentinel index within doc
+        blk_tok_start = offsets[:-1][row] + b * L
+        blk_len = np.minimum(L, lens[row] - b * L)
+
+        def expand(elem_lens, sent_first, tok_start, sent_val):
+            """Build flat output values for blocks with per-block
+            ``elem_lens``; element 0 of a sent_first block is
+            ``sent_val``, the rest gather from ``tok_start``."""
+            off = np.zeros(len(elem_lens) + 1, dtype=np.int64)
+            np.cumsum(elem_lens, out=off[1:])
+            total = int(off[-1])
+            eb = np.repeat(np.arange(len(elem_lens), dtype=np.int64), elem_lens)
+            within = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], elem_lens)
+            is_sent = sent_first[eb] & (within == 0)
+            gather_pos = within - np.where(sent_first[eb], 1, 0)
+            src = tok_start[eb] + np.maximum(gather_pos, 0)
+            vals = (
+                values[np.clip(src, 0, max(len(values) - 1, 0))].astype(np.int64)
+                if len(values)
+                else np.zeros(total, np.int64)
+            )
+            return np.where(is_sent, sent_val[eb], vals), off
+
+        # inputs: masked block → [sentinel]; unmasked → its tokens
+        in_lens = np.where(masked, 1, blk_len)
+        sent_vals = SC_SENT_BASE + k
+        in_vals, in_off = expand(in_lens, masked, blk_tok_start, sent_vals)
+        row_in_off = in_off[blk_row_start]
+
+        # targets: one virtual (n_blk+1)-th block per row carrying EOS
+        tb_per_row = n_blk + 1
+        tb_tot = int(tb_per_row.sum())
+        tb_row_start = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(tb_per_row, out=tb_row_start[1:])
+        trow = np.repeat(np.arange(len(lens), dtype=np.int64), tb_per_row)
+        tb = np.arange(tb_tot, dtype=np.int64) - np.repeat(
+            tb_row_start[:-1], tb_per_row
+        )
+        is_eos = tb == n_blk[trow]
+        src_blk = np.minimum(blk_row_start[:-1][trow] + tb, nb_tot - 1 if nb_tot else 0)
+        t_masked = np.where(is_eos, False, masked[src_blk] if nb_tot else False)
+        t_lens = np.where(is_eos, 1, np.where(t_masked, L + 1, 0))
+        t_sent_first = t_masked | is_eos
+        t_sent_vals = np.where(is_eos, SC_EOS, SC_SENT_BASE + (k[src_blk] if nb_tot else 0))
+        t_tok_start = blk_tok_start[src_blk] if nb_tot else np.zeros(tb_tot, np.int64)
+        t_vals, t_off = expand(t_lens, t_sent_first, t_tok_start, t_sent_vals)
+        row_t_off = t_off[tb_row_start]
+
+        csp = np.concatenate([[0], cs])
+        n_masked = csp[blk_row_start[1:]] - csp[blk_row_start[:-1]]
+        ids_out = ids_col
+        if isinstance(ids_out, pa.ChunkedArray):
+            ids_out = ids_out.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids_out,
+                "inputs": _rebuild_list(in_vals, row_in_off),
+                "targets": _rebuild_list(t_vals, row_t_off),
+                "n_masked": pa.array(n_masked.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")
