@@ -641,7 +641,61 @@ def golden_pack_documents(chunk_len: int = 2048) -> pa.Table:
     )
 
 
+
+
+def golden_bpe_train(num_merges: int = 12, new_id_base: int = 4096) -> pa.Table:
+    """Independent straight-line BPE over the byte-projected (% 256)
+    token stream of the deterministic doc sample (numeric id % 20 == 0):
+    count ALL adjacent pairs per round, accept the max-count pair (ties
+    to the smallest (a, b)), apply left-to-right. Per-row Python loops
+    throughout — nothing shared with vector_ray/functions/bpe.py."""
+    import glob
+
+    from vector_ray import datagen  # shared fixture generator only
+
+    datagen.ensure_corpus("sf0.01")
+    files = sorted(glob.glob(datagen.sequences_dir("sf0.01") + "/*.parquet"))
+    seqs = []
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "tokens"])
+        for did, toks in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
+            if int(did[4:]) % 20 == 0:
+                seqs.append([int(x) % 256 for x in toks])
+    rows = []
+    for k in range(num_merges):
+        counts = {}
+        for s in seqs:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        new_id = new_id_base + k
+        rows.append((k, a, b, new_id, c))
+        for si, s in enumerate(seqs):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(new_id)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[si] = out
+    return pa.table(
+        {
+            "merge_idx": pa.array([r[0] for r in rows], pa.int32()),
+            "a": pa.array([r[1] for r in rows], pa.int64()),
+            "b": pa.array([r[2] for r in rows], pa.int64()),
+            "new_id": pa.array([r[3] for r in rows], pa.int64()),
+            "count": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 GOLDENS = {
+    "bpe_train_corpus": golden_bpe_train,
     "pack_documents_corpus": golden_pack_documents,
     "simhash_documents": lambda: golden_simhash(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])

@@ -2297,7 +2297,42 @@ def q_span_corrupt(sf_dir: str):
     return span_corrupt(ds, span_len=4, every=7)
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE vocabulary induction: deterministic doc sample
+    (numeric id % 20 == 0), token ids projected to bytes (% 256), 12
+    merge rounds — each one streaming pass of pre-aggregated pair-count
+    partials → groupby → block-local top-1 → driver reduce. Oracle:
+    frozen golden from the independent per-row reference in
+    tools/make_goldens.py."""
+    from vector_ray.functions.bpe import bpe_train
+    from vector_ray.functions.tokens import _flat_tokens, _rebuild_list
+
+    tag = _tag(sf_dir)
+
+    def byte_sample(t):
+        import numpy as np
+        import pyarrow.compute as _pc
+
+        ids = _pc.cast(_pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+        keep = ids.to_numpy(zero_copy_only=False) % 20 == 0
+        t = t.filter(pa.array(keep))
+        values, offsets = _flat_tokens(t)
+        return t.set_column(
+            t.column_names.index("tokens"),
+            "tokens",
+            _rebuild_list(values.astype(np.int64) % 256, offsets),
+        )
+
+    def make_ds():
+        return rd.read_parquet(
+            datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+        ).map_batches(byte_sample, batch_format="pyarrow")
+
+    return bpe_train(make_ds, num_merges=12, new_id_base=4096)
+
+
 QUERIES = {
+    "bpe_train_corpus": q_bpe_train,
     "span_corrupt_corpus": q_span_corrupt,
     "span_dedupe_corpus": q_span_dedupe,
     "strip_tokens_corpus": q_strip_tokens,
@@ -3410,6 +3445,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resample_wav",
         "agg_sketch_events",
         "pack_documents_corpus",
+        "bpe_train_corpus",
     ):
         sql[name] = f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
     return sql
