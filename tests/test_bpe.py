@@ -96,3 +96,43 @@ def test_bpe_train_matches_reference(ray_session, seed):
         [t for t in ray.get(encoded.materialize().to_arrow_refs()) if t.num_rows]
     ).sort_by("doc_id")
     assert out["tokens"].to_pylist() == ref_seqs
+
+
+def test_bigram_lm_score_matches_reference(ray_session):
+    import math
+
+    import ray
+
+    from vector_ray.functions.lm import bigram_lm_score
+
+    rng = np.random.default_rng(7)
+    docs = [rng.integers(0, 600, size=m).tolist() for m in [0, 1, 2, 5, 40, 300]]
+    out = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                bigram_lm_score(rd.from_arrow(_mk(docs))).materialize().to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    ).sort_by("doc_id")
+    # independent reference
+    c2 = {}
+    for d in docs:
+        bs = [x % 256 for x in d]
+        for p, c in zip(bs, bs[1:]):
+            c2[(p, c)] = c2.get((p, c), 0) + 1
+    rows = {p: sum(v for (pp, _), v in c2.items() if pp == p) for p in range(256)}
+    expected = {}
+    for i, d in enumerate(docs):
+        if len(d) < 2:
+            continue
+        bs = [x % 256 for x in d]
+        lps = [
+            math.log(c2.get((p, c), 0) + 1.0) - math.log(rows.get(p, 0) + 256.0)
+            for p, c in zip(bs, bs[1:])
+        ]
+        expected[f"doc-{i:010d}"] = -sum(lps) / len(lps)
+    assert out["doc_id"].to_pylist() == sorted(expected)
+    for did, nll in zip(out["doc_id"].to_pylist(), out["nll"].to_pylist()):
+        assert abs(nll - expected[did]) < 1e-3, (did, nll, expected[did])

@@ -2331,7 +2331,22 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(make_ds, num_merges=12, new_id_base=4096)
 
 
+def q_bigram_lm(sf_dir: str):
+    """CCNet-style conditional-perplexity filter, byte-bigram level:
+    dense 256×256 count matrix (tree reduction), broadcast log-prob
+    table, vectorized per-doc mean −log P(cur|prev). Docs with < 2
+    tokens are unscorable and dropped."""
+    from vector_ray.functions.lm import bigram_lm_score
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return bigram_lm_score(ds).select_columns(["doc_id", "nll"])
+
+
 QUERIES = {
+    "bigram_lm_corpus": q_bigram_lm,
     "bpe_train_corpus": q_bpe_train,
     "span_corrupt_corpus": q_span_corrupt,
     "span_dedupe_corpus": q_span_dedupe,
@@ -2635,6 +2650,25 @@ def _tokens_oracles() -> dict[str, str]:
             "sc AS (SELECT tk.doc_id, ln(c.n + 1.0) - "
             "  ln((SELECT SUM(n) FROM cnt) + 50257.0) AS lp "
             "  FROM tk JOIN cnt c USING (tok)) "
+            "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
+            "FROM sc GROUP BY doc_id"
+        ),
+        "bigram_lm_corpus": (
+            # add-one byte-bigram LM: P(cur|prev) = (c2+1)/(rowsum+256);
+            # every observed pair has c2 >= 1 so plain JOINs suffice
+            "WITH tk AS (SELECT doc_id, unnest(tokens) % 256 AS b, "
+            "  generate_subscripts(tokens, 1) AS i "
+            f"  FROM read_parquet('{seq}')), "
+            "pr AS (SELECT doc_id, "
+            "  LAG(b) OVER (PARTITION BY doc_id ORDER BY i) AS pv, b AS cu "
+            "  FROM tk), "
+            "prs AS (SELECT * FROM pr WHERE pv IS NOT NULL), "
+            "c2 AS (SELECT pv, cu, COUNT(*) AS n FROM prs GROUP BY pv, cu), "
+            "c1 AS (SELECT pv, SUM(n) AS nn FROM c2 GROUP BY pv), "
+            "sc AS (SELECT p.doc_id, "
+            "  ln(c2.n + 1.0) - ln(c1.nn + 256.0) AS lp "
+            "  FROM prs p JOIN c2 ON c2.pv = p.pv AND c2.cu = p.cu "
+            "  JOIN c1 ON c1.pv = p.pv) "
             "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
             "FROM sc GROUP BY doc_id"
         ),

@@ -409,3 +409,111 @@ def source_token_drift(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# byte-level bigram LM scoring (CCNet-style conditional-perplexity
+# filter, one level up from the unigram `token_lm_score`). Token ids
+# are projected to bytes (% 256) so the conditional count table is a
+# dense 256×256 int64 matrix — small enough to tree-reduce exactly and
+# broadcast whole. At full-vocab bigram scale the dense matrix is
+# infeasible (vocab² × 8 B); the named alternative is sparse pair-count
+# partials + stages/shuffle.bucketed_join of per-position pair keys
+# against the count table, regrouped per doc (same plan shape as
+# functions/bpe pair counting).
+# ---------------------------------------------------------------------------
+
+
+def bigram_counts_dense(ds, field: str = "tokens", num_parts: int = 16) -> np.ndarray:
+    """Global 256×256 byte-bigram count matrix: one dense
+    ``np.bincount`` row per block (pairs never cross row boundaries),
+    merged elementwise in ``num_parts`` groups — O(65536 × parts) bytes
+    to the driver, independent of corpus size."""
+    from vector_ray.functions.tokens import _flat_tokens
+
+    B = 256 * 256
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, field)
+        b = values.astype(np.int64) % 256
+        if len(b) >= 2:
+            lens = np.diff(offsets)
+            row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            ok = row_of[:-1] == row_of[1:]
+            keys = b[:-1][ok] * 256 + b[1:][ok]
+            counts = np.bincount(keys, minlength=B).astype(np.int64)
+        else:
+            counts = np.zeros(B, dtype=np.int64)
+        part = int(counts[:1024].sum()) % num_parts
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "cnt": pa.array([counts], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        flat = group["cnt"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        summed = flat.reshape(group.num_rows, B).sum(axis=0)
+        return pa.table(
+            {
+                "part": pa.array([0], pa.int64()),
+                "cnt": pa.array([summed], pa.list_(pa.int64())),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    total = np.zeros(B, dtype=np.int64)
+    for r in merged:
+        total += np.asarray(r["cnt"], dtype=np.int64)
+    return total.reshape(256, 256)
+
+
+def bigram_lm_score(ds, field: str = "tokens", target: str = "nll",
+                    round_to: int = 4):
+    """Two-pass byte-bigram scoring: P(cur | prev) with add-one
+    smoothing = (c2[prev, cur] + 1) / (rowsum(c2[prev]) + 256); per-doc
+    score = mean −log P over the doc's len−1 transitions. Docs with
+    fewer than 2 tokens are unscorable and dropped (the SQL GROUP BY
+    over transitions drops them identically)."""
+    c2 = bigram_counts_dense(ds, field)
+    logp = np.log(c2 + 1.0) - np.log(
+        c2.sum(axis=1, keepdims=True) + 256.0
+    )
+    logp_ref = ray.put(logp.reshape(-1))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from vector_ray.functions.tokens import _flat_tokens
+
+        lp = ray.get(logp_ref)
+        values, offsets = _flat_tokens(batch, field)
+        lens = np.diff(offsets)
+        scorable = lens >= 2
+        if not scorable.all():
+            batch = batch.filter(pa.array(scorable))
+            values, offsets = _flat_tokens(batch, field)
+            lens = np.diff(offsets)
+        if len(values):
+            b = values[: offsets[-1]].astype(np.int64) % 256
+            row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            ok = row_of[:-1] == row_of[1:]
+            per_pos = np.where(ok, lp[b[:-1] * 256 + b[1:]], 0.0)
+            # segment sums over transition positions: reduceat at each
+            # row's first transition (== the row's start offset)
+            sums = np.add.reduceat(
+                np.append(per_pos, 0.0), offsets[:-1]
+            )
+            nll = -(sums / (lens - 1))
+        else:
+            nll = np.zeros(0)
+        nll = round_sql_np(round_sql_np(nll, 9), round_to)
+        return batch.append_column(target, pa.array(nll, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
