@@ -163,3 +163,42 @@ def test_span_corrupt_matches_reference(ray_session):
         assert out["n_masked"][i].as_py() == masked_ct
     assert out["inputs"].type == pa.list_(pa.int32())
     assert out["targets"].type == pa.list_(pa.int32())
+
+
+def test_epoch_crop(ray_session):
+    from vector_ray.functions.tokens import CROP_MULT_A, CROP_MULT_B, epoch_crop
+
+    docs = [list(range(20)), [5, 6], list(range(100, 103))]
+    C, epoch = 8, 3
+    out = _collect(epoch_crop(rd.from_arrow(_mk(docs)), crop_len=C, epoch=epoch))
+    out = out.sort_by("doc_id")
+    for i, d in enumerate(docs):
+        got = out["tokens"][i].as_py()
+        if len(d) > C:
+            st = ((i * CROP_MULT_A) + epoch * CROP_MULT_B) % (1 << 32) % (len(d) - C + 1)
+            assert got == d[st : st + C], (i, st)
+        else:
+            assert got == d
+        assert out["n_tok"][i].as_py() == min(len(d), C)
+    # different epochs crop at different places for long docs
+    out2 = _collect(epoch_crop(rd.from_arrow(_mk(docs)), crop_len=C, epoch=4))
+    assert out2.sort_by("doc_id")["tokens"][0].as_py() != out["tokens"][0].as_py()
+
+
+def test_bottomk_sample_exact_k(ray_session):
+    from vector_ray.functions.curation import bottomk_sample
+
+    t = pa.table(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(500)],
+            "v": list(range(500)),
+        }
+    )
+    out = _collect(bottomk_sample(rd.from_arrow(t).repartition(8), k=20))
+    assert out.num_rows == 20
+    # matches the brute-force bottom-20 by the same hash
+    h = [(i * 2_654_435_761) % (1 << 32) for i in range(500)]
+    want = sorted(sorted(range(500), key=lambda i: h[i])[:20])
+    got = sorted(int(d[4:]) for d in out["doc_id"].to_pylist())
+    assert got == want
+    assert "__h" not in out.column_names

@@ -2345,7 +2345,35 @@ def q_bigram_lm(sf_dir: str):
     return bigram_lm_score(ds).select_columns(["doc_id", "nll"])
 
 
+def q_bottomk_sample(sf_dir: str):
+    """Exactly-k uniform sample (deterministic distributed reservoir):
+    global bottom-1000 by bijective multiplicative id hash, each block
+    pre-pruned to its local 1000 before the tiny global sort."""
+    from vector_ray.functions.curation import bottomk_sample
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "source", "n_tok"]
+    )
+    return bottomk_sample(ds, k=1000)
+
+
+def q_epoch_crop(sf_dir: str):
+    """Deterministic per-epoch random-crop augmentation: docs longer
+    than 96 tokens contribute the hash-positioned 96-token window for
+    epoch 1; shorter docs pass through whole."""
+    from vector_ray.functions.tokens import epoch_crop
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens", "n_tok"]
+    )
+    return epoch_crop(ds, crop_len=96, epoch=1)
+
+
 QUERIES = {
+    "epoch_crop_corpus": q_epoch_crop,
+    "bottomk_sample_corpus": q_bottomk_sample,
     "bigram_lm_corpus": q_bigram_lm,
     "bpe_train_corpus": q_bpe_train,
     "span_corrupt_corpus": q_span_corrupt,
@@ -2652,6 +2680,25 @@ def _tokens_oracles() -> dict[str, str]:
             "  FROM tk JOIN cnt c USING (tok)) "
             "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
             "FROM sc GROUP BY doc_id"
+        ),
+        "epoch_crop_corpus": (
+            # start = ((id*A + epoch*B) mod 2^32) % (n - 95) for n > 96;
+            # epoch 1, A = 1540483477, B = 2654435789
+            "WITH b AS (SELECT doc_id, tokens, len(tokens) n, "
+            "  CAST(doc_id[5:] AS HUGEINT) id "
+            f"  FROM read_parquet('{seq}')), "
+            "s AS (SELECT doc_id, tokens, n, "
+            "  CASE WHEN n > 96 THEN CAST((id * 1540483477 + 2654435789) "
+            "    % 4294967296 % (n - 95) AS BIGINT) ELSE 0 END AS st FROM b) "
+            "SELECT doc_id, CAST(tokens[st+1 : st+96] AS INTEGER[]) AS tokens, "
+            "CAST(LEAST(n, 96) AS INTEGER) AS n_tok FROM s"
+        ),
+        "bottomk_sample_corpus": (
+            # bottom-1000 by the bijective multiplicative hash (odd mult
+            # mod 2^32): unique ranks, so LIMIT is unambiguous
+            f"SELECT doc_id, source, n_tok FROM read_parquet('{seq}') "
+            "ORDER BY (CAST(substr(doc_id, 5) AS HUGEINT) * 2654435761) "
+            "% 4294967296 LIMIT 1000"
         ),
         "bigram_lm_corpus": (
             # add-one byte-bigram LM: P(cur|prev) = (c2+1)/(rowsum+256);

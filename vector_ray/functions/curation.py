@@ -240,3 +240,24 @@ def stratified_sample(
     return out.map_batches(
         lambda t: t.drop_columns(["__strath"]), batch_format="pyarrow"
     )
+
+
+def bottomk_sample(ds, k: int, id_field: str = "doc_id",
+                   mult: int = 2_654_435_761):
+    """Exactly-k uniform corpus sample, the deterministic distributed
+    reservoir: rank rows by the multiplicative id hash (odd ``mult``
+    mod 2^32 is a bijection, so distinct ids never tie) and keep the
+    global bottom k. Two-phase: each block prunes to its local k
+    smallest before the global sort touches anything, so the exchange
+    is O(k × blocks) rows regardless of corpus size — the same
+    pre-prune trick as stages/shuffle.topk_per_key, without the key."""
+    import pyarrow.compute as _pc
+
+    def local(t: pa.Table) -> pa.Table:
+        h = _doc_hash(t, mult, id_field)
+        t = t.append_column("__h", pa.array(h.astype(np.int64), pa.int64()))
+        idx = _pc.sort_indices(t, sort_keys=[("__h", "ascending")])
+        return t.take(idx.slice(0, k))
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return pruned.sort("__h").limit(k).drop_columns(["__h"])

@@ -1280,3 +1280,48 @@ def span_corrupt(
         )
 
     return ds.map_batches(corrupt, batch_format="pyarrow")
+
+
+# deterministic per-epoch crop constants (decorrelated from the FIM,
+# span-corruption, and curation hash constants)
+CROP_MULT_A = 1_540_483_477  # MurmurHash2 M
+CROP_MULT_B = 2_654_435_789  # odd near 2^32/phi
+
+
+def epoch_crop(ds, crop_len: int, epoch: int = 0,
+               col: str = "tokens", id_col: str = "doc_id"):
+    """Per-epoch random-crop augmentation, deterministic: each doc
+    longer than ``crop_len`` contributes the window starting at
+    ``((id·A + epoch·B) mod 2^32) % (n − crop_len + 1)``; shorter docs
+    pass through whole. A different ``epoch`` re-crops every doc at a
+    new position with no RNG state anywhere — the same layout on every
+    worker, every retry, every resume."""
+    from vector_ray.functions.curation import _doc_hash
+
+    C = crop_len
+
+    def crop(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, col)
+        lens = np.diff(offsets)
+        h = _doc_hash(t, CROP_MULT_A, id_col).astype(np.int64)
+        h = (h + (epoch * CROP_MULT_B) % (1 << 32)) % (1 << 32)
+        start = np.where(lens > C, h % np.maximum(lens - C + 1, 1), 0)
+        new_lens = np.minimum(lens, C)
+        new_off = np.zeros(len(offsets), dtype=np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+        local = np.arange(int(new_off[-1]), dtype=np.int64) - np.repeat(
+            new_off[:-1], new_lens
+        )
+        src = np.repeat(offsets[:-1] + start, new_lens) + local
+        out = t.set_column(
+            t.column_names.index(col), col, _rebuild_list(values[src], new_off)
+        )
+        if "n_tok" in out.column_names:
+            out = out.set_column(
+                out.column_names.index("n_tok"),
+                "n_tok",
+                pa.array(new_lens.astype(np.int32), pa.int32()),
+            )
+        return out
+
+    return ds.map_batches(crop, batch_format="pyarrow")
