@@ -202,3 +202,15 @@ def test_bottomk_sample_exact_k(ray_session):
     got = sorted(int(d[4:]) for d in out["doc_id"].to_pylist())
     assert got == want
     assert "__h" not in out.column_names
+
+
+def test_positional_stats(ray_session):
+    from vector_ray.functions.tokens import positional_stats
+
+    docs = [[10, 20, 30], [40, 50], [60]]
+    out = _collect(positional_stats(rd.from_arrow(_mk(docs)), max_pos=8))
+    out = out.sort_by("pos")
+    assert out["pos"].to_pylist() == [0, 1, 2]
+    assert out["n"].to_pylist() == [3, 2, 1]
+    assert out["sum_tok"].to_pylist() == [110, 70, 30]
+    assert out["mean_tok"].to_pylist() == [pytest.approx(110 / 3, abs=1e-4), 35.0, 30.0]

@@ -2371,7 +2371,19 @@ def q_epoch_crop(sf_dir: str):
     return epoch_crop(ds, crop_len=96, epoch=1)
 
 
+def q_positional_stats(sf_dir: str):
+    """Per-position corpus diagnostics (positional-artifact probe):
+    sequences reaching each position and the exact mean token id there,
+    via dense bincount partials tree-merged elementwise."""
+    from vector_ray.functions.tokens import positional_stats
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(datagen.sequences_dir(tag), columns=["tokens"])
+    return positional_stats(ds)
+
+
 QUERIES = {
+    "positional_stats_corpus": q_positional_stats,
     "epoch_crop_corpus": q_epoch_crop,
     "bottomk_sample_corpus": q_bottomk_sample,
     "bigram_lm_corpus": q_bigram_lm,
@@ -2680,6 +2692,15 @@ def _tokens_oracles() -> dict[str, str]:
             "  FROM tk JOIN cnt c USING (tok)) "
             "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
             "FROM sc GROUP BY doc_id"
+        ),
+        "positional_stats_corpus": (
+            "SELECT pos, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(tok) AS BIGINT) AS sum_tok, "
+            "ROUND(ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*), 9), 4) "
+            "  AS mean_tok "
+            "FROM (SELECT unnest(tokens) AS tok, "
+            "      generate_subscripts(tokens, 1) - 1 AS pos "
+            f"      FROM read_parquet('{seq}')) GROUP BY pos"
         ),
         "epoch_crop_corpus": (
             # start = ((id*A + epoch*B) mod 2^32) % (n - 95) for n > 96;

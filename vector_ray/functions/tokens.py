@@ -1325,3 +1325,67 @@ def epoch_crop(ds, crop_len: int, epoch: int = 0,
         return out
 
     return ds.map_batches(crop, batch_format="pyarrow")
+
+
+def positional_stats(ds, max_pos: int = 2048, round_to: int = 4):
+    """Per-position corpus diagnostics: for each sequence position p,
+    how many sequences reach it and the mean token id there — the
+    standard probe for positional artifacts in packed/padded corpora
+    (a constant BOS, a position-correlated separator, truncation bias).
+
+    Dense combiner aggregation like ``token_topk``: each block emits one
+    (count[max_pos], sum[max_pos]) partial row built from two bincounts,
+    partials tree-merge elementwise, and only O(max_pos × blocks) bytes
+    are exchanged — never the corpus. Integer sums stay exact (per-batch
+    bincount weights < 2^53, merged in int64)."""
+    from vector_ray.schema import round_sql_np
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t)
+        lens = np.clip(np.diff(offsets), 0, max_pos)
+        # rows reaching position p == total - (# rows with len <= p)
+        hist = np.bincount(lens, minlength=max_pos + 1)
+        reach = len(lens) - np.cumsum(hist)[:max_pos]
+        local = np.arange(int(offsets[-1]), dtype=np.int64) - np.repeat(
+            offsets[:-1], np.diff(offsets)
+        )
+        ok = local < max_pos
+        sums = np.bincount(
+            local[ok], weights=values[: offsets[-1]][ok].astype(np.float64),
+            minlength=max_pos,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array([0], pa.int64()),
+                "n": pa.array([reach.astype(np.int64)], pa.list_(pa.int64())),
+                "s": pa.array([sums], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        def dense(col):
+            flat = group[col].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+            return flat.reshape(group.num_rows, max_pos).sum(axis=0)
+
+        n, s = dense("n"), dense("s")
+        keep = n > 0
+        pos = np.flatnonzero(keep)
+        mean = round_sql_np(
+            round_sql_np(s[keep] / n[keep], 9), round_to
+        )
+        return pa.table(
+            {
+                "pos": pa.array(pos, pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+                "sum_tok": pa.array(s[keep], pa.int64()),
+                "mean_tok": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
