@@ -214,3 +214,26 @@ def test_positional_stats(ray_session):
     assert out["n"].to_pylist() == [3, 2, 1]
     assert out["sum_tok"].to_pylist() == [110, 70, 30]
     assert out["mean_tok"].to_pylist() == [pytest.approx(110 / 3, abs=1e-4), 35.0, 30.0]
+
+
+def test_temperature_mixture(ray_session):
+    from vector_ray.functions.curation import MIX_MULT, temperature_mixture
+
+    t = pa.table(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(400)],
+            "source": ["web"] * 300 + ["wiki"] * 100,
+            "n_tok": [100] * 300 + [50] * 100,
+        }
+    )
+    out = _collect(temperature_mixture(rd.from_arrow(t), alpha=0.5))
+    # rates: shares 30000/35000, 5000/35000 -> sqrt -> peak=web -> web 1.0
+    rate_wiki = (5000 / 35000) ** 0.5 / (30000 / 35000) ** 0.5
+    kept_web = sum(1 for s in out["source"].to_pylist() if s == "web")
+    assert kept_web == 300  # largest source kept whole
+    expect_wiki = sum(
+        1
+        for i in range(300, 400)
+        if (i * MIX_MULT) % (1 << 32) < rate_wiki * (1 << 32)
+    )
+    assert out.num_rows - kept_web == expect_wiki

@@ -2382,7 +2382,21 @@ def q_positional_stats(sf_dir: str):
     return positional_stats(ds)
 
 
+def q_temperature_mixture(sf_dir: str):
+    """Multinomial temperature rebalancing (alpha = 0.7): per-source
+    rates from corpus token shares, largest source anchored at 1.0,
+    then the deterministic hash-threshold keep."""
+    from vector_ray.functions.curation import temperature_mixture
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "source", "n_tok"]
+    )
+    return temperature_mixture(ds, alpha=0.7)
+
+
 QUERIES = {
+    "temperature_mixture_corpus": q_temperature_mixture,
     "positional_stats_corpus": q_positional_stats,
     "epoch_crop_corpus": q_epoch_crop,
     "bottomk_sample_corpus": q_bottomk_sample,
@@ -2692,6 +2706,20 @@ def _tokens_oracles() -> dict[str, str]:
             "  FROM tk JOIN cnt c USING (tok)) "
             "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
             "FROM sc GROUP BY doc_id"
+        ),
+        "temperature_mixture_corpus": (
+            # rate_s = pow(share_s, 0.7) / max over sources; keep iff
+            # (id * 2654435761) mod 2^32 < rate * 2^32 (same float ops
+            # as the engine: int counts -> double share -> libm pow)
+            "WITH c AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) cs "
+            f"  FROM read_parquet('{seq}') GROUP BY source), "
+            "r AS (SELECT source, POW(CAST(cs AS DOUBLE) / "
+            "  (SELECT CAST(SUM(cs) AS DOUBLE) FROM c), 0.7) raw FROM c), "
+            "rt AS (SELECT source, raw / (SELECT MAX(raw) FROM r) rate FROM r) "
+            "SELECT s.doc_id, s.source, s.n_tok "
+            f"FROM read_parquet('{seq}') s JOIN rt USING (source) "
+            "WHERE (CAST(substr(doc_id, 5) AS HUGEINT) * 2654435761) "
+            "% 4294967296 < rate * 4294967296"
         ),
         "positional_stats_corpus": (
             "SELECT pos, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -261,3 +261,29 @@ def bottomk_sample(ds, k: int, id_field: str = "doc_id",
 
     pruned = ds.map_batches(local, batch_format="pyarrow")
     return pruned.sort("__h").limit(k).drop_columns(["__h"])
+
+
+def temperature_mixture(ds, alpha: float = 0.7, token_field: str = "n_tok",
+                        key_field: str = "source"):
+    """Multinomial temperature rebalancing (the multilingual-LM mixing
+    rule): sampling rate for source s ∝ (tokens_s / Σ)^alpha, scaled so
+    the LARGEST source's rate is 1.0 (pure down-sampling — alpha < 1
+    up-weights the tail relatively by keeping it whole while the head
+    shrinks). Two phases: a tiny per-source token-count aggregate (the
+    only exchange — |sources| rows), then the same deterministic
+    hash-threshold keep as ``mixture_sample``. Float discipline: rates
+    come from two libm pow/division ops on exact integer counts, so the
+    SQL oracle computes bit-identical thresholds."""
+    counts = ds.groupby(key_field).sum(token_field)
+    rows = counts.take_all()  # |sources| rows
+    col = f"sum({token_field})"
+    tot = float(sum(r[col] for r in rows))
+    raw = {r[key_field]: (r[col] / tot) ** alpha for r in rows}
+    peak = max(raw.values()) if raw else 1.0
+    rates = {k: v / peak for k, v in raw.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = _doc_hash(t, MIX_MULT) < _source_rates(t, rates, 1.0) * HASH_MOD
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
