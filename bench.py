@@ -138,6 +138,20 @@ def run_bench() -> dict:
             )
         ).count()
     )
+    # substring (span) dedup: the one shuffle-heavy tokens-axis op —
+    # combiner-reduced 128-bit gram counts + broadcast dup set + mask
+    from vector_ray.functions.tokens import plant_duplicates, span_dedupe
+
+    queries["span_dedupe"] = timed(
+        lambda: span_dedupe(
+            plant_duplicates(
+                rd.read_parquet(
+                    _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
+                )
+            ),
+            n=8,
+        ).count()
+    )
     # pretrain prep e2e (mixture + split filter inside exact packing,
     # epoch shuffle, partitioned writes + checkpoints): the tokens-axis
     # counterpart of the flagship headline

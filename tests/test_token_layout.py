@@ -237,3 +237,28 @@ def test_temperature_mixture(ray_session):
         if (i * MIX_MULT) % (1 << 32) < rate_wiki * (1 << 32)
     )
     assert out.num_rows - kept_web == expect_wiki
+
+
+def test_span_dedupe_identical_doc_skew(ray_session):
+    """Adversarial duplication: 3000 identical docs. The gram-count
+    groupby sees each gram once per BLOCK (batch partials), never one
+    row per occurrence, and the masker is per-batch vectorized — no
+    single-task straggler. Every token of every doc must be removed."""
+    import time
+
+    from vector_ray.functions.tokens import span_dedupe
+
+    doc = list(range(500, 540))
+    t = pa.table(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(3000)],
+            "tokens": pa.array([doc] * 3000, pa.list_(pa.int32())),
+        }
+    )
+    t0 = time.perf_counter()
+    out = _collect(span_dedupe(rd.from_arrow(t).repartition(8), n=8))
+    elapsed = time.perf_counter() - t0
+    assert out.num_rows == 3000
+    assert out["n_tok"].to_pylist() == [0] * 3000
+    assert out["n_removed"].to_pylist() == [40] * 3000
+    assert elapsed < 60, f"skew straggler: {elapsed:.1f}s"
