@@ -262,3 +262,44 @@ def test_span_dedupe_identical_doc_skew(ray_session):
     assert out["n_tok"].to_pylist() == [0] * 3000
     assert out["n_removed"].to_pylist() == [40] * 3000
     assert elapsed < 60, f"skew straggler: {elapsed:.1f}s"
+
+
+def test_token_ops_via_spec_dag(ray_session):
+    """The token-layout family runs as config-driven spec transforms."""
+    import ray
+
+    from vector_ray import run_pipeline
+
+    res = run_pipeline(
+        {
+            "sources": {
+                "corpus": {
+                    "type": "inline",
+                    "table": _mk([[1, 2, 0, 3, 4, 5], [0, 0], list(range(40))]),
+                }
+            },
+            "transforms": {
+                "strip": {
+                    "type": "strip_tokens",
+                    "inputs": ["corpus"],
+                    "blocklist": [0],
+                },
+                "trunc": {
+                    "type": "truncate_tokens",
+                    "inputs": ["strip"],
+                    "max_len": 16,
+                },
+                "crop": {
+                    "type": "epoch_crop",
+                    "inputs": ["trunc"],
+                    "crop_len": 8,
+                    "epoch": 2,
+                },
+            },
+            "sinks": {"out": {"type": "collect", "inputs": ["crop"]}},
+        }
+    )
+    t = res.sinks["out"].table
+    assert t.num_rows == 3
+    assert max(t["n_tok"].to_pylist()) <= 8
+    assert 0 not in [x for row in t["tokens"].to_pylist() for x in row]

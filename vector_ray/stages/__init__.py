@@ -9,7 +9,7 @@ family).
 
 from __future__ import annotations
 
-from vector_ray.stages import core, curate, enrich, grouped, metricops, reshape
+from vector_ray.stages import core, curate, enrich, grouped, metricops, reshape, tokenops
 from vector_ray.stages.encode import encode
 from vector_ray.stages.framing import frame
 from vector_ray.stages.tokenize import tokenize
@@ -106,6 +106,18 @@ TRANSFORMS = {
     "budget_select": curate.budget_select,
     "stratified_sample": curate.stratified_sample,
     "dsir": curate.dsir,
+    # token-layout family (functions/tokens.py, bpe.py, lm.py)
+    "strip_tokens": tokenops.strip_tokens,
+    "truncate_tokens": tokenops.truncate_tokens,
+    "window_chunks": tokenops.window_chunks,
+    "epoch_crop": tokenops.epoch_crop,
+    "fim": tokenops.fim,
+    "span_corrupt": tokenops.span_corrupt,
+    "span_dedupe": tokenops.span_dedupe,
+    "positional_stats": tokenops.positional_stats,
+    "bigram_lm": tokenops.bigram_lm,
+    "temperature_mixture": tokenops.temperature_mixture,
+    "bottomk_sample": tokenops.bottomk_sample,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

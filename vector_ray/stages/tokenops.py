@@ -1,0 +1,133 @@
+"""Spec-DAG adapters for the token-layout operators
+(``functions/tokens.py``, ``functions/bpe.py``, ``functions/lm.py``),
+so config-driven pipelines can run the tokens-axis family —
+strip/truncate/window/crop layout ops, span dedup/corruption, bigram
+scoring, temperature mixing — as first-class transform types.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "strip_tokens",
+    "truncate_tokens",
+    "window_chunks",
+    "epoch_crop",
+    "fim",
+    "span_corrupt",
+    "span_dedupe",
+    "positional_stats",
+    "bigram_lm",
+    "temperature_mixture",
+    "bottomk_sample",
+]
+
+
+def strip_tokens(ds, options: dict, ctx=None):
+    """{"type": "strip_tokens", "blocklist": [0, 1]}"""
+    from vector_ray.functions.tokens import strip_tokens as _f
+
+    return _f(ds, options["blocklist"], col=options.get("col", "tokens"))
+
+
+def truncate_tokens(ds, options: dict, ctx=None):
+    """{"type": "truncate_tokens", "max_len": 2048}"""
+    from vector_ray.functions.tokens import truncate_sequences as _f
+
+    return _f(ds, int(options["max_len"]), col=options.get("col", "tokens"))
+
+
+def window_chunks(ds, options: dict, ctx=None):
+    """{"type": "window_chunks", "chunk_len": 64, "stride": 48}"""
+    from vector_ray.functions.tokens import window_chunks as _f
+
+    return _f(
+        ds,
+        int(options["chunk_len"]),
+        int(options["stride"]),
+        col=options.get("col", "tokens"),
+        id_col=options.get("id_col", "doc_id"),
+    )
+
+
+def epoch_crop(ds, options: dict, ctx=None):
+    """{"type": "epoch_crop", "crop_len": 96, "epoch": 0}"""
+    from vector_ray.functions.tokens import epoch_crop as _f
+
+    return _f(
+        ds,
+        int(options["crop_len"]),
+        epoch=int(options.get("epoch", 0)),
+        col=options.get("col", "tokens"),
+        id_col=options.get("id_col", "doc_id"),
+    )
+
+
+def fim(ds, options: dict, ctx=None):
+    """{"type": "fim"} — deterministic fill-in-middle PSM reorder."""
+    from vector_ray.functions.tokens import fim_transform as _f
+
+    return _f(
+        ds, col=options.get("col", "tokens"), id_col=options.get("id_col", "doc_id")
+    )
+
+
+def span_corrupt(ds, options: dict, ctx=None):
+    """{"type": "span_corrupt", "span_len": 4, "every": 7}"""
+    from vector_ray.functions.tokens import span_corrupt as _f
+
+    return _f(
+        ds,
+        span_len=int(options.get("span_len", 4)),
+        every=int(options.get("every", 7)),
+        col=options.get("col", "tokens"),
+        id_col=options.get("id_col", "doc_id"),
+    )
+
+
+def span_dedupe(ds, options: dict, ctx=None):
+    """{"type": "span_dedupe", "n": 8, "min_count": 2}"""
+    from vector_ray.functions.tokens import span_dedupe as _f
+
+    return _f(
+        ds,
+        n=int(options.get("n", 8)),
+        min_count=int(options.get("min_count", 2)),
+    )
+
+
+def positional_stats(ds, options: dict, ctx=None):
+    """{"type": "positional_stats", "max_pos": 2048}"""
+    from vector_ray.functions.tokens import positional_stats as _f
+
+    return _f(ds, max_pos=int(options.get("max_pos", 2048)))
+
+
+def bigram_lm(ds, options: dict, ctx=None):
+    """{"type": "bigram_lm", "target": "nll"} — trains on the stage's
+    own input (two passes over the upstream dataset)."""
+    from vector_ray.functions.lm import bigram_lm_score as _f
+
+    return _f(
+        ds,
+        field=options.get("field", "tokens"),
+        target=options.get("target", "nll"),
+    )
+
+
+def temperature_mixture(ds, options: dict, ctx=None):
+    """{"type": "temperature_mixture", "alpha": 0.7}"""
+    from vector_ray.functions.curation import temperature_mixture as _f
+
+    return _f(
+        ds,
+        alpha=float(options.get("alpha", 0.7)),
+        token_field=options.get("token_field", "n_tok"),
+        key_field=options.get("key_field", "source"),
+    )
+
+
+def bottomk_sample(ds, options: dict, ctx=None):
+    """{"type": "bottomk_sample", "k": 1000}"""
+    from vector_ray.functions.curation import bottomk_sample as _f
+
+    return _f(ds, int(options["k"]), id_field=options.get("id_field", "doc_id"))
