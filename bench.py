@@ -142,16 +142,16 @@ def run_bench() -> dict:
     # combiner-reduced 128-bit gram counts + broadcast dup set + mask
     from vector_ray.functions.tokens import plant_duplicates, span_dedupe
 
-    queries["span_dedupe"] = timed(
-        lambda: span_dedupe(
-            plant_duplicates(
-                rd.read_parquet(
-                    _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
-                )
-            ),
-            n=8,
-        ).count()
-    )
+    _t0 = time.perf_counter()  # timed once: two full-corpus passes/run
+    span_dedupe(
+        plant_duplicates(
+            rd.read_parquet(
+                _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
+            )
+        ),
+        n=8,
+    ).count()
+    queries["span_dedupe"] = round(time.perf_counter() - _t0, 3)
     # pretrain prep e2e (mixture + split filter inside exact packing,
     # epoch shuffle, partitioned writes + checkpoints): the tokens-axis
     # counterpart of the flagship headline
