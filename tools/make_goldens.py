@@ -643,7 +643,7 @@ def golden_pack_documents(chunk_len: int = 2048) -> pa.Table:
 
 
 
-def golden_bpe_train(num_merges: int = 12, new_id_base: int = 4096) -> pa.Table:
+def _bpe_reference(num_merges: int = 12, new_id_base: int = 4096):
     """Independent straight-line BPE over the byte-projected (% 256)
     token stream of the deterministic doc sample (numeric id % 20 == 0):
     count ALL adjacent pairs per round, accept the max-count pair (ties
@@ -655,12 +655,14 @@ def golden_bpe_train(num_merges: int = 12, new_id_base: int = 4096) -> pa.Table:
 
     datagen.ensure_corpus("sf0.01")
     files = sorted(glob.glob(datagen.sequences_dir("sf0.01") + "/*.parquet"))
-    seqs = []
+    seqs, ids = [], []
     for f in files:
         t = pq.read_table(f, columns=["doc_id", "tokens"])
         for did, toks in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
             if int(did[4:]) % 20 == 0:
                 seqs.append([int(x) % 256 for x in toks])
+                ids.append(did)
+    before = [len(s) for s in seqs]
     rows = []
     for k in range(num_merges):
         counts = {}
@@ -683,6 +685,11 @@ def golden_bpe_train(num_merges: int = 12, new_id_base: int = 4096) -> pa.Table:
                     out.append(s[i])
                     i += 1
             seqs[si] = out
+    return rows, ids, before, seqs
+
+
+def golden_bpe_train(num_merges: int = 12, new_id_base: int = 4096) -> pa.Table:
+    rows, _, _, _ = _bpe_reference(num_merges, new_id_base)
     return pa.table(
         {
             "merge_idx": pa.array([r[0] for r in rows], pa.int32()),
@@ -694,8 +701,23 @@ def golden_bpe_train(num_merges: int = 12, new_id_base: int = 4096) -> pa.Table:
     )
 
 
+def golden_bpe_encode(num_merges: int = 12, new_id_base: int = 4096) -> pa.Table:
+    """Per-doc compression from applying the learned merges: byte
+    length before/after — the deployment half of the BPE golden."""
+    _, ids, before, seqs = _bpe_reference(num_merges, new_id_base)
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    return pa.table(
+        {
+            "doc_id": pa.array([ids[i] for i in order], pa.string()),
+            "n_before": pa.array([before[i] for i in order], pa.int32()),
+            "n_after": pa.array([len(seqs[i]) for i in order], pa.int32()),
+        }
+    )
+
+
 GOLDENS = {
     "bpe_train_corpus": golden_bpe_train,
+    "bpe_encode_corpus": golden_bpe_encode,
     "pack_documents_corpus": golden_pack_documents,
     "simhash_documents": lambda: golden_simhash(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])

@@ -2297,6 +2297,34 @@ def q_span_corrupt(sf_dir: str):
     return span_corrupt(ds, span_len=4, every=7)
 
 
+def _bpe_byte_sample(t):
+    """Deterministic BPE demo input: docs with numeric id % 20 == 0,
+    token ids projected to bytes (% 256)."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    from vector_ray.functions.tokens import _flat_tokens, _rebuild_list
+
+    ids = _pc.cast(_pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+    keep = ids.to_numpy(zero_copy_only=False) % 20 == 0
+    t = t.filter(pa.array(keep))
+    values, offsets = _flat_tokens(t)
+    return t.set_column(
+        t.column_names.index("tokens"),
+        "tokens",
+        _rebuild_list(values.astype(np.int64) % 256, offsets),
+    )
+
+
+def _bpe_make_ds(tag: str):
+    def make_ds():
+        return rd.read_parquet(
+            datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+        ).map_batches(_bpe_byte_sample, batch_format="pyarrow")
+
+    return make_ds
+
+
 def q_bpe_train(sf_dir: str):
     """Distributed BPE vocabulary induction: deterministic doc sample
     (numeric id % 20 == 0), token ids projected to bytes (% 256), 12
@@ -2305,30 +2333,46 @@ def q_bpe_train(sf_dir: str):
     frozen golden from the independent per-row reference in
     tools/make_goldens.py."""
     from vector_ray.functions.bpe import bpe_train
-    from vector_ray.functions.tokens import _flat_tokens, _rebuild_list
 
     tag = _tag(sf_dir)
+    return bpe_train(_bpe_make_ds(tag), num_merges=12, new_id_base=4096)
 
-    def byte_sample(t):
-        import numpy as np
-        import pyarrow.compute as _pc
 
-        ids = _pc.cast(_pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
-        keep = ids.to_numpy(zero_copy_only=False) % 20 == 0
-        t = t.filter(pa.array(keep))
+def q_bpe_encode(sf_dir: str):
+    """The deployment half: apply the learned 12 merges to the same
+    byte-projected sample; per-doc token counts before/after (the
+    compression the induced vocabulary buys). Golden oracle shares
+    nothing with the engine (per-row left-to-right reference)."""
+    import numpy as np
+
+    from vector_ray.functions.bpe import bpe_train
+    from vector_ray.functions.tokens import _flat_tokens
+
+    tag = _tag(sf_dir)
+    merges_tbl = bpe_train(_bpe_make_ds(tag), num_merges=12, new_id_base=4096)
+    merges = list(
+        zip(
+            merges_tbl["a"].to_pylist(),
+            merges_tbl["b"].to_pylist(),
+            merges_tbl["new_id"].to_pylist(),
+        )
+    )
+
+    def encode_counts(t: pa.Table) -> pa.Table:
+        from vector_ray.functions.bpe import apply_merges
+
         values, offsets = _flat_tokens(t)
-        return t.set_column(
-            t.column_names.index("tokens"),
-            "tokens",
-            _rebuild_list(values.astype(np.int64) % 256, offsets),
+        before = np.diff(offsets)
+        _, new_off = apply_merges(values, offsets, merges)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_before": pa.array(before.astype(np.int32), pa.int32()),
+                "n_after": pa.array(np.diff(new_off).astype(np.int32), pa.int32()),
+            }
         )
 
-    def make_ds():
-        return rd.read_parquet(
-            datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
-        ).map_batches(byte_sample, batch_format="pyarrow")
-
-    return bpe_train(make_ds, num_merges=12, new_id_base=4096)
+    return _bpe_make_ds(tag)().map_batches(encode_counts, batch_format="pyarrow")
 
 
 def q_bigram_lm(sf_dir: str):
@@ -2396,6 +2440,7 @@ def q_temperature_mixture(sf_dir: str):
 
 
 QUERIES = {
+    "bpe_encode_corpus": q_bpe_encode,
     "temperature_mixture_corpus": q_temperature_mixture,
     "positional_stats_corpus": q_positional_stats,
     "epoch_crop_corpus": q_epoch_crop,
@@ -3576,6 +3621,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_sketch_events",
         "pack_documents_corpus",
         "bpe_train_corpus",
+        "bpe_encode_corpus",
     ):
         sql[name] = f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
     return sql
