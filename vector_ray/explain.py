@@ -62,6 +62,18 @@ MOVEMENT = {
     "budget_select": "broadcast",
     "dsir": "broadcast",
     "topk_per_key": "shuffle",
+    # token-layout family
+    "strip_tokens": "narrow",
+    "truncate_tokens": "narrow",
+    "window_chunks": "narrow",
+    "epoch_crop": "narrow",
+    "fim": "narrow",
+    "span_corrupt": "narrow",
+    "span_dedupe": "shuffle",  # packed gram-count exchange + broadcast mask
+    "positional_stats": "hybrid",
+    "bigram_lm": "broadcast",
+    "temperature_mixture": "broadcast",
+    "bottomk_sample": "hybrid",
 }
 
 
