@@ -6,6 +6,7 @@ import glob
 import os
 import shutil
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from vector_ray import run_pipeline, toml_io
@@ -108,3 +109,17 @@ def test_compact_parquet_dir(ray_session, tmp_path):
     import glob as g
 
     assert len(g.glob(str(tmp_path / "out" / "*" / "*.parquet"))) == 2
+
+
+def test_token_prep_example(ray_session):
+    from vector_ray import datagen
+
+    datagen.ensure_corpus("sf0.001")
+    shutil.rmtree("/tmp/vector_ray_examples/token_prep", ignore_errors=True)
+    _run("examples/token_prep.toml")
+    train = pq.read_table("/tmp/vector_ray_examples/token_prep/train")
+    assert 0 < train.num_rows <= 5000  # mixture downsampled
+    assert max(train["n_tok"].to_pylist()) <= 512
+    assert pa.types.is_int32(train["tokens"].type.value_type)
+    ev = pq.read_table("/tmp/vector_ray_examples/token_prep/eval")
+    assert ev.num_rows > 5000 and "win_id" in ev.column_names
