@@ -1146,50 +1146,67 @@ def span_dedupe(
             }
         )
 
-    def merge_bucket(group: pa.Table) -> pa.Table:
-        def flat(col):
-            return group[col].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False
-            )
+    # Bucket exchange via raw Ray tasks, not a Dataset groupby: the
+    # packed partials are ~1 GB of list payloads in a few thousand rows
+    # at sf0.1, and Ray Data's sort-based AllToAll moved them in 50 s
+    # where this direct split→merge exchange takes ~14 s (measured on
+    # the same input; see BASELINE.md). Each split task returns its 64
+    # per-bucket slices as DRIVER-owned return objects (num_returns, no
+    # task-owned ray.put — those die with the worker), so lineage
+    # reconstruction re-runs the split on worker loss. This is the
+    # documented "Dataset API can't express it efficiently" escape
+    # hatch: the op's public surface is still Dataset in / Dataset out.
+    blocks = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
 
-        h1 = flat("h1").view(np.uint64)
-        h2 = flat("h2").view(np.uint64)
-        if not len(h1):
-            return pa.table(
-                {"h1": pa.array([], pa.int64()), "h2": pa.array([], pa.int64())}
+    @ray.remote(num_cpus=1, num_returns=num_buckets)
+    def split_block(tbl: pa.Table):
+        c1 = tbl["h1"].combine_chunks()
+        c2 = tbl["h2"].combine_chunks()
+        return tuple(
+            (
+                c1[b].values.to_numpy(zero_copy_only=False),
+                c2[b].values.to_numpy(zero_copy_only=False),
             )
+            for b in range(tbl.num_rows)
+        )
+
+    @ray.remote(num_cpus=1)
+    def merge_bucket(*chunks):
+        h1 = np.concatenate([c[0] for c in chunks]).view(np.uint64)
+        h2 = np.concatenate([c[1] for c in chunks]).view(np.uint64)
+        if not len(h1):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         order = np.lexsort((h2, h1))
         h1s, h2s = h1[order], h2[order]
         new = np.ones(len(h1s), dtype=bool)
-        if len(h1s) > 1:
-            new[1:] = (np.diff(h1s.view(np.int64)) != 0) | (
-                np.diff(h2s.view(np.int64)) != 0
-            )
+        new[1:] = (np.diff(h1s.view(np.int64)) != 0) | (
+            np.diff(h2s.view(np.int64)) != 0
+        )
         first = np.flatnonzero(new)
         total = np.diff(np.append(first, len(h1s)))
         dup = first[total >= min_count]
-        return pa.table(
-            {
-                "h1": pa.array(h1s[dup].view(np.int64), pa.int64()),
-                "h2": pa.array(h2s[dup].view(np.int64), pa.int64()),
-            }
+        return h1s[dup].view(np.int64), h2s[dup].view(np.int64)
+
+    parts = [split_block.remote(b) for b in blocks]
+    if num_buckets == 1:  # num_returns=1 yields a bare ref, not a list
+        parts = [[p] for p in parts]
+    merged = (
+        ray.get(
+            [
+                merge_bucket.remote(*[p[i] for p in parts])
+                for i in range(num_buckets)
+            ]
         )
-
-    counts = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(merge_bucket, batch_format="pyarrow")
+        if parts
+        else []
     )
-
-    dup_tables = [
-        tbl
-        for tbl in ray.get(counts.materialize().to_arrow_refs())
-        if tbl.num_rows
-    ]
-    if dup_tables:
-        dup = pa.concat_tables(dup_tables)
-        h1 = dup["h1"].to_numpy(zero_copy_only=False).view(np.uint64)
-        h2 = dup["h2"].to_numpy(zero_copy_only=False).view(np.uint64)
+    if merged:
+        h1 = np.concatenate([m[0] for m in merged]).view(np.uint64)
+        h2 = np.concatenate([m[1] for m in merged]).view(np.uint64)
     else:
         h1 = np.empty(0, np.uint64)
         h2 = np.empty(0, np.uint64)
