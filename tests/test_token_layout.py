@@ -303,3 +303,45 @@ def test_token_ops_via_spec_dag(ray_session):
     assert t.num_rows == 3
     assert max(t["n_tok"].to_pylist()) <= 8
     assert 0 not in [x for row in t["tokens"].to_pylist() for x in row]
+
+
+def test_span_dedupe_against_reference(ray_session):
+    from vector_ray.functions.tokens import span_dedupe_against, splice_mutants
+
+    # ref corpus; new shard duplicates ref spans plus novel material
+    ref_docs = [list(range(100, 140)), list(range(500, 520))]
+    ref = rd.from_arrow(_mk(ref_docs))
+    new = pa.table(
+        {
+            "doc_id": ["new-1", "new-2"],
+            "tokens": pa.array(
+                [
+                    list(range(100, 116)) + [9999] * 4,  # 16 dup + 4 novel
+                    [7, 8, 9, 10, 11, 12, 13, 14],  # entirely novel
+                ],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    out = _collect(span_dedupe_against(rd.from_arrow(new), ref, n=8)).sort_by("doc_id")
+    toks = out["tokens"].to_pylist()
+    # new-1: grams at starts 0..8 are in ref -> positions 0..15 masked;
+    # grams at 9..12 cross into the novel tail -> 16..19 kept
+    assert toks[0] == [9999] * 4
+    assert out["n_removed"].to_pylist()[0] == 16
+    assert toks[1] == [7, 8, 9, 10, 11, 12, 13, 14]
+
+
+def test_splice_mutants(ray_session):
+    from vector_ray.functions.tokens import splice_mutants
+
+    docs = [list(range(30)), [1, 2, 3]]
+    t = pa.table(
+        {
+            "doc_id": ["doc-0000000000", "doc-0000000031"],
+            "tokens": pa.array(docs, pa.list_(pa.int32())),
+        }
+    )
+    out = _collect(splice_mutants(rd.from_arrow(t), every=31, skip=10, min_len=24))
+    assert out["doc_id"].to_pylist() == ["mut-doc-0000000000"]
+    assert out["tokens"][0].as_py() == list(range(10, 30)) + list(range(9, -1, -1))

@@ -2439,7 +2439,23 @@ def q_temperature_mixture(sf_dir: str):
     return temperature_mixture(ds, alpha=0.7)
 
 
+def q_span_dedupe_incr(sf_dir: str):
+    """Incremental-ingest substring dedup: a synthetic NEW shard
+    (splice mutants of every 31st doc — duplicated body + novel
+    reversed tail) masked against the EXISTING corpus's full gram
+    index; one index build + one narrow pass over the new shard."""
+    from vector_ray.functions.tokens import span_dedupe_against, splice_mutants
+
+    tag = _tag(sf_dir)
+    ref = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    new = splice_mutants(ref, every=31, skip=10, min_len=24)
+    return span_dedupe_against(new, ref, n=8)
+
+
 QUERIES = {
+    "span_dedupe_incr_corpus": q_span_dedupe_incr,
     "bpe_encode_corpus": q_bpe_encode,
     "temperature_mixture_corpus": q_temperature_mixture,
     "positional_stats_corpus": q_positional_stats,
@@ -2589,6 +2605,43 @@ def _tokens_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_tok, "
             "list(tok ORDER BY gpos) AS tokens "
             "FROM tok GROUP BY 1"
+        ),
+        "span_dedupe_incr_corpus": (
+            # new shard = mut- splice mutants (tokens[11:] || reversed
+            # tokens[1:10]); mask every position covered by an 8-gram
+            # present anywhere in the ORIGINAL corpus
+            "WITH orig AS (SELECT doc_id, tokens "
+            f"  FROM read_parquet('{seq}')), "
+            "mut AS (SELECT 'mut-' || doc_id AS doc_id, "
+            "  tokens[11:] || list_reverse(tokens[1:10]) AS tokens "
+            "  FROM orig WHERE CAST(doc_id[5:] AS BIGINT) % 31 = 0 "
+            "  AND len(tokens) >= 24), "
+            "refg AS (SELECT DISTINCT array_to_string(tokens[p:p+7], ',') AS g "
+            "  FROM (SELECT tokens, "
+            "        unnest(generate_series(1, len(tokens) - 7)) AS p "
+            "        FROM orig WHERE len(tokens) >= 8)), "
+            "pos AS (SELECT doc_id, tokens[p] AS tk, p "
+            "  FROM (SELECT doc_id, tokens, "
+            "        unnest(generate_series(1, len(tokens))) AS p FROM mut "
+            "        WHERE len(tokens) > 0)), "
+            "starts AS (SELECT doc_id, s FROM ("
+            "  SELECT doc_id, p AS s, array_to_string(tokens[p:p+7], ',') AS g "
+            "  FROM (SELECT doc_id, tokens, "
+            "        unnest(generate_series(1, len(tokens) - 7)) AS p "
+            "        FROM mut WHERE len(tokens) >= 8)) "
+            "  WHERE g IN (SELECT g FROM refg)), "
+            "cov AS (SELECT pos.doc_id, pos.p, pos.tk, "
+            "  MAX(CASE WHEN starts.s IS NULL THEN 0 ELSE 1 END) OVER ("
+            "    PARTITION BY pos.doc_id ORDER BY pos.p "
+            "    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered "
+            "  FROM pos LEFT JOIN starts "
+            "  ON starts.doc_id = pos.doc_id AND starts.s = pos.p) "
+            "SELECT doc_id, "
+            "CAST(COALESCE(list(tk ORDER BY p) FILTER (WHERE covered = 0), "
+            "  CAST([] AS INTEGER[])) AS INTEGER[]) AS tokens, "
+            "CAST(COUNT(*) FILTER (WHERE covered = 0) AS INTEGER) AS n_tok, "
+            "CAST(COUNT(*) FILTER (WHERE covered = 1) AS INTEGER) AS n_removed "
+            "FROM cov GROUP BY doc_id"
         ),
         "span_corrupt_corpus": (
             # T5 span corruption: block b of doc id masked iff full and

@@ -1100,22 +1100,21 @@ class _SpanMasker:
         )
 
 
-def span_dedupe(
-    ds, n: int = 8, min_count: int = 2, concurrency=(1, 8),
-    num_buckets: int = 64,
-) -> "rd.Dataset":
-    """Remove every token covered by an n-gram that occurs ≥ ``min_count``
-    times corpus-wide. Removes ALL occurrences (batch-deterministic and
-    order-independent, where Lee et al. keep one — a distributed engine
-    has no canonical "first" occurrence without a total order).
+def gram_set(
+    ds, n: int = 8, min_count: int = 2, num_buckets: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
+    """The (h1, h2) composite keys of every n-gram occurring ≥
+    ``min_count`` times in ``ds`` — the count phase of ``span_dedupe``,
+    reusable standalone (``min_count=1`` = the corpus's full gram index,
+    the reference side of incremental dedup).
 
-    Gram counting is PACKED: each batch emits ≤ ``num_buckets`` rows,
-    each holding that batch's sorted, batch-deduped gram keys for one
-    hash-range bucket as two list columns (+ per-gram counts). The
-    bucket groupby therefore sorts O(buckets × batches) fat rows — NOT
-    one row per gram, which at corpus scale is a multi-minute sort of
-    10⁸+ 24-byte rows for the identical bytes moved. Each bucket task
-    then merges its chunks with one lexsort + run-length count."""
+    Gram extraction is PACKED: each batch emits ≤ ``num_buckets`` rows,
+    each holding that batch's gram keys for one hash-range bucket as
+    two list columns. The bucket exchange is then raw Ray tasks — NOT
+    a Dataset groupby, and NOT one row per gram: at corpus scale those
+    measured 50 s (sort of fat packed rows) and 9+ minutes (sort of
+    10⁸ 24-byte rows) respectively, where the direct split→merge
+    exchange of the identical bytes takes ~14 s (see BASELINE.md)."""
 
     if num_buckets & (num_buckets - 1):
         raise ValueError("num_buckets must be a power of two")
@@ -1210,6 +1209,18 @@ def span_dedupe(
     else:
         h1 = np.empty(0, np.uint64)
         h2 = np.empty(0, np.uint64)
+    return h1, h2
+
+
+def span_dedupe(
+    ds, n: int = 8, min_count: int = 2, concurrency=(1, 8),
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Remove every token covered by an n-gram that occurs ≥ ``min_count``
+    times corpus-wide. Removes ALL occurrences (batch-deterministic and
+    order-independent, where Lee et al. keep one — a distributed engine
+    has no canonical "first" occurrence without a total order)."""
+    h1, h2 = gram_set(ds, n=n, min_count=min_count, num_buckets=num_buckets)
     dup_ref = ray.put((h1, h2))
     return ds.map_batches(
         _SpanMasker,
@@ -1217,6 +1228,70 @@ def span_dedupe(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def span_dedupe_against(
+    new_ds, ref_ds, n: int = 8, concurrency=(1, 8), num_buckets: int = 64
+) -> "rd.Dataset":
+    """Incremental-ingest dedup: remove from ``new_ds`` every token
+    covered by an n-gram that ALREADY EXISTS anywhere in ``ref_ds``
+    (min_count=1 — the reference corpus's full gram index). The
+    reference is scanned once; new shards are masked in one narrow
+    pass, so re-ingesting against a 100 TB corpus costs one index build
+    (amortizable: the (h1, h2) arrays are a persistable artifact) plus
+    O(new data). Broadcast-sized index assumed; the named alternative
+    at adversarial index sizes is the same bucketed-join path as
+    ``span_dedupe``."""
+    h1, h2 = gram_set(ref_ds, n=n, min_count=1, num_buckets=num_buckets)
+    ref = ray.put((h1, h2))
+    return new_ds.map_batches(
+        _SpanMasker,
+        fn_constructor_kwargs={"dup_ref": ref, "n": n},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def splice_mutants(ds, every: int = 31, skip: int = 10, min_len: int = 24):
+    """Deterministic near-duplicate NEW shard for incremental-dedup
+    fixtures: for every ``every``-th doc of length ≥ ``min_len``, emit
+    ``tokens[skip:] + reverse(tokens[:skip])`` under id ``mut-<orig>``
+    — the body duplicates the reference corpus (maskable) while the
+    reversed tail and the grams crossing into it are novel (kept)."""
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+        idv = ids.to_numpy(zero_copy_only=False)
+        values, offsets = _flat_tokens(t)
+        lens = np.diff(offsets)
+        keep = (idv % every == 0) & (lens >= min_len)
+        rows = np.flatnonzero(keep)
+        new_lens = lens[rows]  # same length: rotate-and-reverse layout
+        new_off = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+        local = np.arange(int(new_off[-1]), dtype=np.int64) - np.repeat(
+            new_off[:-1], new_lens
+        )
+        body_len = np.repeat(new_lens - skip, new_lens)
+        starts = np.repeat(offsets[:-1][rows], new_lens)
+        in_body = local < body_len
+        # body: orig[skip + local]; tail: reverse(orig[:skip]) =
+        # orig[skip - 1 - (local - body_len)]
+        src = np.where(
+            in_body,
+            starts + skip + local,
+            starts + skip - 1 - (local - body_len),
+        )
+        doc_ids = pc.binary_join_element_wise(
+            pa.array(["mut-"] * len(rows)),
+            t["doc_id"].combine_chunks().take(pa.array(rows)),
+            "",
+        )
+        return pa.table(
+            {"doc_id": doc_ids, "tokens": _rebuild_list(values[src], new_off)}
+        )
+
+    return ds.map_batches(make, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
