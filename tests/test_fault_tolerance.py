@@ -121,3 +121,45 @@ def test_flagship_survives_metrics_hub_kill(ray_session, tmp_path):
     assert s["rows_total"] == 40000
     agg = pq.read_table(str(tmp_path / "out" / "aggregates.parquet"))
     assert sum(agg.column("n_rows").to_pylist()) == 40000
+
+
+def test_span_dedupe_survives_worker_kill(ray_session):
+    """The span-dedup count phase is a raw-Ray split→merge exchange
+    (driver-owned return objects): killing a busy worker mid-run must
+    be recovered by lineage reconstruction with identical output."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from vector_ray.functions.tokens import span_dedupe
+
+    rng = np.random.default_rng(11)
+    base = [rng.integers(0, 50, size=60).tolist() for _ in range(400)]
+    docs = base + base[:100]  # 100 exact duplicate docs -> rich dup set
+    t = pa.table(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(len(docs))],
+            "tokens": pa.array(docs, pa.list_(pa.int32())),
+        }
+    )
+
+    def run_once():
+        out = span_dedupe(rd.from_arrow(t).repartition(16), n=8)
+        tables = [
+            x
+            for x in ray.get(out.materialize().to_arrow_refs())
+            if x.num_rows
+        ]
+        return pa.concat_tables(tables).sort_by("doc_id")
+
+    clean = run_once()
+    killed: list = []
+    th = threading.Thread(target=_kill_one_busy_worker, args=(killed, 20.0))
+    th.start()
+    try:
+        survived = run_once()
+    finally:
+        th.join()
+    assert survived.equals(clean)
