@@ -345,3 +345,15 @@ def test_splice_mutants(ray_session):
     out = _collect(splice_mutants(rd.from_arrow(t), every=31, skip=10, min_len=24))
     assert out["doc_id"].to_pylist() == ["mut-doc-0000000000"]
     assert out["tokens"][0].as_py() == list(range(10, 30)) + list(range(9, -1, -1))
+
+
+def test_append_eos(ray_session):
+    from vector_ray.functions.tokens import EOS_TOKEN, append_eos
+
+    docs = [[1, 2, 3], [], [7]]
+    out = append_eos(_mk(docs))
+    assert out["tokens"].to_pylist() == [
+        [1, 2, 3, EOS_TOKEN], [EOS_TOKEN], [7, EOS_TOKEN]
+    ]
+    assert out["n_tok"].to_pylist() == [4, 1, 2]
+    assert out["tokens"].type == pa.list_(pa.int32())

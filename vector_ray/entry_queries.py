@@ -2454,7 +2454,24 @@ def q_span_dedupe_incr(sf_dir: str):
     return span_dedupe_against(new, ref, n=8)
 
 
+def q_pack_eos(sf_dir: str):
+    """EOS-joined packing: append one separator token per document
+    (append_eos as pack's pure row transform, so count and emit passes
+    agree), then exact concat-and-chunk — the GPT "docs joined by EOS"
+    sample layout."""
+    from vector_ray.functions.tokens import append_eos, pack_sequences
+    from vector_ray.pipelines import flagship
+
+    tag = _tag(sf_dir)
+    files = flagship.list_input_files(datagen.sequences_dir(tag))
+    return pack_sequences(
+        files, chunk_len=2048, row_filter=append_eos,
+        filter_columns=("tokens",),
+    )
+
+
 QUERIES = {
+    "pack_eos_corpus": q_pack_eos,
     "span_dedupe_incr_corpus": q_span_dedupe_incr,
     "bpe_encode_corpus": q_bpe_encode,
     "temperature_mixture_corpus": q_temperature_mixture,
@@ -2600,6 +2617,24 @@ def _tokens_oracles() -> dict[str, str]:
             "tok AS ("
             "  SELECT doc_id, st + generate_subscripts(tokens, 1) - 1 AS gpos, "
             "  unnest(tokens) AS tok FROM base) "
+            "SELECT CAST(gpos // 2048 AS BIGINT) AS chunk_id, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_tok, "
+            "list(tok ORDER BY gpos) AS tokens "
+            "FROM tok GROUP BY 1"
+        ),
+        "pack_eos_corpus": (
+            # same pack SQL over tokens || [EOS=50265] per doc
+            "WITH base AS ("
+            "  SELECT doc_id, tokens || [50265] AS tokens, n_tok + 1 AS n_tok "
+            f"  FROM read_parquet('{seq}')), "
+            "based AS ("
+            "  SELECT doc_id, tokens, n_tok, COALESCE(SUM(n_tok) OVER ("
+            "    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "  ), 0) AS st FROM base), "
+            "tok AS ("
+            "  SELECT doc_id, st + generate_subscripts(tokens, 1) - 1 AS gpos, "
+            "  unnest(tokens) AS tok FROM based) "
             "SELECT CAST(gpos // 2048 AS BIGINT) AS chunk_id, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
             "CAST(COUNT(*) AS BIGINT) AS n_tok, "

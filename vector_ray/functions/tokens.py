@@ -1518,3 +1518,41 @@ def positional_stats(ds, max_pos: int = 2048, round_to: int = 4):
         .groupby("part")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+EOS_TOKEN = VOCAB_SIZE + 8  # document separator for eos-joined packing
+
+
+def append_eos(t: pa.Table, eos: int = EOS_TOKEN) -> pa.Table:
+    """Append one EOS separator to every document — composed with
+    ``pack_sequences`` (as its ``row_filter``) this yields the
+    GPT-style "join docs with EOS, then chunk" layout. Pure and
+    vectorized (one interleaved gather per batch); updates ``n_tok``
+    so the pack's count pass and emit pass agree exactly."""
+    values, offsets = _flat_tokens(t)
+    lens = np.diff(offsets)
+    new_lens = lens + 1
+    new_off = np.zeros(len(offsets), dtype=np.int64)
+    np.cumsum(new_lens, out=new_off[1:])
+    total = int(new_off[-1])
+    local = np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1], new_lens)
+    is_eos = local == np.repeat(lens, new_lens)
+    src = np.repeat(offsets[:-1], new_lens) + np.minimum(
+        local, np.repeat(np.maximum(lens - 1, 0), new_lens)
+    )
+    vals = (
+        values[src].astype(np.int64)
+        if len(values)
+        else np.zeros(total, np.int64)
+    )
+    vals = np.where(is_eos, eos, vals)
+    out = t.set_column(
+        t.column_names.index("tokens"), "tokens", _rebuild_list(vals, new_off)
+    )
+    if "n_tok" in out.column_names:
+        out = out.set_column(
+            out.column_names.index("n_tok"),
+            "n_tok",
+            pa.array(new_lens.astype(np.int32), pa.int32()),
+        )
+    return out
