@@ -357,3 +357,26 @@ def test_append_eos(ray_session):
     ]
     assert out["n_tok"].to_pylist() == [4, 1, 2]
     assert out["tokens"].type == pa.list_(pa.int32())
+
+
+def test_chunk_boundaries(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from vector_ray.functions.tokens import chunk_boundaries
+
+    # two files; doc lengths 3, 4 | 5 -> starts 0, 3, 7; chunk_len 5
+    t1 = _mk([[1, 2, 3], [4, 5, 6, 7]])
+    t2 = _mk([[9] * 5]).set_column(
+        0, "doc_id", pa.array(["doc-0000000009"])
+    )
+    _pq.write_table(t1, str(tmp_path / "a.parquet"))
+    _pq.write_table(t2, str(tmp_path / "b.parquet"))
+    out = _collect(
+        chunk_boundaries(
+            [str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")],
+            chunk_len=5,
+        )
+    ).sort_by("chunk_id")
+    assert out["chunk_id"].to_pylist() == [0, 1]
+    assert out["doc_starts"].to_pylist() == [[0, 3], [2]]
+    assert out["n_docs"].to_pylist() == [2, 1]

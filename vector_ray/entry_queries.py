@@ -2470,7 +2470,20 @@ def q_pack_eos(sf_dir: str):
     )
 
 
+def q_pack_boundaries(sf_dir: str):
+    """Per-chunk document-boundary offsets for the packed layout (the
+    attention/loss-mask reset points): n_tok prefix sums only — the
+    token payloads are never read."""
+    from vector_ray.functions.tokens import chunk_boundaries
+    from vector_ray.pipelines import flagship
+
+    tag = _tag(sf_dir)
+    files = flagship.list_input_files(datagen.sequences_dir(tag))
+    return chunk_boundaries(files, chunk_len=2048)
+
+
 QUERIES = {
+    "pack_boundaries_corpus": q_pack_boundaries,
     "pack_eos_corpus": q_pack_eos,
     "span_dedupe_incr_corpus": q_span_dedupe_incr,
     "bpe_encode_corpus": q_bpe_encode,
@@ -2622,6 +2635,16 @@ def _tokens_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_tok, "
             "list(tok ORDER BY gpos) AS tokens "
             "FROM tok GROUP BY 1"
+        ),
+        "pack_boundaries_corpus": (
+            "WITH base AS (SELECT doc_id, n_tok, "
+            "  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st "
+            f"  FROM read_parquet('{seq}')) "
+            "SELECT CAST(st // 2048 AS BIGINT) AS chunk_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(list(st % 2048 ORDER BY st) AS INTEGER[]) AS doc_starts "
+            "FROM base GROUP BY 1"
         ),
         "pack_eos_corpus": (
             # same pack SQL over tokens || [EOS=50265] per doc

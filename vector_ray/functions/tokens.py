@@ -1556,3 +1556,57 @@ def append_eos(t: pa.Table, eos: int = EOS_TOKEN) -> pa.Table:
             pa.array(new_lens.astype(np.int32), pa.int32()),
         )
     return out
+
+
+def chunk_boundaries(files: list[str], chunk_len: int = 2048) -> "rd.Dataset":
+    """Document-boundary metadata for the packed layout: for every
+    ``pack_sequences`` chunk, the within-chunk offsets where a new
+    document begins — the loss/attention-mask reset points a trainer
+    needs to stop attention from crossing document boundaries in
+    packed samples. Derived from ``n_tok`` prefix sums alone (the
+    token payloads are never read): per-file bases from
+    ``_file_token_counts``, one column-pruned pass emitting one
+    (chunk_id, offset) pair per document, and a tiny groupby over
+    n_docs metadata rows — O(docs), not O(tokens), at any corpus size.
+    Byte-consistent with ``pack_sequences`` by construction (same
+    bases, same doc order)."""
+    files = sorted(files)
+    counts = _file_token_counts(files)
+    bases = {p: int(b) for p, b in zip(files, np.cumsum([0] + counts[:-1]))}
+    bases_ref = ray.put(bases)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        bmap = ray.get(bases_ref)
+        out = []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path, columns=["n_tok"])
+            n_tok = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+            st = bmap[path] + np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+            out.append(
+                pa.table(
+                    {
+                        "chunk_id": pa.array(st // chunk_len, pa.int64()),
+                        "offset": pa.array(st % chunk_len, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    paths = rd.from_arrow(pa.table({"path": files})).repartition(len(files))
+    pairs = paths.map_batches(emit, batch_format="pyarrow")
+
+    def collect(group: pa.Table) -> pa.Table:
+        offs = np.sort(group["offset"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "chunk_id": pa.array(
+                    [group["chunk_id"][0].as_py()], pa.int64()
+                ),
+                "n_docs": pa.array([group.num_rows], pa.int64()),
+                "doc_starts": pa.array(
+                    [offs.astype(np.int32)], pa.list_(pa.int32())
+                ),
+            }
+        )
+
+    return pairs.groupby("chunk_id").map_groups(collect, batch_format="pyarrow")
