@@ -171,3 +171,80 @@ def test_lag_delta_kernel_matches_pandas(rows):
     ref = pd.Series(vals).diff().tolist()
     assert out[0] is None
     assert np.allclose(out[1:], ref[1:])
+
+
+token_docs = st.lists(
+    st.lists(st.integers(min_value=0, max_value=50256), max_size=25),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _layout_collect(ds):
+    import ray
+
+    tables = [
+        t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows
+    ]
+    return (
+        pa.concat_tables(tables).sort_by("doc_id")
+        if tables
+        else pa.table({})
+    )
+
+
+def _mk_docs(docs):
+    return pa.table(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(len(docs))],
+            "tokens": pa.array(
+                [list(map(int, d)) for d in docs], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([len(d) for d in docs], pa.int32()),
+        }
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(token_docs, st.integers(min_value=1, max_value=30))
+def test_layout_ops_invariants(ray_session, docs, k):
+    import ray.data as rd
+
+    from vector_ray.functions.tokens import (
+        epoch_crop,
+        strip_tokens,
+        truncate_sequences,
+        window_chunks,
+    )
+
+    t = _mk_docs(docs)
+    # strip: per-row filter semantics
+    bl = {0, 7, 13}
+    out = _layout_collect(strip_tokens(rd.from_arrow(t), blocklist=sorted(bl)))
+    for d, got, n in zip(docs, out["tokens"].to_pylist(), out["n_tok"].to_pylist()):
+        want = [x for x in d if x not in bl]
+        assert got == want and n == len(want)
+    # truncate: exact prefix
+    out = _layout_collect(truncate_sequences(rd.from_arrow(t), k))
+    for d, got in zip(docs, out["tokens"].to_pylist()):
+        assert got == list(d)[:k]
+    # crop: a contiguous slice of the right length
+    out = _layout_collect(epoch_crop(rd.from_arrow(t), crop_len=k, epoch=3))
+    for d, got in zip(docs, out["tokens"].to_pylist()):
+        assert len(got) == min(len(d), k)
+        if d:
+            joined = ",".join(map(str, d))
+            assert not got or ",".join(map(str, got)) in joined
+    # windows with stride == chunk_len partition the doc exactly
+    out = _layout_collect(window_chunks(rd.from_arrow(t), chunk_len=k, stride=k))
+    rebuilt = {}
+    for did, win, toks in sorted(
+        zip(
+            out["doc_id"].to_pylist() if out.num_rows else [],
+            out["win_id"].to_pylist() if out.num_rows else [],
+            out["tokens"].to_pylist() if out.num_rows else [],
+        )
+    ):
+        rebuilt.setdefault(did, []).extend(toks)
+    for i, d in enumerate(docs):
+        assert rebuilt.get(f"doc-{i:010d}", []) == list(d)
