@@ -89,3 +89,40 @@ def test_pretrain_run_end_to_end(seq_dir, tmp_path):
         pretrain.run(
             seq_dir, out, pretrain.PretrainConfig(chunk_len=1024)
         )
+
+
+def test_pretrain_blocklist_and_eos(ray_session, tmp_path):
+    """The token-layout knobs compose into the packed stream exactly:
+    chunks equal the serial strip -> +EOS -> concat -> cut reference."""
+    import numpy as np
+
+    from vector_ray.functions.tokens import EOS_TOKEN
+    from vector_ray.pipelines import pretrain
+
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    for i in range(3):
+        pq.write_table(
+            datagen.generate_batch(i * 400, 400), str(seq / f"s-{i:05d}.parquet")
+        )
+    cfg = pretrain.PretrainConfig(
+        chunk_len=256, blocklist=(0, 1, 2, 3), append_eos=True
+    )
+    out = tmp_path / "out"
+    pretrain.run(str(seq), str(out), cfg, resume=False)
+    got = pq.read_table(str(out / "train_chunks")).sort_by("chunk_id")
+    stream = [x for row in got["tokens"].to_pylist() for x in row]
+
+    # serial reference over the same filter + layout
+    import pyarrow.compute as pc2
+
+    ref_stream = []
+    for i in range(3):
+        t = pq.read_table(str(seq / f"s-{i:05d}.parquet"))
+        kept = pretrain.train_filter(cfg)(t)
+        for row in kept["tokens"].to_pylist():
+            ref_stream.extend(row)
+    assert stream == ref_stream
+    assert EOS_TOKEN in set(stream[:100000])
+    lens = got["n_tok"].to_pylist()
+    assert all(x == 256 for x in lens[:-1])

@@ -794,34 +794,40 @@ def _rebuild_list(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
     )
 
 
+def strip_tokens_table(t: pa.Table, blocklist, col: str = "tokens") -> pa.Table:
+    """Pure-table body of ``strip_tokens`` — also usable as a
+    ``pack_sequences`` row transform (count/emit passes agree because
+    ``n_tok`` is updated consistently)."""
+    bl = np.asarray(sorted(set(int(b) for b in blocklist)), dtype=np.int64)
+    values, offsets = _flat_tokens(t, col)
+    keep = ~np.isin(values.astype(np.int64), bl)
+    # per-row kept counts via prefix sums (robust to empty rows,
+    # unlike reduceat, which cannot take a start index == len)
+    csum = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(keep, out=csum[1:])
+    kept = csum[offsets[1:]] - csum[offsets[:-1]]
+    new_off = np.zeros(len(offsets), dtype=np.int64)
+    np.cumsum(kept, out=new_off[1:])
+    out = t.set_column(
+        t.column_names.index(col), col, _rebuild_list(values[keep], new_off)
+    )
+    if "n_tok" in out.column_names:
+        out = out.set_column(
+            out.column_names.index("n_tok"),
+            "n_tok",
+            pa.array(kept.astype(np.int32), pa.int32()),
+        )
+    return out
+
+
 def strip_tokens(ds, blocklist, col: str = "tokens"):
     """Remove every occurrence of the blocklisted ids (special-token /
     sentinel scrubbing) from each sequence; updates ``n_tok`` when
-    present. One vectorized isin mask + reduceat per batch."""
-    bl = np.asarray(sorted(set(int(b) for b in blocklist)), dtype=np.int64)
-
-    def strip(t: pa.Table) -> pa.Table:
-        values, offsets = _flat_tokens(t, col)
-        keep = ~np.isin(values.astype(np.int64), bl)
-        # per-row kept counts via prefix sums (robust to empty rows,
-        # unlike reduceat, which cannot take a start index == len)
-        csum = np.zeros(len(values) + 1, dtype=np.int64)
-        np.cumsum(keep, out=csum[1:])
-        kept = csum[offsets[1:]] - csum[offsets[:-1]]
-        new_off = np.zeros(len(offsets), dtype=np.int64)
-        np.cumsum(kept, out=new_off[1:])
-        out = t.set_column(
-            t.column_names.index(col), col, _rebuild_list(values[keep], new_off)
-        )
-        if "n_tok" in out.column_names:
-            out = out.set_column(
-                out.column_names.index("n_tok"),
-                "n_tok",
-                pa.array(kept.astype(np.int32), pa.int32()),
-            )
-        return out
-
-    return ds.map_batches(strip, batch_format="pyarrow")
+    present. One vectorized isin mask + prefix-sum rebuild per batch."""
+    return ds.map_batches(
+        lambda t: strip_tokens_table(t, blocklist, col),
+        batch_format="pyarrow",
+    )
 
 
 def truncate_sequences(ds, max_len: int, col: str = "tokens"):

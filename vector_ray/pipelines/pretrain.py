@@ -50,6 +50,11 @@ class PretrainConfig:
     val_per_mille: int = 10
     chunk_len: int = 2048
     epoch: int = 0
+    # token-layout knobs (both pure row transforms, so the pack's count
+    # and emit passes stay exactly agreed): strip these ids before
+    # packing; append one EOS separator per document (GPT layout)
+    blocklist: tuple = ()
+    append_eos: bool = False
 
 
 def train_filter(cfg: PretrainConfig):
@@ -68,7 +73,16 @@ def train_filter(cfg: PretrainConfig):
             _source_rates(t, cfg.rates, cfg.default_rate) * HASH_MOD
         )
         is_train = (_doc_hash(t, SPLIT_MULT) % 1000) >= cfg.val_per_mille
-        return t.filter(pa.array(sampled & is_train))
+        t = t.filter(pa.array(sampled & is_train))
+        if cfg.blocklist:
+            from vector_ray.functions.tokens import strip_tokens_table
+
+            t = strip_tokens_table(t, cfg.blocklist)
+        if cfg.append_eos:
+            from vector_ray.functions.tokens import append_eos
+
+            t = append_eos(t)
+        return t
 
     return keep
 
@@ -102,6 +116,8 @@ def run(
             "val_per_mille": cfg.val_per_mille,
             "chunk_len": cfg.chunk_len,
             "epoch": cfg.epoch,
+            "blocklist": sorted(cfg.blocklist),
+            "append_eos": cfg.append_eos,
         }
     )
     t0 = time.perf_counter()
@@ -139,8 +155,14 @@ def run(
         rec = store.records()["train_chunks"]
         n_chunks, train_tokens = int(rec["rows"]), int(rec["tokens"])
     else:
+        fcols = ("doc_id", "source") + (
+            ("tokens",) if (cfg.blocklist or cfg.append_eos) else ()
+        )
         chunks = pack_sequences(
-            files, chunk_len=cfg.chunk_len, row_filter=train_filter(cfg)
+            files,
+            chunk_len=cfg.chunk_len,
+            row_filter=train_filter(cfg),
+            filter_columns=fcols,
         )
         ordered = (
             chunks
