@@ -380,3 +380,30 @@ def test_chunk_boundaries(ray_session, tmp_path):
     assert out["chunk_id"].to_pylist() == [0, 1]
     assert out["doc_starts"].to_pylist() == [[0, 3], [2]]
     assert out["n_docs"].to_pylist() == [2, 1]
+
+
+def test_gram_index_roundtrip(ray_session, tmp_path):
+    from vector_ray.functions.tokens import (
+        gram_set,
+        save_gram_index,
+        span_dedupe_against,
+        span_dedupe_against_index,
+    )
+
+    ref_docs = [list(range(100, 140)), list(range(500, 520))]
+    ref = rd.from_arrow(_mk(ref_docs))
+    h1, h2 = gram_set(ref, n=8, min_count=1)
+    idx = str(tmp_path / "grams.parquet")
+    assert save_gram_index(h1, h2, idx) == len(h1) > 0
+    new = pa.table(
+        {
+            "doc_id": ["new-1"],
+            "tokens": pa.array(
+                [list(range(100, 116)) + [9999] * 4], pa.list_(pa.int32())
+            ),
+        }
+    )
+    via_index = _collect(span_dedupe_against_index(rd.from_arrow(new), idx, n=8))
+    direct = _collect(span_dedupe_against(rd.from_arrow(new), ref, n=8))
+    assert via_index.equals(direct)
+    assert via_index["tokens"].to_pylist() == [[9999] * 4]

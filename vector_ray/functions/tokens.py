@@ -1616,3 +1616,44 @@ def chunk_boundaries(files: list[str], chunk_len: int = 2048) -> "rd.Dataset":
         )
 
     return pairs.groupby("chunk_id").map_groups(collect, batch_format="pyarrow")
+
+
+def save_gram_index(h1: np.ndarray, h2: np.ndarray, path: str) -> int:
+    """Persist a ``gram_set`` result as parquet — the amortizable
+    artifact of incremental dedup: build the corpus index once, then
+    mask every future shard against the file instead of rescanning
+    100 TB. Written sorted by (h1, h2) so loads skip the re-sort."""
+    order = np.lexsort((h2, h1))
+    pq.write_table(
+        pa.table(
+            {
+                "h1": pa.array(h1[order].view(np.int64), pa.int64()),
+                "h2": pa.array(h2[order].view(np.int64), pa.int64()),
+            }
+        ),
+        path,
+    )
+    return len(h1)
+
+
+def load_gram_index(path: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(path)
+    return (
+        t["h1"].to_numpy(zero_copy_only=False).view(np.uint64),
+        t["h2"].to_numpy(zero_copy_only=False).view(np.uint64),
+    )
+
+
+def span_dedupe_against_index(
+    new_ds, index_path: str, n: int = 8, concurrency=(1, 8)
+) -> "rd.Dataset":
+    """Mask a new shard against a PERSISTED gram index (see
+    ``save_gram_index``) — zero passes over the reference corpus."""
+    h1, h2 = load_gram_index(index_path)
+    ref = ray.put((h1, h2))
+    return new_ds.map_batches(
+        _SpanMasker,
+        fn_constructor_kwargs={"dup_ref": ref, "n": n},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
