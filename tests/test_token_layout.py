@@ -407,3 +407,73 @@ def test_gram_index_roundtrip(ray_session, tmp_path):
     direct = _collect(span_dedupe_against(rd.from_arrow(new), ref, n=8))
     assert via_index.equals(direct)
     assert via_index["tokens"].to_pylist() == [[9999] * 4]
+
+
+def test_pair_member_exactness(ray_session):
+    """_pair_member == brute-force set membership, including equal-h1
+    runs (the width>1 branch a real 64-bit hash never exercises) and
+    bitmap prefilter interplay via _build_mask_state/_mask_spans."""
+    from vector_ray.functions.tokens import _build_mask_state, _pair_member
+
+    rng = np.random.default_rng(7)
+    # keys: random pairs PLUS three keys sharing one h1 (forced run)
+    k1 = rng.integers(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
+    k2 = rng.integers(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
+    shared = np.uint64(123456789)
+    k1 = np.concatenate([k1, [shared, shared, shared]])
+    k2 = np.concatenate([k2, np.array([7, 9, 11], np.uint64)])
+    s1, s2, _bitmap = _build_mask_state(k1, k2)
+
+    # queries: half true members (incl. all three run members), half
+    # near-misses (member h1 with non-member h2 — the case a naive
+    # h1-only check gets wrong), half randoms
+    q1 = np.concatenate([k1, k1, rng.integers(0, 2**63, 300, dtype=np.int64).astype(np.uint64)])
+    q2 = np.concatenate([k2, k2 + np.uint64(1), rng.integers(0, 2**63, 300, dtype=np.int64).astype(np.uint64)])
+    got = _pair_member(s1, s2, q1, q2)
+
+    truth = set(zip(k1.tolist(), k2.tolist()))
+    want = np.array([(a, b) in truth for a, b in zip(q1.tolist(), q2.tolist())])
+    assert (got == want).all()
+
+
+def test_mask_spans_bitmap_equals_bruteforce(ray_session):
+    """span_dedupe output is identical whether membership goes through
+    the bitmap prefilter or a brute-force per-gram set check."""
+    from vector_ray.functions.tokens import (
+        _build_mask_state,
+        _flat_tokens,
+        _gram_windows,
+        _hash_grams,
+        _hash_grams2,
+        _mask_spans,
+        gram_set,
+    )
+
+    rng = np.random.default_rng(11)
+    docs = [rng.integers(0, 50, rng.integers(8, 40)).tolist() for _ in range(60)]
+    docs[10] = docs[3][:]  # exact dup
+    docs[20] = docs[3][:12] + docs[7][:12]  # shared spans
+    t = _mk(docs)
+    ds = rd.from_arrow(t)
+    h1, h2 = gram_set(ds, n=8)
+    assert len(h1) > 0
+    state_ref = ray.put(_build_mask_state(h1, h2))
+    out = _mask_spans(t, state_ref, 8)
+
+    # brute force: membership via a Python set of (h1, h2)
+    dup = set(zip(h1.tolist(), h2.tolist()))
+    values, offsets = _flat_tokens(t)
+    starts, _ = _gram_windows(values, offsets, 8)
+    g1 = _hash_grams(values, starts, 8)
+    g2 = _hash_grams2(values, starts, 8)
+    cover = np.zeros(len(values) + 1, dtype=np.int64)
+    for s, a, b in zip(starts, g1.tolist(), g2.tolist()):
+        if (a, b) in dup:
+            cover[s] += 1
+            cover[s + 8] -= 1
+    keep = ~(np.cumsum(cover[:-1]) > 0)
+    got_flat, got_off = _flat_tokens(out)
+    assert got_flat.tolist() == values[keep].tolist()
+    assert out["n_removed"].to_pylist() == [
+        int((~keep)[offsets[i]:offsets[i + 1]].sum()) for i in range(len(docs))
+    ]
