@@ -389,13 +389,54 @@ def _gram_windows(values: np.ndarray, offsets: np.ndarray, n: int):
 
 
 def _hash_grams(values: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
-    """Vectorized FNV-1a over each window's ``n`` int32 tokens."""
-    h = np.full(len(starts), _FNV_OFFSET, dtype=np.uint64)
+    """Vectorized FNV-1a over each window's ``n`` int32 tokens.
+
+    Window starts are nearly DENSE (every position except the n-1 at
+    each row boundary), so instead of n fancy-index gathers of
+    ``values[starts + j]`` (index math + bounds checks per element,
+    measured ~2x the cost of the whole hash), hash ALL contiguous
+    positions with plain slices and gather once at the end. Sparse
+    ``starts`` (< 1/4 of positions) keep the direct gather loop. Same
+    FNV values either way — outputs byte-identical."""
+    return _hash_grams_with(values, starts, n, _FNV_OFFSET, _FNV_PRIME)
+
+
+def _hash_grams_with(
+    values: np.ndarray,
+    starts: np.ndarray,
+    n: int,
+    offset: np.uint64,
+    prime: np.uint64,
+) -> np.ndarray:
+    m = len(values) - n + 1
+    if not len(starts):
+        return np.empty(0, np.uint64)
     with np.errstate(over="ignore"):
+        if m > 0 and len(starts) * 4 >= m:
+            v = values.astype(np.uint64)
+            h = np.full(m, offset, dtype=np.uint64)
+            for j in range(n):
+                h ^= v[j : j + m]
+                h *= prime
+            return h[starts]
+        h = np.full(len(starts), offset, dtype=np.uint64)
         for j in range(n):
             h ^= values[starts + j].astype(np.uint64)
-            h *= _FNV_PRIME
-    return h
+            h *= prime
+        return h
+
+
+def _hash_grams_pair(
+    values: np.ndarray, starts: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Both independent 64-bit gram hashes. Two separate slice-loop
+    passes measure FASTER than one fused loop updating both
+    accumulators (2-array vs 3-array streaming; 208 ms vs 255 ms per
+    6.7M grams) — so this is just the convenience spelling."""
+    return (
+        _hash_grams_with(values, starts, n, _FNV_OFFSET, _FNV_PRIME),
+        _hash_grams_with(values, starts, n, _FNV2_OFFSET, _FNV2_PRIME),
+    )
 
 
 def _eval_grams_for_file(
@@ -1011,12 +1052,7 @@ _FNV2_PRIME = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash PRIME64_2 (odd)
 
 def _hash_grams2(values: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
     """Second, independent 64-bit gram hash (different offset/prime)."""
-    h = np.full(len(starts), _FNV2_OFFSET, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(n):
-            h ^= values[starts + j].astype(np.uint64)
-            h *= _FNV2_PRIME
-    return h
+    return _hash_grams_with(values, starts, n, _FNV2_OFFSET, _FNV2_PRIME)
 
 
 def plant_duplicates(ds, every: int = 31, skip: int = 10, min_len: int = 24):
@@ -1116,8 +1152,7 @@ def _mask_spans(t: pa.Table, state_ref, n: int) -> pa.Table:
     starts, _ = _gram_windows(values, offsets, n)
     cover = np.zeros(len(values) + 1, dtype=np.int64)
     if len(starts) and len(k1):
-        q1 = _hash_grams(values, starts, n)
-        q2 = _hash_grams2(values, starts, n)
+        q1, q2 = _hash_grams_pair(values, starts, n)
         qidx = (q1 & np.uint64((1 << _BLOOM_BITS) - 1)).astype(np.int64)
         cand = (
             (bitmap[qidx >> 3] >> (qidx & 7).astype(np.uint8)) & 1
@@ -1170,8 +1205,7 @@ def gram_set(
     def partials(t: pa.Table) -> pa.Table:
         values, offsets = _flat_tokens(t)
         starts, _ = _gram_windows(values, offsets, n)
-        h1 = _hash_grams(values, starts, n)
-        h2 = _hash_grams2(values, starts, n)
+        h1, h2 = _hash_grams_pair(values, starts, n)
         # bucket by h1 high bits with a RADIX-stable argsort (O(N) for
         # small-range ints) — no per-batch gram sort/dedup: raw
         # occurrences ship packed, and the 64 parallel bucket tasks do
