@@ -477,3 +477,47 @@ def test_mask_spans_bitmap_equals_bruteforce(ray_session):
     assert out["n_removed"].to_pylist() == [
         int((~keep)[offsets[i]:offsets[i + 1]].sum()) for i in range(len(docs))
     ]
+
+
+def test_hash_grams_sparse_dense_paths():
+    """_hash_grams picks a slice path for dense starts and a gather path
+    for sparse starts (< 1/4 of window positions); both must produce the
+    exact per-window FNV-1a values of a per-row reference loop."""
+    from vector_ray.functions.tokens import (
+        _FNV2_OFFSET,
+        _FNV2_PRIME,
+        _FNV_OFFSET,
+        _FNV_PRIME,
+        _hash_grams,
+        _hash_grams2,
+        _hash_grams_pair,
+    )
+
+    rng = np.random.default_rng(5)
+    values = rng.integers(0, 1000, 4000).astype(np.int32)
+
+    def ref(starts, off, prime):
+        out = []
+        for s in starts:
+            h = int(off)
+            for tok in values[s : s + 8]:
+                h = ((h ^ int(np.uint64(np.int64(tok).astype(np.uint64))))
+                     * int(prime)) % (1 << 64)
+            out.append(h)
+        return out
+
+    dense = np.arange(len(values) - 7, dtype=np.int64)
+    sparse = dense[::29]  # < 1/4 of positions -> gather path
+    for starts in (dense, sparse):
+        assert _hash_grams(values, starts, 8).tolist() == ref(
+            starts, _FNV_OFFSET, _FNV_PRIME
+        )
+        assert _hash_grams2(values, starts, 8).tolist() == ref(
+            starts, _FNV2_OFFSET, _FNV2_PRIME
+        )
+        p1, p2 = _hash_grams_pair(values, starts, 8)
+        assert p1.tolist() == ref(starts, _FNV_OFFSET, _FNV_PRIME)
+        assert p2.tolist() == ref(starts, _FNV2_OFFSET, _FNV2_PRIME)
+    # empty starts
+    e1, e2 = _hash_grams_pair(values, np.empty(0, np.int64), 8)
+    assert len(e1) == 0 and len(e2) == 0
