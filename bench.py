@@ -152,6 +152,20 @@ def run_bench() -> dict:
         n=8,
     ).count()
     queries["span_dedupe"] = round(time.perf_counter() - _t0, 3)
+    # partitioned-index mask variant: index stays sharded per bucket,
+    # query grams routed to it (the adversarial-dup-set scale path);
+    # measured FASTER here too (one materialized read feeds both passes)
+    _t0 = time.perf_counter()
+    span_dedupe(
+        plant_duplicates(
+            rd.read_parquet(
+                _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
+            )
+        ),
+        n=8,
+        mask="exchange",
+    ).count()
+    queries["span_dedupe_x"] = round(time.perf_counter() - _t0, 3)
     # pretrain prep e2e (mixture + split filter inside exact packing,
     # epoch shuffle, partitioned writes + checkpoints): the tokens-axis
     # counterpart of the flagship headline

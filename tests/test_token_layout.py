@@ -521,3 +521,41 @@ def test_hash_grams_sparse_dense_paths():
     # empty starts
     e1, e2 = _hash_grams_pair(values, np.empty(0, np.int64), 8)
     assert len(e1) == 0 and len(e2) == 0
+
+
+def test_span_dedupe_exchange_equals_broadcast(ray_session):
+    """mask="exchange" (index stays partitioned per bucket, query grams
+    routed to it) must produce byte-identical rows to the broadcast
+    default, across several num_buckets/num-groups shapes including the
+    num_buckets=1 / single-block degenerate cases."""
+    from vector_ray.functions.tokens import span_dedupe
+
+    rng = np.random.default_rng(23)
+    docs = [rng.integers(0, 40, rng.integers(8, 60)).tolist() for _ in range(150)]
+    docs[30] = docs[4][:]
+    docs[75] = docs[4][:15] + docs[9][:15]
+    t = _mk(docs)
+
+    for num_buckets, blocks in [(8, 6), (1, 1), (4, 1)]:
+        ds_b = rd.from_arrow(t).repartition(blocks)
+        ds_e = rd.from_arrow(t).repartition(blocks)
+        b = _collect(
+            span_dedupe(ds_b, n=8, num_buckets=num_buckets, mask="broadcast")
+        ).sort_by("doc_id")
+        e = _collect(
+            span_dedupe(ds_e, n=8, num_buckets=num_buckets, mask="exchange")
+        ).sort_by("doc_id")
+        assert b.equals(e), f"mismatch at num_buckets={num_buckets} blocks={blocks}"
+        assert e["tokens"].type == pa.list_(pa.int32())
+    # some tokens must actually have been removed for the test to bite
+    assert sum(e["n_removed"].to_pylist()) > 0
+
+    # no duplicates at all -> output equals input layout
+    clean = _mk([[i, i + 1, i + 2] for i in range(10)])
+    out = _collect(
+        span_dedupe(rd.from_arrow(clean), n=8, mask="exchange")
+    ).sort_by("doc_id")
+    assert out["tokens"].to_pylist() == clean["tokens"].to_pylist()
+
+    with pytest.raises(ValueError):
+        span_dedupe(rd.from_arrow(clean), mask="nope")

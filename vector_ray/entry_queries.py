@@ -2284,6 +2284,23 @@ def q_span_dedupe(sf_dir: str):
     return span_dedupe(plant_duplicates(ds, every=31, skip=10, min_len=24), n=8)
 
 
+def q_span_dedupe_exchange(sf_dir: str):
+    """Same substring-dedup semantics via the partitioned-index mask
+    (mask="exchange"): the dup-gram index stays sharded per hash bucket
+    and query grams are routed to it — the path for dup sets that
+    outgrow worker memory. Byte-identical output to the broadcast mask
+    (same SQL oracle)."""
+    from vector_ray.functions.tokens import plant_duplicates, span_dedupe
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return span_dedupe(
+        plant_duplicates(ds, every=31, skip=10, min_len=24), n=8, mask="exchange"
+    )
+
+
 def q_span_corrupt(sf_dir: str):
     """T5-style span corruption layout: mask ~1/7 of 4-token-aligned
     blocks per doc (exact integer hash of doc id + block index), emit
@@ -2495,6 +2512,7 @@ QUERIES = {
     "bpe_train_corpus": q_bpe_train,
     "span_corrupt_corpus": q_span_corrupt,
     "span_dedupe_corpus": q_span_dedupe,
+    "span_dedupe_exchange_corpus": q_span_dedupe_exchange,
     "strip_tokens_corpus": q_strip_tokens,
     "truncate_tokens_corpus": q_truncate_tokens,
     "window_chunks_corpus": q_window_chunks,
@@ -3066,6 +3084,8 @@ def oracle_sql() -> dict[str, str]:
     datagen.ensure_corpus(ORACLE_TAG)  # oracle reads the same corpus files
     sql = dict(_flagship_oracles())
     sql.update(_tokens_oracles())
+    # exchange-mask span dedup: identical semantics, same oracle
+    sql["span_dedupe_exchange_corpus"] = sql["span_dedupe_corpus"]
     sql.update(
         {
             "filter_events": (

@@ -1032,9 +1032,10 @@ def fim_transform(ds, col: str = "tokens", id_col: str = "doc_id"):
 #   collect only grams with count ≥ min_count — the genuinely small side
 #           for natural-language duplication rates — and broadcast via
 #           ray.put. If the duplicate set itself outgrows worker memory
-#           (adversarially duplicated corpora), the named alternative is
-#           stages/shuffle.bucketed_join of position rows against the
-#           dup-gram table on the hash key, then regroup by doc.
+#           (adversarially duplicated corpora), mask="exchange" keeps
+#           the index partitioned per hash bucket and routes query
+#           grams to it (_mask_stage_exchange) — implemented and
+#           tested, byte-identical output.
 #   pass B  actor-pool map_batches: recompute gram hashes, membership via
 #           one searchsorted on a 128-bit sort key, coverage by
 #           difference-array cumsum, list rebuild on offsets. No Python
@@ -1150,7 +1151,6 @@ def _mask_spans(t: pa.Table, state_ref, n: int) -> pa.Table:
     k1, k2, bitmap = ray.get(state_ref)
     values, offsets = _flat_tokens(t)
     starts, _ = _gram_windows(values, offsets, n)
-    cover = np.zeros(len(values) + 1, dtype=np.int64)
     if len(starts) and len(k1):
         q1, q2 = _hash_grams_pair(values, starts, n)
         qidx = (q1 & np.uint64((1 << _BLOOM_BITS) - 1)).astype(np.int64)
@@ -1161,8 +1161,24 @@ def _mask_spans(t: pa.Table, state_ref, n: int) -> pa.Table:
         if cand.any():
             member[cand] = _pair_member(k1, k2, q1[cand], q2[cand])
         dup = starts[member]
-        np.add.at(cover, dup, 1)
-        np.add.at(cover, dup + n, -1)
+    else:
+        dup = np.empty(0, np.int64)
+    return _apply_cover(t, values, offsets, dup, n)
+
+
+def _apply_cover(
+    t: pa.Table,
+    values: np.ndarray,
+    offsets: np.ndarray,
+    dup_starts: np.ndarray,
+    n: int,
+) -> pa.Table:
+    """Drop every token covered by a window starting at ``dup_starts``
+    (difference-array cumsum coverage, offsets-vectorized list rebuild)."""
+    cover = np.zeros(len(values) + 1, dtype=np.int64)
+    if len(dup_starts):
+        np.add.at(cover, dup_starts, 1)
+        np.add.at(cover, dup_starts + n, -1)
     covered = np.cumsum(cover[:-1]) > 0
     keep = ~covered
     csum = np.zeros(len(values) + 1, dtype=np.int64)
@@ -1182,13 +1198,15 @@ def _mask_spans(t: pa.Table, state_ref, n: int) -> pa.Table:
     )
 
 
-def gram_set(
+def _gram_index_parts(
     ds, n: int = 8, min_count: int = 2, num_buckets: int = 64
-) -> tuple[np.ndarray, np.ndarray]:
-    """The (h1, h2) composite keys of every n-gram occurring ≥
-    ``min_count`` times in ``ds`` — the count phase of ``span_dedupe``,
-    reusable standalone (``min_count=1`` = the corpus's full gram index,
-    the reference side of incremental dedup).
+) -> list:
+    """Distributed gram-count index: one driver-owned ObjectRef per
+    hash-range bucket, each resolving to that bucket's (h1, h2) dup-gram
+    keys as two LEXSORTED int64 arrays. ``gram_set`` concatenates them
+    into one driver-side index (the broadcast mask path);
+    ``_mask_stage_exchange`` probes them in place — no single process
+    ever holds the whole index (the adversarial-dup-set scale path).
 
     Gram extraction is PACKED: each batch emits ≤ ``num_buckets`` rows,
     each holding that batch's gram keys for one hash-range bucket as
@@ -1263,13 +1281,15 @@ def gram_set(
             for i, b in enumerate(bcol):
                 acc1[b].append(c1[i].values.to_numpy(zero_copy_only=False))
                 acc2[b].append(c2[i].values.to_numpy(zero_copy_only=False))
-        return tuple(
+        out = tuple(
             (
                 np.concatenate(acc1[b]) if acc1[b] else np.empty(0, np.int64),
                 np.concatenate(acc2[b]) if acc2[b] else np.empty(0, np.int64),
             )
             for b in range(num_buckets)
         )
+        # num_returns=1 treats the whole return as ONE object — unwrap
+        return out if num_buckets > 1 else out[0]
 
     @ray.remote(num_cpus=1)
     def merge_bucket(*chunks):
@@ -1293,16 +1313,21 @@ def gram_set(
     ]
     if num_buckets == 1:  # num_returns=1 yields a bare ref, not a list
         parts = [[p] for p in parts]
-    merged = (
-        ray.get(
-            [
-                merge_bucket.remote(*[p[i] for p in parts])
-                for i in range(num_buckets)
-            ]
-        )
-        if parts
-        else []
-    )
+    return [
+        merge_bucket.remote(*[p[i] for p in parts]) for i in range(num_buckets)
+    ]
+
+
+def gram_set(
+    ds, n: int = 8, min_count: int = 2, num_buckets: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
+    """The (h1, h2) composite keys of every n-gram occurring ≥
+    ``min_count`` times in ``ds`` — the count phase of ``span_dedupe``,
+    reusable standalone (``min_count=1`` = the corpus's full gram index,
+    the reference side of incremental dedup). See ``_gram_index_parts``
+    for the exchange plan; this concatenates the per-bucket results
+    into one driver-side index (the broadcast mask path)."""
+    merged = ray.get(_gram_index_parts(ds, n, min_count, num_buckets))
     if merged:
         h1 = np.concatenate([m[0] for m in merged]).view(np.uint64)
         h2 = np.concatenate([m[1] for m in merged]).view(np.uint64)
@@ -1310,6 +1335,119 @@ def gram_set(
         h1 = np.empty(0, np.uint64)
         h2 = np.empty(0, np.uint64)
     return h1, h2
+
+
+def _mask_stage_exchange(ds, index_parts: list, n: int, num_buckets: int):
+    """Pass B without broadcasting the index: route each block's QUERY
+    grams to the bucket task holding that hash range of the dup-gram
+    index (a distributed hash semi-join), ship back only the hit
+    positions, and apply coverage per block. No process ever holds more
+    than one bucket of the index — the scale path when the duplicate
+    set itself outgrows worker memory (adversarially duplicated
+    corpora; at 100 TB the dup-gram set grows with the corpus, so the
+    broadcast default eventually breaks while this path only needs
+    index/num_buckets per probe task — raise ``num_buckets`` with
+    corpus size). Costs one extra exchange of (q1, q2, block, start) =
+    28 B/gram plus 12 B/hit back, so at broadcast-sized dup sets the
+    broadcast mask is faster; results are byte-identical either way.
+    All intermediate objects are driver-owned task returns (lineage
+    reconstruction re-runs the producing task on worker loss)."""
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    shift = np.uint64(64 - (num_buckets.bit_length() - 1))
+    blocks = ds.materialize().to_arrow_refs()
+    if not blocks:
+        return _mask_stage(ds, np.empty(0, np.uint64), np.empty(0, np.uint64), n)
+    num_groups = max(
+        1, min(len(blocks), int(ray.cluster_resources().get("CPU", 8)))
+    )
+    group_blocks = [blocks[g::num_groups] for g in range(num_groups)]
+
+    _EMPTY_Q = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int32),
+        np.empty(0, np.int64),
+    )
+
+    @ray.remote(num_cpus=1, num_returns=num_buckets)
+    def query_group(*tbls):
+        # per bucket: (q1, q2, block-in-group idx, start) of every gram
+        acc: list[list] = [[] for _ in range(num_buckets)]
+        for bi, tbl in enumerate(tbls):
+            values, offsets = _flat_tokens(tbl)
+            starts, _ = _gram_windows(values, offsets, n)
+            if not len(starts):
+                continue
+            q1, q2 = _hash_grams_pair(values, starts, n)
+            bucket = (q1 >> shift).astype(np.int64)
+            order = np.argsort(bucket, kind="stable")
+            cuts = np.searchsorted(
+                bucket[order], np.arange(num_buckets + 1, dtype=np.int64)
+            )
+            q1s, q2s, sts = q1[order], q2[order], starts[order]
+            for b in range(num_buckets):
+                lo, hi = int(cuts[b]), int(cuts[b + 1])
+                if hi > lo:
+                    acc[b].append(
+                        (
+                            q1s[lo:hi].view(np.int64),
+                            q2s[lo:hi].view(np.int64),
+                            np.full(hi - lo, bi, np.int32),
+                            sts[lo:hi],
+                        )
+                    )
+        out = tuple(
+            tuple(np.concatenate([a[i] for a in acc[b]]) for i in range(4))
+            if acc[b]
+            else _EMPTY_Q
+            for b in range(num_buckets)
+        )
+        # num_returns=1 treats the whole return as ONE object — unwrap
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_cpus=1, num_returns=num_groups)
+    def probe_bucket(index_part, *qs):
+        k1 = index_part[0].view(np.uint64)
+        k2 = index_part[1].view(np.uint64)
+        res = []
+        for q1, q2, blk, st in qs:
+            if len(q1) and len(k1):
+                hit = _pair_member(k1, k2, q1.view(np.uint64), q2.view(np.uint64))
+                res.append((blk[hit], st[hit]))
+            else:
+                res.append((np.empty(0, np.int32), np.empty(0, np.int64)))
+        return tuple(res) if num_groups > 1 else res[0]
+
+    @ray.remote(num_cpus=1)
+    def apply_group(nblk, *args):
+        tbls, hits = args[:nblk], args[nblk:]
+        blk = np.concatenate([h[0] for h in hits])
+        st = np.concatenate([h[1] for h in hits])
+        outs = []
+        for bi, tbl in enumerate(tbls):
+            values, offsets = _flat_tokens(tbl)
+            outs.append(_apply_cover(tbl, values, offsets, st[blk == bi], n))
+        return pa.concat_tables(outs)
+
+    qrefs = [query_group.remote(*group_blocks[g]) for g in range(num_groups)]
+    if num_buckets == 1:  # num_returns=1 yields a bare ref, not a list
+        qrefs = [[q] for q in qrefs]
+    hrefs = [
+        probe_bucket.remote(index_parts[b], *[qrefs[g][b] for g in range(num_groups)])
+        for b in range(num_buckets)
+    ]
+    if num_groups == 1:
+        hrefs = [[h] for h in hrefs]
+    out_refs = [
+        apply_group.remote(
+            len(group_blocks[g]),
+            *group_blocks[g],
+            *[hrefs[b][g] for b in range(num_buckets)],
+        )
+        for g in range(num_groups)
+    ]
+    return rd.from_arrow_refs(out_refs)
 
 
 def _mask_stage(ds, h1: np.ndarray, h2: np.ndarray, n: int) -> "rd.Dataset":
@@ -1324,12 +1462,32 @@ def _mask_stage(ds, h1: np.ndarray, h2: np.ndarray, n: int) -> "rd.Dataset":
 
 
 def span_dedupe(
-    ds, n: int = 8, min_count: int = 2, num_buckets: int = 64
+    ds,
+    n: int = 8,
+    min_count: int = 2,
+    num_buckets: int = 64,
+    mask: str = "broadcast",
 ) -> "rd.Dataset":
     """Remove every token covered by an n-gram that occurs ≥ ``min_count``
     times corpus-wide. Removes ALL occurrences (batch-deterministic and
     order-independent, where Lee et al. keep one — a distributed engine
-    has no canonical "first" occurrence without a total order)."""
+    has no canonical "first" occurrence without a total order).
+
+    ``mask="broadcast"`` (default): dup-gram index concatenated on the
+    driver, one ``ray.put``, streaming task-pool mask — fastest while
+    the index is broadcast-sized (natural-language duplication rates).
+    ``mask="exchange"``: the index stays partitioned per hash bucket
+    and query grams are routed TO it (``_mask_stage_exchange``) — same
+    output bytes, no whole-index process, for dup sets that outgrow
+    worker memory."""
+    if mask not in ("broadcast", "exchange"):
+        raise ValueError(f"mask must be 'broadcast' or 'exchange', got {mask!r}")
+    if mask == "exchange":
+        mat = ds.materialize()  # one read feeds both passes
+        parts = _gram_index_parts(
+            mat, n=n, min_count=min_count, num_buckets=num_buckets
+        )
+        return _mask_stage_exchange(mat, parts, n, num_buckets)
     h1, h2 = gram_set(ds, n=n, min_count=min_count, num_buckets=num_buckets)
     return _mask_stage(ds, h1, h2, n)
 
