@@ -407,6 +407,11 @@ def test_gram_index_roundtrip(ray_session, tmp_path):
     direct = _collect(span_dedupe_against(rd.from_arrow(new), ref, n=8))
     assert via_index.equals(direct)
     assert via_index["tokens"].to_pylist() == [[9999] * 4]
+    # exchange mask: same result without concatenating the ref index
+    exch = _collect(
+        span_dedupe_against(rd.from_arrow(new), ref, n=8, mask="exchange")
+    )
+    assert exch.equals(direct)
 
 
 def test_pair_member_exactness(ray_session):

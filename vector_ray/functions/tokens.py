@@ -1493,7 +1493,7 @@ def span_dedupe(
 
 
 def span_dedupe_against(
-    new_ds, ref_ds, n: int = 8, num_buckets: int = 64
+    new_ds, ref_ds, n: int = 8, num_buckets: int = 64, mask: str = "broadcast"
 ) -> "rd.Dataset":
     """Incremental-ingest dedup: remove from ``new_ds`` every token
     covered by an n-gram that ALREADY EXISTS anywhere in ``ref_ds``
@@ -1501,9 +1501,17 @@ def span_dedupe_against(
     reference is scanned once; new shards are masked in one narrow
     pass, so re-ingesting against a 100 TB corpus costs one index build
     (amortizable: the (h1, h2) arrays are a persistable artifact) plus
-    O(new data). Broadcast-sized index assumed; the named alternative
-    at adversarial index sizes is the same bucketed-join path as
-    ``span_dedupe``."""
+    O(new data). ``mask="broadcast"`` assumes a broadcast-sized index;
+    ``mask="exchange"`` keeps the full-corpus index partitioned per
+    hash bucket and routes the new shards' query grams to it
+    (``_mask_stage_exchange``) — the min_count=1 index is the WHOLE
+    reference gram set, so at corpus scale exchange is the realistic
+    mode here."""
+    if mask not in ("broadcast", "exchange"):
+        raise ValueError(f"mask must be 'broadcast' or 'exchange', got {mask!r}")
+    if mask == "exchange":
+        parts = _gram_index_parts(ref_ds, n=n, min_count=1, num_buckets=num_buckets)
+        return _mask_stage_exchange(new_ds, parts, n, num_buckets)
     h1, h2 = gram_set(ref_ds, n=n, min_count=1, num_buckets=num_buckets)
     return _mask_stage(new_ds, h1, h2, n)
 
