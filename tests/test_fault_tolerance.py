@@ -163,3 +163,47 @@ def test_span_dedupe_survives_worker_kill(ray_session):
     finally:
         th.join()
     assert survived.equals(clean)
+
+
+def test_span_dedupe_exchange_survives_worker_kill(ray_session):
+    """mask="exchange" adds query→probe→apply raw-task stages on top of
+    the count exchange — all driver-owned returns, so a killed worker
+    must likewise be recovered by lineage reconstruction."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from vector_ray.functions.tokens import span_dedupe
+
+    rng = np.random.default_rng(13)
+    base = [rng.integers(0, 50, size=60).tolist() for _ in range(400)]
+    docs = base + base[:100]
+    t = pa.table(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(len(docs))],
+            "tokens": pa.array(docs, pa.list_(pa.int32())),
+        }
+    )
+
+    def run_once():
+        out = span_dedupe(
+            rd.from_arrow(t).repartition(16), n=8, mask="exchange"
+        )
+        tables = [
+            x
+            for x in ray.get(out.materialize().to_arrow_refs())
+            if x.num_rows
+        ]
+        return pa.concat_tables(tables).sort_by("doc_id")
+
+    clean = run_once()
+    killed: list = []
+    th = threading.Thread(target=_kill_one_busy_worker, args=(killed, 20.0))
+    th.start()
+    try:
+        survived = run_once()
+    finally:
+        th.join()
+    assert survived.equals(clean)
