@@ -255,13 +255,16 @@ def test_span_dedupe_identical_doc_skew(ray_session):
             "tokens": pa.array([doc] * 3000, pa.list_(pa.int32())),
         }
     )
-    t0 = time.perf_counter()
-    out = _collect(span_dedupe(rd.from_arrow(t).repartition(8), n=8))
-    elapsed = time.perf_counter() - t0
-    assert out.num_rows == 3000
-    assert out["n_tok"].to_pylist() == [0] * 3000
-    assert out["n_removed"].to_pylist() == [40] * 3000
-    assert elapsed < 60, f"skew straggler: {elapsed:.1f}s"
+    for mask in ("broadcast", "exchange"):
+        t0 = time.perf_counter()
+        out = _collect(
+            span_dedupe(rd.from_arrow(t).repartition(8), n=8, mask=mask)
+        )
+        elapsed = time.perf_counter() - t0
+        assert out.num_rows == 3000
+        assert out["n_tok"].to_pylist() == [0] * 3000
+        assert out["n_removed"].to_pylist() == [40] * 3000
+        assert elapsed < 60, f"{mask} skew straggler: {elapsed:.1f}s"
 
 
 def test_token_ops_via_spec_dag(ray_session):
