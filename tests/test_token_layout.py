@@ -567,3 +567,31 @@ def test_span_dedupe_exchange_equals_broadcast(ray_session):
 
     with pytest.raises(ValueError):
         span_dedupe(rd.from_arrow(clean), mask="nope")
+
+
+def test_span_dedupe_auto_mask(ray_session):
+    """mask="auto" counts the partitioned index and picks broadcast vs
+    exchange by broadcast_limit; both forced branches match the
+    explicit modes byte-for-byte."""
+    from vector_ray.functions.tokens import span_dedupe
+
+    rng = np.random.default_rng(31)
+    docs = [rng.integers(0, 40, rng.integers(8, 60)).tolist() for _ in range(120)]
+    docs[40] = docs[7][:]
+    t = _mk(docs)
+
+    want = _collect(
+        span_dedupe(rd.from_arrow(t).repartition(4), n=8, mask="broadcast")
+    ).sort_by("doc_id")
+    # huge limit -> auto takes the broadcast branch
+    via_bcast = _collect(
+        span_dedupe(rd.from_arrow(t).repartition(4), n=8, mask="auto",
+                    broadcast_limit=1 << 40)
+    ).sort_by("doc_id")
+    # zero limit -> auto takes the exchange branch
+    via_exch = _collect(
+        span_dedupe(rd.from_arrow(t).repartition(4), n=8, mask="auto",
+                    broadcast_limit=0)
+    ).sort_by("doc_id")
+    assert via_bcast.equals(want) and via_exch.equals(want)
+    assert sum(want["n_removed"].to_pylist()) > 0

@@ -1461,39 +1461,65 @@ def _mask_stage(ds, h1: np.ndarray, h2: np.ndarray, n: int) -> "rd.Dataset":
     )
 
 
+@ray.remote(num_cpus=0)
+def _part_len(part) -> int:
+    return len(part[0])
+
+
 def span_dedupe(
     ds,
     n: int = 8,
     min_count: int = 2,
     num_buckets: int = 64,
-    mask: str = "broadcast",
+    mask: str = "auto",
+    broadcast_limit: int = 20_000_000,
 ) -> "rd.Dataset":
     """Remove every token covered by an n-gram that occurs ≥ ``min_count``
     times corpus-wide. Removes ALL occurrences (batch-deterministic and
     order-independent, where Lee et al. keep one — a distributed engine
     has no canonical "first" occurrence without a total order).
 
-    ``mask="broadcast"`` (default): dup-gram index concatenated on the
-    driver, one ``ray.put``, streaming task-pool mask — fastest while
-    the index is broadcast-sized (natural-language duplication rates).
+    ``mask="broadcast"``: dup-gram index concatenated on the driver,
+    one ``ray.put``, streaming task-pool mask — fastest while the index
+    is broadcast-sized (natural-language duplication rates).
     ``mask="exchange"``: the index stays partitioned per hash bucket
     and query grams are routed TO it (``_mask_stage_exchange``) — same
     output bytes, no whole-index process, for dup sets that outgrow
-    worker memory."""
-    if mask not in ("broadcast", "exchange"):
-        raise ValueError(f"mask must be 'broadcast' or 'exchange', got {mask!r}")
+    worker memory.
+    ``mask="auto"`` (default): build the partitioned index, count its
+    keys (one zero-CPU task per bucket — the index never moves), and
+    pick broadcast iff total keys ≤ ``broadcast_limit`` (default 20M
+    keys ≈ 320 MB state) — the safe path at any scale without tuning."""
+    if mask not in ("auto", "broadcast", "exchange"):
+        raise ValueError(
+            f"mask must be 'auto', 'broadcast' or 'exchange', got {mask!r}"
+        )
+    if mask == "broadcast":
+        h1, h2 = gram_set(ds, n=n, min_count=min_count, num_buckets=num_buckets)
+        return _mask_stage(ds, h1, h2, n)
     if mask == "exchange":
         mat = ds.materialize()  # one read feeds both passes
         parts = _gram_index_parts(
             mat, n=n, min_count=min_count, num_buckets=num_buckets
         )
         return _mask_stage_exchange(mat, parts, n, num_buckets)
-    h1, h2 = gram_set(ds, n=n, min_count=min_count, num_buckets=num_buckets)
-    return _mask_stage(ds, h1, h2, n)
+    # auto: one count pass, then the mask pass re-reads ds either way
+    parts = _gram_index_parts(ds, n=n, min_count=min_count, num_buckets=num_buckets)
+    if sum(ray.get([_part_len.remote(p) for p in parts])) <= broadcast_limit:
+        merged = ray.get(parts)
+        h1 = np.concatenate([m[0] for m in merged]).view(np.uint64)
+        h2 = np.concatenate([m[1] for m in merged]).view(np.uint64)
+        return _mask_stage(ds, h1, h2, n)
+    return _mask_stage_exchange(ds, parts, n, num_buckets)
 
 
 def span_dedupe_against(
-    new_ds, ref_ds, n: int = 8, num_buckets: int = 64, mask: str = "broadcast"
+    new_ds,
+    ref_ds,
+    n: int = 8,
+    num_buckets: int = 64,
+    mask: str = "auto",
+    broadcast_limit: int = 20_000_000,
 ) -> "rd.Dataset":
     """Incremental-ingest dedup: remove from ``new_ds`` every token
     covered by an n-gram that ALREADY EXISTS anywhere in ``ref_ds``
@@ -1506,14 +1532,25 @@ def span_dedupe_against(
     hash bucket and routes the new shards' query grams to it
     (``_mask_stage_exchange``) — the min_count=1 index is the WHOLE
     reference gram set, so at corpus scale exchange is the realistic
-    mode here."""
-    if mask not in ("broadcast", "exchange"):
-        raise ValueError(f"mask must be 'broadcast' or 'exchange', got {mask!r}")
-    if mask == "exchange":
-        parts = _gram_index_parts(ref_ds, n=n, min_count=1, num_buckets=num_buckets)
-        return _mask_stage_exchange(new_ds, parts, n, num_buckets)
-    h1, h2 = gram_set(ref_ds, n=n, min_count=1, num_buckets=num_buckets)
-    return _mask_stage(new_ds, h1, h2, n)
+    mode here; ``mask="auto"`` (default) counts the index keys and
+    broadcasts only while ≤ ``broadcast_limit`` (see ``span_dedupe``)."""
+    if mask not in ("auto", "broadcast", "exchange"):
+        raise ValueError(
+            f"mask must be 'auto', 'broadcast' or 'exchange', got {mask!r}"
+        )
+    if mask == "broadcast":
+        h1, h2 = gram_set(ref_ds, n=n, min_count=1, num_buckets=num_buckets)
+        return _mask_stage(new_ds, h1, h2, n)
+    parts = _gram_index_parts(ref_ds, n=n, min_count=1, num_buckets=num_buckets)
+    if (
+        mask == "auto"
+        and sum(ray.get([_part_len.remote(p) for p in parts])) <= broadcast_limit
+    ):
+        merged = ray.get(parts)
+        h1 = np.concatenate([m[0] for m in merged]).view(np.uint64)
+        h2 = np.concatenate([m[1] for m in merged]).view(np.uint64)
+        return _mask_stage(new_ds, h1, h2, n)
+    return _mask_stage_exchange(new_ds, parts, n, num_buckets)
 
 
 def splice_mutants(ds, every: int = 31, skip: int = 10, min_len: int = 24):

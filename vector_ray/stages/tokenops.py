@@ -86,14 +86,14 @@ def span_corrupt(ds, options: dict, ctx=None):
 
 def span_dedupe(ds, options: dict, ctx=None):
     """{"type": "span_dedupe", "n": 8, "min_count": 2,
-    "mask": "broadcast"|"exchange"}"""
+    "mask": "auto"|"broadcast"|"exchange"}"""
     from vector_ray.functions.tokens import span_dedupe as _f
 
     return _f(
         ds,
         n=int(options.get("n", 8)),
         min_count=int(options.get("min_count", 2)),
-        mask=str(options.get("mask", "broadcast")),
+        mask=str(options.get("mask", "auto")),
     )
 
 
