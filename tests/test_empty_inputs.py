@@ -144,3 +144,23 @@ def test_parquet_pushdown_filter(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         parquet_source({"path": path, "where": [["k", "like", "x"]]})
+
+
+def test_empty_span_dedupe_all_masks(ray_session):
+    """A zero-row corpus through every span-dedup mask mode must produce
+    an empty result with the standard (doc_id, tokens, n_tok, n_removed)
+    schema — including the exchange path's no-blocks fallback."""
+    from vector_ray.functions.tokens import span_dedupe
+
+    schema = pa.schema(
+        [("doc_id", pa.string()), ("tokens", pa.list_(pa.int32()))]
+    )
+    for mask in ("auto", "broadcast", "exchange"):
+        out = span_dedupe(_empty(schema), n=8, mask=mask)
+        t = out.materialize()
+        assert t.count() == 0, mask
+        # a fully-empty pipeline may legitimately carry no schema (the
+        # map fn never ran); if blocks exist their schema must be sane
+        s = t.schema(fetch_if_missing=False)
+        if s is not None and s.names:
+            assert {"doc_id", "tokens"} <= set(s.names), (mask, s.names)

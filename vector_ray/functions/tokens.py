@@ -1275,6 +1275,10 @@ def _gram_index_parts(
         acc1: list[list] = [[] for _ in range(num_buckets)]
         acc2: list[list] = [[] for _ in range(num_buckets)]
         for tbl in tbls:
+            # a zero-row input materializes one empty block with the
+            # INPUT schema (the map fn never ran) — nothing to split
+            if tbl.num_rows == 0 or "bucket" not in tbl.column_names:
+                continue
             bcol = tbl["bucket"].to_numpy(zero_copy_only=False)
             c1 = tbl["h1"].combine_chunks()
             c2 = tbl["h2"].combine_chunks()
