@@ -192,3 +192,52 @@ def test_sha_variants():
     for algo in ("sha1", "sha512"):
         out = compile_expr(f"{algo}(.s)")(t).to_pylist()
         assert out == [getattr(hashlib, algo)(b"abc").hexdigest(), None]
+
+
+def test_ip_cidr_contains():
+    from vector_ray.vrl import VrlError, compile_predicate
+
+    t = pa.table({"ip": [
+        "10.64.0.1", "10.63.255.255", "10.127.3.4",
+        "256.1.1.1", "nope", None, "0.0.0.0",
+    ]})
+    # expr form keeps nulls for invalid; predicate fills to False
+    e = compile_expr('ip_cidr_contains("10.64.0.0/10", .ip)')(t)
+    assert e.to_pylist() == [True, False, True, None, None, None, False]
+    m = compile_predicate('ip_cidr_contains("10.64.0.0/10", .ip)')(t)
+    assert m.to_pylist() == [True, False, True, False, False, False, False]
+    # /0 matches every valid address; /32 is exact
+    assert compile_predicate('ip_cidr_contains("0.0.0.0/0", .ip)')(t).to_pylist() == [
+        True, True, True, False, False, False, True]
+    assert compile_predicate('ip_cidr_contains("10.64.0.1/32", .ip)')(t).to_pylist() == [
+        True, False, False, False, False, False, False]
+    # fallible form raises on any invalid address
+    with pytest.raises(VrlError):
+        compile_predicate('ip_cidr_contains!("10.0.0.0/8", .ip)')(t)
+    # malformed CIDR literals rejected at compile time
+    for bad in ("10.0.0.0/40", "300.0.0.0/8", "10.0.0.0", "x/8"):
+        with pytest.raises(VrlError):
+            compile_predicate(f'ip_cidr_contains("{bad}", .ip)')
+
+
+def test_unix_timestamp_conversions():
+    from vector_ray.vrl import VrlError
+
+    t = pa.table({
+        "ts": pa.array([1_700_000_000_123_456, None], pa.timestamp("us")),
+        "n": pa.array([1_700_000_000, None], pa.int64()),
+    })
+    assert compile_expr("to_unix_timestamp(.ts)")(t).to_pylist() == [
+        1_700_000_000, None]
+    assert compile_expr('to_unix_timestamp(.ts, "milliseconds")')(t).to_pylist() == [
+        1_700_000_000_123, None]
+    back = compile_expr("from_unix_timestamp(.n)")(t)
+    assert back.type == pa.timestamp("us")
+    assert back[0].as_py().timestamp() == 1_700_000_000
+    # nanosecond round-trip is exact at us precision
+    rt = compile_expr(
+        'from_unix_timestamp(to_unix_timestamp(.ts, "nanoseconds"), "nanoseconds")'
+    )(t)
+    assert rt.to_pylist() == t["ts"].to_pylist()
+    with pytest.raises(VrlError):
+        compile_expr('to_unix_timestamp(.ts, "fortnights")')

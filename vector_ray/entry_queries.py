@@ -183,6 +183,37 @@ def q_filter_events(sf_dir: str):
     )
 
 
+def q_filter_cidr_events(sf_dir: str):
+    """Network-range filtering, the classic log-pipeline predicate: a
+    parse stage derives a client IP per event, then a VRL
+    ip_cidr_contains filter keeps the 10.64.0.0/10 block (second octet
+    64–127). The CIDR test is one vectorized regex extract + integer
+    mask-compare per batch (vrl._ipv4_to_u32)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def add_ip(t: pa.Table) -> pa.Table:
+        octs = pc.cast(
+            pa.array(t["user_id"].to_numpy(zero_copy_only=False) % 200),
+            pa.string(),
+        )
+        ip = pc.binary_join_element_wise(
+            pa.scalar("10"), octs, pa.scalar("0.1"), pa.scalar(".")
+        )
+        return t.append_column("ip", ip)
+
+    withip = ds.map_batches(add_ip, batch_format="pyarrow")
+    kept = core.filter_(
+        withip, {"condition": 'ip_cidr_contains("10.64.0.0/10", .ip)'}
+    )
+    return kept.map_batches(
+        lambda t: t.select(["event_id", "ip"]), batch_format="pyarrow"
+    )
+
+
 def q_parse_json_events(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
     remapped = core.remap(
@@ -2550,6 +2581,7 @@ QUERIES = {
     "window_sliding_events": q_window_sliding_events,
     "window_session_events": q_window_session_events,
     "filter_datadog_events": q_filter_datadog_events,
+    "filter_cidr_events": q_filter_cidr_events,
     "topk_per_source": q_topk_per_source,
     "join_orders_customer": q_join_orders_customer,
     "semi_join_customers": q_semi_join_customers,
@@ -3091,6 +3123,13 @@ def oracle_sql() -> dict[str, str]:
             "filter_events": (
                 "SELECT event_id, user_id, event_type, value FROM events "
                 "WHERE event_type = 'click' AND value >= 10"
+            ),
+            "filter_cidr_events": (
+                # 10.64.0.0/10 over ip = 10.(user_id%200).0.1 keeps
+                # second octet 64..127 (mask 255.192.0.0)
+                "SELECT event_id, "
+                "'10.' || CAST(user_id % 200 AS VARCHAR) || '.0.1' AS ip "
+                "FROM events WHERE (user_id % 200) BETWEEN 64 AND 127"
             ),
             "parse_json_events": (
                 "SELECT event_id, CAST(props::JSON->>'k' AS BIGINT) AS k FROM events"

@@ -359,7 +359,104 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
     if base == "ceil":
         inner = args[0]
         return lambda t: pc.ceil(inner(t))
+    if base == "to_unix_timestamp":
+        # VRL to_unix_timestamp(ts[, unit]) — timestamp → integer epoch
+        # count. Vectorized: one timestamp cast (truncating) + int cast.
+        inner = args[0]
+        unit = _as_py_str(args[1]) if len(args) > 1 else "seconds"
+        arrow_unit = _UNIX_UNITS.get(unit)
+        if arrow_unit is None:
+            raise VrlError(
+                f"to_unix_timestamp: unit must be one of {sorted(_UNIX_UNITS)}"
+            )
+        return lambda t: pc.cast(
+            pc.cast(inner(t), pa.timestamp(arrow_unit), safe=False), pa.int64()
+        )
+    if base == "from_unix_timestamp":
+        # inverse conversion: integer epoch count → timestamp(us)
+        inner = args[0]
+        unit = _as_py_str(args[1]) if len(args) > 1 else "seconds"
+        arrow_unit = _UNIX_UNITS.get(unit)
+        if arrow_unit is None:
+            raise VrlError(
+                f"from_unix_timestamp: unit must be one of {sorted(_UNIX_UNITS)}"
+            )
+        return lambda t: pc.cast(
+            pc.cast(
+                pc.cast(inner(t), pa.int64(), safe=False),
+                pa.timestamp(arrow_unit),
+            ),
+            pa.timestamp("us"),
+        )
+    if base == "ip_cidr_contains":
+        # VRL ip_cidr_contains(cidr, ip) — IPv4 membership, vectorized:
+        # one extract_regex splits every dotted quad into 4 int fields,
+        # integer math builds the u32, one mask-and-compare. The CIDR
+        # must be a string literal (the overwhelmingly common form).
+        # Unparseable/invalid IPs: null in the plain form (drops out of
+        # filters, mirroring SQL null semantics); `!` form raises.
+        cidr = _as_py_str(args[0])
+        inner = args[1]
+        try:
+            base_str, prefix_s = cidr.split("/")
+            prefix = int(prefix_s)
+            octets = [int(x) for x in base_str.split(".")]
+            if len(octets) != 4 or not all(0 <= o <= 255 for o in octets):
+                raise ValueError
+            if not 0 <= prefix <= 32:
+                raise ValueError
+        except ValueError:
+            raise VrlError(f"ip_cidr_contains: invalid CIDR literal {cidr!r}")
+        mask = 0xFFFFFFFF ^ ((1 << (32 - prefix)) - 1) if prefix else 0
+        want = (
+            ((octets[0] << 24) | (octets[1] << 16) | (octets[2] << 8) | octets[3])
+            & mask
+        )
+
+        def _cidr(t: pa.Table) -> Value:
+            ips = pc.cast(inner(t), pa.string())
+            u = _ipv4_to_u32(ips)
+            if fallible:
+                bad = pc.and_(pc.invert(pc.is_null(ips)), pc.is_null(u))
+                if len(bad) and pc.any(bad).as_py():
+                    raise VrlError("ip_cidr_contains!: invalid IPv4 address")
+            return pc.equal(
+                pc.bit_wise_and(u, pa.scalar(mask, pa.int64())),
+                pa.scalar(want, pa.int64()),
+            )
+
+        return _cidr
     raise VrlError(f"unknown function {name}()")
+
+
+_UNIX_UNITS = {
+    "seconds": "s",
+    "milliseconds": "ms",
+    "microseconds": "us",
+    "nanoseconds": "ns",
+}
+
+_IPV4_RE = (
+    r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$"
+)
+
+
+def _ipv4_to_u32(col: "pa.Array | pa.ChunkedArray"):
+    """Dotted-quad strings → int64 of the u32 value; null when the
+    string is not a valid IPv4 address. Fully vectorized (one regex
+    extract + integer arithmetic)."""
+    ex = pc.extract_regex(col, _IPV4_RE)
+    parts = [
+        pc.cast(pc.struct_field(ex, f), pa.int64()) for f in ("a", "b", "c", "d")
+    ]
+    valid = None
+    for p in parts:
+        ok = pc.less_equal(p, pa.scalar(255, pa.int64()))
+        valid = ok if valid is None else pc.and_(valid, ok)
+    val = parts[0]
+    for p in parts[1:]:
+        val = pc.add(pc.multiply(val, pa.scalar(256, pa.int64())), p)
+    return pc.if_else(pc.fill_null(valid, False), val, pa.scalar(None, pa.int64()))
 
 
 def _as_py_str(compiled: Compiled) -> str:
