@@ -241,3 +241,16 @@ def test_unix_timestamp_conversions():
     assert rt.to_pylist() == t["ts"].to_pylist()
     with pytest.raises(VrlError):
         compile_expr('to_unix_timestamp(.ts, "fortnights")')
+
+
+def test_string_concat_plus():
+    from vector_ray.vrl import VrlError
+
+    t = pa.table({"a": ["x", None, "z"], "b": ["1", "2", None], "n": [1, 2, 3]})
+    assert compile_expr('.a + "-" + .b')(t).to_pylist() == ["x-1", None, None]
+    assert compile_expr('"pre:" + .a')(t).to_pylist() == ["pre:x", None, "pre:z"]
+    assert compile_expr('to_string(.n) + "!"')(t).to_pylist() == ["1!", "2!", "3!"]
+    # numeric + stays numeric; mixed string/number is a type error
+    assert compile_expr(".n + 1")(t).to_pylist() == [2, 3, 4]
+    with pytest.raises(VrlError):
+        compile_expr(".a + .n")(t)

@@ -189,23 +189,21 @@ def q_filter_cidr_events(sf_dir: str):
     ip_cidr_contains filter keeps the 10.64.0.0/10 block (second octet
     64–127). The CIDR test is one vectorized regex extract + integer
     mask-compare per batch (vrl._ipv4_to_u32)."""
-    import pyarrow.compute as pc
-
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
     )
-
-    def add_ip(t: pa.Table) -> pa.Table:
-        octs = pc.cast(
-            pa.array(t["user_id"].to_numpy(zero_copy_only=False) % 200),
-            pa.string(),
-        )
-        ip = pc.binary_join_element_wise(
-            pa.scalar("10"), octs, pa.scalar("0.1"), pa.scalar(".")
-        )
-        return t.append_column("ip", ip)
-
-    withip = ds.map_batches(add_ip, batch_format="pyarrow")
+    withip = core.remap(
+        ds,
+        {
+            "ops": [
+                {
+                    "op": "set",
+                    "target": "ip",
+                    "expr": '"10." + to_string(.user_id % 200) + ".0.1"',
+                }
+            ]
+        },
+    )
     kept = core.filter_(
         withip, {"condition": 'ip_cidr_contains("10.64.0.0/10", .ip)'}
     )

@@ -112,6 +112,33 @@ _ARITH = {
 }
 
 
+def _is_stringy(v: Value) -> bool:
+    if isinstance(v, str):
+        return True
+    t = getattr(v, "type", None)
+    return t is not None and (
+        pa.types.is_string(t) or pa.types.is_large_string(t)
+    )
+
+
+def _add_or_concat(a: Value, b: Value) -> Value:
+    """VRL `+`: numeric addition, or string CONCATENATION when both
+    sides are strings (null if either side is null, like SQL ||).
+    Mixed string/number is a type error upstream — raise, don't cast."""
+    sa, sb = _is_stringy(a), _is_stringy(b)
+    if sa and sb:
+        if isinstance(a, str):
+            a = pa.scalar(a, pa.string())
+        if isinstance(b, str):
+            b = pa.scalar(b, pa.string())
+        return pc.binary_join_element_wise(
+            a, b, pa.scalar("", pa.string()), null_handling="emit_null"
+        )
+    if sa or sb:
+        raise VrlError("'+' between a string and a non-string operand")
+    return pc.add(a, b)
+
+
 def _try_to_int(v: Value) -> Value:
     """to_int(x): null where not parseable (VRL's fallible to_int)."""
     if isinstance(v, (int, float)):
@@ -590,7 +617,10 @@ class _Parser:
             op = self.next()[1]
             right = self.mul()
             fn, l, r = _ARITH[op], left, right
-            left = lambda t, fn=fn, l=l, r=r: fn(l(t), r(t))
+            if op == "+":
+                left = lambda t, l=l, r=r: _add_or_concat(l(t), r(t))
+            else:
+                left = lambda t, fn=fn, l=l, r=r: fn(l(t), r(t))
         return left
 
     def mul(self) -> Compiled:
