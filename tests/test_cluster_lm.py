@@ -1156,3 +1156,40 @@ def test_dsir_spec_transform(ray_session):
     })
     # every doc scored (the condition selects the TARGET slice, not output)
     assert res.sinks["out"].count == 500
+
+
+def test_heavy_hitters_exact_vs_bruteforce(ray_session):
+    """Misra-Gries candidates + exact verify must reproduce the exact
+    (count desc, word asc) top-k on a skewed corpus, prove it, and
+    refuse to claim exactness on a uniform corpus at tiny capacity."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+
+    from vector_ray.functions.lm import heavy_hitters
+
+    rng = np.random.default_rng(17)
+    docs = [
+        " ".join(f"w{int(i)}" for i in rng.zipf(1.35, size=30) % 2000)
+        for _ in range(300)
+    ]
+    t = pa.table({"doc_id": [f"d{i}" for i in range(300)], "text": docs})
+    top, exact = heavy_hitters(
+        rd.from_arrow(t).repartition(6), field="text", k=12, capacity=128
+    )
+    assert exact is True
+    cnt = Counter(w for d in docs for w in d.split(" "))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    assert list(zip(top["word"].to_pylist(), top["n"].to_pylist())) == want
+
+    # uniform corpus at starved capacity: flag must go False, not lie
+    udocs = [
+        " ".join(f"u{rng.integers(0, 4000)}" for _ in range(25))
+        for _ in range(150)
+    ]
+    ut = pa.table({"doc_id": [f"d{i}" for i in range(150)], "text": udocs})
+    _, exact2 = heavy_hitters(
+        rd.from_arrow(ut).repartition(6), field="text", k=10, capacity=16
+    )
+    assert exact2 is False

@@ -1543,6 +1543,21 @@ def q_repetition_corpus(sf_dir: str):
     return repetition_stats(ds, max_freq_pct=5)
 
 
+def q_heavy_hitters_documents(sf_dir: str):
+    """Exact top-20 words over an UNBOUNDED key domain without a
+    per-occurrence shuffle: Misra-Gries candidate summaries (O(capacity)
+    rows per block), MG-bound candidate pruning, one exact counting pass
+    over the broadcast candidates. The exactness proof (k-th exact count
+    > every non-candidate's upper bound) is asserted, so the SQL
+    GROUP BY/ORDER BY/LIMIT oracle must match bit-for-bit."""
+    from vector_ray.functions.lm import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    top, provably_exact = heavy_hitters(ds, field="text", k=20, capacity=4096)
+    assert provably_exact, "heavy_hitters exactness proof failed on fixture"
+    return top
+
+
 def q_lm_score_documents(sf_dir: str):
     """CCNet-style corpus LM quality filter: add-one-smoothed unigram
     model trained over the whole corpus (two-phase counts), broadcast,
@@ -2630,6 +2645,7 @@ QUERIES = {
     "length_buckets_corpus": q_length_buckets,
     "repetition_corpus": q_repetition_corpus,
     "lm_score_documents": q_lm_score_documents,
+    "heavy_hitters_documents": q_heavy_hitters_documents,
     "lm_tokens_corpus": q_lm_tokens_corpus,
     "hot_spans_documents": q_hot_spans_documents,
     "budget_select_documents": q_budget_select_documents,
@@ -3452,6 +3468,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             "encode_logfmt_events": (
                 "SELECT event_id, event_type, value FROM events"
+            ),
+            "heavy_hitters_documents": (
+                "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+                "  SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+                "GROUP BY word ORDER BY n DESC, word ASC LIMIT 20"
             ),
             "ann_ivf_topk": (
                 "SELECT e.vec_id, "

@@ -517,3 +517,125 @@ def bigram_lm_score(ds, field: str = "tokens", target: str = "nll",
         return batch.append_column(target, pa.array(nll, pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters — exact top-k over an UNBOUNDED key domain
+# ---------------------------------------------------------------------------
+#
+# token_topk handles bounded vocabularies with a dense bincount; this is
+# the companion for unbounded domains (words, URLs, user agents) at
+# 100 TB, where a full groupby would shuffle one row per occurrence.
+# Classic two-pass shape (Misra–Gries candidates + exact verify):
+#
+#   pass 1  per-batch Misra–Gries summary: exact in-batch counts, then
+#           subtract the (capacity+1)-th largest count d and keep the
+#           positive remainder — a valid MG summary with ≤ capacity
+#           counters whose per-key undercount is ≤ d. Each block ships
+#           O(capacity) rows regardless of key cardinality.
+#   merge   one small groupby-sum over the summaries (≤ capacity×blocks
+#           rows); D = Σ per-batch d (exact, ≤ N/(capacity+1)).
+#   prune   any key whose true count could still reach the k-th summed
+#           counter (cnt + D ≥ kth) stays a candidate; MG guarantees
+#           every key with true count > D is present.
+#   pass 2  broadcast the candidate set, count ONLY candidates exactly,
+#           take the true top-k by (count desc, key asc).
+#
+# Exactness is VERIFIED, not assumed: the result is provably the exact
+# top-k iff the k-th exact candidate count exceeds every non-candidate's
+# upper bound (D, or max-dropped-counter + D when the candidate set was
+# capped). Zipf-shaped corpora pass easily at modest capacity; a uniform
+# adversary flips the flag to False instead of silently lying.
+
+
+def heavy_hitters(
+    ds,
+    field: str = "text",
+    k: int = 20,
+    capacity: int = 4096,
+    max_candidates: int | None = None,
+) -> tuple[pa.Table, bool]:
+    """Exact (count desc, key asc) top-``k`` words of ``field`` without
+    shuffling per-occurrence rows; returns ``(topk_table, provably_exact)``.
+    Columns: word(string), n(int64)."""
+    import ray.data as rd
+
+    if max_candidates is None:
+        max_candidates = max(capacity, 16 * k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = _word_lists(t, field).flatten()
+        u, c = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        d = 0
+        if len(u) > capacity:
+            # (capacity+1)-th largest count, subtracted from everyone
+            d = int(np.partition(c, len(c) - capacity - 1)[len(c) - capacity - 1])
+            keep = c > d
+            u, c = u[keep], c[keep] - d
+        meta = pa.table(
+            {
+                "word": pa.array([""], pa.string()),
+                "cnt": pa.array([d], pa.int64()),
+                "meta": pa.array([1], pa.int8()),
+            }
+        )
+        body = pa.table(
+            {
+                "word": pa.array(u, pa.string()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+                "meta": pa.array(np.zeros(len(u), np.int8), pa.int8()),
+            }
+        )
+        return pa.concat_tables([body, meta])
+
+    summaries = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    big_d = sum(
+        r["cnt"] for r in summaries.filter(expr="meta == 1").take_all()
+    )
+    merged = (
+        summaries.filter(expr="meta == 0")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    topk_rows = merged.sort("cnt", descending=True).limit(k).take_all()
+    kth = int(topk_rows[-1]["cnt"]) if len(topk_rows) >= k else 0
+    cand = merged.filter(
+        expr=f"cnt >= {max(kth - big_d, 1)}"
+    ).take_all()
+    cand.sort(key=lambda r: (-r["cnt"], r["word"]))
+    dropped_upper = 0
+    if len(cand) > max_candidates:
+        dropped_upper = int(cand[max_candidates]["cnt"]) + big_d
+        cand = cand[:max_candidates]
+    cand_words = pa.array([r["word"] for r in cand], pa.string())
+    cand_ref = ray.put(cand_words)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        words = ray.get(cand_ref)
+        flat = _word_lists(t, field).flatten()
+        hit = flat.filter(pc.is_in(flat, value_set=words))
+        u, c = np.unique(np.asarray(hit, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(u, pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+    )
+    tables = [t for t in ray.get(exact.materialize().to_arrow_refs()) if t.num_rows]
+    top = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table({"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    )
+    kth_exact = int(top["n"][top.num_rows - 1].as_py()) if top.num_rows >= k else 0
+    provably_exact = kth_exact > max(big_d, dropped_upper)
+    return top.select(["word", "n"]), provably_exact
