@@ -6,6 +6,8 @@ transform types alongside remap/filter/route.
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 from vector_ray.functions import curation
 
 __all__ = [
@@ -15,6 +17,7 @@ __all__ = [
     "length_buckets",
     "repetition_stats",
     "lm_score",
+    "heavy_hitters",
     "kmeans",
     "semdedup",
     "hot_spans",
@@ -63,6 +66,33 @@ def lm_score(ds, options: dict, ctx=None):
         field=options.get("field", "text"),
         vocab_size=int(options.get("vocab_size", 30)),
     )
+
+
+def heavy_hitters(ds, options: dict, ctx=None):
+    """{"type": "heavy_hitters", "field": "text", "k": 20,
+    "capacity": 4096} — exact top-k over an unbounded key domain
+    (functions/lm.py). The per-run exactness proof is exposed as a
+    `provably_exact` bool column on every output row; set
+    "require_exact": true to raise instead when the proof fails."""
+    import ray.data as rd
+
+    from vector_ray.functions.lm import heavy_hitters as _hh
+
+    top, exact = _hh(
+        ds,
+        field=options.get("field", "text"),
+        k=int(options.get("k", 20)),
+        capacity=int(options.get("capacity", 4096)),
+    )
+    if options.get("require_exact") and not exact:
+        raise ValueError(
+            "heavy_hitters: exactness proof failed (k-th count does not "
+            "dominate the Misra-Gries error bound); raise capacity"
+        )
+    top = top.append_column(
+        "provably_exact", pa.array([exact] * top.num_rows, pa.bool_())
+    )
+    return rd.from_arrow(top)
 
 
 def kmeans(ds, options: dict, ctx=None):
