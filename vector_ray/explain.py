@@ -56,6 +56,7 @@ MOVEMENT = {
     "zscore": "broadcast",
     "quantile_bucket": "broadcast",
     "lm_score": "broadcast",
+    "heavy_hitters": "hybrid",  # MG summaries -> small merge -> broadcast verify
     "kmeans": "broadcast",
     "semdedup": "shuffle",
     "hot_spans": "broadcast",
