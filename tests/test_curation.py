@@ -288,3 +288,57 @@ def test_stratified_sample_exact_counts_and_stability(ray_session):
     assert out.doc_id.tolist() == out2.doc_id.tolist()
     # helper column is dropped from the result
     assert "__strath" not in out.columns
+
+
+def test_weighted_sample_matches_reference(ray_session):
+    """A-ES weighted sampling: the distributed two-phase top-k must
+    equal the brute-force u^(1/w) ranking, favor heavy weights, and
+    exclude null/non-positive weights."""
+    from vector_ray.functions.curation import weighted_sample
+
+    n = 1500
+    t = pa.table(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(n)],
+            "w": pa.array([float(1 + (i % 40)) for i in range(n)], pa.float64()),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            x
+            for x in ray.get(
+                weighted_sample(rd.from_arrow(t).repartition(6), 80, "w")
+                .materialize()
+                .to_arrow_refs()
+            )
+            if x.num_rows
+        ]
+    )
+    got = sorted(out["doc_id"].to_pylist())
+    h = (np.arange(n, dtype=np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    u = (h.astype(np.float64) + 1.0) / 4294967296.0
+    w = np.array([float(1 + (i % 40)) for i in range(n)])
+    key = u ** (1.0 / w)
+    order = np.lexsort((np.arange(n), -key))
+    assert got == sorted(f"doc-{i:010d}" for i in order[:80])
+    picked = [int(d[4:]) % 40 for d in got]
+    assert sum(1 for p in picked if p >= 30) > sum(1 for p in picked if p < 10)
+
+    t2 = pa.table(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(6)],
+            "w": pa.array([0.0, -2.0, None, 3.0, 3.0, 3.0], pa.float64()),
+        }
+    )
+    o2 = pa.concat_tables(
+        [
+            x
+            for x in ray.get(
+                weighted_sample(rd.from_arrow(t2), 6, "w")
+                .materialize()
+                .to_arrow_refs()
+            )
+            if x.num_rows
+        ]
+    )
+    assert sorted(int(d[4:]) for d in o2["doc_id"].to_pylist()) == [3, 4, 5]

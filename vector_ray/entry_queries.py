@@ -1543,6 +1543,22 @@ def q_repetition_corpus(sf_dir: str):
     return repetition_stats(ds, max_freq_pct=5)
 
 
+def q_weighted_sample_documents(sf_dir: str):
+    """Quality-weighted corpus sampling (Efraimidis-Spirakis A-ES,
+    deterministic): sample 50 documents with inclusion probability
+    rising with text length — the data-mixing primitive for 'sample
+    proportional to a quality score'. The per-row key u^(1/w) uses the
+    same integer hash and libm double pow as the SQL oracle, so the
+    selected set matches exactly."""
+    from vector_ray.functions.curation import weighted_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    out = weighted_sample(ds, k=50, weight_field="n_chars")
+    return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
 def q_heavy_hitters_documents(sf_dir: str):
     """Exact top-20 words over an UNBOUNDED key domain without a
     per-occurrence shuffle: Misra-Gries candidate summaries (O(capacity)
@@ -2646,6 +2662,7 @@ QUERIES = {
     "repetition_corpus": q_repetition_corpus,
     "lm_score_documents": q_lm_score_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
+    "weighted_sample_documents": q_weighted_sample_documents,
     "lm_tokens_corpus": q_lm_tokens_corpus,
     "hot_spans_documents": q_hot_spans_documents,
     "budget_select_documents": q_budget_select_documents,
@@ -3473,6 +3490,14 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
                 "  SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
                 "GROUP BY word ORDER BY n DESC, word ASC LIMIT 20"
+            ),
+            "weighted_sample_documents": (
+                "SELECT doc_id FROM ("
+                "  SELECT doc_id, POWER("
+                "    (((doc_id * 2654435761) % 4294967296) + 1)"
+                "      / 4294967296.0, 1.0 / n_chars) AS k "
+                "  FROM documents WHERE n_chars > 0) "
+                "ORDER BY k DESC, doc_id ASC LIMIT 50"
             ),
             "ann_ivf_topk": (
                 "SELECT e.vec_id, "

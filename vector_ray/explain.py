@@ -57,6 +57,7 @@ MOVEMENT = {
     "quantile_bucket": "broadcast",
     "lm_score": "broadcast",
     "heavy_hitters": "hybrid",  # MG summaries -> small merge -> broadcast verify
+    "weighted_sample": "hybrid",  # local top-k prune -> k-by-blocks sort
     "kmeans": "broadcast",
     "semdedup": "shuffle",
     "hot_spans": "broadcast",

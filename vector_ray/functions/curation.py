@@ -263,6 +263,50 @@ def bottomk_sample(ds, k: int, id_field: str = "doc_id",
     return pruned.sort("__h").limit(k).drop_columns(["__h"])
 
 
+def weighted_sample(
+    ds,
+    k: int,
+    weight_field: str,
+    id_field: str = "doc_id",
+    mult: int = 2_654_435_761,
+):
+    """Exactly-k WEIGHTED sample without replacement (Efraimidis–
+    Spirakis A-ES, deterministic): each row gets key = u^(1/w) with u
+    the multiplicative id hash mapped to (0, 1]; the global top-k keys
+    are the sample, so inclusion probability rises with the weight
+    (quality score, token count, ...). Deterministic and
+    SQL-reproducible — same integer hash, same libm double pow — and
+    two-phase like ``bottomk_sample``: each block prunes to its local
+    top-k before the global sort, so the exchange is O(k × blocks)
+    rows. Rows with null/non-positive/non-finite weight are excluded
+    (mirror: SQL ``WHERE w > 0``). Ties (possible only at key = 1.0,
+    i.e. hash 2^32-1) break by id ascending."""
+    import pyarrow.compute as _pc
+
+    def local(t: pa.Table) -> pa.Table:
+        h = _doc_hash(t, mult, id_field)
+        w = pc.cast(t[weight_field], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        u = (h.astype(np.float64) + 1.0) / 4294967296.0
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            key = u ** (1.0 / w)
+        valid = np.isfinite(w) & (w > 0) & np.isfinite(key)
+        t = t.append_column("__k", pa.array(key, pa.float64()))
+        t = t.filter(pa.array(valid))
+        idx = _pc.sort_indices(
+            t, sort_keys=[("__k", "descending"), (id_field, "ascending")]
+        )
+        return t.take(idx.slice(0, k))
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return (
+        pruned.sort(["__k", id_field], descending=[True, False])
+        .limit(k)
+        .drop_columns(["__k"])
+    )
+
+
 def temperature_mixture(ds, alpha: float = 0.7, token_field: str = "n_tok",
                         key_field: str = "source"):
     """Multinomial temperature rebalancing (the multilingual-LM mixing

@@ -100,6 +100,7 @@ TRANSFORMS = {
     "repetition_stats": curate.repetition_stats,
     # semantic-curation family (functions/lm.py, functions/cluster.py)
     "lm_score": curate.lm_score,
+    "weighted_sample": curate.weighted_sample,
     "heavy_hitters": curate.heavy_hitters,
     "kmeans": curate.kmeans,
     "semdedup": curate.semdedup,

@@ -17,6 +17,7 @@ __all__ = [
     "length_buckets",
     "repetition_stats",
     "lm_score",
+    "weighted_sample",
     "heavy_hitters",
     "kmeans",
     "semdedup",
@@ -65,6 +66,19 @@ def lm_score(ds, options: dict, ctx=None):
         ds,
         field=options.get("field", "text"),
         vocab_size=int(options.get("vocab_size", 30)),
+    )
+
+
+def weighted_sample(ds, options: dict, ctx=None):
+    """{"type": "weighted_sample", "k": 100, "weight_field": "q"} —
+    exactly-k quality-weighted sampling (functions/curation.py)."""
+    from vector_ray.functions.curation import weighted_sample as _ws
+
+    return _ws(
+        ds,
+        k=int(options["k"]),
+        weight_field=options["weight_field"],
+        id_field=options.get("id_field", "doc_id"),
     )
 
 
