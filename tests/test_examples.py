@@ -123,3 +123,16 @@ def test_token_prep_example(ray_session):
     assert pa.types.is_int32(train["tokens"].type.value_type)
     ev = pq.read_table("/tmp/vector_ray_examples/token_prep/eval")
     assert ev.num_rows > 5000 and "win_id" in ev.column_names
+
+
+def test_corpus_triage_example(ray_session):
+    import pyarrow.parquet as pq
+    import shutil
+
+    shutil.rmtree("/tmp/vector_ray_examples/triage", ignore_errors=True)
+    _run("examples/corpus_triage.toml")
+    words = pq.read_table("/tmp/vector_ray_examples/triage/words")
+    assert words.num_rows == 15
+    assert words["provably_exact"].to_pylist() == [True] * 15
+    sample = pq.read_table("/tmp/vector_ray_examples/triage/sample")
+    assert sample.num_rows == 100
