@@ -254,3 +254,19 @@ def test_string_concat_plus():
     assert compile_expr(".n + 1")(t).to_pylist() == [2, 3, 4]
     with pytest.raises(VrlError):
         compile_expr(".a + .n")(t)
+
+
+def test_parse_duration():
+    from vector_ray.vrl import VrlError
+
+    t = pa.table({"d": ["250ms", "1.5s", "2h", " 3 m ", "1.2us", "1µs",
+                        "4d", "nope", None]})
+    out = compile_expr('parse_duration(.d, "s")')(t).to_pylist()
+    assert out[:7] == [0.25, 1.5, 7200.0, 180.0, 1.2e-06, 1e-06, 345600.0]
+    assert out[7] is None and out[8] is None
+    ms = compile_expr('parse_duration(.d, "ms")')(t).to_pylist()
+    assert ms[0] == 250.0 and ms[1] == 1500.0
+    with pytest.raises(VrlError):
+        compile_expr('parse_duration!(.d, "s")')(t)
+    with pytest.raises(VrlError):
+        compile_expr('parse_duration(.d, "fortnights")')

@@ -415,6 +415,39 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
             ),
             pa.timestamp("us"),
         )
+    if base == "parse_duration":
+        # VRL parse_duration(value, unit): "250ms" / "1.5s" / "2h" →
+        # the duration expressed in `unit`. Vectorized: one regex
+        # extract (number + unit token), factor lookup via index_in.
+        inner = args[0]
+        target = _as_py_str(args[1])
+        if target not in _DURATION_FACTORS:
+            raise VrlError(
+                f"parse_duration: unit must be one of {sorted(_DURATION_FACTORS)}"
+            )
+        tfac = _DURATION_FACTORS[target]
+        unit_arr = pa.array(list(_DURATION_FACTORS), pa.string())
+        fac_arr = pa.array(
+            [_DURATION_FACTORS[u] for u in _DURATION_FACTORS], pa.float64()
+        )
+
+        def _dur(t: pa.Table) -> Value:
+            s = pc.cast(inner(t), pa.string())
+            ex = pc.extract_regex(
+                s, r"^\s*(?P<num>\d+(?:\.\d+)?)\s*(?P<unit>ns|us|µs|ms|s|m|h|d)\s*$"
+            )
+            num = pc.cast(pc.struct_field(ex, "num"), pa.float64())
+            unit = pc.struct_field(ex, "unit")
+            unit = pc.replace_substring(unit, "µs", "us")
+            fac = pc.take(fac_arr, pc.index_in(unit, value_set=unit_arr))
+            out = pc.divide(pc.multiply(num, fac), pa.scalar(tfac, pa.float64()))
+            if fallible:
+                bad = pc.and_(pc.invert(pc.is_null(s)), pc.is_null(out))
+                if len(bad) and pc.any(bad).as_py():
+                    raise VrlError("parse_duration!: unparseable duration")
+            return out
+
+        return _dur
     if base == "ip_cidr_contains":
         # VRL ip_cidr_contains(cidr, ip) — IPv4 membership, vectorized:
         # one extract_regex splits every dotted quad into 4 int fields,
@@ -461,6 +494,16 @@ _UNIX_UNITS = {
     "milliseconds": "ms",
     "microseconds": "us",
     "nanoseconds": "ns",
+}
+
+_DURATION_FACTORS = {  # in seconds
+    "ns": 1e-9,
+    "us": 1e-6,
+    "ms": 1e-3,
+    "s": 1.0,
+    "m": 60.0,
+    "h": 3600.0,
+    "d": 86400.0,
 }
 
 _IPV4_RE = (
