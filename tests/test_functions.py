@@ -328,3 +328,39 @@ def test_connected_components_nonconvergence_raises(ray_session):
     chain = rd.from_items([{"doc_a": i, "doc_b": i + 1} for i in range(8)])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_keep_min(chain, max_rounds=2)
+
+
+def test_softdedup_weights(ray_session):
+    """Every cluster member gets 1/|cluster|; per-cluster weights sum
+    to 1.0 so each duplicated piece of content contributes one unit of
+    expected gradient."""
+    import ray
+    import ray.data as rd
+
+    from vector_ray.functions.dedup import softdedup_weights
+
+    cc = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "cluster": [1, 1, 1, 4, 4, 6, 7],
+        }
+    )
+    out_tables = [
+        t
+        for t in ray.get(
+            softdedup_weights(rd.from_arrow(cc).repartition(3))
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    out = pa.concat_tables(out_tables).sort_by("doc_id")
+    assert out["w"].to_pylist() == [
+        0.333333, 0.333333, 0.333333, 0.5, 0.5, 1.0, 1.0
+    ]
+    import collections
+
+    sums = collections.defaultdict(float)
+    for c, w in zip(out["cluster"].to_pylist(), out["w"].to_pylist()):
+        sums[c] += w
+    assert all(abs(s - 1.0) < 1e-5 for s in sums.values())

@@ -761,6 +761,25 @@ def q_near_dedupe_documents(sf_dir: str):
     return cc.map_batches(flag, batch_format="pyarrow")
 
 
+def q_softdedup_documents(sf_dir: str):
+    """SoftDeDup duplicate down-weighting: near-dup clusters (same pair
+    graph + CC as near_dedupe_documents), then every member weighted
+    1/|cluster| instead of dropped — the soft alternative that keeps
+    content while normalizing its expected gradient contribution."""
+    from vector_ray.functions.dedup import (
+        connected_components_distributed,
+        ngram_jaccard_pairs,
+        softdedup_weights,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pairs = ngram_jaccard_pairs(ds, bucket_by=["lang"], threshold=0.3)
+    cc = connected_components_distributed(pairs)
+    return softdedup_weights(cc)
+
+
 def q_embedding_dups(sf_dir: str):
     # exact distributed block-pair all-pairs; threshold 0.4 chosen so the
     # expected result on the random test embeddings is NON-empty (59
@@ -2670,6 +2689,7 @@ QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "tfidf_documents": q_tfidf_documents,
     "near_dedupe_documents": q_near_dedupe_documents,
+    "softdedup_documents": q_softdedup_documents,
     "zscore_events": q_zscore_events,
     "funnel_events": q_funnel_events,
     "dsir_documents": q_dsir_documents,
@@ -3743,6 +3763,35 @@ def oracle_sql() -> dict[str, str]:
                 "  UNION SELECT e.u, reach.r FROM e JOIN reach ON reach.node = e.v) "
                 "SELECT node AS doc_id, MIN(r) AS cluster, "
                 "node = MIN(r) AS kept FROM reach GROUP BY node"
+            ),
+            "softdedup_documents": (
+                # same pair graph + transitive closure as
+                # near_dedupe_documents, then w = 1/|cluster|
+                "WITH RECURSIVE w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws "
+                "  FROM documents), "
+                "s AS (SELECT doc_id, lang, CASE "
+                "  WHEN len(ws) < 3 THEN [array_to_string("
+                "    list_transform(range(3), j -> ws[least(1 + j, len(ws))]), ' ')] "
+                "  ELSE list_transform(range(len(ws) - 2), "
+                "    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END AS sh "
+                "  FROM w), "
+                "d AS (SELECT doc_id, lang, list_distinct(sh) AS sh FROM s), "
+                "p AS (SELECT doc_a, doc_b FROM ("
+                "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                "    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+                "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac "
+                "  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+                "  WHERE len(list_intersect(a.sh, b.sh)) > 0) WHERE jac >= 0.3), "
+                "e AS (SELECT doc_a AS u, doc_b AS v FROM p "
+                "  UNION SELECT doc_b, doc_a FROM p), "
+                "n AS (SELECT DISTINCT u AS node FROM e), "
+                "reach AS (SELECT node, node AS r FROM n "
+                "  UNION SELECT e.u, reach.r FROM e JOIN reach ON reach.node = e.v), "
+                "cl AS (SELECT node AS doc_id, MIN(r) AS cluster "
+                "  FROM reach GROUP BY node) "
+                "SELECT doc_id, cluster, "
+                "ROUND(1.0 / COUNT(*) OVER (PARTITION BY cluster), 6) AS w "
+                "FROM cl"
             ),
             "tfidf_documents": (
                 "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "

@@ -920,3 +920,33 @@ def connected_components_distributed(
         lambda t: pa.table({"doc_id": t["node"], "cluster": t["label"]}),
         batch_format="pyarrow",
     )
+
+
+def softdedup_weights(cc_ds, round_to: int = 6):
+    """SoftDeDup-style duplicate DOWN-WEIGHTING: instead of dropping
+    near-duplicates, give every member of a duplicate cluster the
+    training weight 1/|cluster| so each piece of content contributes
+    one unit of gradient in expectation (the soft alternative to
+    ``kept``-filtering, after Xue et al.'s SoftDeDup). Input is the
+    ``connected_components_distributed`` output (doc_id, cluster); the
+    cluster-size table is bounded by the PAIR GRAPH (only docs with at
+    least one near-dup appear), so it broadcasts — one ``ray.put``,
+    vectorized ``index_in`` lookup per batch, no extra shuffle beyond
+    the one tiny groupby-count."""
+    import ray
+
+    from vector_ray.schema import round_sql_np
+
+    size_rows = cc_ds.groupby("cluster").count().take_all()
+    clusters = pa.array([r["cluster"] for r in size_rows])
+    counts = np.array([r["count()"] for r in size_rows], dtype=np.float64)
+    ref = ray.put((clusters, counts))
+
+    def add_w(t: pa.Table) -> pa.Table:
+        cl, cnt = ray.get(ref)
+        idx = pc.index_in(t["cluster"], value_set=cl)
+        sizes = cnt[idx.to_numpy(zero_copy_only=False)]
+        w = round_sql_np(1.0 / sizes, round_to)
+        return t.append_column("w", pa.array(w, pa.float64()))
+
+    return cc_ds.map_batches(add_w, batch_format="pyarrow")
