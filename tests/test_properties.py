@@ -248,3 +248,62 @@ def test_layout_ops_invariants(ray_session, docs, k):
         rebuilt.setdefault(did, []).extend(toks)
     for i, d in enumerate(docs):
         assert rebuilt.get(f"doc-{i:010d}", []) == list(d)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=32),
+)
+def test_mg_summary_invariants(keys, capacity):
+    """Misra-Gries summary: <= capacity counters, every counter
+    underestimates its true count by at most d, and any key with true
+    count > d survives."""
+    from vector_ray.functions.lm import _mg_summary
+
+    u, c = np.unique(np.array(keys), return_counts=True)
+    true = dict(zip(u.tolist(), c.tolist()))
+    su, sc, d = _mg_summary(u, c, capacity)
+    assert len(su) <= capacity
+    summary = dict(zip(su.tolist(), sc.tolist()))
+    for key, cnt in true.items():
+        got = summary.get(key, 0)
+        assert 0 <= cnt - got <= d, (key, cnt, got, d)
+        if cnt > d:
+            assert key in summary
+    # merging summaries of a split multiset keeps the global bound
+    half = len(keys) // 2
+    if half:
+        parts = []
+        total_d = 0
+        for chunk in (keys[:half], keys[half:]):
+            cu, cc = np.unique(np.array(chunk), return_counts=True)
+            mu, mc, md = _mg_summary(cu, cc, capacity)
+            parts.append(dict(zip(mu.tolist(), mc.tolist())))
+            total_d += md
+        for key, cnt in true.items():
+            got = sum(p.get(key, 0) for p in parts)
+            assert 0 <= cnt - got <= total_d
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_aes_key_monotone_in_weight(weights):
+    """Efraimidis-Spirakis key u^(1/w) is within [0, 1] and, for a fixed
+    uniform u, monotone non-decreasing in the weight — heavier rows can
+    only rank higher."""
+    u = 0.37
+    keys = [u ** (1.0 / w) for w in weights]
+    assert all(0.0 <= x <= 1.0 for x in keys)
+    order = np.argsort(np.array(weights))
+    sorted_keys = np.array(keys)[order]
+    assert all(
+        sorted_keys[i] <= sorted_keys[i + 1] + 1e-15
+        for i in range(len(sorted_keys) - 1)
+    )

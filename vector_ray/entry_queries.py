@@ -2380,6 +2380,40 @@ def q_span_dedupe_exchange(sf_dir: str):
     )
 
 
+def q_span_overlap_documents(sf_dir: str):
+    """Per-document duplication fraction (memorization-risk signal):
+    the share of each doc's tokens covered by a corpus-duplicated
+    8-gram — n_removed / (n_tok + n_removed) of the span-dedup output,
+    surfaced as a score instead of a rewrite. Docs scoring ~1.0 are
+    verbatim copies; ~0.0 are novel."""
+    from vector_ray.functions.tokens import plant_duplicates, span_dedupe
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    out = span_dedupe(plant_duplicates(ds, every=31, skip=10, min_len=24), n=8)
+
+    def frac(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        kept = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rem = t["n_removed"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = kept + rem
+        with np.errstate(invalid="ignore"):
+            f = np.where(tot > 0, rem / np.where(tot > 0, tot, 1.0), 0.0)
+        from vector_ray.schema import round_sql_np
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dup_frac": pa.array(round_sql_np(f, 6), pa.float64()),
+            }
+        )
+
+    return out.map_batches(frac, batch_format="pyarrow")
+
+
 def q_span_corrupt(sf_dir: str):
     """T5-style span corruption layout: mask ~1/7 of 4-token-aligned
     blocks per doc (exact integer hash of doc id + block index), emit
@@ -2592,6 +2626,7 @@ QUERIES = {
     "span_corrupt_corpus": q_span_corrupt,
     "span_dedupe_corpus": q_span_dedupe,
     "span_dedupe_exchange_corpus": q_span_dedupe_exchange,
+    "span_overlap_corpus": q_span_overlap_documents,
     "strip_tokens_corpus": q_strip_tokens,
     "truncate_tokens_corpus": q_truncate_tokens,
     "window_chunks_corpus": q_window_chunks,
@@ -3169,6 +3204,14 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_tokens_oracles())
     # exchange-mask span dedup: identical semantics, same oracle
     sql["span_dedupe_exchange_corpus"] = sql["span_dedupe_corpus"]
+    # duplication fraction = n_removed / (n_tok + n_removed) of the same
+    sql["span_overlap_corpus"] = (
+        "SELECT doc_id, ROUND(CASE WHEN n_tok + n_removed > 0 "
+        "THEN CAST(n_removed AS DOUBLE) / (n_tok + n_removed) "
+        "ELSE 0.0 END, 6) AS dup_frac FROM ("
+        + sql["span_dedupe_corpus"]
+        + ")"
+    )
     sql.update(
         {
             "filter_events": (

@@ -548,6 +548,20 @@ def bigram_lm_score(ds, field: str = "tokens", target: str = "nll",
 # adversary flips the flag to False instead of silently lying.
 
 
+def _mg_summary(
+    u: np.ndarray, c: np.ndarray, capacity: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Misra-Gries summary of exact (key, count) pairs: subtract the
+    (capacity+1)-th largest count d from everyone and keep positives —
+    ≤ capacity counters, per-key undercount ≤ d (pure, testable)."""
+    d = 0
+    if len(u) > capacity:
+        d = int(np.partition(c, len(c) - capacity - 1)[len(c) - capacity - 1])
+        keep = c > d
+        u, c = u[keep], c[keep] - d
+    return u, c, d
+
+
 def heavy_hitters(
     ds,
     field: str = "text",
@@ -566,12 +580,7 @@ def heavy_hitters(
     def partial(t: pa.Table) -> pa.Table:
         flat = _word_lists(t, field).flatten()
         u, c = np.unique(np.asarray(flat, dtype=object), return_counts=True)
-        d = 0
-        if len(u) > capacity:
-            # (capacity+1)-th largest count, subtracted from everyone
-            d = int(np.partition(c, len(c) - capacity - 1)[len(c) - capacity - 1])
-            keep = c > d
-            u, c = u[keep], c[keep] - d
+        u, c, d = _mg_summary(u, c, capacity)
         meta = pa.table(
             {
                 "word": pa.array([""], pa.string()),
