@@ -280,3 +280,73 @@ def test_parse_json_heterogeneous_types(ray_session):
     # declared type makes the schema stable across blocks; conflicting
     # values coerce instead of crashing
     assert [r["k"] for r in got] == ["1", "x"]
+
+
+def test_moving_window_agg(ray_session):
+    """Bounded trailing-window aggregates match a sequential per-key
+    reference for every fn, including the first rows' partial windows."""
+    import collections
+
+    import numpy as np
+    import ray
+
+    from vector_ray.stages.grouped import moving
+
+    rng = np.random.default_rng(9)
+    m = 300
+    t = pa.table(
+        {
+            "user_id": rng.integers(0, 5, m),
+            "event_id": np.arange(m),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 10**6, m)).astype("datetime64[us]")
+            ),
+            "value": np.round(rng.uniform(0, 100, m), 2),
+        }
+    )
+    for fn in ("mean", "sum", "min", "max"):
+        out_ds = moving(
+            rd.from_arrow(t).repartition(4),
+            {
+                "group_by": "user_id",
+                "order_by": ["ts", "event_id"],
+                "field": "value",
+                "n": 4,
+                "fn": fn,
+                "round": 4,
+            },
+        )
+        out = pa.concat_tables(
+            [
+                x
+                for x in ray.get(out_ds.materialize().to_arrow_refs())
+                if x.num_rows
+            ]
+        ).sort_by("event_id")
+        rows = sorted(
+            zip(
+                t["user_id"].to_pylist(),
+                t["ts"].to_pylist(),
+                t["event_id"].to_pylist(),
+                t["value"].to_pylist(),
+            )
+        )
+        hist = collections.defaultdict(list)
+        want = {}
+        for u, _, eid, v in rows:
+            hist[u].append(v)
+            w = hist[u][-4:]
+            r = {
+                "mean": sum(w) / len(w),
+                "sum": sum(w),
+                "min": min(w),
+                "max": max(w),
+            }[fn]
+            want[eid] = round(round(r, 9), 4)
+        got = dict(
+            zip(out["event_id"].to_pylist(), out[f"mov_{fn}_value"].to_pylist())
+        )
+        assert all(abs(got[e] - want[e]) < 1e-9 for e in want), fn
+    with pytest.raises(ValueError):
+        moving(rd.from_arrow(t), {"group_by": "user_id", "order_by": ["ts"],
+                                  "field": "value", "n": 4, "fn": "median"})

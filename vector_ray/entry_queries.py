@@ -1697,6 +1697,30 @@ def q_sessionize_events(sf_dir: str):
     )
 
 
+def q_moving_avg_events(sf_dir: str):
+    """Per-user 5-row trailing moving average + rolling max of value,
+    ordered by (ts, event_id) — the bounded SQL window frame (ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW) that `cumulative` (unbounded)
+    doesn't cover. Mean via cumsum difference, max via a sliding
+    window view; one hash shuffle per aggregate."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    opts = {
+        "group_by": "user_id",
+        "order_by": ["ts", "event_id"],
+        "field": "value",
+        "n": 5,
+        "round": 4,
+    }
+    avg = grouped.moving(ds, {**opts, "fn": "mean"})
+    out = grouped.moving(avg, {**opts, "fn": "max"})
+    return out.map_batches(
+        lambda t: t.select(["event_id", "mov_mean_value", "mov_max_value"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_cumulative_events(sf_dir: str):
     """Per-user running row_number + cumulative value sum ordered by
     (ts, event_id) — the SQL window-function shape."""
@@ -2732,6 +2756,7 @@ QUERIES = {
     "dedupe_events_last": q_dedupe_events_last,
     "sessionize_events": q_sessionize_events,
     "cumulative_events": q_cumulative_events,
+    "moving_avg_events": q_moving_avg_events,
     "rollup_events": q_rollup_events,
     "cube_events": q_cube_events,
     "pivot_events": q_pivot_events,
@@ -3772,6 +3797,13 @@ def oracle_sql() -> dict[str, str]:
                 "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 9), 4) "
                 "AS cum_value FROM events "
                 "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            ),
+            "moving_avg_events": (
+                "SELECT event_id, "
+                "ROUND(ROUND(AVG(value) OVER w5, 9), 4) AS mov_mean_value, "
+                "ROUND(ROUND(MAX(value) OVER w5, 9), 4) AS mov_max_value "
+                "FROM events WINDOW w5 AS (PARTITION BY user_id "
+                "  ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
             ),
             "zscore_events": (
                 "SELECT event_id, event_type, "

@@ -46,6 +46,7 @@ MOVEMENT = {
     "window": "hybrid",
     "sessionize": "shuffle",
     "cumulative": "shuffle",
+    "moving": "shuffle",
     "interarrival": "shuffle",
     "funnel": "shuffle",
     "rank": "shuffle",

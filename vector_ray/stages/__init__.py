@@ -71,6 +71,7 @@ TRANSFORMS = {
     "interarrival": grouped.interarrival,
     "sessionize": grouped.sessionize,
     "cumulative": grouped.cumulative,
+    "moving": grouped.moving,
     "rollup": grouped.rollup,
     "pivot": grouped.pivot,
     "quantile_bucket": grouped.quantile_bucket,

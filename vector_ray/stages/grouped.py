@@ -912,6 +912,24 @@ def sessionize(ds, options: dict, ctx=None):
     return ds.groupby(key).map_groups(label, batch_format="pyarrow")
 
 
+def _sortable(col) -> np.ndarray:
+    """Order-preserving numpy sort key for a column (timestamps → int64,
+    strings → dense rank so numpy can lexsort null-bearing text)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(col.type):
+        return np.asarray(pc.cast(col, pa.int64()))
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return np.asarray(
+            pc.rank(
+                col,
+                sort_keys="ascending",
+                null_placement="at_end",
+                tiebreaker="dense",
+            )
+        )
+    return np.asarray(col)
+
+
 def cumulative(ds, options: dict, ctx=None):
     """Per-key running window aggregates: row_number and cumulative sum of
     a value field, ordered by an explicit (deterministic) sort-key list.
@@ -935,23 +953,6 @@ def cumulative(ds, options: dict, ctx=None):
     order_by = options["order_by"]
     field = options["field"]
     ndigits = options.get("round")
-
-    def _sortable(col: pa.ChunkedArray) -> np.ndarray:
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        if pa.types.is_timestamp(col.type):
-            return np.asarray(pc.cast(col, pa.int64()))
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            # dense rank: order-preserving int keys, null-safe (numpy
-            # cannot sort object arrays containing None); nulls last
-            return np.asarray(
-                pc.rank(
-                    col,
-                    sort_keys="ascending",
-                    null_placement="at_end",
-                    tiebreaker="dense",
-                )
-            )
-        return np.asarray(col)
 
     def running(g: pa.Table) -> pa.Table:
         # np.lexsort: last key is primary
@@ -977,6 +978,72 @@ def cumulative(ds, options: dict, ctx=None):
         )
 
     return ds.groupby(key).map_groups(running, batch_format="pyarrow")
+
+
+def moving(ds, options: dict, ctx=None):
+    """Per-key bounded TRAILING-window aggregate — SQL
+    ``fn(value) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN n-1
+    PRECEDING AND CURRENT ROW)`` — the moving-average / rolling-min
+    family ``cumulative`` (unbounded) doesn't cover.
+
+    {"type": "moving", "group_by": "user_id",
+     "order_by": ["ts", "event_id"], "field": "value", "n": 5,
+     "fn": "mean", "round": 4}
+
+    fn ∈ sum | mean | min | max. One hash shuffle on the key; per
+    group one lexsort, then sum/mean via cumsum difference (O(rows))
+    and min/max via a sliding-window view (O(rows × n) compare — keep
+    ``n`` modest). Same partitioning assumption and deterministic
+    ``order_by`` contract as ``cumulative``."""
+    from vector_ray.schema import round_sql_np
+
+    key = options["group_by"]
+    order_by = options["order_by"]
+    field = options["field"]
+    n = int(options["n"])
+    fn = options.get("fn", "mean")
+    ndigits = options.get("round")
+    if fn not in ("sum", "mean", "min", "max"):
+        raise ValueError(f"moving: fn must be sum|mean|min|max, got {fn!r}")
+    if n < 1:
+        raise ValueError("moving: n must be >= 1")
+
+    def window(g: pa.Table) -> pa.Table:
+        keys = [_sortable(g[c]) for c in reversed(order_by)]
+        order = np.lexsort(keys)
+        vals = np.asarray(
+            pc.cast(
+                g[field].combine_chunks()
+                if isinstance(g[field], pa.ChunkedArray)
+                else g[field],
+                pa.float64(),
+            )
+        )[order]
+        m = len(vals)
+        if fn in ("sum", "mean"):
+            csum = np.concatenate([[0.0], np.cumsum(vals)])
+            lo = np.maximum(np.arange(m) - n + 1, 0)
+            agg = csum[np.arange(1, m + 1)] - csum[lo]
+            if fn == "mean":
+                agg = agg / (np.arange(1, m + 1) - lo)
+        else:
+            red = np.minimum if fn == "min" else np.maximum
+            if m >= n:
+                sw = np.lib.stride_tricks.sliding_window_view(vals, n)
+                full = red.reduce(sw, axis=1)
+            else:
+                full = np.empty(0, np.float64)
+            head = red.accumulate(vals[: min(m, n - 1)])
+            agg = np.concatenate([head, full])
+        if ndigits is not None:
+            agg = round_sql_np(round_sql_np(agg, 9), ndigits)
+        out = np.empty(m, dtype=np.float64)
+        out[order] = agg
+        return g.append_column(
+            f"mov_{fn}_{field}", pa.array(out, pa.float64())
+        )
+
+    return ds.groupby(key).map_groups(window, batch_format="pyarrow")
 
 
 def rollup(ds, options: dict, ctx=None):
