@@ -285,3 +285,64 @@ def test_metrics_hub(ray_session):
     }
     res = run_pipeline(spec, PipelineContext(metrics=hub))
     assert res.metrics["f"]["rows"] == 3
+
+
+def test_assert_schema_modes(ray_session):
+    """Data-contract gate: drop filters violations, label annotates,
+    error raises with per-column counts; allowed nulls pass range
+    checks while not_null rejects them."""
+    import ray
+    import ray.data as rd
+
+    from vector_ray.stages.core import assert_schema
+    from vector_ray.vrl import VrlError
+
+    t = pa.table(
+        {
+            "value": pa.array([5.0, -1.0, None, 50.0, 2e9], pa.float64()),
+            "event_type": ["click", "click", "view", "weird", "view"],
+            "doc_id": ["doc-1", "doc-2", "x-3", "doc-4", "doc-5"],
+        }
+    )
+    spec = {
+        "columns": {
+            "value": {"min": 0, "max": 1e9},
+            "event_type": {"in": ["click", "view"]},
+            "doc_id": {"regex": "doc-"},
+        }
+    }
+
+    def collect(ds):
+        tables = [
+            x for x in ray.get(ds.materialize().to_arrow_refs()) if x.num_rows
+        ]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    assert collect(assert_schema(rd.from_arrow(t), spec))[
+        "doc_id"
+    ].to_pylist() == ["doc-1"]
+    # nulls pass range checks unless not_null is declared
+    loose = collect(
+        assert_schema(rd.from_arrow(t), {"columns": {"value": {"min": 0}}})
+    )
+    assert sorted(loose["doc_id"].to_pylist()) == [
+        "doc-1", "doc-4", "doc-5", "x-3"]
+    strict = collect(
+        assert_schema(
+            rd.from_arrow(t), {"columns": {"value": {"min": 0, "not_null": True}}}
+        )
+    )
+    assert sorted(strict["doc_id"].to_pylist()) == ["doc-1", "doc-4", "doc-5"]
+    labeled = collect(
+        assert_schema(rd.from_arrow(t), {**spec, "on_violation": "label"})
+    )
+    assert labeled.num_rows == 5
+    assert labeled["__valid"].to_pylist().count(True) == 1
+    with pytest.raises(Exception, match="contract violations"):
+        collect(assert_schema(rd.from_arrow(t), {**spec, "on_violation": "error"}))
+    with pytest.raises(VrlError):
+        assert_schema(rd.from_arrow(t), {"columns": {}, "on_violation": "nope"})
+    with pytest.raises(Exception, match="missing"):
+        collect(
+            assert_schema(rd.from_arrow(t), {"columns": {"nope": {"min": 1}}})
+        )

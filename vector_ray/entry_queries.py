@@ -212,6 +212,25 @@ def q_filter_cidr_events(sf_dir: str):
     )
 
 
+def q_contract_events(sf_dir: str):
+    """Data-contract gate: keep only events satisfying the declared
+    column constraints (not-null value in [0, 80], known event types) —
+    one vectorized boolean mask per batch, the schema-enforcement stage
+    a 100 TB ingest runs before anything expensive."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return core.assert_schema(
+        ds,
+        {
+            "columns": {
+                "value": {"not_null": True, "min": 0, "max": 80},
+                "event_type": {"in": ["click", "view"]},
+            }
+        },
+    )
+
+
 def q_parse_json_events(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
     remapped = core.remap(
@@ -2689,6 +2708,7 @@ QUERIES = {
     "window_session_events": q_window_session_events,
     "filter_datadog_events": q_filter_datadog_events,
     "filter_cidr_events": q_filter_cidr_events,
+    "contract_events": q_contract_events,
     "topk_per_source": q_topk_per_source,
     "join_orders_customer": q_join_orders_customer,
     "semi_join_customers": q_semi_join_customers,
@@ -3242,6 +3262,11 @@ def oracle_sql() -> dict[str, str]:
             "filter_events": (
                 "SELECT event_id, user_id, event_type, value FROM events "
                 "WHERE event_type = 'click' AND value >= 10"
+            ),
+            "contract_events": (
+                "SELECT event_id, event_type, value FROM events "
+                "WHERE value IS NOT NULL AND value >= 0 AND value <= 80 "
+                "AND event_type IN ('click', 'view')"
             ),
             "filter_cidr_events": (
                 # 10.64.0.0/10 over ip = 10.(user_id%200).0.1 keeps

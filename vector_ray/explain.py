@@ -28,6 +28,7 @@ MOVEMENT = {
     "frame": "narrow",
     "encode": "narrow",
     "tokenize": "narrow",
+    "assert_schema": "narrow",
     "mixture_sample": "narrow",
     "split_assign": "narrow",
     "log_to_metric": "hybrid",

@@ -88,6 +88,7 @@ TRANSFORMS = {
     "lua": _pyscript,
     "pyscript": _pyscript,
     "test_basic": core.identity,
+    "assert_schema": core.assert_schema,
     "enrich": enrich.enrich,
     "tokenize": tokenize,
     "window": window,

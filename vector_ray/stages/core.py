@@ -630,3 +630,86 @@ def sample(ds, options: dict, ctx=None):
 def identity(ds, options: dict, ctx=None):
     """test_basic (palette.rs:149) — no-op."""
     return ds
+
+
+def assert_schema(ds, options: dict, ctx=None):
+    """Data-contract enforcement — the schema/constraint gate a 100 TB
+    ingest runs before anything expensive:
+
+    {"type": "assert_schema",
+     "columns": {"value":      {"not_null": true, "min": 0, "max": 1e9},
+                 "event_type": {"in": ["click", "view", "purchase"]},
+                 "doc_id":     {"regex": "^doc-"}},
+     "on_violation": "drop" | "label" | "error"}
+
+    Constraints per column: not_null, min / max (inclusive), in
+    (value set), regex (RE2 full match on the string cast). All checks
+    compile to one vectorized boolean mask per batch. Modes:
+    ``drop`` (default) filters violating rows (SQL WHERE mirror);
+    ``label`` keeps every row and appends a ``__valid`` bool column;
+    ``error`` raises on the first violating batch with a per-column
+    violation count — fail-fast ingestion."""
+    columns = options.get("columns") or {}
+    mode = options.get("on_violation", "drop")
+    if mode not in ("drop", "label", "error"):
+        raise VrlError(
+            f"assert_schema: on_violation must be drop|label|error, got {mode!r}"
+        )
+
+    def _col_mask(t: pa.Table, name: str, spec: dict):
+        if name not in t.column_names:
+            raise VrlError(f"assert_schema: column {name!r} missing from input")
+        col = t[name]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        mask = None
+
+        def _and(m):
+            nonlocal mask
+            mask = m if mask is None else pc.and_kleene(mask, m)
+
+        if spec.get("not_null"):
+            _and(pc.is_valid(col))
+        if "min" in spec:
+            _and(pc.greater_equal(col, pa.scalar(spec["min"])))
+        if "max" in spec:
+            _and(pc.less_equal(col, pa.scalar(spec["max"])))
+        if "in" in spec:
+            _and(pc.is_in(col, value_set=pa.array(list(spec["in"]))))
+        if "regex" in spec:
+            _and(
+                pc.match_substring_regex(
+                    pc.cast(col, pa.string()), f"^(?:{spec['regex']})"
+                )
+            )
+        if mask is None:
+            return pa.array([True] * t.num_rows, pa.bool_())
+        # null comparisons are null under Kleene logic; a null check
+        # result means the constraint is NOT satisfied unless the only
+        # reason is an allowed null (no not_null constraint): treat
+        # null-valued rows as passing range/set checks when nulls are
+        # allowed, violating when not_null is set (already false above).
+        if not spec.get("not_null"):
+            mask = pc.or_kleene(mask, pc.is_null(col))
+        return pc.fill_null(mask, False)
+
+    def check(t: pa.Table) -> pa.Table:
+        valid = pa.array([True] * t.num_rows, pa.bool_())
+        per_col_bad: dict[str, int] = {}
+        for name, spec in columns.items():
+            m = _col_mask(t, name, spec)
+            if mode == "error":
+                bad = t.num_rows - pc.sum(pc.cast(m, pa.int64())).as_py()
+                if bad:
+                    per_col_bad[name] = bad
+            valid = pc.and_(valid, m)
+        if mode == "error" and per_col_bad:
+            raise ValueError(
+                f"assert_schema: contract violations {per_col_bad}"
+            )
+        if mode == "label":
+            return t.append_column(
+                "__valid", valid.combine_chunks() if isinstance(valid, pa.ChunkedArray) else valid
+            )
+        return t.filter(valid)
+
+    return ds.map_batches(check, batch_format="pyarrow")
