@@ -350,3 +350,46 @@ def test_moving_window_agg(ray_session):
     with pytest.raises(ValueError):
         moving(rd.from_arrow(t), {"group_by": "user_id", "order_by": ["ts"],
                                   "field": "value", "n": 4, "fn": "median"})
+
+
+def test_moving_window_null_semantics(ray_session):
+    """Nulls are ignored like SQL window aggregates: they don't poison
+    the cumsum difference, don't count toward the mean divisor, and an
+    all-null window yields NULL."""
+    import ray
+
+    from vector_ray.stages.grouped import moving
+
+    t = pa.table(
+        {
+            "k": ["a"] * 6 + ["b"] * 2,
+            "i": list(range(6)) + [0, 1],
+            "value": pa.array(
+                [1.0, None, 3.0, 4.0, 5.0, 6.0, None, None], pa.float64()
+            ),
+        }
+    )
+    out_ds = moving(
+        rd.from_arrow(t),
+        {"group_by": "k", "order_by": ["i"], "field": "value", "n": 3,
+         "fn": "mean", "round": 6},
+    )
+    out = pa.concat_tables(
+        [x for x in ray.get(out_ds.materialize().to_arrow_refs()) if x.num_rows]
+    ).sort_by([("k", "ascending"), ("i", "ascending")])
+    got = out["mov_mean_value"].to_pylist()
+    # a: windows [1], [1,N], [1,N,3], [N,3,4], [3,4,5], [4,5,6]
+    assert got[:6] == [1.0, 1.0, 2.0, 3.5, 4.0, 5.0]
+    # b: all-null windows -> NULL
+    assert got[6] is None and got[7] is None
+    # min over nulls
+    out2_ds = moving(
+        rd.from_arrow(t),
+        {"group_by": "k", "order_by": ["i"], "field": "value", "n": 3,
+         "fn": "min"},
+    )
+    out2 = pa.concat_tables(
+        [x for x in ray.get(out2_ds.materialize().to_arrow_refs()) if x.num_rows]
+    ).sort_by([("k", "ascending"), ("i", "ascending")])
+    assert out2["mov_min_value"].to_pylist() == [
+        1.0, 1.0, 1.0, 3.0, 3.0, 4.0, None, None]

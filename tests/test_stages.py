@@ -308,7 +308,7 @@ def test_assert_schema_modes(ray_session):
         "columns": {
             "value": {"min": 0, "max": 1e9},
             "event_type": {"in": ["click", "view"]},
-            "doc_id": {"regex": "doc-"},
+            "doc_id": {"regex": "doc-.*"},
         }
     }
 

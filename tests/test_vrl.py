@@ -270,3 +270,26 @@ def test_parse_duration():
         compile_expr('parse_duration!(.d, "s")')(t)
     with pytest.raises(VrlError):
         compile_expr('parse_duration(.d, "fortnights")')
+
+
+def test_unix_timestamp_edge_cases():
+    """Regression: nanosecond counts with sub-microsecond digits must
+    truncate (not raise), and pre-epoch conversion floors like SQL
+    epoch() rather than truncating toward zero."""
+    t = pa.table({"n": pa.array([1_700_000_000_123_456_789, None], pa.int64())})
+    out = compile_expr('from_unix_timestamp(.n, "nanoseconds")')(t)
+    assert out.type == pa.timestamp("us")
+    assert out[0].as_py().microsecond == 123456
+    t2 = pa.table(
+        {"ts": pa.array([-500_000, 500_000, -1_000_000, -1_500_000],
+                        pa.timestamp("us"))}
+    )
+    assert compile_expr("to_unix_timestamp(.ts)")(t2).to_pylist() == [-1, 0, -1, -2]
+
+
+def test_ipv4_strict_octets():
+    """Leading-zero octets are invalid IPv4 (octal ambiguity) — null in
+    the plain form, like other unparseable addresses."""
+    t = pa.table({"ip": ["010.064.0.1", "10.64.0.1", "10.064.0.1", "0.0.0.0"]})
+    assert compile_expr('ip_cidr_contains("10.64.0.0/10", .ip)')(t).to_pylist() == [
+        None, True, None, False]

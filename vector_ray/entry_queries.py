@@ -225,7 +225,10 @@ def q_contract_events(sf_dir: str):
         {
             "columns": {
                 "value": {"not_null": True, "min": 0, "max": 80},
-                "event_type": {"in": ["click", "view"]},
+                # not_null alongside `in` keeps drop mode an EXACT SQL
+                # WHERE mirror even on null-bearing data (SQL drops
+                # NULL comparisons; a bare set check here keeps them)
+                "event_type": {"not_null": True, "in": ["click", "view"]},
             }
         },
     )

@@ -1362,8 +1362,17 @@ def _mask_stage_exchange(ds, index_parts: list, n: int, num_buckets: int):
     blocks = ds.materialize().to_arrow_refs()
     if not blocks:
         return _mask_stage(ds, np.empty(0, np.uint64), np.empty(0, np.uint64), n)
+    # Group size bounds PER-TASK HEAP, not just object count: a query
+    # task's working set is ~40 B per gram of its group (hashes + radix
+    # order + bucket slices), so groups are capped at ``group_size``
+    # blocks instead of blocks/CPUs (which grows with the corpus and
+    # would OOM exactly at the scale this path exists for). Smaller
+    # groups cost more driver-owned objects (groups × num_buckets) —
+    # the measured metadata overhead only bites below ~1 block/group.
+    group_size = 4
+    cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
     num_groups = max(
-        1, min(len(blocks), int(ray.cluster_resources().get("CPU", 8)))
+        min(len(blocks), cpus), -(-len(blocks) // group_size)
     )
     group_blocks = [blocks[g::num_groups] for g in range(num_groups)]
 
@@ -1424,15 +1433,14 @@ def _mask_stage_exchange(ds, index_parts: list, n: int, num_buckets: int):
         return tuple(res) if num_groups > 1 else res[0]
 
     @ray.remote(num_cpus=1)
-    def apply_group(nblk, *args):
-        tbls, hits = args[:nblk], args[nblk:]
+    def apply_block(bi, tbl, *hits):
+        # one task per INPUT block (heap O(block), output granularity
+        # preserved — a per-group apply would concat corpus/num_groups
+        # bytes into one giant block); hits are tiny position arrays
         blk = np.concatenate([h[0] for h in hits])
         st = np.concatenate([h[1] for h in hits])
-        outs = []
-        for bi, tbl in enumerate(tbls):
-            values, offsets = _flat_tokens(tbl)
-            outs.append(_apply_cover(tbl, values, offsets, st[blk == bi], n))
-        return pa.concat_tables(outs)
+        values, offsets = _flat_tokens(tbl)
+        return _apply_cover(tbl, values, offsets, st[blk == bi], n)
 
     qrefs = [query_group.remote(*group_blocks[g]) for g in range(num_groups)]
     if num_buckets == 1:  # num_returns=1 yields a bare ref, not a list
@@ -1444,12 +1452,11 @@ def _mask_stage_exchange(ds, index_parts: list, n: int, num_buckets: int):
     if num_groups == 1:
         hrefs = [[h] for h in hrefs]
     out_refs = [
-        apply_group.remote(
-            len(group_blocks[g]),
-            *group_blocks[g],
-            *[hrefs[b][g] for b in range(num_buckets)],
+        apply_block.remote(
+            bi, block, *[hrefs[b][g] for b in range(num_buckets)]
         )
         for g in range(num_groups)
+        for bi, block in enumerate(group_blocks[g])
     ]
     return rd.from_arrow_refs(out_refs)
 

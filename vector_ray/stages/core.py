@@ -643,12 +643,16 @@ def assert_schema(ds, options: dict, ctx=None):
      "on_violation": "drop" | "label" | "error"}
 
     Constraints per column: not_null, min / max (inclusive), in
-    (value set), regex (RE2 full match on the string cast). All checks
-    compile to one vectorized boolean mask per batch. Modes:
-    ``drop`` (default) filters violating rows (SQL WHERE mirror);
-    ``label`` keeps every row and appends a ``__valid`` bool column;
-    ``error`` raises on the first violating batch with a per-column
-    violation count — fail-fast ingestion."""
+    (value set), regex (RE2 FULL match on the string cast — anchored
+    both ends; use ``.*`` for prefix semantics). All checks compile to
+    one vectorized boolean mask per batch. NULL handling: a null value
+    passes min/max/in/regex checks unless ``not_null`` is also set —
+    so the ``drop`` mode mirrors SQL WHERE exactly only when nullable
+    columns carry ``not_null`` (SQL drops NULL comparisons; a bare
+    range check here keeps them). Modes: ``drop`` (default) filters
+    violating rows; ``label`` keeps every row and appends a
+    ``__valid`` bool column; ``error`` raises on the first violating
+    batch with a per-column violation count — fail-fast ingestion."""
     columns = options.get("columns") or {}
     mode = options.get("on_violation", "drop")
     if mode not in ("drop", "label", "error"):
@@ -678,7 +682,7 @@ def assert_schema(ds, options: dict, ctx=None):
         if "regex" in spec:
             _and(
                 pc.match_substring_regex(
-                    pc.cast(col, pa.string()), f"^(?:{spec['regex']})"
+                    pc.cast(col, pa.string()), f"^(?:{spec['regex']})$"
                 )
             )
         if mask is None:

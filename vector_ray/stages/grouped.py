@@ -1011,36 +1011,46 @@ def moving(ds, options: dict, ctx=None):
     def window(g: pa.Table) -> pa.Table:
         keys = [_sortable(g[c]) for c in reversed(order_by)]
         order = np.lexsort(keys)
-        vals = np.asarray(
-            pc.cast(
-                g[field].combine_chunks()
-                if isinstance(g[field], pa.ChunkedArray)
-                else g[field],
-                pa.float64(),
-            )
-        )[order]
+        col = g[field]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)[order]
+        # SQL window aggregates IGNORE nulls: they contribute nothing to
+        # sum/min/max and don't count toward the mean divisor; a window
+        # whose values are ALL null yields NULL. (A null fed into the
+        # cumsum-difference would otherwise poison every later row.)
+        isnull = np.asarray(pc.is_null(col))[order]
         m = len(vals)
+        lo = np.maximum(np.arange(m) - n + 1, 0)
+        hi = np.arange(1, m + 1)
+        ccnt = np.concatenate([[0.0], np.cumsum((~isnull).astype(np.float64))])
+        k = ccnt[hi] - ccnt[lo]
         if fn in ("sum", "mean"):
-            csum = np.concatenate([[0.0], np.cumsum(vals)])
-            lo = np.maximum(np.arange(m) - n + 1, 0)
-            agg = csum[np.arange(1, m + 1)] - csum[lo]
+            csum = np.concatenate(
+                [[0.0], np.cumsum(np.where(isnull, 0.0, vals))]
+            )
+            agg = csum[hi] - csum[lo]
             if fn == "mean":
-                agg = agg / (np.arange(1, m + 1) - lo)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    agg = agg / k
         else:
             red = np.minimum if fn == "min" else np.maximum
+            sentinel = np.inf if fn == "min" else -np.inf
+            filled = np.where(isnull, sentinel, vals)
             if m >= n:
-                sw = np.lib.stride_tricks.sliding_window_view(vals, n)
+                sw = np.lib.stride_tricks.sliding_window_view(filled, n)
                 full = red.reduce(sw, axis=1)
             else:
                 full = np.empty(0, np.float64)
-            head = red.accumulate(vals[: min(m, n - 1)])
+            head = red.accumulate(filled[: min(m, n - 1)])
             agg = np.concatenate([head, full])
+        agg = np.where(k > 0, agg, np.nan)  # all-null window -> SQL NULL
         if ndigits is not None:
             agg = round_sql_np(round_sql_np(agg, 9), ndigits)
         out = np.empty(m, dtype=np.float64)
         out[order] = agg
         return g.append_column(
-            f"mov_{fn}_{field}", pa.array(out, pa.float64())
+            f"mov_{fn}_{field}",
+            pa.array(out, pa.float64(), from_pandas=True),  # NaN -> null
         )
 
     return ds.groupby(key).map_groups(window, batch_format="pyarrow")

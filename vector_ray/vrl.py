@@ -388,7 +388,9 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
         return lambda t: pc.ceil(inner(t))
     if base == "to_unix_timestamp":
         # VRL to_unix_timestamp(ts[, unit]) — timestamp → integer epoch
-        # count. Vectorized: one timestamp cast (truncating) + int cast.
+        # count, FLOOR semantics like SQL epoch() (an Arrow timestamp
+        # downcast truncates toward zero, which is one unit late for
+        # pre-epoch fractional values).
         inner = args[0]
         unit = _as_py_str(args[1]) if len(args) > 1 else "seconds"
         arrow_unit = _UNIX_UNITS.get(unit)
@@ -396,11 +398,27 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
             raise VrlError(
                 f"to_unix_timestamp: unit must be one of {sorted(_UNIX_UNITS)}"
             )
-        return lambda t: pc.cast(
-            pc.cast(inner(t), pa.timestamp(arrow_unit), safe=False), pa.int64()
-        )
+
+        def _to_unix(t: pa.Table) -> Value:
+            n_us = pc.cast(
+                pc.cast(inner(t), pa.timestamp("us"), safe=False), pa.int64()
+            )
+            if arrow_unit == "ns":
+                return pc.multiply(n_us, pa.scalar(1000, pa.int64()))
+            f = pa.scalar({"s": 1_000_000, "ms": 1_000, "us": 1}[arrow_unit], pa.int64())
+            q = pc.divide(n_us, f)  # truncates toward zero
+            r = pc.subtract(n_us, pc.multiply(q, f))
+            neg_frac = pc.and_(
+                pc.not_equal(r, pa.scalar(0, pa.int64())),
+                pc.less(n_us, pa.scalar(0, pa.int64())),
+            )
+            return pc.subtract(q, pc.cast(pc.fill_null(neg_frac, False), pa.int64()))
+
+        return _to_unix
     if base == "from_unix_timestamp":
-        # inverse conversion: integer epoch count → timestamp(us)
+        # inverse conversion: integer epoch count → timestamp(us).
+        # safe=False on the final cast so sub-microsecond nanosecond
+        # counts TRUNCATE instead of raising ArrowInvalid.
         inner = args[0]
         unit = _as_py_str(args[1]) if len(args) > 1 else "seconds"
         arrow_unit = _UNIX_UNITS.get(unit)
@@ -414,6 +432,7 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
                 pa.timestamp(arrow_unit),
             ),
             pa.timestamp("us"),
+            safe=False,
         )
     if base == "parse_duration":
         # VRL parse_duration(value, unit): "250ms" / "1.5s" / "2h" →
@@ -506,8 +525,12 @@ _DURATION_FACTORS = {  # in seconds
     "d": 86400.0,
 }
 
+_IPV4_OCTET = r"25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9]"
+# strict octets: 0-255 with NO leading zeros (VRL/Rust IP parsing
+# rejects "010.064.0.1" as invalid — octal ambiguity)
 _IPV4_RE = (
-    r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$"
+    rf"^(?P<a>{_IPV4_OCTET})\.(?P<b>{_IPV4_OCTET})"
+    rf"\.(?P<c>{_IPV4_OCTET})\.(?P<d>{_IPV4_OCTET})$"
 )
 
 
