@@ -1,0 +1,149 @@
+"""PageRank (functions/graph.py): closed-form fixtures, an
+independent straight-line reference, dangling-mass handling, parallel
+edges, broadcast/bucketed mode equality, and null-edge hygiene."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from vector_ray.functions.graph import pagerank
+
+
+def _reference(edges, iters, damping):
+    """Independent dict-based power iteration (per-node Python loop —
+    deliberately nothing like the vectorized engine)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {v: 0 for v in nodes}
+    for u, _ in edges:
+        outdeg[u] += 1
+    n = float(len(nodes))
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if outdeg[v] == 0)
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += rank[u] / outdeg[u]
+        rank = {
+            v: (1.0 - damping) / n
+            + damping * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return rank
+
+
+def _run(edges, iters=4, damping=0.85, **kw):
+    t = pa.table(
+        {
+            "src": pa.array([u for u, _ in edges], pa.int64()),
+            "dst": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    out = pagerank(
+        rd.from_arrow(t), iters=iters, damping=damping, **kw
+    )
+    if not isinstance(out, pa.Table):
+        out = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+        )
+    out = out.sort_by("node")
+    return dict(
+        zip(out["node"].to_pylist(), out["rank"].to_pylist())
+    )
+
+
+def _assert_close(got, edges, iters=4, damping=0.85):
+    want = _reference(edges, iters, damping)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_cycle_is_uniform(ray_session):
+    edges = [(0, 1), (1, 2), (2, 0)]
+    got = _run(edges)
+    for r in got.values():
+        assert r == pytest.approx(1.0 / 3.0, abs=1e-6)
+
+
+def test_chain_with_dangling_node(ray_session):
+    # 2 is a sink: its whole mass is dangling and must be
+    # redistributed, not dropped (ranks always sum to 1)
+    edges = [(0, 1), (1, 2)]
+    _assert_close(_run(edges), edges)
+
+
+def test_star_vs_reference(ray_session):
+    # hub-and-spoke plus a back edge; includes a parallel edge (3->0
+    # twice) which must count double in outdeg AND contribution
+    edges = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0), (3, 0)]
+    _assert_close(_run(edges), edges)
+
+
+def test_modes_identical(ray_session):
+    rng = np.random.RandomState(7)
+    edges = [
+        (int(rng.randint(0, 40)), int(rng.randint(0, 40)))
+        for _ in range(300)
+    ]
+    b = _run(edges, mode="broadcast")
+    k = _run(edges, mode="bucketed", num_buckets=4)
+    assert b == k  # byte-identical after the shared double-round
+    _assert_close(b, edges)
+
+
+def test_null_edges_dropped(ray_session):
+    t = pa.table(
+        {
+            "src": pa.array([0, 1, None, 2], pa.int64()),
+            "dst": pa.array([1, 2, 0, None], pa.int64()),
+        }
+    )
+    out = pagerank(rd.from_arrow(t), iters=4)
+    got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    want = _reference([(0, 1), (1, 2)], 4, 0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6)
+
+
+def test_spec_dag_transform(ray_session):
+    from vector_ray.pipeline import run_pipeline
+
+    rows = [
+        {"src": u, "dst": v}
+        for u, v in [(0, 1), (1, 2), (2, 0), (2, 1)]
+    ]
+    out = run_pipeline(
+        {
+            "sources": {"e": {"type": "inline", "rows": rows}},
+            "transforms": {
+                "pr": {
+                    "type": "pagerank",
+                    "inputs": ["e"],
+                    "iters": 3,
+                    "damping": 0.85,
+                }
+            },
+            "sinks": {"out": {"type": "collect", "inputs": ["pr"]}},
+        }
+    ).sinks["out"]
+    tbl = out.table
+    assert set(tbl.column_names) == {"node", "rank"}
+    assert tbl.num_rows == 3
+    want = _reference([(0, 1), (1, 2), (2, 0), (2, 1)], 3, 0.85)
+    got = dict(zip(tbl["node"].to_pylist(), tbl["rank"].to_pylist()))
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6)
+
+
+def test_empty_edges(ray_session):
+    t = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+        }
+    )
+    out = pagerank(rd.from_arrow(t))
+    assert out.num_rows == 0

@@ -2658,6 +2658,54 @@ def q_pack_boundaries(sf_dir: str):
     return chunk_boundaries(files, chunk_len=2048)
 
 
+def _event_click_edges(sf_dir: str):
+    """Bipartite user<->item click graph from the events table: one
+    directed edge user -> (100000 + props.k) per event plus its
+    reverse, so rank mass can circulate (SQL mirrors the same regex
+    extraction + UNION ALL)."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "props"]
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        u = pc.cast(t["user_id"], pa.int64())
+        item = pc.add(k, 100000)
+        fwd = pa.table({"src": u, "dst": item})
+        rev = pa.table({"src": item, "dst": u})
+        return pa.concat_tables([fwd, rev])
+
+    return ev.map_batches(mk, batch_format="pyarrow")
+
+
+def q_pagerank_events(sf_dir: str):
+    """Link-graph PageRank (centrality quality prior,
+    functions/graph.py): 4 power iterations at damping 0.85 over the
+    user<->item click graph, broadcast rank vector (kmeans-style
+    treeAggregate partials, one tiny exchange per iteration)."""
+    from vector_ray.functions.graph import pagerank
+
+    return pagerank(
+        _event_click_edges(sf_dir), iters=4, damping=0.85, mode="broadcast"
+    )
+
+
+def q_pagerank_events_bucketed(sf_dir: str):
+    """Same PageRank via the large-N plan: the rank vector never
+    leaves the cluster — per-iteration bucketed hash joins co-partition
+    edges with rank weights. Byte-identical output to broadcast mode."""
+    from vector_ray.functions.graph import pagerank
+
+    return pagerank(
+        _event_click_edges(sf_dir),
+        iters=4,
+        damping=0.85,
+        mode="bucketed",
+        num_buckets=8,
+    )
+
+
 QUERIES = {
     "pack_boundaries_corpus": q_pack_boundaries,
     "pack_eos_corpus": q_pack_eos,
@@ -2773,6 +2821,8 @@ QUERIES = {
     "near_dedupe_documents": q_near_dedupe_documents,
     "softdedup_documents": q_softdedup_documents,
     "zscore_events": q_zscore_events,
+    "pagerank_events": q_pagerank_events,
+    "pagerank_events_bucketed": q_pagerank_events_bucketed,
     "funnel_events": q_funnel_events,
     "dsir_documents": q_dsir_documents,
     "interarrival_events": q_interarrival_events,
@@ -3246,6 +3296,45 @@ def _kmeans_cte(k: int = 10, iters: int = 3) -> str:
     return "WITH " + ", ".join(parts)
 
 
+def _pagerank_events_sql(iters: int = 4, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank over the click graph —
+    mechanically the same recurrence the engine runs (same double
+    literals for damping/base so both sides multiply identical
+    doubles); final double-round matches functions/graph.py."""
+    one_minus = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        "WITH raw AS (SELECT CAST(user_id AS BIGINT) AS u, "
+        "100000 + CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) "
+        "AS i FROM events WHERE regexp_matches(props, '\"k\":\\s*\\d+')), ",
+        "edges AS (SELECT u AS src, i AS dst FROM raw "
+        "UNION ALL SELECT i AS src, u AS dst FROM raw), ",
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg "
+        "FROM edges GROUP BY 1), ",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), ",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), ",
+        "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn), ",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.r / d.outdeg) AS s "
+            f"FROM edges e JOIN r{p} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.node GROUP BY 1), "
+            f"g{i} AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r{p} r "
+            f"LEFT JOIN deg d ON r.node = d.node WHERE d.node IS NULL), "
+            f"r{i} AS (SELECT nd.node, {one_minus} / nn.n + {d} * "
+            f"(COALESCE(c.s, 0) + g{i}.dm / nn.n) AS r "
+            f"FROM nodes nd CROSS JOIN nn CROSS JOIN g{i} "
+            f"LEFT JOIN c{i} c ON nd.node = c.node), "
+        )
+    body = "".join(parts).rstrip(", ")
+    return (
+        body
+        + f" SELECT node, ROUND(ROUND(r, 9), 6) AS rank FROM r{iters}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     datagen.ensure_corpus(ORACLE_TAG)  # oracle reads the same corpus files
     sql = dict(_flagship_oracles())
@@ -3260,6 +3349,10 @@ def oracle_sql() -> dict[str, str]:
         + sql["span_dedupe_corpus"]
         + ")"
     )
+    # PageRank: broadcast and bucketed plans compute the identical
+    # recurrence — one unrolled-iteration oracle covers both
+    sql["pagerank_events"] = _pagerank_events_sql(iters=4, damping=0.85)
+    sql["pagerank_events_bucketed"] = sql["pagerank_events"]
     sql.update(
         {
             "filter_events": (

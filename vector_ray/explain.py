@@ -59,6 +59,7 @@ MOVEMENT = {
     "quantile_bucket": "broadcast",
     "lm_score": "broadcast",
     "heavy_hitters": "hybrid",  # MG summaries -> small merge -> broadcast verify
+    "pagerank": "hybrid",  # per-iter: edge-block partials -> tiny groupby; rank vector broadcast or bucketed
     "weighted_sample": "hybrid",  # local top-k prune -> k-by-blocks sort
     "kmeans": "broadcast",
     "semdedup": "shuffle",

@@ -104,6 +104,7 @@ TRANSFORMS = {
     "lm_score": curate.lm_score,
     "weighted_sample": curate.weighted_sample,
     "heavy_hitters": curate.heavy_hitters,
+    "pagerank": curate.pagerank,
     "kmeans": curate.kmeans,
     "semdedup": curate.semdedup,
     "hot_spans": curate.hot_spans,

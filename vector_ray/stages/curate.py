@@ -24,6 +24,7 @@ __all__ = [
     "hot_spans",
     "budget_select",
     "stratified_sample",
+    "pagerank",
 ]
 
 
@@ -179,6 +180,30 @@ def budget_select(ds, options: dict, ctx=None):
         lo=float(options.get("lo", 0.0)),
         hi=float(options.get("hi", 1.0)),
     )
+
+
+def pagerank(ds, options: dict, ctx=None):
+    """{"type": "pagerank", "src": "src", "dst": "dst", "iters": 4,
+    "damping": 0.85, "mode": "auto"} — link-graph centrality over an
+    edge dataset (functions/graph.py); emits (node:int64,
+    rank:float64). mode=auto broadcasts the rank vector when the node
+    set fits a worker heap, else co-partitions with bucketed joins."""
+    import ray.data as rd
+
+    from vector_ray.functions.graph import pagerank as _pr
+
+    out = _pr(
+        ds,
+        src=options.get("src", "src"),
+        dst=options.get("dst", "dst"),
+        iters=int(options.get("iters", 4)),
+        damping=float(options.get("damping", 0.85)),
+        mode=options.get("mode", "auto"),
+        broadcast_limit=int(options.get("broadcast_limit", 4_000_000)),
+        num_buckets=int(options.get("num_buckets", 32)),
+        round_to=int(options.get("round", 6)),
+    )
+    return rd.from_arrow(out) if isinstance(out, pa.Table) else out
 
 
 def stratified_sample(ds, options: dict, ctx=None):
