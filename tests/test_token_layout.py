@@ -570,9 +570,8 @@ def test_span_dedupe_exchange_equals_broadcast(ray_session):
 
 
 def test_span_dedupe_auto_mask(ray_session):
-    """mask="auto" counts the partitioned index and picks broadcast vs
-    exchange by broadcast_limit; both forced branches match the
-    explicit modes byte-for-byte."""
+    """mask="auto" (= the exchange plan) matches the explicit
+    broadcast and exchange modes byte-for-byte."""
     from vector_ray.functions.tokens import span_dedupe
 
     rng = np.random.default_rng(31)
@@ -583,15 +582,11 @@ def test_span_dedupe_auto_mask(ray_session):
     want = _collect(
         span_dedupe(rd.from_arrow(t).repartition(4), n=8, mask="broadcast")
     ).sort_by("doc_id")
-    # huge limit -> auto takes the broadcast branch
-    via_bcast = _collect(
-        span_dedupe(rd.from_arrow(t).repartition(4), n=8, mask="auto",
-                    broadcast_limit=1 << 40)
+    via_auto = _collect(
+        span_dedupe(rd.from_arrow(t).repartition(4), n=8, mask="auto")
     ).sort_by("doc_id")
-    # zero limit -> auto takes the exchange branch
     via_exch = _collect(
-        span_dedupe(rd.from_arrow(t).repartition(4), n=8, mask="auto",
-                    broadcast_limit=0)
+        span_dedupe(rd.from_arrow(t).repartition(4), n=8, mask="exchange")
     ).sort_by("doc_id")
-    assert via_bcast.equals(want) and via_exch.equals(want)
+    assert via_auto.equals(want) and via_exch.equals(want)
     assert sum(want["n_removed"].to_pylist()) > 0

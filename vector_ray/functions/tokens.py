@@ -1472,40 +1472,35 @@ def _mask_stage(ds, h1: np.ndarray, h2: np.ndarray, n: int) -> "rd.Dataset":
     )
 
 
-@ray.remote(num_cpus=0)
-def _part_len(part) -> int:
-    return len(part[0])
-
-
 def span_dedupe(
     ds,
     n: int = 8,
     min_count: int = 2,
     num_buckets: int = 64,
     mask: str = "auto",
-    broadcast_limit: int = 20_000_000,
 ) -> "rd.Dataset":
     """Remove every token covered by an n-gram that occurs ≥ ``min_count``
     times corpus-wide. Removes ALL occurrences (batch-deterministic and
     order-independent, where Lee et al. keep one — a distributed engine
     has no canonical "first" occurrence without a total order).
 
-    ``mask="broadcast"``: dup-gram index concatenated on the driver,
-    one ``ray.put``, streaming task-pool mask — fastest while the index
-    is broadcast-sized (natural-language duplication rates).
-    ``mask="exchange"``: the index stays partitioned per hash bucket
-    and query grams are routed TO it (``_mask_stage_exchange``) — same
-    output bytes, no whole-index process, for dup sets that outgrow
-    worker memory.
-    ``mask="auto"`` (default): materialize the input ONCE so a single
-    read feeds both passes (measured ~2× the streaming two-read
-    broadcast at sf0.1: 9.6–12.7 s → 6.0–7.0 s, identical output),
-    build the partitioned index, count its keys (one zero-CPU task per
-    bucket — the index never moves), and pick broadcast iff total keys
-    ≤ ``broadcast_limit`` (default 20M keys ≈ 320 MB state) — the safe
-    path at any scale without tuning. Auto pins the corpus in the
-    object store (spill-backed); use explicit ``mask="broadcast"`` for
-    the pure-streaming two-read plan."""
+    ``mask="broadcast"``: pure-streaming two-read plan — dup-gram index
+    concatenated on the driver, one ``ray.put``, streaming task-pool
+    mask. The only mode that never pins the corpus in the object
+    store, but it ships the WHOLE index to every worker.
+    ``mask="exchange"``: materialize the input once so a single read
+    feeds both passes, keep the index partitioned per hash bucket and
+    route query grams TO it (``_mask_stage_exchange``) — same output
+    bytes, no whole-index concat/broadcast/process anywhere.
+    ``mask="auto"`` (default) = exchange: measured faster at every
+    scale on this box (sf0.001 0.68 s vs 0.91 s, sf0.01 1.43 s vs
+    1.45 s, sf0.1 7.0 s vs 11.0 s, identical output — per-bucket
+    searchsorted beats one big sorted array on cache locality, and
+    there is no driver concat + re-put round trip), and the only plan
+    whose memory high-water is O(index / num_buckets) per task rather
+    than O(index) per worker. Auto/exchange pin the corpus in the
+    object store (spill-backed); use explicit ``mask="broadcast"``
+    when the corpus must not be pinned."""
     if mask not in ("auto", "broadcast", "exchange"):
         raise ValueError(
             f"mask must be 'auto', 'broadcast' or 'exchange', got {mask!r}"
@@ -1517,13 +1512,6 @@ def span_dedupe(
     parts = _gram_index_parts(
         mat, n=n, min_count=min_count, num_buckets=num_buckets
     )
-    if mask == "auto" and sum(
-        ray.get([_part_len.remote(p) for p in parts])
-    ) <= broadcast_limit:
-        merged = ray.get(parts)
-        h1 = np.concatenate([m[0] for m in merged]).view(np.uint64)
-        h2 = np.concatenate([m[1] for m in merged]).view(np.uint64)
-        return _mask_stage(mat, h1, h2, n)
     return _mask_stage_exchange(mat, parts, n, num_buckets)
 
 
@@ -1533,7 +1521,6 @@ def span_dedupe_against(
     n: int = 8,
     num_buckets: int = 64,
     mask: str = "auto",
-    broadcast_limit: int = 20_000_000,
 ) -> "rd.Dataset":
     """Incremental-ingest dedup: remove from ``new_ds`` every token
     covered by an n-gram that ALREADY EXISTS anywhere in ``ref_ds``
@@ -1545,9 +1532,9 @@ def span_dedupe_against(
     ``mask="exchange"`` keeps the full-corpus index partitioned per
     hash bucket and routes the new shards' query grams to it
     (``_mask_stage_exchange``) — the min_count=1 index is the WHOLE
-    reference gram set, so at corpus scale exchange is the realistic
-    mode here; ``mask="auto"`` (default) counts the index keys and
-    broadcasts only while ≤ ``broadcast_limit`` (see ``span_dedupe``)."""
+    reference gram set, so at corpus scale exchange is the only
+    realistic mode here; ``mask="auto"`` (default) = exchange
+    (measured faster at every scale, see ``span_dedupe``)."""
     if mask not in ("auto", "broadcast", "exchange"):
         raise ValueError(
             f"mask must be 'auto', 'broadcast' or 'exchange', got {mask!r}"
@@ -1556,14 +1543,6 @@ def span_dedupe_against(
         h1, h2 = gram_set(ref_ds, n=n, min_count=1, num_buckets=num_buckets)
         return _mask_stage(new_ds, h1, h2, n)
     parts = _gram_index_parts(ref_ds, n=n, min_count=1, num_buckets=num_buckets)
-    if (
-        mask == "auto"
-        and sum(ray.get([_part_len.remote(p) for p in parts])) <= broadcast_limit
-    ):
-        merged = ray.get(parts)
-        h1 = np.concatenate([m[0] for m in merged]).view(np.uint64)
-        h2 = np.concatenate([m[1] for m in merged]).view(np.uint64)
-        return _mask_stage(new_ds, h1, h2, n)
     return _mask_stage_exchange(new_ds, parts, n, num_buckets)
 
 
