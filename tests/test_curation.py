@@ -342,3 +342,59 @@ def test_weighted_sample_matches_reference(ray_session):
         ]
     )
     assert sorted(int(d[4:]) for d in o2["doc_id"].to_pylist()) == [3, 4, 5]
+
+
+def test_token_entropy_exact(ray_session):
+    from math import log
+
+    from vector_ray.functions.curation import token_entropy
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["doc-1", "doc-2", "doc-3", "doc-4"]),
+            "tokens": pa.array(
+                # uniform over 4 -> ln 4; constant -> 0; 2/3-1/3 mix;
+                # empty -> 0
+                [[1, 2, 3, 4], [7, 7, 7], [5, 5, 9], []],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            b
+            for b in token_entropy(
+                rd.from_arrow(t).repartition(2)
+            ).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+    ).sort_by("doc_id")
+    want = [
+        log(4.0),
+        0.0,
+        -(2 / 3) * log(2 / 3) - (1 / 3) * log(1 / 3),
+        0.0,
+    ]
+    got = out["entropy"].to_pylist()
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-4)
+
+
+def test_token_entropy_spec_dag(ray_session):
+    from vector_ray.pipeline import run_pipeline
+
+    rows = [
+        {"doc_id": "a", "tokens": [1, 1, 2]},
+        {"doc_id": "b", "tokens": [3]},
+    ]
+    out = run_pipeline(
+        {
+            "sources": {"in": {"type": "inline", "rows": rows}},
+            "transforms": {
+                "h": {"type": "token_entropy", "inputs": ["in"]}
+            },
+            "sinks": {"out": {"type": "collect", "inputs": ["h"]}},
+        }
+    ).sinks["out"].table
+    assert set(out.column_names) == {"doc_id", "entropy"}
+    assert out.num_rows == 2

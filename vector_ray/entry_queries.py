@@ -2333,6 +2333,19 @@ def q_gopher_documents(sf_dir: str):
     )
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution (nats) —
+    low-entropy = repetitive/templated text; one vectorized
+    np.unique + np.add.at per batch, no shuffle."""
+    from vector_ray.functions.curation import token_entropy
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return token_entropy(ds)
+
+
 def q_token_drift(sf_dir: str):
     """Per-source token-distribution drift: KL(p_source || p_corpus)
     over the dense vocab; one streaming count pass, driver sees only
@@ -2729,6 +2742,7 @@ QUERIES = {
     "bpe_count_documents": q_bpe_count_documents,
     "gopher_documents": q_gopher_documents,
     "token_drift_corpus": q_token_drift,
+    "token_entropy_corpus": q_token_entropy,
     "line_dedupe_documents": q_line_dedupe_documents,
     "vocab_remap_corpus": q_vocab_remap,
     "pack_documents_corpus": q_pack_documents,
@@ -3038,6 +3052,19 @@ def _tokens_oracles() -> dict[str, str]:
             "SELECT doc_id, CAST([50257] || tokens[1:a] || [50258] || "
             "tokens[b+1:] || [50259] || tokens[a+1:b] AS INTEGER[]) AS tokens, "
             "CAST(n + 3 AS INTEGER) AS n_tok FROM ab"
+        ),
+        "token_entropy_corpus": (
+            # per-doc Shannon entropy over the doc's own token
+            # histogram; empty docs -> 0 via the LEFT JOIN COALESCE
+            f"WITH tk AS (SELECT doc_id, unnest(tokens) AS tok "
+            f"  FROM read_parquet('{seq}')), "
+            "c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2), "
+            "nt AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY 1), "
+            "e AS (SELECT c.doc_id, SUM(-(CAST(c.c AS DOUBLE) / nt.n) * "
+            "  ln(CAST(c.c AS DOUBLE) / nt.n)) AS h "
+            "  FROM c JOIN nt USING (doc_id) GROUP BY c.doc_id) "
+            f"SELECT s.doc_id, ROUND(ROUND(COALESCE(e.h, 0), 9), 4) AS entropy "
+            f"FROM read_parquet('{seq}') s LEFT JOIN e USING (doc_id)"
         ),
         "token_drift_corpus": (
             # KL(p_source || p_corpus) over tokens present in the source

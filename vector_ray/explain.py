@@ -68,6 +68,7 @@ MOVEMENT = {
     "dsir": "broadcast",
     "topk_per_key": "shuffle",
     # token-layout family
+    "token_entropy": "narrow",
     "strip_tokens": "narrow",
     "truncate_tokens": "narrow",
     "window_chunks": "narrow",

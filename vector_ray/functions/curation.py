@@ -209,6 +209,42 @@ def repetition_stats(ds: rd.Dataset, max_freq_pct: int = 5) -> rd.Dataset:
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def token_entropy(ds: rd.Dataset, round_to: int = 4) -> rd.Dataset:
+    """Per-doc Shannon entropy of the token distribution, in nats
+    (low-entropy docs = repetitive/templated text, a standard corpus
+    quality filter alongside ``repetition_stats``; entropy of an empty
+    doc is 0).
+
+    Same vectorization as ``repetition_stats``: one np.unique over
+    (row, token) keys per batch, entropy summed per row with np.add.at
+    — no per-row loop, no shuffle. Double-rounded half-away-from-zero
+    so the distributed float sum cannot drift off the SQL oracle."""
+    from vector_ray.schema import round_sql_np
+
+    def ent(t: pa.Table) -> pa.Table:
+        arr = t["tokens"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.list_(pa.int32()))
+        values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        if len(values) and values.min() < 0:
+            raise ValueError("token_entropy requires non-negative token ids")
+        stride = int(values.max()) + 1 if len(values) else 1
+        key = row_of * stride + values
+        uniq, counts = np.unique(key, return_counts=True)
+        urow = uniq // stride
+        n_tok = offsets[1:] - offsets[:-1]
+        p = counts / np.maximum(n_tok[urow], 1)
+        h = np.zeros(n, dtype=np.float64)
+        np.add.at(h, urow, -p * np.log(p))
+        h = round_sql_np(round_sql_np(h, 9), round_to)
+        return pa.table({"doc_id": t["doc_id"], "entropy": pa.array(h)})
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
 # xxhash PRIME32_3 — a fourth multiplier, decorrelated from the
 # mixture/split/epoch selections above
 STRAT_MULT = 3266489917

@@ -100,6 +100,7 @@ TRANSFORMS = {
     "epoch_shuffle": curate.epoch_shuffle,
     "length_buckets": curate.length_buckets,
     "repetition_stats": curate.repetition_stats,
+    "token_entropy": curate.token_entropy,
     # semantic-curation family (functions/lm.py, functions/cluster.py)
     "lm_score": curate.lm_score,
     "weighted_sample": curate.weighted_sample,

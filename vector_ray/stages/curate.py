@@ -16,6 +16,7 @@ __all__ = [
     "epoch_shuffle",
     "length_buckets",
     "repetition_stats",
+    "token_entropy",
     "lm_score",
     "weighted_sample",
     "heavy_hitters",
@@ -55,6 +56,13 @@ def length_buckets(ds, options: dict, ctx=None):
 def repetition_stats(ds, options: dict, ctx=None):
     """{"type": "repetition_stats", "max_freq_pct": 5}"""
     return curation.repetition_stats(ds, int(options.get("max_freq_pct", 5)))
+
+
+def token_entropy(ds, options: dict, ctx=None):
+    """{"type": "token_entropy", "round": 4} — per-doc Shannon entropy
+    of the token distribution (nats), the low-entropy templated-text
+    filter signal (functions/curation.py)."""
+    return curation.token_entropy(ds, round_to=int(options.get("round", 4)))
 
 
 def lm_score(ds, options: dict, ctx=None):
