@@ -123,6 +123,7 @@ def cmd_flagship(args) -> int:
         args.input, args.out, args.enrichment,
         flagship.FlagshipConfig(dead_letter=args.dead_letter),
         resume=not args.no_resume,
+        ingest=args.ingest,
     )
     print(json.dumps(summary, indent=2))
     import ray
@@ -166,6 +167,11 @@ def main(argv=None) -> int:
     sp.add_argument("enrichment")
     sp.add_argument("--dead-letter", action="store_true")
     sp.add_argument("--no-resume", action="store_true")
+    sp.add_argument(
+        "--ingest", action="store_true",
+        help="micro-batch mode: process only never-seen shards, append "
+        "new checkpoint groups, re-publish aggregates (run per cron tick)",
+    )
     sp.set_defaults(fn=cmd_flagship)
 
     args = p.parse_args(argv)

@@ -214,6 +214,40 @@ def _partition_groups(files: list[str], num_groups: int) -> list[list[str]]:
     return [files[i : i + per] for i in range(0, len(files), per)]
 
 
+def _extend_ingest_groups(
+    out_dir: str, files: list[str], cfg: "FlagshipConfig"
+) -> list[tuple[str, list[str]]]:
+    """Append-only group assignment for ingest mode: shards already
+    assigned keep their group (their markers stay valid forever); new
+    shards form new byte-sized groups numbered after the existing ones.
+    The map is persisted atomically BEFORE any processing so a crash
+    mid-batch resumes with the identical partitioning (the same
+    invariant the manifest's num_groups pin gives batch runs)."""
+    import json
+
+    path = os.path.join(out_dir, "ingest_groups.json")
+    groups_map: dict[str, list[str]] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            groups_map = json.load(f)
+    known = {f for fs in groups_map.values() for f in fs}
+    new_files = [f for f in files if f not in known]
+    if new_files:
+        if cfg.num_groups:
+            n_new = cfg.num_groups
+        else:
+            total_bytes = sum(os.path.getsize(f) for f in new_files)
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_new = max(1, min(512, round(total_bytes / (64e6 * cpus))))
+        start = len(groups_map)
+        for i, gf in enumerate(_partition_groups(new_files, n_new)):
+            groups_map[f"group-{start + i:05d}"] = gf
+        with open(path + ".tmp", "w") as f:
+            json.dump(groups_map, f, indent=2, sort_keys=True)
+        os.replace(path + ".tmp", path)
+    return sorted(groups_map.items())
+
+
 def list_input_files(input_path: str) -> list[str]:
     if os.path.isdir(input_path):
         return sorted(
@@ -230,9 +264,21 @@ def run(
     enrichment: str | pa.Table,
     cfg: FlagshipConfig | None = None,
     resume: bool = True,
+    ingest: bool = False,
 ) -> dict:
     """Run (or resume) the flagship pipeline. Returns a summary dict with
-    per-sink aggregate path, lineage records, and throughput numbers."""
+    per-sink aggregate path, lineage records, and throughput numbers.
+
+    ``ingest=True`` turns the run directory into a continuously-fed
+    micro-batch pipeline (Vector's always-on topology, expressed as
+    repeated batch runs): every call re-lists ``input_path``, assigns
+    only NEVER-SEEN shards to NEW checkpoint groups (append-only
+    ``ingest_groups.json`` — completed groups and their markers stay
+    valid forever), processes just those, and re-publishes
+    ``aggregates.parquet`` over all groups so far. Calls with no new
+    shards are cheap no-ops. ``cfg.num_groups`` then means groups per
+    ingest batch; shards must be immutable once listed (standard
+    log-shipper contract)."""
     cfg = cfg or FlagshipConfig()
     tune_read_blocks()
     files = list_input_files(input_path)
@@ -251,35 +297,52 @@ def run(
     # worst-case progress lost to a crash. Measured at 32 CPUs: 500MB in
     # 1 group → 2.7s vs 4 groups → 5.0s; 3GB in 4 groups → 19.6s vs 20
     # groups → 117s.
-    prior_manifest = CheckpointStore(out_dir).read_manifest() if resume else None
-    if cfg.num_groups:
-        n_groups = cfg.num_groups
-    elif prior_manifest is not None:
-        # a resumed run must reuse the ORIGINAL group partitioning: the
-        # default below depends on cluster CPU count, and resuming on a
-        # different-sized cluster would otherwise re-partition the input
-        # and invalidate every completed marker
-        n_groups = int(prior_manifest["num_groups"])
-    else:
-        total_bytes = sum(os.path.getsize(f) for f in files)
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_groups = max(1, min(512, round(total_bytes / (64e6 * cpus))))
-    groups = _partition_groups(files, n_groups)
-
     store = CheckpointStore(out_dir)
-    manifest = {
-        "pipeline": "flagship",
-        "routes": cfg.routes,
-        "dead_letter": cfg.dead_letter,
-        "group_key": cfg.group_key,
-        "input_files": files,
-        "num_groups": len(groups),
-    }
-    if not resume and os.path.isdir(out_dir):
-        import shutil
+    if ingest:
+        # config hash must be stable while the input list grows: hash
+        # the pipeline shape only; group assignment lives in the
+        # append-only ingest_groups.json instead of the manifest
+        store.open(
+            {
+                "pipeline": "flagship-ingest",
+                "routes": cfg.routes,
+                "dead_letter": cfg.dead_letter,
+                "group_key": cfg.group_key,
+            }
+        )
+        named_groups = _extend_ingest_groups(out_dir, files, cfg)
+    else:
+        prior_manifest = store.read_manifest() if resume else None
+        if cfg.num_groups:
+            n_groups = cfg.num_groups
+        elif prior_manifest is not None:
+            # a resumed run must reuse the ORIGINAL group partitioning: the
+            # default below depends on cluster CPU count, and resuming on a
+            # different-sized cluster would otherwise re-partition the input
+            # and invalidate every completed marker
+            n_groups = int(prior_manifest["num_groups"])
+        else:
+            total_bytes = sum(os.path.getsize(f) for f in files)
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_groups = max(1, min(512, round(total_bytes / (64e6 * cpus))))
+        groups = _partition_groups(files, n_groups)
 
-        shutil.rmtree(out_dir)
-    store.open(manifest)
+        manifest = {
+            "pipeline": "flagship",
+            "routes": cfg.routes,
+            "dead_letter": cfg.dead_letter,
+            "group_key": cfg.group_key,
+            "input_files": files,
+            "num_groups": len(groups),
+        }
+        if not resume and os.path.isdir(out_dir):
+            import shutil
+
+            shutil.rmtree(out_dir)
+        store.open(manifest)
+        named_groups = [
+            (f"group-{i:05d}", g) for i, g in enumerate(groups)
+        ]
 
     hub = None
     if cfg.collect_metrics:
@@ -365,8 +428,7 @@ def run(
 
 
     pending: list[tuple[str, list[str]]] = []
-    for gid_num, group_files in enumerate(groups):
-        gid = f"group-{gid_num:05d}"
+    for gid, group_files in named_groups:
         if store.is_done(gid):
             skipped += 1
         else:
@@ -446,7 +508,7 @@ def run(
         "out_dir": out_dir,
         "aggregates": agg_path,
         "routed_dir": routed_dir,
-        "groups": len(groups),
+        "groups": len(named_groups),
         "groups_skipped": skipped,
         "rows_this_run": rows_total,
         "tokens_this_run": tokens_total,
