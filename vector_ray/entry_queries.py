@@ -2346,6 +2346,20 @@ def q_token_entropy(sf_dir: str):
     return token_entropy(ds)
 
 
+def q_logreg_quality(sf_dir: str):
+    """Distributed linear quality classifier (fastText-filter shape,
+    functions/classifier.py): full-batch logistic GD over per-doc token
+    stats, labels = source whitelist; one featurize pass + T 6-float
+    gradient passes + one scoring pass."""
+    from vector_ray.functions.classifier import quality_classifier
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens", "source"]
+    )
+    return quality_classifier(ds)
+
+
 def q_token_drift(sf_dir: str):
     """Per-source token-distribution drift: KL(p_source || p_corpus)
     over the dense vocab; one streaming count pass, driver sees only
@@ -2743,6 +2757,7 @@ QUERIES = {
     "gopher_documents": q_gopher_documents,
     "token_drift_corpus": q_token_drift,
     "token_entropy_corpus": q_token_entropy,
+    "logreg_quality_corpus": q_logreg_quality,
     "line_dedupe_documents": q_line_dedupe_documents,
     "vocab_remap_corpus": q_vocab_remap,
     "pack_documents_corpus": q_pack_documents,
@@ -3323,6 +3338,44 @@ def _kmeans_cte(k: int = 10, iters: int = 3) -> str:
     return "WITH " + ", ".join(parts)
 
 
+def _logreg_quality_sql(
+    seq_glob: str, iters: int = 3, lr: float = 0.5
+) -> str:
+    """Unrolled full-batch logistic GD — the engine's exact recurrence
+    (w rounded to 9 decimals per iteration in BOTH sides, so
+    summation-order ulps cannot compound; same double literals)."""
+    comps = [("wa", "x0"), ("wb", "x1"), ("wc", "x2"), ("wd", "x3")]
+    z = "w.wa*x0 + w.wb*x1 + w.wc*x2 + w.wd*x3"
+    parts = [
+        f"WITH base AS (SELECT doc_id, source, tokens, n_tok "
+        f"  FROM read_parquet('{seq_glob}') WHERE n_tok > 0), ",
+        "tk AS (SELECT doc_id, unnest(tokens) AS tok FROM base), ",
+        "cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2), ",
+        "st AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS nty, "
+        "  CAST(MAX(c) AS DOUBLE) AS mx, CAST(SUM(c) AS DOUBLE) AS nt "
+        "  FROM cnt GROUP BY 1), ",
+        "feats AS (SELECT b.doc_id, 1.0 AS x0, b.n_tok / 100.0 AS x1, "
+        "  st.nty / st.nt AS x2, st.mx / st.nt AS x3, "
+        "  CASE WHEN b.source IN ('wiki', 'books', 'academic') "
+        "  THEN 1.0 ELSE 0.0 END AS y FROM base b JOIN st USING (doc_id)), ",
+        "w0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc, 0.0 AS wd), ",
+    ]
+    for i in range(1, iters + 1):
+        cols = ", ".join(
+            f"ROUND(MAX(w.{wn}) - {lr!r} * SUM((1.0 / (1.0 + exp(-({z}))) "
+            f"- y) * {xn}) / COUNT(*), 9) AS {wn}"
+            for wn, xn in comps
+        )
+        parts.append(f"w{i} AS (SELECT {cols} FROM feats, w{i - 1} w), ")
+    body = "".join(parts).rstrip(", ")
+    return (
+        body
+        + f" SELECT f.doc_id, ROUND(ROUND(1.0 / (1.0 + exp(-(w.wa*f.x0 "
+        f"+ w.wb*f.x1 + w.wc*f.x2 + w.wd*f.x3))), 9), 6) AS prob, "
+        f"CAST(f.y AS BIGINT) AS label FROM feats f, w{iters} w"
+    )
+
+
 def _pagerank_events_sql(iters: int = 4, damping: float = 0.85) -> str:
     """Unrolled power-iteration PageRank over the click graph —
     mechanically the same recurrence the engine runs (same double
@@ -3380,6 +3433,9 @@ def oracle_sql() -> dict[str, str]:
     # recurrence — one unrolled-iteration oracle covers both
     sql["pagerank_events"] = _pagerank_events_sql(iters=4, damping=0.85)
     sql["pagerank_events_bucketed"] = sql["pagerank_events"]
+    sql["logreg_quality_corpus"] = _logreg_quality_sql(
+        _seq_glob(ORACLE_TAG), iters=3, lr=0.5
+    )
     sql.update(
         {
             "filter_events": (

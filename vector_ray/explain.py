@@ -62,6 +62,7 @@ MOVEMENT = {
     "pagerank": "hybrid",  # per-iter: edge-block partials -> tiny groupby; rank vector broadcast or bucketed
     "weighted_sample": "hybrid",  # local top-k prune -> k-by-blocks sort
     "kmeans": "broadcast",
+    "logreg_quality": "broadcast",  # tiny gradient partials up, weights down
     "semdedup": "shuffle",
     "hot_spans": "broadcast",
     "budget_select": "broadcast",

@@ -101,6 +101,7 @@ TRANSFORMS = {
     "length_buckets": curate.length_buckets,
     "repetition_stats": curate.repetition_stats,
     "token_entropy": curate.token_entropy,
+    "logreg_quality": curate.logreg_quality,
     # semantic-curation family (functions/lm.py, functions/cluster.py)
     "lm_score": curate.lm_score,
     "weighted_sample": curate.weighted_sample,

@@ -26,6 +26,7 @@ __all__ = [
     "budget_select",
     "stratified_sample",
     "pagerank",
+    "logreg_quality",
 ]
 
 
@@ -56,6 +57,24 @@ def length_buckets(ds, options: dict, ctx=None):
 def repetition_stats(ds, options: dict, ctx=None):
     """{"type": "repetition_stats", "max_freq_pct": 5}"""
     return curation.repetition_stats(ds, int(options.get("max_freq_pct", 5)))
+
+
+def logreg_quality(ds, options: dict, ctx=None):
+    """{"type": "logreg_quality", "positive_sources": ["wiki"],
+    "iters": 3, "lr": 0.5} — distributed logistic-regression quality
+    classifier over token stats (functions/classifier.py); emits
+    (doc_id, prob, label)."""
+    from vector_ray.functions.classifier import quality_classifier
+
+    return quality_classifier(
+        ds,
+        positive_sources=tuple(
+            options.get("positive_sources", ("wiki", "books", "academic"))
+        ),
+        iters=int(options.get("iters", 3)),
+        lr=float(options.get("lr", 0.5)),
+        round_to=int(options.get("round", 6)),
+    )
 
 
 def token_entropy(ds, options: dict, ctx=None):
