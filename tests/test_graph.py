@@ -138,6 +138,55 @@ def test_spec_dag_transform(ray_session):
         assert got[v] == pytest.approx(want[v], abs=2e-6)
 
 
+def _reference_hits(edges, iters=4):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {v: 1.0 for v in nodes}
+    a = {v: 0.0 for v in nodes}
+
+    def norm(d):
+        s = sum(x * x for x in d.values()) ** 0.5
+        if s <= 0:
+            return d
+        return {
+            k: float(
+                np.sign(x / s) * np.floor(abs(x / s) * 1e9 + 0.5) / 1e9
+            )
+            for k, x in d.items()
+        }
+
+    for _ in range(iters):
+        a = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            a[v] += h[u]
+        a = norm(a)
+        h = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            h[u] += a[v]
+        h = norm(h)
+    return h, a
+
+
+def test_hits_vs_reference(ray_session):
+    from vector_ray.functions.graph import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 0), (3, 2)]
+    t = pa.table(
+        {
+            "src": pa.array([u for u, _ in edges], pa.int64()),
+            "dst": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    out = hits(rd.from_arrow(t).repartition(3), iters=4).sort_by("node")
+    want_h, want_a = _reference_hits(edges)
+    got_h = dict(zip(out["node"].to_pylist(), out["hub"].to_pylist()))
+    got_a = dict(zip(out["node"].to_pylist(), out["authority"].to_pylist()))
+    for v in want_h:
+        assert got_h[v] == pytest.approx(want_h[v], abs=2e-6), ("hub", v)
+        assert got_a[v] == pytest.approx(want_a[v], abs=2e-6), ("auth", v)
+    # node 2 is the clear authority (3 distinct pointers, 4 edges in)
+    assert max(got_a, key=got_a.get) == 2
+
+
 def test_empty_edges(ray_session):
     t = pa.table(
         {

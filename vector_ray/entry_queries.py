@@ -2733,6 +2733,15 @@ def q_pagerank_events_bucketed(sf_dir: str):
     )
 
 
+def q_hits_events(sf_dir: str):
+    """Kleinberg HITS hubs/authorities over the user<->item click
+    graph (functions/graph.py): 4 iterations, L2-normalized, round-9
+    pinned per pass."""
+    from vector_ray.functions.graph import hits
+
+    return hits(_event_click_edges(sf_dir), iters=4)
+
+
 QUERIES = {
     "pack_boundaries_corpus": q_pack_boundaries,
     "pack_eos_corpus": q_pack_eos,
@@ -2852,6 +2861,7 @@ QUERIES = {
     "zscore_events": q_zscore_events,
     "pagerank_events": q_pagerank_events,
     "pagerank_events_bucketed": q_pagerank_events_bucketed,
+    "hits_events": q_hits_events,
     "funnel_events": q_funnel_events,
     "dsir_documents": q_dsir_documents,
     "interarrival_events": q_interarrival_events,
@@ -3376,6 +3386,54 @@ def _logreg_quality_sql(
     )
 
 
+_CLICK_GRAPH_CTES = (
+    "WITH raw AS (SELECT CAST(user_id AS BIGINT) AS u, "
+    "100000 + CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) "
+    "AS i FROM events WHERE regexp_matches(props, '\"k\":\\s*\\d+')), "
+    "edges AS (SELECT u AS src, i AS dst FROM raw "
+    "UNION ALL SELECT i AS src, u AS dst FROM raw), "
+    "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), "
+)
+
+
+def _hits_events_sql(iters: int = 4) -> str:
+    """Unrolled HITS over the click graph — the engine's recurrence
+    with the same per-pass L2 normalize + round-9 pin."""
+    parts = [
+        _CLICK_GRAPH_CTES,
+        "h0 AS (SELECT node, 1.0 AS v FROM nodes), ",
+    ]
+    for i in range(1, iters + 1):
+        for name, prev, group_out, join_key in (
+            ("a", f"h{i - 1}", "dst", "src"),
+            ("h", f"a{i}", "src", "dst"),
+        ):
+            rn = f"{name}{i}r"
+            # MATERIALIZED: each normalize references its input twice
+            # and the chain is 2*iters deep — without the hint DuckDB
+            # inlines CTEs and the base-table scan count explodes
+            # exponentially (observed as fd exhaustion)
+            parts.append(
+                f"{rn} AS MATERIALIZED (SELECT nd.node, COALESCE(s.s, 0) AS v "
+                f"FROM nodes nd LEFT JOIN (SELECT e.{group_out} AS node, "
+                f"SUM(p.v) AS s FROM edges e JOIN {prev} p "
+                f"ON e.{join_key} = p.node GROUP BY 1) s USING (node)), "
+            )
+            parts.append(
+                f"{name}{i} AS MATERIALIZED (SELECT node, CASE WHEN "
+                f"(SELECT sqrt(SUM(v * v)) FROM {rn}) > 0 "
+                f"THEN ROUND(v / (SELECT sqrt(SUM(v * v)) FROM {rn}), 9) "
+                f"ELSE v END AS v FROM {rn}), "
+            )
+    body = "".join(parts).rstrip(", ")
+    return (
+        body
+        + f" SELECT h{iters}.node, ROUND(ROUND(h{iters}.v, 9), 6) AS hub, "
+        f"ROUND(ROUND(a{iters}.v, 9), 6) AS authority "
+        f"FROM h{iters} JOIN a{iters} USING (node)"
+    )
+
+
 def _pagerank_events_sql(iters: int = 4, damping: float = 0.85) -> str:
     """Unrolled power-iteration PageRank over the click graph —
     mechanically the same recurrence the engine runs (same double
@@ -3384,14 +3442,9 @@ def _pagerank_events_sql(iters: int = 4, damping: float = 0.85) -> str:
     one_minus = repr(1.0 - damping)
     d = repr(damping)
     parts = [
-        "WITH raw AS (SELECT CAST(user_id AS BIGINT) AS u, "
-        "100000 + CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) "
-        "AS i FROM events WHERE regexp_matches(props, '\"k\":\\s*\\d+')), ",
-        "edges AS (SELECT u AS src, i AS dst FROM raw "
-        "UNION ALL SELECT i AS src, u AS dst FROM raw), ",
+        _CLICK_GRAPH_CTES,
         "deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg "
         "FROM edges GROUP BY 1), ",
-        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), ",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), ",
         "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn), ",
     ]
@@ -3436,6 +3489,7 @@ def oracle_sql() -> dict[str, str]:
     sql["logreg_quality_corpus"] = _logreg_quality_sql(
         _seq_glob(ORACLE_TAG), iters=3, lr=0.5
     )
+    sql["hits_events"] = _hits_events_sql(iters=4)
     sql.update(
         {
             "filter_events": (

@@ -60,6 +60,7 @@ MOVEMENT = {
     "lm_score": "broadcast",
     "heavy_hitters": "hybrid",  # MG summaries -> small merge -> broadcast verify
     "pagerank": "hybrid",  # per-iter: edge-block partials -> tiny groupby; rank vector broadcast or bucketed
+    "hits": "hybrid",  # two passes per iter, same partial/groupby split
     "weighted_sample": "hybrid",  # local top-k prune -> k-by-blocks sort
     "kmeans": "broadcast",
     "logreg_quality": "broadcast",  # tiny gradient partials up, weights down

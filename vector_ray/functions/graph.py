@@ -212,6 +212,99 @@ def _pagerank_broadcast(
     )
 
 
+def hits(
+    ds_edges,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    round_to: int = 6,
+) -> pa.Table:
+    """Kleinberg HITS hubs/authorities over an edge Dataset (broadcast
+    model — the score vectors are O(N) driver state like
+    ``_pagerank_broadcast``; a large-N run would use the same bucketed
+    plan as ``pagerank``).
+
+    Determinism contract (what the SQL oracle reproduces): h_0 = 1 for
+    every node; per iteration a' = L2-normalized in-sum of h, then
+    h' = L2-normalized out-sum of a' — each vector rounded to 9
+    decimals after its normalize so summation-order ulps cannot
+    compound; final scores ROUND(ROUND(x, 9), round_to). Parallel
+    edges count; null edges drop; an all-dangling side yields zeros
+    (normalize guards the zero norm)."""
+    deg_ds = (
+        ds_edges.map_batches(
+            lambda t, s=src, d=dst: _degree_partial(t, s, d),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .sum("outdeg")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "outdeg"]),
+            batch_format="pyarrow",
+        )
+    )
+    deg_t = _collect(deg_ds).sort_by("node")
+    nodes = _np_col(deg_t, "node")
+    n = len(nodes)
+    if n == 0:
+        empty = pa.array([], pa.float64())
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "hub": empty, "authority": empty}
+        )
+    nodes_ref = ray.put(nodes)
+
+    def _pass(vec: np.ndarray, key_in: str, key_out: str) -> np.ndarray:
+        """One streaming pass: sum vec[key_in-endpoint] per key_out
+        endpoint (block partials -> tiny groupby -> aligned vector)."""
+        v_ref = ray.put(vec)
+
+        def part(
+            t: pa.Table, ki=key_in, ko=key_out, nref=nodes_ref, vref=v_ref
+        ) -> pa.Table:
+            t = _drop_null_edges(t, ki, ko)
+            nid = ray.get(nref)
+            vv = ray.get(vref)
+            contrib = vv[np.searchsorted(nid, _np_col(t, ki))]
+            ud, inv = np.unique(_np_col(t, ko), return_inverse=True)
+            return pa.table(
+                {
+                    "node": pa.array(ud),
+                    "contrib": pa.array(np.bincount(inv, weights=contrib)),
+                }
+            )
+
+        merged = _collect(
+            ds_edges.map_batches(part, batch_format="pyarrow")
+            .groupby("node")
+            .sum("contrib")
+        )
+        out = np.zeros(n, np.float64)
+        if merged.num_rows:
+            pos = np.searchsorted(nodes, _np_col(merged, "node"))
+            out[pos] = _np_col(merged, "sum(contrib)", np.float64)
+        return out
+
+    def _l2(v: np.ndarray) -> np.ndarray:
+        norm = float(np.sqrt(np.sum(v * v)))
+        return round_sql_np(v / norm, 9) if norm > 0 else v
+
+    hub = np.ones(n, np.float64)
+    auth = np.zeros(n, np.float64)
+    for _ in range(iters):
+        auth = _l2(_pass(hub, src, dst))
+        hub = _l2(_pass(auth, dst, src))
+
+    return pa.table(
+        {
+            "node": pa.array(nodes),
+            "hub": pa.array(round_sql_np(round_sql_np(hub, 9), round_to)),
+            "authority": pa.array(
+                round_sql_np(round_sql_np(auth, 9), round_to)
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # bucketed mode: the rank vector never leaves the cluster — each
 # iteration co-partitions (edges ⋈ weights on src) and (degree ⋈

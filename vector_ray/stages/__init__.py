@@ -107,6 +107,7 @@ TRANSFORMS = {
     "weighted_sample": curate.weighted_sample,
     "heavy_hitters": curate.heavy_hitters,
     "pagerank": curate.pagerank,
+    "hits": curate.hits,
     "kmeans": curate.kmeans,
     "semdedup": curate.semdedup,
     "hot_spans": curate.hot_spans,

@@ -26,6 +26,7 @@ __all__ = [
     "budget_select",
     "stratified_sample",
     "pagerank",
+    "hits",
     "logreg_quality",
 ]
 
@@ -231,6 +232,25 @@ def pagerank(ds, options: dict, ctx=None):
         round_to=int(options.get("round", 6)),
     )
     return rd.from_arrow(out) if isinstance(out, pa.Table) else out
+
+
+def hits(ds, options: dict, ctx=None):
+    """{"type": "hits", "src": "src", "dst": "dst", "iters": 4} —
+    Kleinberg hubs/authorities over an edge dataset
+    (functions/graph.py); emits (node, hub, authority)."""
+    import ray.data as rd
+
+    from vector_ray.functions.graph import hits as _hits
+
+    return rd.from_arrow(
+        _hits(
+            ds,
+            src=options.get("src", "src"),
+            dst=options.get("dst", "dst"),
+            iters=int(options.get("iters", 4)),
+            round_to=int(options.get("round", 6)),
+        )
+    )
 
 
 def stratified_sample(ds, options: dict, ctx=None):
