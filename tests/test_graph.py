@@ -138,6 +138,80 @@ def test_spec_dag_transform(ray_session):
         assert got[v] == pytest.approx(want[v], abs=2e-6)
 
 
+def _reference_weighted(edges, iters=4, damping=0.85):
+    """edges = [(u, v, w)] — per-node Python loop, rank*(w/S) flow."""
+    nodes = sorted(
+        {u for u, _, _ in edges} | {v for _, v, _ in edges}
+    )
+    strength = {v: 0.0 for v in nodes}
+    for u, _, w in edges:
+        strength[u] += w
+    n = float(len(nodes))
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if strength[v] == 0)
+        contrib = {v: 0.0 for v in nodes}
+        for u, v, w in edges:
+            if strength[u] > 0:
+                contrib[v] += (rank[u] / strength[u]) * w
+        rank = {
+            v: (1.0 - damping) / n
+            + damping * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return rank
+
+
+def test_weighted_pagerank(ray_session):
+    from vector_ray.functions.graph import pagerank
+
+    edges = [
+        (0, 1, 3.0),
+        (0, 2, 1.0),
+        (1, 2, 2.0),
+        (2, 0, 5.0),
+        (3, 0, 0.0),  # zero-weight out-edge -> node 3 is dangling
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+            "w": pa.array([e[2] for e in edges], pa.float64()),
+        }
+    )
+    want = _reference_weighted(edges)
+    for mode in ("broadcast", "bucketed"):
+        out = pagerank(
+            rd.from_arrow(t).repartition(2),
+            weight="w",
+            mode=mode,
+            num_buckets=2,
+        )
+        if not isinstance(out, pa.Table):
+            out = pa.concat_tables(
+                [
+                    b
+                    for b in out.iter_batches(batch_format="pyarrow")
+                    if b.num_rows
+                ]
+            )
+        got = dict(
+            zip(out["node"].to_pylist(), out["rank"].to_pylist())
+        )
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=2e-6), (mode, v)
+
+    with pytest.raises(Exception, match="non-negative"):
+        bad = pa.table(
+            {
+                "src": pa.array([0], pa.int64()),
+                "dst": pa.array([1], pa.int64()),
+                "w": pa.array([-1.0], pa.float64()),
+            }
+        )
+        pagerank(rd.from_arrow(bad), weight="w").num_rows
+
+
 def _reference_hits(edges, iters=4):
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
     h = {v: 1.0 for v in nodes}

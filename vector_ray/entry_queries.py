@@ -2685,23 +2685,27 @@ def q_pack_boundaries(sf_dir: str):
     return chunk_boundaries(files, chunk_len=2048)
 
 
-def _event_click_edges(sf_dir: str):
+def _event_click_edges(sf_dir: str, weighted: bool = False):
     """Bipartite user<->item click graph from the events table: one
     directed edge user -> (100000 + props.k) per event plus its
     reverse, so rank mass can circulate (SQL mirrors the same regex
-    extraction + UNION ALL)."""
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "props"]
-    )
+    extraction + UNION ALL). ``weighted`` carries the event's value
+    as the edge weight column ``w``."""
+    cols = ["user_id", "props"] + (["value"] if weighted else [])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
 
-    def mk(t: pa.Table) -> pa.Table:
+    def mk(t: pa.Table, w=weighted) -> pa.Table:
         ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
         k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
         u = pc.cast(t["user_id"], pa.int64())
         item = pc.add(k, 100000)
-        fwd = pa.table({"src": u, "dst": item})
-        rev = pa.table({"src": item, "dst": u})
-        return pa.concat_tables([fwd, rev])
+        fwd = {"src": u, "dst": item}
+        rev = {"src": item, "dst": u}
+        if w:
+            wv = pc.cast(t["value"], pa.float64())
+            fwd["w"] = wv
+            rev["w"] = wv
+        return pa.concat_tables([pa.table(fwd), pa.table(rev)])
 
     return ev.map_batches(mk, batch_format="pyarrow")
 
@@ -2730,6 +2734,21 @@ def q_pagerank_events_bucketed(sf_dir: str):
         damping=0.85,
         mode="bucketed",
         num_buckets=8,
+    )
+
+
+def q_pagerank_events_weighted(sf_dir: str):
+    """Weighted PageRank: each edge carries the event's value, so rank
+    flows proportionally to interaction strength (rank * w /
+    out_strength); same broadcast plan as the unweighted query."""
+    from vector_ray.functions.graph import pagerank
+
+    return pagerank(
+        _event_click_edges(sf_dir, weighted=True),
+        iters=4,
+        damping=0.85,
+        mode="broadcast",
+        weight="w",
     )
 
 
@@ -2862,6 +2881,7 @@ QUERIES = {
     "pagerank_events": q_pagerank_events,
     "pagerank_events_bucketed": q_pagerank_events_bucketed,
     "hits_events": q_hits_events,
+    "pagerank_events_weighted": q_pagerank_events_weighted,
     "funnel_events": q_funnel_events,
     "dsir_documents": q_dsir_documents,
     "interarrival_events": q_interarrival_events,
@@ -3434,28 +3454,53 @@ def _hits_events_sql(iters: int = 4) -> str:
     )
 
 
-def _pagerank_events_sql(iters: int = 4, damping: float = 0.85) -> str:
+def _pagerank_events_sql(
+    iters: int = 4, damping: float = 0.85, weighted: bool = False
+) -> str:
     """Unrolled power-iteration PageRank over the click graph —
     mechanically the same recurrence the engine runs (same double
     literals for damping/base so both sides multiply identical
-    doubles); final double-round matches functions/graph.py."""
+    doubles); final double-round matches functions/graph.py. The
+    weighted variant carries events.value as the edge weight: out-
+    strength SUM(w), per-edge contribution r*(w/S) — the engine's
+    factoring — and zero-strength nodes count as dangling."""
     one_minus = repr(1.0 - damping)
     d = repr(damping)
-    parts = [
-        _CLICK_GRAPH_CTES,
-        "deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg "
-        "FROM edges GROUP BY 1), ",
+    if weighted:
+        parts = [
+            "WITH raw AS (SELECT CAST(user_id AS BIGINT) AS u, "
+            "100000 + CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) "
+            "AS BIGINT) AS i, CAST(value AS DOUBLE) AS w FROM events "
+            "WHERE regexp_matches(props, '\"k\":\\s*\\d+')), ",
+            "edges AS (SELECT u AS src, i AS dst, w FROM raw "
+            "UNION ALL SELECT i AS src, u AS dst, w FROM raw), ",
+            "nodes AS (SELECT src AS node FROM edges "
+            "UNION SELECT dst FROM edges), ",
+            "deg AS (SELECT src AS node, SUM(w) AS outdeg "
+            "FROM edges GROUP BY 1), ",
+        ]
+        contrib = "SUM((r.r / d.outdeg) * e.w)"
+        dang = "WHERE d.node IS NULL OR d.outdeg = 0"
+    else:
+        parts = [
+            _CLICK_GRAPH_CTES,
+            "deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg "
+            "FROM edges GROUP BY 1), ",
+        ]
+        contrib = "SUM(r.r / d.outdeg)"
+        dang = "WHERE d.node IS NULL"
+    parts += [
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), ",
         "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn), ",
     ]
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(
-            f"c{i} AS (SELECT e.dst AS node, SUM(r.r / d.outdeg) AS s "
+            f"c{i} AS (SELECT e.dst AS node, {contrib} AS s "
             f"FROM edges e JOIN r{p} r ON e.src = r.node "
             f"JOIN deg d ON e.src = d.node GROUP BY 1), "
             f"g{i} AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r{p} r "
-            f"LEFT JOIN deg d ON r.node = d.node WHERE d.node IS NULL), "
+            f"LEFT JOIN deg d ON r.node = d.node {dang}), "
             f"r{i} AS (SELECT nd.node, {one_minus} / nn.n + {d} * "
             f"(COALESCE(c.s, 0) + g{i}.dm / nn.n) AS r "
             f"FROM nodes nd CROSS JOIN nn CROSS JOIN g{i} "
@@ -3490,6 +3535,9 @@ def oracle_sql() -> dict[str, str]:
         _seq_glob(ORACLE_TAG), iters=3, lr=0.5
     )
     sql["hits_events"] = _hits_events_sql(iters=4)
+    sql["pagerank_events_weighted"] = _pagerank_events_sql(
+        iters=4, damping=0.85, weighted=True
+    )
     sql.update(
         {
             "filter_events": (

@@ -70,12 +70,22 @@ def _drop_null_edges(t: pa.Table, src: str, dst: str) -> pa.Table:
     return t.filter(mask) if not pc.all(mask).as_py() else t
 
 
-def _degree_partial(t: pa.Table, src: str, dst: str) -> pa.Table:
+def _degree_partial(
+    t: pa.Table, src: str, dst: str, weight: str | None = None
+) -> pa.Table:
     """Per-block (node, outdeg) partial covering BOTH endpoints: srcs
-    contribute their edge count, dsts contribute 0 so sink-only nodes
-    still appear in the node set after the global sum."""
+    contribute their edge count (or weight sum), dsts contribute 0 so
+    sink-only nodes still appear in the node set after the global sum."""
     t = _drop_null_edges(t, src, dst)
     n = t.num_rows
+    if weight is None:
+        w = np.ones(n, np.int64)
+        zeros = np.zeros(n, np.int64)
+    else:
+        w = _np_col(t, weight, np.float64)
+        if len(w) and w.min() < 0:
+            raise ValueError("pagerank: edge weights must be non-negative")
+        zeros = np.zeros(n, np.float64)
     both = pa.table(
         {
             "node": pa.concat_arrays(
@@ -84,11 +94,7 @@ def _degree_partial(t: pa.Table, src: str, dst: str) -> pa.Table:
                     pc.cast(t[dst], pa.int64()).combine_chunks(),
                 ]
             ),
-            "outdeg": pa.array(
-                np.concatenate(
-                    [np.ones(n, np.int64), np.zeros(n, np.int64)]
-                )
-            ),
+            "outdeg": pa.array(np.concatenate([w, zeros])),
         }
     )
     part = both.group_by("node").aggregate([("outdeg", "sum")])
@@ -112,6 +118,7 @@ def pagerank(
     broadcast_limit: int = 4_000_000,
     num_buckets: int = 32,
     round_to: int = 6,
+    weight: str | None = None,
 ):
     """PageRank over an edge Dataset with integer node ids.
 
@@ -119,6 +126,11 @@ def pagerank(
     mode, a ``ray.data.Dataset`` with the same columns in bucketed
     mode. ``mode="auto"`` counts the node set (already needed for the
     out-degree pass) and broadcasts when N <= broadcast_limit.
+
+    ``weight`` names a non-negative float edge-weight column: each
+    edge then carries rank(u) * w(e) / out_strength(u), where
+    out_strength sums u's edge weights (an all-zero-weight node is
+    dangling). ``weight=None`` is the classic unweighted recurrence.
     """
     if mode not in ("auto", "broadcast", "bucketed"):
         raise ValueError(f"pagerank: unknown mode {mode!r}")
@@ -126,7 +138,7 @@ def pagerank(
     # ---- one exchange up front: (node, outdeg) for every node -------
     deg_ds = (
         ds_edges.map_batches(
-            lambda t, s=src, d=dst: _degree_partial(t, s, d),
+            lambda t, s=src, d=dst, w=weight: _degree_partial(t, s, d, w),
             batch_format="pyarrow",
         )
         .groupby("node")
@@ -147,10 +159,11 @@ def pagerank(
 
     if mode == "broadcast":
         return _pagerank_broadcast(
-            ds_edges, deg_ds, src, dst, iters, damping, round_to
+            ds_edges, deg_ds, src, dst, iters, damping, round_to, weight
         )
     return _pagerank_bucketed(
-        ds_edges, deg_ds, src, dst, iters, damping, num_buckets, round_to
+        ds_edges, deg_ds, src, dst, iters, damping, num_buckets, round_to,
+        weight,
     )
 
 
@@ -162,7 +175,7 @@ def pagerank(
 
 
 def _pagerank_broadcast(
-    ds_edges, deg_ds, src, dst, iters, damping, round_to
+    ds_edges, deg_ds, src, dst, iters, damping, round_to, weight=None
 ) -> pa.Table:
     deg_t = _collect(deg_ds).sort_by("node")
     nodes = _np_col(deg_t, "node")
@@ -179,7 +192,7 @@ def _pagerank_broadcast(
         w_ref = ray.put(w)
 
         def contrib_part(
-            t: pa.Table, s=src, d=dst, nref=nodes_ref, wref=w_ref
+            t: pa.Table, s=src, d=dst, ew=weight, nref=nodes_ref, wref=w_ref
         ) -> pa.Table:
             t = _drop_null_edges(t, s, d)
             nid = ray.get(nref)
@@ -187,6 +200,8 @@ def _pagerank_broadcast(
             sa = _np_col(t, s)
             da = _np_col(t, d)
             ws = wv[np.searchsorted(nid, sa)]
+            if ew is not None:
+                ws = ws * _np_col(t, ew, np.float64)
             ud, inv = np.unique(da, return_inverse=True)
             sums = np.bincount(inv, weights=ws)
             return pa.table(
@@ -313,7 +328,8 @@ def hits(
 
 
 def _pagerank_bucketed(
-    ds_edges, deg_ds, src, dst, iters, damping, num_buckets, round_to
+    ds_edges, deg_ds, src, dst, iters, damping, num_buckets, round_to,
+    weight=None,
 ):
     from vector_ray.stages.shuffle import bucketed_join
 
@@ -327,8 +343,11 @@ def _pagerank_bucketed(
 
     ranks = deg_ds.map_batches(seed, batch_format="pyarrow").materialize()
 
+    keep_cols = [src, dst] + ([weight] if weight else [])
     edges = ds_edges.map_batches(
-        lambda t, s=src, d=dst: _drop_null_edges(t, s, d).select([s, d]),
+        lambda t, s=src, d=dst, kc=tuple(keep_cols): _drop_null_edges(
+            t, s, d
+        ).select(list(kc)),
         batch_format="pyarrow",
     )
 
@@ -346,8 +365,9 @@ def _pagerank_bucketed(
             w = pc.divide(
                 t["rank"], pc.cast(t["outdeg"], pa.float64())
             )
+            # "__pr_w" cannot collide with a user edge-weight column
             return pa.table(
-                {s: pc.cast(t["node"], pa.int64()), "w": w}
+                {s: pc.cast(t["node"], pa.int64()), "__pr_w": w}
             )
 
         w_ds = ranks.map_batches(weights, batch_format="pyarrow")
@@ -355,9 +375,11 @@ def _pagerank_bucketed(
             edges, w_ds, key=src, num_buckets=num_buckets, how="inner"
         )
 
-        def contrib_part(t: pa.Table, d=dst) -> pa.Table:
+        def contrib_part(t: pa.Table, d=dst, ew=weight) -> pa.Table:
             da = _np_col(t, d)
-            ws = _np_col(t, "w", np.float64)
+            ws = _np_col(t, "__pr_w", np.float64)
+            if ew is not None:
+                ws = ws * _np_col(t, ew, np.float64)
             ud, inv = np.unique(da, return_inverse=True)
             return pa.table(
                 {
@@ -386,7 +408,7 @@ def _pagerank_bucketed(
             return pa.table(
                 {
                     "node": pc.cast(t["node"], pa.int64()),
-                    "outdeg": pc.cast(t["outdeg"], pa.int64()),
+                    "outdeg": t["outdeg"],  # int64 unweighted, float64 weighted
                     "rank": pa.array(r),
                 }
             )

@@ -230,6 +230,7 @@ def pagerank(ds, options: dict, ctx=None):
         broadcast_limit=int(options.get("broadcast_limit", 4_000_000)),
         num_buckets=int(options.get("num_buckets", 32)),
         round_to=int(options.get("round", 6)),
+        weight=options.get("weight"),
     )
     return rd.from_arrow(out) if isinstance(out, pa.Table) else out
 
