@@ -617,6 +617,32 @@ def q_join_orders_customer(sf_dir: str):
     )
 
 
+def q_skew_join_orders(sf_dir: str):
+    """Skew-safe hybrid join (stages/shuffle.py skew_join): hot
+    custkeys detected from bounded per-block summaries join map-side
+    against broadcast customer rows; the cold remainder takes the one
+    hash shuffle. Same answer as the plain bucketed join."""
+    from vector_ray.stages.shuffle import skew_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow",
+    )
+    out = skew_join(
+        orders, customer, "o_custkey", num_buckets=16, hot_min_frac=0.001
+    )
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "o_totalprice", "c_name"]),
+        batch_format="pyarrow",
+    )
+
+
 def _customer_vs_event_users(sf_dir: str, how: str):
     """customer semi/anti-joined against the set of event user ids —
     the contamination-filter shape (keep rows whose key is (not) in a
@@ -2819,6 +2845,7 @@ QUERIES = {
     "contract_events": q_contract_events,
     "topk_per_source": q_topk_per_source,
     "join_orders_customer": q_join_orders_customer,
+    "skew_join_orders": q_skew_join_orders,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "full_join_user_counts": q_full_join_user_counts,
@@ -3730,6 +3757,12 @@ def oracle_sql() -> dict[str, str]:
                 "  FROM documents) WHERE rn <= 3"
             ),
             "join_orders_customer": (
+                "SELECT o_orderkey, o_custkey, o_totalprice, c_name "
+                "FROM orders JOIN customer ON o_custkey = c_custkey"
+            ),
+            # skew_join computes the identical inner join (the hot/cold
+            # split is a plan decision, not a semantic one)
+            "skew_join_orders": (
                 "SELECT o_orderkey, o_custkey, o_totalprice, c_name "
                 "FROM orders JOIN customer ON o_custkey = c_custkey"
             ),

@@ -253,6 +253,171 @@ def bucketed_join(
     )
 
 
+def skew_join(
+    left,
+    right,
+    key: str,
+    num_buckets: int = 32,
+    how: str = "inner",
+    suffix: str = "_r",
+    hot_capacity: int = 64,
+    hot_min_frac: float = 0.02,
+    broadcast_limit: int = 2_000_000,
+):
+    """Skew-safe large×large equi-join (hybrid broadcast/shuffle).
+
+    A plain hash join puts every row of a hot key into ONE bucket —
+    one straggler task holds the whole hot group. This operator splits
+    the plan: hot join keys are detected from the LEFT side with
+    per-block top-``hot_capacity`` count summaries (bounded state, the
+    Misra-Gries idea — detection is a PERFORMANCE decision, any split
+    is exact, so approximate counts are safe), their RIGHT rows are
+    broadcast once for a map-side per-batch Arrow join (hot left rows
+    never shuffle), and only the cold remainder of BOTH sides takes
+    the ``bucketed_join`` hash shuffle. The two outputs union.
+
+    ``how``: inner | left. A hot set whose right rows exceed
+    ``broadcast_limit`` falls back to the plain bucketed join for
+    everything (warned, not silent) — that means the right side is
+    itself huge per key, and no broadcast plan is safe.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_join supports inner | left, got {how!r}")
+
+    # ---- pass 1: bounded hot-key detection over the left side -------
+    def detect(t: pa.Table) -> pa.Table:
+        counts = (
+            t.select([key])
+            .group_by([key])
+            .aggregate([(key, "count")])
+            .rename_columns([key, "__cnt"])
+            .sort_by([("__cnt", "descending")])
+            .slice(0, hot_capacity)
+        )
+        kt = counts[key]
+        sentinel = pa.table(
+            {
+                key: pa.nulls(1, t.schema.field(key).type),
+                "__cnt": pa.array([0], pa.int64()),
+                "__rows": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+        body = pa.table(
+            {
+                key: kt,
+                "__cnt": pc.cast(counts["__cnt"], pa.int64()),
+                "__rows": pa.array(
+                    np.zeros(counts.num_rows, np.int64)
+                ),
+            }
+        )
+        return pa.concat_tables([body, sentinel])
+
+    import ray as _ray
+
+    parts_tables = _ray.get(
+        left.map_batches(detect, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    parts = pa.concat_tables(
+        [t for t in parts_tables if t.num_rows > 0] or parts_tables[:1],
+        promote_options="default",
+    )
+    total = int(pc.sum(parts["__rows"]).as_py() or 0)
+    cand = (
+        parts.filter(pc.is_valid(parts[key]))
+        .group_by([key])
+        .aggregate([("__cnt", "sum")])
+        .rename_columns([key, "__cnt"])
+    )
+    threshold = max(2, int(hot_min_frac * total))
+    hot_t = (
+        cand.filter(pc.greater_equal(cand["__cnt"], threshold))
+        .sort_by([("__cnt", "descending"), (key, "ascending")])
+        .slice(0, hot_capacity)
+    )
+    hot_vals = hot_t[key].combine_chunks()
+    if len(hot_vals) == 0:
+        return bucketed_join(
+            left, right, key, num_buckets=num_buckets, how=how,
+            suffix=suffix,
+        )
+
+    # ---- split: hot right rows broadcast, cold rows shuffle ----------
+    lschema, rschema = left.schema(), right.schema()
+    left_cols = list(lschema.names)
+    rename = {
+        c: (f"{c}{suffix}" if c in left_cols and c != key else c)
+        for c in rschema.names
+    }
+    all_cols = list(
+        dict.fromkeys(left_cols + [rename[c] for c in rschema.names])
+    )
+
+    hot_ref_vals = _ray.put(hot_vals)
+
+    def _split(t: pa.Table, keep_hot: bool) -> pa.Table:
+        hv = _ray.get(hot_ref_vals)
+        # null keys go to the cold path (fill_null, not drop): a LEFT
+        # join must still emit them null-padded, and bucketed_join
+        # already handles null keys
+        mask = pc.fill_null(pc.is_in(t[key], value_set=hv), False)
+        return t.filter(mask if keep_hot else pc.invert(mask))
+
+    right_hot_tables = _ray.get(
+        right.map_batches(
+            lambda t: _split(t, True), batch_format="pyarrow"
+        )
+        .materialize()
+        .to_arrow_refs()
+    )
+    right_hot = pa.concat_tables(
+        [t for t in right_hot_tables if t.num_rows > 0]
+        or right_hot_tables[:1],
+        promote_options="default",
+    )
+    if right_hot.num_rows > broadcast_limit:
+        import warnings
+
+        warnings.warn(
+            f"skew_join: hot right side has {right_hot.num_rows} rows "
+            f"(> broadcast_limit {broadcast_limit}); falling back to the "
+            "plain bucketed join",
+            stacklevel=2,
+        )
+        return bucketed_join(
+            left, right, key, num_buckets=num_buckets, how=how,
+            suffix=suffix,
+        )
+    right_hot = right_hot.rename_columns(
+        [rename[c] for c in right_hot.column_names]
+    ).combine_chunks()
+    rh_ref = _ray.put(right_hot)
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+
+    def map_side_join(t: pa.Table) -> pa.Table:
+        rh = _ray.get(rh_ref)
+        out = t.combine_chunks().join(rh, keys=[key], join_type=join_type)
+        return out.select(all_cols).combine_chunks()
+
+    hot_out = left.map_batches(
+        lambda t: _split(t, True), batch_format="pyarrow"
+    ).map_batches(map_side_join, batch_format="pyarrow")
+
+    cold_out = bucketed_join(
+        left.map_batches(lambda t: _split(t, False), batch_format="pyarrow"),
+        right.map_batches(lambda t: _split(t, False), batch_format="pyarrow"),
+        key,
+        num_buckets=num_buckets,
+        how=how,
+        suffix=suffix,
+    ).map_batches(
+        lambda t: t.select(all_cols), batch_format="pyarrow"
+    )
+    return hot_out.union(cold_out)
+
+
 def bucketed_asof_join(
     left,
     right,
