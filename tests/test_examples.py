@@ -136,3 +136,17 @@ def test_corpus_triage_example(ray_session):
     assert words["provably_exact"].to_pylist() == [True] * 15
     sample = pq.read_table("/tmp/vector_ray_examples/triage/sample")
     assert sample.num_rows == 100
+
+
+def test_click_graph_example(ray_session):
+    import shutil
+
+    shutil.rmtree("/tmp/vector_ray_examples/click_graph", ignore_errors=True)
+    _run("examples/click_graph.toml")
+    ranks = pq.read_table("/tmp/vector_ray_examples/click_graph/ranks")
+    assert ranks.num_rows > 100  # users + items
+    assert set(ranks.column_names) == {"node", "rank"}
+    assert abs(sum(ranks["rank"].to_pylist()) - 1.0) < 1e-3
+    hubs = pq.read_table("/tmp/vector_ray_examples/click_graph/hubs")
+    assert {"node", "hub", "authority"} == set(hubs.column_names)
+    assert hubs.num_rows == ranks.num_rows
