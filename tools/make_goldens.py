@@ -715,7 +715,73 @@ def golden_bpe_encode(num_merges: int = 12, new_id_base: int = 4096) -> pa.Table
     )
 
 
+def golden_pca_whiten(k: int = 8, round_to: int = 6) -> pa.Table:
+    """Independent straight-line PCA whitening over the sf0.01
+    embeddings: mean and covariance accumulated with per-row Python
+    loops (outer products), covariance rounded to 6 decimals (the
+    determinism pin shared with functions/embeddings.py — both sides'
+    eigendecomposition then sees byte-identical input), numpy eigh +
+    the positive-max-component sign convention, per-row projection."""
+    import numpy as np
+
+    t = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    rows = [[float(v) for v in r] for r in t["embedding"].to_pylist()]
+    n, d = len(rows), len(rows[0])
+    mean = [0.0] * d
+    for r in rows:
+        for j in range(d):
+            mean[j] += r[j]
+    mean = [m / n for m in mean]
+    cov = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        c = [r[j] - mean[j] for j in range(d)]
+        for a in range(d):
+            ca = c[a]
+            row = cov[a]
+            for b in range(d):
+                row[b] += ca * c[b]
+    scale = 10.0 ** 6
+    covm = np.array(
+        [
+            [
+                np.sign(v / (n - 1))
+                * np.floor(abs(v / (n - 1)) * scale + 0.5)
+                / scale
+                for v in row
+            ]
+            for row in cov
+        ]
+    )
+    vals, vecs = np.linalg.eigh(covm)
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    for j in range(vecs.shape[1]):
+        i = int(np.argmax(np.abs(vecs[:, j])))
+        if vecs[i, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    sc = 1.0 / np.sqrt(np.maximum(vals, 0) + 1e-9)
+    out = []
+    r9 = 10.0 ** 9
+    r6 = 10.0 ** round_to
+    for r in rows:
+        c = np.array([r[j] - mean[j] for j in range(d)])
+        y = (c @ vecs) * sc
+        y = np.sign(y) * np.floor(np.abs(y) * r9 + 0.5) / r9
+        y = np.sign(y) * np.floor(np.abs(y) * r6 + 0.5) / r6
+        out.append([float(v) for v in y])
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "whitened": pa.array(out, pa.list_(pa.float64())),
+        }
+    )
+
+
 GOLDENS = {
+    "pca_whiten_embeddings": golden_pca_whiten,
     "bpe_train_corpus": golden_bpe_train,
     "bpe_encode_corpus": golden_bpe_encode,
     "pack_documents_corpus": golden_pack_documents,

@@ -2778,6 +2778,30 @@ def q_pagerank_events_weighted(sf_dir: str):
     )
 
 
+def q_pca_whiten(sf_dir: str):
+    """Distributed PCA whitening (functions/embeddings.py): one
+    moments pass (d + d^2 floats per block), round-6-pinned covariance
+    eigh on the driver, one broadcast projection pass. Golden oracle
+    (straight-line per-row reimplementation)."""
+    from vector_ray.functions.embeddings import pca_whiten
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_whiten(ds, k=8)
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """Global per-dimension int8 quantization: min/max partials pass +
+    one vectorized quantize pass; SQL oracle over UNNEST/ordinality."""
+    from vector_ray.functions.embeddings import quantize_embeddings
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings(ds)
+
+
 def q_hits_events(sf_dir: str):
     """Kleinberg HITS hubs/authorities over the user<->item click
     graph (functions/graph.py): 4 iterations, L2-normalized, round-9
@@ -2909,6 +2933,8 @@ QUERIES = {
     "pagerank_events_bucketed": q_pagerank_events_bucketed,
     "hits_events": q_hits_events,
     "pagerank_events_weighted": q_pagerank_events_weighted,
+    "pca_whiten_embeddings": q_pca_whiten,
+    "quantize_embeddings": q_quantize_embeddings,
     "funnel_events": q_funnel_events,
     "dsir_documents": q_dsir_documents,
     "interarrival_events": q_interarrival_events,
@@ -4286,7 +4312,20 @@ def oracle_sql() -> dict[str, str]:
     )
     # frozen-golden oracles (independent reimplementation committed as
     # parquet; see tools/make_goldens.py + tests/test_goldens.py)
+    sql["quantize_embeddings"] = (
+        # per-dim global min/max over UNNEST-with-ordinality, then the
+        # engine's exact double-rounded linear quantize expression
+        "WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) "
+        "AS dim, UNNEST(embedding) AS v FROM embeddings), "
+        "mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM flat GROUP BY 1), "
+        "q AS (SELECT vec_id, dim, CASE WHEN mx > mn THEN "
+        "LEAST(GREATEST(CAST(ROUND(ROUND((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) "
+        "* 255.0 / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)), 9), 0) AS BIGINT), 0), 255) "
+        "ELSE 0 END AS qv FROM flat JOIN mm USING (dim)) "
+        "SELECT vec_id, list(qv ORDER BY dim) AS qvec FROM q GROUP BY vec_id"
+    )
     for name in (
+        "pca_whiten_embeddings",
         "simhash_documents",
         "minhash_pairs_documents",
         "ann_lsh_topk",

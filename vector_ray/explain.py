@@ -64,6 +64,8 @@ MOVEMENT = {
     "weighted_sample": "hybrid",  # local top-k prune -> k-by-blocks sort
     "kmeans": "broadcast",
     "logreg_quality": "broadcast",  # tiny gradient partials up, weights down
+    "pca_whiten": "broadcast",  # d+d^2 partials up, (mean, basis) down
+    "quantize_embeddings": "broadcast",  # per-dim min/max up, bounds down
     "semdedup": "shuffle",
     "hot_spans": "broadcast",
     "budget_select": "broadcast",

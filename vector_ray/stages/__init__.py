@@ -108,6 +108,8 @@ TRANSFORMS = {
     "heavy_hitters": curate.heavy_hitters,
     "pagerank": curate.pagerank,
     "hits": curate.hits,
+    "pca_whiten": curate.pca_whiten,
+    "quantize_embeddings": curate.quantize_embeddings,
     "kmeans": curate.kmeans,
     "semdedup": curate.semdedup,
     "hot_spans": curate.hot_spans,

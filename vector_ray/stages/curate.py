@@ -28,6 +28,8 @@ __all__ = [
     "pagerank",
     "hits",
     "logreg_quality",
+    "pca_whiten",
+    "quantize_embeddings",
 ]
 
 
@@ -233,6 +235,34 @@ def pagerank(ds, options: dict, ctx=None):
         weight=options.get("weight"),
     )
     return rd.from_arrow(out) if isinstance(out, pa.Table) else out
+
+
+def pca_whiten(ds, options: dict, ctx=None):
+    """{"type": "pca_whiten", "k": 8, "field": "embedding"} —
+    distributed PCA whitening (functions/embeddings.py); emits
+    (id_field, whitened:list<double>)."""
+    from vector_ray.functions.embeddings import pca_whiten as _pw
+
+    return _pw(
+        ds,
+        k=int(options.get("k", 8)),
+        field=options.get("field", "embedding"),
+        id_field=options.get("id_field", "vec_id"),
+        round_to=int(options.get("round", 6)),
+    )
+
+
+def quantize_embeddings(ds, options: dict, ctx=None):
+    """{"type": "quantize_embeddings", "levels": 256} — global
+    per-dimension linear quantization (functions/embeddings.py)."""
+    from vector_ray.functions.embeddings import quantize_embeddings as _qe
+
+    return _qe(
+        ds,
+        field=options.get("field", "embedding"),
+        id_field=options.get("id_field", "vec_id"),
+        levels=int(options.get("levels", 256)),
+    )
 
 
 def hits(ds, options: dict, ctx=None):
