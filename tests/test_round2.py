@@ -537,3 +537,39 @@ def test_log_to_metric_set_kind(ray_session):
     assert out["kind"].to_pylist() == ["set"] * 4
     assert out["set_member"].to_pylist() == ["1", "2", "2", "3"]
     assert all(v is None for v in out["value"].to_pylist())
+
+
+def test_frame_multiline(ray_session):
+    from vector_ray.stages.framing import frame
+    from vector_ray.vrl import VrlError
+
+    t = pa.table(
+        {
+            "src": ["a", "b", "c", "d"],
+            "message": [
+                # two events, the second with two continuation lines
+                "ERR boom\n  at f()\nERR again\n  at g()\n  at h()",
+                # leading continuation: first line still opens a group
+                "  orphan\nERR x",
+                "no match at all\n  cont",
+                None,
+            ],
+        }
+    )
+    out = _collect(
+        frame(
+            rd.from_arrow(t),
+            {"method": "multiline", "start_pattern": "^ERR"},
+        )
+    )
+    got = sorted(zip(out["src"].to_pylist(), out["message"].to_pylist()))
+    assert got == [
+        ("a", "ERR again\n  at g()\n  at h()"),
+        ("a", "ERR boom\n  at f()"),
+        ("b", "  orphan"),
+        ("b", "ERR x"),
+        ("c", "no match at all\n  cont"),
+    ]
+
+    with pytest.raises((VrlError, Exception)):
+        frame(rd.from_arrow(t), {"method": "multiline"})

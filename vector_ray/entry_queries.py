@@ -2778,6 +2778,35 @@ def q_pagerank_events_weighted(sf_dir: str):
     )
 
 
+def q_multiline_events(sf_dir: str):
+    """Multiline framing (stack-trace aggregation, stages/framing.py):
+    each event becomes a 4-line payload holding TWO logical frames
+    (start lines match ^e<digit>, continuations are indented); the
+    framer reassembles them. The oracle constructs the two expected
+    frames directly — independent of the framing machinery."""
+    from vector_ray.stages.framing import frame
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "props"],
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.string())
+        payload = pc.binary_join_element_wise(
+            "e", eid, " ", t["event_type"],
+            "\n  props=", t["props"],
+            "\ne", eid, " end\n  done",
+            "",
+        )
+        return pa.table({"event_id": t["event_id"], "message": payload})
+
+    payloads = ds.map_batches(mk, batch_format="pyarrow")
+    return frame(
+        payloads, {"method": "multiline", "start_pattern": r"^e[0-9]"}
+    )
+
+
 def q_pca_whiten(sf_dir: str):
     """Distributed PCA whitening (functions/embeddings.py): one
     moments pass (d + d^2 floats per block), round-6-pinned covariance
@@ -2935,6 +2964,7 @@ QUERIES = {
     "pagerank_events_weighted": q_pagerank_events_weighted,
     "pca_whiten_embeddings": q_pca_whiten,
     "quantize_embeddings": q_quantize_embeddings,
+    "multiline_events": q_multiline_events,
     "funnel_events": q_funnel_events,
     "dsir_documents": q_dsir_documents,
     "interarrival_events": q_interarrival_events,
@@ -4312,6 +4342,15 @@ def oracle_sql() -> dict[str, str]:
     )
     # frozen-golden oracles (independent reimplementation committed as
     # parquet; see tools/make_goldens.py + tests/test_goldens.py)
+    sql["multiline_events"] = (
+        # the two frames the multiline framer must reassemble,
+        # constructed directly (no framing machinery in the oracle)
+        "SELECT event_id, 'e' || CAST(event_id AS VARCHAR) || ' ' || "
+        "event_type || chr(10) || '  props=' || props AS message FROM events "
+        "UNION ALL "
+        "SELECT event_id, 'e' || CAST(event_id AS VARCHAR) || ' end' || "
+        "chr(10) || '  done' AS message FROM events"
+    )
     sql["quantize_embeddings"] = (
         # per-dim global min/max over UNNEST-with-ordinality, then the
         # engine's exact double-rounded linear quantize expression

@@ -29,6 +29,7 @@ FRAMING_METHODS = (
     "character_delimited",
     "length_delimited",
     "octet_counting",
+    "multiline",
 )
 
 
@@ -128,6 +129,50 @@ def _frame_scanned(t: pa.Table, field: str, scan) -> pa.Table:
     return _explode(t, field, frames_per_row, pa.array(flat, pa.binary()))
 
 
+def _frame_multiline(t: pa.Table, field: str, start_pattern: str) -> pa.Table:
+    """Vector's multiline aggregation (file-source option): lines
+    matching ``start_pattern`` begin a new event; following
+    non-matching lines (stack-trace continuations) are appended with
+    the newline kept. Fully vectorized: one split, one regex match,
+    one cumsum for group ids, one list rebuild + join. Groups never
+    span payload rows — each payload's first line always starts a
+    group — so the unit of stream continuity is the payload row (at
+    scale: one file / one socket read per row, the documented framing
+    contract)."""
+    col = t[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    as_str = pc.cast(col, pa.string())
+    lines = pc.split_pattern(as_str, "\n")
+    per_row = (
+        pc.fill_null(pc.list_value_length(lines), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = lines.flatten()  # null payloads contribute no lines
+    if len(flat) == 0:
+        return _explode(
+            t, field, np.zeros(len(per_row), np.int64),
+            pa.array([], pa.string()),
+        )
+    starts = (
+        pc.fill_null(pc.match_substring_regex(flat, start_pattern), False)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    offsets = np.zeros(len(per_row) + 1, dtype=np.int64)
+    np.cumsum(per_row, out=offsets[1:])
+    # the first line of every payload opens a group regardless
+    starts[offsets[:-1][per_row > 0]] = True
+    bounds = np.flatnonzero(starts)
+    g_offsets = np.concatenate([bounds, [len(flat)]]).astype(np.int32)
+    groups = pa.ListArray.from_arrays(pa.array(g_offsets, pa.int32()), flat)
+    frames = pc.binary_join(groups, "\n")
+    cs = np.concatenate([[0], np.cumsum(starts)])
+    frames_per_row = cs[offsets[1:]] - cs[offsets[:-1]]
+    return _explode(t, field, frames_per_row, frames)
+
+
 def compile_frame(options: dict):
     method = options.get("method", "newline_delimited")
     if method not in FRAMING_METHODS:
@@ -138,6 +183,11 @@ def compile_frame(options: dict):
     if method == "bytes":
         # whole payload is one frame — identity
         return lambda t: t
+    if method == "multiline":
+        pattern = options.get("start_pattern")
+        if not pattern:
+            raise VrlError("multiline framing requires start_pattern")
+        return lambda t: _frame_multiline(t, field, pattern)
     if method in ("newline_delimited", "character_delimited"):
         delim = options.get("delimiter", "\n")
         if method == "newline_delimited":
