@@ -393,3 +393,29 @@ def test_moving_window_null_semantics(ray_session):
     ).sort_by([("k", "ascending"), ("i", "ascending")])
     assert out2["mov_min_value"].to_pylist() == [
         1.0, 1.0, 1.0, 3.0, 3.0, 4.0, None, None]
+
+
+def test_parquet_sink_compression_option(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vector_ray import run_pipeline
+
+    out = str(tmp_path / "zstd_out")
+    run_pipeline(
+        {
+            "sources": {"a": {"type": "demo_logs", "count": 200}},
+            "sinks": {
+                "o": {
+                    "type": "parquet",
+                    "inputs": ["a"],
+                    "path": out,
+                    "compression": "zstd",
+                }
+            },
+        }
+    )
+    f = glob.glob(out + "/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    assert md.row_group(0).column(0).compression == "ZSTD"

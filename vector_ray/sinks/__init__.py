@@ -34,6 +34,11 @@ def parquet_sink(ds, options: dict, ctx=None) -> SinkResult:
         kwargs["partition_cols"] = list(options["partition_cols"])
     if options.get("min_rows_per_file"):
         kwargs["min_rows_per_file"] = int(options["min_rows_per_file"])
+    if options.get("compression"):
+        # passed through to pyarrow ParquetWriter (snappy default;
+        # zstd/gzip/lz4/none) — the sink-side `compression` option of
+        # the reference's file sink (config_panel.rs:1909-1921)
+        kwargs["compression"] = str(options["compression"])
     ds.write_parquet(path, **kwargs)
     return SinkResult(kind="parquet", path=path)
 
