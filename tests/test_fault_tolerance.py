@@ -207,3 +207,49 @@ def test_span_dedupe_exchange_survives_worker_kill(ray_session):
     finally:
         th.join()
     assert survived.equals(clean)
+
+
+def test_bucketed_pagerank_survives_worker_kill(ray_session):
+    """Iterative shuffle op under fault: SIGKILL a busy worker while
+    the bucketed PageRank (per-iteration hash joins + groupbys over
+    materialized rank datasets) is running; the retried run must
+    produce exactly the clean run's ranks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.functions.graph import pagerank
+
+    rng = np.random.RandomState(11)
+    n = 400_000
+    edges = pa.table(
+        {
+            "src": pa.array(rng.randint(0, 3000, n).astype(np.int64)),
+            "dst": pa.array(rng.randint(0, 3000, n).astype(np.int64)),
+        }
+    )
+
+    def run():
+        out = pagerank(
+            rd.from_arrow(edges).repartition(32),
+            iters=4,
+            mode="bucketed",
+            num_buckets=8,
+        )
+        return pa.concat_tables(
+            [
+                b
+                for b in out.iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+        ).sort_by("node")
+
+    clean = run()
+    killed: list = []
+    t = threading.Thread(target=_kill_one_busy_worker, args=(killed, 20.0))
+    t.start()
+    faulted = run()
+    t.join()
+    if not killed:
+        pytest.skip("no busy worker caught during the run - inconclusive")
+    assert clean.equals(faulted)
