@@ -2778,6 +2778,32 @@ def q_pagerank_events_weighted(sf_dir: str):
     )
 
 
+def q_trending_events(sf_dir: str):
+    """Operator composition: calendar-hour tumbling counts x skew-safe
+    per-window top-2 (salted two-phase) — 'trending event types per
+    hour', the alerting dashboard staple."""
+    from vector_ray.stages.shuffle import topk_per_key
+    from vector_ray.stages.window import window
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    hourly = window(
+        ds,
+        {
+            "type": "calendar",
+            "unit": "hour",
+            "ts_field": "ts",
+            "key_field": "event_type",
+            "aggregates": {"n": {"fn": "count"}},
+        },
+    )
+    return topk_per_key(
+        hourly, key="window_start", order_by="n", k=2,
+        tiebreak="event_type",
+    )
+
+
 def q_multiline_events(sf_dir: str):
     """Multiline framing (stack-trace aggregation, stages/framing.py):
     each event becomes a 4-line payload holding TWO logical frames
@@ -2965,6 +2991,7 @@ QUERIES = {
     "pca_whiten_embeddings": q_pca_whiten,
     "quantize_embeddings": q_quantize_embeddings,
     "multiline_events": q_multiline_events,
+    "trending_events": q_trending_events,
     "funnel_events": q_funnel_events,
     "dsir_documents": q_dsir_documents,
     "interarrival_events": q_interarrival_events,
@@ -4342,6 +4369,14 @@ def oracle_sql() -> dict[str, str]:
     )
     # frozen-golden oracles (independent reimplementation committed as
     # parquet; see tools/make_goldens.py + tests/test_goldens.py)
+    sql["trending_events"] = (
+        "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS "
+        "window_start, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+        "GROUP BY 1, 2), "
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start "
+        "ORDER BY n DESC, event_type) AS r FROM hourly) "
+        "SELECT event_type, window_start, n FROM rk WHERE r <= 2"
+    )
     sql["multiline_events"] = (
         # the two frames the multiline framer must reassemble,
         # constructed directly (no framing machinery in the oracle)
