@@ -419,3 +419,108 @@ def test_parquet_sink_compression_option(ray_session, tmp_path):
     f = glob.glob(out + "/*.parquet")[0]
     md = pq.ParquetFile(f).metadata
     assert md.row_group(0).column(0).compression == "ZSTD"
+
+
+def test_ewma_recurrence(ray_session):
+    """Bucketed step-vectorized EWMA equals the sequential per-key
+    recurrence with per-step 9-decimal pinning, across partitionings."""
+    import numpy as np
+    import ray
+
+    from vector_ray.stages.grouped import ewma
+
+    rng = np.random.default_rng(11)
+    m = 400
+    t = pa.table(
+        {
+            "user_id": rng.integers(0, 7, m),
+            "event_id": np.arange(m),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 10**6, m)).astype("datetime64[us]")
+            ),
+            "value": np.round(rng.uniform(0, 100, m), 2),
+        }
+    )
+
+    def rnd9(v):
+        return float(np.sign(v) * np.floor(abs(v) * 1e9 + 0.5) / 1e9)
+
+    want, last = {}, {}
+    for u, _, eid, v in sorted(
+        zip(
+            t["user_id"].to_pylist(),
+            t["ts"].to_pylist(),
+            t["event_id"].to_pylist(),
+            t["value"].to_pylist(),
+        )
+    ):
+        y = rnd9(v) if u not in last else rnd9(0.3 * v + 0.7 * last[u])
+        last[u] = y
+        want[eid] = round(round(y, 9), 4)
+
+    for parts in (1, 4):
+        out_ds = ewma(
+            rd.from_arrow(t).repartition(parts),
+            {
+                "group_by": "user_id",
+                "order_by": ["ts", "event_id"],
+                "field": "value",
+                "alpha": 0.3,
+                "round": 4,
+                "num_buckets": 3,
+            },
+        )
+        out = pa.concat_tables(
+            [
+                x
+                for x in ray.get(out_ds.materialize().to_arrow_refs())
+                if x.num_rows
+            ]
+        )
+        assert out.num_rows == m
+        assert "__bucket" not in out.column_names
+        got = dict(
+            zip(out["event_id"].to_pylist(), out["ewma_value"].to_pylist())
+        )
+        assert all(abs(got[e] - want[e]) < 1e-9 for e in want), parts
+    with pytest.raises(ValueError):
+        ewma(rd.from_arrow(t), {"group_by": "user_id", "order_by": ["ts"],
+                                "field": "value", "alpha": 0.0})
+
+
+def test_ewma_null_poisons_tail(ray_session):
+    """A null value yields a null EWMA and poisons the rest of that
+    key's sequence — the SQL NULL-arithmetic recurrence semantics."""
+    import ray
+
+    from vector_ray.stages.grouped import ewma
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([0, 1, 2, 0, 1], pa.int64()),
+            "value": pa.array([10.0, None, 5.0, 4.0, 8.0], pa.float64()),
+        }
+    )
+    out_ds = ewma(
+        rd.from_arrow(t),
+        {
+            "group_by": "user_id",
+            "order_by": ["ts", "event_id"],
+            "field": "value",
+            "alpha": 0.5,
+            "round": 4,
+        },
+    )
+    out = pa.concat_tables(
+        [
+            x
+            for x in ray.get(out_ds.materialize().to_arrow_refs())
+            if x.num_rows
+        ]
+    ).sort_by("event_id")
+    got = out["ewma_value"].to_pylist()
+    assert got[0] == 10.0
+    assert got[1] is None and got[2] is None  # null poisons the tail
+    assert got[3] == 4.0 and got[4] == 6.0

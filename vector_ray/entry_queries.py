@@ -1734,6 +1734,31 @@ def q_dedupe_events_last(sf_dir: str):
     )
 
 
+def q_ewma_events(sf_dir: str):
+    """Per-user EWMA (alpha=0.3) of value ordered by (ts, event_id) —
+    the recursive smoother bounded windows can't express. Keys are
+    hash-bucketed so the step loop is vectorized across every user in
+    a bucket; each step is pinned to 9 decimals to match the recursive
+    SQL oracle bit-for-bit."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = grouped.ewma(
+        ds,
+        {
+            "group_by": "user_id",
+            "order_by": ["ts", "event_id"],
+            "field": "value",
+            "alpha": 0.3,
+            "round": 4,
+        },
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ewma_value"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_sessionize_events(sf_dir: str):
     """Per-event session-id assignment (new session after a >30 min gap
     per user) — vectorized diff+cumsum per key."""
@@ -2999,6 +3024,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "cumulative_events": q_cumulative_events,
     "moving_avg_events": q_moving_avg_events,
+    "ewma_events": q_ewma_events,
     "rollup_events": q_rollup_events,
     "cube_events": q_cube_events,
     "pivot_events": q_pivot_events,
@@ -4226,6 +4252,26 @@ def oracle_sql() -> dict[str, str]:
                 "ROUND(ROUND(MAX(value) OVER w5, 9), 4) AS mov_max_value "
                 "FROM events WINDOW w5 AS (PARTITION BY user_id "
                 "  ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+            ),
+            "ewma_events": (
+                # recursive per-key smoother; every step ROUNDs to 9
+                # decimals exactly like stages/grouped.py ewma() so the
+                # recurrence is bit-reproducible on both sides (1.0-0.3
+                # == 0.7 bitwise, so the plain literals match the
+                # engine's alpha/beta doubles)
+                "WITH RECURSIVE o AS (SELECT event_id, user_id, "
+                "  CAST(value AS DOUBLE) AS x, "
+                "  ROW_NUMBER() OVER (PARTITION BY user_id "
+                "    ORDER BY ts, event_id) AS rn FROM events), "
+                "r AS (SELECT event_id, user_id, rn, ROUND(x, 9) AS y "
+                "  FROM o WHERE rn = 1 "
+                "  UNION ALL "
+                "  SELECT o.event_id, o.user_id, o.rn, "
+                "  ROUND(0.3 * o.x + 0.7 * r.y, 9) AS y "
+                "  FROM r JOIN o ON o.user_id = r.user_id "
+                "  AND o.rn = r.rn + 1) "
+                "SELECT event_id, user_id, ROUND(ROUND(y, 9), 4) "
+                "AS ewma_value FROM r"
             ),
             "zscore_events": (
                 "SELECT event_id, event_type, "

@@ -48,6 +48,7 @@ MOVEMENT = {
     "sessionize": "shuffle",
     "cumulative": "shuffle",
     "moving": "shuffle",
+    "ewma": "shuffle",
     "interarrival": "shuffle",
     "funnel": "shuffle",
     "rank": "shuffle",

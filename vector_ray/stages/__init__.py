@@ -72,6 +72,7 @@ TRANSFORMS = {
     "sessionize": grouped.sessionize,
     "cumulative": grouped.cumulative,
     "moving": grouped.moving,
+    "ewma": grouped.ewma,
     "rollup": grouped.rollup,
     "pivot": grouped.pivot,
     "quantile_bucket": grouped.quantile_bucket,

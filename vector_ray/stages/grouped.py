@@ -1056,6 +1056,84 @@ def moving(ds, options: dict, ctx=None):
     return ds.groupby(key).map_groups(window, batch_format="pyarrow")
 
 
+def ewma(ds, options: dict, ctx=None):
+    """Per-key exponentially-weighted moving average — the recursive
+    smoother y_0 = x_0, y_t = alpha*x_t + (1-alpha)*y_{t-1} over each
+    key's rows in ``order_by`` order. This is the telemetry
+    baseline/anomaly primitive that ``moving``'s bounded frame can't
+    express: every past row contributes, geometrically decayed.
+
+    {"type": "ewma", "group_by": "user_id",
+     "order_by": ["ts", "event_id"], "field": "value",
+     "alpha": 0.3, "round": 4}
+
+    The recurrence is inherently sequential per key, so the stage
+    buckets KEYS (``hash_bucket``), not rows: one shuffle on the bucket
+    id, then inside each bucket one lexsort by (key, order_by...) and a
+    step loop of length max-rows-per-key where step k updates the k-th
+    row of EVERY key's sequence in one numpy expression. Python-level
+    work is O(longest sequence), not O(rows) — ten thousand keys of
+    length 100 cost 100 vector steps, not a million iterations.
+
+    Every step is pinned to 9 decimals (round_sql_np) so the result is
+    bit-reproducible regardless of partitioning and matches a recursive
+    SQL oracle that rounds identically per step (the same pinning trick
+    the logreg/pagerank oracles use). A null input value yields a null
+    smoothed value and poisons the rest of that key's tail, exactly like
+    the SQL recurrence (NULL propagates through arithmetic). All input
+    columns pass through; the smoothed value lands in ``ewma_<field>``.
+
+    Partitioning assumption: one BUCKET of keys fits one worker
+    (``num_buckets`` sizes this — raise it for huge key spaces); within
+    a key, ``order_by`` must be a deterministic total order (end it
+    with a unique id)."""
+    from vector_ray.schema import round_sql_np
+    from vector_ray.stages import shuffle as _shuffle
+
+    key = options["group_by"]
+    order_by = options["order_by"]
+    field = options["field"]
+    alpha = float(options.get("alpha", 0.3))
+    ndigits = options.get("round")
+    num_buckets = int(options.get("num_buckets", 64))
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha
+
+    def smooth(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_shuffle.BUCKET_COLUMN])
+        kcol = _sortable(g[key])
+        keys = [_sortable(g[c]) for c in reversed(order_by)]
+        keys.append(kcol)  # primary sort key: the entity
+        order = np.lexsort(keys)
+        col = g[field]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)[order]
+        ks = kcol[order]
+        m = len(x)
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]])
+        ) if m else np.empty(0, np.int64)
+        lens = np.diff(np.concatenate([starts, [m]]))
+        y = np.empty(m, dtype=np.float64)
+        y[starts] = round_sql_np(x[starts], 9)
+        for k in range(1, int(lens.max()) if m else 0):
+            sel = starts[lens > k] + k
+            y[sel] = round_sql_np(alpha * x[sel] + beta * y[sel - 1], 9)
+        if ndigits is not None:
+            y = round_sql_np(round_sql_np(y, 9), ndigits)
+        out = np.empty(m, dtype=np.float64)
+        out[order] = y
+        return g.append_column(
+            f"ewma_{field}", pa.array(out, pa.float64(), from_pandas=True)
+        )
+
+    bucketed = _shuffle.hash_bucket(ds, key, num_buckets)
+    return bucketed.groupby(_shuffle.BUCKET_COLUMN).map_groups(
+        smooth, batch_format="pyarrow"
+    )
+
+
 def rollup(ds, options: dict, ctx=None):
     """Multi-level (SQL ROLLUP) aggregation in ONE pass over the data:
     the finest level runs the normal two-phase aggregate; every coarser
