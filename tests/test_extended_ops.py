@@ -524,3 +524,70 @@ def test_ewma_null_poisons_tail(ray_session):
     assert got[0] == 10.0
     assert got[1] is None and got[2] is None  # null poisons the tail
     assert got[3] == 4.0 and got[4] == 6.0
+
+
+def test_retention_cohorts(ray_session):
+    """Day- and week-unit cohort retention match a brute-force
+    reference (week flooring is ISO Monday like date_trunc('week'))."""
+    import collections
+    import datetime as dt
+
+    import numpy as np
+    import ray
+
+    from vector_ray.stages.grouped import retention
+
+    rng = np.random.default_rng(5)
+    m = 500
+    t = pa.table(
+        {
+            "user_id": rng.integers(0, 40, m),
+            "ts": pa.array(
+                (rng.integers(0, 45, m) * 86400_000_000
+                 + rng.integers(0, 86400_000_000, m)).astype("datetime64[us]")
+            ),
+        }
+    )
+
+    for unit, span in (("day", 1), ("week", 7)):
+        got_ds = retention(
+            rd.from_arrow(t).repartition(4),
+            {"group_by": "user_id", "ts_field": "ts", "unit": unit},
+        )
+        got = pa.concat_tables(
+            [
+                x
+                for x in ray.get(got_ds.materialize().to_arrow_refs())
+                if x.num_rows
+            ]
+        )
+        first, active = {}, collections.defaultdict(set)
+        for u, ts in zip(t["user_id"].to_pylist(), t["ts"].to_pylist()):
+            d = (ts - dt.datetime(1970, 1, 1)).days
+            if unit == "week":
+                d = d - (d + 3) % 7
+            first[u] = min(first.get(u, d), d)
+        for u, ts in zip(t["user_id"].to_pylist(), t["ts"].to_pylist()):
+            d = (ts - dt.datetime(1970, 1, 1)).days
+            if unit == "week":
+                d = d - (d + 3) % 7
+            cohort = dt.date(1970, 1, 1) + dt.timedelta(days=first[u])
+            active[(str(cohort), (d - first[u]) // span)].add(u)
+        want = {k: len(v) for k, v in active.items()}
+        got_map = {
+            (c, p): n
+            for c, p, n in zip(
+                got["cohort"].to_pylist(),
+                got["period"].to_pylist(),
+                got["n_users"].to_pylist(),
+            )
+        }
+        assert got_map == want, unit
+        if unit == "week":
+            # week starts are Mondays
+            assert all(
+                dt.date.fromisoformat(c).weekday() == 0
+                for c in got["cohort"].to_pylist()
+            )
+    with pytest.raises(ValueError):
+        retention(rd.from_arrow(t), {"group_by": "user_id", "unit": "month"})

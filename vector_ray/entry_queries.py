@@ -1759,6 +1759,17 @@ def q_ewma_events(sf_dir: str):
     )
 
 
+def q_retention_events(sf_dir: str):
+    """Day-cohort retention: users grouped by their first-event day,
+    counted per day-offset they were active again. Per-user groups
+    pre-distinct their (cohort, period) pairs so the final stage is a
+    plain two-phase count — no join, no broadcast."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return grouped.retention(
+        ds, {"group_by": "user_id", "ts_field": "ts", "unit": "day"}
+    )
+
+
 def q_sessionize_events(sf_dir: str):
     """Per-event session-id assignment (new session after a >30 min gap
     per user) — vectorized diff+cumsum per key."""
@@ -3025,6 +3036,7 @@ QUERIES = {
     "cumulative_events": q_cumulative_events,
     "moving_avg_events": q_moving_avg_events,
     "ewma_events": q_ewma_events,
+    "retention_events": q_retention_events,
     "rollup_events": q_rollup_events,
     "cube_events": q_cube_events,
     "pivot_events": q_pivot_events,
@@ -4272,6 +4284,17 @@ def oracle_sql() -> dict[str, str]:
                 "  AND o.rn = r.rn + 1) "
                 "SELECT event_id, user_id, ROUND(ROUND(y, 9), 4) "
                 "AS ewma_value FROM r"
+            ),
+            "retention_events": (
+                "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS c "
+                "  FROM events GROUP BY user_id), "
+                "p AS (SELECT DISTINCT e.user_id, f.c, "
+                "  datediff('day', f.c, CAST(e.ts AS DATE)) AS period "
+                "  FROM events e JOIN f USING (user_id)) "
+                "SELECT strftime(c, '%Y-%m-%d') AS cohort, "
+                "CAST(period AS BIGINT) AS period, "
+                "CAST(COUNT(*) AS BIGINT) AS n_users "
+                "FROM p GROUP BY 1, 2"
             ),
             "zscore_events": (
                 "SELECT event_id, event_type, "

@@ -49,6 +49,7 @@ MOVEMENT = {
     "cumulative": "shuffle",
     "moving": "shuffle",
     "ewma": "shuffle",
+    "retention": "shuffle",
     "interarrival": "shuffle",
     "funnel": "shuffle",
     "rank": "shuffle",

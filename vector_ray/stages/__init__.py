@@ -73,6 +73,7 @@ TRANSFORMS = {
     "cumulative": grouped.cumulative,
     "moving": grouped.moving,
     "ewma": grouped.ewma,
+    "retention": grouped.retention,
     "rollup": grouped.rollup,
     "pivot": grouped.pivot,
     "quantile_bucket": grouped.quantile_bucket,

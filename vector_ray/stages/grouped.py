@@ -1134,6 +1134,69 @@ def ewma(ds, options: dict, ctx=None):
     )
 
 
+def retention(ds, options: dict, ctx=None):
+    """Cohort retention — for each entity cohort (the period of its
+    FIRST event) count how many entities were active again k periods
+    later. The product-analytics companion to ``funnel``/``sessionize``.
+
+    {"type": "retention", "group_by": "user_id", "ts_field": "ts",
+     "unit": "day"}
+
+    Plan: one hash shuffle on the entity key; each group computes its
+    own cohort (min timestamp, floored to the unit) and emits ONE row
+    per distinct (cohort, period) it was active in — a per-group exact
+    distinct, so the final count is a plain two-phase COUNT over rows
+    that already shrank to ≤ active-periods-per-entity. No join, no
+    broadcast, nothing driver-side; skew-safe because per-entity groups
+    are small and the (cohort, period) aggregate uses partial counts.
+
+    ``unit``: "day" | "week" (ISO weeks, floored to Monday like SQL
+    date_trunc('week')). Output: cohort (the unit's start date as
+    'YYYY-MM-DD'), period (integer units since the cohort), n_users."""
+    key = options.get("group_by", "user_id")
+    ts_field = options.get("ts_field", "ts")
+    unit = options.get("unit", "day")
+    if unit not in ("day", "week"):
+        raise ValueError(f"retention: unit must be day|week, got {unit!r}")
+
+    def per_entity(g: pa.Table) -> pa.Table:
+        ts = g[ts_field]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            div = {"s": 86400, "ms": 86400_000, "us": 86400_000_000,
+                   "ns": 86400_000_000_000}[ts.type.unit]
+            days = np.asarray(pc.cast(ts, pa.int64())) // div
+        else:  # already an epoch-seconds number
+            days = (
+                np.asarray(pc.cast(ts, pa.int64())) // 86400
+            )
+        if unit == "week":
+            # epoch day 0 = Thursday; Monday floor like date_trunc('week')
+            days = days - (days + 3) % 7
+            span = 7
+        else:
+            span = 1
+        c = days.min()
+        periods = np.unique((days - c) // span)
+        cohort = str(np.datetime64(int(c), "D"))
+        return pa.table(
+            {
+                "cohort": pa.array([cohort] * len(periods), pa.string()),
+                "period": pa.array(periods, pa.int64()),
+            }
+        )
+
+    active = ds.groupby(key).map_groups(per_entity, batch_format="pyarrow")
+    return aggregate(
+        active,
+        {
+            "group_by": ["cohort", "period"],
+            "aggregates": {"n_users": {"fn": "count"}},
+        },
+    )
+
+
 def rollup(ds, options: dict, ctx=None):
     """Multi-level (SQL ROLLUP) aggregation in ONE pass over the data:
     the finest level runs the normal two-phase aggregate; every coarser
