@@ -2814,6 +2814,44 @@ def q_pagerank_events_weighted(sf_dir: str):
     )
 
 
+def q_components_events(sf_dir: str):
+    """Connected components over a sparsified click graph (1-in-97
+    event sample so real component structure exists — the full graph
+    is one giant component). Uses the contraction-based distributed
+    CC (local union-find per partition, geometric edge shrink); the
+    oracle unrolls min-label propagation far past its measured
+    convergence (labels are a fixpoint, extra rounds are no-ops)."""
+    from vector_ray.functions.dedup import connected_components_distributed
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "props"]
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        # 1-in-97 sample on event_id (deterministic, not random)
+        keep = pc.equal(
+            pc.subtract(
+                t["event_id"],
+                pc.multiply(pc.divide(t["event_id"], 97), 97),
+            ),
+            0,
+        )
+        t = t.filter(keep)
+        ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        ok = pc.is_valid(k)
+        u = pc.cast(t["user_id"], pa.int64()).filter(ok)
+        item = pc.add(k.filter(ok), 100000)
+        return pa.table({"doc_a": u, "doc_b": item})
+
+    pairs = ev.map_batches(mk, batch_format="pyarrow")
+    cc = connected_components_distributed(pairs, num_buckets=8)
+    return cc.map_batches(
+        lambda t: t.rename_columns(["node", "cluster"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_trending_events(sf_dir: str):
     """Operator composition: calendar-hour tumbling counts x skew-safe
     per-window top-2 (salted two-phase) — 'trending event types per
@@ -3024,6 +3062,7 @@ QUERIES = {
     "pagerank_events_bucketed": q_pagerank_events_bucketed,
     "hits_events": q_hits_events,
     "pagerank_events_weighted": q_pagerank_events_weighted,
+    "components_events": q_components_events,
     "pca_whiten_embeddings": q_pca_whiten,
     "quantize_embeddings": q_quantize_embeddings,
     "multiline_events": q_multiline_events,
@@ -3661,6 +3700,38 @@ def _pagerank_events_sql(
     )
 
 
+def _components_events_sql(rounds: int = 18) -> str:
+    """Unrolled min-label propagation over the 1-in-97 click subgraph.
+    Measured convergence at sf0.01 is 12 rounds; labels are a fixpoint
+    so the extra rounds are no-ops, and the converged min-label is the
+    same canonical (min node id per component) clustering the engine's
+    contraction algorithm emits. Every round CTE is MATERIALIZED —
+    each is referenced twice, and DuckDB would otherwise inline the
+    chain exponentially."""
+    parts = [
+        "WITH raw AS (SELECT CAST(user_id AS BIGINT) AS u, "
+        "100000 + CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) "
+        "AS BIGINT) AS i FROM events "
+        "WHERE regexp_matches(props, '\"k\":\\s*\\d+') "
+        "AND event_id % 97 = 0), ",
+        "edges AS MATERIALIZED (SELECT u AS src, i AS dst FROM raw "
+        "UNION ALL SELECT i AS src, u AS dst FROM raw), ",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS l "
+        "FROM edges), ",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT n.node, "
+            f"LEAST(n.l, COALESCE(m.ml, n.l)) AS l FROM l{p} n "
+            f"LEFT JOIN (SELECT e.dst AS node, MIN(l.l) AS ml "
+            f"FROM edges e JOIN l{p} l ON e.src = l.node GROUP BY 1) m "
+            f"ON n.node = m.node), "
+        )
+    body = "".join(parts).rstrip(", ")
+    return body + f" SELECT node, l AS cluster FROM l{rounds}"
+
+
 def oracle_sql() -> dict[str, str]:
     datagen.ensure_corpus(ORACLE_TAG)  # oracle reads the same corpus files
     sql = dict(_flagship_oracles())
@@ -3683,6 +3754,7 @@ def oracle_sql() -> dict[str, str]:
         _seq_glob(ORACLE_TAG), iters=3, lr=0.5
     )
     sql["hits_events"] = _hits_events_sql(iters=4)
+    sql["components_events"] = _components_events_sql(rounds=18)
     sql["pagerank_events_weighted"] = _pagerank_events_sql(
         iters=4, damping=0.85, weighted=True
     )
