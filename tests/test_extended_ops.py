@@ -591,3 +591,50 @@ def test_retention_cohorts(ray_session):
             )
     with pytest.raises(ValueError):
         retention(rd.from_arrow(t), {"group_by": "user_id", "unit": "month"})
+
+
+def test_bm25_topk(ray_session):
+    """BM25 scores match a brute-force reference; ranking is by rounded
+    score desc then doc id; docs without query terms never appear."""
+    import math
+
+    import numpy as np
+
+    from vector_ray.functions.text import bm25_topk
+
+    docs = [
+        "hash join beats loop join",          # both terms, short
+        "sort merge join",                     # one term
+        "hash hash hash",                      # repeated term
+        "nothing relevant here at all",        # no terms
+        "hash join hash join hash join",       # dense in both
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = bm25_topk(
+        rd.from_arrow(t).repartition(3), ["hash", "join"], k=3
+    ).to_pandas()
+
+    def rnd9(v):
+        return float(np.sign(v) * np.floor(abs(v) * 1e9 + 0.5) / 1e9)
+
+    split = [d.split(" ") for d in docs]
+    n, avgdl = 5, sum(len(s) for s in split) / 5
+    want = {}
+    for i, s in enumerate(split):
+        sc = 0.0
+        for term in ("hash", "join"):
+            tf = s.count(term)
+            if tf == 0:
+                continue
+            df = sum(term in x for x in split)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            sc += rnd9(idf * ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len(s) / avgdl))))
+        if sc > 0:
+            want[i] = round(round(rnd9(sc), 9), 4)
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(out["doc_id"]) == [d for d, _ in top]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(out["score"], [s for _, s in top]))
+    assert 3 not in set(out["doc_id"])  # no-term doc excluded
+    with pytest.raises(ValueError):
+        bm25_topk(rd.from_arrow(t), [])

@@ -2226,6 +2226,17 @@ def q_tfidf_documents(sf_dir: str):
     return tfidf_top_term(ds)
 
 
+def q_bm25_documents(sf_dir: str):
+    """Okapi BM25 top-10 docs for the query 'hash join spark' — the
+    lexical-retrieval baseline beside the embedding ANN searches.
+    Integer-exact streaming stats pass, then per-batch vectorized
+    scoring with local top-k."""
+    from vector_ray.functions.text import bm25_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["hash", "join", "spark"], k=10)
+
+
 def q_stratified_sample_documents(sf_dir: str):
     """Exact deterministic per-language sampling: 20 docs per lang by
     (hash(doc_id) asc, doc_id asc) rank."""
@@ -3055,6 +3066,7 @@ QUERIES = {
     "agg_var_events": q_agg_var_events,
     "stratified_sample_documents": q_stratified_sample_documents,
     "tfidf_documents": q_tfidf_documents,
+    "bm25_documents": q_bm25_documents,
     "near_dedupe_documents": q_near_dedupe_documents,
     "softdedup_documents": q_softdedup_documents,
     "zscore_events": q_zscore_events,
@@ -4430,6 +4442,29 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT doc_id, cluster, "
                 "ROUND(1.0 / COUNT(*) OVER (PARTITION BY cluster), 6) AS w "
                 "FROM cl"
+            ),
+            "bm25_documents": (
+                # mirrors functions/text.py bm25_topk: same expression
+                # shape and literals (k1=1.2, b=0.75, Lucene +1 idf
+                # floor), per-term ROUND to 9 before the sum, order by
+                # the ROUNDED score desc then doc_id
+                "WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) "
+                "  AS word FROM documents), "
+                "dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1), "
+                "st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, "
+                "  COUNT(*) AS n FROM dl), "
+                "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w "
+                "  WHERE word IN ('hash', 'join', 'spark') GROUP BY 1, 2), "
+                "df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w "
+                "  WHERE word IN ('hash', 'join', 'spark') GROUP BY 1), "
+                "sc AS (SELECT tf.doc_id, SUM(ROUND("
+                "  ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+                "  ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * "
+                "   (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))), 9)) AS s "
+                "  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) "
+                "  CROSS JOIN st GROUP BY 1) "
+                "SELECT doc_id, ROUND(ROUND(s, 9), 4) AS score FROM sc "
+                "ORDER BY score DESC, doc_id ASC LIMIT 10"
             ),
             "tfidf_documents": (
                 "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "

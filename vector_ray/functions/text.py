@@ -543,3 +543,112 @@ def gopher_filter(ds, field: str = "text", **thresholds):
         lambda t: gopher_features(t, field, **thresholds),
         batch_format="pyarrow",
     )
+
+
+def bm25_topk(
+    ds,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    field: str = "text",
+    id_field: str = "doc_id",
+    round_to: int = 4,
+):
+    """Okapi BM25 top-k retrieval for a fixed term query — the lexical
+    ranking baseline next to the ANN/embedding searches in
+    functions/similarity.py. idf uses the Lucene-style +1 floor:
+    ln((N - df + 0.5)/(df + 0.5) + 1), always positive.
+
+    Two passes, both streaming:
+    1. stats — per-batch partials (doc count, summed doc length, per-
+       query-term document frequency); all INTEGER, so driver-side
+       summing is exact regardless of batch order. One tiny row per
+       batch reaches the driver, never the corpus.
+    2. score — the per-term idf (a dict of len(query_terms) floats —
+       closure-captured, no broadcast machinery needed) scores each
+       batch vectorized (one np.isin + one bincount per term), keeps a
+       local top-k per batch, and a global sort+limit over k×batches
+       rows picks the winners.
+
+    Each per-term contribution is pinned to 9 decimals before summing
+    so the score matches a SQL oracle computing the identical
+    expression; ties on the rounded score break by ascending doc id on
+    both sides."""
+    from vector_ray.schema import round_sql_np
+
+    terms = list(query_terms)
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    m = len(terms)
+
+    def partial_stats(t: pa.Table) -> pa.Table:
+        col = t[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        flat = np.asarray(words.flatten(), dtype=object)
+        row_id = np.repeat(np.arange(len(words)), lens)
+        out = {
+            "n": pa.array([len(lens)], pa.int64()),
+            "sum_dl": pa.array([int(lens.sum())], pa.int64()),
+        }
+        for j, term in enumerate(terms):
+            rows = np.unique(row_id[flat == term])
+            out[f"df_{j}"] = pa.array([len(rows)], pa.int64())
+        return pa.table(out)
+
+    # one tiny row per batch; documents never leave the workers
+    stats = ds.map_batches(partial_stats, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in stats)
+    sum_dl = sum(r["sum_dl"] for r in stats)
+    if n_docs == 0:
+        raise ValueError("bm25_topk: empty corpus")
+    avgdl = sum_dl / n_docs  # exact: both operands are integers
+    idf = [
+        float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        for df in (sum(r[f"df_{j}"] for r in stats) for j in range(m))
+    ]
+    k1p1 = k1 + 1.0
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        flat = np.asarray(words.flatten(), dtype=object)
+        row_id = np.repeat(np.arange(len(words)), lens)
+        nrows = len(lens)
+        dl = lens.astype(np.float64)
+        total = np.zeros(nrows, dtype=np.float64)
+        hit = np.zeros(nrows, dtype=bool)
+        den_norm = k1 * (1.0 - b + b * dl / avgdl)
+        for j in range(m):
+            tf = np.bincount(
+                row_id[flat == terms[j]], minlength=nrows
+            ).astype(np.float64)
+            contrib = round_sql_np(idf[j] * ((tf * k1p1) / (tf + den_norm)), 9)
+            total += np.where(tf > 0, contrib, 0.0)
+            hit |= tf > 0
+        ids = t[id_field]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sc = round_sql_np(round_sql_np(total[hit], 9), round_to)
+        local = pa.table(
+            {
+                id_field: ids.filter(pa.array(hit)),
+                "score": pa.array(sc, pa.float64()),
+            }
+        )
+        order = pc.sort_indices(
+            local,
+            sort_keys=[("score", "descending"), (id_field, "ascending")],
+        )
+        return local.take(order[:k])
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(
+        ["score", id_field], descending=[True, False]
+    ).limit(k)
