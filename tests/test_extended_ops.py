@@ -638,3 +638,41 @@ def test_bm25_topk(ray_session):
     assert 3 not in set(out["doc_id"])  # no-term doc excluded
     with pytest.raises(ValueError):
         bm25_topk(rd.from_arrow(t), [])
+
+
+def test_decay_halflife(ray_session):
+    """A value one half-life old contributes half its weight; the
+    decayed count of k same-aged events is k times one weight."""
+    import numpy as np
+
+    from vector_ray.stages.grouped import decay
+
+    ref = "2024-01-08 00:00:00"  # exactly 7 days after the epoch below
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "b"], pa.string()),
+            "ts": pa.array(
+                np.array(
+                    ["2024-01-08T00:00:00", "2024-01-01T00:00:00",
+                     "2024-01-08T00:00:00"],
+                    dtype="datetime64[us]",
+                )
+            ),
+            "value": pa.array([10.0, 10.0, 4.0], pa.float64()),
+        }
+    )
+    out = (
+        decay(
+            rd.from_arrow(t),
+            {"group_by": "event_type", "ts_field": "ts", "field": "value",
+             "ref_ts": ref, "halflife_s": 7 * 86400, "round": 4},
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert out.loc["a", "decayed_sum"] == 15.0  # 10 + 10/2
+    assert out.loc["a", "decayed_n"] == 1.5
+    assert out.loc["b", "decayed_sum"] == 4.0
+    with pytest.raises(ValueError):
+        decay(rd.from_arrow(t), {"group_by": "event_type", "field": "value",
+                                 "ref_ts": ref, "halflife_s": 0})

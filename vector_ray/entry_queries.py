@@ -1759,6 +1759,26 @@ def q_ewma_events(sf_dir: str):
     )
 
 
+def q_decay_events(sf_dir: str):
+    """Exponentially time-decayed sum/count per event type as of
+    2024-02-01 (half-life 7 days): the 'what matters now' weighting of
+    the stream, recomputable at any reference instant."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return grouped.decay(
+        ds,
+        {
+            "group_by": "event_type",
+            "ts_field": "ts",
+            "field": "value",
+            "ref_ts": "2024-02-01 00:00:00",
+            "halflife_s": 604800,
+            "round": 4,
+        },
+    )
+
+
 def q_retention_events(sf_dir: str):
     """Day-cohort retention: users grouped by their first-event day,
     counted per day-offset they were active again. Per-user groups
@@ -3088,6 +3108,7 @@ QUERIES = {
     "moving_avg_events": q_moving_avg_events,
     "ewma_events": q_ewma_events,
     "retention_events": q_retention_events,
+    "decay_events": q_decay_events,
     "rollup_events": q_rollup_events,
     "cube_events": q_cube_events,
     "pivot_events": q_pivot_events,
@@ -4368,6 +4389,22 @@ def oracle_sql() -> dict[str, str]:
                 "  AND o.rn = r.rn + 1) "
                 "SELECT event_id, user_id, ROUND(ROUND(y, 9), 4) "
                 "AS ewma_value FROM r"
+            ),
+            "decay_events": (
+                # λ = ln(2)/604800 s; the literal is repr(np.log(2.0)
+                # / 604800.0) so it parses to the engine's exact
+                # double. epoch(ts) is bit-identical to int64(µs)/1e6.
+                "WITH b AS (SELECT event_type, "
+                "  ROUND(value * exp(-(epoch(TIMESTAMP '2024-02-01 "
+                "00:00:00') - epoch(ts)) * 1.1460766874337719e-06), 9) "
+                "  AS dv, "
+                "  ROUND(exp(-(epoch(TIMESTAMP '2024-02-01 00:00:00') "
+                "- epoch(ts)) * 1.1460766874337719e-06), 9) AS dw "
+                "  FROM events) "
+                "SELECT event_type, "
+                "ROUND(ROUND(SUM(dv), 9), 4) AS decayed_sum, "
+                "ROUND(ROUND(SUM(dw), 9), 4) AS decayed_n "
+                "FROM b GROUP BY 1"
             ),
             "retention_events": (
                 "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS c "

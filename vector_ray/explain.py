@@ -50,6 +50,7 @@ MOVEMENT = {
     "moving": "shuffle",
     "ewma": "shuffle",
     "retention": "shuffle",
+    "decay": "shuffle",
     "interarrival": "shuffle",
     "funnel": "shuffle",
     "rank": "shuffle",

@@ -74,6 +74,7 @@ TRANSFORMS = {
     "moving": grouped.moving,
     "ewma": grouped.ewma,
     "retention": grouped.retention,
+    "decay": grouped.decay,
     "rollup": grouped.rollup,
     "pivot": grouped.pivot,
     "quantile_bucket": grouped.quantile_bucket,

@@ -1197,6 +1197,87 @@ def retention(ds, options: dict, ctx=None):
     )
 
 
+def decay(ds, options: dict, ctx=None):
+    """Per-key exponentially TIME-decayed sum/count as of a reference
+    instant — the "what matters now" aggregate (recent events count
+    fully, old ones fade with a configurable half-life). The batch
+    counterpart of a streaming decayed counter: recomputable from the
+    log at any ``ref_ts``, so no mutable state is needed.
+
+    {"type": "decay", "group_by": "event_type", "ts_field": "ts",
+     "field": "value", "ref_ts": "2024-02-01 00:00:00",
+     "halflife_s": 604800, "round": 4}
+
+    Per batch (embarrassingly parallel): weight w = exp(-age_s * λ)
+    with λ = ln2/halflife, each per-row term pinned to 9 decimals;
+    then the normal two-phase aggregate sums the tiny per-key
+    partials. Output per key: decayed_sum (Σ value·w), decayed_n
+    (Σ w — the decayed event count).
+
+    Epoch seconds are computed as int64(µs)/1e6, bit-identical to SQL
+    epoch(ts); the pinned per-row terms make the result partition-
+    invariant up to double summation order (the same contract every
+    SUM aggregate here has)."""
+    import datetime as _dt
+
+    from vector_ray.schema import round_sql_np
+
+    key = options["group_by"]
+    ts_field = options.get("ts_field", "ts")
+    field = options["field"]
+    ref_ts = options["ref_ts"]
+    halflife_s = float(options["halflife_s"])
+    ndigits = options.get("round")
+    if halflife_s <= 0:
+        raise ValueError(f"decay: halflife_s must be > 0, got {halflife_s}")
+    lam = float(np.log(2.0)) / halflife_s
+    # naive timestamps are UTC, like SQL epoch(TIMESTAMP '...')
+    ref_s = (
+        _dt.datetime.fromisoformat(ref_ts)
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+        if isinstance(ref_ts, str)
+        else float(ref_ts)
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        ts = t[ts_field]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            div = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[ts.type.unit]
+            secs = np.asarray(pc.cast(ts, pa.int64())) / div
+        else:
+            secs = np.asarray(pc.cast(ts, pa.float64()))
+        w = np.exp(-(ref_s - secs) * lam)
+        vals = t[field]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = pc.cast(vals, pa.float64()).to_numpy(zero_copy_only=False)
+        kcol = t[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        return pa.table(
+            {
+                key: kcol,
+                "__dv": pa.array(round_sql_np(v * w, 9), pa.float64()),
+                "__dw": pa.array(round_sql_np(w, 9), pa.float64()),
+            }
+        )
+
+    weighted = ds.map_batches(weigh, batch_format="pyarrow")
+    spec = {
+        "group_by": [key] if isinstance(key, str) else list(key),
+        "aggregates": {
+            "decayed_sum": {"fn": "sum", "field": "__dv"},
+            "decayed_n": {"fn": "sum", "field": "__dw"},
+        },
+    }
+    if ndigits is not None:
+        spec["round"] = ndigits
+    return aggregate(weighted, spec)
+
+
 def rollup(ds, options: dict, ctx=None):
     """Multi-level (SQL ROLLUP) aggregation in ONE pass over the data:
     the finest level runs the normal two-phase aggregate; every coarser
