@@ -270,3 +270,48 @@ def test_empty_edges(ray_session):
     )
     out = pagerank(rd.from_arrow(t))
     assert out.num_rows == 0
+
+
+def test_label_propagation_two_clusters(ray_session):
+    """Fixed-round LPA matches a brute-force simultaneous-update
+    reference (max-count label, min-label ties) and separates two
+    dense clusters joined by a single bridge edge."""
+    import collections
+
+    import numpy as np
+    import ray.data as rd
+
+    from vector_ray.functions.graph import label_propagation
+
+    # two 4-cliques {0..3} and {10..13} plus one bridge 3-10
+    und = [(a, b) for grp in ([0, 1, 2, 3], [10, 11, 12, 13])
+           for i, a in enumerate(grp) for b in grp[i + 1:]]
+    und.append((3, 10))
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    t = pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })
+
+    rounds = 4
+    got_ds = label_propagation(
+        rd.from_arrow(t).repartition(3), rounds=rounds, num_buckets=3
+    )
+    got = {r["node"]: r["community"] for r in got_ds.take_all()}
+
+    nbrs = collections.defaultdict(list)
+    for a, b in edges:
+        nbrs[b].append(a)
+    lbl = {v: v for v in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ins in nbrs.items():
+            cnt = collections.Counter(lbl[u] for u in ins)
+            best = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == best)
+        lbl = nxt
+    assert got == lbl
+    # the two cliques end with distinct labels
+    assert len({got[v] for v in (0, 1, 2)}) == 1
+    assert len({got[v] for v in (11, 12, 13)}) == 1
+    assert got[0] != got[11]

@@ -2778,16 +2778,32 @@ def q_pack_boundaries(sf_dir: str):
     return chunk_boundaries(files, chunk_len=2048)
 
 
-def _event_click_edges(sf_dir: str, weighted: bool = False):
+def _event_click_edges(
+    sf_dir: str, weighted: bool = False, sample_mod: int | None = None
+):
     """Bipartite user<->item click graph from the events table: one
     directed edge user -> (100000 + props.k) per event plus its
     reverse, so rank mass can circulate (SQL mirrors the same regex
     extraction + UNION ALL). ``weighted`` carries the event's value
-    as the edge weight column ``w``."""
+    as the edge weight column ``w``. ``sample_mod`` keeps only events
+    with event_id % mod == 0 — the deterministic sparsifier that gives
+    the graph real component/community structure (the full graph is
+    one dense blob)."""
     cols = ["user_id", "props"] + (["value"] if weighted else [])
+    if sample_mod is not None:
+        cols = ["event_id"] + cols
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
 
-    def mk(t: pa.Table, w=weighted) -> pa.Table:
+    def mk(t: pa.Table, w=weighted, mod=sample_mod) -> pa.Table:
+        if mod is not None:
+            keep = pc.equal(
+                pc.subtract(
+                    t["event_id"],
+                    pc.multiply(pc.divide(t["event_id"], mod), mod),
+                ),
+                0,
+            )
+            t = t.filter(keep)
         ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
         k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
         u = pc.cast(t["user_id"], pa.int64())
@@ -2843,6 +2859,17 @@ def q_pagerank_events_weighted(sf_dir: str):
         mode="broadcast",
         weight="w",
     )
+
+
+def q_communities_events(sf_dir: str):
+    """Label-propagation communities on the 1-in-97 click subgraph:
+    4 fixed semi-synchronous rounds (max-count label, min-label ties),
+    deterministic by construction so the unrolled SQL oracle
+    reproduces it exactly."""
+    from vector_ray.functions.graph import label_propagation
+
+    edges = _event_click_edges(sf_dir, sample_mod=97)
+    return label_propagation(edges, rounds=4, num_buckets=8)
 
 
 def q_components_events(sf_dir: str):
@@ -3095,6 +3122,7 @@ QUERIES = {
     "hits_events": q_hits_events,
     "pagerank_events_weighted": q_pagerank_events_weighted,
     "components_events": q_components_events,
+    "communities_events": q_communities_events,
     "pca_whiten_embeddings": q_pca_whiten,
     "quantize_embeddings": q_quantize_embeddings,
     "multiline_events": q_multiline_events,
@@ -3765,6 +3793,38 @@ def _components_events_sql(rounds: int = 18) -> str:
     return body + f" SELECT node, l AS cluster FROM l{rounds}"
 
 
+def _communities_events_sql(rounds: int = 4) -> str:
+    """Unrolled semi-synchronous label propagation over the 1-in-97
+    click subgraph: per round, count in-neighbor labels per node and
+    take the max-count label with min-label tiebreak — exactly the
+    engine's update rule, so a fixed horizon reproduces it without any
+    convergence assumption. MATERIALIZED per round (chain referenced
+    twice)."""
+    parts = [
+        "WITH raw AS (SELECT CAST(user_id AS BIGINT) AS u, "
+        "100000 + CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) "
+        "AS BIGINT) AS i FROM events "
+        "WHERE regexp_matches(props, '\"k\":\\s*\\d+') "
+        "AND event_id % 97 = 0), ",
+        "edges AS MATERIALIZED (SELECT u AS src, i AS dst FROM raw "
+        "UNION ALL SELECT i AS src, u AS dst FROM raw), ",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS l "
+        "FROM edges), ",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS node, l.l AS lab, "
+            f"COUNT(*) AS n FROM edges e JOIN l{p} l ON e.src = l.node "
+            f"GROUP BY 1, 2), "
+            f"l{i} AS MATERIALIZED (SELECT node, MIN(lab) AS l FROM ("
+            f"SELECT node, lab, n, MAX(n) OVER (PARTITION BY node) AS mx "
+            f"FROM c{i}) WHERE n = mx GROUP BY node), "
+        )
+    body = "".join(parts).rstrip(", ")
+    return body + f" SELECT node, l AS community FROM l{rounds}"
+
+
 def oracle_sql() -> dict[str, str]:
     datagen.ensure_corpus(ORACLE_TAG)  # oracle reads the same corpus files
     sql = dict(_flagship_oracles())
@@ -3788,6 +3848,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["hits_events"] = _hits_events_sql(iters=4)
     sql["components_events"] = _components_events_sql(rounds=18)
+    sql["communities_events"] = _communities_events_sql(rounds=4)
     sql["pagerank_events_weighted"] = _pagerank_events_sql(
         iters=4, damping=0.85, weighted=True
     )

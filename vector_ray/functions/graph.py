@@ -429,3 +429,120 @@ def _pagerank_bucketed(
         )
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def label_propagation(
+    edges_ds,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    num_buckets: int = 8,
+):
+    """Deterministic semi-synchronous label propagation (the classic
+    community-detection heuristic of Raghavan et al. 2007): every node
+    starts labeled with its own id; each round every node adopts the
+    label held by the MOST in-neighbors, ties to the SMALLEST label.
+    All nodes update simultaneously from the previous round's labels
+    and the round count is FIXED, so the result is deterministic and
+    exactly reproducible by an unrolled SQL oracle — no convergence
+    dependence (plain LPA oscillates on bipartite graphs; a fixed
+    horizon sidesteps that by construction).
+
+    Plan per round, nothing driver-side: bucketed_join of the label
+    table onto the edge list by source (hash shuffle), a per-block
+    (dst, label) count combiner, then one hash-bucket groupby where
+    the per-node argmax runs vectorized (segment-sum + lexsort) across
+    every node in the bucket. Edge blocks are materialized once and
+    re-joined each round.
+
+    Returns Dataset[(node:int64, community:int64)], community = the
+    winning label after ``rounds`` rounds."""
+    from vector_ray.stages.shuffle import (
+        BUCKET_COLUMN,
+        bucketed_join,
+        hash_bucket,
+    )
+
+    edges = edges_ds.map_batches(
+        lambda t, s=src, d=dst: _drop_null_edges(t, s, d).select([s, d]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def init_part(t: pa.Table) -> pa.Table:
+        u = np.unique(_np_col(t, src))
+        return pa.table({"node": pa.array(u), "l": pa.array(u)})
+
+    labels = (
+        edges.map_batches(init_part, batch_format="pyarrow")
+        .groupby("node")
+        .min("l")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "l"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+
+    def count_part(t: pa.Table, d=dst) -> pa.Table:
+        # local combiner: (dst, label) partial counts within the block
+        da = _np_col(t, d)
+        la = _np_col(t, "__lp_l")
+        order = np.lexsort((la, da))
+        da, la = da[order], la[order]
+        new = np.ones(len(da), dtype=bool)
+        new[1:] = (da[1:] != da[:-1]) | (la[1:] != la[:-1])
+        seg = np.cumsum(new) - 1
+        n = np.bincount(seg)
+        first = np.flatnonzero(new)
+        return pa.table(
+            {
+                "node": pa.array(da[first]),
+                "lab": pa.array(la[first]),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    def pick(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([BUCKET_COLUMN]).combine_chunks()
+        node = _np_col(g, "node")
+        lab = _np_col(g, "lab")
+        n = _np_col(g, "n")
+        order = np.lexsort((lab, node))
+        node, lab, n = node[order], lab[order], n[order]
+        new = np.ones(len(node), dtype=bool)
+        new[1:] = (node[1:] != node[:-1]) | (lab[1:] != lab[:-1])
+        seg = np.cumsum(new) - 1
+        tot = np.bincount(seg, weights=n.astype(np.float64)).astype(np.int64)
+        first = np.flatnonzero(new)
+        snode, slab = node[first], lab[first]
+        # per-node winner: max count, then min label
+        w = np.lexsort((slab, -tot, snode))
+        lead = np.ones(len(w), dtype=bool)
+        lead[1:] = snode[w][1:] != snode[w][:-1]
+        win = w[lead]
+        return pa.table({"node": pa.array(snode[win]), "l": pa.array(slab[win])})
+
+    for _ in range(rounds):
+        lab_src = labels.map_batches(
+            lambda t, s=src: pa.table(
+                {
+                    s: pc.cast(t["node"], pa.int64()),
+                    "__lp_l": pc.cast(t["l"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_join(
+            edges, lab_src, key=src, num_buckets=num_buckets, how="inner"
+        )
+        partials = joined.map_batches(count_part, batch_format="pyarrow")
+        labels = (
+            hash_bucket(partials, "node", num_buckets)
+            .groupby(BUCKET_COLUMN)
+            .map_groups(pick, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "community"]),
+        batch_format="pyarrow",
+    )
