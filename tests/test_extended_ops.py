@@ -676,3 +676,92 @@ def test_decay_halflife(ray_session):
     with pytest.raises(ValueError):
         decay(rd.from_arrow(t), {"group_by": "event_type", "field": "value",
                                  "ref_ts": ref, "halflife_s": 0})
+
+
+def test_cusum_detects_shift(ray_session):
+    """CUSUM stays near zero on in-control data and ramps past the
+    threshold after a sustained upward shift; matches the sequential
+    recurrence with per-step pinning."""
+    import numpy as np
+    import ray
+
+    from vector_ray.stages.grouped import cusum
+
+    vals = [10.0] * 5 + [25.0] * 5  # target 10, slack 2 -> drift +13 after shift
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 10, pa.string()),
+            "i": pa.array(range(10), pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    out_ds = cusum(
+        rd.from_arrow(t).repartition(2),
+        {"group_by": "k", "order_by": ["i"], "field": "value",
+         "target": 10.0, "slack": 2.0, "threshold": 20.0, "round": 4},
+    )
+    out = pa.concat_tables(
+        [x for x in ray.get(out_ds.materialize().to_arrow_refs()) if x.num_rows]
+    ).sort_by("i")
+    s, prev = [], 0.0
+    for v in vals:
+        prev = round(round(max(0.0, prev + ((v - 10.0) - 2.0)), 9), 9)
+        s.append(round(round(prev, 9), 4))
+    assert out["cusum_value"].to_pylist() == s
+    assert out["alert_value"].to_pylist() == [1 if x > 20.0 else 0 for x in s]
+    assert out["alert_value"].to_pylist()[:5] == [0] * 5  # in-control: no alert
+    assert out["alert_value"].to_pylist()[-3:] == [1, 1, 1]
+
+
+def test_coalesce_intervals(ray_session):
+    """Overlapping and touching spans merge; disjoint spans don't;
+    counts track how many raw spans each merged range covers."""
+    import ray
+
+    from vector_ray.stages.grouped import coalesce_intervals
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4 + ["b"] * 2, pa.string()),
+            "s": pa.array([0.0, 5.0, 10.0, 30.0, 1.0, 2.0], pa.float64()),
+            "e": pa.array([6.0, 10.0, 12.0, 40.0, 9.0, 3.0], pa.float64()),
+        }
+    )
+    out_ds = coalesce_intervals(
+        rd.from_arrow(t).repartition(3),
+        {"group_by": "k", "start_field": "s", "end_field": "e"},
+    )
+    rows = sorted(
+        (r["k"], r["span_start"], r["span_end"], r["n_merged"])
+        for r in out_ds.take_all()
+    )
+    # a: [0,6]+[5,10](overlap)+[10,12](touch) -> [0,12]x3; [30,40] alone
+    # b: [2,3] nests inside [1,9] -> [1,9]x2
+    assert rows == [
+        ("a", 0.0, 12.0, 3),
+        ("a", 30.0, 40.0, 1),
+        ("b", 1.0, 9.0, 2),
+    ]
+
+
+def test_inverted_index_df_band(ray_session):
+    """Postings are exact and sorted; min_df/max_df drop whole words,
+    never truncate a kept word's postings."""
+    from vector_ray.functions.text import inverted_index
+
+    docs = ["x y", "x z", "x y w", "q"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    full = inverted_index(rd.from_arrow(t).repartition(2)).take_all()
+    by_word = {}
+    for r in full:
+        by_word.setdefault(r["word"], []).append((r["doc_id"], r["df"]))
+    assert by_word["x"] == [(0, 3), (1, 3), (2, 3)]
+    assert by_word["y"] == [(0, 2), (2, 2)]
+    assert by_word["q"] == [(3, 1)]
+    banded = inverted_index(
+        rd.from_arrow(t), min_df=2, max_df=2
+    ).take_all()
+    words = {r["word"] for r in banded}
+    assert words == {"y"}  # x (df=3) and singletons dropped whole
+    assert sorted(r["doc_id"] for r in banded) == [0, 2]

@@ -1779,6 +1779,60 @@ def q_decay_events(sf_dir: str):
     )
 
 
+def q_cusum_events(sf_dir: str):
+    """Per-user one-sided CUSUM upward-shift score over value
+    (target 50, slack 5, alert threshold 25) — the changepoint
+    detector beside the ewma baseline; same bucketed step-vectorized
+    recurrence with 9-decimal pinning."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = grouped.cusum(
+        ds,
+        {
+            "group_by": "user_id",
+            "order_by": ["ts", "event_id"],
+            "field": "value",
+            "target": 50.0,
+            "slack": 5.0,
+            "threshold": 25.0,
+            "round": 4,
+        },
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "cusum_value", "alert_value"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_spans_events(sf_dir: str):
+    """Busy-period extraction: each event spans [ts, ts + value
+    seconds]; overlapping-or-touching spans per user merge into
+    maximal covered ranges (uptime/incident coalescing)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        secs = pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.int64()), pa.float64()), 1e6
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "s": secs,
+                "e": pc.add(secs, pc.cast(t["value"], pa.float64())),
+            }
+        )
+
+    iv = ds.map_batches(mk, batch_format="pyarrow")
+    return grouped.coalesce_intervals(
+        iv,
+        {"group_by": "user_id", "start_field": "s", "end_field": "e",
+         "round": 6},
+    )
+
+
 def q_retention_events(sf_dir: str):
     """Day-cohort retention: users grouped by their first-event day,
     counted per day-offset they were active again. Per-user groups
@@ -2244,6 +2298,16 @@ def q_tfidf_documents(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return tfidf_top_term(ds)
+
+
+def q_inverted_index_documents(sf_dir: str):
+    """Inverted-index build: one posting row (word, doc_id, df) per
+    distinct word-document incidence — the offline retrieval index
+    behind BM25-style search when queries aren't known upfront."""
+    from vector_ray.functions.text import inverted_index
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return inverted_index(ds)
 
 
 def q_bm25_documents(sf_dir: str):
@@ -3114,6 +3178,7 @@ QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "tfidf_documents": q_tfidf_documents,
     "bm25_documents": q_bm25_documents,
+    "inverted_index_documents": q_inverted_index_documents,
     "near_dedupe_documents": q_near_dedupe_documents,
     "softdedup_documents": q_softdedup_documents,
     "zscore_events": q_zscore_events,
@@ -3137,6 +3202,8 @@ QUERIES = {
     "ewma_events": q_ewma_events,
     "retention_events": q_retention_events,
     "decay_events": q_decay_events,
+    "cusum_events": q_cusum_events,
+    "spans_events": q_spans_events,
     "rollup_events": q_rollup_events,
     "cube_events": q_cube_events,
     "pivot_events": q_pivot_events,
@@ -4467,6 +4534,50 @@ def oracle_sql() -> dict[str, str]:
                 "ROUND(ROUND(SUM(dw), 9), 4) AS decayed_n "
                 "FROM b GROUP BY 1"
             ),
+            "cusum_events": (
+                # recursive one-sided CUSUM, ROUND(...,9) pinned per
+                # step like stages/grouped.py cusum(); drift written
+                # x - 50.0 - 5.0 (left-assoc) to match the engine's
+                # (x - target) - slack; the alert compares the FINAL
+                # rounded score on both sides
+                "WITH RECURSIVE o AS (SELECT event_id, user_id, "
+                "  CAST(value AS DOUBLE) AS x, "
+                "  ROW_NUMBER() OVER (PARTITION BY user_id "
+                "    ORDER BY ts, event_id) AS rn FROM events), "
+                "r AS (SELECT event_id, user_id, rn, "
+                "  ROUND(GREATEST(0.0, x - 50.0 - 5.0), 9) AS s "
+                "  FROM o WHERE rn = 1 "
+                "  UNION ALL "
+                "  SELECT o.event_id, o.user_id, o.rn, "
+                "  ROUND(GREATEST(0.0, r.s + (o.x - 50.0 - 5.0)), 9) AS s "
+                "  FROM r JOIN o ON o.user_id = r.user_id "
+                "  AND o.rn = r.rn + 1) "
+                "SELECT event_id, user_id, "
+                "ROUND(ROUND(s, 9), 4) AS cusum_value, "
+                "CAST(CASE WHEN ROUND(ROUND(s, 9), 4) > 25.0 THEN 1 "
+                "ELSE 0 END AS BIGINT) AS alert_value FROM r"
+            ),
+            "spans_events": (
+                # same merge rule as stages/grouped.py
+                # coalesce_intervals: a new span starts where start >
+                # MAX(end) over all prior rows in (start, end) order;
+                # epoch(ts) is bit-identical to the engine's
+                # int64(us)/1e6 so the comparisons agree exactly
+                "WITH iv AS (SELECT user_id, epoch(ts) AS s, "
+                "  epoch(ts) + value AS e FROM events), "
+                "o AS (SELECT user_id, s, e, MAX(e) OVER ("
+                "  PARTITION BY user_id ORDER BY s, e "
+                "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+                "  AS pm FROM iv), "
+                "g AS (SELECT user_id, s, e, SUM(CASE WHEN pm IS NULL "
+                "  OR s > pm THEN 1 ELSE 0 END) OVER ("
+                "  PARTITION BY user_id ORDER BY s, e "
+                "  ROWS UNBOUNDED PRECEDING) AS grp FROM o) "
+                "SELECT user_id, ROUND(ROUND(MIN(s), 9), 6) AS span_start, "
+                "ROUND(ROUND(MAX(e), 9), 6) AS span_end, "
+                "CAST(COUNT(*) AS BIGINT) AS n_merged "
+                "FROM g GROUP BY user_id, grp"
+            ),
             "retention_events": (
                 "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS c "
                 "  FROM events GROUP BY user_id), "
@@ -4540,6 +4651,13 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT doc_id, cluster, "
                 "ROUND(1.0 / COUNT(*) OVER (PARTITION BY cluster), 6) AS w "
                 "FROM cl"
+            ),
+            "inverted_index_documents": (
+                "WITH w AS (SELECT DISTINCT doc_id, "
+                "  UNNEST(string_split(text, ' ')) AS word FROM documents) "
+                "SELECT word, doc_id, "
+                "CAST(COUNT(*) OVER (PARTITION BY word) AS BIGINT) AS df "
+                "FROM w"
             ),
             "bm25_documents": (
                 # mirrors functions/text.py bm25_topk: same expression

@@ -51,6 +51,8 @@ MOVEMENT = {
     "ewma": "shuffle",
     "retention": "shuffle",
     "decay": "shuffle",
+    "cusum": "shuffle",
+    "coalesce_intervals": "shuffle",
     "interarrival": "shuffle",
     "funnel": "shuffle",
     "rank": "shuffle",

@@ -652,3 +652,77 @@ def bm25_topk(
     return scored.sort(
         ["score", id_field], descending=[True, False]
     ).limit(k)
+
+
+def inverted_index(
+    ds,
+    field: str = "text",
+    id_field: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+):
+    """Inverted-index materialization: one posting row (word, doc_id,
+    df) per distinct word-document incidence — the build step behind
+    ``bm25_topk``-style retrieval when queries are not known upfront.
+
+    Per batch, distinct (word, doc) pairs are extracted vectorized
+    (each document lives in exactly one row of one batch, so per-batch
+    dedup is globally exact); one hash shuffle groups postings by word
+    and each group emits its doc ids sorted with the exact df.
+
+    ``min_df``/``max_df`` bound the output: words outside the band are
+    dropped whole (max_df is the standard stopword prune — a stopword's
+    posting list is O(corpus) and both its size and its usefulness make
+    it the thing you exclude at scale). Dropping is by FILTER, never a
+    silent truncation of a kept word's postings."""
+    def pairs(t: pa.Table) -> pa.Table:
+        col = t[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        flat = np.asarray(words.flatten(), dtype=object)
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        row_id = np.repeat(np.arange(len(words)), lens)
+        uniq, code = np.unique(flat, return_inverse=True)
+        pair = row_id.astype(np.int64) * len(uniq) + code
+        upair = np.unique(pair)
+        prow, pcode = upair // len(uniq), upair % len(uniq)
+        ids = t[id_field]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "word": pa.array(uniq[pcode].astype(object), pa.string()),
+                id_field: ids.take(pa.array(prow)),
+            }
+        )
+
+    def postings(g: pa.Table) -> pa.Table:
+        df = g.num_rows
+        if df < min_df or (max_df is not None and df > max_df):
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    id_field: g[id_field].slice(0, 0).combine_chunks(),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        ids = g[id_field]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        order = pc.sort_indices(ids)
+        return pa.table(
+            {
+                "word": g["word"].combine_chunks()
+                if isinstance(g["word"], pa.ChunkedArray)
+                else g["word"],
+                id_field: ids.take(order),
+                "df": pa.array(np.full(df, df, np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(postings, batch_format="pyarrow")
+    )

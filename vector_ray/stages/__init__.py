@@ -75,6 +75,8 @@ TRANSFORMS = {
     "ewma": grouped.ewma,
     "retention": grouped.retention,
     "decay": grouped.decay,
+    "cusum": grouped.cusum,
+    "coalesce_intervals": grouped.coalesce_intervals,
     "rollup": grouped.rollup,
     "pivot": grouped.pivot,
     "quantile_bucket": grouped.quantile_bucket,

@@ -1134,6 +1134,136 @@ def ewma(ds, options: dict, ctx=None):
     )
 
 
+def cusum(ds, options: dict, ctx=None):
+    """Per-key one-sided CUSUM changepoint score — the classic
+    upward-shift detector: s_t = max(0, s_{t-1} + (x_t - target -
+    slack)), flagged when s crosses ``threshold``. The alerting
+    primitive on top of which ``ewma``'s smoother is the baseline.
+
+    {"type": "cusum", "group_by": "user_id",
+     "order_by": ["ts", "event_id"], "field": "value",
+     "target": 50.0, "slack": 5.0, "threshold": 25.0, "round": 4}
+
+    Same execution shape as ``ewma`` (the recurrence is sequential per
+    key): keys are hash-bucketed, one lexsort per bucket, then a step
+    loop vectorized across every key in the bucket. Each step is
+    pinned to 9 decimals so a recursive SQL oracle reproduces it
+    bit-for-bit. ``target``/``slack`` are explicit constants (not a
+    computed mean) so both sides subtract identical doubles; the
+    drift is computed as (x - target) - slack, matching SQL's
+    left-associative ``x - t - s``. Output columns: ``cusum_<field>``
+    and ``alert_<field>`` (0/1)."""
+    from vector_ray.schema import round_sql_np
+    from vector_ray.stages import shuffle as _shuffle
+
+    key = options["group_by"]
+    order_by = options["order_by"]
+    field = options["field"]
+    target = float(options["target"])
+    slack = float(options.get("slack", 0.0))
+    threshold = float(options["threshold"])
+    ndigits = options.get("round")
+    num_buckets = int(options.get("num_buckets", 64))
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_shuffle.BUCKET_COLUMN])
+        kcol = _sortable(g[key])
+        keys = [_sortable(g[c]) for c in reversed(order_by)]
+        keys.append(kcol)
+        order = np.lexsort(keys)
+        col = g[field]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)[order]
+        d = (x - target) - slack
+        ks = kcol[order]
+        m = len(x)
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]])
+        ) if m else np.empty(0, np.int64)
+        lens = np.diff(np.concatenate([starts, [m]]))
+        s = np.empty(m, dtype=np.float64)
+        s[starts] = round_sql_np(np.maximum(0.0, d[starts]), 9)
+        for k in range(1, int(lens.max()) if m else 0):
+            sel = starts[lens > k] + k
+            s[sel] = round_sql_np(np.maximum(0.0, s[sel - 1] + d[sel]), 9)
+        if ndigits is not None:
+            s = round_sql_np(round_sql_np(s, 9), ndigits)
+        out = np.empty(m, dtype=np.float64)
+        out[order] = s
+        alert = (out > threshold).astype(np.int64)
+        return g.append_column(
+            f"cusum_{field}", pa.array(out, pa.float64(), from_pandas=True)
+        ).append_column(f"alert_{field}", pa.array(alert, pa.int64()))
+
+    bucketed = _shuffle.hash_bucket(ds, key, num_buckets)
+    return bucketed.groupby(_shuffle.BUCKET_COLUMN).map_groups(
+        scan, batch_format="pyarrow"
+    )
+
+
+def coalesce_intervals(ds, options: dict, ctx=None):
+    """Per-key interval coalescing: merge overlapping-or-touching
+    [start, end] spans into maximal covered ranges — the gap/uptime
+    primitive (turn raw request spans into busy periods, alert windows
+    into incidents).
+
+    {"type": "coalesce_intervals", "group_by": "user_id",
+     "start_field": "s", "end_field": "e", "round": 6}
+
+    One hash shuffle on the key; each group lexsorts by (start, end)
+    once, computes the running max of prior ends (one cummax), and
+    starts a new span exactly where start > that running max — the
+    same rule as the SQL window formulation (MAX(end) OVER preceding
+    rows), so results match bit-for-bit on identical input doubles.
+    Output per merged span: key, span_start, span_end, n_merged.
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's
+    rows fit one worker; a pathologically hot key becomes a straggler
+    (pre-split upstream or salt if a key can exceed worker memory)."""
+    from vector_ray.schema import round_sql_np
+
+    key = options["group_by"]
+    start_field = options["start_field"]
+    end_field = options["end_field"]
+    ndigits = options.get("round")
+
+    def merge(g: pa.Table) -> pa.Table:
+        def col(name):
+            c = g[name]
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            return pc.cast(c, pa.float64()).to_numpy(zero_copy_only=False)
+
+        s, e = col(start_field), col(end_field)
+        order = np.lexsort((e, s))
+        s, e = s[order], e[order]
+        m = len(s)
+        run_max = np.maximum.accumulate(e)
+        new = np.ones(m, dtype=bool)
+        if m > 1:
+            new[1:] = s[1:] > run_max[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [m]]))
+        span_start = s[starts]
+        span_end = np.maximum.reduceat(e, starts) if m else e
+        if ndigits is not None:
+            span_start = round_sql_np(round_sql_np(span_start, 9), ndigits)
+            span_end = round_sql_np(round_sql_np(span_end, 9), ndigits)
+        kcol = g[key]
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) else kcol
+        return pa.table(
+            {
+                key: pa.concat_arrays(
+                    [kcol.slice(0, 1)] * len(starts)
+                ) if len(starts) else kcol.slice(0, 0),
+                "span_start": pa.array(span_start, pa.float64()),
+                "span_end": pa.array(span_end, pa.float64()),
+                "n_merged": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
 def retention(ds, options: dict, ctx=None):
     """Cohort retention — for each entity cohort (the period of its
     FIRST event) count how many entities were active again k periods
