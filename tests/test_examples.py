@@ -7,6 +7,7 @@ import os
 import shutil
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from vector_ray import run_pipeline, toml_io
@@ -150,3 +151,19 @@ def test_click_graph_example(ray_session):
     hubs = pq.read_table("/tmp/vector_ray_examples/click_graph/hubs")
     assert {"node", "hub", "authority"} == set(hubs.column_names)
     assert hubs.num_rows == ranks.num_rows
+
+
+def test_anomaly_alerting_example(ray_session):
+    shutil.rmtree("/tmp/vector_ray_examples/anomaly", ignore_errors=True)
+    _run("examples/anomaly_alerting.toml")
+    alerts = pq.read_table("/tmp/vector_ray_examples/anomaly/alerts")
+    assert alerts.num_rows > 0
+    assert {"ewma_value", "cusum_value", "alert_value"} <= set(
+        alerts.column_names
+    )
+    assert pc.min(alerts["alert_value"]).as_py() == 1  # filter kept alerts only
+    now = pq.read_table("/tmp/vector_ray_examples/anomaly/now")
+    assert {"event_type", "decayed_sum", "decayed_n"} <= set(now.column_names)
+    ret = pq.read_table("/tmp/vector_ray_examples/anomaly/retention")
+    assert {"cohort", "period", "n_users"} <= set(ret.column_names)
+    assert ret.num_rows > 0
