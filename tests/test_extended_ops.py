@@ -765,3 +765,35 @@ def test_inverted_index_df_band(ray_session):
     words = {r["word"] for r in banded}
     assert words == {"y"}  # x (df=3) and singletons dropped whole
     assert sorted(r["doc_id"] for r in banded) == [0, 2]
+
+
+def test_robust_z_outlier_immunity(ray_session):
+    """Median/MAD scoring: one huge outlier doesn't shift the scores of
+    normal rows (unlike mean/stddev z); an all-constant key gives NULL."""
+    import numpy as np
+
+    from vector_ray.stages.grouped import robust_z
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 1000.0]
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 6 + ["c"] * 3, pa.string()),
+            "event_id": pa.array(range(9), pa.int64()),
+            "value": pa.array(vals + [7.0] * 3, pa.float64()),
+        }
+    )
+    out = (
+        robust_z(rd.from_arrow(t).repartition(2),
+                 {"group_by": "k", "field": "value", "round": 4})
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    x = np.array(vals)
+    med = np.quantile(x, 0.5)
+    mad = np.quantile(np.abs(x - med), 0.5)
+    want = np.sign(x - med) * np.floor(np.abs((x - med) / (1.4826 * mad)) * 1e9 + 0.5) / 1e9
+    want = np.sign(want) * np.floor(np.abs(want) * 1e4 + 0.5) / 1e4
+    got = out[out.k == "a"]["robust_z"].to_numpy()
+    assert np.allclose(got, want)
+    assert abs(got[2]) < 1.0  # median row stays near zero despite the outlier
+    assert out[out.k == "c"]["robust_z"].isna().all()  # MAD=0 -> NULL

@@ -1833,6 +1833,21 @@ def q_spans_events(sf_dir: str):
     )
 
 
+def q_robust_z_events(sf_dir: str):
+    """Per-type robust z-score (median/MAD) — the outlier metric that
+    extreme values can't poison, beside the mean/stddev zscore query."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = grouped.robust_z(
+        ds, {"group_by": "event_type", "field": "value", "round": 4}
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "robust_z"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_retention_events(sf_dir: str):
     """Day-cohort retention: users grouped by their first-event day,
     counted per day-offset they were active again. Per-user groups
@@ -3204,6 +3219,7 @@ QUERIES = {
     "decay_events": q_decay_events,
     "cusum_events": q_cusum_events,
     "spans_events": q_spans_events,
+    "robust_z_events": q_robust_z_events,
     "rollup_events": q_rollup_events,
     "cube_events": q_cube_events,
     "pivot_events": q_pivot_events,
@@ -4556,6 +4572,21 @@ def oracle_sql() -> dict[str, str]:
                 "ROUND(ROUND(s, 9), 4) AS cusum_value, "
                 "CAST(CASE WHEN ROUND(ROUND(s, 9), 4) > 25.0 THEN 1 "
                 "ELSE 0 END AS BIGINT) AS alert_value FROM r"
+            ),
+            "robust_z_events": (
+                # np.quantile linear interpolation == quantile_cont;
+                # an all-constant key divides by exact 0.0 -> NULL on
+                # both sides
+                "WITH m AS (SELECT event_type, "
+                "  quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), "
+                "a AS (SELECT e.event_id, e.event_type, e.value, m.med, "
+                "  ABS(e.value - m.med) AS ad FROM events e "
+                "  JOIN m USING (event_type)), "
+                "d AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad "
+                "  FROM a GROUP BY 1) "
+                "SELECT a.event_id, a.event_type, "
+                "ROUND(ROUND((a.value - a.med) / (1.4826 * d.mad), 9), 4) "
+                "AS robust_z FROM a JOIN d USING (event_type)"
             ),
             "spans_events": (
                 # same merge rule as stages/grouped.py

@@ -53,6 +53,7 @@ MOVEMENT = {
     "decay": "shuffle",
     "cusum": "shuffle",
     "coalesce_intervals": "shuffle",
+    "robust_z": "shuffle",
     "interarrival": "shuffle",
     "funnel": "shuffle",
     "rank": "shuffle",

@@ -77,6 +77,7 @@ TRANSFORMS = {
     "decay": grouped.decay,
     "cusum": grouped.cusum,
     "coalesce_intervals": grouped.coalesce_intervals,
+    "robust_z": grouped.robust_z,
     "rollup": grouped.rollup,
     "pivot": grouped.pivot,
     "quantile_bucket": grouped.quantile_bucket,

@@ -1264,6 +1264,50 @@ def coalesce_intervals(ds, options: dict, ctx=None):
     return ds.groupby(key).map_groups(merge, batch_format="pyarrow")
 
 
+def robust_z(ds, options: dict, ctx=None):
+    """Per-key ROBUST z-score: (x - median) / (1.4826 * MAD), the
+    outlier score that a handful of extreme values can't poison the
+    way mean/stddev z-scores (``zscore``) can. 1.4826 is the standard
+    consistency constant that makes MAD estimate sigma under normality.
+
+    {"type": "robust_z", "group_by": "event_type", "field": "value",
+     "target": "robust_z", "round": 4}
+
+    One hash shuffle on the key; each group computes median and MAD
+    with two np.quantile calls (linear interpolation == SQL
+    quantile_cont) and scores all its rows vectorized. An all-constant
+    key (MAD = 0) yields NULL, matching SQL x/0.0. All input columns
+    pass through.
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's
+    rows fit one worker; a pathologically hot key becomes a straggler
+    (pre-split upstream or salt if a key can exceed worker memory)."""
+    from vector_ray.schema import round_sql_np
+
+    key = options["group_by"]
+    field = options["field"]
+    target = options.get("target", "robust_z")
+    ndigits = options.get("round")
+
+    def score(g: pa.Table) -> pa.Table:
+        col = g[field]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+        med = np.quantile(x, 0.5)
+        mad = np.quantile(np.abs(x - med), 0.5)
+        if mad == 0.0:
+            z = np.full(len(x), np.nan)
+        else:
+            z = (x - med) / (1.4826 * mad)
+            if ndigits is not None:
+                z = round_sql_np(round_sql_np(z, 9), ndigits)
+        return g.append_column(
+            target, pa.array(z, pa.float64(), from_pandas=True)
+        )
+
+    return ds.groupby(key).map_groups(score, batch_format="pyarrow")
+
+
 def retention(ds, options: dict, ctx=None):
     """Cohort retention — for each entity cohort (the period of its
     FIRST event) count how many entities were active again k periods
