@@ -24,6 +24,7 @@ from vector_ray._compat import install_fsspec_http_stub
 install_fsspec_http_stub()
 
 from vector_ray.pipeline import PipelineSpec, build_pipeline, run_pipeline
+from vector_ray.ingest import run_ingest
 from vector_ray.validate import validate_spec, ValidationError
 
 __version__ = "0.1.0"
@@ -32,6 +33,7 @@ __all__ = [
     "PipelineSpec",
     "build_pipeline",
     "run_pipeline",
+    "run_ingest",
     "validate_spec",
     "ValidationError",
     "__version__",

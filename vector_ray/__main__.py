@@ -97,6 +97,20 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    from vector_ray.ingest import run_ingest
+    from vector_ray.toml_io import load
+
+    _init_ray(args.num_cpus)
+    spec = load(args.spec)
+    summary = run_ingest(spec, args.state_dir)
+    print(json.dumps(summary, indent=2))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_test(args) -> int:
     from vector_ray.testing import run_functional_test
     from vector_ray.toml_io import load
@@ -154,6 +168,14 @@ def main(argv=None) -> int:
     sp = sub.add_parser("run", help="run a pipeline TOML")
     sp.add_argument("spec")
     sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser(
+        "ingest",
+        help="run one micro-batch of a pipeline TOML over never-seen files",
+    )
+    sp.add_argument("spec")
+    sp.add_argument("--state-dir", required=True, dest="state_dir")
+    sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser("test", help="functional-test a pipeline TOML")
     sp.add_argument("spec")

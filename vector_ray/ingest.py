@@ -1,0 +1,198 @@
+"""Micro-batch ingest for the generic spec DAG — the continuous-feed
+mode of ``run_pipeline`` (the flagship pipeline has its own specialized
+variant in ``pipelines/flagship.py run(ingest=True)``; this is the same
+contract for ARBITRARY specs).
+
+Call ``run_ingest(spec, state_dir)`` repeatedly (cron, a tailing loop):
+each call lists the file-backed sources, diffs against the append-only
+seen-file state, runs the DAG over ONLY the never-seen files, and lands
+each parquet sink's output in a per-batch subdirectory. Files must be
+immutable once listed (the standard log-shipping contract).
+
+Exactly-once output without coordination:
+* the batch id is a content address (sha1 of the sorted new-file set),
+  so a crashed batch re-derives the SAME id on retry;
+* each parquet sink writes to ``<path>/batch-<id>.tmp`` then atomically
+  renames to ``<path>/batch-<id>`` — a completed batch dir is never
+  rewritten, a half-written ``.tmp`` is discarded and redone;
+* the seen-file state commits LAST (tmp + rename). A crash between sink
+  publish and state commit replays the same batch, finds every batch
+  dir already published, skips the writes, and just commits state.
+
+Aggregating transforms aggregate WITHIN a micro-batch (documented —
+cross-batch rollups belong downstream, over the landed batch dirs).
+Static sources (inline, demo_logs) re-evaluate every batch: they are
+the enrichment-table pattern, not a data feed; a spec whose sources are
+ALL static has no notion of "new data" and is rejected.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+from typing import Any
+
+from vector_ray.pipeline import PipelineContext, PipelineSpec, run_pipeline
+
+# source types whose data is an on-disk file set we can diff
+FILE_SOURCES = {"parquet", "json", "csv", "text"}
+
+_STATE_NAME = "ingest_state.json"
+
+
+def _list_files(options: dict) -> list[str]:
+    """Expand a file source's path/paths into a concrete sorted file
+    list (dir → its files, glob → matches, file → itself)."""
+    raw = options.get("paths") or options["path"]
+    pats = [raw] if isinstance(raw, str) else list(raw)
+    out: set[str] = set()
+    for p in pats:
+        if os.path.isdir(p):
+            for f in glob.glob(os.path.join(p, "*")):
+                if os.path.isfile(f):
+                    out.add(os.path.abspath(f))
+        elif any(ch in p for ch in "*?["):
+            for f in glob.glob(p):
+                if os.path.isfile(f):
+                    out.add(os.path.abspath(f))
+        elif os.path.isfile(p):
+            out.add(os.path.abspath(p))
+    return sorted(out)
+
+
+def _load_state(state_dir: str) -> dict:
+    path = os.path.join(state_dir, _STATE_NAME)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"seen": {}, "batches": []}
+
+
+def _commit_state(state_dir: str, state: dict) -> None:
+    path = os.path.join(state_dir, _STATE_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def run_ingest(
+    spec,
+    state_dir: str,
+    ctx: PipelineContext | None = None,
+) -> dict[str, Any]:
+    """One micro-batch: process files never seen by this state_dir.
+
+    Returns a summary dict: ``skipped`` (no new files), ``batch_id``,
+    ``new_files`` per source, and the per-sink ``RunResult`` info for
+    the executed batch."""
+    spec = (
+        spec if isinstance(spec, PipelineSpec) else PipelineSpec.from_dict(spec)
+    )
+    # (run_pipeline validates the batch spec; nothing to pre-check here)
+    os.makedirs(state_dir, exist_ok=True)
+    state = _load_state(state_dir)
+
+    file_sources = {
+        name: cfg
+        for name, cfg in spec.sources.items()
+        if cfg.get("type") in FILE_SOURCES
+    }
+    if not file_sources:
+        raise ValueError(
+            "run_ingest: no file-backed source (parquet/json/csv/text) in "
+            "the spec — nothing defines 'new data'. Use run_pipeline for "
+            "one-shot specs."
+        )
+
+    new_files: dict[str, list[str]] = {}
+    for name, cfg in file_sources.items():
+        seen = set(state["seen"].get(name, []))
+        new_files[name] = [f for f in _list_files(cfg) if f not in seen]
+
+    if not any(new_files.values()):
+        return {"skipped": True, "batch_id": None, "new_files": {}, "sinks": {}}
+
+    h = hashlib.sha1()
+    for name in sorted(new_files):
+        for f in new_files[name]:
+            h.update(f"{name}\0{f}\n".encode())
+    batch_id = h.hexdigest()[:12]
+
+    # rewrite the spec: file sources read ONLY the new files; parquet
+    # sinks land in an atomic per-batch subdirectory
+    import copy
+
+    batch_spec = PipelineSpec.from_dict(copy.deepcopy(spec.to_dict()))
+    run_src = dict(batch_spec.sources)
+    for name, files in new_files.items():
+        cfg = dict(run_src[name])
+        cfg.pop("path", None)
+        if files:
+            cfg["paths"] = files
+            run_src[name] = cfg
+        else:
+            # a stale source can't feed this batch: replaying its seen
+            # files duplicates rows downstream, and an empty read can't
+            # compile. Multi-feed specs must advance together.
+            raise ValueError(
+                f"run_ingest: source {name!r} has no new files while "
+                "another source does — split the spec into one ingest "
+                "pipeline per independent feed."
+            )
+    batch_spec.sources = run_src
+
+    publishes: list[tuple[str, str]] = []  # (tmp_dir, final_dir)
+    run_sinks = dict(batch_spec.sinks)
+    for name, cfg in run_sinks.items():
+        if cfg.get("type") == "parquet":
+            cfg = dict(cfg)
+            final = os.path.join(cfg["path"], f"batch-{batch_id}")
+            tmp = final + ".tmp"
+            if os.path.exists(final):
+                # crash replay: this sink already published this batch
+                cfg["__already_published"] = True
+            cfg["path"] = tmp
+            publishes.append((tmp, final))
+            run_sinks[name] = cfg
+    batch_spec.sinks = {
+        n: {k: v for k, v in c.items() if k != "__already_published"}
+        for n, c in run_sinks.items()
+        if not c.get("__already_published")
+    }
+
+    sinks_info: dict[str, Any] = {}
+    if batch_spec.sinks:
+        result = run_pipeline(batch_spec, ctx)
+        sinks_info = {
+            n: {"kind": r.kind, "count": r.count, "path": r.path}
+            for n, r in result.sinks.items()
+        }
+    for tmp, final in publishes:
+        if os.path.exists(final):
+            continue  # published by a previous attempt
+        if os.path.exists(tmp):
+            os.replace(tmp, final)  # atomic publish
+    # point reported paths at the published location
+    for info in sinks_info.values():
+        if info.get("path", "").endswith(".tmp"):
+            info["path"] = info["path"][: -len(".tmp")]
+
+    # commit point: only now do the files count as seen
+    for name, files in new_files.items():
+        state["seen"].setdefault(name, []).extend(files)
+    state["batches"].append(
+        {"batch_id": batch_id, "files": {n: len(f) for n, f in new_files.items()}}
+    )
+    _commit_state(state_dir, state)
+
+    return {
+        "skipped": False,
+        "batch_id": batch_id,
+        "new_files": {n: len(f) for n, f in new_files.items()},
+        "sinks": sinks_info,
+    }
+
+
