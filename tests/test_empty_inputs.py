@@ -164,3 +164,45 @@ def test_empty_span_dedupe_all_masks(ray_session):
         s = t.schema(fetch_if_missing=False)
         if s is not None and s.names:
             assert {"doc_id", "tokens"} <= set(s.names), (mask, s.names)
+
+
+def test_empty_session_ops(ray_session):
+    from vector_ray.stages.grouped import (
+        coalesce_intervals,
+        cusum,
+        decay,
+        ewma,
+        retention,
+        robust_z,
+    )
+
+    ds = _empty(EVENTS)
+    common = {"group_by": "user_id", "order_by": ["ts", "event_id"],
+              "field": "value"}
+    assert ewma(ds, {**common, "alpha": 0.3}).count() == 0
+    assert cusum(
+        ds, {**common, "target": 1.0, "slack": 0.0, "threshold": 1.0}
+    ).count() == 0
+    assert retention(ds, {"group_by": "user_id"}).count() == 0
+    assert decay(
+        ds,
+        {"group_by": "event_type", "field": "value",
+         "ref_ts": "2024-02-01 00:00:00", "halflife_s": 60},
+    ).count() == 0
+    assert robust_z(ds, {"group_by": "event_type", "field": "value"}).count() == 0
+    iv = pa.schema([("user_id", pa.int64()), ("s", pa.float64()),
+                    ("e", pa.float64())])
+    assert coalesce_intervals(
+        _empty(iv), {"group_by": "user_id", "start_field": "s",
+                     "end_field": "e"}
+    ).count() == 0
+
+
+def test_empty_retrieval_and_graph_ops(ray_session):
+    from vector_ray.functions.graph import label_propagation
+    from vector_ray.functions.text import inverted_index
+
+    docs = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    assert inverted_index(_empty(docs)).count() == 0
+    edges = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    assert label_propagation(_empty(edges), rounds=2).count() == 0

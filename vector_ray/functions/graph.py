@@ -467,6 +467,14 @@ def label_propagation(
         lambda t, s=src, d=dst: _drop_null_edges(t, s, d).select([s, d]),
         batch_format="pyarrow",
     ).materialize()
+    if edges.count() == 0:  # typed empty result (stable schema)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema(
+                [("node", pa.int64()), ("community", pa.int64())]
+            ).empty_table()
+        )
 
     def init_part(t: pa.Table) -> pa.Table:
         u = np.unique(_np_col(t, src))
