@@ -524,6 +524,28 @@ def q_window_tumbling_events(sf_dir: str):
     return _collect(out)
 
 
+def q_active_users_events(sf_dir: str):
+    """Hourly active users: calendar-hour windows x exact
+    count_distinct — the DAU/HAU telemetry staple, proving distinct
+    aggregation composes through the window stage."""
+    from vector_ray.stages.window import window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = window(
+        ds,
+        {
+            "type": "calendar",
+            "unit": "hour",
+            "ts_field": "ts",
+            "aggregates": {
+                "active_users": {"fn": "count_distinct", "field": "user_id"},
+                "n": {"fn": "count"},
+            },
+        },
+    )
+    return _collect(out)
+
+
 def q_window_calendar_events(sf_dir: str):
     """Calendar-aligned daily windows (floor_temporal == date_trunc):
     month-length-exact, unlike fixed-seconds tumbling."""
@@ -3128,6 +3150,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "window_tumbling_events": q_window_tumbling_events,
     "window_calendar_events": q_window_calendar_events,
+    "active_users_events": q_active_users_events,
     "window_sliding_events": q_window_sliding_events,
     "window_session_events": q_window_session_events,
     "filter_datadog_events": q_filter_datadog_events,
@@ -4076,6 +4099,12 @@ def oracle_sql() -> dict[str, str]:
                 "COUNT(*) AS n, "
                 "CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) "
                 "AS total_micros FROM events GROUP BY event_type, window_start"
+            ),
+            "active_users_events": (
+                "SELECT date_trunc('hour', ts) AS window_start, "
+                "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users, "
+                "CAST(COUNT(*) AS BIGINT) AS n "
+                "FROM events GROUP BY window_start"
             ),
             "window_calendar_events": (
                 "SELECT event_type, date_trunc('day', ts) AS window_start, "
