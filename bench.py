@@ -143,6 +143,18 @@ def run_bench() -> dict:
     # (partitioned index, query grams routed to it)
     from vector_ray.functions.tokens import plant_duplicates, span_dedupe
 
+    # untimed warm-up: the FIRST heavy materialize of a Ray session pays
+    # a one-off ~9 s allocation cost (measured: 18.8 s cold vs 9.5 s for
+    # the identical plan re-run in-session). Timing the plan, not the
+    # session warm-up, needs one throwaway run before either leg.
+    span_dedupe(
+        plant_duplicates(
+            rd.read_parquet(
+                _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
+            )
+        ),
+        n=8,
+    ).count()
     _t0 = time.perf_counter()  # timed once: two full-corpus passes/run
     span_dedupe(
         plant_duplicates(

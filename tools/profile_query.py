@@ -9,9 +9,13 @@ Ray session (library code never calls ray.init)."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import warnings
+
+# runnable from anywhere; workers import vector_ray via the driver cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
