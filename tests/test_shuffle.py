@@ -260,3 +260,37 @@ def test_range_join_inverted_interval(ray_session):
         value="v", num_buckets=3,
     ).to_pandas()
     assert sorted(out.band) == ["ok", "ok"]
+
+
+def test_bloom_prefilter_no_false_negatives(ray_session):
+    """Every true member survives the prefilter (blooms can only
+    over-approximate); non-members are mostly pruned at the default
+    sizing, and even a tiny, FP-heavy bloom never changes the final
+    join result."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.shuffle import bloom_prefilter, bucketed_join
+
+    big = pa.table({"k": pa.array(np.arange(20000) % 997, pa.int64()),
+                    "v": pa.array(np.arange(20000), pa.int64())})
+    small_keys = [3, 11, 500, 996]
+    small = pa.table({"k": pa.array(small_keys, pa.int64()),
+                      "name": pa.array([f"s{i}" for i in small_keys])})
+    big_ds = rd.from_arrow(big).repartition(4)
+    small_ds = rd.from_arrow(small)
+
+    pruned = bloom_prefilter(big_ds, small_ds, "k").to_pandas()
+    member_rows = big.filter(
+        pa.compute.is_in(big["k"], value_set=pa.array(small_keys))
+    ).num_rows
+    assert set(small_keys) <= set(pruned["k"])          # no false negatives
+    assert len(pruned) >= member_rows
+    assert len(pruned) < 20000 * 0.05                   # real pruning happened
+
+    # FP-heavy bloom (64 bits): prefilter keeps junk, join discards it
+    noisy = bloom_prefilter(big_ds, small_ds, "k", m_bits=64, k=2)
+    joined = bucketed_join(noisy, small_ds, "k", num_buckets=4).to_pandas()
+    assert len(joined) == member_rows
+    assert set(joined["k"]) == set(small_keys)

@@ -639,6 +639,40 @@ def q_join_orders_customer(sf_dir: str):
     )
 
 
+def q_bloom_join_orders(sf_dir: str):
+    """Bloom-prefiltered join: the small side is a selective customer
+    subset (c_custkey % 17 == 0), so the bloom semi-join pushdown drops
+    ~94% of orders BEFORE the join shuffle moves them. Same inner-join
+    result as an unfiltered plan (false positives just ride the real
+    join)."""
+    from vector_ray.stages.shuffle import bloom_prefilter, bucketed_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["c_custkey"],
+                    pc.multiply(pc.divide(t["c_custkey"], 17), 17),
+                ),
+                0,
+            )
+        ).rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow",
+    ).materialize()  # read once: bloom build + join both consume it
+    pruned = bloom_prefilter(orders, customer, "o_custkey")
+    out = bucketed_join(pruned, customer, "o_custkey", num_buckets=16)
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "o_totalprice", "c_name"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_skew_join_orders(sf_dir: str):
     """Skew-safe hybrid join (stages/shuffle.py skew_join): hot
     custkeys detected from bounded per-block summaries join map-side
@@ -3159,6 +3193,7 @@ QUERIES = {
     "topk_per_source": q_topk_per_source,
     "join_orders_customer": q_join_orders_customer,
     "skew_join_orders": q_skew_join_orders,
+    "bloom_join_orders": q_bloom_join_orders,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "full_join_user_counts": q_full_join_user_counts,
@@ -4158,6 +4193,14 @@ def oracle_sql() -> dict[str, str]:
             "join_orders_customer": (
                 "SELECT o_orderkey, o_custkey, o_totalprice, c_name "
                 "FROM orders JOIN customer ON o_custkey = c_custkey"
+            ),
+            # the bloom prefilter is a plan optimization: the join
+            # result is identical to the plain inner join on the
+            # filtered small side
+            "bloom_join_orders": (
+                "SELECT o_orderkey, o_custkey, o_totalprice, c_name "
+                "FROM orders JOIN customer ON o_custkey = c_custkey "
+                "WHERE c_custkey % 17 = 0"
             ),
             # skew_join computes the identical inner join (the hot/cold
             # split is a plan decision, not a semantic one)

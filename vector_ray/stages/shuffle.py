@@ -738,3 +738,47 @@ def bucketed_range_join(
     return both.groupby(BUCKET_COLUMN).map_groups(
         match_bucket, batch_format="pyarrow"
     )
+
+
+def bloom_prefilter(
+    big_ds,
+    small_ds,
+    key: str,
+    m_bits: int = 1 << 22,
+    k: int = 8,
+):
+    """Shuffle reducer: drop ``big_ds`` rows whose join key CANNOT
+    appear in ``small_ds`` before the join moves anything — the classic
+    bloom-filter semi-join pushdown. False positives only pass extra
+    rows to the real join (correctness is the join's), so the filter
+    is safe at any FPR; with the default 4M bits / k=8 the FPR stays
+    under ~0.6% up to ~300k distinct keys.
+
+    Plan: one pass over the small side builds per-block partial blooms
+    (fixed ``m_bits/8`` bytes each — ONE binary row per block crosses
+    to the driver, never the keys), the driver ORs them (bitwise union
+    is exact for blooms) and ``ray.put``s the result once; the big side
+    streams through a vectorized membership mask. Total driver memory
+    is O(m_bits), independent of either side's row count."""
+    import ray
+
+    from vector_ray.functions import sketches
+
+    def part(t: pa.Table) -> pa.Table:
+        words = sketches.bloom_build(_key_hash(t, key), m_bits, k)
+        return pa.table(
+            {"bloom": pa.array([words.tobytes()], pa.binary())}
+        )
+
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    for row in small_ds.map_batches(part, batch_format="pyarrow").take_all():
+        words |= np.frombuffer(row["bloom"], dtype=np.uint64)
+    ref = ray.put(words)
+
+    def filt(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        return t.filter(
+            pa.array(sketches.bloom_contains(w, _key_hash(t, key), m_bits, k))
+        )
+
+    return big_ds.map_batches(filt, batch_format="pyarrow")
