@@ -797,3 +797,33 @@ def test_robust_z_outlier_immunity(ray_session):
     assert np.allclose(got, want)
     assert abs(got[2]) < 1.0  # median row stays near zero despite the outlier
     assert out[out.k == "c"]["robust_z"].isna().all()  # MAD=0 -> NULL
+
+
+def test_cdc_merge_semantics(ray_session):
+    """Highest version wins per key, an update beats a same-version base
+    row, and a winning delete removes the key entirely."""
+    from vector_ray.functions.dataops import cdc_merge
+
+    base = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"], pa.string()),
+        }
+    )
+    updates = pa.table(
+        {
+            "k": pa.array([2, 3, 3, 4], pa.int64()),
+            "v": pa.array(["b2", "c2", "c3", "dX"], pa.string()),
+            "version": pa.array([1, 1, 2, 0], pa.int64()),
+            "op": pa.array(["upsert", "upsert", "delete", "upsert"], pa.string()),
+        }
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in cdc_merge(
+            rd.from_arrow(base).repartition(2), rd.from_arrow(updates), "k"
+        ).take_all()
+    }
+    # k=1 untouched; k=2 upserted; k=3 deleted at v2; k=4: same-version
+    # update beats base
+    assert got == {1: "a", 2: "b2", 4: "dX"}

@@ -639,6 +639,50 @@ def q_join_orders_customer(sf_dir: str):
     )
 
 
+def q_cdc_orders(sf_dir: str):
+    """CDC MERGE: apply a deterministic upsert/delete log to the orders
+    snapshot (every 13th order re-priced at version 1, every 29th
+    deleted at version 2) and return the merged table — mutable-table
+    semantics over immutable parquet."""
+    from vector_ray.functions.dataops import cdc_merge
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def mk_updates(t: pa.Table) -> pa.Table:
+        def div_by(col, m):
+            return pc.equal(
+                pc.subtract(col, pc.multiply(pc.divide(col, m), m)), 0
+            )
+
+        up = t.filter(div_by(t["o_orderkey"], 13))
+        up = pa.table(
+            {
+                "o_orderkey": up["o_orderkey"],
+                "o_custkey": up["o_custkey"],
+                "o_totalprice": pc.add(up["o_totalprice"], 1000.0),
+                "version": pa.array(np.ones(up.num_rows, np.int64)),
+                "op": pa.array(["upsert"] * up.num_rows, pa.string()),
+            }
+        )
+        dl = t.filter(div_by(t["o_orderkey"], 29))
+        dl = pa.table(
+            {
+                "o_orderkey": dl["o_orderkey"],
+                "o_custkey": dl["o_custkey"],
+                "o_totalprice": dl["o_totalprice"],
+                "version": pa.array(np.full(dl.num_rows, 2, np.int64)),
+                "op": pa.array(["delete"] * dl.num_rows, pa.string()),
+            }
+        )
+        return pa.concat_tables([up, dl])
+
+    updates = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=cols
+    ).map_batches(mk_updates, batch_format="pyarrow")
+    return cdc_merge(base, updates, key="o_orderkey")
+
+
 def q_bloom_join_orders(sf_dir: str):
     """Bloom-prefiltered join: the small side is a selective customer
     subset (c_custkey % 17 == 0), so the bloom semi-join pushdown drops
@@ -3194,6 +3238,7 @@ QUERIES = {
     "join_orders_customer": q_join_orders_customer,
     "skew_join_orders": q_skew_join_orders,
     "bloom_join_orders": q_bloom_join_orders,
+    "cdc_orders": q_cdc_orders,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "full_join_user_counts": q_full_join_user_counts,
@@ -4193,6 +4238,29 @@ def oracle_sql() -> dict[str, str]:
             "join_orders_customer": (
                 "SELECT o_orderkey, o_custkey, o_totalprice, c_name "
                 "FROM orders JOIN customer ON o_custkey = c_custkey"
+            ),
+            "cdc_orders": (
+                # same version ranking as functions/dataops.py
+                # cdc_merge: base rows are version 0, highest version
+                # wins per key, a winning delete drops the key
+                "WITH upd AS ("
+                "  SELECT o_orderkey, o_custkey, "
+                "    o_totalprice + 1000.0 AS o_totalprice, "
+                "    1 AS v, 'upsert' AS op FROM orders "
+                "  WHERE o_orderkey % 13 = 0 "
+                "  UNION ALL "
+                "  SELECT o_orderkey, o_custkey, o_totalprice, "
+                "    2 AS v, 'delete' AS op FROM orders "
+                "  WHERE o_orderkey % 29 = 0), "
+                "all_rows AS ("
+                "  SELECT o_orderkey, o_custkey, o_totalprice, "
+                "    0 AS v, 'upsert' AS op FROM orders "
+                "  UNION ALL SELECT * FROM upd), "
+                "ranked AS (SELECT *, ROW_NUMBER() OVER ("
+                "  PARTITION BY o_orderkey ORDER BY v DESC) AS rn "
+                "  FROM all_rows) "
+                "SELECT o_orderkey, o_custkey, o_totalprice FROM ranked "
+                "WHERE rn = 1 AND op <> 'delete'"
             ),
             # the bloom prefilter is a plan optimization: the join
             # result is identical to the plain inner join on the

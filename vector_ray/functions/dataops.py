@@ -210,3 +210,69 @@ def compact_parquet_dir(
         "files_after": sum(r[2] for r in results),
         "details": results,
     }
+
+
+def cdc_merge(
+    base_ds,
+    updates_ds,
+    key: str,
+    version_field: str = "version",
+    op_field: str = "op",
+):
+    """Change-data-capture MERGE: apply an upsert/delete log to a base
+    snapshot and return the merged snapshot — the Delta/Iceberg MERGE
+    INTO shape for an engine whose tables are immutable parquet.
+
+    ``updates_ds`` carries the base's value columns plus
+    ``version_field`` (monotone per key; higher wins) and ``op_field``
+    ('upsert' | 'delete'). Base rows rank as version 0, and an update
+    beats a base row of the same version (source tiebreak), so the
+    merge is deterministic even on version collisions.
+
+    Plan: tag both sides (2 narrow column appends), union, ONE hash
+    shuffle on the key, then a per-group vectorized argmax by
+    (version, source); a winning delete drops the key. Output schema =
+    the base schema. Per-key groups are tiny (1 + that key's updates),
+    so skew follows the update log, not the base."""
+    import ray.data as rd  # noqa: F401
+
+    base_schema = base_ds.schema()
+    value_cols = [c for c in base_schema.names]
+    if key not in value_cols:
+        raise ValueError(f"cdc_merge: key {key!r} not in base columns")
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        t = t.select(value_cols)
+        return t.append_column(
+            "__cdc_v", pa.array(np.zeros(t.num_rows, np.int64))
+        ).append_column(
+            "__cdc_op", pa.array(["upsert"] * t.num_rows, pa.string())
+        ).append_column(
+            "__cdc_src", pa.array(np.zeros(t.num_rows, np.int64))
+        )
+
+    def tag_upd(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[version_field], pa.int64())
+        op = pc.cast(t[op_field], pa.string())
+        t = t.select(value_cols)
+        return t.append_column("__cdc_v", v).append_column(
+            "__cdc_op", op
+        ).append_column(
+            "__cdc_src", pa.array(np.ones(t.num_rows, np.int64))
+        )
+
+    tagged = base_ds.map_batches(tag_base, batch_format="pyarrow").union(
+        updates_ds.map_batches(tag_upd, batch_format="pyarrow")
+    )
+
+    def latest(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("__cdc_v", "descending"), ("__cdc_src", "descending")],
+        )
+        win = g.take(idx.slice(0, 1))
+        if win["__cdc_op"][0].as_py() == "delete":
+            win = win.slice(0, 0)
+        return win.select(value_cols)
+
+    return tagged.groupby(key).map_groups(latest, batch_format="pyarrow")
