@@ -827,3 +827,56 @@ def test_cdc_merge_semantics(ray_session):
     # k=1 untouched; k=2 upserted; k=3 deleted at v2; k=4: same-version
     # update beats base
     assert got == {1: "a", 2: "b2", 4: "dX"}
+
+
+def test_cusum_null_resets_like_sql(ray_session):
+    """A null value resets the CUSUM score to 0 for that row (DuckDB
+    GREATEST(0.0, NULL) = 0.0) and the recurrence continues — no tail
+    poisoning."""
+    import ray
+
+    from vector_ray.stages.grouped import cusum
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4, pa.string()),
+            "i": pa.array(range(4), pa.int64()),
+            "value": pa.array([20.0, None, 20.0, 20.0], pa.float64()),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            x
+            for x in ray.get(
+                cusum(
+                    rd.from_arrow(t),
+                    {"group_by": "k", "order_by": ["i"], "field": "value",
+                     "target": 10.0, "slack": 0.0, "threshold": 100.0},
+                ).materialize().to_arrow_refs()
+            )
+            if x.num_rows
+        ]
+    ).sort_by("i")
+    assert out["cusum_value"].to_pylist() == [10.0, 0.0, 10.0, 20.0]
+
+
+def test_robust_z_ignores_null_rows(ray_session):
+    """Nulls don't poison the key: median/MAD compute over non-null
+    values (like quantile_cont) and only the null rows score null."""
+    from vector_ray.stages.grouped import robust_z
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4, pa.string()),
+            "event_id": pa.array(range(4), pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0, None], pa.float64()),
+        }
+    )
+    out = (
+        robust_z(rd.from_arrow(t), {"group_by": "k", "field": "value"})
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    vals = out["robust_z"].tolist()
+    assert vals[0] is not None and abs(vals[1]) < 1e-12 and vals[2] is not None
+    assert out["robust_z"].isna().tolist() == [False, False, False, True]

@@ -315,3 +315,23 @@ def test_label_propagation_two_clusters(ray_session):
     assert len({got[v] for v in (0, 1, 2)}) == 1
     assert len({got[v] for v in (11, 12, 13)}) == 1
     assert got[0] != got[11]
+
+
+def test_label_propagation_directed_keeps_unreached_nodes(ray_session):
+    """On a non-symmetric edge list a node with no labeled in-neighbors
+    keeps its previous label instead of vanishing (the zero-count
+    self-label fallback)."""
+    import ray.data as rd
+
+    from vector_ray.functions.graph import label_propagation
+
+    t = pa.table({
+        "src": pa.array([1, 2], pa.int64()),
+        "dst": pa.array([2, 3], pa.int64()),
+    })
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(rd.from_arrow(t), rounds=4).take_all()
+    }
+    # 1 has no in-edges: keeps its own label forever; labels flow 1->2->3
+    assert got == {1: 1, 2: 1, 3: 1}

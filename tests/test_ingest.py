@@ -203,3 +203,74 @@ def test_spec_dag_ingest_requires_file_source(ray_session, tmp_path):
     }
     with pytest.raises(ValueError, match="file-backed"):
         run_ingest(spec, str(tmp_path / "st"))
+
+
+def test_spec_dag_ingest_pending_pins_file_set(ray_session, tmp_path):
+    """A crash after the pending record but before completion replays
+    EXACTLY the recorded file set (a file that arrived in between waits
+    for the next batch), and a dirty .tmp dir is discarded, not
+    appended to."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from vector_ray.ingest import run_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    spec = _spec(str(src), out)
+
+    _mk_shard(str(src / "a.parquet"), 0, 30)
+    s1 = run_ingest(spec, state)
+
+    # simulate: crash mid-batch for shard b — pending recorded, sink
+    # half-written, state not committed
+    _mk_shard(str(src / "b.parquet"), 30, 30)
+    st = json.load(open(os.path.join(state, "ingest_state.json")))
+    st["pending"] = {
+        "batch_id": "deadbeef0000",
+        "files": {"logs": [os.path.abspath(str(src / "b.parquet"))]},
+    }
+    json.dump(st, open(os.path.join(state, "ingest_state.json"), "w"))
+    dirty = os.path.join(out, "batch-deadbeef0000.tmp")
+    os.makedirs(dirty)
+    open(os.path.join(dirty, "junk.parquet"), "w").write("junk")
+    # a THIRD shard arrives before the retry
+    _mk_shard(str(src / "c.parquet"), 60, 30)
+
+    s2 = run_ingest(spec, state)
+    assert s2["batch_id"] == "deadbeef0000"  # pending pinned the batch
+    assert s2["new_files"] == {"logs": 1}  # only b, not c
+    pub = os.path.join(out, "batch-deadbeef0000")
+    files = os.listdir(pub)
+    assert "junk.parquet" not in files  # dirty tmp discarded
+    assert pq.read_table(pub).num_rows == 10  # exactly shard b's errors
+
+    s3 = run_ingest(spec, state)  # c lands in its own batch
+    assert not s3["skipped"] and s3["new_files"] == {"logs": 1}
+    total = sum(
+        pq.read_table(b).num_rows for b in glob.glob(out + "/batch-*")
+    )
+    assert total == 30  # 3 shards x 10 error rows, no dupes
+
+
+def test_spec_dag_ingest_rejects_nonidempotent_sinks(ray_session, tmp_path):
+    import pytest
+
+    from vector_ray.ingest import run_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _mk_shard(str(src / "a.parquet"), 0, 10)
+    spec = {
+        "sources": {"logs": {"type": "parquet", "path": str(src)}},
+        "transforms": {},
+        "sinks": {"out": {"type": "csv", "inputs": ["logs"],
+                          "path": str(tmp_path / "o")}},
+    }
+    with pytest.raises(ValueError, match="not\\s+idempotent"):
+        run_ingest(spec, str(tmp_path / "st"))

@@ -3060,28 +3060,17 @@ def q_components_events(sf_dir: str):
     convergence (labels are a fixpoint, extra rounds are no-ops)."""
     from vector_ray.functions.dedup import connected_components_distributed
 
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "props"]
+    # one shared edge derivation with the pagerank/LPA queries (the
+    # symmetric duplicate edges it adds are no-ops for components);
+    # null-k rows are dropped like graph._drop_null_edges does
+    def to_pairs(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t["src"]), pc.is_valid(t["dst"]))
+        t = t.filter(ok)
+        return pa.table({"doc_a": t["src"], "doc_b": t["dst"]})
+
+    pairs = _event_click_edges(sf_dir, sample_mod=97).map_batches(
+        to_pairs, batch_format="pyarrow"
     )
-
-    def mk(t: pa.Table) -> pa.Table:
-        # 1-in-97 sample on event_id (deterministic, not random)
-        keep = pc.equal(
-            pc.subtract(
-                t["event_id"],
-                pc.multiply(pc.divide(t["event_id"], 97), 97),
-            ),
-            0,
-        )
-        t = t.filter(keep)
-        ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
-        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
-        ok = pc.is_valid(k)
-        u = pc.cast(t["user_id"], pa.int64()).filter(ok)
-        item = pc.add(k.filter(ok), 100000)
-        return pa.table({"doc_a": u, "doc_b": item})
-
-    pairs = ev.map_batches(mk, batch_format="pyarrow")
     cc = connected_components_distributed(pairs, num_buckets=8)
     return cc.map_batches(
         lambda t: t.rename_columns(["node", "cluster"]),

@@ -234,8 +234,6 @@ def cdc_merge(
     (version, source); a winning delete drops the key. Output schema =
     the base schema. Per-key groups are tiny (1 + that key's updates),
     so skew follows the update log, not the base."""
-    import ray.data as rd  # noqa: F401
-
     base_schema = base_ds.schema()
     value_cols = [c for c in base_schema.names]
     if key not in value_cols:

@@ -441,7 +441,9 @@ def label_propagation(
     """Deterministic semi-synchronous label propagation (the classic
     community-detection heuristic of Raghavan et al. 2007): every node
     starts labeled with its own id; each round every node adopts the
-    label held by the MOST in-neighbors, ties to the SMALLEST label.
+    label held by the MOST in-neighbors, ties to the SMALLEST label; a
+    node with no labeled in-neighbors that round (possible on directed
+    / non-symmetric edge lists) keeps its previous label.
     All nodes update simultaneously from the previous round's labels
     and the round count is FIXED, so the result is deterministic and
     exactly reproducible by an unrolled SQL oracle — no convergence
@@ -529,6 +531,19 @@ def label_propagation(
         win = w[lead]
         return pa.table({"node": pa.array(snode[win]), "l": pa.array(slab[win])})
 
+    def self_rows(t: pa.Table) -> pa.Table:
+        # zero-count fallback: a node with NO labeled in-neighbors this
+        # round keeps its previous label (any real neighbor count ≥ 1
+        # outranks it). Without this, directed/non-symmetric edge lists
+        # would silently drop nodes round over round.
+        return pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "lab": pc.cast(t["l"], pa.int64()),
+                "n": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
     for _ in range(rounds):
         lab_src = labels.map_batches(
             lambda t, s=src: pa.table(
@@ -542,7 +557,9 @@ def label_propagation(
         joined = bucketed_join(
             edges, lab_src, key=src, num_buckets=num_buckets, how="inner"
         )
-        partials = joined.map_batches(count_part, batch_format="pyarrow")
+        partials = joined.map_batches(
+            count_part, batch_format="pyarrow"
+        ).union(labels.map_batches(self_rows, batch_format="pyarrow"))
         labels = (
             hash_bucket(partials, "node", num_buckets)
             .groupby(BUCKET_COLUMN)

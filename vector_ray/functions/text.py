@@ -577,7 +577,10 @@ def bm25_topk(
     both sides."""
     from vector_ray.schema import round_sql_np
 
-    terms = list(query_terms)
+    # dedup, order-preserving: a repeated query term must count once
+    # (the SQL oracle's IN-list dedups; double-counting would also be
+    # wrong BM25)
+    terms = list(dict.fromkeys(query_terms))
     if not terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
     m = len(terms)

@@ -10,14 +10,18 @@ each parquet sink's output in a per-batch subdirectory. Files must be
 immutable once listed (the standard log-shipping contract).
 
 Exactly-once output without coordination:
-* the batch id is a content address (sha1 of the sorted new-file set),
-  so a crashed batch re-derives the SAME id on retry;
+* a PENDING intent record (batch id + exact file set) commits to the
+  state file BEFORE any work, so a crashed batch replays exactly that
+  file set even if new files landed in the meantime — the batch id is
+  a content address (sha1 of the sorted file set) and stays stable;
 * each parquet sink writes to ``<path>/batch-<id>.tmp`` then atomically
   renames to ``<path>/batch-<id>`` — a completed batch dir is never
-  rewritten, a half-written ``.tmp`` is discarded and redone;
-* the seen-file state commits LAST (tmp + rename). A crash between sink
-  publish and state commit replays the same batch, finds every batch
-  dir already published, skips the writes, and just commits state.
+  rewritten, and a half-written ``.tmp`` is deleted before the redo
+  (Ray appends uuid-named files, so a dirty tmp would duplicate rows);
+* the seen-file state commits LAST (tmp + rename) and clears the
+  pending record. A crash between sink publish and state commit
+  replays the same batch, finds every batch dir already published,
+  skips the writes, and just commits state.
 
 Aggregating transforms aggregate WITHIN a micro-batch (documented —
 cross-batch rollups belong downstream, over the landed batch dirs).
@@ -107,19 +111,45 @@ def run_ingest(
             "one-shot specs."
         )
 
-    new_files: dict[str, list[str]] = {}
-    for name, cfg in file_sources.items():
-        seen = set(state["seen"].get(name, []))
-        new_files[name] = [f for f in _list_files(cfg) if f not in seen]
+    pending = state.get("pending")
+    if pending:
+        # a previous attempt crashed between starting this batch and
+        # committing it: replay EXACTLY its recorded file set (files
+        # that arrived since wait for the next call) so the batch id —
+        # and therefore the published batch dirs — are identical
+        batch_id = pending["batch_id"]
+        new_files = {n: list(f) for n, f in pending["files"].items()}
+    else:
+        new_files = {}
+        for name, cfg in file_sources.items():
+            seen = set(state["seen"].get(name, []))
+            new_files[name] = [f for f in _list_files(cfg) if f not in seen]
 
-    if not any(new_files.values()):
-        return {"skipped": True, "batch_id": None, "new_files": {}, "sinks": {}}
+        if not any(new_files.values()):
+            return {
+                "skipped": True, "batch_id": None, "new_files": {}, "sinks": {}
+            }
+        for name, files in new_files.items():
+            if not files:
+                # a stale source can't feed this batch: replaying its
+                # seen files duplicates rows downstream, and an empty
+                # read can't compile. Multi-feed specs advance together.
+                raise ValueError(
+                    f"run_ingest: source {name!r} has no new files while "
+                    "another source does — split the spec into one ingest "
+                    "pipeline per independent feed."
+                )
 
-    h = hashlib.sha1()
-    for name in sorted(new_files):
-        for f in new_files[name]:
-            h.update(f"{name}\0{f}\n".encode())
-    batch_id = h.hexdigest()[:12]
+        h = hashlib.sha1()
+        for name in sorted(new_files):
+            for f in new_files[name]:
+                h.update(f"{name}\0{f}\n".encode())
+        batch_id = h.hexdigest()[:12]
+        # intent record BEFORE any work: pins this file set to this
+        # batch id across crashes (exactly-once even if new files land
+        # between a crash and the retry)
+        state["pending"] = {"batch_id": batch_id, "files": new_files}
+        _commit_state(state_dir, state)
 
     # rewrite the spec: file sources read ONLY the new files; parquet
     # sinks land in an atomic per-batch subdirectory
@@ -130,33 +160,38 @@ def run_ingest(
     for name, files in new_files.items():
         cfg = dict(run_src[name])
         cfg.pop("path", None)
-        if files:
-            cfg["paths"] = files
-            run_src[name] = cfg
-        else:
-            # a stale source can't feed this batch: replaying its seen
-            # files duplicates rows downstream, and an empty read can't
-            # compile. Multi-feed specs must advance together.
-            raise ValueError(
-                f"run_ingest: source {name!r} has no new files while "
-                "another source does — split the spec into one ingest "
-                "pipeline per independent feed."
-            )
+        cfg["paths"] = files
+        run_src[name] = cfg
     batch_spec.sources = run_src
 
     publishes: list[tuple[str, str]] = []  # (tmp_dir, final_dir)
     run_sinks = dict(batch_spec.sinks)
     for name, cfg in run_sinks.items():
-        if cfg.get("type") == "parquet":
+        # "file" is an alias of the parquet sink in SINKS — both get
+        # the atomic per-batch treatment
+        if cfg.get("type") in ("parquet", "file"):
             cfg = dict(cfg)
             final = os.path.join(cfg["path"], f"batch-{batch_id}")
             tmp = final + ".tmp"
             if os.path.exists(final):
                 # crash replay: this sink already published this batch
                 cfg["__already_published"] = True
+            elif os.path.exists(tmp):
+                # half-written leftover from a crashed attempt — Ray
+                # appends uuid-named files, so a rerun into a dirty tmp
+                # would duplicate rows; discard and redo
+                import shutil
+
+                shutil.rmtree(tmp)
             cfg["path"] = tmp
             publishes.append((tmp, final))
             run_sinks[name] = cfg
+        elif cfg.get("type") in ("csv", "json"):
+            raise ValueError(
+                f"run_ingest: sink {name!r} (type {cfg['type']!r}) is not "
+                "idempotent under batch replay — use a parquet sink for "
+                "ingest pipelines."
+            )
     batch_spec.sinks = {
         n: {k: v for k, v in c.items() if k != "__already_published"}
         for n, c in run_sinks.items()
@@ -180,12 +215,15 @@ def run_ingest(
         if info.get("path", "").endswith(".tmp"):
             info["path"] = info["path"][: -len(".tmp")]
 
-    # commit point: only now do the files count as seen
+    # commit point: only now do the files count as seen (and the
+    # pending intent record clears)
+    state = _load_state(state_dir)
     for name, files in new_files.items():
         state["seen"].setdefault(name, []).extend(files)
     state["batches"].append(
         {"batch_id": batch_id, "files": {n: len(f) for n, f in new_files.items()}}
     )
+    state.pop("pending", None)
     _commit_state(state_dir, state)
 
     return {

@@ -1144,6 +1144,9 @@ def cusum(ds, options: dict, ctx=None):
      "order_by": ["ts", "event_id"], "field": "value",
      "target": 50.0, "slack": 5.0, "threshold": 25.0, "round": 4}
 
+    A null value resets the score to 0 for that row (SQL
+    GREATEST(0.0, NULL) semantics) and the recurrence continues.
+
     Same execution shape as ``ewma`` (the recurrence is sequential per
     key): keys are hash-bucketed, one lexsort per bucket, then a step
     loop vectorized across every key in the bucket. Each step is
@@ -1181,11 +1184,14 @@ def cusum(ds, options: dict, ctx=None):
             np.concatenate([[True], ks[1:] != ks[:-1]])
         ) if m else np.empty(0, np.int64)
         lens = np.diff(np.concatenate([starts, [m]]))
+        # np.fmax (not maximum): fmax(0, NaN) = 0.0, matching SQL
+        # GREATEST(0.0, NULL) = 0.0 — a null value RESETS the score
+        # instead of poisoning the key's tail
         s = np.empty(m, dtype=np.float64)
-        s[starts] = round_sql_np(np.maximum(0.0, d[starts]), 9)
+        s[starts] = round_sql_np(np.fmax(0.0, d[starts]), 9)
         for k in range(1, int(lens.max()) if m else 0):
             sel = starts[lens > k] + k
-            s[sel] = round_sql_np(np.maximum(0.0, s[sel - 1] + d[sel]), 9)
+            s[sel] = round_sql_np(np.fmax(0.0, s[sel - 1] + d[sel]), 9)
         if ndigits is not None:
             s = round_sql_np(round_sql_np(s, 9), ndigits)
         out = np.empty(m, dtype=np.float64)
@@ -1293,14 +1299,21 @@ def robust_z(ds, options: dict, ctx=None):
         col = g[field]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
-        med = np.quantile(x, 0.5)
-        mad = np.quantile(np.abs(x - med), 0.5)
-        if mad == 0.0:
+        # median/MAD over NON-NULL values only, like SQL quantile_cont
+        # (one null row must not poison the whole key); null rows still
+        # score null via NaN propagation
+        valid = ~np.isnan(x)
+        if not valid.any():
             z = np.full(len(x), np.nan)
         else:
-            z = (x - med) / (1.4826 * mad)
-            if ndigits is not None:
-                z = round_sql_np(round_sql_np(z, 9), ndigits)
+            med = np.quantile(x[valid], 0.5)
+            mad = np.quantile(np.abs(x[valid] - med), 0.5)
+            if mad == 0.0:
+                z = np.full(len(x), np.nan)
+            else:
+                z = (x - med) / (1.4826 * mad)
+                if ndigits is not None:
+                    z = round_sql_np(round_sql_np(z, 9), ndigits)
         return g.append_column(
             target, pa.array(z, pa.float64(), from_pandas=True)
         )

@@ -771,7 +771,9 @@ def bloom_prefilter(
         )
 
     words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
-    for row in small_ds.map_batches(part, batch_format="pyarrow").take_all():
+    # iter_rows streams one partial bloom at a time — driver memory
+    # stays O(m_bits), not O(blocks x m_bits)
+    for row in small_ds.map_batches(part, batch_format="pyarrow").iter_rows():
         words |= np.frombuffer(row["bloom"], dtype=np.uint64)
     ref = ray.put(words)
 
