@@ -546,6 +546,32 @@ def q_active_users_events(sf_dir: str):
     return _collect(out)
 
 
+def q_window_quantile_events(sf_dir: str):
+    """Daily latency percentiles per event type: calendar windows x
+    exact two-phase quantiles (p50/p95) — the SLO-dashboard staple,
+    proving quantile aggregation composes through the window stage."""
+    from vector_ray.stages.window import window
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    out = window(
+        ds,
+        {
+            "type": "calendar",
+            "unit": "day",
+            "ts_field": "ts",
+            "key_field": "event_type",
+            "aggregates": {
+                "p50": {"fn": "p50", "field": "value"},
+                "p95": {"fn": "p95", "field": "value"},
+            },
+            "round": 4,
+        },
+    )
+    return _collect(out)
+
+
 def q_window_calendar_events(sf_dir: str):
     """Calendar-aligned daily windows (floor_temporal == date_trunc):
     month-length-exact, unlike fixed-seconds tumbling."""
@@ -3218,6 +3244,7 @@ QUERIES = {
     "window_tumbling_events": q_window_tumbling_events,
     "window_calendar_events": q_window_calendar_events,
     "active_users_events": q_active_users_events,
+    "window_quantile_events": q_window_quantile_events,
     "window_sliding_events": q_window_sliding_events,
     "window_session_events": q_window_session_events,
     "filter_datadog_events": q_filter_datadog_events,
@@ -4168,6 +4195,12 @@ def oracle_sql() -> dict[str, str]:
                 "COUNT(*) AS n, "
                 "CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) "
                 "AS total_micros FROM events GROUP BY event_type, window_start"
+            ),
+            "window_quantile_events": (
+                "SELECT event_type, date_trunc('day', ts) AS window_start, "
+                "ROUND(ROUND(quantile_cont(value, 0.5), 9), 4) AS p50, "
+                "ROUND(ROUND(quantile_cont(value, 0.95), 9), 4) AS p95 "
+                "FROM events GROUP BY event_type, window_start"
             ),
             "active_users_events": (
                 "SELECT date_trunc('hour', ts) AS window_start, "

@@ -291,7 +291,10 @@ _VAR_FN = {
     "stddev": (True, True),
     "stddev_pop": (False, True),
 }
-_QUANTILE_FN = {"p50": 0.5, "median": 0.5, "p90": 0.9, "p99": 0.99}
+_QUANTILE_FN = {
+    "p50": 0.5, "median": 0.5, "p75": 0.75, "p90": 0.9, "p95": 0.95,
+    "p99": 0.99,
+}
 _APPROX_QUANTILE_FN = {
     "approx_p50": 0.5,
     "approx_median": 0.5,
