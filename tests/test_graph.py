@@ -335,3 +335,24 @@ def test_label_propagation_directed_keeps_unreached_nodes(ray_session):
     }
     # 1 has no in-edges: keeps its own label forever; labels flow 1->2->3
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count(ray_session):
+    """Canonicalization handles duplicates, both directions, and
+    self-loops; count matches a brute-force reference."""
+    import itertools
+
+    import ray.data as rd
+
+    from vector_ray.functions.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5 + noise: dupes, reversed
+    # edges, a self-loop
+    und = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5)]
+    edges = und + [(b, a) for a, b in und] + [(1, 2), (3, 3)]
+    t = pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    out = triangle_count(rd.from_arrow(t).repartition(3)).take_all()
+    assert out == [{"triangles": 4}]

@@ -571,3 +571,87 @@ def label_propagation(
         lambda t: t.rename_columns(["node", "community"]),
         batch_format="pyarrow",
     )
+
+
+def triangle_count(edges_ds, src: str = "src", dst: str = "dst"):
+    """Global triangle count over an undirected edge list — the graph-
+    cohesion metric behind clustering coefficients and community
+    quality. Input edges may carry either or both directions and
+    duplicates; they are canonicalized (u < v) and deduped first.
+
+    Node-iterator plan, fully distributed (no driver set, no broadcast):
+    1. canonicalize + exact-dedupe edges (one hash shuffle);
+    2. group edges by their MIN endpoint and emit each neighbor pair
+       (v, w), v < w, as a wedge — every triangle is generated exactly
+       once, at its minimum vertex;
+    3. bucketed hash-join wedges against the edge set on the packed
+       (v, w) key; the match count IS the triangle count.
+
+    Skew note: wedge fan-out is O(degree²) at the min endpoint — a hub
+    node inflates stage 2. Orienting by min-vertex already sends each
+    triangle to its smallest id (the standard mitigation is degree
+    ordering; plug a degree-rank remap upstream if hubs dominate).
+
+    Returns Dataset with one row: {"triangles": int64}."""
+    import ray.data as rd
+
+    from vector_ray.stages.shuffle import bucketed_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = _drop_null_edges(t, src, dst)
+        a = pc.cast(t[src], pa.int64())
+        b = pc.cast(t[dst], pa.int64())
+        keep = pc.not_equal(a, b)  # self-loops close no triangles
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table(
+            {"u": pc.min_element_wise(a, b), "v": pc.max_element_wise(a, b)}
+        )
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1).select(["u", "v"])
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .map_groups(first, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
+
+    def wedges(g: pa.Table) -> pa.Table:
+        nb = np.sort(np.asarray(g["v"], dtype=np.int64))
+        k = len(nb)
+        if k < 2:
+            return pa.table({"vw": pa.array([], pa.int64())})
+        # all pairs (v, w), v < w, from the sorted neighbor list
+        ii, jj = np.triu_indices(k, 1)
+        return pa.table({"vw": pa.array(pack(nb[ii], nb[jj]))})
+
+    wedge_ds = edges.groupby("u").map_groups(wedges, batch_format="pyarrow")
+
+    def key_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vw": pa.array(
+                    pack(
+                        np.asarray(t["u"], dtype=np.int64),
+                        np.asarray(t["v"], dtype=np.int64),
+                    )
+                ),
+                "__e": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    closing = bucketed_join(
+        wedge_ds,
+        edges.map_batches(key_edges, batch_format="pyarrow"),
+        key="vw",
+        num_buckets=16,
+        how="inner",
+    )
+    n = closing.count()
+    return rd.from_arrow(
+        pa.table({"triangles": pa.array([n], pa.int64())})
+    )
