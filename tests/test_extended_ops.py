@@ -880,3 +880,51 @@ def test_robust_z_ignores_null_rows(ray_session):
     vals = out["robust_z"].tolist()
     assert vals[0] is not None and abs(vals[1]) < 1e-12 and vals[2] is not None
     assert out["robust_z"].isna().tolist() == [False, False, False, True]
+
+
+def test_coalesce_intervals_invariants(ray_session):
+    """Randomized invariants: merged spans are disjoint and
+    non-touching, cover exactly the input union, contain every input
+    interval, and n_merged sums to the row count."""
+    import numpy as np
+
+    from vector_ray.stages.grouped import coalesce_intervals
+
+    rng = np.random.default_rng(17)
+    for trial in range(5):
+        m = int(rng.integers(1, 120))
+        s = rng.integers(0, 300, m).astype(np.float64)
+        e = s + rng.integers(0, 40, m)
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 3, m)),
+                "s": pa.array(s),
+                "e": pa.array(e),
+            }
+        )
+        out = coalesce_intervals(
+            rd.from_arrow(t).repartition(int(rng.integers(1, 4))),
+            {"group_by": "k", "start_field": "s", "end_field": "e"},
+        ).to_pandas()
+        assert out["n_merged"].sum() == m
+        for key, grp in out.groupby("k"):
+            spans = sorted(zip(grp["span_start"], grp["span_end"]))
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert e1 < s2  # disjoint AND non-touching
+            ins = [
+                (a, b)
+                for kk, a, b in zip(
+                    t["k"].to_pylist(), t["s"].to_pylist(), t["e"].to_pylist()
+                )
+                if kk == key
+            ]
+            for a, b in ins:  # every input inside exactly one span
+                assert sum(1 for s1, e1 in spans if s1 <= a and b <= e1) == 1
+            # covered length equals the union of inputs (sweep check)
+            pts = sorted(set([p for ab in ins for p in ab]))
+            covered = sum(
+                p2 - p1
+                for p1, p2 in zip(pts, pts[1:])
+                if any(a <= p1 and p2 <= b for a, b in ins)
+            )
+            assert abs(sum(e1 - s1 for s1, e1 in spans) - covered) < 1e-9

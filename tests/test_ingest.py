@@ -274,3 +274,49 @@ def test_spec_dag_ingest_rejects_nonidempotent_sinks(ray_session, tmp_path):
     }
     with pytest.raises(ValueError, match="not\\s+idempotent"):
         run_ingest(spec, str(tmp_path / "st"))
+
+
+def test_spec_dag_ingest_replay_batch(ray_session, tmp_path):
+    """replay_batch rebuilds one committed batch through a FIXED spec
+    (its dirs are torn down and republished); seen-file state is
+    untouched so normal ingest continues, and other batches keep their
+    old outputs."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from vector_ray.ingest import run_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    spec = _spec(str(src), out)
+
+    _mk_shard(str(src / "a.parquet"), 0, 30)
+    s1 = run_ingest(spec, state)
+    _mk_shard(str(src / "b.parquet"), 30, 30)
+    s2 = run_ingest(spec, state)
+    d1 = os.path.join(out, f"batch-{s1['batch_id']}")
+    d2 = os.path.join(out, f"batch-{s2['batch_id']}")
+    assert pq.read_table(d1).num_rows == 10
+
+    # "bug fix": the replayed spec keeps info rows instead of errors
+    fixed = json.loads(json.dumps(spec))
+    fixed["transforms"]["errs"]["condition"] = '.level == "info"'
+    r = run_ingest(fixed, state, replay_batch=s1["batch_id"])
+    assert r["replayed"] and r["batch_id"] == s1["batch_id"]
+    assert pq.read_table(d1).num_rows == 20  # rebuilt under the fix
+    assert pq.read_table(d2).num_rows == 10  # untouched
+
+    # state unchanged: nothing new to ingest, replay not re-recorded
+    s3 = run_ingest(spec, state)
+    assert s3["skipped"]
+    st = json.load(open(os.path.join(state, "ingest_state.json")))
+    assert len(st["batches"]) == 2
+
+    with pytest.raises(ValueError, match="no committed batch"):
+        run_ingest(spec, state, replay_batch="nope00000000")

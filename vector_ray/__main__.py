@@ -103,7 +103,7 @@ def cmd_ingest(args) -> int:
 
     _init_ray(args.num_cpus)
     spec = load(args.spec)
-    summary = run_ingest(spec, args.state_dir)
+    summary = run_ingest(spec, args.state_dir, replay_batch=args.replay_batch)
     print(json.dumps(summary, indent=2))
     import ray
 
@@ -175,6 +175,12 @@ def main(argv=None) -> int:
     )
     sp.add_argument("spec")
     sp.add_argument("--state-dir", required=True, dest="state_dir")
+    sp.add_argument(
+        "--replay-batch",
+        default=None,
+        dest="replay_batch",
+        help="reprocess one committed batch id through the current spec",
+    )
     sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser("test", help="functional-test a pipeline TOML")

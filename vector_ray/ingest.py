@@ -86,12 +86,19 @@ def run_ingest(
     spec,
     state_dir: str,
     ctx: PipelineContext | None = None,
+    replay_batch: str | None = None,
 ) -> dict[str, Any]:
     """One micro-batch: process files never seen by this state_dir.
 
     Returns a summary dict: ``skipped`` (no new files), ``batch_id``,
     ``new_files`` per source, and the per-sink ``RunResult`` info for
-    the executed batch."""
+    the executed batch.
+
+    ``replay_batch`` reprocesses one ALREADY-COMMITTED batch id through
+    the (possibly fixed) spec: its published batch dirs are removed and
+    rebuilt from the recorded file set; seen-file state is untouched,
+    so normal ingest continues where it left off. The ops story for
+    "a bug shipped in batch N" — fix the transform, replay N."""
     spec = (
         spec if isinstance(spec, PipelineSpec) else PipelineSpec.from_dict(spec)
     )
@@ -111,12 +118,42 @@ def run_ingest(
             "one-shot specs."
         )
 
-    pending = state.get("pending")
-    if pending:
+    if replay_batch is not None:
+        rec = next(
+            (b for b in state["batches"] if b["batch_id"] == replay_batch),
+            None,
+        )
+        if rec is None:
+            raise ValueError(
+                f"run_ingest: no committed batch {replay_batch!r} in "
+                f"{state_dir} (known: "
+                f"{[b['batch_id'] for b in state['batches']]})"
+            )
+        if not isinstance(next(iter(rec["files"].values())), list):
+            raise ValueError(
+                "run_ingest: this batch predates file-list tracking and "
+                "cannot be replayed"
+            )
+        import shutil
+
+        batch_id = replay_batch
+        new_files = {n: list(f) for n, f in rec["files"].items()}
+        # tear down this batch's published dirs so the rebuild publishes
+        # fresh (other batches stay untouched)
+        for cfg in spec.sinks.values():
+            if cfg.get("type") in ("parquet", "file"):
+                for suffix in ("", ".tmp"):
+                    p = os.path.join(
+                        cfg["path"], f"batch-{batch_id}{suffix}"
+                    )
+                    if os.path.exists(p):
+                        shutil.rmtree(p)
+    elif state.get("pending"):
         # a previous attempt crashed between starting this batch and
         # committing it: replay EXACTLY its recorded file set (files
         # that arrived since wait for the next call) so the batch id —
         # and therefore the published batch dirs — are identical
+        pending = state["pending"]
         batch_id = pending["batch_id"]
         new_files = {n: list(f) for n, f in pending["files"].items()}
     else:
@@ -215,20 +252,23 @@ def run_ingest(
         if info.get("path", "").endswith(".tmp"):
             info["path"] = info["path"][: -len(".tmp")]
 
-    # commit point: only now do the files count as seen (and the
-    # pending intent record clears)
-    state = _load_state(state_dir)
-    for name, files in new_files.items():
-        state["seen"].setdefault(name, []).extend(files)
-    state["batches"].append(
-        {"batch_id": batch_id, "files": {n: len(f) for n, f in new_files.items()}}
-    )
-    state.pop("pending", None)
-    _commit_state(state_dir, state)
+    if replay_batch is None:
+        # commit point: only now do the files count as seen (and the
+        # pending intent record clears). A replay changes no state —
+        # the batch was already committed.
+        state = _load_state(state_dir)
+        for name, files in new_files.items():
+            state["seen"].setdefault(name, []).extend(files)
+        # full file lists, not counts: they are what makes a batch
+        # re-processable later (replay_batch)
+        state["batches"].append({"batch_id": batch_id, "files": new_files})
+        state.pop("pending", None)
+        _commit_state(state_dir, state)
 
     return {
         "skipped": False,
         "batch_id": batch_id,
+        "replayed": replay_batch is not None,
         "new_files": {n: len(f) for n, f in new_files.items()},
         "sinks": sinks_info,
     }
