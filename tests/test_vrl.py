@@ -293,3 +293,36 @@ def test_ipv4_strict_octets():
     t = pa.table({"ip": ["010.064.0.1", "10.64.0.1", "10.064.0.1", "0.0.0.0"]})
     assert compile_expr('ip_cidr_contains("10.64.0.0/10", .ip)')(t).to_pylist() == [
         None, True, None, False]
+
+
+def test_base64_encode_decode():
+    """Vectorized base64 matches stdlib on every padding length; decode
+    is fallible (malformed -> null) and round-trips unicode."""
+    import base64
+
+    from vector_ray.vrl import _b64_decode_array, _b64_encode_array
+
+    vals = ["", "f", "fo", "foo", "foob", "fooba", "foobar", None,
+            "hello world! " * 7, "éè unicode ✓"]
+    arr = pa.array(vals, pa.string())
+    enc = _b64_encode_array(arr)
+    assert enc.to_pylist() == [
+        base64.b64encode(v.encode()).decode() if v is not None else None
+        for v in vals
+    ]
+    assert _b64_decode_array(enc).to_pylist() == vals
+    bad = pa.array(
+        ["Zm9v", "bad!", "Zm9vYg==", "Zm9=vYg=", "A===", "abc", None],
+        pa.string(),
+    )
+    assert _b64_decode_array(bad).to_pylist() == [
+        "foo", None, "foob", None, None, None, None
+    ]
+
+
+def test_base64_in_vrl_program():
+    from vector_ray.vrl import compile_expr
+
+    t = pa.table({"m": pa.array(["abc", "hello"], pa.string())})
+    fn = compile_expr("decode_base64(encode_base64(.m))")
+    assert fn(t).to_pylist() == ["abc", "hello"]

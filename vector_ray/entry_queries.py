@@ -1196,6 +1196,26 @@ def q_remap_timestamp_events(sf_dir: str):
     )
 
 
+def q_remap_base64_events(sf_dir: str):
+    """VRL encode_base64/decode_base64 round-trip in a remap program —
+    fully vectorized (numpy gather over per-row byte groups), padding
+    and malformed-input semantics matching SQL to_/from_base64."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    remapped = core.remap(
+        ds,
+        {
+            "source": (
+                ".b64 = encode_base64(.props)\n"
+                ".back = decode_base64(.b64)"
+            )
+        },
+    )
+    return remapped.map_batches(
+        lambda t: t.select(["event_id", "b64", "back"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_route_events_all(sf_dir: str):
     """route mode='all' — upstream Vector's multi-output delivery: one
     labeled copy per matching route."""
@@ -3311,6 +3331,7 @@ QUERIES = {
     "reduce_ends_when_events": q_reduce_ends_when_events,
     "enrich_customer_csv": q_enrich_customer_csv,
     "remap_timestamp_events": q_remap_timestamp_events,
+    "remap_base64_events": q_remap_base64_events,
     "route_events_all": q_route_events_all,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "agg_histogram_events": q_agg_histogram_events,
@@ -4455,6 +4476,11 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, "
                 "strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts2 "
                 "FROM events"
+            ),
+            "remap_base64_events": (
+                "SELECT event_id, to_base64(CAST(props AS BLOB)) AS b64, "
+                "decode(from_base64(to_base64(CAST(props AS BLOB)))) "
+                "AS back FROM events"
             ),
             "agg_histogram_events": (
                 "SELECT event_type, "

@@ -41,6 +41,139 @@ class VrlError(ValueError):
     pass
 
 
+# ---------------------------------------------------------------------------
+# base64 — fully vectorized (numpy gather over per-row 3-byte groups);
+# matches SQL to_base64/from_base64 including '=' padding. decode is
+# VRL-fallible: a malformed row yields null, never an exception.
+# ---------------------------------------------------------------------------
+
+_B64_ALPHABET = (
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+)
+
+
+def _b64_buffers(col: pa.Array):
+    """(data uint8, offsets int64, null mask) of a string array."""
+    import numpy as np
+
+    arr = pc.cast(col, pa.large_binary())
+    null_mask = np.asarray(pc.is_null(arr))
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int64, len(arr) + 1 + arr.offset)[
+        arr.offset:
+    ]
+    data = (
+        np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, off, null_mask
+
+
+def _b64_encode_array(col: pa.Array) -> pa.Array:
+    import numpy as np
+
+    chars = np.frombuffer(_B64_ALPHABET, np.uint8)
+    data, off, null_mask = _b64_buffers(col)
+    n = len(off) - 1
+    lens = np.diff(off)
+    groups = (lens + 2) // 3  # 3-byte input groups per row
+    total = int(groups.sum())
+    if total == 0:
+        out_data = np.empty(0, np.uint8)
+    else:
+        row = np.repeat(np.arange(n), groups)
+        gstart = np.concatenate([[0], np.cumsum(groups)[:-1]])
+        k = np.arange(total) - np.repeat(gstart, groups)
+        s = off[:-1][row] + 3 * k
+        rem = lens[row] - 3 * k  # 1, 2, or 3 input bytes in this group
+        top = max(len(data) - 1, 0)
+        b0 = data[s].astype(np.int32)
+        b1 = np.where(rem > 1, data[np.minimum(s + 1, top)], 0).astype(np.int32)
+        b2 = np.where(rem > 2, data[np.minimum(s + 2, top)], 0).astype(np.int32)
+        quad = np.empty((total, 4), np.uint8)
+        quad[:, 0] = chars[b0 >> 2]
+        quad[:, 1] = chars[((b0 & 3) << 4) | (b1 >> 4)]
+        quad[:, 2] = np.where(
+            rem > 1, chars[((b1 & 15) << 2) | (b2 >> 6)], ord("=")
+        )
+        quad[:, 3] = np.where(rem > 2, chars[b2 & 63], ord("="))
+        out_data = quad.reshape(-1)
+    out_off = np.concatenate([[0], np.cumsum(4 * groups)]).astype(np.int64)
+    out = pa.Array.from_buffers(
+        pa.large_string(),
+        n,
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_data.tobytes())],
+    )
+    res = pc.cast(out, pa.string())
+    if null_mask.any():
+        res = pc.if_else(pa.array(null_mask), pa.nulls(n, pa.string()), res)
+    return res
+
+
+def _b64_decode_array(col: pa.Array) -> pa.Array:
+    import numpy as np
+
+    rev = np.full(256, 255, np.uint8)
+    rev[np.frombuffer(_B64_ALPHABET, np.uint8)] = np.arange(64, dtype=np.uint8)
+    PAD = 254
+    rev[ord("=")] = PAD
+    data, off, null_mask = _b64_buffers(col)
+    n = len(off) - 1
+    lens = np.diff(off)
+    bad_row = (lens % 4 != 0) | null_mask
+    groups = np.where(bad_row, 0, lens // 4)
+    total = int(groups.sum())
+    if total == 0:
+        out_data = np.empty(0, np.uint8)
+        out_lens = np.zeros(n, np.int64)
+    else:
+        row = np.repeat(np.arange(n), groups)
+        gstart = np.concatenate([[0], np.cumsum(groups)[:-1]])
+        k = np.arange(total) - np.repeat(gstart, groups)
+        s = off[:-1][row] + 4 * k
+        c = rev[
+            np.stack([data[s], data[s + 1], data[s + 2], data[s + 3]], axis=1)
+        ].astype(np.int32)
+        last = k == (groups[row] - 1)
+        pads = (c[:, 2] == PAD).astype(np.int64) + (c[:, 3] == PAD).astype(
+            np.int64
+        )
+        # '=' legal only at the tail of the LAST group, and c2='=' forces
+        # c3='='; 255 is a non-alphabet byte anywhere
+        bad_group = (
+            (c == 255).any(axis=1)
+            | (c[:, 0] == PAD)
+            | (c[:, 1] == PAD)
+            | ((c[:, 2] == PAD) & (c[:, 3] != PAD))
+            | ((pads > 0) & ~last)
+        )
+        if bad_group.any():
+            np.logical_or.at(bad_row, row[bad_group], True)
+        cc = np.where(c == PAD, 0, c)
+        tri = np.empty((total, 3), np.uint8)
+        tri[:, 0] = (cc[:, 0] << 2) | (cc[:, 1] >> 4)
+        tri[:, 1] = ((cc[:, 1] & 15) << 4) | (cc[:, 2] >> 2)
+        tri[:, 2] = ((cc[:, 2] & 3) << 6) | cc[:, 3]
+        glen = np.where(last, 3 - pads, 3)
+        keep = np.arange(3)[None, :] < glen[:, None]
+        keep &= ~bad_row[row][:, None]  # drop every group of a bad row
+        out_data = tri[keep]
+        out_lens = np.zeros(n, np.int64)
+        np.add.at(out_lens, row, glen * ~bad_row[row])
+    out_off = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
+    validity = ~bad_row
+    out = pa.Array.from_buffers(
+        pa.large_string(),
+        n,
+        [
+            pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()),
+            pa.py_buffer(out_off.tobytes()),
+            pa.py_buffer(out_data.tobytes()),
+        ],
+    )
+    return pc.cast(out, pa.string())
+
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
@@ -288,6 +421,17 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
             return pc.strftime(v, format=fmt_str)
 
         return _format_ts
+    if base in ("encode_base64", "decode_base64"):
+        inner = args[0]
+        fn = _b64_encode_array if base == "encode_base64" else _b64_decode_array
+
+        def _b64(t: pa.Table, _fn=fn) -> Value:
+            col = pc.cast(inner(t), pa.string())
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return _fn(col)
+
+        return _b64
     if base in ("md5", "sha1", "sha256", "sha512"):
         import hashlib
 
