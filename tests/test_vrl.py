@@ -326,3 +326,18 @@ def test_base64_in_vrl_program():
     t = pa.table({"m": pa.array(["abc", "hello"], pa.string())})
     fn = compile_expr("decode_base64(encode_base64(.m))")
     assert fn(t).to_pylist() == ["abc", "hello"]
+
+
+def test_url_decode():
+    """Percent-decoding matches urllib unquote_plus, including lenient
+    invalid escapes and multibyte UTF-8."""
+    from urllib.parse import unquote_plus
+
+    from vector_ray.vrl import _url_decode_array
+
+    vals = ["hello%20world", "a+b%2Bc", "100%", "%zz", "%2", "",
+            None, "caf%C3%A9", "%41%42%43"]
+    got = _url_decode_array(pa.array(vals, pa.string())).to_pylist()
+    assert got == [
+        unquote_plus(v) if v is not None else None for v in vals
+    ]

@@ -1216,6 +1216,42 @@ def q_remap_base64_events(sf_dir: str):
     )
 
 
+def q_parse_qs_events(sf_dir: str):
+    """URL query-string parsing: build a qs per event (VRL string
+    concat), then parse_query_string extracts + percent-decodes the
+    requested keys (numpy decoder, '+' → space, lenient escapes)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+    built = core.remap(
+        ds,
+        {
+            "source": (
+                '.qs = "q=hello%20world&uid=" + to_string(.user_id) '
+                '+ "&t=" + .event_type'
+            )
+        },
+    )
+    parsed = core.remap(
+        built,
+        {
+            "ops": [
+                {
+                    "op": "parse_query_string",
+                    "field": "qs",
+                    "keys": ["q", "uid", "t"],
+                    "types": {"uid": "int"},
+                }
+            ]
+        },
+    )
+    return parsed.map_batches(
+        lambda t: t.select(["event_id", "qs", "q", "uid", "t"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_route_events_all(sf_dir: str):
     """route mode='all' — upstream Vector's multi-output delivery: one
     labeled copy per matching route."""
@@ -3332,6 +3368,7 @@ QUERIES = {
     "enrich_customer_csv": q_enrich_customer_csv,
     "remap_timestamp_events": q_remap_timestamp_events,
     "remap_base64_events": q_remap_base64_events,
+    "parse_qs_events": q_parse_qs_events,
     "route_events_all": q_route_events_all,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "agg_histogram_events": q_agg_histogram_events,
@@ -4475,6 +4512,13 @@ def oracle_sql() -> dict[str, str]:
             "remap_timestamp_events": (
                 "SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, "
                 "strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts2 "
+                "FROM events"
+            ),
+            "parse_qs_events": (
+                "SELECT event_id, "
+                "'q=hello%20world&uid=' || CAST(user_id AS VARCHAR) || "
+                "'&t=' || event_type AS qs, "
+                "'hello world' AS q, user_id AS uid, event_type AS t "
                 "FROM events"
             ),
             "remap_base64_events": (

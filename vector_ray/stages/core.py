@@ -167,6 +167,34 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
 
         return _apply
 
+    if kind == "parse_query_string":
+        # URL query strings: `a=1&b=two%20words` — per requested key one
+        # vectorized regex extract, then the numpy percent-decoder
+        # ('+' → space, invalid escapes stay literal)
+        from vector_ray.vrl import _url_decode_array
+
+        field = op["field"]
+        keys = op["keys"]
+        types = op.get("types", {})
+
+        def _apply_qs(t: pa.Table) -> pa.Table:
+            col = t[field]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            for key in keys:
+                pat = rf"(?:^|[?&]){re.escape(key)}=(?P<v>[^&#]*)"
+                vals = pc.struct_field(pc.extract_regex(col, pattern=pat), "v")
+                vals = _url_decode_array(vals)
+                want = types.get(key)
+                if want == "int":
+                    vals = pc.cast(vals, pa.int64())
+                elif want == "float":
+                    vals = pc.cast(vals, pa.float64())
+                t = _set_column(t, key, vals)
+            return t
+
+        return _apply_qs
+
     if kind in ("parse_syslog", "parse_apache_common"):
         # fixed-format codecs (demo_logs formats syslog / apache_common,
         # ui config_panel.rs:794-806) — one vectorized extract_regex pass

@@ -174,6 +174,51 @@ def _b64_decode_array(col: pa.Array) -> pa.Array:
     return pc.cast(out, pa.string())
 
 
+def _url_decode_array(col: pa.Array) -> pa.Array:
+    """Vectorized percent-decoding (+ form-encoding '+' → space): every
+    valid %XX collapses to its byte, an invalid escape ('%' without two
+    hex digits, or spanning a row end) stays literal — the lenient
+    browser/VRL behavior."""
+    import numpy as np
+
+    hexval = np.full(256, 255, np.uint8)
+    for i, ch in enumerate(b"0123456789abcdef"):
+        hexval[ch] = i
+    for i, ch in enumerate(b"0123456789ABCDEF"):
+        hexval[ch] = i
+    data, off, null_mask = _b64_buffers(col)
+    n = len(off) - 1
+    lens = np.diff(off)
+    out = np.where(data == ord("+"), np.uint8(ord(" ")), data)
+    idx = np.flatnonzero(data == ord("%"))
+    removed = np.zeros(n, np.int64)
+    keep = np.ones(len(data), bool)
+    if len(idx):
+        row = np.searchsorted(off, idx, "right") - 1
+        top = max(len(data) - 1, 0)
+        h1 = hexval[data[np.minimum(idx + 1, top)]]
+        h2 = hexval[data[np.minimum(idx + 2, top)]]
+        ok = (idx + 2 < off[row + 1]) & (h1 != 255) & (h2 != 255)
+        vidx = idx[ok]
+        out[vidx] = (h1[ok] << np.uint8(4)) | h2[ok]
+        keep[vidx + 1] = False
+        keep[vidx + 2] = False
+        np.add.at(removed, row[ok], 2)
+    out_data = out[keep]
+    out_off = np.concatenate([[0], np.cumsum(lens - removed)]).astype(np.int64)
+    validity = ~null_mask
+    res = pa.Array.from_buffers(
+        pa.large_string(),
+        n,
+        [
+            pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()),
+            pa.py_buffer(out_off.tobytes()),
+            pa.py_buffer(out_data.tobytes()),
+        ],
+    )
+    return pc.cast(res, pa.string())
+
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
@@ -421,6 +466,16 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
             return pc.strftime(v, format=fmt_str)
 
         return _format_ts
+    if base == "url_decode":
+        inner = args[0]
+
+        def _urldec(t: pa.Table) -> Value:
+            col = pc.cast(inner(t), pa.string())
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return _url_decode_array(col)
+
+        return _urldec
     if base in ("encode_base64", "decode_base64"):
         inner = args[0]
         fn = _b64_encode_array if base == "encode_base64" else _b64_decode_array
@@ -429,7 +484,17 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
             col = pc.cast(inner(t), pa.string())
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            return _fn(col)
+            res = _fn(col)
+            if fallible:
+                # decode_base64!: a null produced from NON-null input
+                # is a malformed row — raise like the other `!` forms
+                broke = pc.and_(pc.is_null(res), pc.is_valid(col))
+                if pc.any(broke).as_py():
+                    i = pc.index(broke, True).as_py()
+                    raise VrlError(
+                        f"{base}!: invalid input {col[i].as_py()!r}"
+                    )
+            return res
 
         return _b64
     if base in ("md5", "sha1", "sha256", "sha512"):
@@ -492,32 +557,6 @@ def _fn_call(name: str, args: list[Compiled]) -> Compiled:
             return pc.cast(v, pa.bool_(), safe=False)
 
         return _to_bool
-    if base in ("encode_base64", "decode_base64"):
-        import base64 as _b64
-
-        inner = args[0]
-        enc = base == "encode_base64"
-
-        def _b64fn(t: pa.Table) -> Value:
-            col = pc.cast(inner(t), pa.string())
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            out = []
-            for s in col.to_pylist():
-                if s is None:
-                    out.append(None)
-                elif enc:
-                    out.append(_b64.b64encode(s.encode()).decode())
-                else:
-                    try:
-                        out.append(_b64.b64decode(s.encode()).decode())
-                    except Exception:
-                        if fallible:
-                            raise VrlError(f"decode_base64!: invalid input {s!r}")
-                        out.append(None)
-            return pa.array(out, pa.string())
-
-        return _b64fn
     if base == "abs":
         inner = args[0]
         return lambda t: pc.abs(inner(t))
