@@ -356,3 +356,44 @@ def test_triangle_count(ray_session):
     })
     out = triangle_count(rd.from_arrow(t).repartition(3)).take_all()
     assert out == [{"triangles": 4}]
+
+
+def test_modularity_matches_reference(ray_session):
+    """Modularity of the LPA partition on a two-clique bridge graph
+    matches a brute-force reference, and a perfect single community
+    scores Q = 0 for a clique's own partition baseline."""
+    import collections
+    import math
+
+    import ray.data as rd
+
+    from vector_ray.functions.graph import label_propagation, modularity
+
+    und = [(a, b) for grp in ([0, 1, 2, 3], [10, 11, 12, 13])
+           for i, a in enumerate(grp) for b in grp[i + 1:]]
+    und.append((3, 10))
+    edges = und + [(b, a) for a, b in und]
+    t = pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    eds = rd.from_arrow(t).repartition(3)
+    labels = label_propagation(eds, rounds=4, num_buckets=3).materialize()
+    got = modularity(eds, labels).take_all()[0]["modularity"]
+
+    lab = {r["node"]: r["community"] for r in labels.take_all()}
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    m = len(E)
+    deg, intra = collections.Counter(), collections.Counter()
+    for u, v in E:
+        deg[lab[u]] += 1
+        deg[lab[v]] += 1
+        if lab[u] == lab[v]:
+            intra[lab[u]] += 1
+
+    def rnd(x, d=9):
+        return math.copysign(math.floor(abs(x) * 10**d + 0.5) / 10**d, x)
+
+    want = rnd(sum(rnd(intra[c] / m - (deg[c] / (2 * m)) ** 2) for c in deg))
+    assert abs(got - round(want, 6)) < 1e-9
+    assert got > 0.3  # two dense cliques -> a clearly modular partition

@@ -3160,6 +3160,17 @@ def q_components_events(sf_dir: str):
     )
 
 
+def q_modularity_events(sf_dir: str):
+    """Newman modularity of the LPA partition on the 1-in-97 click
+    subgraph — the standard community-quality score, closing the loop
+    on communities_events (partition in, one scalar out)."""
+    from vector_ray.functions.graph import label_propagation, modularity
+
+    edges = _event_click_edges(sf_dir, sample_mod=97)
+    labels = label_propagation(edges, rounds=4, num_buckets=8)
+    return modularity(edges, labels)
+
+
 def q_triangles_events(sf_dir: str):
     """Triangle count of the user co-click projection (1-in-29 event
     sample; two users link iff they clicked the same item) — the graph-
@@ -3418,6 +3429,7 @@ QUERIES = {
     "components_events": q_components_events,
     "communities_events": q_communities_events,
     "triangles_events": q_triangles_events,
+    "modularity_events": q_modularity_events,
     "pca_whiten_embeddings": q_pca_whiten,
     "quantize_embeddings": q_quantize_embeddings,
     "multiline_events": q_multiline_events,
@@ -4091,7 +4103,7 @@ def _components_events_sql(rounds: int = 18) -> str:
     return body + f" SELECT node, l AS cluster FROM l{rounds}"
 
 
-def _communities_events_sql(rounds: int = 4) -> str:
+def _communities_cte_chain(rounds: int = 4) -> str:
     """Unrolled semi-synchronous label propagation over the 1-in-97
     click subgraph: per round, count in-neighbor labels per node and
     take the max-count label with min-label tiebreak — exactly the
@@ -4119,8 +4131,39 @@ def _communities_events_sql(rounds: int = 4) -> str:
             f"SELECT node, lab, n, MAX(n) OVER (PARTITION BY node) AS mx "
             f"FROM c{i}) WHERE n = mx GROUP BY node), "
         )
-    body = "".join(parts).rstrip(", ")
+    return "".join(parts)
+
+
+def _communities_events_sql(rounds: int = 4) -> str:
+    body = _communities_cte_chain(rounds).rstrip(", ")
     return body + f" SELECT node, l AS community FROM l{rounds}"
+
+
+def _modularity_events_sql(rounds: int = 4) -> str:
+    """Modularity of the LPA partition: Q = Σ_c [e_c/m − (d_c/2m)²]
+    over the canonical distinct undirected edge set, per-community
+    terms ROUND(...,9)-pinned like functions/graph.py modularity."""
+    chain = _communities_cte_chain(rounds)
+    return (
+        chain
+        + (
+            "ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+            "GREATEST(src, dst) AS v FROM edges WHERE src <> dst), "
+            "mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM ce), "
+            f"lab AS (SELECT node, l FROM l{rounds}), "
+            "intra AS (SELECT a.l AS c, CAST(COUNT(*) AS DOUBLE) AS e "
+            "FROM ce JOIN lab a ON ce.u = a.node "
+            "JOIN lab b ON ce.v = b.node WHERE a.l = b.l GROUP BY 1), "
+            "deg AS (SELECT lab.l AS c, CAST(COUNT(*) AS DOUBLE) AS d "
+            "FROM (SELECT u AS node FROM ce UNION ALL "
+            "SELECT v FROM ce) ends JOIN lab ON ends.node = lab.node "
+            "GROUP BY 1) "
+            "SELECT ROUND(ROUND(SUM(ROUND(COALESCE(intra.e, 0) / mm.m "
+            "- (deg.d / (2.0 * mm.m)) * (deg.d / (2.0 * mm.m)), 9)), 9), 6) "
+            "AS modularity FROM deg LEFT JOIN intra ON deg.c = intra.c "
+            "CROSS JOIN mm"
+        )
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4147,6 +4190,7 @@ def oracle_sql() -> dict[str, str]:
     sql["hits_events"] = _hits_events_sql(iters=4)
     sql["components_events"] = _components_events_sql(rounds=18)
     sql["communities_events"] = _communities_events_sql(rounds=4)
+    sql["modularity_events"] = _modularity_events_sql(rounds=4)
     sql["triangles_events"] = (
         # same projection + min-vertex orientation as the engine: each
         # triangle counted once at its smallest vertex

@@ -655,3 +655,161 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst"):
     return rd.from_arrow(
         pa.table({"triangles": pa.array([n], pa.int64())})
     )
+
+
+def modularity(edges_ds, labels_ds, src: str = "src", dst: str = "dst"):
+    """Newman modularity Q of a node partition over an undirected graph:
+    Q = Σ_c [ e_c/m − (d_c/(2m))² ] with e_c = intra-community edge
+    count, d_c = summed degree of the community, m = distinct undirected
+    edges — the standard score for judging a community assignment
+    (``label_propagation``'s output plugs straight in).
+
+    Plan: canonicalize+dedupe edges (one shuffle), two bucketed joins
+    stick each endpoint's community onto the edge list, then per-block
+    partials feed two tiny per-community aggregates (intra-edges and
+    degree). The Q sum itself runs over ONE row per community on the
+    driver with per-term round-9 pinning, so the result is partition-
+    invariant and SQL-reproducible.
+
+    ``labels_ds``: Dataset[(node, community)]. Nodes missing a label
+    count as their own singleton community (matches LPA, which labels
+    every node). Returns a one-row Dataset {"modularity": float64}."""
+    import ray.data as rd
+
+    from vector_ray.stages.shuffle import bucketed_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = _drop_null_edges(t, src, dst)
+        a = pc.cast(t[src], pa.int64())
+        b = pc.cast(t[dst], pa.int64())
+        keep = pc.not_equal(a, b)
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table(
+            {"u": pc.min_element_wise(a, b), "v": pc.max_element_wise(a, b)}
+        )
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1).select(["u", "v"])
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .map_groups(first, batch_format="pyarrow")
+        .materialize()
+    )
+    m = edges.count()
+    if m == 0:
+        return rd.from_arrow(
+            pa.table({"modularity": pa.array([0.0], pa.float64())})
+        )
+
+    lab = labels_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "community": pc.cast(t["community"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def key_u(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "v"])
+
+    def key_v(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["u", "node"])
+
+    with_cu = bucketed_join(
+        edges.map_batches(key_u, batch_format="pyarrow"),
+        lab.map_batches(
+            lambda t: t.rename_columns(["node", "__cu"]),
+            batch_format="pyarrow",
+        ),
+        key="node",
+        num_buckets=16,
+        how="left",
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["u" if c == "node" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    both = bucketed_join(
+        with_cu.map_batches(
+            lambda t: t.rename_columns(
+                ["node" if c == "v" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        ),
+        lab.map_batches(
+            lambda t: t.rename_columns(["node", "__cv"]),
+            batch_format="pyarrow",
+        ),
+        key="node",
+        num_buckets=16,
+        how="left",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        # unlabeled nodes = singleton communities: substitute -node-1
+        # (never collides with a real label and never matches another
+        # node's substitute... except the same node on both ends, which
+        # canon() already excluded)
+        u = _np_col(t, "u")
+        v = _np_col(t, "node")
+        # float64 via cast: nulls (unlabeled nodes) become NaN even when
+        # a block happens to have none
+        cu = np.asarray(pc.cast(t["__cu"].combine_chunks(), pa.float64()))
+        cv = np.asarray(pc.cast(t["__cv"].combine_chunks(), pa.float64()))
+        cu = np.where(np.isnan(cu), -u.astype(np.float64) - 1, cu).astype(np.int64)
+        cv = np.where(np.isnan(cv), -v.astype(np.float64) - 1, cv).astype(np.int64)
+        # degree partial: each endpoint adds 1 to its community
+        dc = np.concatenate([cu, cv])
+        ud, dcount = np.unique(dc, return_counts=True)
+        # intra partial: edge counts where both ends share a community
+        same = cu == cv
+        ui, icount = np.unique(cu[same], return_counts=True)
+        return pa.table(
+            {
+                "community": pa.array(np.concatenate([ud, ui])),
+                "deg": pa.array(
+                    np.concatenate([dcount, np.zeros(len(ui), np.int64)])
+                ),
+                "intra": pa.array(
+                    np.concatenate([np.zeros(len(ud), np.int64), icount])
+                ),
+            }
+        )
+
+    per_c = (
+        both.map_batches(partials, batch_format="pyarrow")
+        .groupby("community")
+        .sum(["deg", "intra"])
+        .map_batches(
+            lambda t: t.rename_columns(["community", "deg", "intra"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def q_part(t: pa.Table) -> pa.Table:
+        deg = _np_col(t, "deg", np.float64)
+        intra = _np_col(t, "intra", np.float64)
+        mm = float(m)
+        terms = round_sql_np(
+            intra / mm - (deg / (2.0 * mm)) ** 2, 9
+        )
+        return pa.table({"q": pa.array([float(terms.sum())], pa.float64())})
+
+    total = (
+        per_c.map_batches(q_part, batch_format="pyarrow").sum("q") or 0.0
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "modularity": pa.array(
+                    [float(round_sql_np(round_sql_np(total, 9), 6))],
+                    pa.float64(),
+                )
+            }
+        )
+    )
