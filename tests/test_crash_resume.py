@@ -129,3 +129,102 @@ def test_resume_reuses_original_group_count(corpus, tmp_path):
     assert line, out.stderr[-400:]
     s = _json.loads(line[0][8:])
     assert s["groups"] == 6 and s["groups_skipped"] == 6
+
+
+INGEST_WORKER = """
+import ray, warnings, sys, json
+warnings.filterwarnings("ignore")
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, "/root/repo")
+from vector_ray.ingest import run_ingest
+src, out, state = sys.argv[1], sys.argv[2], sys.argv[3]
+spec = {
+    "sources": {"logs": {"type": "parquet", "path": src}},
+    "transforms": {"errs": {"type": "filter", "inputs": ["logs"],
+                            "condition": '.level == "error"'}},
+    "sinks": {"out": {"type": "parquet", "inputs": ["errs"], "path": out}},
+}
+s = run_ingest(spec, state)
+print("SUMMARY " + json.dumps(s))
+ray.shutdown()
+"""
+
+
+def test_ingest_sigkill_exactly_once(tmp_path):
+    """SIGKILL an ingest micro-batch after the pending record lands but
+    before it commits; the retry must deliver EXACTLY the original file
+    set once (even though a new file arrived before the retry), and the
+    rows must match an uninterrupted run."""
+    import glob
+
+    import pyarrow as pa
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    for i in range(3):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(i * 100, i * 100 + 100), pa.int64()),
+                    "level": pa.array(
+                        ["error" if j % 2 == 0 else "info" for j in range(100)]
+                    ),
+                }
+            ),
+            src / f"s{i}.parquet",
+        )
+
+    def launch():
+        return subprocess.Popen(
+            [sys.executable, "-c", INGEST_WORKER, str(src), out, state],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            start_new_session=True,
+        )
+
+    # kill as soon as the pending intent record exists
+    proc = launch()
+    state_file = os.path.join(state, "ingest_state.json")
+    t0 = time.time()
+    killed = False
+    while time.time() - t0 < 120:
+        if os.path.exists(state_file):
+            st = json.load(open(state_file))
+            if st.get("pending"):
+                os.killpg(proc.pid, signal.SIGKILL)
+                killed = True
+                break
+        if proc.poll() is not None:
+            break  # finished before we could kill — covered below
+        time.sleep(0.02)
+    proc.wait()
+
+    # a NEW file arrives between crash and retry
+    pq.write_table(
+        pa.table({"id": pa.array([9999], pa.int64()),
+                  "level": pa.array(["error"])}),
+        src / "late.parquet",
+    )
+
+    p2 = launch()
+    out2, _ = p2.communicate(timeout=240)
+    assert p2.returncode == 0
+    s2 = json.loads(out2.split("SUMMARY ", 1)[1])
+    if killed:
+        assert s2["new_files"] == {"logs": 3}  # pinned set, late waits
+    batches = glob.glob(out + "/batch-*")
+    assert not any(b.endswith(".tmp") for b in batches)
+    total = sum(pq.read_table(b).num_rows for b in batches)
+    assert total == 150  # 3 shards x 50 error rows, no dupes, no late
+
+    p3 = launch()
+    out3, _ = p3.communicate(timeout=240)
+    s3 = json.loads(out3.split("SUMMARY ", 1)[1])
+    assert s3["new_files"] == {"logs": 1}  # the late file, its own batch
+    total = sum(
+        pq.read_table(b).num_rows for b in glob.glob(out + "/batch-*")
+    )
+    assert total == 151
