@@ -928,3 +928,27 @@ def test_coalesce_intervals_invariants(ray_session):
                 if any(a <= p1 and p2 <= b for a, b in ins)
             )
             assert abs(sum(e1 - s1 for s1, e1 in spans) - covered) < 1e-9
+
+
+def test_transitions_markov_edges(ray_session):
+    """Transition counts match a brute-force pairing of each key's
+    ordered stream; single-event keys contribute nothing."""
+    import collections
+
+    from vector_ray.stages.grouped import transitions
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "i": pa.array([0, 1, 2, 0, 1, 0], pa.int64()),
+            "s": pa.array(["a", "b", "a", "a", "a", "x"], pa.string()),
+        }
+    )
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in transitions(
+            rd.from_arrow(t).repartition(3),
+            {"group_by": "k", "order_by": ["i"], "state_field": "s"},
+        ).take_all()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}

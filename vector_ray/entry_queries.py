@@ -2030,6 +2030,84 @@ def q_robust_z_events(sf_dir: str):
     )
 
 
+def q_transitions_events(sf_dir: str):
+    """User-journey transition counts: (event_type -> next event_type)
+    frequencies across every user's ordered stream — the Markov edge
+    list. Per-user shifted pairing + per-group combiner, then a
+    two-phase count."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return grouped.transitions(
+        ds,
+        {
+            "group_by": "user_id",
+            "order_by": ["ts", "event_id"],
+            "state_field": "event_type",
+        },
+    )
+
+
+def q_conversion_time_events(sf_dir: str):
+    """Time-to-convert distribution: per converting user the seconds
+    from FIRST view to the FIRST purchase after it, then p50/p90 —
+    the funnel-latency metric beside funnel_events' step counts."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        ts = g["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        secs = np.asarray(pc.cast(ts, pa.int64())) / 1e6
+        views = secs[np.asarray(pc.equal(types, "view").fill_null(False))]
+        empty = pa.table(
+            {
+                "all": pa.array([], pa.int64()),
+                "gap_s": pa.array([], pa.float64()),
+            }
+        )
+        if not len(views):
+            return empty
+        t0 = views.min()
+        buys = secs[
+            np.asarray(pc.equal(types, "purchase").fill_null(False))
+        ]
+        buys = buys[buys > t0]
+        if not len(buys):
+            return empty
+        return pa.table(
+            {
+                "all": pa.array([1], pa.int64()),
+                "gap_s": pa.array([buys.min() - t0], pa.float64()),
+            }
+        )
+
+    gaps = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    agg = grouped.aggregate(
+        gaps,
+        {
+            # constant key: the exact-quantile path needs a group column
+            "group_by": ["all"],
+            "aggregates": {
+                "n_converted": {"fn": "count"},
+                "p50_s": {"fn": "p50", "field": "gap_s"},
+                "p90_s": {"fn": "p90", "field": "gap_s"},
+            },
+            "round": 4,
+        },
+    )
+    return agg.map_batches(
+        lambda t: t.select(["n_converted", "p50_s", "p90_s"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_retention_events(sf_dir: str):
     """Day-cohort retention: users grouped by their first-event day,
     counted per day-offset they were active again. Per-user groups
@@ -3447,6 +3525,8 @@ QUERIES = {
     "cusum_events": q_cusum_events,
     "spans_events": q_spans_events,
     "robust_z_events": q_robust_z_events,
+    "transitions_events": q_transitions_events,
+    "conversion_time_events": q_conversion_time_events,
     "rollup_events": q_rollup_events,
     "cube_events": q_cube_events,
     "pivot_events": q_pivot_events,
@@ -4901,6 +4981,26 @@ def oracle_sql() -> dict[str, str]:
                 "ROUND(ROUND(s, 9), 4) AS cusum_value, "
                 "CAST(CASE WHEN ROUND(ROUND(s, 9), 4) > 25.0 THEN 1 "
                 "ELSE 0 END AS BIGINT) AS alert_value FROM r"
+            ),
+            "transitions_events": (
+                "WITH o AS (SELECT user_id, event_type, "
+                "  LEAD(event_type) OVER (PARTITION BY user_id "
+                "    ORDER BY ts, event_id) AS nxt FROM events) "
+                "SELECT event_type AS src, nxt AS dst, "
+                "CAST(COUNT(*) AS BIGINT) AS n FROM o "
+                "WHERE nxt IS NOT NULL GROUP BY 1, 2"
+            ),
+            "conversion_time_events": (
+                "WITH v AS (SELECT user_id, MIN(epoch(ts)) AS t0 "
+                "  FROM events WHERE event_type = 'view' GROUP BY 1), "
+                "b AS (SELECT e.user_id, MIN(epoch(e.ts)) - v.t0 AS gap_s "
+                "  FROM events e JOIN v ON e.user_id = v.user_id "
+                "  AND epoch(e.ts) > v.t0 "
+                "  WHERE e.event_type = 'purchase' GROUP BY e.user_id, v.t0) "
+                "SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, "
+                "ROUND(ROUND(quantile_cont(gap_s, 0.5), 9), 4) AS p50_s, "
+                "ROUND(ROUND(quantile_cont(gap_s, 0.9), 9), 4) AS p90_s "
+                "FROM b"
             ),
             "robust_z_events": (
                 # np.quantile linear interpolation == quantile_cont;

@@ -54,6 +54,7 @@ MOVEMENT = {
     "cusum": "shuffle",
     "coalesce_intervals": "shuffle",
     "robust_z": "shuffle",
+    "transitions": "shuffle",
     "interarrival": "shuffle",
     "funnel": "shuffle",
     "rank": "shuffle",

@@ -78,6 +78,7 @@ TRANSFORMS = {
     "cusum": grouped.cusum,
     "coalesce_intervals": grouped.coalesce_intervals,
     "robust_z": grouped.robust_z,
+    "transitions": grouped.transitions,
     "rollup": grouped.rollup,
     "pivot": grouped.pivot,
     "quantile_bucket": grouped.quantile_bucket,

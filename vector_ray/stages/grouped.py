@@ -1324,6 +1324,61 @@ def robust_z(ds, options: dict, ctx=None):
     return ds.groupby(key).map_groups(score, batch_format="pyarrow")
 
 
+def transitions(ds, options: dict, ctx=None):
+    """Per-key event-SEQUENCE transition counts: how often does state A
+    immediately precede state B in a key's ordered stream — the Markov
+    edge list behind journey analytics and next-event prediction.
+
+    {"type": "transitions", "group_by": "user_id",
+     "order_by": ["ts", "event_id"], "state_field": "event_type"}
+
+    One hash shuffle on the key; each group lexsorts once, pairs each
+    row's state with its successor via one shifted compare, and emits
+    per-group (src, dst, n) partials; the global two-phase count then
+    sums tiny partial rows. ``order_by`` must totally order rows within
+    a key (end it with a unique id) or the pairing is ill-defined.
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's rows
+    fit one worker."""
+    key = options["group_by"]
+    order_by = options["order_by"]
+    state_field = options.get("state_field", "event_type")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        keys = [_sortable(g[c]) for c in reversed(order_by)]
+        order = np.lexsort(keys)
+        col = g[state_field]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        states = col.take(pa.array(order))
+        m = len(states)
+        if m < 2:
+            return pa.table(
+                {
+                    "src": states.slice(0, 0),
+                    "dst": states.slice(0, 0),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        src = states.slice(0, m - 1)
+        dst = states.slice(1)
+        # per-group combiner: count distinct (src, dst) pairs locally
+        part = (
+            pa.table({"src": src, "dst": dst})
+            .group_by(["src", "dst"])
+            .aggregate([([], "count_all")])
+        )
+        return part.rename_columns(["src", "dst", "n"])
+
+    partials = ds.groupby(key).map_groups(pairs, batch_format="pyarrow")
+    return aggregate(
+        partials,
+        {
+            "group_by": ["src", "dst"],
+            "aggregates": {"n": {"fn": "sum", "field": "n", "int": True}},
+        },
+    )
+
+
 def retention(ds, options: dict, ctx=None):
     """Cohort retention — for each entity cohort (the period of its
     FIRST event) count how many entities were active again k periods
