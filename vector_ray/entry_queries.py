@@ -2451,6 +2451,93 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped pipeline (shipping priority): BUILDING-segment
+    customer keys broadcast once as a sorted array (semi-join filter on
+    orders), unshipped lineitems pre-projected to integer-cents revenue
+    partials, ONE bucketed hash join on the order key, two-phase
+    grouped sum, then a global top-10 by revenue. The classic
+    select-project-join-aggregate-topk composition."""
+    import ray as _ray
+
+    from vector_ray.schema import round_sql_np
+    from vector_ray.stages.shuffle import bucketed_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = np.sort(
+        np.asarray(
+            cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+                "c_custkey"
+            ].combine_chunks()
+        )
+    )
+    keys_ref = _ray.put(keys)
+    cutoff = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], cutoff))
+        ck = np.asarray(t["o_custkey"].combine_chunks())
+        ks = _ray.get(keys_ref)
+        pos = np.clip(np.searchsorted(ks, ck), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == ck if len(ks) else np.zeros(len(ck), bool)
+        return t.filter(pa.array(hit)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = np.asarray(
+            pc.cast(t["l_extendedprice"].combine_chunks(), pa.float64())
+        ) * (
+            1.0
+            - np.asarray(pc.cast(t["l_discount"].combine_chunks(), pa.float64()))
+        )
+        micros = np.asarray(round_sql_np(rev * 10000.0, 0), dtype=np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(
+                    t["l_orderkey"].combine_chunks(), pa.int64()
+                ),
+                "rev_micros": pa.array(micros),
+            }
+        )
+
+    joined = bucketed_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        key="o_orderkey",
+        num_buckets=16,
+        how="inner",
+    )
+    agg = grouped.aggregate(
+        joined,
+        {
+            "group_by": ["o_orderkey", "o_orderdate", "o_orderpriority"],
+            "aggregates": {
+                "revenue_micros": {
+                    "fn": "sum", "field": "rev_micros", "int": True
+                }
+            },
+        },
+    )
+    return agg.sort(
+        ["revenue_micros", "o_orderdate", "o_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
+
+
 def q_brand_volume(sf_dir: str):
     """lineitem x part as a LARGE x LARGE bucketed hash join (both sides
     scale with sf, unlike the broadcast star dims), then per-brand
@@ -3542,6 +3629,7 @@ QUERIES = {
     "pushdown_events": q_pushdown_events,
     "quantile_bucket_events": q_quantile_bucket_events,
     "revenue_by_nation": q_revenue_by_nation,
+    "shipping_priority": q_shipping_priority,
     "brand_volume": q_brand_volume,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
@@ -4834,6 +4922,20 @@ def oracle_sql() -> dict[str, str]:
                 "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty "
                 "FROM lineitem JOIN part ON l_partkey = p_partkey "
                 "GROUP BY p_brand"
+            ),
+            "shipping_priority": (
+                "SELECT l_orderkey AS o_orderkey, "
+                "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+                "* 10000.0, 0) AS BIGINT)) AS BIGINT) AS revenue_micros, "
+                "o_orderdate, o_orderpriority "
+                "FROM customer JOIN orders ON c_custkey = o_custkey "
+                "JOIN lineitem ON l_orderkey = o_orderkey "
+                "WHERE c_mktsegment = 'BUILDING' "
+                "AND o_orderdate < TIMESTAMP '1998-01-01' "
+                "AND l_shipdate > TIMESTAMP '1998-01-01' "
+                "GROUP BY 1, 3, 4 "
+                "ORDER BY revenue_micros DESC, o_orderdate ASC, "
+                "o_orderkey ASC LIMIT 10"
             ),
             "revenue_by_nation": (
                 "SELECT n_name, CAST(SUM(CAST(ROUND("
