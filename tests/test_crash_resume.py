@@ -213,18 +213,21 @@ def test_ingest_sigkill_exactly_once(tmp_path):
     out2, _ = p2.communicate(timeout=240)
     assert p2.returncode == 0
     s2 = json.loads(out2.split("SUMMARY ", 1)[1])
-    if killed:
-        assert s2["new_files"] == {"logs": 3}  # pinned set, late waits
     batches = glob.glob(out + "/batch-*")
     assert not any(b.endswith(".tmp") for b in batches)
     total = sum(pq.read_table(b).num_rows for b in batches)
-    assert total == 150  # 3 shards x 50 error rows, no dupes, no late
-
-    p3 = launch()
-    out3, _ = p3.communicate(timeout=240)
-    s3 = json.loads(out3.split("SUMMARY ", 1)[1])
-    assert s3["new_files"] == {"logs": 1}  # the late file, its own batch
+    if killed:
+        # retry delivered the pinned 3-shard set once; late waits
+        assert s2["new_files"] == {"logs": 3}
+        assert total == 150
+        p3 = launch()
+        out3, _ = p3.communicate(timeout=240)
+        s3 = json.loads(out3.split("SUMMARY ", 1)[1])
+        assert s3["new_files"] == {"logs": 1}  # the late file alone
+    else:
+        # worker finished before the kill window: run 2 ingests late
+        assert s2["new_files"] == {"logs": 1}
     total = sum(
         pq.read_table(b).num_rows for b in glob.glob(out + "/batch-*")
     )
-    assert total == 151
+    assert total == 151  # either path: every row exactly once

@@ -320,3 +320,38 @@ def test_spec_dag_ingest_replay_batch(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="no committed batch"):
         run_ingest(spec, state, replay_batch="nope00000000")
+
+
+def test_spec_dag_ingest_replay_failure_keeps_old_output(ray_session, tmp_path):
+    """A replay whose pipeline fails leaves the originally published
+    batch dir untouched (the rebuild lands in .tmp and only swaps in at
+    publish time)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from vector_ray.ingest import run_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    spec = _spec(str(src), out)
+    _mk_shard(str(src / "a.parquet"), 0, 30)
+    s1 = run_ingest(spec, state)
+    d1 = os.path.join(out, f"batch-{s1['batch_id']}")
+    before = pq.read_table(d1)
+
+    broken = {**spec, "transforms": {
+        "errs": {"type": "filter", "inputs": ["logs"],
+                 "condition": '.level =='}}}  # bad VRL -> run fails
+    with pytest.raises(Exception):
+        run_ingest(broken, state, replay_batch=s1["batch_id"])
+    assert pq.read_table(d1).equals(before)  # old output intact
+    # and a subsequent good replay still works
+    r = run_ingest(spec, state, replay_batch=s1["batch_id"])
+    assert r["replayed"]
+    assert pq.read_table(d1).num_rows == 10
+    assert not glob.glob(out + "/*.tmp")

@@ -2102,9 +2102,24 @@ def q_conversion_time_events(sf_dir: str):
             "round": 4,
         },
     )
-    return agg.map_batches(
-        lambda t: t.select(["n_converted", "p50_s", "p90_s"]),
-        batch_format="pyarrow",
+    rows = agg.take_all()  # the aggregate is at most ONE row
+    if not rows:
+        # SQL's global aggregate over zero converters still yields one
+        # row (COUNT 0, NULL quantiles) — match it
+        return pa.table(
+            {
+                "n_converted": pa.array([0], pa.int64()),
+                "p50_s": pa.array([None], pa.float64()),
+                "p90_s": pa.array([None], pa.float64()),
+            }
+        )
+    r = rows[0]
+    return pa.table(
+        {
+            "n_converted": pa.array([r["n_converted"]], pa.int64()),
+            "p50_s": pa.array([r["p50_s"]], pa.float64()),
+            "p90_s": pa.array([r["p90_s"]], pa.float64()),
+        }
     )
 
 

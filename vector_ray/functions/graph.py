@@ -573,6 +573,33 @@ def label_propagation(
     )
 
 
+def _canonical_edges(edges_ds, src: str, dst: str):
+    """Canonicalize an undirected edge list: drop nulls and self-loops,
+    orient each edge (u < v), exact-dedupe with one hash shuffle.
+    Shared by triangle_count and modularity — one definition of "the
+    edge set"."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = _drop_null_edges(t, src, dst)
+        a = pc.cast(t[src], pa.int64())
+        b = pc.cast(t[dst], pa.int64())
+        keep = pc.not_equal(a, b)
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table(
+            {"u": pc.min_element_wise(a, b), "v": pc.max_element_wise(a, b)}
+        )
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1).select(["u", "v"])
+
+    return (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .map_groups(first, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def triangle_count(edges_ds, src: str = "src", dst: str = "dst"):
     """Global triangle count over an undirected edge list — the graph-
     cohesion metric behind clustering coefficients and community
@@ -597,27 +624,17 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst"):
 
     from vector_ray.stages.shuffle import bucketed_join
 
-    def canon(t: pa.Table) -> pa.Table:
-        t = _drop_null_edges(t, src, dst)
-        a = pc.cast(t[src], pa.int64())
-        b = pc.cast(t[dst], pa.int64())
-        keep = pc.not_equal(a, b)  # self-loops close no triangles
-        a, b = a.filter(keep), b.filter(keep)
-        return pa.table(
-            {"u": pc.min_element_wise(a, b), "v": pc.max_element_wise(a, b)}
-        )
-
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1).select(["u", "v"])
-
-    edges = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .map_groups(first, batch_format="pyarrow")
-        .materialize()
-    )
+    edges = _canonical_edges(edges_ds, src, dst)
 
     def pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # the (v, w) join key packs two ids into one int64 — ids must
+        # fit 32 unsigned bits or fields would bleed into each other
+        bad = (a < 0) | (b < 0) | (a >= 2**32) | (b >= 2**32)
+        if bad.any():
+            raise ValueError(
+                "triangle_count: node ids must be in [0, 2^32) for the "
+                "packed join key — remap ids (e.g. dense rank) first"
+            )
         return (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
 
     def wedges(g: pa.Table) -> pa.Table:
@@ -678,25 +695,7 @@ def modularity(edges_ds, labels_ds, src: str = "src", dst: str = "dst"):
 
     from vector_ray.stages.shuffle import bucketed_join
 
-    def canon(t: pa.Table) -> pa.Table:
-        t = _drop_null_edges(t, src, dst)
-        a = pc.cast(t[src], pa.int64())
-        b = pc.cast(t[dst], pa.int64())
-        keep = pc.not_equal(a, b)
-        a, b = a.filter(keep), b.filter(keep)
-        return pa.table(
-            {"u": pc.min_element_wise(a, b), "v": pc.max_element_wise(a, b)}
-        )
-
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1).select(["u", "v"])
-
-    edges = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .map_groups(first, batch_format="pyarrow")
-        .materialize()
-    )
+    edges = _canonical_edges(edges_ds, src, dst)
     m = edges.count()
     if m == 0:
         return rd.from_arrow(

@@ -134,20 +134,13 @@ def run_ingest(
                 "run_ingest: this batch predates file-list tracking and "
                 "cannot be replayed"
             )
-        import shutil
-
         batch_id = replay_batch
         new_files = {n: list(f) for n, f in rec["files"].items()}
-        # tear down this batch's published dirs so the rebuild publishes
-        # fresh (other batches stay untouched)
-        for cfg in spec.sinks.values():
-            if cfg.get("type") in ("parquet", "file"):
-                for suffix in ("", ".tmp"):
-                    p = os.path.join(
-                        cfg["path"], f"batch-{batch_id}{suffix}"
-                    )
-                    if os.path.exists(p):
-                        shutil.rmtree(p)
+        # NOTE: the old published dirs are NOT torn down here — the
+        # rebuild lands in batch-<id>.tmp and only replaces the old dir
+        # at publish time, so a crash mid-replay leaves the original
+        # output intact (and a crash inside the tiny swap window leaves
+        # the complete .tmp, re-runnable).
     elif state.get("pending"):
         # a previous attempt crashed between starting this batch and
         # committing it: replay EXACTLY its recorded file set (files
@@ -210,8 +203,9 @@ def run_ingest(
             cfg = dict(cfg)
             final = os.path.join(cfg["path"], f"batch-{batch_id}")
             tmp = final + ".tmp"
-            if os.path.exists(final):
+            if replay_batch is None and os.path.exists(final):
                 # crash replay: this sink already published this batch
+                # (a deliberate replay REBUILDS instead)
                 cfg["__already_published"] = True
             elif os.path.exists(tmp):
                 # half-written leftover from a crashed attempt — Ray
@@ -244,7 +238,14 @@ def run_ingest(
         }
     for tmp, final in publishes:
         if os.path.exists(final):
-            continue  # published by a previous attempt
+            if replay_batch is None:
+                continue  # published by a previous attempt
+            if os.path.exists(tmp):
+                # replay swap: drop the superseded output only once the
+                # full rebuild is sitting next to it
+                import shutil
+
+                shutil.rmtree(final)
         if os.path.exists(tmp):
             os.replace(tmp, final)  # atomic publish
     # point reported paths at the published location

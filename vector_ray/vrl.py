@@ -53,7 +53,10 @@ _B64_ALPHABET = (
 
 
 def _b64_buffers(col: pa.Array):
-    """(data uint8, offsets int64, null mask) of a string array."""
+    """(data uint8, offsets int64, null mask) of a string array. The
+    offsets are ABSOLUTE into the (possibly shared) data buffer — a
+    sliced input keeps its non-zero base offset, so consumers must
+    index data via the offsets, never scan the buffer from 0."""
     import numpy as np
 
     arr = pc.cast(col, pa.large_binary())
@@ -67,6 +70,40 @@ def _b64_buffers(col: pa.Array):
         else np.empty(0, np.uint8)
     )
     return data, off, null_mask
+
+
+def _bytes_to_string_nullable(
+    n: int, validity, out_off, out_data
+) -> pa.Array:
+    """Assemble decoded bytes into a STRING array, nulling any row whose
+    bytes are not valid UTF-8 (decoded base64/percent-escapes can carry
+    arbitrary binary). Hot path: one bulk cast that validates; the
+    per-row re-check only runs when some row actually is invalid."""
+    import numpy as np
+
+    bin_arr = pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [
+            pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()),
+            pa.py_buffer(out_off.tobytes()),
+            pa.py_buffer(out_data.tobytes()),
+        ],
+    )
+    try:
+        return pc.cast(pc.cast(bin_arr, pa.large_string()), pa.string())
+    except pa.ArrowInvalid:
+        vals = bin_arr.to_pylist()
+        out = []
+        for b in vals:
+            if b is None:
+                out.append(None)
+            else:
+                try:
+                    out.append(b.decode("utf-8"))
+                except UnicodeDecodeError:
+                    out.append(None)
+        return pa.array(out, pa.string())
 
 
 def _b64_encode_array(col: pa.Array) -> pa.Array:
@@ -161,17 +198,7 @@ def _b64_decode_array(col: pa.Array) -> pa.Array:
         out_lens = np.zeros(n, np.int64)
         np.add.at(out_lens, row, glen * ~bad_row[row])
     out_off = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
-    validity = ~bad_row
-    out = pa.Array.from_buffers(
-        pa.large_string(),
-        n,
-        [
-            pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()),
-            pa.py_buffer(out_off.tobytes()),
-            pa.py_buffer(out_data.tobytes()),
-        ],
-    )
-    return pc.cast(out, pa.string())
+    return _bytes_to_string_nullable(n, ~bad_row, out_off, out_data)
 
 
 def _url_decode_array(col: pa.Array) -> pa.Array:
@@ -187,6 +214,10 @@ def _url_decode_array(col: pa.Array) -> pa.Array:
     for i, ch in enumerate(b"0123456789ABCDEF"):
         hexval[ch] = i
     data, off, null_mask = _b64_buffers(col)
+    # rebase to THIS array's byte range: a sliced input's offsets start
+    # past 0, and bytes outside [off[0], off[-1]) belong to other rows
+    data = data[off[0]: off[-1]]
+    off = off - off[0]
     n = len(off) - 1
     lens = np.diff(off)
     out = np.where(data == ord("+"), np.uint8(ord(" ")), data)
@@ -206,17 +237,7 @@ def _url_decode_array(col: pa.Array) -> pa.Array:
         np.add.at(removed, row[ok], 2)
     out_data = out[keep]
     out_off = np.concatenate([[0], np.cumsum(lens - removed)]).astype(np.int64)
-    validity = ~null_mask
-    res = pa.Array.from_buffers(
-        pa.large_string(),
-        n,
-        [
-            pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()),
-            pa.py_buffer(out_off.tobytes()),
-            pa.py_buffer(out_data.tobytes()),
-        ],
-    )
-    return pc.cast(res, pa.string())
+    return _bytes_to_string_nullable(n, ~null_mask, out_off, out_data)
 
 
 _TOKEN_RE = re.compile(
