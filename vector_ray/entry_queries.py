@@ -3260,6 +3260,41 @@ def _event_click_edges(
     return ev.map_batches(mk, batch_format="pyarrow")
 
 
+def q_zorder_events(sf_dir: str):
+    """Z-order (Morton) clustering key over events on the
+    (user_id, event-minute) plane — the sort key ``zorder_layout``
+    clusters Parquet files on so range filters on EITHER column prune
+    row groups at the 100 TB read (functions/layout.py). Mask-normalize
+    mode: low 16 bits of each dimension, reproducible in SQL bit
+    arithmetic."""
+    from vector_ray.functions.layout import add_zorder_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        minute = pc.divide(us, 60_000_000)  # integer divide truncates
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "minute": minute,
+            }
+        )
+
+    keyed = add_zorder_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "minute"],
+        bits=16,
+        normalize="mask",
+    )
+    return keyed.map_batches(
+        lambda t: t.select(["event_id", "zkey"]), batch_format="pyarrow"
+    )
+
+
 def q_pagerank_events(sf_dir: str):
     """Link-graph PageRank (centrality quality prior,
     functions/graph.py): 4 power iterations at damping 0.85 over the
@@ -3602,6 +3637,7 @@ QUERIES = {
     "near_dedupe_documents": q_near_dedupe_documents,
     "softdedup_documents": q_softdedup_documents,
     "zscore_events": q_zscore_events,
+    "zorder_events": q_zorder_events,
     "pagerank_events": q_pagerank_events,
     "pagerank_events_bucketed": q_pagerank_events_bucketed,
     "hits_events": q_hits_events,
@@ -4195,6 +4231,26 @@ def _hits_events_sql(iters: int = 4) -> str:
     )
 
 
+def _zorder_events_sql() -> str:
+    """Morton key in plain SQL bit arithmetic: the classic 4-step
+    bit-spread of each 16-bit dimension (x | x<<8 & mask ...), dims
+    interleaved as spread(x) | spread(y)<<1 — bit-identical to
+    functions/layout.zorder_key's fast path."""
+
+    def spread(e: str) -> str:
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                            (2, 0x33333333), (1, 0x55555555)):
+            e = f"(({e} | ({e} << {shift})) & {mask})"
+        return e
+
+    return (
+        "WITH d AS (SELECT event_id, (user_id & 65535) AS x, "
+        "((epoch_us(ts) // 60000000) & 65535) AS y FROM events) "
+        f"SELECT event_id, ({spread('x')} | ({spread('y')} << 1)) AS zkey "
+        "FROM d"
+    )
+
+
 def _pagerank_events_sql(
     iters: int = 4, damping: float = 0.85, weighted: bool = False
 ) -> str:
@@ -4365,6 +4421,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # PageRank: broadcast and bucketed plans compute the identical
     # recurrence — one unrolled-iteration oracle covers both
+    sql["zorder_events"] = _zorder_events_sql()
     sql["pagerank_events"] = _pagerank_events_sql(iters=4, damping=0.85)
     sql["pagerank_events_bucketed"] = sql["pagerank_events"]
     sql["logreg_quality_corpus"] = _logreg_quality_sql(

@@ -34,11 +34,31 @@ def parquet_sink(ds, options: dict, ctx=None) -> SinkResult:
         kwargs["partition_cols"] = list(options["partition_cols"])
     if options.get("min_rows_per_file"):
         kwargs["min_rows_per_file"] = int(options["min_rows_per_file"])
+    if options.get("row_group_size"):
+        # row-group granularity = pruning granularity (footer min/max
+        # stats are per group) — set it smaller than the default when
+        # the output is zorder-clustered for selective scans
+        kwargs["row_group_size"] = int(options["row_group_size"])
     if options.get("compression"):
         # passed through to pyarrow ParquetWriter (snappy default;
         # zstd/gzip/lz4/none) — the sink-side `compression` option of
         # the reference's file sink (config_panel.rs:1909-1921)
         kwargs["compression"] = str(options["compression"])
+    if options.get("zorder"):
+        # cluster the output on the Z-curve of these columns so later
+        # range scans on ANY of them prune row groups (functions/
+        # layout.py). One distributed sort at write time; mutually
+        # exclusive with partition_cols (hive dirs already cluster).
+        if options.get("partition_cols"):
+            raise ValueError(
+                "parquet sink: zorder and partition_cols are mutually "
+                "exclusive — pick one clustering scheme"
+            )
+        from vector_ray.functions.layout import add_zorder_key
+
+        cols = list(options["zorder"])
+        keyed = add_zorder_key(ds, cols, normalize="rank")
+        ds = keyed.sort("zkey").drop_columns(["zkey"])
     ds.write_parquet(path, **kwargs)
     return SinkResult(kind="parquet", path=path)
 
