@@ -684,6 +684,68 @@ def test_rollup_two_keys(ray_session):
     assert abs(key.loc[("<null>", "<null>"), "m"] - 7.0 / 3) < 1e-9
 
 
+def test_grouping_sets_holistic(ray_session):
+    """Arbitrary sets + non-reaggregatable fns (exact distinct), with
+    the SQL GROUPING() bitmask and null-DATA disambiguation."""
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import grouping_sets
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", None, "y"]),
+            "b": pa.array(["p", "q", "p", "p"]),
+            "u": pa.array([1, 1, 2, 3], pa.int64()),
+        }
+    )
+    out = grouping_sets(
+        rd.from_arrow(t).repartition(2),
+        {
+            "sets": [["a"], ["b"], []],
+            "aggregates": {
+                "n": {"fn": "count"},
+                "nd": {"fn": "count_distinct", "field": "u"},
+            },
+        },
+    ).to_pandas()
+    # sets don't overlap-group: 3 a-levels (x, y, null-DATA) + 2
+    # b-levels + 1 grand total
+    assert len(out) == 6
+    # grouping_id: cols ordered (a, b); a aggregated -> bit 1, b -> bit 0
+    by = {
+        (r.a if isinstance(r.a, str) else None,
+         r.b if isinstance(r.b, str) else None,
+         int(r.grouping_id)): r
+        for r in out.itertuples()
+    }
+    assert by[("x", None, 1)].n == 2 and by[("x", None, 1)].nd == 1
+    # the null-DATA 'a' group is distinct from rollup nulls via gid
+    assert by[(None, None, 1)].n == 1 and by[(None, None, 1)].nd == 1
+    assert by[(None, "p", 2)].n == 3 and by[(None, "p", 2)].nd == 3
+    assert by[(None, None, 3)].n == 4 and by[(None, None, 3)].nd == 3
+
+
+def test_grouping_sets_generators_and_validation(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import (
+        cube_sets,
+        grouping_sets,
+        rollup_sets,
+    )
+
+    assert rollup_sets(["a", "b"]) == [["a", "b"], ["a"], []]
+    assert cube_sets(["a", "b"]) == [["a", "b"], ["a"], ["b"], []]
+    ds = rd.from_arrow(pa.table({"a": ["x"]}))
+    with pytest.raises(ValueError, match="at least one set"):
+        grouping_sets(ds, {"sets": [], "aggregates": {"n": {"fn": "count"}}})
+    with pytest.raises(ValueError, match="name a column"):
+        grouping_sets(
+            ds, {"sets": [[]], "aggregates": {"n": {"fn": "count"}}}
+        )
+
+
 def test_pivot_sum_mode(ray_session):
     import ray.data as rd
 

@@ -2237,6 +2237,45 @@ def q_cube_events(sf_dir: str):
     )
 
 
+def q_grouping_sets_events(sf_dir: str):
+    """SQL GROUPING SETS with HOLISTIC aggregates — exact distinct
+    users and p90 value per (event_type, day), per day, and overall,
+    in one input pass (stages/grouped.grouping_sets). The rollup stage
+    cannot produce these: a distinct count or quantile is not
+    re-aggregatable from a coarser level, so each set aggregates from
+    the raw rows via the batch-expansion plan. grouping_id is the SQL
+    GROUPING(event_type, day) bitmask."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id", "value"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": day,
+                "user_id": t["user_id"],
+                "value": t["value"],
+            }
+        )
+
+    return grouped.grouping_sets(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        {
+            "sets": [["event_type", "day"], ["day"], []],
+            "aggregates": {
+                "n": {"fn": "count"},
+                "nd_users": {"fn": "count_distinct", "field": "user_id"},
+                "p90_value": {"fn": "p90", "field": "value"},
+            },
+            "round": 4,
+        },
+    )
+
+
 def q_pivot_events(sf_dir: str):
     """Categorical pivot: one row per user, one count column per event
     type (two-phase indicator sums)."""
@@ -3666,6 +3705,7 @@ QUERIES = {
     "transitions_events": q_transitions_events,
     "conversion_time_events": q_conversion_time_events,
     "rollup_events": q_rollup_events,
+    "grouping_sets_events": q_grouping_sets_events,
     "cube_events": q_cube_events,
     "pivot_events": q_pivot_events,
     "explode_embeddings": q_explode_embeddings,
@@ -4943,6 +4983,17 @@ def oracle_sql() -> dict[str, str]:
                 "ROUND(ROUND(SUM(value), 9), 4) AS total, "
                 "ROUND(ROUND(AVG(value), 9), 4) AS avg_value "
                 "FROM events GROUP BY ROLLUP(event_type)"
+            ),
+            "grouping_sets_events": (
+                "SELECT event_type, day, "
+                "CAST(GROUPING(event_type, day) AS BIGINT) AS grouping_id, "
+                "CAST(COUNT(*) AS BIGINT) AS n, "
+                "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users, "
+                "ROUND(ROUND(quantile_cont(value, 0.9), 9), 4) AS p90_value "
+                "FROM (SELECT event_type, "
+                "  (epoch_us(ts) // 86400000000) AS day, user_id, value "
+                "  FROM events) "
+                "GROUP BY GROUPING SETS ((event_type, day), (day), ())"
             ),
             "cube_events": (
                 "SELECT event_type, user_id % 2 AS user_parity, "

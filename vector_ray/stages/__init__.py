@@ -80,6 +80,7 @@ TRANSFORMS = {
     "robust_z": grouped.robust_z,
     "transitions": grouped.transitions,
     "rollup": grouped.rollup,
+    "grouping_sets": grouped.grouping_sets,
     "pivot": grouped.pivot,
     "quantile_bucket": grouped.quantile_bucket,
     "explode": reshape.explode,

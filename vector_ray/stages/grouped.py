@@ -1863,3 +1863,103 @@ def quantile_bucket(ds, options: dict, ctx=None):
         Assign, fn_constructor_args=(thr_ref,), batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouping_sets — multi-level aggregation (SQL GROUPING SETS / ROLLUP /
+# CUBE) in ONE pass over the data.
+#   options = {"sets": [[col, ...], ...],   # one entry per grouping set
+#              "aggregates": {...},          # same spec as `aggregate`
+#              "round": int | None}
+# Complement of `rollup` above: rollup re-aggregates the finest level
+# (cheapest plan, but prefix levels only and re-aggregatable fns only);
+# grouping_sets expands each batch instead, so it takes ARBITRARY sets
+# (CUBE, disjoint sets) and holistic aggregates (quantiles, exact
+# count_distinct) that cannot be recomputed from a coarser aggregate.
+# Each batch is expanded to k masked copies (columns outside a set
+# become typed nulls) tagged with a set id; the existing two-phase
+# aggregate then collapses every copy per batch BEFORE the shuffle, so
+# the exchange carries k small partials per batch — never k x rows.
+# The output carries every union column (null where aggregated away)
+# plus `grouping_id`, the SQL GROUPING(c1..ck) bitmask (leftmost listed
+# column = most significant bit; 1 = column aggregated away), which
+# disambiguates rollup nulls from null DATA values exactly like SQL.
+# ---------------------------------------------------------------------------
+
+
+def rollup_sets(cols: list[str]) -> list[list[str]]:
+    """ROLLUP(c1..cn): n+1 prefixes, longest first — (c1..cn), ...,
+    (c1), ()."""
+    cols = list(cols)
+    return [cols[:i] for i in range(len(cols), -1, -1)]
+
+
+def cube_sets(cols: list[str]) -> list[list[str]]:
+    """CUBE(c1..cn): all 2^n subsets, full set first."""
+    import itertools
+
+    cols = list(cols)
+    out = []
+    for r in range(len(cols), -1, -1):
+        out.extend(list(c) for c in itertools.combinations(cols, r))
+    return out
+
+
+def grouping_sets(ds, options: dict, ctx=None):
+    sets = [list(s) for s in options["sets"]]
+    if not sets:
+        raise ValueError("grouping_sets: need at least one set")
+    aggregates = dict(options["aggregates"])
+    all_cols: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in all_cols:
+                all_cols.append(c)
+    if not all_cols:
+        raise ValueError(
+            "grouping_sets: at least one set must name a column (a "
+            "grand total alone is a plain global aggregate)"
+        )
+    agg_fields: list[str] = []
+    for spec in aggregates.values():
+        f = spec.get("field")
+        if f and f not in agg_fields and f not in all_cols:
+            agg_fields.append(f)
+    k = len(all_cols)
+    masks = [[c in s for c in all_cols] for s in sets]
+    gids = [
+        sum((0 if in_set else 1) << (k - 1 - i) for i, in_set in enumerate(m))
+        for m in masks
+    ]
+
+    def expand(t: pa.Table) -> pa.Table:
+        parts = []
+        for gi, m in enumerate(masks):
+            cols = {}
+            for keep, c in zip(m, all_cols):
+                col = t[c].combine_chunks()
+                cols[c] = col if keep else pa.nulls(t.num_rows, col.type)
+            for f in agg_fields:
+                cols[f] = t[f]
+            cols["__gset"] = pa.array(
+                np.full(t.num_rows, gi, np.int64), pa.int64()
+            )
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    agg = aggregate(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        {
+            "group_by": all_cols + ["__gset"],
+            "aggregates": aggregates,
+            "round": options.get("round"),
+        },
+        ctx,
+    )
+    gid_lookup = pa.array(gids, pa.int64())
+
+    def finish(t: pa.Table) -> pa.Table:
+        gid = pc.take(gid_lookup, t["__gset"].combine_chunks())
+        return t.drop_columns(["__gset"]).append_column("grouping_id", gid)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
