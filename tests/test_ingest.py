@@ -355,3 +355,51 @@ def test_spec_dag_ingest_replay_failure_keeps_old_output(ray_session, tmp_path):
     assert r["replayed"]
     assert pq.read_table(d1).num_rows == 10
     assert not glob.glob(out + "/*.tmp")
+
+
+def test_spec_dag_ingest_snapshot_isolation(ray_session, tmp_path):
+    """snapshot() pins a point-in-time set of committed batch dirs;
+    read_snapshot over that manifest returns the same rows no matter
+    how many batches land afterwards, and only STATE-committed batches
+    are visible (a stray published dir without a state record is not)."""
+    import json
+    import os
+
+    from vector_ray.ingest import read_snapshot, run_ingest, snapshot
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    spec = _spec(str(src), out)
+
+    _mk_shard(str(src / "a.parquet"), 0, 30)
+    run_ingest(spec, state)
+    _mk_shard(str(src / "b.parquet"), 30, 30)
+    run_ingest(spec, state)
+
+    # a published dir with no committed state record must stay invisible
+    stray = os.path.join(out, "batch-straystray00")
+    os.makedirs(stray)
+
+    m1 = snapshot(spec, state)
+    assert m1["snapshot_id"] == 1
+    assert len(m1["sinks"]["out"]) == 2
+    assert stray not in m1["sinks"]["out"]
+    assert read_snapshot(m1, "out").count() == 20
+
+    # a third batch lands — the pinned manifest's row set is unchanged
+    _mk_shard(str(src / "c.parquet"), 60, 30)
+    run_ingest(spec, state)
+    assert read_snapshot(m1, "out").count() == 20
+    # ...loading the manifest from its JSON path gives the same view
+    assert read_snapshot(m1["path"], "out").count() == 20
+
+    m2 = snapshot(spec, state)
+    assert m2["snapshot_id"] == 2
+    assert read_snapshot(m2, "out").count() == 30
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in manifest"):
+        read_snapshot(m1, "nope")

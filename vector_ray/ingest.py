@@ -275,3 +275,88 @@ def run_ingest(
     }
 
 
+# ---------------------------------------------------------------------------
+# Snapshots — consistent reads over the batch store while ingest runs.
+#
+# A published ``batch-<id>`` dir is immutable (only a deliberate
+# ``replay_batch`` repair rewrites one), so a point-in-time list of
+# committed batch dirs IS a consistent table snapshot: readers pinned
+# to a manifest never see a half-landed batch, and new batches landing
+# concurrently never shift their row set — the same isolation contract
+# a lakehouse manifest (Iceberg/Delta snapshot) gives, built from the
+# exactly-once machinery above.
+# ---------------------------------------------------------------------------
+
+_SNAP_DIR = "snapshots"
+
+
+def snapshot(spec, state_dir: str) -> dict[str, Any]:
+    """Record a point-in-time manifest of every parquet sink's
+    COMMITTED batch dirs (state is the source of truth: a batch dir
+    published by a crashed attempt whose state never committed is not
+    visible). Atomic write to ``state_dir/snapshots/snap-<n>.json``,
+    monotonically numbered."""
+    spec = (
+        spec if isinstance(spec, PipelineSpec) else PipelineSpec.from_dict(spec)
+    )
+    state = _load_state(state_dir)
+    batch_ids = [b["batch_id"] for b in state["batches"]]
+    sinks: dict[str, list[str]] = {}
+    for name, cfg in spec.sinks.items():
+        if cfg.get("type") not in ("parquet", "file"):
+            continue
+        dirs = [
+            os.path.join(cfg["path"], f"batch-{bid}")
+            for bid in batch_ids
+        ]
+        sinks[name] = [d for d in dirs if os.path.isdir(d)]
+    snap_dir = os.path.join(state_dir, _SNAP_DIR)
+    os.makedirs(snap_dir, exist_ok=True)
+    existing = sorted(glob.glob(os.path.join(snap_dir, "snap-*.json")))
+    n = (
+        int(os.path.basename(existing[-1])[5:-5]) + 1 if existing else 1
+    )
+    manifest = {
+        "snapshot_id": n,
+        "batch_ids": batch_ids,
+        "sinks": sinks,
+    }
+    path = os.path.join(snap_dir, f"snap-{n:08d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    manifest["path"] = path
+    return manifest
+
+
+def read_snapshot(manifest, sink: str):
+    """Ray Dataset over exactly the batch dirs a manifest recorded for
+    ``sink`` — stable row set no matter how many batches land after.
+    ``manifest`` is the dict from ``snapshot()`` or a path to its JSON
+    file."""
+    import ray.data as rd
+
+    if isinstance(manifest, str):
+        with open(manifest) as f:
+            manifest = json.load(f)
+    if sink not in manifest["sinks"]:
+        raise ValueError(
+            f"read_snapshot: sink {sink!r} not in manifest (has: "
+            f"{sorted(manifest['sinks'])})"
+        )
+    dirs = manifest["sinks"][sink]
+    if not dirs:
+        raise ValueError(
+            f"read_snapshot: snapshot {manifest.get('snapshot_id')} has no "
+            f"committed batches for sink {sink!r}"
+        )
+    # expand each batch dir to its files: read_parquet takes a mixed
+    # file list directly, and a manifest pinned to concrete files is
+    # immune to anything else landing in those dirs later
+    files = [
+        f
+        for d in dirs
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+    ]
+    return rd.read_parquet(files)
