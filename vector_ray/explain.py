@@ -35,6 +35,7 @@ MOVEMENT = {
     "metric_to_log": "narrow",
     "aggregate": "hybrid",
     "rollup": "hybrid",
+    "grouping_sets": "hybrid",  # finest-level partials re-aggregated per set
     "pivot": "hybrid",
     "log_templates": "hybrid",
     "profile": "hybrid",
