@@ -3550,6 +3550,251 @@ def q_hits_events(sf_dir: str):
     return hits(_event_click_edges(sf_dir), iters=4)
 
 
+def q_gapfill_events(sf_dir: str):
+    """Dense-series gapfill (stages/timeseries.py): hourly tumbling
+    counts per event_type densified onto the global window grid with
+    count→0 fill — the 'no events this hour is a zero point' contract
+    every rate chart needs (reference UI chart panels presume it)."""
+    from vector_ray.stages.timeseries import gapfill
+    from vector_ray.stages.window import tumbling
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    agg = tumbling(
+        ds,
+        {
+            "size_secs": 3600,
+            "ts_field": "ts",
+            "key_field": "event_type",
+            "aggregates": {"n": {"fn": "count"}},
+        },
+    )
+    return gapfill(
+        agg, {"key_field": "event_type", "step_secs": 3600, "fill": {"n": 0}}
+    )
+
+
+def q_seasonal_z_events(sf_dir: str):
+    """Seasonal-baseline anomaly score: z of each hour's count against
+    its (event_type, hour-of-day) distribution over the DENSE series
+    (tumbling → gapfill(0) → per-slot zscore composition)."""
+    from vector_ray.stages.timeseries import seasonal_z
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return seasonal_z(
+        ds,
+        {
+            "ts_field": "ts",
+            "key_field": "event_type",
+            "window_secs": 3600,
+            "season": "hour_of_day",
+            "round": 4,
+        },
+    )
+
+
+def q_burn_rate_events(sf_dir: str):
+    """SLO multi-window burn rate (SRE workbook): 1h error rate over
+    the enclosing 24h error rate, errors = value >= 75. One two-phase
+    aggregate; long-window totals re-reduced from the short partials."""
+    from vector_ray.stages.timeseries import burn_rate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    flagged = ds.map_batches(
+        lambda t: t.append_column(
+            "is_err", pc.greater_equal(t["value"], pa.scalar(75.0))
+        ),
+        batch_format="pyarrow",
+    )
+    return burn_rate(
+        flagged,
+        {
+            "ts_field": "ts",
+            "error_field": "is_err",
+            "short_secs": 3600,
+            "long_secs": 86400,
+            "round": 6,
+        },
+    )
+
+
+def q_winsorize_events(sf_dir: str):
+    """Winsorize: clip value to global [p5, p95] quantiles (two-phase
+    exact quantiles broadcast once, one vectorized clip pass)."""
+    from vector_ray.stages.timeseries import winsorize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    out = winsorize(
+        ds, {"field": "value", "lo": 0.05, "hi": 0.95, "target": "value_w", "round": 6}
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "value_w"]), batch_format="pyarrow"
+    )
+
+
+def q_fuzzy_join_customers(sf_dir: str):
+    """Distributed fuzzy join (functions/linkage.py): match customer
+    names against a deterministically-typo'd copy (one char deleted at
+    a key-dependent digit position) within edit distance 1. FastSS
+    deletion-neighborhood blocking (lossless — q-gram blocking would
+    degenerate on the shared 'Customer#' prefix) + one bucketed hash
+    join + numpy-DP Levenshtein verify. Oracle: DuckDB cross join with
+    ``levenshtein`` — every pair, no blocking, so any blocking miss
+    would show up as a row-count mismatch."""
+    from vector_ray.functions.linkage import delete_char_at, fuzzy_join
+
+    base = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    left = base.map_batches(
+        lambda t: pa.table({"l_id": t["c_custkey"], "name": t["c_name"]}),
+        batch_format="pyarrow",
+    )
+
+    def mutate(t: pa.Table) -> pa.Table:
+        key = np.asarray(pc.cast(t["c_custkey"], pa.int64()))
+        name = t["c_name"]
+        if isinstance(name, pa.ChunkedArray):
+            name = name.combine_chunks()
+        return pa.table(
+            {
+                "r_id": pa.array(key + 100000),
+                "name": delete_char_at(name, (key % 9) + 10),
+            }
+        )
+
+    right = base.map_batches(mutate, batch_format="pyarrow")
+    return fuzzy_join(left, right, field="name", max_dist=1)
+
+
+def q_chunk_documents(sf_dir: str):
+    """RAG chunking (functions/text.py chunk_text): overlapping
+    40-word windows with 10-word overlap per document — narrow
+    flat_map shape, chunk text rebuilt via one pc.binary_join."""
+    from vector_ray.functions.text import chunk_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_text(ds, max_words=40, overlap=10)
+
+
+def q_entities_documents(sf_dir: str):
+    """End-to-end entity resolution: fuzzy blocking join (edit distance
+    <= 1 between 24-char document title prefixes and their typo'd
+    copies) feeding distributed connected components — the
+    canonical-entity-id assignment every identity pipeline needs.
+    Output: (node, cluster) with cluster = min node id per resolved
+    entity. (Customer names are too self-similar — every name is one
+    digit-edit from another, collapsing the graph to one component —
+    so this resolves over distinctive title strings instead.)"""
+    from vector_ray.functions.dedup import connected_components_distributed
+    from vector_ray.functions.linkage import delete_char_at, fuzzy_join
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def titles(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_id": t["doc_id"],
+                "name": pc.utf8_slice_codeunits(
+                    pc.fill_null(pc.cast(t["text"], pa.string()), ""), 0, 24
+                ),
+            }
+        )
+
+    def mutate(t: pa.Table) -> pa.Table:
+        key = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        title = pc.utf8_slice_codeunits(
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""), 0, 24
+        )
+        if isinstance(title, pa.ChunkedArray):
+            title = title.combine_chunks()
+        return pa.table(
+            {
+                "r_id": pa.array(key + 100000),
+                "name": delete_char_at(title, (key % 20) + 3),
+            }
+        )
+
+    left = base.map_batches(titles, batch_format="pyarrow")
+    right = base.map_batches(mutate, batch_format="pyarrow")
+    pairs = fuzzy_join(left, right, field="name", max_dist=1).map_batches(
+        lambda t: pa.table({"doc_a": t["l_id"], "doc_b": t["r_id"]}),
+        batch_format="pyarrow",
+    )
+    cc = connected_components_distributed(pairs, num_buckets=8)
+    return cc.map_batches(
+        lambda t: t.rename_columns(["node", "cluster"]), batch_format="pyarrow"
+    )
+
+
+def q_tail_sample_events(sf_dir: str):
+    """Tail-based sampling (the observability staple): keep EVERY event
+    of users who ever hit a severe error (event_type='error', value >=
+    95 — the 'incident traces'), and 1-in-10 (event_id % 10 = 0) of the
+    rest. The severe-user set is computed distributed and applied as a
+    bucketed semi-join branch + an anti-join branch with the mod
+    sample — no driver-side id set."""
+    from vector_ray.stages.shuffle import bucketed_join
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def severe(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(t["event_type"], "error"),
+            pc.greater_equal(t["value"], pa.scalar(95.0)),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        # per-batch distinct pre-prune so the shuffle carries user ids
+        u = pc.unique(t["user_id"])
+        return pa.table({"user_id": u})
+
+    hot_users = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).map_batches(severe, batch_format="pyarrow")
+
+    kept_hot = bucketed_join(ds, hot_users, "user_id", num_buckets=8, how="semi")
+    rest = bucketed_join(ds, hot_users, "user_id", num_buckets=8, how="anti")
+    def mod10(t: pa.Table) -> pa.Table:
+        eid = np.asarray(pc.cast(t["event_id"], pa.int64()))
+        return t.filter(pa.array(eid % 10 == 0))
+
+    sampled = rest.map_batches(mod10, batch_format="pyarrow")
+    return kept_hot.union(sampled)
+
+
+def q_rrf_documents(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 lexical top-20
+    and embedding-cosine top-20 (functions/similarity.py rrf_fuse).
+    Both retrievals are the existing distributed operators; the fuse
+    itself runs over the two k-row RESULT sets."""
+    from vector_ray.functions.similarity import brute_force_topk, rrf_fuse
+    from vector_ray.functions.text import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lex = bm25_topk(docs, ["hash", "join", "spark"], k=20)
+    query = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0]
+        .as_py()
+    )
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sem = brute_force_topk(emb, np.asarray(query), k=20)
+    return rrf_fuse([lex, sem], k=10)
+
+
+def q_pmi_documents(sf_dir: str):
+    """Collocation mining: top-20 adjacent word pairs by PMI with
+    min_count=5 (functions/text.py pmi_bigrams) — one corpus read into
+    long-format count partials, unigram counts joined back via two
+    bucketed_join passes, top-k sorts only the scored candidates."""
+    from vector_ray.functions.text import pmi_bigrams
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_bigrams(ds, field="text", min_count=5, k=20)
+
+
 QUERIES = {
     "pack_boundaries_corpus": q_pack_boundaries,
     "pack_eos_corpus": q_pack_eos,
@@ -3724,6 +3969,16 @@ QUERIES = {
     "brand_volume": q_brand_volume,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
+    "gapfill_events": q_gapfill_events,
+    "seasonal_z_events": q_seasonal_z_events,
+    "burn_rate_events": q_burn_rate_events,
+    "winsorize_events": q_winsorize_events,
+    "pmi_documents": q_pmi_documents,
+    "fuzzy_join_customers": q_fuzzy_join_customers,
+    "chunk_documents": q_chunk_documents,
+    "rrf_documents": q_rrf_documents,
+    "entities_documents": q_entities_documents,
+    "tail_sample_events": q_tail_sample_events,
 }
 
 _STOPLIST_SQL = "['a','and','for','in','is','it','of','that','the','to']"
@@ -5474,6 +5729,162 @@ def oracle_sql() -> dict[str, str]:
         "* 255.0 / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)), 9), 0) AS BIGINT), 0), 255) "
         "ELSE 0 END AS qv FROM flat JOIN mm USING (dim)) "
         "SELECT vec_id, list(qv ORDER BY dim) AS qvec FROM q GROUP BY vec_id"
+    )
+    # dense time-series family (stages/timeseries.py) + PMI collocations
+    _gapfill_cte = (
+        "WITH agg AS (SELECT event_type, "
+        "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS w, COUNT(*) AS n "
+        "FROM events GROUP BY 1, 2), "
+        "b AS (SELECT min(w) lo, max(w) hi FROM agg), "
+        "grid AS (SELECT k.event_type, gs.w FROM "
+        "(SELECT DISTINCT event_type FROM agg) k CROSS JOIN "
+        "(SELECT unnest(generate_series((SELECT lo FROM b), "
+        "(SELECT hi FROM b), 3600)) AS w) gs), "
+        "filled AS (SELECT g.event_type, g.w, COALESCE(a.n, 0) AS n "
+        "FROM grid g LEFT JOIN agg a "
+        "ON a.event_type = g.event_type AND a.w = g.w) "
+    )
+    sql["gapfill_events"] = (
+        _gapfill_cte
+        + "SELECT event_type, CAST(w AS DOUBLE) AS window_start, n FROM filled"
+    )
+    sql["seasonal_z_events"] = (
+        _gapfill_cte
+        + "SELECT event_type, CAST(w AS DOUBLE) AS window_start, n, "
+        "ROUND(ROUND((n - AVG(n) OVER "
+        "(PARTITION BY event_type, (w/3600)%24)) / "
+        "NULLIF(STDDEV_POP(n) OVER "
+        "(PARTITION BY event_type, (w/3600)%24), 0), 9), 4) AS z "
+        "FROM filled"
+    )
+    sql["burn_rate_events"] = (
+        "WITH s AS (SELECT floor(epoch(ts)/86400)*86400 AS wl, "
+        "floor(epoch(ts)/3600)*3600 AS ws, "
+        "CAST(value >= 75 AS BIGINT) AS e FROM events), "
+        "a AS (SELECT wl, ws, SUM(e) AS errs, COUNT(*) AS n FROM s GROUP BY 1, 2), "
+        "r AS (SELECT wl, ws, ROUND(ROUND(errs*1.0/n, 9), 6) AS short_rate, "
+        "ROUND(ROUND(SUM(errs) OVER (PARTITION BY wl)*1.0/"
+        "SUM(n) OVER (PARTITION BY wl), 9), 6) AS long_rate FROM a) "
+        "SELECT CAST(wl AS DOUBLE) AS window_long, "
+        "CAST(ws AS DOUBLE) AS window_short, short_rate, long_rate, "
+        "CASE WHEN long_rate = 0 THEN NULL "
+        "ELSE ROUND(ROUND(short_rate/long_rate, 9), 6) END AS burn FROM r"
+    )
+    sql["winsorize_events"] = (
+        "SELECT event_id, ROUND(ROUND(LEAST(GREATEST(value, q.qlo), q.qhi), "
+        "9), 6) AS value_w FROM events CROSS JOIN "
+        "(SELECT ROUND(quantile_cont(value, 0.05), 9) AS qlo, "
+        "ROUND(quantile_cont(value, 0.95), 9) AS qhi FROM events) q"
+    )
+    # entity resolution: same fuzzy pair definition as the engine, then
+    # unrolled min-label propagation (converges in 3 rounds at sf0.01 —
+    # measured; 8 gives fixpoint margin, extra rounds are no-ops)
+    _ent_parts = [
+        "WITH l AS (SELECT doc_id AS a, substr(text, 1, 24) AS nm "
+        "FROM documents), "
+        "r AS (SELECT doc_id + 100000 AS b, "
+        "substr(substr(text, 1, 24), 1, (doc_id % 20) + 2) || "
+        "substr(substr(text, 1, 24), (doc_id % 20) + 4) AS nm "
+        "FROM documents), "
+        "p AS MATERIALIZED (SELECT a, b FROM l CROSS JOIN r "
+        "WHERE levenshtein(l.nm, r.nm) <= 1), "
+        "edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM p "
+        "UNION ALL SELECT b AS src, a AS dst FROM p), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS l "
+        "FROM edges), ",
+    ]
+    for _i in range(1, 9):
+        _p = _i - 1
+        _ent_parts.append(
+            f"l{_i} AS MATERIALIZED (SELECT n.node, "
+            f"LEAST(n.l, COALESCE(m.ml, n.l)) AS l FROM l{_p} n "
+            f"LEFT JOIN (SELECT e.dst AS node, MIN(l.l) AS ml "
+            f"FROM edges e JOIN l{_p} l ON e.src = l.node GROUP BY 1) m "
+            f"ON n.node = m.node), "
+        )
+    sql["entities_documents"] = (
+        "".join(_ent_parts).rstrip(", ") + " SELECT node, l AS cluster FROM l8"
+    )
+    sql["tail_sample_events"] = (
+        "SELECT event_id, user_id, event_type, value FROM events "
+        "WHERE user_id IN (SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'error' AND value >= 95) "
+        "OR event_id % 10 = 0"
+    )
+    sql["rrf_documents"] = (
+        # same BM25 CTE chain as bm25_documents (k=20), same cosine CTE
+        # as ann_topk (k=20), ranks tie-broken by id on both engines
+        "WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) "
+        "  AS word FROM documents), "
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1), "
+        "st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, "
+        "  COUNT(*) AS n FROM dl), "
+        "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w "
+        "  WHERE word IN ('hash', 'join', 'spark') GROUP BY 1, 2), "
+        "df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w "
+        "  WHERE word IN ('hash', 'join', 'spark') GROUP BY 1), "
+        "sc AS (SELECT tf.doc_id, SUM(ROUND("
+        "  ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+        "  ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * "
+        "   (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))), 9)) AS s "
+        "  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) "
+        "  CROSS JOIN st GROUP BY 1), "
+        "lexs AS (SELECT doc_id, ROUND(ROUND(s, 9), 4) AS score FROM sc "
+        "  ORDER BY score DESC, doc_id ASC LIMIT 20), "
+        "lex AS (SELECT doc_id, ROW_NUMBER() OVER ("
+        "  ORDER BY score DESC, doc_id) AS lr FROM lexs), "
+        "sems AS (SELECT e.vec_id AS doc_id, "
+        "  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+        "   WHERE vec_id = 0)), 6) AS score "
+        "  FROM embeddings e ORDER BY score DESC, e.vec_id LIMIT 20), "
+        "sem AS (SELECT doc_id, ROW_NUMBER() OVER ("
+        "  ORDER BY score DESC, doc_id) AS sr FROM sems), "
+        "f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, "
+        "  lex.lr, sem.sr, "
+        "  ROUND(ROUND(COALESCE(1.0/(60+lex.lr), 0) + "
+        "  COALESCE(1.0/(60+sem.sr), 0), 9), 6) AS rrf "
+        "  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id) "
+        "SELECT doc_id, lr AS rank_1, sr AS rank_2, rrf FROM f "
+        "ORDER BY rrf DESC, doc_id ASC LIMIT 10"
+    )
+    sql["fuzzy_join_customers"] = (
+        # ALL pairs via cross join + levenshtein — no blocking, so an
+        # engine blocking miss surfaces as a row-count mismatch
+        "WITH r AS (SELECT c_custkey + 100000 AS r_id, "
+        "substr(c_name, 1, (c_custkey % 9) + 9) || "
+        "substr(c_name, (c_custkey % 9) + 11) AS rname FROM customer) "
+        "SELECT l.c_custkey AS l_id, r.r_id, "
+        "CAST(levenshtein(l.c_name, r.rname) AS BIGINT) AS dist "
+        "FROM customer l CROSS JOIN r "
+        "WHERE levenshtein(l.c_name, r.rname) <= 1"
+    )
+    sql["chunk_documents"] = (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') ws, "
+        "len(string_split(text, ' ')) AS n FROM documents), "
+        "s AS (SELECT doc_id, ws, n, "
+        "unnest(generate_series(0, n - 1, 30)) AS st FROM w) "
+        "SELECT doc_id, CAST(st/30 AS BIGINT) AS chunk_id, "
+        "CAST(LEAST(40, n - st) AS BIGINT) AS n_words, "
+        "array_to_string(ws[st+1 : st+40], ' ') AS chunk "
+        "FROM s WHERE st = 0 OR st + 10 < n"
+    )
+    sql["pmi_documents"] = (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "u AS (SELECT doc_id, unnest(ws) AS word, "
+        "generate_subscripts(ws, 1) AS i FROM w), "
+        "uni AS (SELECT word, COUNT(*) AS cu FROM u GROUP BY 1), "
+        "nw AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uni), "
+        "big AS (SELECT a.word AS w1, b.word AS w2, COUNT(*) AS c FROM u a "
+        "JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1 GROUP BY 1, 2), "
+        "npair AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM big), "
+        "p AS (SELECT big.w1, big.w2, big.c, "
+        "ROUND(ROUND(ln((big.c / (SELECT n FROM npair)) / "
+        "((ua.cu / (SELECT n FROM nw)) * (ub.cu / (SELECT n FROM nw)))), "
+        "9), 6) AS pmi "
+        "FROM big JOIN uni ua ON ua.word = big.w1 "
+        "JOIN uni ub ON ub.word = big.w2 WHERE big.c >= 5) "
+        "SELECT w1, w2, c, pmi FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20"
     )
     for name in (
         "pca_whiten_embeddings",

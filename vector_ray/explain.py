@@ -92,6 +92,11 @@ MOVEMENT = {
     "bigram_lm": "broadcast",
     "temperature_mixture": "broadcast",
     "bottomk_sample": "hybrid",
+    # dense time-series family
+    "gapfill": "shuffle",  # bounds partials up, then one groupby on key
+    "seasonal_z": "hybrid",  # tumbling partials -> gapfill shuffle -> slot zscore
+    "burn_rate": "hybrid",  # one two-phase agg; long rates re-reduced + broadcast
+    "winsorize": "broadcast",  # quantile partials up, two thresholds down
 }
 
 

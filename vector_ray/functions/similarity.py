@@ -251,3 +251,60 @@ def lsh_topk(
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["score", id_field], descending=[True, False]).limit(k)
+
+
+def rrf_fuse(
+    ranked: list,
+    k: int = 10,
+    k0: int = 60,
+    id_field: str = "doc_id",
+    ndigits: int = 6,
+):
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked retrieval lists: rrf(d) = sum over lists of 1/(k0 + rank_d).
+    The standard hybrid-retrieval combiner (BM25 + embedding ANN).
+
+    ``ranked``: list of (Dataset | pa.Table) each with (id, score)
+    columns; each list is re-ranked by (score desc, id asc) so ties
+    break identically to the SQL oracle. Inputs are top-k RESULT sets
+    (k rows each) — fusing them is a driver-side numpy pass over
+    N*k rows by design; the expensive retrieval stays distributed in
+    the upstream operators. Output columns: (id, rank_1..rank_N
+    per-list ranks, null when absent, and rrf), top-k by (rrf desc,
+    id asc)."""
+    import pandas as pd
+
+    from vector_ray.schema import round_sql_np
+
+    frames = []
+    for li, r in enumerate(ranked):
+        if hasattr(r, "to_pandas"):
+            df = r.to_pandas()
+        else:
+            df = pd.DataFrame(r)
+        idc = [c for c in df.columns if c != "score"][0]
+        df = df.sort_values(
+            ["score", idc], ascending=[False, True]
+        ).reset_index(drop=True)
+        out = pd.DataFrame(
+            {id_field: df[idc].astype("int64"), f"rank_{li + 1}": np.arange(1, len(df) + 1)}
+        )
+        frames.append(out.set_index(id_field))
+    merged = pd.concat(frames, axis=1, join="outer")
+    contrib = np.zeros(len(merged))
+    for li in range(len(ranked)):
+        rk = merged[f"rank_{li + 1}"].to_numpy(dtype=np.float64)
+        contrib = contrib + np.where(np.isnan(rk), 0.0, 1.0 / (k0 + rk))
+    merged["rrf"] = round_sql_np(round_sql_np(contrib, 9), ndigits)
+    merged = merged.reset_index().sort_values(
+        ["rrf", id_field], ascending=[False, True]
+    )
+    out = merged.head(k).reset_index(drop=True)
+    cols = {id_field: pa.array(out[id_field].astype("int64"))}
+    for li in range(len(ranked)):
+        rk = out[f"rank_{li + 1}"].to_numpy(dtype=np.float64)
+        cols[f"rank_{li + 1}"] = pa.array(
+            [None if np.isnan(v) else int(v) for v in rk], pa.int64()
+        )
+    cols["rrf"] = pa.array(out["rrf"].to_numpy(), pa.float64())
+    return pa.table(cols)

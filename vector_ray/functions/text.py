@@ -729,3 +729,220 @@ def inverted_index(
         .groupby("word")
         .map_groups(postings, batch_format="pyarrow")
     )
+
+
+def chunk_text(
+    ds,
+    field: str = "text",
+    id_field: str = "doc_id",
+    max_words: int = 64,
+    overlap: int = 16,
+):
+    """RAG-style chunking: split each document into overlapping
+    word-window chunks (stride = max_words - overlap). The retrieval
+    preprocessing step every embedding index needs.
+
+    Output: (id, chunk_id, n_words, chunk). Chunk starts are multiples
+    of the stride; a trailing start is emitted only while it begins
+    before ``n - overlap`` (so the tail is never a pure suffix of the
+    previous chunk). Word split matches the corpus tokenizer contract
+    (single-space split, empties kept).
+
+    Purely narrow (flat_map shape): one split + numpy index arithmetic
+    per batch, chunk text rebuilt with one ``pc.binary_join`` — no
+    shuffle, no per-row Python."""
+    if overlap >= max_words:
+        raise ValueError("overlap must be < max_words")
+    step = int(max_words) - int(overlap)
+    mw, ov = int(max_words), int(overlap)
+
+    def chunks(t: pa.Table) -> pa.Table:
+        col = t[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(pc.cast(col, pa.string()), "")
+        words = pc.split_pattern(col, pattern=" ")
+        flat = words.flatten()
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        n = offs[1:] - offs[:-1]
+        extra = np.maximum((n - ov - 1) // step, 0)
+        n_chunks = 1 + extra
+        total = int(n_chunks.sum())
+        doc_idx = np.repeat(np.arange(len(n)), n_chunks)
+        cstart_excl = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        k = np.arange(total) - np.repeat(cstart_excl, n_chunks)
+        starts = k * step
+        n_words = np.minimum(mw, n[doc_idx] - starts)
+        # flat indices of every chunk word: base + within-chunk offset
+        wtotal = int(n_words.sum())
+        wstart_excl = np.concatenate([[0], np.cumsum(n_words)[:-1]])
+        base = offs[:-1][doc_idx] + starts
+        widx = np.repeat(base, n_words) + (
+            np.arange(wtotal) - np.repeat(wstart_excl, n_words)
+        )
+        chunk_words = flat.take(pa.array(widx))
+        loffs = np.zeros(total + 1, np.int32)
+        np.cumsum(n_words, out=loffs[1:])
+        lst = pa.ListArray.from_arrays(pa.array(loffs), chunk_words)
+        ids = t[id_field]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_field: ids.take(pa.array(doc_idx)),
+                "chunk_id": pa.array(k),
+                "n_words": pa.array(n_words),
+                "chunk": pc.binary_join(lst, " "),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def pmi_bigrams(
+    ds,
+    field: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    ndigits: int = 6,
+    num_buckets: int = 32,
+):
+    """Collocation mining: top-k adjacent word pairs by pointwise
+    mutual information, PMI = ln( (c_ab/N_pairs) / ((c_a/N_words) *
+    (c_b/N_words)) ) — the classic phrase detector (Church & Hanks
+    1990; word2vec's phrase pass uses the same score shape).
+
+    One read of the corpus: each batch emits its LOCAL (w1, w2) bigram
+    counts and word counts as one long-format partial table (bigrams
+    never cross document boundaries), so the one shuffle carries
+    distinct-ngram partials, never corpus positions. Unigram counts are
+    joined back to the min_count-surviving bigrams with two
+    ``bucketed_join`` passes (co-partitioned by word — no vocab-sized
+    broadcast anywhere), and the final top-k sorts only the scored
+    candidate set. Word split semantics match the tokenizer/SQL
+    contract exactly (single-space split, empties kept)."""
+    from vector_ray.stages.grouped import aggregate as agg_stage
+    from vector_ray.stages.shuffle import bucketed_join
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(pc.cast(col, pa.string()), "")
+        words = pc.split_pattern(col, pattern=" ")
+        flat = words.flatten()
+        n = len(flat)
+        # unigram partial counts (kind=0; kind=1 marks a bigram row —
+        # Ray's sort-based shuffle can't order null keys, so the marker
+        # is a dedicated int column, w2 = "" for unigrams)
+        ug = pa.table({"w1": flat}).group_by(["w1"]).aggregate([([], "count_all")])
+        uni = pa.table(
+            {
+                "kind": pa.array(np.zeros(ug.num_rows, np.int8)),
+                "w1": ug["w1"],
+                "w2": pa.array([""] * ug.num_rows, pa.string()),
+                "c": pc.cast(ug["count_all"], pa.int64()),
+            }
+        )
+        if n >= 2:
+            offs = np.asarray(words.offsets, dtype=np.int64)
+            valid = np.ones(n - 1, dtype=bool)
+            starts = offs[1:-1]  # first flat index of each later document
+            starts = starts[(starts > 0) & (starts < n)]
+            valid[starts - 1] = False  # pair would span two documents
+            idx = np.flatnonzero(valid)
+            w1 = flat.take(pa.array(idx))
+            w2 = flat.take(pa.array(idx + 1))
+            bg = (
+                pa.table({"w1": w1, "w2": w2})
+                .group_by(["w1", "w2"])
+                .aggregate([([], "count_all")])
+            )
+            big = pa.table(
+                {
+                    "kind": pa.array(np.ones(bg.num_rows, np.int8)),
+                    "w1": bg["w1"],
+                    "w2": bg["w2"],
+                    "c": pc.cast(bg["count_all"], pa.int64()),
+                }
+            )
+            return pa.concat_tables([uni, big])
+        return uni
+
+    counts = agg_stage(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        {
+            "group_by": ["kind", "w1", "w2"],
+            "aggregates": {"c": {"fn": "sum", "field": "c"}},
+        },
+    )
+    counts = counts.materialize()  # distinct unigrams+bigrams: reused 4x below
+
+    # corpus totals from one tiny partial-reduce pass over the counts
+    def totals(t: pa.Table) -> pa.Table:
+        isuni = pc.equal(t["kind"], pa.scalar(0, pa.int8()))
+        cu = pc.sum(pc.if_else(isuni, t["c"], pa.scalar(0, pa.int64()))).as_py() or 0
+        cb = pc.sum(pc.if_else(isuni, pa.scalar(0, pa.int64()), t["c"])).as_py() or 0
+        return pa.table(
+            {"nw": pa.array([cu], pa.int64()), "np": pa.array([cb], pa.int64())}
+        )
+
+    trows = counts.map_batches(totals, batch_format="pyarrow").take_all()
+    n_words = float(sum(r["nw"] for r in trows))
+    n_pairs = float(sum(r["np"] for r in trows))
+
+    def pick_unigrams(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t["kind"], pa.scalar(0, pa.int8())))
+        return pa.table({"word": m["w1"], "cu": m["c"]})
+
+    mc = int(min_count)
+
+    def pick_cands(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t["kind"], pa.scalar(1, pa.int8())),
+            pc.greater_equal(t["c"], pa.scalar(mc)),
+        )
+        return t.filter(mask)
+
+    unigrams = counts.map_batches(pick_unigrams, batch_format="pyarrow")
+    cands = counts.map_batches(pick_cands, batch_format="pyarrow")
+    j1 = bucketed_join(
+        cands.map_batches(
+            lambda t: pa.table(
+                {"word": t["w1"], "w2": t["w2"], "c": t["c"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        unigrams,
+        "word",
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda t: pa.table(
+            {"w1": t["word"], "word": t["w2"], "c": t["c"], "ca": t["cu"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = bucketed_join(j1, unigrams, "word", num_buckets=num_buckets)
+
+    from vector_ray.schema import round_sql_np
+
+    def score(t: pa.Table) -> pa.Table:
+        cab = np.asarray(pc.cast(t["c"], pa.float64()))
+        ca = np.asarray(pc.cast(t["ca"], pa.float64()))
+        cb = np.asarray(pc.cast(t["cu"], pa.float64()))
+        # expression order mirrors the SQL oracle exactly
+        pmi = np.log((cab / n_pairs) / ((ca / n_words) * (cb / n_words)))
+        pmi = round_sql_np(round_sql_np(pmi, 9), ndigits)
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["word"],
+                "c": pc.cast(t["c"], pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    return scored.sort(
+        ["pmi", "w1", "w2"], descending=[True, False, False]
+    ).limit(int(k))

@@ -9,7 +9,16 @@ family).
 
 from __future__ import annotations
 
-from vector_ray.stages import core, curate, enrich, grouped, metricops, reshape, tokenops
+from vector_ray.stages import (
+    core,
+    curate,
+    enrich,
+    grouped,
+    metricops,
+    reshape,
+    timeseries,
+    tokenops,
+)
 from vector_ray.stages.encode import encode
 from vector_ray.stages.framing import frame
 from vector_ray.stages.tokenize import tokenize
@@ -83,6 +92,11 @@ TRANSFORMS = {
     "grouping_sets": grouped.grouping_sets,
     "pivot": grouped.pivot,
     "quantile_bucket": grouped.quantile_bucket,
+    # dense time-series family (stages/timeseries.py)
+    "gapfill": timeseries.gapfill,
+    "seasonal_z": timeseries.seasonal_z,
+    "burn_rate": timeseries.burn_rate,
+    "winsorize": timeseries.winsorize,
     "explode": reshape.explode,
     "unpivot": reshape.unpivot,
     "rank": reshape.rank,

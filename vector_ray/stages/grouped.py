@@ -568,7 +568,10 @@ def _aggregate_with_lists(ds, group_by, aggregates, ndigits):
                 col = g[f"__pl_{name}"]
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
-                vals = np.asarray(col.flatten(), dtype=np.float64)
+                flat = col.flatten()
+                if flat.null_count:
+                    flat = flat.drop_null()  # quantile_cont ignores NULLs
+                vals = np.asarray(flat, dtype=np.float64)
                 q = _agg_q(fn, spec)
                 # np.quantile 'linear' == SQL quantile_cont interpolation;
                 # pre-round through 9 decimals so the interpolation's
