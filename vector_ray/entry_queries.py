@@ -3764,6 +3764,106 @@ def q_tail_sample_events(sf_dir: str):
     return kept_hot.union(sampled)
 
 
+def q_flatten_json_events(sf_dir: str):
+    """Schema-inferring JSON flatten (functions/dataops.py
+    flatten_json): a variant-shaped props blob (key set depends on the
+    event) becomes typed columns with NO declared schema — the infer
+    pass unifies (key, type) pairs across batches, the extract pass
+    reuses the remap parse_json machinery. Fixture builds the blob
+    deterministically from event columns so the oracle can rebuild it
+    in SQL."""
+    from vector_ray.functions.dataops import flatten_json
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.string())
+        hasv = pc.fill_null(pc.greater_equal(t["value"], pa.scalar(50.0)), False)
+        vint = pc.cast(pc.floor(pc.fill_null(t["value"], 0.0)), pa.int64())
+        vpart = pc.binary_join_element_wise(
+            ', "v": ', pc.cast(vint, pa.string()), ""
+        )
+        vsel = pc.if_else(hasv, vpart, pa.scalar("", pa.string()))
+        props2 = pc.binary_join_element_wise(
+            '{"u": ', u, ', "t": "', t["event_type"], '"', vsel, "}", ""
+        )
+        return pa.table({"event_id": t["event_id"], "props2": props2})
+
+    blob = ds.map_batches(mk, batch_format="pyarrow")
+    return flatten_json(blob, field="props2", keep=["event_id"])
+
+
+def q_incremental_rollup_orders(sf_dir: str):
+    """Incremental view maintenance (functions/dataops.py
+    incremental_rollup): a per-custkey (SUM cents, COUNT) rollup over
+    the 'yesterday' orders (o_orderkey % 7 != 0) refreshed by a change
+    log — inserts = the % 7 == 0 rows, deletes = the % 5 == 0 rows of
+    the base — without rescanning base facts. Oracle recomputes the
+    final state directly from the predicate."""
+    from vector_ray.functions.dataops import incremental_rollup
+    from vector_ray.stages.grouped import aggregate as agg_stage
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(round_sql(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64())
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"], "v": c}
+        )
+
+    facts = ds.map_batches(cents, batch_format="pyarrow")
+    base_facts = facts.map_batches(
+        lambda t: t.filter(
+            pa.array(np.asarray(pc.cast(t["o_orderkey"], pa.int64())) % 7 != 0)
+        ),
+        batch_format="pyarrow",
+    )
+    base = agg_stage(
+        base_facts,
+        {
+            "group_by": ["o_custkey"],
+            "aggregates": {
+                "sum_v": {"fn": "sum", "field": "v"},
+                "n": {"fn": "count"},
+            },
+        },
+    )
+
+    def log_rows(t: pa.Table) -> pa.Table:
+        k = np.asarray(pc.cast(t["o_orderkey"], pa.int64()))
+        ins = k % 7 == 0
+        dele = (k % 7 != 0) & (k % 5 == 0)
+        keep = ins | dele
+        sign = np.where(ins, 1, -1)[keep].astype(np.int64)
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {"o_custkey": sub["o_custkey"], "v": sub["v"], "sign": pa.array(sign)}
+        )
+
+    deltas = facts.map_batches(log_rows, batch_format="pyarrow")
+    return incremental_rollup(base, deltas, key="o_custkey")
+
+
+def q_ctfidf_clusters(sf_dir: str):
+    """Cluster labeling: k-means over embeddings, then class-based
+    TF-IDF top-3 terms per cluster (BERTopic's topic-naming step) —
+    documents joined to cluster labels on doc_id = vec_id."""
+    from vector_ray.functions.cluster import ctfidf_top_terms, kmeans_assign, kmeans_fit
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(emb, k=10, iters=3)
+    labels = kmeans_assign(emb, cent).map_batches(
+        lambda t: t.select(["vec_id", "cluster"]), batch_format="pyarrow"
+    )
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ctfidf_top_terms(docs, labels, k_terms=3)
+
+
 def q_rrf_documents(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion of BM25 lexical top-20
     and embedding-cosine top-20 (functions/similarity.py rrf_fuse).
@@ -3979,6 +4079,9 @@ QUERIES = {
     "rrf_documents": q_rrf_documents,
     "entities_documents": q_entities_documents,
     "tail_sample_events": q_tail_sample_events,
+    "ctfidf_clusters": q_ctfidf_clusters,
+    "flatten_json_events": q_flatten_json_events,
+    "incremental_rollup_orders": q_incremental_rollup_orders,
 }
 
 _STOPLIST_SQL = "['a','and','for','in','is','it','of','that','the','to']"
@@ -5775,6 +5878,43 @@ def oracle_sql() -> dict[str, str]:
         "9), 6) AS value_w FROM events CROSS JOIN "
         "(SELECT ROUND(quantile_cont(value, 0.05), 9) AS qlo, "
         "ROUND(quantile_cont(value, 0.95), 9) AS qhi FROM events) q"
+    )
+    sql["incremental_rollup_orders"] = (
+        # final state recomputed directly: base minus deletes plus
+        # inserts = keys where (%7==0) OR (%7!=0 AND %5!=0)
+        "SELECT o_custkey, "
+        "SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS sum_v, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+        "WHERE o_orderkey % 7 = 0 "
+        "OR (o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0) "
+        "GROUP BY o_custkey"
+    )
+    sql["flatten_json_events"] = (
+        "WITH p AS (SELECT event_id, "
+        "'{\"u\": ' || user_id || ', \"t\": \"' || event_type || '\"' || "
+        "CASE WHEN value >= 50 THEN ', \"v\": ' || "
+        "CAST(floor(value) AS BIGINT) ELSE '' END || '}' AS props2 "
+        "FROM events) "
+        "SELECT event_id, props2::JSON->>'t' AS t, "
+        "CAST(props2::JSON->>'u' AS BIGINT) AS u, "
+        "CAST(props2::JSON->>'v' AS BIGINT) AS v FROM p"
+    )
+    sql["ctfidf_clusters"] = (
+        _kmeans_cte(k=10, iters=3)
+        + ", w AS (SELECT af.cluster, "
+        "UNNEST(string_split(d.text, ' ')) AS word "
+        "FROM af JOIN documents d ON d.doc_id = af.vec_id), "
+        "tf AS (SELECT cluster, word, COUNT(*) AS tf FROM w GROUP BY 1, 2), "
+        "ft AS (SELECT word, SUM(tf) AS ft FROM tf GROUP BY 1), "
+        "aA AS (SELECT CAST(SUM(tf) AS DOUBLE) / "
+        "(SELECT COUNT(DISTINCT cluster) FROM tf) AS a FROM tf), "
+        "sc AS (SELECT tf.cluster, tf.word, tf.tf, "
+        "ROUND(ROUND(tf.tf * ln(1 + (SELECT a FROM aA) / ft.ft), 9), 4) "
+        "AS score FROM tf JOIN ft USING (word)), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster "
+        "ORDER BY score DESC, word ASC) AS rn FROM sc) "
+        "SELECT cluster, word AS term, CAST(tf AS BIGINT) AS tf, score "
+        "FROM r WHERE rn <= 3"
     )
     # entity resolution: same fuzzy pair definition as the engine, then
     # unrolled min-label propagation (converges in 3 rounds at sf0.01 —

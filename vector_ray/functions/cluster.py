@@ -197,3 +197,129 @@ def semdedup(
         )
 
     return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")
+
+
+def ctfidf_top_terms(
+    docs,
+    labels,
+    k_terms: int = 3,
+    text_field: str = "text",
+    id_field: str = "doc_id",
+    label_id: str = "vec_id",
+    num_buckets: int = 16,
+    ndigits: int = 4,
+):
+    """Class-based TF-IDF cluster labeling (the BERTopic topic-naming
+    step, Grootendorst 2022): for each cluster, the top-k terms by
+    W(t, c) = tf(t, c) * ln(1 + A / f(t)) where tf is the term count
+    inside the cluster, f(t) the term's corpus count, and A the average
+    word count per cluster.
+
+    Plan: ONE bucketed join co-partitions docs with their cluster
+    labels; each batch collapses to local (cluster, word) counts before
+    the aggregate shuffle (the exchange carries distinct class-grams,
+    never corpus positions); f(t) and A are re-reduced from that tiny
+    count table; the final ranking is the skew-safe salted top-k.
+    Output: (cluster, term, tf, score)."""
+    import pyarrow.compute as pc
+
+    from vector_ray.schema import round_sql_np
+    from vector_ray.stages.grouped import aggregate as agg_stage
+    from vector_ray.stages.shuffle import bucketed_join, topk_per_key
+
+    lab = labels.map_batches(
+        lambda t: pa.table(
+            {id_field: pc.cast(t[label_id], pa.int64()), "cluster": t["cluster"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(
+        docs.map_batches(
+            lambda t: t.select([id_field, text_field]), batch_format="pyarrow"
+        ),
+        lab,
+        id_field,
+        num_buckets=num_buckets,
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t[text_field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(pc.cast(col, pa.string()), "")
+        words = pc.split_pattern(col, pattern=" ")
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        n = offs[1:] - offs[:-1]
+        cl = pc.cast(t["cluster"], pa.int64())
+        if isinstance(cl, pa.ChunkedArray):
+            cl = cl.combine_chunks()
+        rep = cl.take(pa.array(np.repeat(np.arange(len(n)), n)))
+        local = (
+            pa.table({"cluster": rep, "word": words.flatten()})
+            .group_by(["cluster", "word"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "cluster": local["cluster"],
+                "word": local["word"],
+                "tf": pc.cast(local["count_all"], pa.int64()),
+            }
+        )
+
+    tf = agg_stage(
+        joined.map_batches(partials, batch_format="pyarrow"),
+        {
+            "group_by": ["cluster", "word"],
+            "aggregates": {"tf": {"fn": "sum", "field": "tf"}},
+        },
+    ).materialize()  # distinct (cluster, word) counts: reused 3x below
+
+    # A = total words / n_clusters, from one tiny partial-reduce pass
+    def totals(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s": pa.array([pc.sum(t["tf"]).as_py() or 0], pa.int64())}
+        )
+
+    rows = tf.map_batches(totals, batch_format="pyarrow").take_all()
+    total_words = float(sum(r["s"] for r in rows))
+    # distinct clusters across blocks: cheap exact pass on the tf table
+    n_clusters = len(
+        set(
+            r["cluster"]
+            for r in tf.map_batches(
+                lambda t: pa.table({"cluster": pc.unique(t["cluster"])}),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+    )
+    a_avg = total_words / float(n_clusters)
+
+    ft = agg_stage(
+        tf,
+        {"group_by": ["word"], "aggregates": {"ft": {"fn": "sum", "field": "tf"}}},
+    )
+    scored_in = bucketed_join(tf, ft, "word", num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = np.asarray(pc.cast(t["tf"], pa.float64()))
+        ftv = np.asarray(pc.cast(t["ft"], pa.float64()))
+        w = round_sql_np(
+            round_sql_np(tfv * np.log(1.0 + a_avg / ftv), 9), ndigits
+        )
+        return pa.table(
+            {
+                "cluster": pc.cast(t["cluster"], pa.int64()),
+                "term": t["word"],
+                "tf": pc.cast(t["tf"], pa.int64()),
+                "score": pa.array(w, pa.float64()),
+            }
+        )
+
+    return topk_per_key(
+        scored_in.map_batches(score, batch_format="pyarrow"),
+        key="cluster",
+        order_by="score",
+        k=k_terms,
+        tiebreak="term",
+    )

@@ -274,3 +274,168 @@ def cdc_merge(
         return win.select(value_cols)
 
     return tagged.groupby(key).map_groups(latest, batch_format="pyarrow")
+
+
+def flatten_json(ds, field: str = "props", keep: list | None = None):
+    """Schema-inferring JSON flatten: discover the union of keys (and
+    unified value types) across the corpus, then extract one typed
+    column per key — the "turn this props blob into real columns" step
+    every log pipeline starts with. Vector's remap requires the keys to
+    be declared; this op infers them.
+
+    Two phases, both streaming:
+      1. INFER — each batch parses its JSON strings with the vectorized
+         pyarrow JSON reader and emits its (key, type) pairs as one
+         tiny table (bounded by the schema, not the rows); the driver
+         unifies them (int64 stays int64, anything mixed widens to
+         string) into a deterministic sorted key list.
+      2. EXTRACT — the unified (keys, types) are passed to the existing
+         remap parse_json compile path, so extraction runs the same
+         vectorized parse + fallible-cast machinery as a declared
+         schema would.
+
+    ``keep``: original columns to carry through (default: all)."""
+    from vector_ray.stages.core import remap
+
+    def key_types(t: pa.Table) -> pa.Table:
+        import io
+
+        from pyarrow import json as pa_json
+
+        col = pc.fill_null(pc.cast(t[field], pa.string()), "{}")
+        lines = "\n".join(
+            s if s.strip() else "{}" for s in col.to_pylist()
+        )
+        try:
+            parsed = pa_json.read_json(io.BytesIO((lines + "\n").encode()))
+            pairs = [(f.name, str(f.type)) for f in parsed.schema]
+        except Exception:
+            # heterogeneous batch: fall back to per-row key scan
+            import json as _json
+
+            seen: dict[str, str] = {}
+            for s in col.to_pylist():
+                try:
+                    obj = _json.loads(s)
+                except Exception:
+                    continue
+                if isinstance(obj, dict):
+                    for k, v in obj.items():
+                        ty = (
+                            "int64"
+                            if isinstance(v, bool) is False and isinstance(v, int)
+                            else "double"
+                            if isinstance(v, float)
+                            else "string"
+                        )
+                        prev = seen.get(k)
+                        seen[k] = ty if prev in (None, ty) else "string"
+            pairs = sorted(seen.items())
+        return pa.table(
+            {
+                "key": pa.array([p[0] for p in pairs], pa.string()),
+                "ty": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+
+    rows = ds.map_batches(key_types, batch_format="pyarrow").take_all()
+    unified: dict[str, str] = {}
+    for r in rows:
+        k, ty = r["key"], r["ty"]
+        if ty in ("int64", "int32", "int16", "int8"):
+            want = "int"
+        elif ty in ("double", "float"):
+            want = "float"
+        elif ty == "bool":
+            want = "bool"
+        else:
+            want = "string"
+        prev = unified.get(k)
+        if prev is None:
+            unified[k] = want
+        elif prev != want:
+            # int + float unify to float; anything else widens to string
+            unified[k] = (
+                "float" if {prev, want} == {"int", "float"} else "string"
+            )
+    keys = sorted(unified)
+    out = remap(
+        ds,
+        {
+            "ops": [
+                {
+                    "op": "parse_json",
+                    "field": field,
+                    "keys": keys,
+                    "types": {k: unified[k] for k in keys},
+                }
+            ]
+        },
+    )
+    if keep is not None:
+        out = out.map_batches(
+            lambda t: t.select(list(keep) + keys), batch_format="pyarrow"
+        )
+    return out
+
+
+def incremental_rollup(
+    base,
+    deltas,
+    key: str,
+    sum_field: str = "sum_v",
+    count_field: str = "n",
+    value_field: str = "v",
+    sign_field: str = "sign",
+    num_buckets: int = 16,
+):
+    """Incremental view maintenance for a per-key (SUM, COUNT) rollup:
+    apply a change log of signed rows (+1 insert, -1 delete) to a
+    materialized aggregate WITHOUT rescanning the base facts — the
+    delta log is aggregated to per-key (d_sum, d_n) and merged into the
+    base with one full outer join; keys whose count reaches 0 drop out.
+
+    Cost is O(|delta| + |base keys touched|): the classic reason
+    incremental refresh beats recompute when the change rate is small.
+    ``base``: (key, sum_field, count_field); ``deltas``: (key,
+    value_field, sign_field)."""
+    from vector_ray.stages.grouped import aggregate as agg_stage
+    from vector_ray.stages.shuffle import bucketed_join
+
+    def signed(t: pa.Table) -> pa.Table:
+        sign = pc.cast(t[sign_field], pa.int64())
+        v = pc.cast(t[value_field], pa.int64())
+        return pa.table(
+            {
+                key: t[key],
+                "__dv": pc.multiply(v, sign),
+                "__dn": sign,
+            }
+        )
+
+    dagg = agg_stage(
+        deltas.map_batches(signed, batch_format="pyarrow"),
+        {
+            "group_by": [key],
+            "aggregates": {
+                "d_sum": {"fn": "sum", "field": "__dv"},
+                "d_n": {"fn": "sum", "field": "__dn"},
+            },
+        },
+    )
+    merged = bucketed_join(base, dagg, key, num_buckets=num_buckets, how="full")
+
+    def apply(t: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        s = pc.add(
+            pc.fill_null(pc.cast(t[sum_field], pa.int64()), z),
+            pc.fill_null(pc.cast(t["d_sum"], pa.int64()), z),
+        )
+        n = pc.add(
+            pc.fill_null(pc.cast(t[count_field], pa.int64()), z),
+            pc.fill_null(pc.cast(t["d_n"], pa.int64()), z),
+        )
+        out = pa.table({key: t[key], sum_field: s, count_field: n})
+        return out.filter(pc.greater(n, z))
+
+    return merged.map_batches(apply, batch_format="pyarrow")
