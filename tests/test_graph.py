@@ -397,3 +397,58 @@ def test_modularity_matches_reference(ray_session):
     want = rnd(sum(rnd(intra[c] / m - (deg[c] / (2 * m)) ** 2) for c in deg))
     assert abs(got - round(want, 6)) < 1e-9
     assert got > 0.3  # two dense cliques -> a clearly modular partition
+
+
+def test_bfs_distance_matches_reference(ray_session):
+    """Multi-source BFS hop distances on a directed graph with a cycle,
+    an unreachable island, and two seeds match an independent dict-BFS;
+    nodes beyond the fixed horizon are absent."""
+    import collections
+
+    from vector_ray.functions.graph import bfs_distance
+
+    # chain 0->1->2->3->4->5, shortcut 0->3, cycle 5->0,
+    # island 100->101 (unreachable from seeds)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3), (5, 0),
+             (100, 101)]
+    t = pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    eds = rd.from_arrow(t).repartition(3)
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0, 2], pa.int64())}))
+
+    for rounds in (1, 3, 6):
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_distance(eds, seeds, rounds=rounds,
+                                  num_buckets=3).take_all()
+        }
+        # reference: BFS from the seed set, capped at `rounds` hops
+        adj = collections.defaultdict(list)
+        for u, v in edges:
+            adj[u].append(v)
+        want = {0: 0, 2: 0}
+        frontier = [0, 2]
+        for d in range(1, rounds + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in want:
+                        want[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        assert got == want, (rounds, got, want)
+    assert 100 not in got and 101 not in got
+
+
+def test_bfs_distance_empty_seeds(ray_session):
+    from vector_ray.functions.graph import bfs_distance
+
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([1], pa.int64()),
+        "dst": pa.array([2], pa.int64()),
+    }))
+    seeds = rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+    out = bfs_distance(eds, seeds, rounds=2).take_all()
+    assert out == []

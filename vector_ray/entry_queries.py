@@ -3414,6 +3414,28 @@ def q_components_events(sf_dir: str):
     )
 
 
+def q_bfs_events(sf_dir: str):
+    """Multi-source BFS hop distance over the 1-in-97 click subgraph
+    (functions/graph.py bfs_distance): seeds = user nodes divisible by
+    10, six fixed relaxation rounds — the blast-radius / k-hop
+    reachability query (which accounts sit within 6 hops of a flagged
+    set). Oracle unrolls the identical min-relaxation per round."""
+    from vector_ray.functions.graph import bfs_distance
+
+    edges = _event_click_edges(sf_dir, sample_mod=97)
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64())
+        keep = pc.and_(
+            pc.less(s, 100000),
+            pc.equal(pc.subtract(s, pc.multiply(pc.divide(s, 10), 10)), 0),
+        )
+        return pa.table({"node": s.filter(pc.fill_null(keep, False))})
+
+    seeds = edges.map_batches(seed_rows, batch_format="pyarrow")
+    return bfs_distance(edges, seeds, rounds=6, num_buckets=8)
+
+
 def q_modularity_events(sf_dir: str):
     """Newman modularity of the LPA partition on the 1-in-97 click
     subgraph — the standard community-quality score, closing the loop
@@ -4027,6 +4049,7 @@ QUERIES = {
     "hits_events": q_hits_events,
     "pagerank_events_weighted": q_pagerank_events_weighted,
     "components_events": q_components_events,
+    "bfs_events": q_bfs_events,
     "communities_events": q_communities_events,
     "triangles_events": q_triangles_events,
     "modularity_events": q_modularity_events,
@@ -4740,6 +4763,36 @@ def _components_events_sql(rounds: int = 18) -> str:
     return body + f" SELECT node, l AS cluster FROM l{rounds}"
 
 
+def _bfs_events_sql(rounds: int = 6) -> str:
+    """Unrolled multi-source BFS (unit-weight Bellman-Ford) over the
+    1-in-97 click subgraph, seeds = user nodes % 10 == 0. Each round
+    relaxes dist(dst) = min(dist(dst), dist(src) + 1) exactly as the
+    engine does; the horizon is FIXED on both sides so no convergence
+    assumption is needed."""
+    parts = [
+        "WITH raw AS (SELECT CAST(user_id AS BIGINT) AS u, "
+        "100000 + CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) "
+        "AS BIGINT) AS i FROM events "
+        "WHERE regexp_matches(props, '\"k\":\\s*\\d+') "
+        "AND event_id % 97 = 0), ",
+        "edges AS MATERIALIZED (SELECT u AS src, i AS dst FROM raw "
+        "UNION ALL SELECT i AS src, u AS dst FROM raw), ",
+        "d0 AS MATERIALIZED (SELECT DISTINCT src AS node, "
+        "CAST(0 AS BIGINT) AS d FROM edges "
+        "WHERE src < 100000 AND src % 10 = 0), ",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, MIN(d) AS d FROM ("
+            f"SELECT e.dst AS node, l.d + 1 AS d FROM edges e "
+            f"JOIN d{p} l ON e.src = l.node "
+            f"UNION ALL SELECT node, d FROM d{p}) GROUP BY 1), "
+        )
+    body = "".join(parts).rstrip(", ")
+    return body + f" SELECT node, d AS dist FROM d{rounds}"
+
+
 def _communities_cte_chain(rounds: int = 4) -> str:
     """Unrolled semi-synchronous label propagation over the 1-in-97
     click subgraph: per round, count in-neighbor labels per node and
@@ -4827,6 +4880,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["hits_events"] = _hits_events_sql(iters=4)
     sql["components_events"] = _components_events_sql(rounds=18)
+    sql["bfs_events"] = _bfs_events_sql(rounds=6)
     sql["communities_events"] = _communities_events_sql(rounds=4)
     sql["modularity_events"] = _modularity_events_sql(rounds=4)
     sql["triangles_events"] = (

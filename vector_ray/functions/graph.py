@@ -573,6 +573,108 @@ def label_propagation(
     )
 
 
+def bfs_distance(
+    edges_ds,
+    seeds_ds,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+    num_buckets: int = 8,
+):
+    """Multi-source BFS hop distance: ``dist(node)`` = minimum number
+    of directed edges from any seed node, relaxed for a FIXED number
+    of rounds (unit-weight Bellman-Ford) — reachability / blast-radius
+    analysis (which users sit within k hops of a flagged account, how
+    far did an incident propagate). Nodes not reached within
+    ``rounds`` hops are absent from the output. The fixed horizon
+    makes the result exactly reproducible by an unrolled SQL oracle,
+    like label_propagation / the CC oracle chain.
+
+    Plan per round, nothing driver-side: bucketed_join of the current
+    distance table onto the edge list by source (one hash shuffle of
+    O(frontier)-joined edges), a per-block (dst, min d+1) combiner so
+    each block contributes at most one row per distinct dst, then one
+    small ``groupby(node).min`` over partials unioned with the
+    previous distances. The edge set is materialized once and
+    re-joined each round; distance tables are O(reached nodes).
+
+    ``seeds_ds``: Dataset with one int-castable column ``node``.
+    Returns Dataset[(node:int64, dist:int64)]."""
+    from vector_ray.stages.shuffle import bucketed_join
+
+    edges = edges_ds.map_batches(
+        lambda t, s=src, d=dst: _drop_null_edges(t, s, d).select([s, d]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def seed_part(t: pa.Table) -> pa.Table:
+        u = np.unique(_np_col(t, "node"))
+        return pa.table(
+            {"node": pa.array(u), "d": pa.array(np.zeros(len(u), np.int64))}
+        )
+
+    dist = (
+        seeds_ds.map_batches(seed_part, batch_format="pyarrow")
+        .groupby("node")
+        .min("d")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "d"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    if dist.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema([("node", pa.int64()), ("dist", pa.int64())]).empty_table()
+        )
+
+    def relax_part(t: pa.Table, d=dst) -> pa.Table:
+        # local combiner: min candidate distance per distinct dst in
+        # the block (one row per dst crosses the final groupby)
+        da = _np_col(t, d)
+        cand = _np_col(t, "__bfs_d") + 1
+        order = np.lexsort((cand, da))
+        da, cand = da[order], cand[order]
+        first = np.ones(len(da), dtype=bool)
+        first[1:] = da[1:] != da[:-1]
+        return pa.table(
+            {"node": pa.array(da[first]), "d": pa.array(cand[first])}
+        )
+
+    for _ in range(rounds):
+        dist_src = dist.map_batches(
+            lambda t, s=src: pa.table(
+                {
+                    s: pc.cast(t["node"], pa.int64()),
+                    "__bfs_d": pc.cast(t["d"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_join(
+            edges, dist_src, key=src, num_buckets=num_buckets, how="inner"
+        )
+        partials = joined.map_batches(relax_part, batch_format="pyarrow")
+        dist = (
+            partials.union(dist)
+            .groupby("node")
+            .min("d")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "d"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return dist.map_batches(
+        lambda t: pa.table(
+            {"node": pc.cast(t["node"], pa.int64()), "dist": pc.cast(t["d"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _canonical_edges(edges_ds, src: str, dst: str):
     """Canonicalize an undirected edge list: drop nulls and self-loops,
     orient each edge (u < v), exact-dedupe with one hash shuffle.
