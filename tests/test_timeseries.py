@@ -149,3 +149,75 @@ def test_pmi_bigrams_document_boundary(ray_session):
     assert pairs[("a", "b")] == 7  # within-doc only: 3 + 4
     assert pairs[("b", "a")] == 5  # within-doc only: 2 + 3
     # the cross-doc boundary pair ('b', 'a') would have made it 6
+
+
+def test_ols_trend_closed_form(ray_session):
+    """Per-key OLS slope/intercept/r2 match numpy.polyfit on a known
+    two-key fixture; degenerate keys (n=1, zero x-variance) emit nulls;
+    result is invariant to repartitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import ols_trend
+
+    rng = np.random.RandomState(7)
+    xa = np.linspace(0.0, 10.0, 40)
+    ya = 2.5 * xa - 1.0 + rng.normal(0, 0.3, 40)
+    xb = np.linspace(0.0, 5.0, 25)
+    yb = -0.7 * xb + 4.0 + rng.normal(0, 0.1, 25)
+    t = pa.table({
+        "k": pa.array(["a"] * 40 + ["b"] * 25 + ["one", "flat", "flat"]),
+        "x": pa.array(np.concatenate([xa, xb, [1.0, 3.0, 3.0]])),
+        "y": pa.array(np.concatenate([ya, yb, [5.0, 1.0, 2.0]])),
+    })
+    for nparts in (1, 5):
+        out = ols_trend(
+            rd.from_arrow(t).repartition(nparts),
+            {"group_by": "k", "x_field": "x", "y_field": "y", "round": 6},
+        ).take_all()
+        rows = {r["k"]: r for r in out}
+        assert set(rows) == {"a", "b", "one", "flat"}
+        for key, x, y in (("a", xa, ya), ("b", xb, yb)):
+            slope, intercept = np.polyfit(x, y, 1)
+            r = np.corrcoef(x, y)[0, 1]
+            assert abs(rows[key]["slope"] - slope) < 1e-5
+            assert abs(rows[key]["intercept"] - intercept) < 1e-5
+            assert abs(rows[key]["r2"] - r * r) < 1e-5
+            assert rows[key]["n"] == len(x)
+        for key in ("one", "flat"):
+            assert rows[key]["slope"] is None
+            assert rows[key]["intercept"] is None
+            assert rows[key]["r2"] is None
+
+
+def test_cooccurrence_supports(ray_session):
+    """Pair supports count ENTITIES (not event rows), pairs are
+    lexicographically ordered, min_support filters."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import cooccurrence
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),          # u1: {a,b}
+        (2, "b"), (2, "a"), (2, "c"),          # u2: {a,b,c}
+        (3, "a"), (3, "b"),                    # u3: {a,b}
+        (4, "c"),                              # u4: singleton -> no pairs
+        (5, None), (5, "a"),                   # nulls ignored
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+    })
+    out = cooccurrence(
+        rd.from_arrow(t).repartition(3),
+        {"entity": "user_id", "state_field": "event_type"},
+    ).take_all()
+    got = {(r["state_a"], r["state_b"]): r["n"] for r in out}
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    out2 = cooccurrence(
+        rd.from_arrow(t),
+        {"entity": "user_id", "state_field": "event_type", "min_support": 2},
+    ).take_all()
+    assert {(r["state_a"], r["state_b"]): r["n"] for r in out2} == {("a", "b"): 3}

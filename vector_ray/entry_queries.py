@@ -2707,6 +2707,50 @@ def q_zscore_events(sf_dir: str):
     )
 
 
+def q_trend_events(sf_dir: str):
+    """Per-event-type OLS trend of value over time (stages/grouped.py
+    ols_trend): slope / intercept / r2 from two-phase moment sums —
+    the drift-detection shape behind latency-creep alerts. x is days
+    since 2024-01-01 (pre-scaled so sum-based normal equations keep
+    precision; the oracle computes the identical closed form from SQL
+    SUM aggregates)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    anchor = pa.scalar(
+        __import__("datetime").datetime(2024, 1, 1), pa.timestamp("us")
+    ).cast(pa.int64()).as_py()
+
+    def add_x(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        x = pc.divide(
+            pc.cast(pc.subtract(us, pa.scalar(anchor, pa.int64())), pa.float64()),
+            pa.scalar(86400e6, pa.float64()),
+        )
+        return t.append_column("x", x)
+
+    return grouped.ols_trend(
+        ds.map_batches(add_x, batch_format="pyarrow"),
+        {"group_by": "event_type", "x_field": "x", "y_field": "value",
+         "round": 6},
+    )
+
+
+def q_cooccurrence_events(sf_dir: str):
+    """Per-user event-type co-occurrence supports (stages/grouped.py
+    cooccurrence): how many users exhibit BOTH types of each unordered
+    pair — association mining / alert-correlation counts. Per-batch
+    distinct combiner, one shuffle on user_id, bounded pair fan-out
+    (domain choose 2, never event-count quadratic)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped.cooccurrence(
+        ds,
+        {"entity": "user_id", "state_field": "event_type", "min_support": 5},
+    )
+
+
 def q_tfidf_documents(sf_dir: str):
     """Per-doc top TF-IDF term (smoothed idf, two-phase DF counts,
     broadcast idf table)."""
@@ -4043,6 +4087,8 @@ QUERIES = {
     "near_dedupe_documents": q_near_dedupe_documents,
     "softdedup_documents": q_softdedup_documents,
     "zscore_events": q_zscore_events,
+    "trend_events": q_trend_events,
+    "cooccurrence_events": q_cooccurrence_events,
     "zorder_events": q_zorder_events,
     "pagerank_events": q_pagerank_events,
     "pagerank_events_bucketed": q_pagerank_events_bucketed,
@@ -5693,6 +5739,37 @@ def oracle_sql() -> dict[str, str]:
                 "    AVG(value) OVER (PARTITION BY event_type) AS m, "
                 "    STDDEV_POP(value) OVER (PARTITION BY event_type) AS s "
                 "  FROM events)"
+            ),
+            "trend_events": (
+                # identical closed form from SQL SUM aggregates — the
+                # sum-based normal equations, x pre-scaled to days
+                "WITH b AS (SELECT event_type, "
+                "  (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) "
+                "    / 86400000000.0 AS x, value AS y "
+                "  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), "
+                "s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, "
+                "  SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+                "  SUM(y*y) AS syy FROM b GROUP BY 1) "
+                "SELECT event_type, CAST(n AS BIGINT) AS n, "
+                "ROUND(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 "
+                "  THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope, "
+                "ROUND(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 "
+                "  THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n "
+                "  END, 6) AS intercept, "
+                "ROUND(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 "
+                "  AND n*syy - sy*sy > 0 "
+                "  THEN (n*sxy - sx*sy) * (n*sxy - sx*sy) "
+                "    / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2 "
+                "FROM s"
+            ),
+            "cooccurrence_events": (
+                "WITH d AS (SELECT DISTINCT user_id, event_type "
+                "  FROM events WHERE event_type IS NOT NULL) "
+                "SELECT a.event_type AS state_a, b.event_type AS state_b, "
+                "CAST(COUNT(*) AS BIGINT) AS n "
+                "FROM d a JOIN d b ON a.user_id = b.user_id "
+                "  AND a.event_type < b.event_type "
+                "GROUP BY 1, 2 HAVING COUNT(*) >= 5"
             ),
             "near_dedupe_documents": (
                 # same pair definition as ngram_pairs_documents, then

@@ -88,6 +88,8 @@ TRANSFORMS = {
     "coalesce_intervals": grouped.coalesce_intervals,
     "robust_z": grouped.robust_z,
     "transitions": grouped.transitions,
+    "ols_trend": grouped.ols_trend,
+    "cooccurrence": grouped.cooccurrence,
     "rollup": grouped.rollup,
     "grouping_sets": grouped.grouping_sets,
     "pivot": grouped.pivot,

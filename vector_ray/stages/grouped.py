@@ -1966,3 +1966,177 @@ def grouping_sets(ds, options: dict, ctx=None):
         return t.drop_columns(["__gset"]).append_column("grouping_id", gid)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def ols_trend(ds, options: dict, ctx=None):
+    """Per-key ordinary-least-squares trend line: slope / intercept / r2
+    of ``y_field`` regressed on ``x_field`` — drift detection over
+    telemetry (is p95 latency creeping up per service?), the batch
+    analog of Vector's aggregate windows feeding an alert threshold
+    (reference alerts/mod.rs:56-79 consumes exactly this shape).
+
+    {"type": "ols_trend", "group_by": "event_type",
+     "x_field": "x", "y_field": "value", "round": 6}
+
+    Two-phase and shuffle-light: each batch collapses to one
+    (n, Σx, Σy, Σxy, Σx², Σy²) row per key present in the batch, the
+    global groupby sums those tiny partials, and the closed-form
+    finish runs on the |keys|-row result — the corpus itself never
+    shuffles. Degenerate keys (n < 2 or zero x-variance) emit null
+    slope/intercept/r2; zero y-variance emits r2 = null (SQL regr_r2
+    divides by var(y)). Callers should pre-scale ``x_field`` to a
+    modest range (e.g. days since an epoch, not raw nanoseconds) —
+    raw Σx² on huge x loses the precision any sum-based formula
+    (including the SQL oracle's) needs."""
+    keys = options["group_by"]
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    xf, yf = options["x_field"], options["y_field"]
+    ndigits = options.get("round", 6)
+
+    from vector_ray.schema import round_sql_np
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[xf], pa.float64())
+        y = pc.cast(t[yf], pa.float64())
+        ok = pc.and_kleene(pc.is_valid(x), pc.is_valid(y))
+        base = t.select(keys).append_column("__x", x).append_column("__y", y)
+        base = base.filter(pc.fill_null(ok, False))
+        xx = pc.multiply(base["__x"], base["__x"])
+        xy = pc.multiply(base["__x"], base["__y"])
+        yy = pc.multiply(base["__y"], base["__y"])
+        base = (
+            base.append_column("__xx", xx)
+            .append_column("__xy", xy)
+            .append_column("__yy", yy)
+        )
+        part = base.group_by(keys).aggregate(
+            [
+                ("__x", "count"),
+                ("__x", "sum"),
+                ("__y", "sum"),
+                ("__xy", "sum"),
+                ("__xx", "sum"),
+                ("__yy", "sum"),
+            ]
+        )
+        return part.rename_columns(
+            keys + ["n", "sx", "sy", "sxy", "sxx", "syy"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    sums = aggregate(
+        partials,
+        {
+            "group_by": keys,
+            "aggregates": {
+                "n": {"fn": "sum", "field": "n", "int": True},
+                "sx": {"fn": "sum", "field": "sx"},
+                "sy": {"fn": "sum", "field": "sy"},
+                "sxy": {"fn": "sum", "field": "sxy"},
+                "sxx": {"fn": "sum", "field": "sxx"},
+                "syy": {"fn": "sum", "field": "syy"},
+            },
+        },
+        ctx,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(pc.cast(t["n"], pa.float64()))
+        sx = np.asarray(t["sx"], dtype=np.float64)
+        sy = np.asarray(t["sy"], dtype=np.float64)
+        sxy = np.asarray(t["sxy"], dtype=np.float64)
+        sxx = np.asarray(t["sxx"], dtype=np.float64)
+        syy = np.asarray(t["syy"], dtype=np.float64)
+        dx = n * sxx - sx * sx  # n² · var(x)
+        dy = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where((n >= 2) & (dx > 0), num / dx, np.nan)
+            intercept = np.where(np.isnan(slope), np.nan, (sy - slope * sx) / n)
+            r2 = np.where(
+                np.isnan(slope) | (dy <= 0), np.nan, (num * num) / (dx * dy)
+            )
+
+        def col(v):
+            a = pa.array(round_sql_np(v, ndigits), pa.float64())
+            return pc.if_else(pc.is_nan(a), pa.scalar(None, pa.float64()), a)
+
+        out = t.select(keys)
+        out = out.append_column("n", pc.cast(t["n"], pa.int64()))
+        out = out.append_column("slope", col(slope))
+        out = out.append_column("intercept", col(intercept))
+        out = out.append_column("r2", col(r2))
+        return out
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def cooccurrence(ds, options: dict, ctx=None):
+    """Market-basket co-occurrence: for every unordered pair of distinct
+    ``state_field`` values sharing an entity, how many entities exhibit
+    BOTH — "users who triggered A also triggered B", the support counts
+    behind association mining and alert-correlation matrices.
+
+    {"type": "cooccurrence", "entity": "user_id",
+     "state_field": "event_type", "min_support": 2}
+
+    One hash shuffle on the entity key. Each batch first collapses to
+    distinct (entity, state) pairs (the combiner — repeated events of
+    one type never cross the exchange), each entity group then emits
+    its sorted-distinct pair list (bounded by the state-domain choose 2,
+    NOT by event count), and a final two-phase count sums per-group
+    partials. Pick a bounded-cardinality ``state_field``; an unbounded
+    one makes the per-entity pair blowup quadratic by construction."""
+    entity = options["entity"]
+    state = options.get("state_field", "event_type")
+    min_support = int(options.get("min_support", 1))
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return (
+            t.select([entity, state])
+            .filter(pc.is_valid(t[state]))
+            .group_by([entity, state])
+            .aggregate([])
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        col = g[state]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = np.unique(np.asarray(col.to_numpy(zero_copy_only=False), dtype=object))
+        m = len(vals)
+        empty = pa.table(
+            {
+                "state_a": pa.array([], pa.string()),
+                "state_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if m < 2:
+            return empty
+        ia, ib = np.triu_indices(m, k=1)
+        return pa.table(
+            {
+                "state_a": pa.array(vals[ia], pa.string()),
+                "state_b": pa.array(vals[ib], pa.string()),
+                "n": pa.array(np.ones(len(ia), np.int64)),
+            }
+        )
+
+    per_entity = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(entity)
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    counts = aggregate(
+        per_entity,
+        {
+            "group_by": ["state_a", "state_b"],
+            "aggregates": {"n": {"fn": "sum", "field": "n", "int": True}},
+        },
+        ctx,
+    )
+    if min_support > 1:
+        counts = counts.filter(
+            expr=f"n >= {min_support}"
+        )
+    return counts
