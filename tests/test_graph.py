@@ -452,3 +452,44 @@ def test_bfs_distance_empty_seeds(ray_session):
     seeds = rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
     out = bfs_distance(eds, seeds, rounds=2).take_all()
     assert out == []
+
+
+def test_kcore_matches_reference(ray_session):
+    """Fixed-round k-core peeling on a clique + pendant chain + square
+    matches an independent dict-based peeler at k=2 and k=3; duplicate
+    and reversed input edges do not change degrees."""
+    from vector_ray.functions.graph import kcore
+
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),  # 4-clique
+           (3, 10), (10, 11), (11, 12),                     # pendant chain
+           (20, 21), (21, 22), (22, 23), (23, 20)]          # square (2-core)
+    edges = und + [(b, a) for a, b in und] + und[:4]  # dupes + reverses
+    t = pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    eds = rd.from_arrow(t).repartition(3)
+
+    def reference(k, rounds):
+        import collections
+        adj = collections.defaultdict(set)
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        for _ in range(rounds):
+            dead = {v for v, ns in adj.items() if len(ns) < k}
+            if not dead:
+                break
+            for v in dead:
+                for n in adj[v]:
+                    adj[n].discard(v)
+                del adj[v]
+            adj = {v: ns for v, ns in adj.items() if True}
+        return {v: len(ns) for v, ns in adj.items() if ns}
+
+    for k in (2, 3):
+        got = {r["node"]: r["deg"]
+               for r in kcore(eds, k=k, rounds=6, num_buckets=3).take_all()}
+        assert got == reference(k, 6), (k, got)
+    # k=4: everything peels away -> empty result
+    assert kcore(eds, k=4, rounds=6, num_buckets=3).take_all() == []

@@ -3480,6 +3480,22 @@ def q_bfs_events(sf_dir: str):
     return bfs_distance(edges, seeds, rounds=6, num_buckets=8)
 
 
+def q_kcore_events(sf_dir: str):
+    """2-core of the 1-in-13 click subgraph after four fixed peeling
+    rounds (functions/graph.py kcore): repeatedly drop nodes with
+    fewer than 2 distinct neighbors — the dense-backbone extractor
+    (nodes on pendant chains peel away; cyclic cores survive).
+    Returns each surviving node with its degree in the peeled
+    subgraph. mod=13 (not the graph queries' usual 97) so the core is
+    NON-EMPTY at every test scale — at mod=97 the sf0.001 graph peels
+    away entirely and the check would be vacuous. Oracle unrolls the
+    identical degree-filter per round."""
+    from vector_ray.functions.graph import kcore
+
+    edges = _event_click_edges(sf_dir, sample_mod=13)
+    return kcore(edges, k=2, rounds=4, num_buckets=8)
+
+
 def q_modularity_events(sf_dir: str):
     """Newman modularity of the LPA partition on the 1-in-97 click
     subgraph — the standard community-quality score, closing the loop
@@ -4096,6 +4112,7 @@ QUERIES = {
     "pagerank_events_weighted": q_pagerank_events_weighted,
     "components_events": q_components_events,
     "bfs_events": q_bfs_events,
+    "kcore_events": q_kcore_events,
     "communities_events": q_communities_events,
     "triangles_events": q_triangles_events,
     "modularity_events": q_modularity_events,
@@ -4839,6 +4856,41 @@ def _bfs_events_sql(rounds: int = 6) -> str:
     return body + f" SELECT node, d AS dist FROM d{rounds}"
 
 
+def _kcore_events_sql(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled k-core peeling over the 1-in-97 click subgraph: per
+    round keep nodes whose distinct-neighbor degree >= k, then keep
+    only edges with BOTH endpoints surviving — exactly the engine's
+    degree-filter / two-semi-join round (graph.py kcore), fixed
+    horizon on both sides. Final answer: degree of every node in the
+    ``rounds``-times-peeled symmetric edge set. mod=13 keeps the
+    core non-empty at sf0.001 (mod=97 peels to nothing there)."""
+    parts = [
+        "WITH raw AS (SELECT CAST(user_id AS BIGINT) AS u, "
+        "100000 + CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) "
+        "AS BIGINT) AS i FROM events "
+        "WHERE regexp_matches(props, '\"k\":\\s*\\d+') "
+        "AND event_id % 13 = 0), ",
+        "ce AS MATERIALIZED (SELECT DISTINCT LEAST(u, i) AS a, "
+        "GREATEST(u, i) AS b FROM raw WHERE u <> i), ",
+        "s0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce "
+        "UNION ALL SELECT b AS src, a AS dst FROM ce), ",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT src AS node FROM s{p} "
+            f"GROUP BY 1 HAVING COUNT(*) >= {int(k)}), "
+            f"s{i} AS MATERIALIZED (SELECT s.src, s.dst FROM s{p} s "
+            f"JOIN a{i} x ON s.src = x.node "
+            f"JOIN a{i} y ON s.dst = y.node), "
+        )
+    body = "".join(parts).rstrip(", ")
+    return body + (
+        f" SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+        f"FROM s{rounds} GROUP BY 1"
+    )
+
+
 def _communities_cte_chain(rounds: int = 4) -> str:
     """Unrolled semi-synchronous label propagation over the 1-in-97
     click subgraph: per round, count in-neighbor labels per node and
@@ -4927,6 +4979,7 @@ def oracle_sql() -> dict[str, str]:
     sql["hits_events"] = _hits_events_sql(iters=4)
     sql["components_events"] = _components_events_sql(rounds=18)
     sql["bfs_events"] = _bfs_events_sql(rounds=6)
+    sql["kcore_events"] = _kcore_events_sql(k=2, rounds=4)
     sql["communities_events"] = _communities_events_sql(rounds=4)
     sql["modularity_events"] = _modularity_events_sql(rounds=4)
     sql["triangles_events"] = (

@@ -413,7 +413,14 @@ def _pagerank_bucketed(
                 }
             )
 
-        ranks = updated.map_batches(apply, batch_format="pyarrow").materialize()
+        # re-coalesce before materializing: the join's union+sort makes
+        # output blocks ~ (deg blocks + ranks blocks), so without this
+        # the per-iteration block (and task) count grows every round
+        ranks = (
+            updated.map_batches(apply, batch_format="pyarrow")
+            .repartition(num_buckets)
+            .materialize()
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -469,7 +476,10 @@ def label_propagation(
         lambda t, s=src, d=dst: _drop_null_edges(t, s, d).select([s, d]),
         batch_format="pyarrow",
     ).materialize()
-    if edges.count() == 0:  # typed empty result (stable schema)
+    # NOTE: Ray drops zero-row blocks, so an empty Dataset loses its
+    # schema downstream (to_pandas -> 0 columns); callers that need a
+    # typed frame must handle the empty case themselves
+    if edges.count() == 0:
         import ray.data as _rd
 
         return _rd.from_arrow(
@@ -564,6 +574,10 @@ def label_propagation(
             hash_bucket(partials, "node", num_buckets)
             .groupby(BUCKET_COLUMN)
             .map_groups(pick, batch_format="pyarrow")
+            # keep the per-round block count fixed: map_groups emits as
+            # many blocks as its sort input (edges + 2x labels), which
+            # otherwise compounds round over round
+            .repartition(num_buckets)
             .materialize()
         )
 
@@ -664,6 +678,9 @@ def bfs_distance(
                 lambda t: t.rename_columns(["node", "d"]),
                 batch_format="pyarrow",
             )
+            # without re-coalescing, dist's block count doubles per
+            # round (groupby output blocks = partials + dist inputs)
+            .repartition(num_buckets)
             .materialize()
         )
 
@@ -914,3 +931,118 @@ def modularity(edges_ds, labels_ds, src: str = "src", dst: str = "dst"):
             }
         )
     )
+
+
+def kcore(
+    edges_ds,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+    num_buckets: int = 8,
+):
+    """k-core decomposition by iterative peeling for a FIXED number of
+    rounds: repeatedly delete nodes of simple-graph degree < k and
+    every edge touching them — the dense-backbone extractor behind
+    spam-ring mining and graph sparsification (a node survives the
+    true k-core iff it survives peeling to a fixpoint; the fixed
+    horizon makes the result exactly reproducible by an unrolled SQL
+    oracle, like label_propagation / bfs_distance).
+
+    Input may carry duplicates, self-loops, and either or both edge
+    directions; it is canonicalized via ``_canonical_edges`` (u < v,
+    exact-dedupe, one hash shuffle) and then symmetrized, so degree =
+    number of DISTINCT neighbors on both sides.
+
+    Per round, nothing driver-side: one per-block degree combiner +
+    small groupby-sum over the current edge set (O(nodes) rows), then
+    two bucketed semi-joins (src side, dst side) filter the edge set
+    against the surviving-node table — no broadcast of an unbounded
+    node set anywhere. Returns Dataset[(node:int64, deg:int64)]: the
+    degree of every surviving node in the ``rounds``-times-peeled
+    subgraph (empty when the whole graph peels away)."""
+    from vector_ray.stages.shuffle import bucketed_join
+
+    und = _canonical_edges(edges_ds, src, dst)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [c for col in (t["u"], t["v"]) for c in pc.cast(col, pa.int64()).chunks]
+                    or [pa.array([], pa.int64())]
+                ),
+                "dst": pa.concat_arrays(
+                    [c for col in (t["v"], t["u"]) for c in pc.cast(col, pa.int64()).chunks]
+                    or [pa.array([], pa.int64())]
+                ),
+            }
+        )
+
+    edges = und.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def empty_result():
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema([("node", pa.int64()), ("deg", pa.int64())]).empty_table()
+        )
+
+    def deg_part(t: pa.Table) -> pa.Table:
+        # per-block combiner: one (node, partial-degree) row per
+        # distinct src in the block crosses the groupby
+        part = t.group_by(["src"]).aggregate([([], "count_all")])
+        return part.rename_columns(["node", "deg"])
+
+    def degrees(eds):
+        return (
+            eds.map_batches(deg_part, batch_format="pyarrow")
+            .groupby("node")
+            .sum("deg")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": pc.cast(t["node"], pa.int64()),
+                        "deg": pc.cast(t["sum(deg)"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    for _ in range(rounds):
+        if edges.count() == 0:
+            return empty_result()
+        alive = (
+            degrees(edges)
+            .filter(expr=f"deg >= {int(k)}")
+            .select_columns(["node"])
+            .materialize()
+        )
+        if alive.count() == 0:
+            return empty_result()
+        keep_src = alive.map_batches(
+            lambda t: t.rename_columns(["src"]), batch_format="pyarrow"
+        )
+        keep_dst = alive.map_batches(
+            lambda t: t.rename_columns(["dst"]), batch_format="pyarrow"
+        )
+        edges = bucketed_join(
+            edges, keep_src, key="src", num_buckets=num_buckets, how="semi"
+        )
+        # re-coalesce before the round's materialize: each join unions
+        # two inputs and sorts, so output block count is ~3x input —
+        # left unchecked the loop's block count (and per-round task
+        # count) grows geometrically with rounds. A fixed repartition
+        # keeps every round the same size job.
+        edges = (
+            bucketed_join(
+                edges, keep_dst, key="dst", num_buckets=num_buckets, how="semi"
+            )
+            .repartition(num_buckets)
+            .materialize()
+        )
+
+    if edges.count() == 0:
+        return empty_result()
+    return degrees(edges)
