@@ -53,6 +53,8 @@ MOVEMENT = {
     "retention": "shuffle",
     "decay": "shuffle",
     "cusum": "shuffle",
+    "ols_trend": "hybrid",  # 6-float block partials -> |keys|-row groupby
+    "cooccurrence": "shuffle",  # distinct (entity,state) pairs cross one exchange
     "coalesce_intervals": "shuffle",
     "robust_z": "shuffle",
     "transitions": "shuffle",
