@@ -3977,7 +3977,105 @@ def q_pmi_documents(sf_dir: str):
     return pmi_bigrams(ds, field="text", min_count=5, k=20)
 
 
+def q_holt_events(sf_dir: str):
+    """Per-user Holt linear (level + trend) smoothing of value ordered
+    by (ts, event_id) — EWMA plus an explicit trend state
+    (stages/grouped.py holt). Keys hash-bucketed, step loop vectorized
+    across users, each step pinned to 9 decimals to match the
+    recursive SQL oracle bit-for-bit."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = grouped.holt(
+        ds,
+        {
+            "group_by": "user_id",
+            "order_by": ["ts", "event_id"],
+            "field": "value",
+            "alpha": 0.3,
+            "beta": 0.2,
+            "round": 4,
+        },
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["event_id", "user_id", "holt_level_value", "holt_trend_value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_autocorr_events(sf_dir: str):
+    """Per-event-type lag-1 autocorrelation of value in (ts, event_id)
+    order (stages/grouped.py autocorr) — the seasonality /
+    self-similarity probe. One key shuffle; moment sums per group, the
+    same closed form the SQL LAG + SUM oracle computes."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["event_type"])),
+        batch_format="pyarrow",
+    )
+    return grouped.autocorr(
+        ds,
+        {
+            "group_by": "event_type",
+            "order_by": ["ts", "event_id"],
+            "field": "value",
+            "lag": 1,
+            "round": 6,
+        },
+    )
+
+
+def q_scd2_events(sf_dir: str):
+    """SCD type-2 history of each user's event_type (stages/grouped.py
+    scd2): consecutive equal-attribute runs collapse to validity
+    intervals with valid_from/valid_to/is_current — the warehouse
+    dimension-history primitive. One key shuffle, dictionary-code run
+    detection per group."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return grouped.scd2(
+        ds,
+        {
+            "group_by": "user_id",
+            "order_by": ["ts", "event_id"],
+            "attrs": ["event_type"],
+            "ts_field": "ts",
+        },
+    )
+
+
+def q_survivorship_events(sf_dir: str):
+    """Golden-record survivorship per user (stages/grouped.py
+    survivorship): for each field independently, the value of the
+    latest row (ts, event_id desc) where it is non-null — the MDM
+    merge rule after duplicate clustering. One key shuffle, one
+    vectorized argmax per field per group."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return grouped.survivorship(
+        ds,
+        {
+            "group_by": "user_id",
+            "order_by": ["ts", "event_id"],
+            "fields": ["event_type", "value"],
+        },
+    )
+
+
 QUERIES = {
+    "holt_events": q_holt_events,
+    "autocorr_events": q_autocorr_events,
+    "scd2_events": q_scd2_events,
+    "survivorship_events": q_survivorship_events,
     "pack_boundaries_corpus": q_pack_boundaries,
     "pack_eos_corpus": q_pack_eos,
     "span_dedupe_incr_corpus": q_span_dedupe_incr,
@@ -4999,6 +5097,97 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["pagerank_events_weighted"] = _pagerank_events_sql(
         iters=4, damping=0.85, weighted=True
+    )
+    sql["holt_events"] = (
+        # recursive Holt level+trend; every assignment ROUNDs to 9
+        # decimals exactly like stages/grouped.py holt(); 0.7/0.8 are
+        # the bitwise values of 1.0-0.3 / 1.0-0.2 so both sides
+        # multiply identical doubles
+        "WITH RECURSIVE o AS (SELECT event_id, user_id, "
+        "  CAST(value AS DOUBLE) AS x, "
+        "  ROW_NUMBER() OVER (PARTITION BY user_id "
+        "    ORDER BY ts, event_id) AS rn FROM events), "
+        "r AS (SELECT event_id, user_id, rn, ROUND(x, 9) AS l, "
+        "  CAST(0.0 AS DOUBLE) AS b FROM o WHERE rn = 1 "
+        "  UNION ALL "
+        "  SELECT event_id, user_id, rn, l, "
+        "  ROUND(0.2 * (l - pl) + 0.8 * pb, 9) AS b "
+        "  FROM (SELECT o.event_id, o.user_id, o.rn, "
+        "    ROUND(0.3 * o.x + 0.7 * (r.l + r.b), 9) AS l, "
+        "    r.l AS pl, r.b AS pb "
+        "    FROM r JOIN o ON o.user_id = r.user_id "
+        "    AND o.rn = r.rn + 1)) "
+        "SELECT event_id, user_id, "
+        "ROUND(ROUND(l, 9), 4) AS holt_level_value, "
+        "ROUND(ROUND(b, 9), 4) AS holt_trend_value FROM r"
+    )
+    sql["autocorr_events"] = (
+        # identical closed form from SQL LAG + SUM aggregates; LAG runs
+        # over ALL rows of the key (null values occupy positions), the
+        # pair is dropped when either side is NULL — exactly the
+        # engine's mask
+        "WITH o AS (SELECT event_type, CAST(value AS DOUBLE) AS x, "
+        "  LAG(CAST(value AS DOUBLE), 1) OVER (PARTITION BY event_type "
+        "    ORDER BY ts, event_id) AS y "
+        "  FROM events WHERE event_type IS NOT NULL), "
+        "p AS (SELECT event_type, x, y FROM o "
+        "  WHERE x IS NOT NULL AND y IS NOT NULL), "
+        "s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, "
+        "  SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, "
+        "  SUM(x*x) AS sxx, SUM(y*y) AS syy FROM p GROUP BY 1) "
+        "SELECT k.event_type, "
+        "CAST(COALESCE(s.n, 0) AS BIGINT) AS n_pairs, "
+        "ROUND(CASE WHEN s.n >= 2 AND s.n*s.sxx - s.sx*s.sx > 0 "
+        "  AND s.n*s.syy - s.sy*s.sy > 0 "
+        "  THEN (s.n*s.sxy - s.sx*s.sy) / "
+        "    SQRT((s.n*s.sxx - s.sx*s.sx) * (s.n*s.syy - s.sy*s.sy)) "
+        "  END, 6) AS acf "
+        "FROM (SELECT DISTINCT event_type FROM events "
+        "  WHERE event_type IS NOT NULL) k "
+        "LEFT JOIN s USING (event_type)"
+    )
+    sql["scd2_events"] = (
+        # run detection via LAG + IS DISTINCT FROM (null-safe, same as
+        # the engine's dictionary-code compare), run ids by running
+        # sum, valid_to = next run's valid_from via LEAD
+        "WITH o AS (SELECT user_id, event_type, ts, "
+        "  ROW_NUMBER() OVER w AS rn, "
+        "  CASE WHEN ROW_NUMBER() OVER w = 1 "
+        "    OR event_type IS DISTINCT FROM LAG(event_type) OVER w "
+        "    THEN 1 ELSE 0 END AS chg "
+        "  FROM events WINDOW w AS (PARTITION BY user_id "
+        "    ORDER BY ts, event_id)), "
+        "r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id "
+        "  ORDER BY rn) AS run_id FROM o), "
+        "g AS (SELECT user_id, run_id, MIN(event_type) AS event_type, "
+        "  MIN(ts) AS valid_from FROM r GROUP BY 1, 2) "
+        "SELECT user_id, event_type, valid_from, "
+        "LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) "
+        "  AS valid_to, "
+        "CASE WHEN run_id = MAX(run_id) OVER (PARTITION BY user_id) "
+        "  THEN 1 ELSE 0 END AS is_current "
+        "FROM g"
+    )
+    sql["survivorship_events"] = (
+        # latest-non-null per field, each field independently; NULLS
+        # FIRST mirrors the engine's reversed ascending lexsort (nulls
+        # sort last ascending, so first descending)
+        "WITH t AS (SELECT user_id, event_type, "
+        "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY "
+        "    ts DESC NULLS FIRST, event_id DESC NULLS FIRST) AS rn "
+        "  FROM events WHERE event_type IS NOT NULL), "
+        "v AS (SELECT user_id, value, "
+        "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY "
+        "    ts DESC NULLS FIRST, event_id DESC NULLS FIRST) AS rn "
+        "  FROM events WHERE value IS NOT NULL), "
+        "n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "  FROM events GROUP BY 1) "
+        "SELECT n.user_id, n.n_rows, t.event_type AS last_event_type, "
+        "v.value AS last_value FROM n "
+        "LEFT JOIN (SELECT user_id, event_type FROM t WHERE rn = 1) t "
+        "  ON n.user_id = t.user_id "
+        "LEFT JOIN (SELECT user_id, value FROM v WHERE rn = 1) v "
+        "  ON n.user_id = v.user_id"
     )
     sql.update(
         {

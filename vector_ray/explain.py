@@ -53,6 +53,10 @@ MOVEMENT = {
     "retention": "shuffle",
     "decay": "shuffle",
     "cusum": "shuffle",
+    "holt": "shuffle",  # same bucketed step-vectorized recurrence as ewma
+    "autocorr": "shuffle",  # one key shuffle, per-group moment sums
+    "scd2": "shuffle",  # one key shuffle, per-group run collapse
+    "survivorship": "shuffle",  # one key shuffle, one row out per key
     "ols_trend": "hybrid",  # 6-float block partials -> |keys|-row groupby
     "cooccurrence": "shuffle",  # distinct (entity,state) pairs cross one exchange
     "coalesce_intervals": "shuffle",

@@ -90,6 +90,10 @@ TRANSFORMS = {
     "transitions": grouped.transitions,
     "ols_trend": grouped.ols_trend,
     "cooccurrence": grouped.cooccurrence,
+    "holt": grouped.holt,
+    "autocorr": grouped.autocorr,
+    "scd2": grouped.scd2,
+    "survivorship": grouped.survivorship,
     "rollup": grouped.rollup,
     "grouping_sets": grouped.grouping_sets,
     "pivot": grouped.pivot,

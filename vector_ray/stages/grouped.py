@@ -2140,3 +2140,286 @@ def cooccurrence(ds, options: dict, ctx=None):
             expr=f"n >= {min_support}"
         )
     return counts
+
+
+def holt(ds, options: dict, ctx=None):
+    """Per-key Holt linear (double-exponential) smoothing — EWMA plus an
+    explicit TREND state, the classic capacity-forecast / drift-baseline
+    smoother ``ewma`` can't express (a steadily climbing series lags a
+    plain EWMA forever; Holt's trend term closes the gap):
+
+        l_1 = round(x_1, 9)                          b_1 = 0.0
+        l_t = round(alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1}), 9)
+        b_t = round(beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}, 9)
+
+    {"type": "holt", "group_by": "user_id",
+     "order_by": ["ts", "event_id"], "field": "value",
+     "alpha": 0.3, "beta": 0.2, "round": 4}
+
+    Same execution shape as ``ewma`` (the recurrence is sequential per
+    key): keys are hash-bucketed (one shuffle on the bucket id), one
+    lexsort by (key, order_by...) per bucket, then a step loop of
+    length max-rows-per-key where step k updates the k-th row of EVERY
+    key's sequence in two numpy expressions. Each assignment is pinned
+    to 9 decimals so a recursive SQL oracle reproduces the recurrence
+    bit-for-bit at any partitioning. A null input poisons the rest of
+    that key's level AND trend tail (NULL propagates through SQL
+    arithmetic identically). Output columns: ``holt_level_<field>``
+    and ``holt_trend_<field>``; all input columns pass through.
+
+    Partitioning assumption: one BUCKET of keys fits one worker
+    (``num_buckets`` sizes this); ``order_by`` must be a deterministic
+    total order within a key (end it with a unique id)."""
+    from vector_ray.schema import round_sql_np
+    from vector_ray.stages import shuffle as _shuffle
+
+    key = options["group_by"]
+    order_by = options["order_by"]
+    field = options["field"]
+    alpha = float(options.get("alpha", 0.3))
+    beta = float(options.get("beta", 0.2))
+    ndigits = options.get("round")
+    num_buckets = int(options.get("num_buckets", 64))
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"holt: alpha must be in (0, 1], got {alpha}")
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError(f"holt: beta must be in [0, 1], got {beta}")
+    ac = 1.0 - alpha
+    bc = 1.0 - beta
+
+    def smooth(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_shuffle.BUCKET_COLUMN])
+        kcol = _sortable(g[key])
+        keys = [_sortable(g[c]) for c in reversed(order_by)]
+        keys.append(kcol)  # primary sort key: the entity
+        order = np.lexsort(keys)
+        col = g[field]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)[order]
+        ks = kcol[order]
+        m = len(x)
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]])
+        ) if m else np.empty(0, np.int64)
+        lens = np.diff(np.concatenate([starts, [m]]))
+        lv = np.empty(m, dtype=np.float64)
+        tr = np.empty(m, dtype=np.float64)
+        lv[starts] = round_sql_np(x[starts], 9)
+        tr[starts] = 0.0
+        for k in range(1, int(lens.max()) if m else 0):
+            sel = starts[lens > k] + k
+            prev_l, prev_b = lv[sel - 1], tr[sel - 1]
+            new_l = round_sql_np(alpha * x[sel] + ac * (prev_l + prev_b), 9)
+            lv[sel] = new_l
+            tr[sel] = round_sql_np(beta * (new_l - prev_l) + bc * prev_b, 9)
+        if ndigits is not None:
+            lv = round_sql_np(round_sql_np(lv, 9), ndigits)
+            tr = round_sql_np(round_sql_np(tr, 9), ndigits)
+        out_l = np.empty(m, dtype=np.float64)
+        out_b = np.empty(m, dtype=np.float64)
+        out_l[order] = lv
+        out_b[order] = tr
+        return g.append_column(
+            f"holt_level_{field}", pa.array(out_l, pa.float64(), from_pandas=True)
+        ).append_column(
+            f"holt_trend_{field}", pa.array(out_b, pa.float64(), from_pandas=True)
+        )
+
+    bucketed = _shuffle.hash_bucket(ds, key, num_buckets)
+    return bucketed.groupby(_shuffle.BUCKET_COLUMN).map_groups(
+        smooth, batch_format="pyarrow"
+    )
+
+
+def autocorr(ds, options: dict, ctx=None):
+    """Per-key lag-k autocorrelation — Pearson r between each row's
+    value and the value ``lag`` rows earlier in ``order_by`` order: the
+    seasonality / self-similarity probe (a daily-periodic metric shows
+    a spike at its period; white noise shows ~0). One number per key.
+
+    {"type": "autocorr", "group_by": "user_id",
+     "order_by": ["ts", "event_id"], "field": "value",
+     "lag": 1, "round": 6}
+
+    One hash shuffle on the key; per group one lexsort, the lagged
+    pairing is two slices, and the five moment sums are single numpy
+    reductions — the same sum-based normal-equation style as
+    ``ols_trend`` so the SQL oracle (LAG window + SUM aggregates,
+    identical closed form) reproduces it. Pairs where either side is
+    NULL are excluded (SQL LAG + WHERE semantics). Keys with fewer
+    than 2 pairs or zero variance on either side yield acf = NULL.
+    Output: key, n_pairs:int64, acf:float64.
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's rows
+    fit one worker."""
+    from vector_ray.schema import round_sql_np
+
+    key = options["group_by"]
+    order_by = options["order_by"]
+    field = options["field"]
+    lag = int(options.get("lag", 1))
+    ndigits = options.get("round", 6)
+    if lag < 1:
+        raise ValueError(f"autocorr: lag must be >= 1, got {lag}")
+
+    def acf(g: pa.Table) -> pa.Table:
+        keys = [_sortable(g[c]) for c in reversed(order_by)]
+        order = np.lexsort(keys)
+        col = g[field]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)[order]
+        isnull = np.asarray(pc.is_null(col))[order]
+        kval = g[key][0]
+        m = len(vals)
+        if m <= lag:
+            return pa.table(
+                {
+                    key: pa.array([kval.as_py()], g.schema.field(key).type),
+                    "n_pairs": pa.array([0], pa.int64()),
+                    "acf": pa.array([None], pa.float64()),
+                }
+            )
+        cur, prev = vals[lag:], vals[:-lag]
+        ok = ~(isnull[lag:] | isnull[:-lag])
+        x, y = cur[ok], prev[ok]
+        n = float(len(x))
+        sx, sy = np.sum(x), np.sum(y)
+        sxy = np.sum(x * y)
+        sxx, syy = np.sum(x * x), np.sum(y * y)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if n >= 2 and vx > 0 and vy > 0:
+            r = (n * sxy - sx * sy) / np.sqrt(vx * vy)
+            r = float(round_sql_np(np.array([r]), ndigits)[0])
+        else:
+            r = None
+        return pa.table(
+            {
+                key: pa.array([kval.as_py()], g.schema.field(key).type),
+                "n_pairs": pa.array([int(n)], pa.int64()),
+                "acf": pa.array([r], pa.float64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(acf, batch_format="pyarrow")
+
+
+def scd2(ds, options: dict, ctx=None):
+    """Slowly-changing-dimension type-2 history build: collapse each
+    key's event stream into VALIDITY INTERVALS of its tracked
+    attributes — one row per run of consecutive rows whose attrs are
+    all equal (null-safely), carrying ``valid_from`` (first order
+    value of the run), ``valid_to`` (first order value of the NEXT
+    run, NULL for the last) and ``is_current``. The warehouse
+    dimension-history primitive (what plan was this account on during
+    March?).
+
+    {"type": "scd2", "group_by": "user_id",
+     "order_by": ["ts", "event_id"], "attrs": ["event_type"],
+     "ts_field": "ts"}
+
+    One hash shuffle on the key; per group one lexsort, then run
+    detection compares DICTIONARY CODES (pyarrow dictionary_encode per
+    attr — null-safe, no Python per-row compare), run ids by cumsum,
+    run starts by flatnonzero. Output: key, attrs..., valid_from,
+    valid_to, is_current:int64.
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's rows
+    fit one worker."""
+    key = options["group_by"]
+    order_by = options["order_by"]
+    attrs = options["attrs"]
+    ts_field = options["ts_field"]
+
+    def runs(g: pa.Table) -> pa.Table:
+        keys = [_sortable(g[c]) for c in reversed(order_by)]
+        order = np.lexsort(keys)
+        m = g.num_rows
+        idx = pa.array(order)
+        srt = g.take(idx)
+        chg = np.zeros(m, dtype=bool)
+        if m:
+            chg[0] = True
+        for a in attrs:
+            col = srt[a]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            enc = col.dictionary_encode()
+            codes = np.asarray(
+                pc.fill_null(pc.cast(enc.indices, pa.int64()), -1)
+            )
+            if m > 1:
+                chg[1:] |= codes[1:] != codes[:-1]
+        starts = np.flatnonzero(chg)
+        nruns = len(starts)
+        ts_col = srt[ts_field]
+        ts_col = (
+            ts_col.combine_chunks()
+            if isinstance(ts_col, pa.ChunkedArray)
+            else ts_col
+        )
+        vfrom = ts_col.take(pa.array(starts))
+        # valid_to = next run's valid_from (NULL for the last run)
+        if nruns:
+            vto = vfrom.slice(1).cast(ts_col.type)
+            vto = pa.concat_arrays(
+                [vto, pa.array([None], ts_col.type)]
+            )
+        else:
+            vto = pa.array([], ts_col.type)
+        cur = np.zeros(nruns, dtype=np.int64)
+        if nruns:
+            cur[-1] = 1
+        cols = {key: srt[key].take(pa.array(starts))}
+        for a in attrs:
+            cols[a] = srt[a].take(pa.array(starts))
+        cols["valid_from"] = vfrom
+        cols["valid_to"] = vto
+        cols["is_current"] = pa.array(cur, pa.int64())
+        return pa.table(cols)
+
+    return ds.groupby(key).map_groups(runs, batch_format="pyarrow")
+
+
+def survivorship(ds, options: dict, ctx=None):
+    """Golden-record survivorship: one row per key carrying, for each
+    listed field, the value of the LAST row (in ``order_by`` order)
+    where that field is non-null — the entity-resolution merge rule
+    ("most recent non-null wins" per attribute, each attribute
+    independently). The standard MDM finish after clustering duplicate
+    records.
+
+    {"type": "survivorship", "group_by": "user_id",
+     "order_by": ["ts", "event_id"], "fields": ["value", "event_type"]}
+
+    One hash shuffle on the key; per group one lexsort (descending via
+    reversed take), then per field one vectorized argmax over the
+    validity mask. A field that is null in every row of the key stays
+    NULL. Output: key, n_rows:int64, last_<field> for each field.
+
+    Partitioning assumption (same as SQL PARTITION BY): one key's rows
+    fit one worker."""
+    key = options["group_by"]
+    order_by = options["order_by"]
+    fields = options["fields"]
+
+    def golden(g: pa.Table) -> pa.Table:
+        keys = [_sortable(g[c]) for c in reversed(order_by)]
+        order = np.lexsort(keys)[::-1]  # descending: latest first
+        srt = g.take(pa.array(order))
+        kval = g[key][0]
+        cols = {
+            key: pa.array([kval.as_py()], g.schema.field(key).type),
+            "n_rows": pa.array([g.num_rows], pa.int64()),
+        }
+        for f in fields:
+            col = srt[f]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            valid = np.asarray(pc.is_valid(col))
+            if valid.any():
+                pos = int(np.argmax(valid))  # first non-null in desc order
+                cols[f"last_{f}"] = col.slice(pos, 1)
+            else:
+                cols[f"last_{f}"] = pa.array([None], col.type)
+        return pa.table(cols)
+
+    return ds.groupby(key).map_groups(golden, batch_format="pyarrow")
