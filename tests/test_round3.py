@@ -210,3 +210,105 @@ def test_survivorship_latest_non_null_per_field(ray_session):
         isinstance(out.loc[2, "last_a"], float) and np.isnan(out.loc[2, "last_a"])
     )
     assert np.isnan(out.loc[2, "last_v"])
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest
+# ---------------------------------------------------------------------------
+
+
+def test_welch_ttest_matches_reference(ray_session):
+    from vector_ray.stages import grouped
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    grp = rng.choice(["g1", "g2"], size=n)
+    arm = rng.integers(0, 2, n)
+    x = np.round(rng.normal(10, 2, n) + arm * 0.5, 4)  # real effect
+    ds = rd.from_arrow(
+        pa.table({"g": grp, "arm": pa.array(arm, pa.int64()),
+                  "x": pa.array(x, pa.float64())})
+    ).repartition(7)
+    out = _collect(
+        grouped.welch_ttest(
+            ds, {"group_by": "g", "arm_field": "arm", "field": "x",
+                 "round": 6}
+        )
+    ).to_pandas().set_index("g")
+    for g in ("g1", "g2"):
+        a = x[(grp == g) & (arm == 0)]
+        b = x[(grp == g) & (arm == 1)]
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t_ref = (a.mean() - b.mean()) / np.sqrt(se2)
+        df_ref = se2**2 / (
+            (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert out.loc[g, "n_a"] == len(a) and out.loc[g, "n_b"] == len(b)
+        assert out.loc[g, "t_stat"] == pytest.approx(t_ref, abs=1e-5)
+        assert out.loc[g, "df"] == pytest.approx(df_ref, rel=1e-6)
+    # the planted +0.5 arm effect must show as a clearly negative t
+    assert (out.t_stat < -3).all()
+
+
+def test_welch_ttest_rejects_three_arms(ray_session):
+    from vector_ray.stages import grouped
+
+    ds = rd.from_arrow(
+        pa.table({"g": ["a"] * 6, "arm": [0, 0, 1, 1, 2, 2],
+                  "x": pa.array([1.0, 2, 3, 4, 5, 6], pa.float64())})
+    )
+    with pytest.raises(Exception, match="arms"):
+        _collect(
+            grouped.welch_ttest(
+                ds, {"group_by": "g", "arm_field": "arm", "field": "x"}
+            )
+        )
+
+
+# ---------------------------------------------------------------------------
+# adamic_adar
+# ---------------------------------------------------------------------------
+
+
+def test_adamic_adar_hand_graph(ray_session):
+    from vector_ray.functions.graph import adamic_adar
+
+    # square 1-2-3-4-1 plus hub 5 connected to 1,2,3,4.
+    # Non-adjacent pairs: (1,3) and (2,4); each shares two square
+    # corners plus the hub.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1), (5, 2), (5, 3), (5, 4)]
+    ds = rd.from_arrow(
+        pa.table({
+            "src": pa.array([a for a, b in edges], pa.int64()),
+            "dst": pa.array([b for a, b in edges], pa.int64()),
+        })
+    ).repartition(3)
+    out = _collect(
+        adamic_adar(ds, min_common=2, round_to=6)
+    ).to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    # deg(1..4) = 3 (two corners + hub), deg(5) = 4
+    expect = 2 * (1.0 / np.log(3.0)) + 1.0 / np.log(4.0)
+    assert out.node_a.tolist() == [1, 2]
+    assert out.node_b.tolist() == [3, 4]
+    assert out.n_common.tolist() == [3, 3]
+    assert out.score.tolist() == pytest.approx([expect, expect], abs=1e-6)
+
+
+def test_adamic_adar_max_degree_drops_hub(ray_session):
+    from vector_ray.functions.graph import adamic_adar
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1), (5, 2), (5, 3), (5, 4)]
+    ds = rd.from_arrow(
+        pa.table({
+            "src": pa.array([a for a, b in edges], pa.int64()),
+            "dst": pa.array([b for a, b in edges], pa.int64()),
+        })
+    )
+    out = _collect(
+        adamic_adar(ds, min_common=1, max_degree=3, round_to=6)
+    ).to_pandas()
+    # hub 5 (degree 4) dropped as a center: its wedge weight is gone,
+    # every score now comes from degree-3 corners only
+    # score is rounded to 6 decimals by round_to
+    assert (out.score - 1.0 / np.log(3.0) * out.n_common).abs().max() < 1e-6

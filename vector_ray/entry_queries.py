@@ -4071,7 +4071,45 @@ def q_survivorship_events(sf_dir: str):
     )
 
 
+def q_welch_events(sf_dir: str):
+    """Welch two-sample t-test of value between experiment arms
+    (user_id parity) within every event_type (stages/grouped.py
+    welch_ttest) — the A/B readout. Pure two-phase moment aggregate:
+    one (group, arm) row per batch crosses the shuffle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def add_arm(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["event_type"]))
+        u = pc.cast(t["user_id"], pa.int64())
+        arm = pc.subtract(u, pc.multiply(pc.divide(u, 2), 2))
+        return t.append_column("arm", arm)
+
+    return grouped.welch_ttest(
+        ds.map_batches(add_arm, batch_format="pyarrow"),
+        {"group_by": "event_type", "arm_field": "arm", "field": "value",
+         "round": 6},
+    )
+
+
+def q_linkpred_events(sf_dir: str):
+    """Adamic-Adar link prediction over the 1-in-13 click graph
+    (functions/graph.py adamic_adar): score non-adjacent node pairs by
+    summed 1/ln(deg) of their common neighbors, min 2 shared — the
+    'missing link' recommender shape. Wedges generated at the center
+    node (weight = 1/ln(group size)), packed-pair groupby, bucketed
+    ANTI join removes existing edges."""
+    from vector_ray.functions.graph import adamic_adar
+
+    return adamic_adar(
+        _event_click_edges(sf_dir, sample_mod=13), min_common=2, round_to=6
+    )
+
+
 QUERIES = {
+    "welch_events": q_welch_events,
+    "linkpred_events": q_linkpred_events,
     "holt_events": q_holt_events,
     "autocorr_events": q_autocorr_events,
     "scd2_events": q_scd2_events,
@@ -5167,6 +5205,59 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN run_id = MAX(run_id) OVER (PARTITION BY user_id) "
         "  THEN 1 ELSE 0 END AS is_current "
         "FROM g"
+    )
+    sql["welch_events"] = (
+        # identical closed form from SQL SUM/COUNT aggregates — same
+        # expression shapes (m = sx/n, v = (sxx - sx*sx/n)/(n-1),
+        # se2 = va/na + vb/nb) as the engine's finalize
+        "WITH b AS (SELECT event_type, user_id % 2 AS arm, "
+        "  CAST(value AS DOUBLE) AS x FROM events "
+        "  WHERE value IS NOT NULL AND user_id IS NOT NULL "
+        "  AND event_type IS NOT NULL), "
+        "s AS (SELECT event_type, arm, CAST(COUNT(*) AS DOUBLE) AS n, "
+        "  SUM(x) AS sx, SUM(x*x) AS sxx FROM b GROUP BY 1, 2), "
+        "f AS (SELECT a.event_type, a.n AS na, bb.n AS nb, "
+        "  a.sx/a.n - bb.sx/bb.n AS md, "
+        "  (a.sxx - a.sx*a.sx/a.n)/(a.n - 1) AS va, "
+        "  (bb.sxx - bb.sx*bb.sx/bb.n)/(bb.n - 1) AS vb "
+        "  FROM (SELECT * FROM s WHERE arm = 0) a "
+        "  JOIN (SELECT * FROM s WHERE arm = 1) bb USING (event_type)), "
+        "g AS (SELECT event_type, na, nb, md, va, vb, "
+        "  va/na + vb/nb AS se2 FROM f) "
+        "SELECT event_type, CAST(0 AS BIGINT) AS arm_a, "
+        "CAST(1 AS BIGINT) AS arm_b, CAST(na AS BIGINT) AS n_a, "
+        "CAST(nb AS BIGINT) AS n_b, "
+        "ROUND(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 "
+        "  THEN md / SQRT(se2) END, 6) AS t_stat, "
+        "ROUND(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 "
+        "  THEN (se2*se2) / ((va/na)*(va/na)/(na - 1) "
+        "    + (vb/nb)*(vb/nb)/(nb - 1)) END, 6) AS df "
+        "FROM g"
+    )
+    sql["linkpred_events"] = (
+        # same wedge/weight construction as the engine: symmetric
+        # adjacency of the distinct bipartite edge set, wedges at the
+        # center z weighted 1/LN(deg(z)), >= 2 common neighbors,
+        # existing edges anti-joined away (u < 100000 <= i so the
+        # canonical edge is (u, i) directly)
+        "WITH raw AS (SELECT CAST(user_id AS BIGINT) AS u, "
+        "100000 + CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) "
+        "AS BIGINT) AS i FROM events "
+        "WHERE regexp_matches(props, '\"k\":\\s*\\d+') "
+        "AND event_id % 13 = 0), "
+        "e AS (SELECT DISTINCT u, i FROM raw), "
+        "adj AS (SELECT u AS node, i AS nbr FROM e "
+        "UNION ALL SELECT i, u FROM e), "
+        "d AS (SELECT node, CAST(COUNT(*) AS DOUBLE) AS deg "
+        "FROM adj GROUP BY 1), "
+        "w AS (SELECT x.node AS z, x.nbr AS a, y.nbr AS b "
+        "FROM adj x JOIN adj y ON x.node = y.node AND x.nbr < y.nbr), "
+        "s AS (SELECT w.a, w.b, CAST(COUNT(*) AS BIGINT) AS n_common, "
+        "SUM(1.0 / LN(d.deg)) AS score FROM w "
+        "JOIN d ON w.z = d.node GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+        "SELECT s.a AS node_a, s.b AS node_b, s.n_common, "
+        "ROUND(s.score, 6) AS score FROM s "
+        "LEFT JOIN e ON e.u = s.a AND e.i = s.b WHERE e.u IS NULL"
     )
     sql["survivorship_events"] = (
         # latest-non-null per field, each field independently; NULLS

@@ -57,6 +57,8 @@ MOVEMENT = {
     "autocorr": "shuffle",  # one key shuffle, per-group moment sums
     "scd2": "shuffle",  # one key shuffle, per-group run collapse
     "survivorship": "shuffle",  # one key shuffle, one row out per key
+    "welch_ttest": "hybrid",  # 3-float (group,arm) partials -> tiny groupby
+    "adamic_adar": "shuffle",  # adjacency groupby + pair groupby + anti join
     "ols_trend": "hybrid",  # 6-float block partials -> |keys|-row groupby
     "cooccurrence": "shuffle",  # distinct (entity,state) pairs cross one exchange
     "coalesce_intervals": "shuffle",

@@ -94,6 +94,7 @@ TRANSFORMS = {
     "autocorr": grouped.autocorr,
     "scd2": grouped.scd2,
     "survivorship": grouped.survivorship,
+    "welch_ttest": grouped.welch_ttest,
     "rollup": grouped.rollup,
     "grouping_sets": grouped.grouping_sets,
     "pivot": grouped.pivot,
@@ -136,6 +137,7 @@ TRANSFORMS = {
     "heavy_hitters": curate.heavy_hitters,
     "pagerank": curate.pagerank,
     "hits": curate.hits,
+    "adamic_adar": curate.adamic_adar,
     "pca_whiten": curate.pca_whiten,
     "quantize_embeddings": curate.quantize_embeddings,
     "kmeans": curate.kmeans,

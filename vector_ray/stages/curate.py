@@ -319,3 +319,22 @@ def dsir(ds, options: dict, ctx=None):
         field=options.get("field", "text"),
         vocab_size=int(options.get("vocab_size", 30)),
     )
+
+
+def adamic_adar(ds, options: dict, ctx=None):
+    """{"type": "adamic_adar", "src": "src", "dst": "dst",
+    "min_common": 2, "max_degree": null} — Adamic-Adar link-prediction
+    scores for non-adjacent pairs (functions/graph.py); emits
+    (node_a, node_b, n_common, score)."""
+    from vector_ray.functions.graph import adamic_adar as _aa
+
+    md = options.get("max_degree")
+    return _aa(
+        ds,
+        src=options.get("src", "src"),
+        dst=options.get("dst", "dst"),
+        min_common=int(options.get("min_common", 2)),
+        round_to=int(options.get("round", 6)),
+        max_degree=int(md) if md is not None else None,
+        num_buckets=int(options.get("num_buckets", 16)),
+    )

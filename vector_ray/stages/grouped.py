@@ -2423,3 +2423,134 @@ def survivorship(ds, options: dict, ctx=None):
         return pa.table(cols)
 
     return ds.groupby(key).map_groups(golden, batch_format="pyarrow")
+
+
+def welch_ttest(ds, options: dict, ctx=None):
+    """Per-group Welch two-sample t-test — compare a metric between two
+    experiment arms within every group WITHOUT assuming equal
+    variances: the A/B-test readout (did the treatment move latency
+    per endpoint?). Emits the t statistic and Welch-Satterthwaite
+    degrees of freedom per group.
+
+    {"type": "welch_ttest", "group_by": "event_type",
+     "arm_field": "arm", "field": "value", "round": 6}
+
+    ``arm_field`` must hold exactly two values per group (extra arms
+    raise). Execution is a pure two-phase aggregate: per-batch moment
+    partials (n, Σx, Σx²) per (group, arm) — one tiny row per
+    (group, arm) per batch crosses the shuffle, the corpus never moves
+    — then a per-group finalize computing
+
+        m_i  = sx_i/n_i             v_i = (sxx_i - sx_i*sx_i/n_i)/(n_i-1)
+        se2  = v_a/n_a + v_b/n_b    t   = (m_a - m_b)/sqrt(se2)
+        df   = se2² / ((v_a/n_a)²/(n_a-1) + (v_b/n_b)²/(n_b-1))
+
+    in exactly that expression shape so a SQL oracle built from SUM
+    aggregates reproduces it. Arms are ordered by value (the lesser
+    arm value is 'a') so the sign of t is deterministic. Groups where
+    either arm has n < 2 or zero variance on both sides yield NULL
+    t/df. Output: group, arm_a, arm_b, n_a:int64, n_b:int64,
+    t_stat:float64, df:float64."""
+    from vector_ray.schema import round_sql_np
+
+    key = options["group_by"]
+    arm_field = options["arm_field"]
+    field = options["field"]
+    ndigits = options.get("round", 6)
+
+    def partials(t: pa.Table) -> pa.Table:
+        both = pc.and_(pc.is_valid(t[field]), pc.is_valid(t[arm_field]))
+        t = t.filter(both)
+        x = pc.cast(t[field], pa.float64()).to_numpy(zero_copy_only=False)
+        # dense (key, arm) pair codes -> one bincount pass per moment
+        kcol = t[key]
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) else kcol
+        acol = t[arm_field]
+        acol = acol.combine_chunks() if isinstance(acol, pa.ChunkedArray) else acol
+        kc = np.asarray(pc.cast(kcol.dictionary_encode().indices, pa.int64()))
+        ac = np.asarray(pc.cast(acol.dictionary_encode().indices, pa.int64()))
+        width = int(ac.max()) + 1 if len(ac) else 1
+        combined = kc * width + ac
+        uniq, first, inv = np.unique(
+            combined, return_index=True, return_inverse=True
+        )
+        n = np.bincount(inv).astype(np.float64)
+        sx = np.bincount(inv, weights=x)
+        sxx = np.bincount(inv, weights=x * x)
+        sel = pa.array(first)
+        return pa.table(
+            {
+                key: kcol.take(sel),
+                arm_field: acol.take(sel),
+                "n": pa.array(n, pa.float64()),
+                "sx": pa.array(sx, pa.float64()),
+                "sxx": pa.array(sxx, pa.float64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([key, arm_field])
+        .sum(["n", "sx", "sxx"])
+        .map_batches(
+            lambda t: t.rename_columns([key, arm_field, "n", "sx", "sxx"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        if g.num_rows > 2:
+            arms = sorted(set(g[arm_field].to_pylist()))
+            raise ValueError(
+                f"welch_ttest: group {g[key][0].as_py()!r} has "
+                f"{g.num_rows} arms {arms}; exactly two expected"
+            )
+        kval = g[key][0]
+        out_empty = {
+            key: pa.array([kval.as_py()], g.schema.field(key).type),
+        }
+        srt = g.sort_by(arm_field)
+        a_n = srt["n"].to_pylist()
+        a_sx = srt["sx"].to_pylist()
+        a_sxx = srt["sxx"].to_pylist()
+        arms = srt[arm_field].to_pylist()
+        if g.num_rows < 2:
+            return pa.table(
+                {
+                    **out_empty,
+                    "arm_a": pa.array([arms[0]], g.schema.field(arm_field).type),
+                    "arm_b": pa.array([None], g.schema.field(arm_field).type),
+                    "n_a": pa.array([int(a_n[0])], pa.int64()),
+                    "n_b": pa.array([0], pa.int64()),
+                    "t_stat": pa.array([None], pa.float64()),
+                    "df": pa.array([None], pa.float64()),
+                }
+            )
+        na, nb = a_n
+        t_stat = df_v = None
+        if na >= 2 and nb >= 2:
+            ma, mb = a_sx[0] / na, a_sx[1] / nb
+            va = (a_sxx[0] - a_sx[0] * a_sx[0] / na) / (na - 1)
+            vb = (a_sxx[1] - a_sx[1] * a_sx[1] / nb) / (nb - 1)
+            se2 = va / na + vb / nb
+            if se2 > 0:
+                t_stat = (ma - mb) / np.sqrt(se2)
+                df_v = (se2 * se2) / (
+                    (va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)
+                )
+                t_stat = float(round_sql_np(np.array([t_stat]), ndigits)[0])
+                df_v = float(round_sql_np(np.array([df_v]), ndigits)[0])
+        return pa.table(
+            {
+                **out_empty,
+                "arm_a": pa.array([arms[0]], g.schema.field(arm_field).type),
+                "arm_b": pa.array([arms[1]], g.schema.field(arm_field).type),
+                "n_a": pa.array([int(na)], pa.int64()),
+                "n_b": pa.array([int(nb)], pa.int64()),
+                "t_stat": pa.array([t_stat], pa.float64()),
+                "df": pa.array([df_v], pa.float64()),
+            }
+        )
+
+    return merged.groupby(key).map_groups(finalize, batch_format="pyarrow")
