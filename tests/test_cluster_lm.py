@@ -725,6 +725,48 @@ def test_grouping_sets_holistic(ray_session):
     assert by[(None, None, 3)].n == 4 and by[(None, None, 3)].nd == 3
 
 
+def test_grouping_sets_null_keys_many_blocks(ray_session):
+    """Regression: masked-away key columns inject nulls into the groupby
+    shuffle; with enough blocks Ray's sort-boundary code compares key
+    tuples in Python and None < str raised TypeError. The fix carries a
+    sentinel-filled value plus a __n_ indicator through the shuffle."""
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import grouping_sets
+
+    n = 400
+    t = pa.table(
+        {
+            "a": pa.array(
+                [None if i % 7 == 0 else f"a{i % 11}" for i in range(n)]
+            ),
+            "b": pa.array([f"b{i % 5}" for i in range(n)]),
+            "v": pa.array([float(i % 13) for i in range(n)]),
+        }
+    )
+    out = grouping_sets(
+        rd.from_arrow(t).repartition(16),
+        {
+            "sets": [["a", "b"], ["a"], ["b"], []],
+            "aggregates": {
+                "n": {"fn": "count"},
+                "s": {"fn": "sum", "field": "v"},
+            },
+        },
+    ).to_pandas()
+    # grand total row: everything aggregated away (gid = 0b11 = 3)
+    total = out[out.grouping_id == 3]
+    assert len(total) == 1 and int(total.n.iloc[0]) == n
+    # per-a rollup keeps the null-DATA 'a' group distinct
+    a_rows = out[out.grouping_id == 1]
+    assert int(a_rows.n.sum()) == n
+    assert a_rows.a.isna().sum() == 1  # the real-null a group
+    # full (a, b) detail sums to the corpus too
+    ab = out[out.grouping_id == 0]
+    assert int(ab.n.sum()) == n
+    assert abs(out[out.grouping_id == 2].s.sum() - t["v"].to_pandas().sum()) < 1e-9
+
+
 def test_grouping_sets_generators_and_validation(ray_session):
     import pytest
     import ray.data as rd

@@ -1935,13 +1935,28 @@ def grouping_sets(ds, options: dict, ctx=None):
         for m in masks
     ]
 
+    def _null_sentinel(typ: pa.DataType) -> pa.Scalar:
+        # the value is irrelevant (a companion __n_ indicator column is
+        # part of the group key, so a sentinel can never merge with a
+        # real value) — it only has to be a NON-NULL value of the type,
+        # because Ray's sort-boundary partitioning compares key tuples
+        # in Python and None < str raises TypeError
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.scalar("", typ)
+        if pa.types.is_boolean(typ):
+            return pa.scalar(False, typ)
+        return pa.scalar(0, typ)  # ints / floats / timestamps
+
     def expand(t: pa.Table) -> pa.Table:
         parts = []
         for gi, m in enumerate(masks):
             cols = {}
             for keep, c in zip(m, all_cols):
                 col = t[c].combine_chunks()
-                cols[c] = col if keep else pa.nulls(t.num_rows, col.type)
+                base = col if keep else pa.nulls(t.num_rows, col.type)
+                # null-free shuffle keys: (filled value, is-null flag)
+                cols[c] = pc.fill_null(base, _null_sentinel(col.type))
+                cols[f"__n_{c}"] = pc.is_null(base)
             for f in agg_fields:
                 cols[f] = t[f]
             cols["__gset"] = pa.array(
@@ -1950,10 +1965,11 @@ def grouping_sets(ds, options: dict, ctx=None):
             parts.append(pa.table(cols))
         return pa.concat_tables(parts)
 
+    null_cols = [f"__n_{c}" for c in all_cols]
     agg = aggregate(
         ds.map_batches(expand, batch_format="pyarrow"),
         {
-            "group_by": all_cols + ["__gset"],
+            "group_by": all_cols + null_cols + ["__gset"],
             "aggregates": aggregates,
             "round": options.get("round"),
         },
@@ -1963,7 +1979,20 @@ def grouping_sets(ds, options: dict, ctx=None):
 
     def finish(t: pa.Table) -> pa.Table:
         gid = pc.take(gid_lookup, t["__gset"].combine_chunks())
-        return t.drop_columns(["__gset"]).append_column("grouping_id", gid)
+        for c in all_cols:
+            # restore nulls (both masked-away columns and real null
+            # data values) from the indicator
+            restored = pc.if_else(
+                t[f"__n_{c}"].combine_chunks(),
+                pa.scalar(None, t.schema.field(c).type),
+                t[c].combine_chunks(),
+            )
+            t = t.set_column(
+                t.schema.get_field_index(c), c, restored
+            )
+        return t.drop_columns(null_cols + ["__gset"]).append_column(
+            "grouping_id", gid
+        )
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
