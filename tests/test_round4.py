@@ -1,0 +1,103 @@
+"""Round-4 additions: Jaccard-coefficient link prediction (and the
+other operators added in this pass), each checked against a hand
+reference on a tiny graph plus degenerate-input behavior.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+
+def _collect(ds) -> pa.Table:
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
+
+
+def _edges_ds(edges, num_blocks=3):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, b in edges], pa.int64()),
+                "dst": pa.array([b for a, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(num_blocks)
+
+
+# ---------------------------------------------------------------------------
+# jaccard_linkpred
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_linkpred_hand_graph(ray_session):
+    from vector_ray.functions.graph import jaccard_linkpred
+
+    # square 1-2-3-4-1 plus hub 5 connected to all corners: the only
+    # non-adjacent pairs are the diagonals (1,3), (2,4); each shares
+    # 3 neighbors (two corners + hub), deg(corner)=3 so
+    # J = 3 / (3 + 3 - 3) = 1.0
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1), (5, 2), (5, 3), (5, 4)]
+    out = (
+        _collect(jaccard_linkpred(_edges_ds(edges), min_common=2))
+        .to_pandas()
+        .sort_values(["node_a", "node_b"])
+        .reset_index(drop=True)
+    )
+    assert out.node_a.tolist() == [1, 2]
+    assert out.node_b.tolist() == [3, 4]
+    assert out.n_common.tolist() == [3, 3]
+    assert out.deg_a.tolist() == [3, 3]
+    assert out.deg_b.tolist() == [3, 3]
+    assert out.jaccard.tolist() == pytest.approx([1.0, 1.0], abs=1e-9)
+
+
+def test_jaccard_linkpred_asymmetric_degrees(ray_session):
+    from vector_ray.functions.graph import jaccard_linkpred
+
+    # star: 1-{2,3,4,5}; leaf pairs share exactly neighbor 1.
+    # deg(leaf)=1 so J = 1/(1+1-1) = 1; with min_common=1 all six
+    # leaf pairs appear. Add edge (2,3) so that pair is anti-joined
+    # away and degrees of 2,3 become 2 → J(2,x)=1/(2+1-1)=0.5.
+    edges = [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)]
+    out = (
+        _collect(jaccard_linkpred(_edges_ds(edges), min_common=1))
+        .to_pandas()
+        .sort_values(["node_a", "node_b"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (int(r.node_a), int(r.node_b)): (int(r.n_common), float(r.jaccard))
+        for r in out.itertuples()
+    }
+    # (2,3) is an existing edge → absent
+    assert (2, 3) not in got
+    assert got[(4, 5)] == (1, 1.0)
+    assert got[(2, 4)] == (1, 0.5)
+    assert got[(2, 5)] == (1, 0.5)
+    assert got[(3, 4)] == (1, 0.5)
+    assert got[(3, 5)] == (1, 0.5)
+    # duplicate + reversed edges collapse to the same answer
+    out2 = (
+        _collect(
+            jaccard_linkpred(
+                _edges_ds(edges + [(b, a) for a, b in edges]), min_common=1
+            )
+        )
+        .to_pandas()
+        .sort_values(["node_a", "node_b"])
+        .reset_index(drop=True)
+    )
+    assert out2.jaccard.tolist() == out.jaccard.tolist()
+
+
+def test_jaccard_linkpred_no_pairs(ray_session):
+    from vector_ray.functions.graph import jaccard_linkpred
+
+    # a single edge has no wedges at all
+    out = _collect(jaccard_linkpred(_edges_ds([(1, 2)], num_blocks=1)))
+    assert out.num_rows == 0

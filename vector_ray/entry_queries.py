@@ -4107,9 +4107,24 @@ def q_linkpred_events(sf_dir: str):
     )
 
 
+def q_jaccard_linkpred_events(sf_dir: str):
+    """Jaccard-coefficient link prediction over the 1-in-11 click
+    graph (functions/graph.py jaccard_linkpred): non-adjacent pairs
+    with >= 2 common neighbors scored |N(a)∩N(b)| / |N(a)∪N(b)| —
+    the hub-normalized companion to linkpred_events. Wedge-count
+    groupby + two bucketed degree joins + bucketed ANTI join; every
+    stage streams."""
+    from vector_ray.functions.graph import jaccard_linkpred
+
+    return jaccard_linkpred(
+        _event_click_edges(sf_dir, sample_mod=11), min_common=2, round_to=6
+    )
+
+
 QUERIES = {
     "welch_events": q_welch_events,
     "linkpred_events": q_linkpred_events,
+    "jaccard_linkpred_events": q_jaccard_linkpred_events,
     "holt_events": q_holt_events,
     "autocorr_events": q_autocorr_events,
     "scd2_events": q_scd2_events,
@@ -5257,6 +5272,32 @@ def oracle_sql() -> dict[str, str]:
         "JOIN d ON w.z = d.node GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
         "SELECT s.a AS node_a, s.b AS node_b, s.n_common, "
         "ROUND(s.score, 6) AS score FROM s "
+        "LEFT JOIN e ON e.u = s.a AND e.i = s.b WHERE e.u IS NULL"
+    )
+    sql["jaccard_linkpred_events"] = (
+        # same plan in SQL: symmetric adjacency of the distinct
+        # bipartite edge set, wedge pairs counted at the center,
+        # degrees joined to both endpoints, existing edges anti-joined
+        # away (u < 100000 <= i so the canonical edge is (u, i))
+        "WITH raw AS (SELECT CAST(user_id AS BIGINT) AS u, "
+        "100000 + CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) "
+        "AS BIGINT) AS i FROM events "
+        "WHERE regexp_matches(props, '\"k\":\\s*\\d+') "
+        "AND event_id % 11 = 0), "
+        "e AS (SELECT DISTINCT u, i FROM raw), "
+        "adj AS (SELECT u AS node, i AS nbr FROM e "
+        "UNION ALL SELECT i, u FROM e), "
+        "d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM adj GROUP BY 1), "
+        "w AS (SELECT x.nbr AS a, y.nbr AS b "
+        "FROM adj x JOIN adj y ON x.node = y.node AND x.nbr < y.nbr), "
+        "s AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common "
+        "FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+        "SELECT s.a AS node_a, s.b AS node_b, s.n_common, "
+        "da.deg AS deg_a, db.deg AS deg_b, "
+        "ROUND(CAST(s.n_common AS DOUBLE) "
+        "  / (da.deg + db.deg - s.n_common), 6) AS jaccard "
+        "FROM s JOIN d da ON da.node = s.a JOIN d db ON db.node = s.b "
         "LEFT JOIN e ON e.u = s.a AND e.i = s.b WHERE e.u IS NULL"
     )
     sql["survivorship_events"] = (

@@ -1204,3 +1204,192 @@ def adamic_adar(
         )
 
     return non_edges.map_batches(unpack, batch_format="pyarrow")
+
+
+def jaccard_linkpred(
+    edges_ds,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    round_to: int = 6,
+    num_buckets: int = 16,
+):
+    """Jaccard-coefficient link prediction over an undirected edge
+    list: for every non-adjacent pair (a, b) with at least
+    ``min_common`` shared neighbors, score(a, b) =
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the neighborhood-overlap
+    recommender (record-linkage blocking, friend suggestion). The
+    complement of Adamic-Adar (``adamic_adar`` above): AA weights rare
+    shared neighbors, Jaccard normalizes by how social both endpoints
+    are, so hubs stop dominating.
+
+    Distributed plan (all stages stream, nothing touches the driver):
+    1. canonicalize + dedupe edges (one hash shuffle,
+       ``_canonical_edges``);
+    2. wedge counting at the center node (same node-iterator family as
+       ``triangle_count``): groupby(center) emits each neighbor pair
+       (a < b) once; a packed-64-bit-pair groupby counts common
+       neighbors n_common;
+    3. degrees come from a per-block combiner + one small groupby over
+       the symmetric adjacency (node, deg) — no driver collection;
+    4. two ``bucketed_join`` hash joins attach deg_a / deg_b to the
+       surviving pairs (pairs are the small side after the
+       ``min_common`` filter);
+    5. existing edges are anti-joined away; jaccard =
+       n_common / (deg_a + deg_b - n_common).
+
+    Skew note: like all node-iterator wedge plans, a degree-d hub
+    center emits O(d²) wedges; Jaccard scores of hub-adjacent pairs
+    are tiny by construction, so cap-and-log via ``adamic_adar``'s
+    ``max_degree`` pattern if a corpus has extreme hubs (left exact
+    here for oracle parity).
+
+    Returns Dataset[(node_a:int64, node_b:int64, n_common:int64,
+    deg_a:int64, deg_b:int64, jaccard:float64)]."""
+    from vector_ray.schema import round_sql_np
+    from vector_ray.stages.shuffle import bucketed_join
+
+    edges = _canonical_edges(edges_ds, src, dst)
+
+    def adj(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"], dtype=np.int64)
+        v = np.asarray(t["v"], dtype=np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v])),
+                "nbr": pa.array(np.concatenate([v, u])),
+            }
+        )
+
+    adj_ds = edges.map_batches(adj, batch_format="pyarrow")
+
+    def pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        bad = (a < 0) | (b < 0) | (a >= 2**32) | (b >= 2**32)
+        if bad.any():
+            raise ValueError(
+                "jaccard_linkpred: node ids must be in [0, 2^32) for "
+                "the packed pair key — dense-rank remap ids first"
+            )
+        return (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
+
+    def wedges(g: pa.Table) -> pa.Table:
+        nb = np.sort(np.asarray(g["nbr"], dtype=np.int64))
+        if len(nb) < 2:
+            return pa.table({"ab": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(nb), 1)
+        return pa.table({"ab": pa.array(pack(nb[ii], nb[jj]))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        ab = np.asarray(t["ab"], dtype=np.int64)
+        uniq, cnt = np.unique(ab, return_counts=True)
+        return pa.table(
+            {"ab": pa.array(uniq), "n_common": pa.array(cnt.astype(np.int64))}
+        )
+
+    scored = (
+        adj_ds.groupby("node")
+        .map_groups(wedges, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("ab")
+        .sum("n_common")
+        .map_batches(
+            lambda t: t.rename_columns(["ab", "n_common"]),
+            batch_format="pyarrow",
+        )
+    )
+    if min_common > 1:
+        scored = scored.filter(expr=f"n_common >= {min_common}")
+
+    # degenerate graph (no wedges at all): the grouped dataset is
+    # schemaless and bucketed_join needs one — return a typed empty
+    # result (schema() here is free: the join would force it anyway)
+    if scored.schema() is None:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node_a": pa.array([], pa.int64()),
+                    "node_b": pa.array([], pa.int64()),
+                    "n_common": pa.array([], pa.int64()),
+                    "deg_a": pa.array([], pa.int64()),
+                    "deg_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def key_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ab": pa.array(
+                    pack(
+                        np.asarray(t["u"], dtype=np.int64),
+                        np.asarray(t["v"], dtype=np.int64),
+                    )
+                )
+            }
+        )
+
+    pairs = bucketed_join(
+        scored,
+        edges.map_batches(key_edges, batch_format="pyarrow"),
+        key="ab",
+        num_buckets=num_buckets,
+        how="anti",
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ab = np.asarray(t["ab"], dtype=np.int64)
+        return pa.table(
+            {
+                "node_a": pa.array(ab >> np.int64(32)),
+                "node_b": pa.array(ab & np.int64(0xFFFFFFFF)),
+                "n_common": t["n_common"],
+            }
+        )
+
+    pairs = pairs.map_batches(unpack, batch_format="pyarrow")
+
+    def deg_part(t: pa.Table) -> pa.Table:
+        nodes = np.asarray(t["node"], dtype=np.int64)
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(uniq), "deg": pa.array(cnt.astype(np.int64))}
+        )
+
+    deg = (
+        adj_ds.map_batches(deg_part, batch_format="pyarrow")
+        .groupby("node")
+        .sum("deg")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "deg"]),
+            batch_format="pyarrow",
+        )
+    )
+    deg_a = deg.map_batches(
+        lambda t: t.rename_columns(["node_a", "deg_a"]), batch_format="pyarrow"
+    )
+    deg_b = deg.map_batches(
+        lambda t: t.rename_columns(["node_b", "deg_b"]), batch_format="pyarrow"
+    )
+    pairs = bucketed_join(pairs, deg_a, key="node_a", num_buckets=num_buckets)
+    pairs = bucketed_join(pairs, deg_b, key="node_b", num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        nc = np.asarray(t["n_common"], dtype=np.float64)
+        da = np.asarray(t["deg_a"], dtype=np.float64)
+        db = np.asarray(t["deg_b"], dtype=np.float64)
+        j = round_sql_np(nc / (da + db - nc), round_to)
+        return pa.table(
+            {
+                "node_a": t["node_a"],
+                "node_b": t["node_b"],
+                "n_common": t["n_common"],
+                "deg_a": t["deg_a"],
+                "deg_b": t["deg_b"],
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
