@@ -101,3 +101,66 @@ def test_jaccard_linkpred_no_pairs(ray_session):
     # a single edge has no wedges at all
     out = _collect(jaccard_linkpred(_edges_ds([(1, 2)], num_blocks=1)))
     assert out.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_line_filter
+# ---------------------------------------------------------------------------
+
+
+def _docs_ds(docs, num_blocks=2):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.string()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    ).repartition(num_blocks)
+
+
+def test_boilerplate_filter_drops_hot_lines_everywhere(ray_session):
+    from vector_ray.functions.text import boilerplate_line_filter
+
+    docs = [
+        ("a", "cookie banner\nreal content a\nfooter"),
+        ("b", "cookie banner\nreal content b\nfooter"),
+        ("c", "cookie banner\nunique line c"),
+        ("d", "only original content here"),
+    ]
+    out = _collect(boilerplate_line_filter(_docs_ds(docs), max_df=3)).to_pandas()
+    got = dict(zip(out.doc_id, out.text))
+    # "cookie banner" (df=3) removed from ALL docs; "footer" (df=2) kept
+    assert got["a"] == "real content a\nfooter"
+    assert got["b"] == "real content b\nfooter"
+    assert got["c"] == "unique line c"
+    assert got["d"] == "only original content here"
+
+
+def test_boilerplate_filter_df_is_distinct_docs(ray_session):
+    from vector_ray.functions.text import boilerplate_line_filter
+
+    # "spam" appears 3 times but only in 2 distinct docs → df=2 < 3, kept
+    docs = [
+        ("a", "spam\nspam\nbody a"),
+        ("b", "spam\nbody b"),
+    ]
+    out = _collect(boilerplate_line_filter(_docs_ds(docs), max_df=3)).to_pandas()
+    got = dict(zip(out.doc_id, out.text))
+    assert got["a"] == "spam\nspam\nbody a"
+    assert got["b"] == "spam\nbody b"
+
+
+def test_boilerplate_filter_all_boilerplate_doc_drops_out(ray_session):
+    from vector_ray.functions.text import boilerplate_line_filter
+
+    docs = [
+        ("a", "nav"),
+        ("b", "nav"),
+        ("c", "nav"),
+        ("d", "nav\nkeep me"),
+    ]
+    out = _collect(boilerplate_line_filter(_docs_ds(docs), max_df=3)).to_pandas()
+    got = dict(zip(out.doc_id, out.text))
+    assert set(got) == {"d"}
+    assert got["d"] == "keep me"

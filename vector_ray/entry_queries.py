@@ -2879,6 +2879,20 @@ def q_line_dedupe_documents(sf_dir: str):
     return line_dedupe(ds)
 
 
+def q_boilerplate_filter_documents(sf_dir: str):
+    """CCNet-style boilerplate line removal (functions/text.py
+    boilerplate_line_filter): reflow docs into 8-word lines, drop every
+    line occurring in >= 3 distinct docs corpus-wide, reassemble. The
+    'remove the cookie banner from every page' pass — the complement of
+    line_dedupe's keep-first semantics."""
+    from vector_ray.functions.text import boilerplate_line_filter, reflow
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(lambda t: reflow(t), batch_format="pyarrow")
+    return boilerplate_line_filter(ds, max_df=3)
+
+
 def q_vocab_remap(sf_dir: str):
     """Vocabulary re-indexing: renumber every token id to its corpus
     frequency rank (count desc, token asc; 1-based). Dense bincount tree
@@ -4154,6 +4168,7 @@ QUERIES = {
     "token_entropy_corpus": q_token_entropy,
     "logreg_quality_corpus": q_logreg_quality,
     "line_dedupe_documents": q_line_dedupe_documents,
+    "boilerplate_filter_documents": q_boilerplate_filter_documents,
     "vocab_remap_corpus": q_vocab_remap,
     "pack_documents_corpus": q_pack_documents,
     "flagship_agg": q_flagship_agg,
@@ -5405,6 +5420,19 @@ def oracle_sql() -> dict[str, str]:
                 "  PARTITION BY line ORDER BY doc_id, ln) rn FROM lines) WHERE rn = 1) "
                 "SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text "
                 "FROM keep GROUP BY doc_id"
+            ),
+            "boilerplate_filter_documents": (
+                # same reflow, per-line COUNT(DISTINCT doc_id), lines with
+                # df >= 3 anti-joined away, docs reassembled in line order
+                "WITH docs AS (SELECT doc_id, regexp_replace(text, "
+                "  '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS text FROM documents), "
+                "ex AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+                "  generate_subscripts(string_split(text, chr(10)), 1) AS ln FROM docs), "
+                "hot AS (SELECT line FROM ex GROUP BY line "
+                "  HAVING COUNT(DISTINCT doc_id) >= 3) "
+                "SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text "
+                "FROM ex LEFT JOIN hot USING (line) "
+                "WHERE hot.line IS NULL GROUP BY doc_id"
             ),
             "tokenize_documents": (
                 "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok "

@@ -313,6 +313,31 @@ def reflow(t: pa.Table, field: str = "text", words_per_line: int = 8) -> pa.Tabl
     return t.set_column(t.column_names.index(field), field, col)
 
 
+def _explode_lines(
+    t: pa.Table, field: str, id_field: str, delimiter: str
+) -> pa.Table:
+    """Explode each doc into one row per line: (id, __ln, line). Offsets
+    math only — no Python loop over rows or lines."""
+    lst = t[field]
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    lst = pc.split_pattern(pc.fill_null(lst, ""), pattern=delimiter)
+    lens = np.asarray(pc.list_value_length(lst), dtype=np.int64)
+    parent = np.repeat(np.arange(len(lst), dtype=np.int64), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+    ids = t[id_field]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_field: ids.take(pa.array(parent)),
+            _LN: pa.array(pos, pa.int64()),
+            "line": lst.flatten(),
+        }
+    )
+
+
 def line_dedupe(
     ds,
     field: str = "text",
@@ -326,24 +351,7 @@ def line_dedupe(
     from vector_ray.stages.shuffle import _key_hash
 
     def explode_and_prune(t: pa.Table) -> pa.Table:
-        lst = t[field]
-        if isinstance(lst, pa.ChunkedArray):
-            lst = lst.combine_chunks()
-        lst = pc.split_pattern(pc.fill_null(lst, ""), pattern=delimiter)
-        lens = np.asarray(pc.list_value_length(lst), dtype=np.int64)
-        parent = np.repeat(np.arange(len(lst), dtype=np.int64), lens)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
-        ids = t[id_field]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        tbl = pa.table(
-            {
-                id_field: ids.take(pa.array(parent)),
-                _LN: pa.array(pos, pa.int64()),
-                "line": lst.flatten(),
-            }
-        )
+        tbl = _explode_lines(t, field, id_field, delimiter)
         # local prune: one candidate per distinct line per block bounds
         # what the election shuffle moves
         tbl = local_head_per_group(tbl, ["line"], [id_field, _LN], 1)
@@ -359,8 +367,20 @@ def line_dedupe(
         .map_groups(elect, batch_format="pyarrow")
     )
 
+    return _reassemble_lines(winners, id_field, field, delimiter, num_buckets)
+
+
+def _reassemble_lines(
+    lines_ds, id_field: str, field: str, delimiter: str, num_buckets: int
+):
+    """Rebuild (id, text) docs from surviving (id, __ln, line) rows: hash-
+    bucket by doc id, then one vectorized sort + offsets + binary_join per
+    bucket (a doc's lines always land in the same bucket)."""
+    from vector_ray.stages.shuffle import _key_hash
+
     def rebucket(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__b"])
+        if "__b" in t.column_names:
+            t = t.drop_columns(["__b"])
         b = (_key_hash(t, id_field) % np.uint64(num_buckets)).astype(np.int64)
         return t.append_column("__b", pa.array(b))
 
@@ -389,10 +409,67 @@ def line_dedupe(
         )
 
     return (
-        winners.map_batches(rebucket, batch_format="pyarrow")
+        lines_ds.map_batches(rebucket, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(assemble, batch_format="pyarrow")
     )
+
+
+def boilerplate_line_filter(
+    ds,
+    field: str = "text",
+    id_field: str = "doc_id",
+    max_df: int = 3,
+    delimiter: str = "\n",
+    num_buckets: int = 64,
+):
+    """CCNet-style boilerplate removal: drop every line that occurs in
+    ``max_df`` or more DISTINCT documents (nav bars, cookie banners,
+    footers — the lines that repeat across a web crawl), then reassemble
+    each doc from its surviving lines in original order. Docs that lose
+    every line drop out. Complements ``line_dedupe`` (which keeps the
+    FIRST occurrence of a duplicated line; this removes ALL occurrences
+    of corpus-frequent lines).
+
+    Distributed plan, nothing on the driver:
+    1. explode docs to (id, line_no, line) rows (offsets math);
+    2. exact per-line doc frequency with a per-block combiner — each doc
+       is one input row, so distinct (line, id) within a block sums to
+       the exact global df across blocks; only one row per distinct
+       line per block crosses the groupby shuffle;
+    3. the hot-line set (df >= max_df) anti-joins the exploded rows via
+       ``bucketed_join`` — the hot set streams through the same hash
+       shuffle as the data (never collected to the driver), and the
+       anti join ships right-side keys deduped per batch;
+    4. reassembly = ``line_dedupe``'s bucket-by-doc + binary_join.
+
+    Returns Dataset[(id_field, field)]."""
+    from vector_ray.stages.shuffle import bucketed_join
+
+    exploded = ds.map_batches(
+        lambda t: _explode_lines(t, field, id_field, delimiter),
+        batch_format="pyarrow",
+    )
+
+    def df_part(t: pa.Table) -> pa.Table:
+        d = t.select(["line", id_field]).group_by(["line", id_field]).aggregate([])
+        out = d.group_by("line").aggregate([(id_field, "count")])
+        return out.rename_columns(["line", "df"])
+
+    hot = (
+        exploded.map_batches(df_part, batch_format="pyarrow")
+        .groupby("line")
+        .sum("df")
+        .map_batches(
+            lambda t: t.rename_columns(["line", "df"]), batch_format="pyarrow"
+        )
+        .filter(expr=f"df >= {max_df}")
+    )
+
+    kept = bucketed_join(
+        exploded, hot, key="line", num_buckets=num_buckets, how="anti"
+    )
+    return _reassemble_lines(kept, id_field, field, delimiter, num_buckets)
 
 
 # ---------------------------------------------------------------------------

@@ -178,6 +178,30 @@ def bucketed_join(
 
         right = right.map_batches(_keys_only, batch_format="pyarrow")
     lschema, rschema = left.schema(), right.schema()
+    # a side that produced zero blocks (e.g. a filter that matched
+    # nothing after a groupby) has no schema at all; resolve the join
+    # without the shuffle where the semantics are unambiguous
+    if lschema is None:
+        # empty left: every supported join type yields no rows from it
+        # (full would need right rows back, but without a left schema the
+        # unified block schema is unknowable — surface that explicitly)
+        if how == "full":
+            raise TypeError(
+                "bucketed_join: full join requires a left schema "
+                "(left side produced no blocks)"
+            )
+        return left
+    if rschema is None:
+        if how == "anti":
+            return left  # nothing to remove
+        if how in ("inner", "semi"):
+            return left.limit(0)
+        # left/full would need the right columns (as nulls) — without a
+        # right schema the output schema is unknowable
+        raise TypeError(
+            f"bucketed_join: {how} join requires a right schema "
+            "(right side produced no blocks)"
+        )
     left_cols = list(lschema.names)
     # same-named non-key right columns get the suffix up front
     rename = {
