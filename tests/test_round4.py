@@ -164,3 +164,75 @@ def test_boilerplate_filter_all_boilerplate_doc_drops_out(ray_session):
     got = dict(zip(out.doc_id, out.text))
     assert set(got) == {"d"}
     assert got["d"] == "keep me"
+
+
+# ---------------------------------------------------------------------------
+# token_minhash_candidates
+# ---------------------------------------------------------------------------
+
+
+def _tok_ds(rows, num_blocks=2):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.string()),
+                "tokens": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.int32())
+                ),
+            }
+        )
+    ).repartition(num_blocks)
+
+
+def test_token_minhash_finds_planted_near_dup(ray_session):
+    from vector_ray.functions.dedup import token_minhash_candidates
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 50000, size=120).tolist()
+    rows = [
+        ("a", base),
+        ("b", base[5:]),  # near-dup of a
+        ("c", rng.integers(0, 50000, size=120).tolist()),
+        ("d", rng.integers(0, 50000, size=120).tolist()),
+    ]
+    out = _collect(token_minhash_candidates(_tok_ds(rows))).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in out.itertuples()}
+    assert ("a", "b") in got
+    assert got[("a", "b")] >= 0.5
+    # unrelated random docs never pair
+    assert all(p == ("a", "b") for p in got)
+
+
+def test_token_minhash_signature_matches_slow_reference(ray_session):
+    from vector_ray.functions.dedup import (
+        token_minhash_params,
+        token_minhash_signatures,
+    )
+
+    M, P = 2147483647, 1000003
+    rng = np.random.default_rng(9)
+    toks = [rng.integers(0, 60000, size=n).tolist() for n in (3, 7, 30)]
+    t = pa.table({"tokens": pa.array(toks, pa.list_(pa.int32()))})
+    sig, valid = token_minhash_signatures(t, num_perm=4, shingle_k=3, seed=11)
+    a, b = token_minhash_params(4, 11)
+    for i, seq in enumerate(toks):
+        shingles = []
+        for s in range(len(seq) - 2):
+            acc = 0
+            for j in range(3):
+                acc = (acc * P + seq[s + j] + 1) % M
+            shingles.append(acc)
+        for p in range(4):
+            expect = min((int(a[p]) * sh + int(b[p])) % M for sh in shingles)
+            assert sig[i, p] == expect
+    assert valid.all()
+
+
+def test_token_minhash_short_rows_excluded(ray_session):
+    from vector_ray.functions.dedup import token_minhash_candidates
+
+    # two identical 2-token docs are BELOW shingle_k — no shingles, no
+    # band rows, no pair (and no spurious sentinel-signature match)
+    rows = [("a", [1, 2]), ("b", [1, 2])]
+    out = _collect(token_minhash_candidates(_tok_ds(rows, num_blocks=1)))
+    assert out.num_rows == 0

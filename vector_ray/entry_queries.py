@@ -3067,6 +3067,34 @@ def q_span_dedupe(sf_dir: str):
     return span_dedupe(plant_duplicates(ds, every=31, skip=10, min_len=24), n=8)
 
 
+def q_token_minhash(sf_dir: str):
+    """Token-level MinHash+LSH near-dup candidates over the pre-
+    tokenized corpus (functions/dedup.py token_minhash_candidates):
+    1-in-7 doc sample, planted dup-<id> copies of tokens[10:], 3-token
+    shingles folded mod 2^31-1, 16 perms in 8 bands of 2. All integer
+    math stays below 2^62, so the SQL oracle recomputes the signatures
+    bit-exactly — no frozen golden needed."""
+    from vector_ray.functions.dedup import token_minhash_candidates
+    from vector_ray.functions.tokens import plant_duplicates
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+        keep = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7)), 0
+        )
+        return t.filter(keep)
+
+    ds = ds.map_batches(sample, batch_format="pyarrow")
+    return token_minhash_candidates(
+        plant_duplicates(ds, every=31, skip=10, min_len=24)
+    )
+
+
 def q_span_dedupe_exchange(sf_dir: str):
     """Same substring-dedup semantics via the partitioned-index mask
     (mask="exchange"): the dup-gram index stays sharded per hash bucket
@@ -4156,6 +4184,7 @@ QUERIES = {
     "span_corrupt_corpus": q_span_corrupt,
     "span_dedupe_corpus": q_span_dedupe,
     "span_dedupe_exchange_corpus": q_span_dedupe_exchange,
+    "token_minhash_corpus": q_token_minhash,
     "span_overlap_corpus": q_span_overlap_documents,
     "strip_tokens_corpus": q_strip_tokens,
     "truncate_tokens_corpus": q_truncate_tokens,
@@ -4337,6 +4366,52 @@ QUERIES = {
 }
 
 _STOPLIST_SQL = "['a','and','for','in','is','it','of','that','the','to']"
+
+
+def _token_minhash_sql(seq: str) -> str:
+    """Bit-exact SQL recomputation of token_minhash_candidates: same
+    1-in-7 sample + planted dups, same mod-(2^31-1) shingle fold and
+    affine permutations (constants inlined from token_minhash_params —
+    every product stays under 2^62, exact in BIGINT), same 8 bands of 2
+    rows, same est >= 0.5 full-signature filter."""
+    from vector_ray.functions.dedup import token_minhash_params
+
+    a, b = token_minhash_params(16, 11)
+    perms = ", ".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(16)
+    )
+    return (
+        "WITH orig AS (SELECT doc_id, tokens "
+        f"  FROM read_parquet('{seq}') "
+        "  WHERE CAST(doc_id[5:] AS BIGINT) % 7 = 0), "
+        "dups AS (SELECT 'dup-' || doc_id AS doc_id, tokens[11:] AS tokens "
+        "  FROM orig WHERE CAST(doc_id[5:] AS BIGINT) % 31 = 0 "
+        "  AND len(tokens) >= 24), "
+        "allr AS (SELECT * FROM orig UNION ALL SELECT * FROM dups), "
+        "sh AS (SELECT doc_id, "
+        "  (((CAST(tokens[p] AS BIGINT) + 1) % 2147483647 * 1000003 "
+        "     + tokens[p+1] + 1) % 2147483647 * 1000003 "
+        "     + tokens[p+2] + 1) % 2147483647 AS s "
+        "  FROM (SELECT doc_id, tokens, "
+        "    unnest(generate_series(1, len(tokens) - 2)) AS p "
+        "    FROM allr WHERE len(tokens) >= 3)), "
+        f"perms(p, a, b) AS (VALUES {perms}), "
+        "sigs AS (SELECT doc_id, p, "
+        "  MIN((CAST(a AS BIGINT) * s + b) % 2147483647) AS sig "
+        "  FROM sh, perms GROUP BY 1, 2), "
+        "bnd AS (SELECT doc_id, p // 2 AS band, "
+        "  string_agg(CAST(sig AS VARCHAR), ',' ORDER BY p) AS bkey "
+        "  FROM sigs GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bkey = y.bkey "
+        "  AND x.doc_id < y.doc_id) "
+        "SELECT doc_a, doc_b, est_jaccard FROM ("
+        "  SELECT c.doc_a, c.doc_b, ROUND(AVG(CASE WHEN sa.sig = sb.sig "
+        "    THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard "
+        "  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a "
+        "  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.p = sa.p "
+        "  GROUP BY 1, 2) WHERE est_jaccard >= 0.5"
+    )
 
 
 def _tokens_oracles() -> dict[str, str]:
@@ -5126,6 +5201,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_tokens_oracles())
     # exchange-mask span dedup: identical semantics, same oracle
     sql["span_dedupe_exchange_corpus"] = sql["span_dedupe_corpus"]
+    sql["token_minhash_corpus"] = _token_minhash_sql(_seq_glob(ORACLE_TAG))
     # duplication fraction = n_removed / (n_tok + n_removed) of the same
     sql["span_overlap_corpus"] = (
         "SELECT doc_id, ROUND(CASE WHEN n_tok + n_removed > 0 "

@@ -70,7 +70,11 @@ def _ids_array(group: pa.Table, id_field: str) -> np.ndarray:
     ids = group[id_field]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
-    return np.asarray(ids.to_pylist())
+    if pa.types.is_integer(ids.type) or pa.types.is_floating(ids.type):
+        return np.asarray(ids.to_pylist())
+    # string ids must be object dtype: np.minimum/maximum have no
+    # unicode ufunc loop but do support object arrays
+    return np.asarray(ids.to_pylist(), dtype=object)
 
 
 def _pair_result(
@@ -950,3 +954,167 @@ def softdedup_weights(cc_ds, round_to: int = 6):
         return t.append_column("w", pa.array(w, pa.float64()))
 
     return cc_ds.map_batches(add_w, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token-level minhash: near-dup candidates straight off the pre-tokenized
+# corpus (doc_id, tokens:list<int32>) — no detokenize pass. All arithmetic
+# is mod M31 = 2^31 - 1 in int64 (shingle fold and affine permutations),
+# so an ANSI-SQL oracle can recompute every signature bit-exactly: unlike
+# minhash_signatures' uint64 fold, nothing here relies on 64-bit
+# wraparound, and no product exceeds 2^62.
+# ---------------------------------------------------------------------------
+
+_M31 = np.int64((1 << 31) - 1)  # Mersenne prime 2147483647
+_P31 = np.int64(1000003)
+
+
+def token_minhash_params(num_perm: int, seed: int):
+    """The (a, b) affine-permutation constants, published so the SQL
+    oracle can inline the identical values."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_M31), size=num_perm).astype(np.int64)
+    b = rng.integers(0, int(_M31), size=num_perm).astype(np.int64)
+    return a, b
+
+
+def token_minhash_signatures(
+    t: pa.Table,
+    field: str = "tokens",
+    num_perm: int = 16,
+    shingle_k: int = 3,
+    seed: int = 11,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_rows, num_perm) int64 minhash signatures over k-token shingles.
+    Shingle hash folds token ids: acc = (acc * 1000003 + token + 1) mod
+    M31; permutation p maps sh -> (a_p * sh + b_p) mod M31 (products
+    < 2^62, exact in int64 — and in SQL BIGINT). Rows with fewer than
+    ``shingle_k`` tokens get no shingles: their signature stays at the
+    M31 sentinel and the second return (bool mask) marks them invalid."""
+    from vector_ray.functions.tokens import _flat_tokens
+
+    values, offsets = _flat_tokens(t, field)
+    flat = values.astype(np.int64)
+    lens = np.diff(offsets)
+    n = t.num_rows
+    n_sh = np.maximum(lens - shingle_k + 1, 0).astype(np.int64)
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=out_off[1:])
+    total = int(out_off[-1])
+    a, b = token_minhash_params(num_perm, seed)
+    sig = np.full((n, num_perm), int(_M31), dtype=np.int64)
+    if total == 0:
+        return sig, n_sh > 0
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], n_sh)
+    starts = np.repeat(offsets[:-1], n_sh) + within
+    acc = np.zeros(total, dtype=np.int64)
+    for j in range(shingle_k):
+        acc = (acc * _P31 + flat[starts + j] + 1) % _M31
+    # (total, num_perm) affine permutations; reduce min per row
+    perm = (acc[:, None] * a[None, :] + b[None, :]) % _M31
+    row_id = np.repeat(np.arange(n), n_sh)
+    np.minimum.at(sig, row_id, perm)
+    return sig, n_sh > 0
+
+
+def token_minhash_candidates(
+    ds,
+    id_field: str = "doc_id",
+    field: str = "tokens",
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 11,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+):
+    """MinHash+LSH near-duplicate candidates over the TOKENS column —
+    the dedup pass a 10^12-sequence pre-tokenized corpus actually runs
+    (text-side minhash_lsh_candidates requires a detokenized string).
+    Same banded plan: signatures per batch → one row per (band, bucket,
+    doc) → per-bucket vectorized pair comparison → cross-band pair
+    dedupe. Rows shorter than ``shingle_k`` tokens emit no band rows
+    (mirrors the SQL oracle, which has no shingles for them).
+    Returns Dataset[(doc_a, doc_b, est_jaccard)] with doc_a < doc_b and
+    est_jaccard = mean(sig_a == sig_b) >= threshold."""
+    rows_per_band = num_perm // bands
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        sig, valid = token_minhash_signatures(
+            t, field, num_perm, shingle_k, seed
+        )
+        ids = t[id_field]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rows = np.flatnonzero(valid)
+        sig = sig[rows]
+        ids = ids.take(pa.array(rows))
+        n = len(rows)
+        band_hashes = np.zeros((n, bands), dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for bi in range(bands):
+            seg = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = acc * mult + seg[:, j].astype(np.uint64)
+            band_hashes[:, bi] = acc
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.repeat(np.arange(bands, dtype=np.int32), n)
+                ),
+                "bucket": pa.array(
+                    band_hashes.T.reshape(-1).astype(np.int64)
+                ),
+                id_field: pa.concat_arrays([ids] * bands)
+                if bands > 1
+                else ids,
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.tile(sig, (bands, 1)).reshape(-1)),
+                    num_perm,
+                ),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field(id_field).type
+        group = _cap_bucket(group, id_field, max_bucket_rows, "token_minhash")
+        n = group.num_rows
+        ids = _ids_array(group, id_field)
+        if n < 2:
+            return _pair_result(
+                ids,
+                np.array([], np.int64),
+                np.array([], np.int64),
+                "est_jaccard",
+                np.array([], np.float64),
+                id_type,
+                pa.float64(),
+            )
+        sig = _fixed_list_matrix(group["sig"], num_perm, np.int64)
+        xs_all, ys_all, est_all = [], [], []
+        for start in range(0, n, _PAIR_BLOCK):
+            stop = min(start + _PAIR_BLOCK, n)
+            est = (sig[start:stop, None, :] == sig[None, :, :]).mean(axis=2)
+            bx, by = np.nonzero(est >= threshold)
+            gx = bx + start
+            keep = (gx < by) & (ids[gx] != ids[by])
+            xs_all.append(gx[keep])
+            ys_all.append(by[keep])
+            est_all.append(np.round(est[bx[keep], by[keep]], 4))
+        return _pair_result(
+            ids,
+            np.concatenate(xs_all),
+            np.concatenate(ys_all),
+            "est_jaccard",
+            np.concatenate(est_all),
+            id_type,
+            pa.float64(),
+        )
+
+    cand = (
+        ds.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    return _dedupe_pairs(cand, "est_jaccard")
