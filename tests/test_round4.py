@@ -236,3 +236,74 @@ def test_token_minhash_short_rows_excluded(ray_session):
     rows = [("a", [1, 2]), ("b", [1, 2])]
     out = _collect(token_minhash_candidates(_tok_ds(rows, num_blocks=1)))
     assert out.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# bucketed_asof_join directions + tolerance
+# ---------------------------------------------------------------------------
+
+
+def _asof_sides():
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2], pa.int64()),
+                "t": pa.array([10, 25, 40, 10], pa.int64()),
+                "lid": pa.array([0, 1, 2, 3], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "t": pa.array([20, 30, 100], pa.int64()),
+                "rv": pa.array([200, 300, 999], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    return left, right
+
+
+def _asof_out(ds):
+    df = _collect(ds).to_pandas().sort_values("lid").reset_index(drop=True)
+    return [None if v != v else int(v) for v in df.rv]
+
+
+def test_asof_directions(ray_session):
+    from vector_ray.stages.shuffle import bucketed_asof_join
+
+    left, right = _asof_sides()
+    # backward: latest right t <= left t
+    assert _asof_out(
+        bucketed_asof_join(left, right, by="k", on="t")
+    ) == [None, 200, 300, None]
+    # forward: earliest right t >= left t
+    assert _asof_out(
+        bucketed_asof_join(left, right, by="k", on="t", direction="forward")
+    ) == [200, 300, None, 999]
+    # nearest: closest either way; lid=1 (t=25) ties 20 vs 30 -> backward
+    assert _asof_out(
+        bucketed_asof_join(left, right, by="k", on="t", direction="nearest")
+    ) == [200, 200, 300, 999]
+
+
+def test_asof_tolerance(ray_session):
+    from vector_ray.stages.shuffle import bucketed_asof_join
+
+    left, right = _asof_sides()
+    # nearest with tolerance 10: lid=0 (t=10, nearest 20, d=10) kept;
+    # lid=3 (t=10 vs 100, d=90) nulled
+    assert _asof_out(
+        bucketed_asof_join(
+            left, right, by="k", on="t", direction="nearest", tolerance=10
+        )
+    ) == [200, 200, 300, None]
+    # inner drops the out-of-tolerance row entirely
+    out = _collect(
+        bucketed_asof_join(
+            left, right, by="k", on="t", direction="nearest",
+            tolerance=10, how="inner",
+        )
+    ).to_pandas()
+    assert sorted(out.lid.tolist()) == [0, 1, 2]

@@ -1720,6 +1720,52 @@ def q_asof_purchases(sf_dir: str):
     return bucketed_asof_join(left, right, by="user_id", on="ts")
 
 
+def q_asof_nearest_events(sf_dir: str):
+    """Nearest-as-of join with tolerance: every event picks the user's
+    CLOSEST purchase in either time direction, but only within 10
+    minutes (stages/shuffle.py bucketed_asof_join direction='nearest',
+    tolerance in µs); ties go to the earlier purchase. Same one-shuffle
+    searchsorted merge — both direction probes reuse one sorted
+    composite."""
+    from vector_ray.stages.shuffle import bucketed_asof_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    left = events.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+
+    def purchases(t: pa.Table) -> pa.Table:
+        p = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": p["user_id"],
+                "ts": p["ts"],
+                "purchase_id": p["event_id"],
+                "purchase_value": p["value"],
+            }
+        )
+
+    def keep_max(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("purchase_id", "descending")]
+        )
+        return g.take(order[:1])
+
+    right = (
+        events.map_batches(purchases, batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .map_groups(keep_max, batch_format="pyarrow")
+    )
+    return bucketed_asof_join(
+        left, right, by="user_id", on="ts",
+        direction="nearest", tolerance=600_000_000,  # 10 min in µs
+    )
+
+
 _VALUE_BANDS = [
     ("low", 0.0, 20.0),
     ("mid", 15.0, 60.0),   # overlaps low AND high: many-to-many join
@@ -4280,6 +4326,7 @@ QUERIES = {
     "media_resample_wav": q_media_resample_wav,
     "parse_grok_corpus": q_parse_grok_corpus,
     "asof_purchases": q_asof_purchases,
+    "asof_nearest_events": q_asof_nearest_events,
     "range_join_events": q_range_join_events,
     "split_counts_corpus": q_split_counts,
     "length_buckets_corpus": q_length_buckets,
@@ -4802,6 +4849,33 @@ def _tokens_oracles() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, e.ts, p.purchase_id, "
             "p.purchase_value FROM events e ASOF LEFT JOIN p "
             "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
+        "asof_nearest_events": (
+            # two ASOF probes (backward >= and forward <=), tolerance 10
+            # minutes each way, strict-closer forward else backward —
+            # the tie (equal distance) goes backward like the engine
+            "WITH p0 AS (SELECT user_id, ts, event_id AS purchase_id, "
+            "value AS purchase_value FROM events WHERE event_type = 'purchase'), "
+            "p AS (SELECT user_id, ts, MAX(purchase_id) AS purchase_id, "
+            "arg_max(purchase_value, purchase_id) AS purchase_value "
+            "FROM p0 GROUP BY 1, 2), "
+            "b AS (SELECT e.event_id, p.ts AS bts, p.purchase_id AS bid, "
+            "  p.purchase_value AS bval FROM events e ASOF LEFT JOIN p "
+            "  ON e.user_id = p.user_id AND e.ts >= p.ts), "
+            "f AS (SELECT e.event_id, p.ts AS fts, p.purchase_id AS fid, "
+            "  p.purchase_value AS fval FROM events e ASOF LEFT JOIN p "
+            "  ON e.user_id = p.user_id AND e.ts <= p.ts), "
+            "sel AS (SELECT e.event_id, e.user_id, e.ts, "
+            "  b.bts, b.bid, b.bval, f.fts, f.fid, f.fval, "
+            "  (b.bts IS NOT NULL AND e.ts - b.bts <= INTERVAL 10 MINUTE) AS bok, "
+            "  (f.fts IS NOT NULL AND f.fts - e.ts <= INTERVAL 10 MINUTE) AS fok "
+            "  FROM events e LEFT JOIN b ON b.event_id = e.event_id "
+            "  LEFT JOIN f ON f.event_id = e.event_id) "
+            "SELECT event_id, user_id, ts, "
+            "CASE WHEN bok AND (NOT fok OR ts - bts <= fts - ts) THEN bid "
+            "  WHEN fok THEN fid END AS purchase_id, "
+            "CASE WHEN bok AND (NOT fok OR ts - bts <= fts - ts) THEN bval "
+            "  WHEN fok THEN fval END AS purchase_value FROM sel"
         ),
         "log_templates_corpus": (
             "SELECT regexp_replace(message, '[0-9]+', '<N>', 'g') AS template, "

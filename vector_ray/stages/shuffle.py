@@ -457,11 +457,20 @@ def bucketed_asof_join(
     num_buckets: int = 32,
     how: str = "left",
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ):
-    """Distributed as-of join: each left row picks the right row with the
-    LARGEST ``on`` value <= its own, within the same ``by`` key — the
-    telemetry/"latest snapshot" join (events to their most recent config
-    push, trades to quotes). Ray Data has no native as-of join.
+    """Distributed as-of join: each left row picks one right row within
+    the same ``by`` key — the telemetry/"latest snapshot" join (events
+    to their most recent config push, trades to quotes). Ray Data has no
+    native as-of join.
+
+    ``direction``: "backward" (default) picks the LARGEST right ``on``
+    <= the left's; "forward" the SMALLEST >=; "nearest" whichever of the
+    two is closer (exact tie → backward, deterministically).
+    ``tolerance`` (int, in the ``on`` column's int64 units — e.g. µs for
+    timestamp[us]) discards a match farther than that: left join keeps
+    the row with null right columns, inner join drops it.
 
     Same one-shuffle shape as ``bucketed_join``: tag + union both sides,
     hash-bucket on ``by``, and merge each bucket with a fully vectorized
@@ -475,6 +484,13 @@ def bucketed_asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"unsupported as-of join type {how!r} (left | inner)")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"unsupported as-of direction {direction!r} "
+            "(backward | forward | nearest)"
+        )
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("asof tolerance must be >= 0")
     lschema, rschema = left.schema(), right.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
@@ -601,14 +617,38 @@ def bucketed_asof_join(
         rcomp = rcode * span + (ron - lo) + 1
         order = np.argsort(rcomp, kind="stable")
         rcomp = rcomp[order]
+        rcode_ord = rcode[order]
+        ron_ord = ron[order]
         lcomp = lcode * span + (lon - lo) + 1
-        idx = np.searchsorted(rcomp, lcomp, side="right") - 1
-        valid = idx >= 0
-        if len(ron):
-            valid &= rcode[order[np.maximum(idx, 0)]] == lcode
+
+        def pick(side_):
+            # both directions include the exact-equal match (pandas
+            # merge_asof semantics)
+            if side_ == "backward":
+                i = np.searchsorted(rcomp, lcomp, side="right") - 1
+                v = i >= 0
+                i0 = np.maximum(i, 0)
+                delta = lon - ron_ord[i0]
+            else:
+                i = np.searchsorted(rcomp, lcomp, side="left")
+                v = i < len(rcomp)
+                i0 = np.minimum(i, len(rcomp) - 1)
+                delta = ron_ord[i0] - lon
+            v &= rcode_ord[i0] == lcode
+            if tolerance is not None:
+                v &= delta <= tolerance
+            return i0, v, delta
+
+        if direction == "nearest":
+            ib, vb, db = pick("backward")
+            if_, vf, df = pick("forward")
+            # forward wins only when strictly closer: ties go backward
+            use_f = vf & (~vb | (df < db))
+            idx0 = np.where(use_f, if_, ib)
+            valid = vb | vf
         else:
-            valid[:] = False
-        take = order[np.maximum(idx, 0)]
+            idx0, valid, _ = pick(direction)
+        take = order[idx0]
         cols = {c: l[c] for c in left_cols}
         mask = pa.array(~valid)
         for c in right_out:
