@@ -205,3 +205,39 @@ def test_contamination_bloom_upper_bounds_exact(ray_session, tmp_path):
     # at 16 bits/key the FP inflation should be tiny on this corpus
     extra = int(bloom.n_gram_hits.sum() - exact.n_gram_hits.sum())
     assert extra <= max(5, 0.01 * exact.n_gram_hits.sum())
+
+
+def test_ngram_novelty_first_doc_wins(ray_session):
+    from vector_ray.functions.tokens import ngram_novelty
+
+    # doc 1: 4 tokens -> 2 trigrams, all novel.  doc 2 repeats doc 1's
+    # first trigram and adds one new gram.  doc 3 is all-repeats.
+    # doc 4 is too short for any trigram and must drop out.
+    t = pa.table(
+        {
+            "did": pa.array([1, 2, 3, 4], pa.int64()),
+            "tokens": pa.array(
+                [
+                    [10, 11, 12, 13],   # grams (10,11,12) (11,12,13)
+                    [10, 11, 12, 14],   # (10,11,12) old, (11,12,14) new
+                    [10, 11, 12, 13],   # both grams seen at doc 1
+                    [10, 11],
+                ],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = (
+        ngram_novelty(ds, n=3, num_buckets=4)
+        .to_pandas()
+        .set_index("did")
+        .sort_index()
+    )
+    assert out.index.tolist() == [1, 2, 3]
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_novel"] == 2
+    assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_novel"] == 1
+    assert out.loc[3, "n_grams"] == 2 and out.loc[3, "n_novel"] == 0
+    assert out.loc[1, "novelty"] == 1.0
+    assert out.loc[2, "novelty"] == 0.5
+    assert out.loc[3, "novelty"] == 0.0

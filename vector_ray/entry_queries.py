@@ -3141,6 +3141,28 @@ def q_token_minhash(sf_dir: str):
     )
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-doc 8-gram novelty over the id-ordered corpus
+    (functions/tokens.py ngram_novelty): the fraction of a doc's
+    distinct 8-grams first seen at THIS doc — the corpus-diversity
+    curve. Two groupby legs (did-count, gram-min-first) + one bucketed
+    left join."""
+    from vector_ray.functions.tokens import ngram_novelty
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+
+    def add_did(t: pa.Table) -> pa.Table:
+        did = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+        return pa.table({"did": did, "tokens": t["tokens"]})
+
+    return ngram_novelty(
+        ds.map_batches(add_did, batch_format="pyarrow"), n=8
+    )
+
+
 def q_span_dedupe_exchange(sf_dir: str):
     """Same substring-dedup semantics via the partitioned-index mask
     (mask="exchange"): the dup-gram index stays sharded per hash bucket
@@ -4231,6 +4253,7 @@ QUERIES = {
     "span_dedupe_corpus": q_span_dedupe,
     "span_dedupe_exchange_corpus": q_span_dedupe_exchange,
     "token_minhash_corpus": q_token_minhash,
+    "ngram_novelty_corpus": q_ngram_novelty,
     "span_overlap_corpus": q_span_overlap_documents,
     "strip_tokens_corpus": q_strip_tokens,
     "truncate_tokens_corpus": q_truncate_tokens,
@@ -5276,6 +5299,24 @@ def oracle_sql() -> dict[str, str]:
     # exchange-mask span dedup: identical semantics, same oracle
     sql["span_dedupe_exchange_corpus"] = sql["span_dedupe_corpus"]
     sql["token_minhash_corpus"] = _token_minhash_sql(_seq_glob(ORACLE_TAG))
+    sql["ngram_novelty_corpus"] = (
+        # distinct (did, gram) pairs; a gram is novel at its MIN did
+        "WITH g0 AS (SELECT CAST(doc_id[5:] AS BIGINT) AS did, "
+        "  array_to_string(tokens[p:p+7], ',') AS gram "
+        "  FROM (SELECT doc_id, tokens, "
+        "    unnest(generate_series(1, len(tokens) - 7)) AS p "
+        f"    FROM read_parquet('{_seq_glob(ORACLE_TAG)}') "
+        "    WHERE len(tokens) >= 8)), "
+        "g AS (SELECT DISTINCT did, gram FROM g0), "
+        "f AS (SELECT gram, MIN(did) AS fdid FROM g GROUP BY 1), "
+        "c AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS n_grams "
+        "  FROM g GROUP BY 1), "
+        "nv AS (SELECT fdid AS did, CAST(COUNT(*) AS BIGINT) AS n_novel "
+        "  FROM f GROUP BY 1) "
+        "SELECT c.did, c.n_grams, COALESCE(nv.n_novel, 0) AS n_novel, "
+        "ROUND(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / c.n_grams, 6) "
+        "  AS novelty FROM c LEFT JOIN nv USING (did)"
+    )
     # duplication fraction = n_removed / (n_tok + n_removed) of the same
     sql["span_overlap_corpus"] = (
         "SELECT doc_id, ROUND(CASE WHEN n_tok + n_removed > 0 "

@@ -1939,3 +1939,146 @@ def span_dedupe_against_index(
     ``save_gram_index``) — zero passes over the reference corpus."""
     h1, h2 = load_gram_index(index_path)
     return _mask_stage(new_ds, h1, h2, n)
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: how much genuinely NEW content each doc adds
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    ds,
+    n: int = 8,
+    id_field: str = "did",
+    field: str = "tokens",
+    num_buckets: int = 32,
+):
+    """Per-doc n-gram novelty over an id-ordered corpus: for every doc,
+    the fraction of its DISTINCT token n-grams whose global FIRST
+    occurrence (minimum numeric doc id) is this doc. The corpus-
+    diversity curve of a crawl: near-1 novelty = fresh content, near-0
+    = the doc restates what earlier docs already said. Complements
+    ``repetition`` (within-doc) and ``ngram_contamination`` (vs an
+    external blocklist).
+
+    ``id_field`` must be int64 (the "earlier" order is numeric id
+    order). Docs with fewer than ``n`` tokens have no grams and drop
+    out — mirrored by the SQL oracle.
+
+    Distributed plan: per block, distinct (gram-hash, did) pairs
+    (grams FNV-hashed — the same collision-free-at-scale contract as
+    span_dedupe); leg A groups by did for the distinct-gram count (a
+    per-block local combine is exact since a doc is one row); leg B
+    groups by gram for the min-did winner, then by winner-did for the
+    novel count; one bucketed left join stitches the legs. Gram rows
+    shrink to one per distinct gram per block before either shuffle.
+
+    Returns Dataset[(did:int64, n_grams:int64, n_novel:int64,
+    novelty:float64)]."""
+    from vector_ray.schema import round_sql_np
+    from vector_ray.stages.shuffle import bucketed_join
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, field)
+        starts, row_idx = _gram_windows(values, offsets, n)
+        ids_col = t[id_field]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids_all = np.asarray(ids_col, dtype=np.int64)
+        if len(starts) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.int64()),
+                    "did": pa.array([], pa.int64()),
+                }
+            )
+        h = _hash_grams(values, starts, n).view(np.int64)
+        did = ids_all[row_idx]
+        # distinct (gram, did) within the block — exact global distinct
+        # per did because a doc is a single input row
+        order = np.lexsort((did, h))
+        hs, ds_ = h[order], did[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        return pa.table(
+            {"gram": pa.array(hs[keep]), "did": pa.array(ds_[keep])}
+        )
+
+    pairs = ds.map_batches(pairs_part, batch_format="pyarrow")
+
+    def count_part(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["did"], dtype=np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"did": pa.array(uniq), "n_grams": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        pairs.map_batches(count_part, batch_format="pyarrow")
+        .groupby("did")
+        .sum("n_grams")
+        .map_batches(
+            lambda t: t.rename_columns(["did", "n_grams"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def min_part(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["gram"], dtype=np.int64)
+        d = np.asarray(t["did"], dtype=np.int64)
+        # local min did per gram: sort by (gram, did), keep first
+        order = np.lexsort((d, g))
+        gs, ds_ = g[order], d[order]
+        keep = np.ones(len(gs), dtype=bool)
+        keep[1:] = gs[1:] != gs[:-1]
+        return pa.table(
+            {"gram": pa.array(gs[keep]), "fdid": pa.array(ds_[keep])}
+        )
+
+    firsts = (
+        pairs.map_batches(min_part, batch_format="pyarrow")
+        .groupby("gram")
+        .min("fdid")
+        .map_batches(
+            lambda t: t.rename_columns(["gram", "fdid"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def novel_part(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["fdid"], dtype=np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"did": pa.array(uniq), "n_novel": pa.array(cnt.astype(np.int64))}
+        )
+
+    novel = (
+        firsts.map_batches(novel_part, batch_format="pyarrow")
+        .groupby("did")
+        .sum("n_novel")
+        .map_batches(
+            lambda t: t.rename_columns(["did", "n_novel"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = bucketed_join(
+        counts, novel, key="did", num_buckets=num_buckets, how="left"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = np.asarray(t["n_grams"], dtype=np.float64)
+        nv = pc.fill_null(t["n_novel"], 0)
+        nvf = np.asarray(nv, dtype=np.float64)
+        return pa.table(
+            {
+                "did": t["did"],
+                "n_grams": t["n_grams"],
+                "n_novel": pc.cast(nv, pa.int64()),
+                "novelty": pa.array(
+                    round_sql_np(nvf / ng, 6), pa.float64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
