@@ -241,3 +241,33 @@ def test_ngram_novelty_first_doc_wins(ray_session):
     assert out.loc[1, "novelty"] == 1.0
     assert out.loc[2, "novelty"] == 0.5
     assert out.loc[3, "novelty"] == 0.0
+
+
+def test_loss_mask_turn_semantics(ray_session):
+    from vector_ray.functions.tokens import loss_mask, loss_mask_stats
+
+    # markers (id 97) open/close turns: [5, 97, 1, 2, 97] trains on
+    # {1, 2}; [3, 97, 4] trains on {4}; an unopened row trains nothing
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "tokens": pa.array(
+                [[5, 97, 1, 2, 97], [3, 97, 4], [6, 7]],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    out = loss_mask(rd.from_arrow(t), [97]).to_pandas().set_index("doc_id")
+    assert out.loc["a", "mask"].tolist() == [0, 0, 1, 1, 0]
+    assert out.loc["b", "mask"].tolist() == [0, 0, 1]
+    assert out.loc["c", "mask"].tolist() == [0, 0]
+
+    st = (
+        loss_mask_stats(rd.from_arrow(t), [97])
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert st.loc["a", "n_trainable"] == 2
+    assert st.loc["b", "n_trainable"] == 1
+    assert st.loc["c", "n_trainable"] == 0
+    assert st.loc["a", "trainable_frac"] == 0.4

@@ -3163,6 +3163,22 @@ def q_ngram_novelty(sf_dir: str):
     )
 
 
+def q_loss_mask(sf_dir: str):
+    """Per-sequence SFT loss-mask stats (functions/tokens.py
+    loss_mask_stats): treating every token id divisible by 97 as a
+    turn-switch marker, a token is trainable iff an odd number of
+    markers precede-or-equal it in its row and it is not itself a
+    marker — the chat-template masking an SFT loader applies. Pure
+    per-block vectorized pass, no shuffle."""
+    from vector_ray.functions.tokens import loss_mask_stats
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return loss_mask_stats(ds, lambda v: v % 97 == 0)
+
+
 def q_span_dedupe_exchange(sf_dir: str):
     """Same substring-dedup semantics via the partitioned-index mask
     (mask="exchange"): the dup-gram index stays sharded per hash bucket
@@ -4254,6 +4270,7 @@ QUERIES = {
     "span_dedupe_exchange_corpus": q_span_dedupe_exchange,
     "token_minhash_corpus": q_token_minhash,
     "ngram_novelty_corpus": q_ngram_novelty,
+    "loss_mask_corpus": q_loss_mask,
     "span_overlap_corpus": q_span_overlap_documents,
     "strip_tokens_corpus": q_strip_tokens,
     "truncate_tokens_corpus": q_truncate_tokens,
@@ -5316,6 +5333,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c.did, c.n_grams, COALESCE(nv.n_novel, 0) AS n_novel, "
         "ROUND(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / c.n_grams, 6) "
         "  AS novelty FROM c LEFT JOIN nv USING (did)"
+    )
+    sql["loss_mask_corpus"] = (
+        # per-token turn parity: odd # of markers (tok % 97 = 0) seen
+        # so far (inclusive) and not itself a marker => trainable
+        "WITH tk AS (SELECT doc_id, unnest(tokens) AS tok, "
+        "  unnest(generate_series(1, len(tokens))) AS ord "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}')), "
+        "s AS (SELECT doc_id, tok % 97 = 0 AS is_m, "
+        "  SUM(CASE WHEN tok % 97 = 0 THEN 1 ELSE 0 END) "
+        "    OVER (PARTITION BY doc_id ORDER BY ord) AS seen FROM tk) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(CASE WHEN seen % 2 = 1 AND NOT is_m THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS n_trainable, "
+        "ROUND(SUM(CASE WHEN seen % 2 = 1 AND NOT is_m THEN 1.0 ELSE 0 END) "
+        "  / COUNT(*), 6) AS trainable_frac "
+        "FROM s GROUP BY doc_id"
     )
     # duplication fraction = n_removed / (n_tok + n_removed) of the same
     sql["span_overlap_corpus"] = (

@@ -2082,3 +2082,118 @@ def ngram_novelty(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# instruction-tuning loss masks: train only on "assistant" turn spans
+# ---------------------------------------------------------------------------
+
+
+def _turn_parity(values: np.ndarray, offsets: np.ndarray, is_marker):
+    """Per-token inclusive marker-count parity, reset at row boundaries.
+
+    ``is_marker`` is a bool ndarray aligned with ``values``. Returns
+    (parity:bool, is_marker:bool) where parity[i] is True iff an odd
+    number of markers occur in positions <= i within the row."""
+    cum = np.concatenate(
+        ([0], np.cumsum(is_marker.astype(np.int64)))
+    )
+    # inclusive count at i is cum[i+1]; subtract the count at row start
+    lengths = np.diff(offsets)
+    base = np.repeat(cum[offsets[:-1]], lengths)
+    seen = cum[1:] - base
+    return (seen & 1).astype(bool), is_marker
+
+
+def loss_mask(
+    ds,
+    markers,
+    field: str = "tokens",
+    mask_field: str = "mask",
+):
+    """Chat-turn loss masking for instruction tuning: sequences are
+    alternating turns delimited by MARKER tokens (role-switch control
+    tokens); a token is trainable iff it sits inside an "assistant"
+    turn — i.e. an ODD number of markers precede it in its row — and is
+    not itself a marker. SFT loaders multiply the LM loss by this mask
+    so the model never trains on user/prompt tokens (the reference has
+    no SFT surface; this extends the tokens axis like span_corrupt).
+
+    ``markers`` is either an int array/list of marker token ids or a
+    callable(np.ndarray)->bool vectorized predicate (e.g.
+    ``lambda v: v % 97 == 0``). Appends ``mask_field`` (list<int8>,
+    same lengths as ``field``) — fully vectorized: one np.isin/cumsum
+    pass per block, no shuffle."""
+
+    if callable(markers):
+        pred = markers
+    else:
+        ids = np.unique(np.asarray(markers, dtype=np.int64))
+
+        def pred(v, _ids=ids):
+            return np.isin(v, _ids)
+
+    def stage(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, field)
+        is_m = np.asarray(pred(values.astype(np.int64)), dtype=bool)
+        parity, is_m = _turn_parity(values, offsets, is_m)
+        m = (parity & ~is_m).astype(np.int8)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(m, pa.int8())
+        )
+        return t.append_column(mask_field, lists)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def loss_mask_stats(
+    ds,
+    markers,
+    id_field: str = "doc_id",
+    field: str = "tokens",
+    round_to: int = 6,
+):
+    """Per-sequence aggregate of :func:`loss_mask`: (id, n_tokens,
+    n_trainable, trainable_frac). Same masking semantics, but skips
+    building the mask list — counts fall straight out of the parity
+    pass, so the output is one row per input row with no shuffle."""
+    from vector_ray.schema import round_sql_np
+
+    if callable(markers):
+        pred = markers
+    else:
+        ids = np.unique(np.asarray(markers, dtype=np.int64))
+
+        def pred(v, _ids=ids):
+            return np.isin(v, _ids)
+
+    def stage(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, field)
+        is_m = np.asarray(pred(values.astype(np.int64)), dtype=bool)
+        parity, is_m = _turn_parity(values, offsets, is_m)
+        train = (parity & ~is_m).astype(np.int64)
+        lengths = np.diff(offsets)
+        n_tok = lengths.astype(np.int64)
+        n_train = np.add.reduceat(
+            train, offsets[:-1].clip(max=max(len(values) - 1, 0))
+        ) if len(values) else np.zeros(len(n_tok), np.int64)
+        # reduceat on an empty row would grab the next row's slice;
+        # rows are >=1 token in this corpus, but zero-length rows must
+        # still come out 0
+        if len(n_tok) and (lengths == 0).any():
+            n_train = np.where(lengths == 0, 0, n_train)
+        frac = np.divide(
+            n_train, n_tok, out=np.zeros(len(n_tok)), where=n_tok > 0
+        )
+        return pa.table(
+            {
+                id_field: t[id_field],
+                "n_tokens": pa.array(n_tok),
+                "n_trainable": pa.array(n_train),
+                "trainable_frac": pa.array(
+                    round_sql_np(frac, round_to), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
