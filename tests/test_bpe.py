@@ -136,3 +136,50 @@ def test_bigram_lm_score_matches_reference(ray_session):
     assert out["doc_id"].to_pylist() == sorted(expected)
     for did, nll in zip(out["doc_id"].to_pylist(), out["nll"].to_pylist()):
         assert abs(nll - expected[did]) < 1e-3, (did, nll, expected[did])
+
+
+def test_ppl_windows_matches_reference(ray_session):
+    import math
+
+    import ray
+
+    from vector_ray.functions.lm import ppl_windows
+
+    rng = np.random.default_rng(11)
+    docs = [rng.integers(0, 600, size=m).tolist() for m in [0, 1, 2, 9, 40, 75]]
+    W = 8
+    out = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                ppl_windows(rd.from_arrow(_mk(docs)), window=W)
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    ).sort_by([("doc_id", "ascending"), ("win", "ascending")])
+    # independent reference
+    c2 = {}
+    for d in docs:
+        bs = [x % 256 for x in d]
+        for p, c in zip(bs, bs[1:]):
+            c2[(p, c)] = c2.get((p, c), 0) + 1
+    rows = {p: sum(v for (pp, _), v in c2.items() if pp == p) for p in range(256)}
+    exp = []
+    for i, d in enumerate(docs):
+        bs = [x % 256 for x in d]
+        lps = [
+            math.log(c2.get((p, c), 0) + 1.0) - math.log(rows.get(p, 0) + 256.0)
+            for p, c in zip(bs, bs[1:])
+        ]
+        for w in range(0, len(lps), W):
+            seg = lps[w : w + W]
+            exp.append((f"doc-{i:010d}", w // W, len(seg), -sum(seg) / len(seg)))
+    assert out.num_rows == len(exp)
+    for (did, win, n, nll), (gd, gw, gn, gnll) in zip(
+        zip(*[out[c].to_pylist() for c in ("doc_id", "win", "n_trans", "nll")]),
+        exp,
+    ):
+        assert (did, win, n) == (gd, gw, gn)
+        assert abs(nll - round(round(gnll, 9), 4)) < 1e-9

@@ -3179,6 +3179,21 @@ def q_loss_mask(sf_dir: str):
     return loss_mask_stats(ds, lambda v: v % 97 == 0)
 
 
+def q_ppl_windows(sf_dir: str):
+    """Span-level perplexity segmentation (functions/lm.py
+    ppl_windows): every non-overlapping 32-transition window scored
+    under the corpus byte-bigram LM, flagged when NLL > 5.6 — the
+    localize-the-garbage-span curation pass that doc-mean NLL can't
+    do. Dense count merge + one vectorized scoring pass."""
+    from vector_ray.functions.lm import ppl_windows
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return ppl_windows(ds, window=32, threshold=5.6)
+
+
 def q_span_dedupe_exchange(sf_dir: str):
     """Same substring-dedup semantics via the partitioned-index mask
     (mask="exchange"): the dup-gram index stays sharded per hash bucket
@@ -4271,6 +4286,7 @@ QUERIES = {
     "token_minhash_corpus": q_token_minhash,
     "ngram_novelty_corpus": q_ngram_novelty,
     "loss_mask_corpus": q_loss_mask,
+    "ppl_windows_corpus": q_ppl_windows,
     "span_overlap_corpus": q_span_overlap_documents,
     "strip_tokens_corpus": q_strip_tokens,
     "truncate_tokens_corpus": q_truncate_tokens,
@@ -5333,6 +5349,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c.did, c.n_grams, COALESCE(nv.n_novel, 0) AS n_novel, "
         "ROUND(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / c.n_grams, 6) "
         "  AS novelty FROM c LEFT JOIN nv USING (did)"
+    )
+    sql["ppl_windows_corpus"] = (
+        # same add-one byte-bigram LM as bigram_lm_corpus, but NLL is
+        # averaged per 32-transition window: transition at token
+        # position i (i>=2) lands in window (i-2)//32
+        "WITH tk AS (SELECT doc_id, unnest(tokens) % 256 AS b, "
+        "  generate_subscripts(tokens, 1) AS i "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}')), "
+        "pr AS (SELECT doc_id, i, "
+        "  LAG(b) OVER (PARTITION BY doc_id ORDER BY i) AS pv, b AS cu "
+        "  FROM tk), "
+        "prs AS (SELECT * FROM pr WHERE pv IS NOT NULL), "
+        "c2 AS (SELECT pv, cu, COUNT(*) AS n FROM prs GROUP BY pv, cu), "
+        "c1 AS (SELECT pv, SUM(n) AS nn FROM c2 GROUP BY pv), "
+        "sc AS (SELECT p.doc_id, (p.i - 2) // 32 AS win, "
+        "  ln(c2.n + 1.0) - ln(c1.nn + 256.0) AS lp "
+        "  FROM prs p JOIN c2 ON c2.pv = p.pv AND c2.cu = p.cu "
+        "  JOIN c1 ON c1.pv = p.pv), "
+        "w AS (SELECT doc_id, win, CAST(COUNT(*) AS BIGINT) AS n_trans, "
+        "  ROUND(ROUND(-AVG(lp), 9), 4) AS nll "
+        "  FROM sc GROUP BY doc_id, win) "
+        "SELECT doc_id, win, n_trans, nll, nll > 5.6 AS flagged FROM w"
     )
     sql["loss_mask_corpus"] = (
         # per-token turn parity: odd # of markers (tok % 97 = 0) seen
