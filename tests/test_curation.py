@@ -398,3 +398,71 @@ def test_token_entropy_spec_dag(ray_session):
     ).sinks["out"].table
     assert set(out.column_names) == {"doc_id", "entropy"}
     assert out.num_rows == 2
+
+
+def test_unimax_allocation_properties():
+    from vector_ray.functions.curation import unimax_allocation
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        L = int(rng.integers(1, 12))
+        counts = {
+            f"s{i}": int(rng.integers(1, 10**6)) for i in range(L)
+        }
+        total = sum(counts.values())
+        E = int(rng.integers(1, 5))
+        B = int(rng.integers(1, E * total + 1))
+        alloc = unimax_allocation(counts, B, E)
+        # never over the epoch cap; budget never exceeded, and the
+        # shortfall is only floor-division remainder (< #sources)
+        assert all(alloc[s] <= E * counts[s] for s in counts)
+        assert 0 <= B - sum(alloc.values()) < max(L, 1)
+        # uncapped sources all share one value >= every capped alloc
+        shares = {
+            alloc[s] for s in counts if alloc[s] < E * counts[s]
+        }
+        assert len(shares) <= 1
+        if shares:
+            share = shares.pop()
+            assert all(
+                alloc[s] <= max(share, E * counts[s]) for s in counts
+            )
+
+    with pytest.raises(ValueError):
+        unimax_allocation({"a": 10}, 31, 3)
+
+
+def test_unimax_sample_tracks_allocation(ray_session):
+    from vector_ray.functions.curation import (
+        unimax_allocation,
+        unimax_sample,
+    )
+
+    rng = np.random.default_rng(5)
+    srcs = ["tiny"] * 40 + ["mid"] * 300 + ["big"] * 2000
+    n_tok = rng.integers(50, 200, size=len(srcs))
+    t = pa.table(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(len(srcs))],
+            "source": pa.array(srcs),
+            "n_tok": pa.array(n_tok.astype(np.int32)),
+        }
+    )
+    out = (
+        unimax_sample(rd.from_arrow(t), budget_factor=1, max_epochs=3)
+        .to_pandas()
+    )
+    counts = {
+        s: int(n_tok[[x == s for x in srcs]].sum())
+        for s in ("tiny", "mid", "big")
+    }
+    alloc = unimax_allocation(counts, sum(counts.values()), 3)
+    got = out.groupby("source").apply(
+        lambda g: int((g.n_tok * g.n_epochs).sum()), include_groups=False
+    )
+    # realized epoch-weighted tokens per source land within the
+    # fractional-lottery noise of the allocation (docs are ~125 tokens)
+    for s in counts:
+        assert abs(got[s] - alloc[s]) <= 40 * 200, (s, got[s], alloc[s])
+    # the tiny source is upsampled to exactly 3 epochs for every doc
+    assert (out[out.source == "tiny"].n_epochs == 3).all()

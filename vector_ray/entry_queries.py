@@ -3194,6 +3194,22 @@ def q_ppl_windows(sf_dir: str):
     return ppl_windows(ds, window=32, threshold=5.6)
 
 
+def q_unimax_sample(sf_dir: str):
+    """UniMax epoch-capped sampling (functions/curation.py
+    unimax_sample, arXiv:2304.09151): budget = 1× corpus tokens, cap =
+    3 epochs. Low-resource sources get exactly 3 passes, the rest
+    share the remainder uniformly — per-doc integer epochs plus an
+    exact-integer fractional-epoch lottery. Tiny per-source count
+    aggregate + broadcast lookup; the corpus itself never shuffles."""
+    from vector_ray.functions.curation import unimax_sample
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "n_tok", "source"]
+    )
+    return unimax_sample(ds, budget_factor=1, max_epochs=3)
+
+
 def q_span_dedupe_exchange(sf_dir: str):
     """Same substring-dedup semantics via the partitioned-index mask
     (mask="exchange"): the dup-gram index stays sharded per hash bucket
@@ -4287,6 +4303,7 @@ QUERIES = {
     "ngram_novelty_corpus": q_ngram_novelty,
     "loss_mask_corpus": q_loss_mask,
     "ppl_windows_corpus": q_ppl_windows,
+    "unimax_sample_corpus": q_unimax_sample,
     "span_overlap_corpus": q_span_overlap_documents,
     "strip_tokens_corpus": q_strip_tokens,
     "truncate_tokens_corpus": q_truncate_tokens,
@@ -5349,6 +5366,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c.did, c.n_grams, COALESCE(nv.n_novel, 0) AS n_novel, "
         "ROUND(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / c.n_grams, 6) "
         "  AS novelty FROM c LEFT JOIN nv USING (did)"
+    )
+    sql["unimax_sample_corpus"] = (
+        # UniMax waterfall in exact HUGEINT math: ascending by size,
+        # capped prefix (3 epochs) via BOOL_AND window, ONE floor
+        # division for the uniform share; fractional epoch iff
+        # hash * c < 2^32 * (alloc mod c) — all bit-exact vs numpy
+        "WITH d AS (SELECT doc_id, source, n_tok "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}')), "
+        "c AS (SELECT source, CAST(SUM(n_tok) AS HUGEINT) AS c "
+        "  FROM d GROUP BY source), "
+        "tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS B FROM c), "
+        "o AS (SELECT source, c, "
+        "  ROW_NUMBER() OVER (ORDER BY c, source) AS rn, "
+        "  COUNT(*) OVER () AS L, "
+        "  SUM(c) OVER (ORDER BY c, source "
+        "    ROWS UNBOUNDED PRECEDING) AS pref FROM c), "
+        "f AS (SELECT o.*, "
+        "  (3 * c * (L - rn + 1) < B - 3 * (pref - c)) AS cond "
+        "  FROM o, tot), "
+        "g AS (SELECT *, BOOL_AND(cond) OVER (ORDER BY rn "
+        "  ROWS UNBOUNDED PRECEDING) AS capped FROM f), "
+        "s AS (SELECT COALESCE(SUM(c) FILTER (WHERE capped), 0) AS scap, "
+        "  COUNT(*) FILTER (WHERE NOT capped) AS nun FROM g), "
+        "a AS (SELECT g.source, g.c, CASE WHEN g.capped THEN 3 * g.c "
+        "  ELSE (B - 3 * s.scap) // s.nun END AS alloc FROM g, s, tot), "
+        "e AS (SELECT d.doc_id, d.source, d.n_tok, "
+        "  CAST(a.alloc // a.c + CASE WHEN "
+        "    (CAST(substr(d.doc_id, 5) AS HUGEINT) * 3266489917) "
+        "    % 4294967296 * a.c < 4294967296 * (a.alloc % a.c) "
+        "    THEN 1 ELSE 0 END AS BIGINT) AS n_epochs "
+        "  FROM d JOIN a USING (source)) "
+        "SELECT doc_id, source, n_tok, n_epochs FROM e WHERE n_epochs > 0"
     )
     sql["ppl_windows_corpus"] = (
         # same add-one byte-bigram LM as bigram_lm_corpus, but NLL is

@@ -367,3 +367,122 @@ def temperature_mixture(ds, alpha: float = 0.7, token_field: str = "n_tok",
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# UniMax sampling: epoch-capped, budget-constrained source allocation
+# ---------------------------------------------------------------------------
+
+# distinct multiplier (xxhash PRIME32_3) so the fractional-epoch pick
+# decorrelates from mixture/split/epoch selections above
+UNIMAX_MULT = 3266489917
+
+
+def unimax_allocation(
+    counts: dict[str, int], budget: int, max_epochs: int = 3
+) -> dict[str, int]:
+    """UniMax token allocation (Chung et al. 2023, arXiv:2304.09151):
+    give every source a uniform share of ``budget``, except sources so
+    small that the share would exceed ``max_epochs`` passes over them —
+    those are capped at ``max_epochs × size`` and the leftover is
+    re-split uniformly among the rest. Exact integer math throughout
+    (the uncapped share is ONE floor division, not iterative
+    subtraction), so a SQL oracle reproduces it bit-for-bit.
+
+    Returns {source: allocated_tokens}."""
+    if budget > max_epochs * sum(counts.values()):
+        raise ValueError(
+            "budget exceeds max_epochs * corpus tokens; every source "
+            "would be capped and the uniform split is undefined"
+        )
+    order = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    L, E, B = len(order), int(max_epochs), int(budget)
+    pref = 0
+    capped: set[str] = set()
+    for i, (src, c) in enumerate(order):  # ascending; capped set is a prefix
+        if E * c * (L - i) < B - E * pref:
+            capped.add(src)
+            pref += c
+        else:
+            break
+    n_uncapped = L - len(capped)
+    share = (B - E * pref) // n_uncapped if n_uncapped else 0
+    return {
+        src: (E * c if src in capped else share) for src, c in order
+    }
+
+
+def unimax_sample(
+    ds: rd.Dataset,
+    budget_factor: int = 1,
+    max_epochs: int = 3,
+    id_field: str = "doc_id",
+    count_field: str = "n_tok",
+    source_field: str = "source",
+) -> rd.Dataset:
+    """Deterministic UniMax corpus sampling: compute per-source token
+    budgets with :func:`unimax_allocation` (total budget =
+    ``budget_factor`` × corpus tokens), then give every doc
+    ``alloc // c`` full epochs plus one more iff
+    ``hash(doc_id) * c < 2^32 * (alloc mod c)`` — an exact-integer
+    fractional-epoch lottery (hash-stable across runs, shards and
+    cluster sizes). Low-resource sources are upsampled to at most
+    ``max_epochs`` passes, high-resource sources are downsampled to
+    the uniform share: the fairness curve UniMax prescribes.
+
+    Distributed shape: one tiny per-source count aggregate (#sources
+    rows to the driver, corpus-size independent), allocation closed
+    form on the driver, then a single broadcast-lookup ``map_batches``
+    pass — no shuffle of the corpus itself. Per-source thresholds are
+    Python big-int floor divisions, so there is no overflow at any
+    corpus size.
+
+    Returns Dataset[(id, source, n_tok, n_epochs:int64)] with
+    ``n_epochs >= 1`` (docs drawing 0 epochs are dropped)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs = t[source_field]
+        cnts = t[count_field]
+        g = pa.table({"s": srcs, "c": cnts}).group_by("s").aggregate([("c", "sum")])
+        return pa.table({source_field: g["s"], "c": g["c_sum"]})
+
+    counts_tbl = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(source_field)
+        .sum("c")
+        .take_all()  # #sources rows — tiny by construction
+    )
+    counts = {r[source_field]: int(r["sum(c)"]) for r in counts_tbl}
+    total = sum(counts.values())
+    alloc = unimax_allocation(
+        counts, int(budget_factor) * total, max_epochs
+    )
+    sources = sorted(counts)
+    n_full = np.array([alloc[s] // counts[s] for s in sources], np.int64)
+    # extra epoch iff h <= (2^32 * rem - 1) // c  (⟺ h*c < 2^32*rem)
+    thr = np.array(
+        [
+            ((1 << 32) * (alloc[s] % counts[s]) - 1) // counts[s]
+            for s in sources
+        ],
+        np.int64,
+    )
+    src_set = pa.array(sources, pa.string())
+
+    def assign(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[source_field], value_set=src_set).to_numpy(
+            zero_copy_only=False
+        )
+        h = _doc_hash(t, UNIMAX_MULT, id_field).astype(np.int64)
+        n = n_full[idx] + (h <= thr[idx])
+        out = pa.table(
+            {
+                id_field: t[id_field],
+                source_field: t[source_field],
+                count_field: t[count_field],
+                "n_epochs": pa.array(n, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(n > 0))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
