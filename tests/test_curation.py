@@ -466,3 +466,57 @@ def test_unimax_sample_tracks_allocation(ray_session):
         assert abs(got[s] - alloc[s]) <= 40 * 200, (s, got[s], alloc[s])
     # the tiny source is upsampled to exactly 3 epochs for every doc
     assert (out[out.source == "tiny"].n_epochs == 3).all()
+
+
+def test_new_ops_as_spec_transforms(ray_session):
+    from vector_ray import run_pipeline
+
+    rng = np.random.default_rng(9)
+    docs = [rng.integers(0, 500, size=40).tolist() for _ in range(6)]
+    t = pa.table(
+        {
+            "did": pa.array(range(6), pa.int64()),
+            "doc_id": [f"doc-{i:010d}" for i in range(6)],
+            "tokens": pa.array(docs, pa.list_(pa.int32())),
+        }
+    )
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "part.parquet"))
+    res = run_pipeline(
+        {
+            "sources": {"seq": {"type": "parquet", "path": d}},
+            "transforms": {
+                "mask": {
+                    "type": "loss_mask",
+                    "inputs": ["seq"],
+                    "marker_mod": 97,
+                    "stats": True,
+                },
+                "nov": {
+                    "type": "ngram_novelty",
+                    "inputs": ["seq"],
+                    "n": 4,
+                    "num_buckets": 2,
+                },
+                "ppl": {
+                    "type": "ppl_windows",
+                    "inputs": ["seq"],
+                    "window": 16,
+                },
+            },
+            "sinks": {
+                "m": {"type": "collect", "inputs": ["mask"]},
+                "n": {"type": "collect", "inputs": ["nov"]},
+                "p": {"type": "collect", "inputs": ["ppl"]},
+            },
+        }
+    )
+    m = res.sinks["m"].table
+    assert m.num_rows == 6 and "n_trainable" in m.column_names
+    n = res.sinks["n"].table
+    assert n.num_rows == 6 and "novelty" in n.column_names
+    p = res.sinks["p"].table
+    assert p.num_rows == 6 * 3 and "nll" in p.column_names  # 39 trans -> 3 windows

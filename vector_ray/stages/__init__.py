@@ -158,6 +158,10 @@ TRANSFORMS = {
     "bigram_lm": tokenops.bigram_lm,
     "temperature_mixture": tokenops.temperature_mixture,
     "bottomk_sample": tokenops.bottomk_sample,
+    "loss_mask": tokenops.loss_mask,
+    "ppl_windows": tokenops.ppl_windows,
+    "ngram_novelty": tokenops.ngram_novelty,
+    "unimax_sample": curate.unimax_sample,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

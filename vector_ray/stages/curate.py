@@ -338,3 +338,15 @@ def adamic_adar(ds, options: dict, ctx=None):
         max_degree=int(md) if md is not None else None,
         num_buckets=int(options.get("num_buckets", 16)),
     )
+
+
+def unimax_sample(ds, options: dict, ctx=None):
+    """{"type": "unimax_sample", "budget_factor": 1, "max_epochs": 3}"""
+    return curation.unimax_sample(
+        ds,
+        budget_factor=int(options.get("budget_factor", 1)),
+        max_epochs=int(options.get("max_epochs", 3)),
+        id_field=options.get("id_field", "doc_id"),
+        count_field=options.get("count_field", "n_tok"),
+        source_field=options.get("source_field", "source"),
+    )

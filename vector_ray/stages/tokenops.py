@@ -133,3 +133,54 @@ def bottomk_sample(ds, options: dict, ctx=None):
     from vector_ray.functions.curation import bottomk_sample as _f
 
     return _f(ds, int(options["k"]), id_field=options.get("id_field", "doc_id"))
+
+
+def loss_mask(ds, options: dict, ctx=None):
+    """{"type": "loss_mask", "markers": [97], "stats": false}
+    ``markers`` is the turn-switch token id list; ``marker_mod`` may be
+    given instead (marker iff token % mod == 0). ``stats`` swaps the
+    per-token mask column for per-sequence trainable counts."""
+    from vector_ray.functions import tokens as _t
+
+    if "marker_mod" in options:
+        mod = int(options["marker_mod"])
+        markers = lambda v, _m=mod: v % _m == 0  # noqa: E731
+    else:
+        markers = options["markers"]
+    field = options.get("col", "tokens")
+    if options.get("stats"):
+        return _t.loss_mask_stats(
+            ds, markers, id_field=options.get("id_field", "doc_id"),
+            field=field,
+        )
+    return _t.loss_mask(
+        ds, markers, field=field,
+        mask_field=options.get("mask_field", "mask"),
+    )
+
+
+def ppl_windows(ds, options: dict, ctx=None):
+    """{"type": "ppl_windows", "window": 32, "threshold": 5.6}"""
+    from vector_ray.functions.lm import ppl_windows as _f
+
+    return _f(
+        ds,
+        window=int(options.get("window", 32)),
+        threshold=options.get("threshold"),
+        field=options.get("col", "tokens"),
+        id_field=options.get("id_field", "doc_id"),
+    )
+
+
+def ngram_novelty(ds, options: dict, ctx=None):
+    """{"type": "ngram_novelty", "n": 8, "id_field": "did"}
+    ``id_field`` must be int64 (novelty winner = minimum id)."""
+    from vector_ray.functions.tokens import ngram_novelty as _f
+
+    return _f(
+        ds,
+        n=int(options.get("n", 8)),
+        id_field=options.get("id_field", "did"),
+        field=options.get("col", "tokens"),
+        num_buckets=int(options.get("num_buckets", 32)),
+    )
