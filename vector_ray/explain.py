@@ -100,6 +100,10 @@ MOVEMENT = {
     "bigram_lm": "broadcast",
     "temperature_mixture": "broadcast",
     "bottomk_sample": "hybrid",
+    "loss_mask": "narrow",  # per-row turn masking, offsets-vectorized
+    "ppl_windows": "broadcast",  # 256x256 bigram partials up, logp down
+    "ngram_novelty": "shuffle",  # gram-key groupbys + bucketed join
+    "unimax_sample": "broadcast",  # per-source counts up, budgets down
     # dense time-series family
     "gapfill": "shuffle",  # bounds partials up, then one groupby on key
     "seasonal_z": "hybrid",  # tumbling partials -> gapfill shuffle -> slot zscore
