@@ -148,13 +148,13 @@ def lm_score(ds, field: str = "text", vocab_size: int = 30,
 # ---------------------------------------------------------------------------
 
 
-def token_counts_dense(ds, field: str = "tokens", num_parts: int = 32) -> np.ndarray:
-    """Global dense token-count vector via the same tree reduction as
-    ``tokens.token_topk``: one ``np.bincount`` row per block, merged
-    elementwise in ``num_parts`` groups; the driver sees at most
-    ``num_parts`` rows of VOCAB_SIZE int64 — O(vocab x parts) bytes,
-    independent of corpus size."""
-    from vector_ray.functions.tokens import _flat_tokens
+def token_counts_dense(ds, field: str = "tokens") -> np.ndarray:
+    """Global dense token-count vector via the same shuffle-free tree
+    reduction as ``tokens.token_topk``: one ``np.bincount`` row per
+    block, merged elementwise by block-coalescing ``dense_vector_merge``
+    (no all-to-all); the driver sees at most ceil(blocks/4096) rows of
+    VOCAB_SIZE int64 — corpus-size independent."""
+    from vector_ray.functions.tokens import _flat_tokens, dense_vector_merge
     from vector_ray.schema import VOCAB_SIZE
 
     def partial(t: pa.Table) -> pa.Table:
@@ -164,32 +164,12 @@ def token_counts_dense(ds, field: str = "tokens", num_parts: int = 32) -> np.nda
             raise ValueError(
                 f"token id >= VOCAB_SIZE ({len(counts) - 1} >= {VOCAB_SIZE})"
             )
-        part = int(counts[: max(1, VOCAB_SIZE // 64)].sum()) % num_parts
-        return pa.table(
-            {
-                "part": pa.array([part], pa.int64()),
-                "cnt": pa.array([counts], pa.list_(pa.int64())),
-            }
-        )
+        return pa.table({"cnt": pa.array([counts], pa.list_(pa.int64()))})
 
-    def merge(group: pa.Table) -> pa.Table:
-        flat = group["cnt"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        summed = flat.reshape(group.num_rows, VOCAB_SIZE).sum(axis=0)
-        return pa.table(
-            {
-                "part": pa.array([0], pa.int64()),
-                "cnt": pa.array([summed], pa.list_(pa.int64())),
-            }
-        )
-
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("part")
-        .map_groups(merge, batch_format="pyarrow")
-        .take_all()
-    )
+    merged = dense_vector_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        VOCAB_SIZE,
+    ).take_all()
     total = np.zeros(VOCAB_SIZE, dtype=np.int64)
     for r in merged:
         total += np.asarray(r["cnt"], dtype=np.int64)
@@ -424,12 +404,13 @@ def source_token_drift(
 # ---------------------------------------------------------------------------
 
 
-def bigram_counts_dense(ds, field: str = "tokens", num_parts: int = 16) -> np.ndarray:
+def bigram_counts_dense(ds, field: str = "tokens") -> np.ndarray:
     """Global 256×256 byte-bigram count matrix: one dense
     ``np.bincount`` row per block (pairs never cross row boundaries),
-    merged elementwise in ``num_parts`` groups — O(65536 × parts) bytes
-    to the driver, independent of corpus size."""
-    from vector_ray.functions.tokens import _flat_tokens
+    merged elementwise by the shuffle-free ``dense_vector_merge`` —
+    O(65536 × surviving rows) bytes to the driver, corpus-size
+    independent."""
+    from vector_ray.functions.tokens import _flat_tokens, dense_vector_merge
 
     B = 256 * 256
 
@@ -444,32 +425,11 @@ def bigram_counts_dense(ds, field: str = "tokens", num_parts: int = 16) -> np.nd
             counts = np.bincount(keys, minlength=B).astype(np.int64)
         else:
             counts = np.zeros(B, dtype=np.int64)
-        part = int(counts[:1024].sum()) % num_parts
-        return pa.table(
-            {
-                "part": pa.array([part], pa.int64()),
-                "cnt": pa.array([counts], pa.list_(pa.int64())),
-            }
-        )
+        return pa.table({"cnt": pa.array([counts], pa.list_(pa.int64()))})
 
-    def merge(group: pa.Table) -> pa.Table:
-        flat = group["cnt"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        summed = flat.reshape(group.num_rows, B).sum(axis=0)
-        return pa.table(
-            {
-                "part": pa.array([0], pa.int64()),
-                "cnt": pa.array([summed], pa.list_(pa.int64())),
-            }
-        )
-
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("part")
-        .map_groups(merge, batch_format="pyarrow")
-        .take_all()
-    )
+    merged = dense_vector_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None), B
+    ).take_all()
     total = np.zeros(B, dtype=np.int64)
     for r in merged:
         total += np.asarray(r["cnt"], dtype=np.int64)

@@ -61,6 +61,34 @@ def _flat_tokens(t: pa.Table, col: str = "tokens") -> tuple[np.ndarray, np.ndarr
     return values, offsets
 
 
+def dense_vector_merge(partials, width: int, levels: int = 2, fanin: int = 64,
+                       col: str = "cnt"):
+    """Shuffle-free tree merge of one-row dense count blocks.
+
+    ``map_batches`` with a row ``batch_size`` coalesces up to ``fanin``
+    upstream one-row blocks into ONE task input without any all-to-all
+    exchange (the map operator bundles whole blocks until the row target
+    is met), so each level is a fanin-ary reduction: blocks →
+    ceil(blocks/fanin). Two levels bound the surviving rows at
+    ceil(blocks/fanin²) — 100k input blocks → ~25 rows — with each level
+    moving only O(width·8) bytes per surviving row. Replaces the old
+    ``groupby("part")`` plan, whose sort-based AllToAll spent seconds
+    just co-locating a few hundred tiny rows.
+    """
+
+    def merge(t: pa.Table) -> pa.Table:
+        flat = t[col].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        summed = flat.reshape(t.num_rows, width).sum(axis=0)
+        return pa.table({col: pa.array([summed], pa.list_(pa.int64()))})
+
+    out = partials
+    for _ in range(levels):
+        out = out.map_batches(merge, batch_format="pyarrow", batch_size=fanin)
+    return out
+
+
 def _file_token_counts(
     files: list[str], row_filter=None, filter_columns=()
 ) -> list[int]:
@@ -286,15 +314,15 @@ def pack_sequences(
 def token_topk(ds: rd.Dataset, k: int = 50, num_parts: int = 32) -> rd.Dataset:
     """Top-k most frequent token ids across the corpus.
 
-    Dense tree reduction instead of a row-level groupby: each *block*
-    collapses to ONE row holding its full ``np.bincount`` vector
-    (vocab × 8 B ≈ 400 KB), those rows merge elementwise in
-    ``num_parts`` groups, and the ≤ ``num_parts`` survivors merge once
-    more in a single final task that takes top-k with ``argpartition``.
-    Nothing row-level is ever shuffled or sorted — total exchanged bytes
-    are O(blocks × vocab), independent of corpus size, and the result is
-    exact (integer sum is associative). Ties break deterministically on
-    ascending token id.
+    Dense tree reduction with NO shuffle at all: each *block* collapses
+    to ONE row holding its full ``np.bincount`` vector (vocab × 8 B ≈
+    400 KB), those rows merge elementwise via the block-coalescing
+    :func:`dense_vector_merge` (two fanin-64 map levels — zero
+    all-to-all), and the ≤ blocks/4096 survivors merge once more in a
+    single final task that takes top-k with ``argpartition``. Total
+    exchanged bytes are O(blocks × vocab), independent of corpus size,
+    and the result is exact (integer sum is associative). Ties break
+    deterministically on ascending token id.
     """
 
     def _sum_rows(t: pa.Table) -> np.ndarray:
@@ -311,22 +339,7 @@ def token_topk(ds: rd.Dataset, k: int = 50, num_parts: int = 32) -> rd.Dataset:
             raise ValueError(
                 f"token id >= VOCAB_SIZE ({len(counts) - 1} >= {VOCAB_SIZE})"
             )
-        # spread merge load; any assignment is correct (sum commutes)
-        part = int(counts[: max(1, VOCAB_SIZE // 64)].sum()) % num_parts
-        return pa.table(
-            {
-                "part": pa.array([part], pa.int64()),
-                "cnt": pa.array([counts], pa.list_(pa.int64())),
-            }
-        )
-
-    def merge(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "part": pa.array([0], pa.int64()),
-                "cnt": pa.array([_sum_rows(group)], pa.list_(pa.int64())),
-            }
-        )
+        return pa.table({"cnt": pa.array([counts], pa.list_(pa.int64()))})
 
     def finish(t: pa.Table) -> pa.Table:
         total = _sum_rows(t)
@@ -357,7 +370,7 @@ def token_topk(ds: rd.Dataset, k: int = 50, num_parts: int = 32) -> rd.Dataset:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    merged = partials.groupby("part").map_groups(merge, batch_format="pyarrow")
+    merged = dense_vector_merge(partials, VOCAB_SIZE)
     return merged.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
@@ -676,30 +689,11 @@ def token_counts(ds: rd.Dataset, num_parts: int = 32) -> np.ndarray:
             raise ValueError(
                 f"token id >= VOCAB_SIZE ({len(counts) - 1} >= {VOCAB_SIZE})"
             )
-        part = int(counts[: max(1, VOCAB_SIZE // 64)].sum()) % num_parts
-        return pa.table(
-            {
-                "part": pa.array([part], pa.int64()),
-                "cnt": pa.array([counts], pa.list_(pa.int64())),
-            }
-        )
+        return pa.table({"cnt": pa.array([counts], pa.list_(pa.int64()))})
 
-    def merge(group: pa.Table) -> pa.Table:
-        flat = group["cnt"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        summed = flat.reshape(group.num_rows, VOCAB_SIZE).sum(axis=0)
-        return pa.table(
-            {
-                "part": pa.array([0], pa.int64()),
-                "cnt": pa.array([summed], pa.list_(pa.int64())),
-            }
-        )
-
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("part")
-        .map_groups(merge, batch_format="pyarrow")
+    merged = dense_vector_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        VOCAB_SIZE,
     )
     total = np.zeros(VOCAB_SIZE, dtype=np.int64)
     for ref in merged.materialize().to_arrow_refs():
@@ -1779,20 +1773,27 @@ def positional_stats(ds, max_pos: int = 2048, round_to: int = 4):
         ).astype(np.int64)
         return pa.table(
             {
-                "part": pa.array([0], pa.int64()),
                 "n": pa.array([reach.astype(np.int64)], pa.list_(pa.int64())),
                 "s": pa.array([sums], pa.list_(pa.int64())),
             }
         )
 
-    def merge(group: pa.Table) -> pa.Table:
-        def dense(col):
-            flat = group[col].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False
-            )
-            return flat.reshape(group.num_rows, max_pos).sum(axis=0)
+    def _dense(group: pa.Table, col: str) -> np.ndarray:
+        flat = group[col].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        return flat.reshape(group.num_rows, max_pos).sum(axis=0)
 
-        n, s = dense("n"), dense("s")
+    def merge_sums(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([_dense(group, "n")], pa.list_(pa.int64())),
+                "s": pa.array([_dense(group, "s")], pa.list_(pa.int64())),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        n, s = _dense(group, "n"), _dense(group, "s")
         keep = n > 0
         pos = np.flatnonzero(keep)
         mean = round_sql_np(
@@ -1807,10 +1808,15 @@ def positional_stats(ds, max_pos: int = 2048, round_to: int = 4):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("part")
-        .map_groups(merge, batch_format="pyarrow")
+    # two block-coalescing merge levels (no shuffle; see
+    # dense_vector_merge) then one single-block finalize
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    for _ in range(2):
+        out = out.map_batches(
+            merge_sums, batch_format="pyarrow", batch_size=64
+        )
+    return out.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
     )
 
 
