@@ -44,6 +44,10 @@ from vector_ray.stages.core import ROUTE_COLUMN, compile_route_label
 # hive partition dirs must not start with "_" (pyarrow dataset discovery
 # ignores "_"/"." prefixes), so the flagship uses a plain column name
 SINK_COLUMN = "route"
+
+# auto checkpoint-group sizing target (see the sizing comment in run());
+# CPU-independent so scaling legs and resumed runs see the same plan
+TARGET_GROUP_BYTES = 256e6
 DEAD_LETTER_ROUTE = "_deadletter"
 from vector_ray.stages.enrich import Enricher
 from vector_ray.stages.grouped import compile_partial_agg
@@ -86,7 +90,7 @@ class FlagshipConfig:
     enrich_concurrency: int = 4
     batch_size: int | None = None  # None = per-block batches (zero-copy)
     num_groups: int | None = None  # checkpoint partition groups
-    parallel_groups: int = 4  # concurrent group executions (driver threads)
+    parallel_groups: int = 6  # concurrent group executions (driver threads)
     # remap-style consumption: the raw log line is replaced by its parsed
     # fields (`. = parse(...)` semantics) — and not re-written to sinks
     drop_after_parse: tuple = ("message",)
@@ -237,8 +241,7 @@ def _extend_ingest_groups(
             n_new = cfg.num_groups
         else:
             total_bytes = sum(os.path.getsize(f) for f in new_files)
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-            n_new = max(1, min(512, round(total_bytes / (64e6 * cpus))))
+            n_new = max(1, min(512, round(total_bytes / TARGET_GROUP_BYTES)))
         start = len(groups_map)
         for i, gf in enumerate(_partition_groups(new_files, n_new)):
             groups_map[f"group-{start + i:05d}"] = gf
@@ -293,10 +296,15 @@ def run(
 
     # checkpoint groups sized by BYTES, not file count: each group should
     # be enough work to amortize its fixed costs (actor-pool spin-up,
-    # stream ramp, final merge) — ~64MB per CPU per group — while capping
-    # worst-case progress lost to a crash. Measured at 32 CPUs: 500MB in
-    # 1 group → 2.7s vs 4 groups → 5.0s; 3GB in 4 groups → 19.6s vs 20
-    # groups → 117s.
+    # stream ramp, final merge) — ~256MB per group — while capping
+    # worst-case progress lost to a crash AND overlapping enough groups
+    # that one group's write tail hides behind another's compute.
+    # Measured at 32 CPUs (quiet window): 1.6GB in 1 group → 51.6s, 4
+    # groups → 17.0s, 6 groups → 14.2s, 16 groups → 20.3s; 160MB in 1
+    # group → 3.06s vs 4 groups → 9.6s (fixed cost dominates tiny
+    # groups). The sizing is deliberately CPU-independent so a resumed
+    # run on a different-sized cluster sees the same partitioning and
+    # the two-cluster-size scaling legs run the identical plan.
     store = CheckpointStore(out_dir)
     if ingest:
         # config hash must be stable while the input list grows: hash
@@ -316,15 +324,14 @@ def run(
         if cfg.num_groups:
             n_groups = cfg.num_groups
         elif prior_manifest is not None:
-            # a resumed run must reuse the ORIGINAL group partitioning: the
-            # default below depends on cluster CPU count, and resuming on a
-            # different-sized cluster would otherwise re-partition the input
-            # and invalidate every completed marker
+            # a resumed run must reuse the ORIGINAL group partitioning:
+            # re-partitioning the input would invalidate every completed
+            # marker, so the pin also protects against future changes to
+            # the sizing default below
             n_groups = int(prior_manifest["num_groups"])
         else:
             total_bytes = sum(os.path.getsize(f) for f in files)
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-            n_groups = max(1, min(512, round(total_bytes / (64e6 * cpus))))
+            n_groups = max(1, min(512, round(total_bytes / TARGET_GROUP_BYTES)))
         groups = _partition_groups(files, n_groups)
 
         manifest = {
