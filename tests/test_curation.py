@@ -520,3 +520,57 @@ def test_new_ops_as_spec_transforms(ray_session):
     assert n.num_rows == 6 and "novelty" in n.column_names
     p = res.sinks["p"].table
     assert p.num_rows == 6 * 3 and "nll" in p.column_names  # 39 trans -> 3 windows
+
+
+def test_preference_pairs(ray_session):
+    from vector_ray.functions.curation import preference_pairs
+
+    t = pa.table(
+        {
+            "prompt_id": pa.array([1, 1, 1, 2, 2, 3, 4, 4, 5, 5],
+                                  pa.int64()),
+            "doc_id": pa.array([10, 11, 12, 20, 21, 30, 40, 41, 50, 51],
+                               pa.int64()),
+            # group 1: clear winner/loser; group 2: tie on top (smaller
+            # id wins BOTH sides -> chosen != rejected still holds via
+            # id tiebreak? no — equal scores, chosen=20, rejected=20 ->
+            # dropped at margin>0 anyway); group 3: single candidate ->
+            # dropped; group 4: gap below margin -> dropped; group 5:
+            # null score on one side -> degenerate single -> dropped
+            "score": pa.array(
+                [5.0, 9.0, 1.0, 7.0, 7.0, 3.0, 4.0, 4.5, 6.0, None],
+                pa.float64(),
+            ),
+        }
+    )
+    out = _collect(
+        preference_pairs(
+            rd.from_arrow(t).repartition(4), margin=1.0, num_buckets=4
+        )
+    ).sort_by("prompt_id")
+    assert out.to_pydict() == {
+        "prompt_id": [1],
+        "chosen_id": [11],
+        "rejected_id": [12],
+        "chosen_score": [9.0],
+        "rejected_score": [1.0],
+        "gap": [8.0],
+    }
+
+    # margin 0: the tied group emits smaller-id-vs-larger? NO — both
+    # sides resolve to id 20 (ties -> smaller id on BOTH), degenerate,
+    # dropped. group 4's 0.5 gap now passes.
+    out0 = _collect(
+        preference_pairs(
+            rd.from_arrow(t).repartition(3), margin=0.0, num_buckets=2
+        )
+    ).sort_by("prompt_id")
+    assert out0["prompt_id"].to_pylist() == [1, 4]
+    assert out0["chosen_id"].to_pylist() == [11, 41]
+    assert out0["rejected_id"].to_pylist() == [12, 40]
+
+    # partition invariance: single block == many blocks
+    one = _collect(preference_pairs(rd.from_arrow(t), margin=0.0)).sort_by(
+        "prompt_id"
+    )
+    assert one.equals(out0)

@@ -3210,6 +3210,40 @@ def q_unimax_sample(sf_dir: str):
     return unimax_sample(ds, budget_factor=1, max_epochs=3)
 
 
+def q_preference_pairs(sf_dir: str):
+    """DPO/RLHF preference-pair construction (functions/curation.py
+    preference_pairs): candidate pool = documents bucketed into prompt
+    groups by ``doc_id % 10``, score = n_chars; per group the top
+    scorer (tie → smaller id) is paired against the bottom scorer iff
+    the gap is ≥ 50. Two-phase argmax/argmin: blocks collapse to one
+    candidate row per group before the single key exchange."""
+    from vector_ray.functions.curation import preference_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        prompt = pc.cast(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "prompt_id": prompt,
+                "doc_id": ids,
+                "score": pc.cast(t["n_chars"], pa.float64()),
+            }
+        )
+
+    return preference_pairs(
+        ds.map_batches(prep, batch_format="pyarrow"), margin=50.0
+    )
+
+
 def q_span_dedupe_exchange(sf_dir: str):
     """Same substring-dedup semantics via the partitioned-index mask
     (mask="exchange"): the dup-gram index stays sharded per hash bucket
@@ -4304,6 +4338,7 @@ QUERIES = {
     "loss_mask_corpus": q_loss_mask,
     "ppl_windows_corpus": q_ppl_windows,
     "unimax_sample_corpus": q_unimax_sample,
+    "preference_pairs_documents": q_preference_pairs,
     "span_overlap_corpus": q_span_overlap_documents,
     "strip_tokens_corpus": q_strip_tokens,
     "truncate_tokens_corpus": q_truncate_tokens,
@@ -5715,6 +5750,25 @@ def oracle_sql() -> dict[str, str]:
             "enrich_customer": (
                 "SELECT c_custkey, c_name, n_name FROM customer "
                 "LEFT JOIN nation ON c_nationkey = n_nationkey"
+            ),
+            "preference_pairs_documents": (
+                # chosen = (score DESC, id ASC) winner, rejected =
+                # (score ASC, id ASC) winner per prompt group; drop
+                # degenerate pairs and gaps under the margin (50)
+                "WITH scored AS (SELECT doc_id % 10 AS prompt_id, doc_id, "
+                "  CAST(n_chars AS DOUBLE) AS score FROM documents), "
+                "c AS (SELECT prompt_id, doc_id, score, ROW_NUMBER() OVER ("
+                "  PARTITION BY prompt_id ORDER BY score DESC, doc_id ASC) rn "
+                "  FROM scored), "
+                "r AS (SELECT prompt_id, doc_id, score, ROW_NUMBER() OVER ("
+                "  PARTITION BY prompt_id ORDER BY score ASC, doc_id ASC) rn "
+                "  FROM scored) "
+                "SELECT c.prompt_id, c.doc_id AS chosen_id, "
+                "  r.doc_id AS rejected_id, c.score AS chosen_score, "
+                "  r.score AS rejected_score, c.score - r.score AS gap "
+                "FROM c JOIN r ON c.prompt_id = r.prompt_id "
+                "WHERE c.rn = 1 AND r.rn = 1 AND c.doc_id <> r.doc_id "
+                "  AND c.score - r.score >= 50"
             ),
             "dedupe_documents": (
                 "SELECT doc_id, source, n_chars FROM ("

@@ -104,6 +104,7 @@ MOVEMENT = {
     "ppl_windows": "broadcast",  # 256x256 bigram partials up, logp down
     "ngram_novelty": "shuffle",  # gram-key groupbys + bucketed join
     "unimax_sample": "broadcast",  # per-source counts up, budgets down
+    "preference_pairs": "shuffle",  # 1-row-per-group block partials, one key exchange
     # dense time-series family
     "gapfill": "shuffle",  # bounds partials up, then one groupby on key
     "seasonal_z": "hybrid",  # tumbling partials -> gapfill shuffle -> slot zscore

@@ -486,3 +486,122 @@ def unimax_sample(
         return out.filter(pa.array(n > 0))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def preference_pairs(
+    ds: rd.Dataset,
+    group_field: str = "prompt_id",
+    score_field: str = "score",
+    id_field: str = "doc_id",
+    margin: float = 0.0,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """DPO/RLHF preference-pair construction: per prompt group, emit
+    ONE (chosen, rejected) pair — the highest-scoring candidate vs the
+    lowest-scoring one — iff the score gap reaches ``margin``. The
+    reward-model / DPO data-prep step that turns scored candidate pools
+    into training pairs.
+
+    Tie rule (both sides): equal scores resolve to the SMALLER id, so
+    the output is deterministic at any partitioning and matches a SQL
+    ``ROW_NUMBER() OVER (ORDER BY score DESC|ASC, id ASC)`` oracle.
+    Null scores are dropped (SQL ordering would put them last; a pair
+    built from a null score is meaningless). Groups whose chosen and
+    rejected collapse to the same row (single candidate, or all scores
+    equal with margin 0) are dropped.
+
+    Distributed shape: two-phase argmax/argmin. Phase 1 collapses each
+    BLOCK to at most one candidate row per group present in it (local
+    best + local worst packed side by side), so the single hash
+    exchange moves O(groups-per-block × blocks) rows — never the
+    corpus. Phase 2 buckets groups by hash (one bucket of groups per
+    worker, ``num_buckets`` sizes the worker heap) and resolves global
+    winners with one lexsort + run detection across the whole bucket —
+    no per-group Python.
+
+    Returns Dataset[(group, chosen_id, rejected_id, chosen_score,
+    rejected_score, gap:float64)].
+    """
+    from vector_ray.stages import shuffle as _shuffle
+
+    def partial(t: pa.Table) -> pa.Table:
+        score = t[score_field]
+        if isinstance(score, pa.ChunkedArray):
+            score = score.combine_chunks()
+        valid = pc.is_valid(score)
+        if not pc.all(valid).as_py():
+            t = t.filter(valid)
+            score = t[score_field]
+            if isinstance(score, pa.ChunkedArray):
+                score = score.combine_chunks()
+        gcol = t[group_field]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        icol = t[id_field]
+        if isinstance(icol, pa.ChunkedArray):
+            icol = icol.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_field: pa.array([], gcol.type),
+                    "__b_id": pa.array([], icol.type),
+                    "__b_score": pa.array([], pa.float64()),
+                    "__w_id": pa.array([], icol.type),
+                    "__w_score": pa.array([], pa.float64()),
+                }
+            )
+        s = pc.cast(score, pa.float64()).to_numpy(zero_copy_only=False)
+        g = np.asarray(gcol)
+        i = np.asarray(icol)
+        # ascending (group, score, id): run start = local worst per
+        # group; for the local best, flip score only — run start of
+        # (group, -score, id) = max score, min id among ties
+        worst_order = np.lexsort((i, s, g))
+        best_order = np.lexsort((i, -s, g))
+        gw = g[worst_order]
+        starts = np.flatnonzero(np.concatenate([[True], gw[1:] != gw[:-1]]))
+        w_idx = worst_order[starts]
+        b_idx = best_order[starts]  # same group runs: g sorts identically
+        return pa.table(
+            {
+                group_field: pa.array(g[w_idx], gcol.type),
+                "__b_id": pa.array(i[b_idx], icol.type),
+                "__b_score": pa.array(s[b_idx], pa.float64()),
+                "__w_id": pa.array(i[w_idx], icol.type),
+                "__w_score": pa.array(s[w_idx], pa.float64()),
+            }
+        )
+
+    def resolve(bucket: pa.Table) -> pa.Table:
+        bucket = bucket.drop_columns([_shuffle.BUCKET_COLUMN])
+        gtype = bucket.schema.field(group_field).type
+        itype = bucket.schema.field("__b_id").type
+        g = np.asarray(bucket[group_field].combine_chunks())
+        bi = np.asarray(bucket["__b_id"].combine_chunks())
+        bs = np.asarray(bucket["__b_score"].combine_chunks())
+        wi = np.asarray(bucket["__w_id"].combine_chunks())
+        ws = np.asarray(bucket["__w_score"].combine_chunks())
+        worst_order = np.lexsort((wi, ws, g))
+        best_order = np.lexsort((bi, -bs, g))
+        gw = g[worst_order]
+        starts = np.flatnonzero(np.concatenate([[True], gw[1:] != gw[:-1]]))
+        w_idx = worst_order[starts]
+        b_idx = best_order[starts]
+        gap = bs[b_idx] - ws[w_idx]
+        keep = (bi[b_idx] != wi[w_idx]) & (gap >= margin)
+        return pa.table(
+            {
+                group_field: pa.array(g[w_idx][keep], gtype),
+                "chosen_id": pa.array(bi[b_idx][keep], itype),
+                "rejected_id": pa.array(wi[w_idx][keep], itype),
+                "chosen_score": pa.array(bs[b_idx][keep], pa.float64()),
+                "rejected_score": pa.array(ws[w_idx][keep], pa.float64()),
+                "gap": pa.array(gap[keep], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = _shuffle.hash_bucket(partials, group_field, num_buckets)
+    return bucketed.groupby(_shuffle.BUCKET_COLUMN).map_groups(
+        resolve, batch_format="pyarrow"
+    )

@@ -162,6 +162,7 @@ TRANSFORMS = {
     "ppl_windows": tokenops.ppl_windows,
     "ngram_novelty": tokenops.ngram_novelty,
     "unimax_sample": curate.unimax_sample,
+    "preference_pairs": curate.preference_pairs,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

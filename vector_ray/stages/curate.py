@@ -350,3 +350,16 @@ def unimax_sample(ds, options: dict, ctx=None):
         count_field=options.get("count_field", "n_tok"),
         source_field=options.get("source_field", "source"),
     )
+
+
+def preference_pairs(ds, options: dict, ctx=None):
+    """{"type": "preference_pairs", "group_by": "prompt_id",
+    "score_field": "score", "id_field": "doc_id", "margin": 0.0}"""
+    return curation.preference_pairs(
+        ds,
+        group_field=options.get("group_by", "prompt_id"),
+        score_field=options.get("score_field", "score"),
+        id_field=options.get("id_field", "doc_id"),
+        margin=float(options.get("margin", 0.0)),
+        num_buckets=int(options.get("num_buckets", 64)),
+    )
