@@ -590,3 +590,51 @@ def test_span_dedupe_auto_mask(ray_session):
     ).sort_by("doc_id")
     assert via_auto.equals(want) and via_exch.equals(want)
     assert sum(want["n_removed"].to_pylist()) > 0
+
+
+def test_turn_examples(ray_session):
+    from vector_ray.functions.tokens import turn_examples
+
+    M = 99
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "tokens": pa.array(
+                [
+                    [5, M, 6, 7, M, 8],        # one closed turn
+                    [M, 1, 2],                 # trailing open turn
+                    [3, 4],                    # no markers -> nothing
+                    [M, 1, M, 2, M, 3, M, 4],  # two closed turns
+                ],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    out = _collect(
+        turn_examples(rd.from_arrow(t).repartition(3), [M])
+    ).sort_by([("doc_id", "ascending"), ("turn", "ascending")])
+    assert out.to_pydict() == {
+        "doc_id": [1, 2, 4, 4],
+        "turn": [1, 1, 1, 2],
+        "n_ctx": [5, 3, 3, 7],
+        "tokens": [
+            [5, M, 6, 7, M],
+            [M, 1, 2],
+            [M, 1, M],
+            [M, 1, M, 2, M, 3, M],
+        ],
+    }
+    assert pa.types.is_int32(out["tokens"].type.value_type)
+
+    # max_turns caps the fan-out at the earliest turns
+    capped = _collect(
+        turn_examples(rd.from_arrow(t), [M], max_turns=1)
+    ).sort_by([("doc_id", "ascending")])
+    assert capped["doc_id"].to_pylist() == [1, 2, 4]
+    assert capped["turn"].to_pylist() == [1, 1, 1]
+
+    # marker-free corpus -> empty output with the right schema
+    none = _collect(
+        turn_examples(rd.from_arrow(_mk([[1, 2], [3]])), [M])
+    )
+    assert none.num_rows == 0

@@ -3179,6 +3179,22 @@ def q_loss_mask(sf_dir: str):
     return loss_mask_stats(ds, lambda v: v % 97 == 0)
 
 
+def q_turn_examples(sf_dir: str):
+    """Per-turn SFT example fan-out (functions/tokens.py
+    turn_examples): with the same %97 marker convention as
+    loss_mask_corpus, each closed assistant turn emits the sequence
+    prefix through its closing marker; a trailing open turn emits the
+    whole row. Narrow offsets-vectorized expansion, byte-exact token
+    prefixes, no shuffle."""
+    from vector_ray.functions.tokens import turn_examples
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return turn_examples(ds, lambda v: v % 97 == 0)
+
+
 def q_ppl_windows(sf_dir: str):
     """Span-level perplexity segmentation (functions/lm.py
     ppl_windows): every non-overlapping 32-transition window scored
@@ -4336,6 +4352,7 @@ QUERIES = {
     "token_minhash_corpus": q_token_minhash,
     "ngram_novelty_corpus": q_ngram_novelty,
     "loss_mask_corpus": q_loss_mask,
+    "turn_examples_corpus": q_turn_examples,
     "ppl_windows_corpus": q_ppl_windows,
     "unimax_sample_corpus": q_unimax_sample,
     "preference_pairs_documents": q_preference_pairs,
@@ -5471,6 +5488,30 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(SUM(CASE WHEN seen % 2 = 1 AND NOT is_m THEN 1.0 ELSE 0 END) "
         "  / COUNT(*), 6) AS trainable_frac "
         "FROM s GROUP BY doc_id"
+    )
+    sql["turn_examples_corpus"] = (
+        # closing markers = even rank within the doc; trailing open
+        # turn (odd marker count) emits the whole row. Prefix = 1-based
+        # inclusive list_slice through the closing marker.
+        "WITH tk AS (SELECT doc_id, unnest(tokens) AS tok, "
+        "  generate_subscripts(tokens, 1) AS ord "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}')), "
+        "mk AS (SELECT doc_id, ord, ROW_NUMBER() OVER ("
+        "    PARTITION BY doc_id ORDER BY ord) AS r, "
+        "  COUNT(*) OVER (PARTITION BY doc_id) AS cnt "
+        "  FROM tk WHERE tok % 97 = 0), "
+        "ends AS (SELECT doc_id, ord AS e, CAST(r // 2 AS BIGINT) AS turn "
+        "    FROM mk WHERE r % 2 = 0 "
+        "  UNION ALL "
+        "  SELECT b.doc_id, len(b.tokens) AS e, "
+        "    CAST((m.cnt + 1) // 2 AS BIGINT) AS turn "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}') b "
+        "  JOIN (SELECT DISTINCT doc_id, cnt FROM mk) m USING (doc_id) "
+        "  WHERE m.cnt % 2 = 1) "
+        "SELECT s.doc_id, e2.turn, CAST(e2.e AS BIGINT) AS n_ctx, "
+        "CAST(list_slice(s.tokens, 1, e2.e) AS INTEGER[]) AS tokens "
+        f"FROM ends e2 JOIN read_parquet('{_seq_glob(ORACLE_TAG)}') s "
+        "USING (doc_id)"
     )
     # duplication fraction = n_removed / (n_tok + n_removed) of the same
     sql["span_overlap_corpus"] = (

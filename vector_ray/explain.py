@@ -101,6 +101,7 @@ MOVEMENT = {
     "temperature_mixture": "broadcast",
     "bottomk_sample": "hybrid",
     "loss_mask": "narrow",  # per-row turn masking, offsets-vectorized
+    "turn_examples": "narrow",  # per-turn prefix fan-out, one gather per block
     "ppl_windows": "broadcast",  # 256x256 bigram partials up, logp down
     "ngram_novelty": "shuffle",  # gram-key groupbys + bucketed join
     "unimax_sample": "broadcast",  # per-source counts up, budgets down

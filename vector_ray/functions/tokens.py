@@ -2203,3 +2203,119 @@ def loss_mask_stats(
         )
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def turn_examples(
+    ds,
+    markers,
+    field: str = "tokens",
+    id_field: str = "doc_id",
+    max_turns: int | None = None,
+):
+    """Expand multi-turn conversations into per-turn training examples:
+    for every "assistant" turn (the odd-parity spans of
+    :func:`loss_mask`'s marker convention) emit the sequence PREFIX
+    through that turn's closing marker — the standard SFT fan-out where
+    each example trains on its final assistant turn given all prior
+    context. A trailing unclosed assistant turn emits the whole row.
+
+    ``markers`` as in :func:`loss_mask` (id list or vectorized
+    predicate). ``max_turns`` caps examples per sequence (earliest
+    first). Narrow and fully vectorized: marker scan + one arange
+    gather builds every prefix in a single pass — no Python loop, no
+    shuffle; output bytes = Σ prefix lengths (the inherent cost of the
+    expansion, bounded by ``max_turns``).
+
+    Returns Dataset[(id, turn:int64, n_ctx:int64, tokens:list<int32>)]
+    where ``turn`` counts the row's assistant turns from 1 and
+    ``n_ctx`` = len(tokens) of the emitted prefix."""
+
+    if callable(markers):
+        pred = markers
+    else:
+        _ids = np.unique(np.asarray(markers, dtype=np.int64))
+
+        def pred(v, _ids=_ids):
+            return np.isin(v, _ids)
+
+    def stage(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t, field)
+        idc = t[id_field]
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        itype = idc.type
+        ids = np.asarray(idc)
+        out_empty = pa.table(
+            {
+                id_field: pa.array([], itype),
+                "turn": pa.array([], pa.int64()),
+                "n_ctx": pa.array([], pa.int64()),
+                field: pa.ListArray.from_arrays(
+                    pa.array([0], pa.int32()), pa.array([], pa.int32())
+                ),
+            }
+        )
+        if not len(values):
+            return out_empty
+        is_m = np.asarray(pred(values.astype(np.int64)), dtype=bool)
+        lengths = np.diff(offsets)
+        row_of = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        mpos = np.flatnonzero(is_m)  # global positions of markers
+        mrow = row_of[mpos]
+        # marker rank within its row (1-based)
+        first_in_row = np.concatenate(
+            [[True], mrow[1:] != mrow[:-1]]
+        ) if len(mrow) else np.empty(0, bool)
+        runstart = np.maximum.accumulate(
+            np.where(first_in_row, np.arange(len(mrow)), 0)
+        ) if len(mrow) else np.empty(0, np.int64)
+        rank = np.arange(len(mrow)) - runstart + 1
+        # closing markers = even rank; end (0-based exclusive, local to
+        # the row) = marker position + 1 (closing marker included)
+        close = rank % 2 == 0
+        ex_row = mrow[close]
+        ex_end = mpos[close] + 1 - offsets[ex_row]
+        ex_turn = (rank[close] // 2).astype(np.int64)
+        # trailing open assistant turn: odd marker count in the row
+        mcount = np.bincount(mrow, minlength=len(lengths))
+        open_rows = np.flatnonzero((mcount & 1) == 1)
+        if len(open_rows):
+            ex_row = np.concatenate([ex_row, open_rows])
+            ex_end = np.concatenate([ex_end, lengths[open_rows]])
+            ex_turn = np.concatenate(
+                [ex_turn, ((mcount[open_rows] + 1) // 2).astype(np.int64)]
+            )
+        if not len(ex_row):
+            return out_empty
+        # deterministic output order: (row, turn)
+        order = np.lexsort((ex_turn, ex_row))
+        ex_row, ex_end, ex_turn = ex_row[order], ex_end[order], ex_turn[order]
+        if max_turns is not None:
+            keep = ex_turn <= int(max_turns)
+            ex_row, ex_end, ex_turn = ex_row[keep], ex_end[keep], ex_turn[keep]
+            if not len(ex_row):
+                return out_empty
+        # one gather builds every prefix: output position j of example i
+        # reads values[offsets[row_i] + j]
+        out_off = np.zeros(len(ex_row) + 1, dtype=np.int64)
+        np.cumsum(ex_end, out=out_off[1:])
+        total = int(out_off[-1])
+        src = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_off[:-1], ex_end)
+            + np.repeat(offsets[ex_row], ex_end)
+        )
+        toks = pa.ListArray.from_arrays(
+            pa.array(out_off.astype(np.int32), pa.int32()),
+            pa.array(values[src], pa.int32()),
+        )
+        return pa.table(
+            {
+                id_field: pa.array(ids[ex_row], itype),
+                "turn": pa.array(ex_turn, pa.int64()),
+                "n_ctx": pa.array(ex_end.astype(np.int64), pa.int64()),
+                field: toks,
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")

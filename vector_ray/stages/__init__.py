@@ -159,6 +159,7 @@ TRANSFORMS = {
     "temperature_mixture": tokenops.temperature_mixture,
     "bottomk_sample": tokenops.bottomk_sample,
     "loss_mask": tokenops.loss_mask,
+    "turn_examples": tokenops.turn_examples,
     "ppl_windows": tokenops.ppl_windows,
     "ngram_novelty": tokenops.ngram_novelty,
     "unimax_sample": curate.unimax_sample,

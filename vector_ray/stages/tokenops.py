@@ -159,6 +159,27 @@ def loss_mask(ds, options: dict, ctx=None):
     )
 
 
+def turn_examples(ds, options: dict, ctx=None):
+    """{"type": "turn_examples", "markers": [97], "max_turns": 4}
+    ``marker_mod`` accepted like loss_mask. Expands each sequence into
+    one prefix example per closed assistant turn."""
+    from vector_ray.functions.tokens import turn_examples as _f
+
+    if "marker_mod" in options:
+        mod = int(options["marker_mod"])
+        markers = lambda v, _m=mod: v % _m == 0  # noqa: E731
+    else:
+        markers = options["markers"]
+    mt = options.get("max_turns")
+    return _f(
+        ds,
+        markers,
+        field=options.get("col", "tokens"),
+        id_field=options.get("id_field", "doc_id"),
+        max_turns=int(mt) if mt is not None else None,
+    )
+
+
 def ppl_windows(ds, options: dict, ctx=None):
     """{"type": "ppl_windows", "window": 32, "threshold": 5.6}"""
     from vector_ray.functions.lm import ppl_windows as _f
