@@ -952,3 +952,58 @@ def test_transitions_markov_edges(ray_session):
         ).take_all()
     }
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
+
+
+def test_group_normalize(ray_session):
+    """GRPO-style per-group reward whitening: z = (x-mean)/stddev_samp
+    within each key; null rewards score null without poisoning the
+    group; <2-row and constant groups score null; partition-invariant."""
+    import numpy as np
+
+    from vector_ray.stages.grouped import group_normalize
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4 + ["b"] + ["c"] * 3 + ["d"] * 3,
+                          pa.string()),
+            "event_id": pa.array(range(11), pa.int64()),
+            "value": pa.array(
+                [1.0, 2.0, 3.0, 4.0,   # a: mean 2.5, std ~1.29
+                 9.0,                  # b: single row -> null
+                 7.0, 7.0, 7.0,        # c: constant -> null
+                 1.0, None, 3.0],      # d: null passes through
+                pa.float64(),
+            ),
+        }
+    )
+    out = (
+        group_normalize(
+            rd.from_arrow(t).repartition(3),
+            {"group_by": "k", "field": "value", "round": 6,
+             "num_buckets": 4},
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    z = out["advantage"].tolist()
+    std_a = np.std([1, 2, 3, 4], ddof=1)
+    exp_a = [(v - 2.5) / std_a for v in [1, 2, 3, 4]]
+    assert np.allclose(z[:4], [round(e, 6) for e in exp_a])
+    assert np.isnan(z[4]) and all(np.isnan(v) for v in z[5:8])
+    # d: two non-null values 1,3 -> mean 2, std sqrt(2)
+    assert np.isclose(z[8], round((1 - 2) / np.sqrt(2), 6))
+    assert np.isnan(z[9])
+    assert np.isclose(z[10], round((3 - 2) / np.sqrt(2), 6))
+
+    one = (
+        group_normalize(
+            rd.from_arrow(t),
+            {"group_by": "k", "field": "value", "round": 6},
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert np.allclose(
+        one["advantage"].fillna(-9).tolist(),
+        out["advantage"].fillna(-9).tolist(),
+    )

@@ -2061,6 +2061,26 @@ def q_spans_events(sf_dir: str):
     )
 
 
+def q_group_normalize_events(sf_dir: str):
+    """Group-relative reward normalization (GRPO/RLOO advantage
+    whitening, stages/grouped.py group_normalize): per-user z of each
+    event value against the user's own mean/stddev — the per-prompt
+    reward-pool whitening a post-training pipeline runs before policy
+    optimization. One bucket-vectorized hash shuffle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    out = grouped.group_normalize(
+        ds,
+        {"group_by": "user_id", "field": "value", "target": "advantage",
+         "round": 6},
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "advantage"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_robust_z_events(sf_dir: str):
     """Per-type robust z-score (median/MAD) — the outlier metric that
     extreme values can't poison, beside the mean/stddev zscore query."""
@@ -4500,6 +4520,7 @@ QUERIES = {
     "cusum_events": q_cusum_events,
     "spans_events": q_spans_events,
     "robust_z_events": q_robust_z_events,
+    "group_normalize_events": q_group_normalize_events,
     "transitions_events": q_transitions_events,
     "conversion_time_events": q_conversion_time_events,
     "rollup_events": q_rollup_events,
@@ -6492,6 +6513,17 @@ def oracle_sql() -> dict[str, str]:
                 "ROUND(ROUND(quantile_cont(gap_s, 0.5), 9), 4) AS p50_s, "
                 "ROUND(ROUND(quantile_cont(gap_s, 0.9), 9), 4) AS p90_s "
                 "FROM b"
+            ),
+            "group_normalize_events": (
+                # STDDEV_SAMP over non-null values; a <2-row or
+                # zero-spread group divides by NULL -> NULL both sides.
+                # The numpy side computes (Σx² − n·mean²)/(n−1) clipped
+                # at 0 — agrees with SQL to well past the 9-then-6
+                # double rounding.
+                "SELECT event_id, user_id, "
+                "ROUND(ROUND((value - AVG(value) OVER (PARTITION BY user_id))"
+                " / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY user_id), 0)"
+                ", 9), 6) AS advantage FROM events"
             ),
             "robust_z_events": (
                 # np.quantile linear interpolation == quantile_cont;

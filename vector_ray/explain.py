@@ -63,6 +63,7 @@ MOVEMENT = {
     "cooccurrence": "shuffle",  # distinct (entity,state) pairs cross one exchange
     "coalesce_intervals": "shuffle",
     "robust_z": "shuffle",
+    "group_normalize": "shuffle",  # bucket-vectorized one-shuffle whitening
     "transitions": "shuffle",
     "interarrival": "shuffle",
     "funnel": "shuffle",

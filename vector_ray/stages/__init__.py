@@ -87,6 +87,7 @@ TRANSFORMS = {
     "cusum": grouped.cusum,
     "coalesce_intervals": grouped.coalesce_intervals,
     "robust_z": grouped.robust_z,
+    "group_normalize": grouped.group_normalize,
     "transitions": grouped.transitions,
     "ols_trend": grouped.ols_trend,
     "cooccurrence": grouped.cooccurrence,

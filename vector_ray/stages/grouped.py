@@ -1327,6 +1327,79 @@ def robust_z(ds, options: dict, ctx=None):
     return ds.groupby(key).map_groups(score, batch_format="pyarrow")
 
 
+def group_normalize(ds, options: dict, ctx=None):
+    """Group-relative reward normalization (the GRPO/RLOO advantage
+    step): z = (x − mean_group) / stddev_group, computed within each
+    key group. Post-training pipelines whiten per-prompt reward pools
+    this way before policy optimization so a generous prompt's rewards
+    don't dominate the gradient.
+
+    {"type": "group_normalize", "group_by": "prompt_id",
+     "field": "reward", "target": "advantage", "round": 6,
+     "num_buckets": 64}
+
+    One hash shuffle of the rows, bucket-vectorized: keys are hashed
+    into ``num_buckets`` worker-sized buckets and each bucket resolves
+    ALL its groups with one lexsort + reduceat — no per-group Python.
+    Stats use STDDEV_SAMP over non-null values (SQL semantics: a null
+    reward scores null without poisoning its group; a group with < 2
+    non-null rewards, or zero spread, scores null). All input columns
+    pass through.
+
+    Partitioning assumption: one BUCKET of groups fits one worker
+    (``num_buckets`` sizes this), not one group per worker."""
+    from vector_ray.schema import round_sql_np
+    from vector_ray.stages import shuffle as _shuffle
+
+    key = options["group_by"]
+    field = options["field"]
+    target = options.get("target", "advantage")
+    ndigits = options.get("round")
+    num_buckets = int(options.get("num_buckets", 64))
+
+    def normalize(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_shuffle.BUCKET_COLUMN])
+        col = g[field]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+        k = _sortable(g[key])
+        order = np.lexsort((k,))
+        ks = k[order]
+        xs = x[order]
+        m = len(xs)
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]])
+        ) if m else np.empty(0, np.int64)
+        run_of = np.cumsum(
+            np.concatenate([[False], ks[1:] != ks[:-1]])
+        ) if m else np.empty(0, np.int64)
+        valid = ~np.isnan(xs)
+        xv = np.where(valid, xs, 0.0)
+        n = np.add.reduceat(valid.astype(np.int64), starts) if m else starts
+        s = np.add.reduceat(xv, starts) if m else starts.astype(float)
+        q = np.add.reduceat(xv * xv, starts) if m else starts.astype(float)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / n
+            # sample variance: (Σx² − n·mean²) / (n−1); clip the
+            # cancellation residue so a constant group is exactly 0
+            var = np.maximum(q - n * mean * mean, 0.0) / (n - 1)
+            std = np.sqrt(var)
+            std = np.where(std == 0.0, np.nan, std)
+            z = (xs - mean[run_of]) / std[run_of]
+        if ndigits is not None:
+            z = round_sql_np(round_sql_np(z, 9), ndigits)
+        out = np.empty(m, dtype=np.float64)
+        out[order] = z
+        return g.append_column(
+            target, pa.array(out, pa.float64(), from_pandas=True)
+        )
+
+    bucketed = _shuffle.hash_bucket(ds, key, num_buckets)
+    return bucketed.groupby(_shuffle.BUCKET_COLUMN).map_groups(
+        normalize, batch_format="pyarrow"
+    )
+
+
 def transitions(ds, options: dict, ctx=None):
     """Per-key event-SEQUENCE transition counts: how often does state A
     immediately precede state B in a key's ordered stream — the Markov
