@@ -2061,6 +2061,41 @@ def q_spans_events(sf_dir: str):
     )
 
 
+def q_best_of_n(sf_dir: str):
+    """Rejection sampling / best-of-n selection (stages/shuffle.py
+    topk_per_key): keep the top-3 highest-scoring candidates per prompt
+    group (doc_id % 10 pools, score = n_chars, ties → smaller id) — the
+    post-training step that keeps only the best sampled responses.
+    Skew-safe salted two-phase top-k: a block contributes at most k
+    rows per (key, salt) before the exchange."""
+    from vector_ray.stages.shuffle import topk_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        prompt = pc.cast(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "prompt_id": prompt,
+                "doc_id": ids,
+                "score": pc.cast(t["n_chars"], pa.float64()),
+            }
+        )
+
+    return topk_per_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="prompt_id", order_by="score", k=3, tiebreak="doc_id",
+    )
+
+
 def q_group_normalize_events(sf_dir: str):
     """Group-relative reward normalization (GRPO/RLOO advantage
     whitening, stages/grouped.py group_normalize): per-user z of each
@@ -4521,6 +4556,7 @@ QUERIES = {
     "spans_events": q_spans_events,
     "robust_z_events": q_robust_z_events,
     "group_normalize_events": q_group_normalize_events,
+    "best_of_n_documents": q_best_of_n,
     "transitions_events": q_transitions_events,
     "conversion_time_events": q_conversion_time_events,
     "rollup_events": q_rollup_events,
@@ -6513,6 +6549,14 @@ def oracle_sql() -> dict[str, str]:
                 "ROUND(ROUND(quantile_cont(gap_s, 0.5), 9), 4) AS p50_s, "
                 "ROUND(ROUND(quantile_cont(gap_s, 0.9), 9), 4) AS p90_s "
                 "FROM b"
+            ),
+            "best_of_n_documents": (
+                "SELECT prompt_id, doc_id, score FROM ("
+                "  SELECT doc_id % 10 AS prompt_id, doc_id, "
+                "  CAST(n_chars AS DOUBLE) AS score, ROW_NUMBER() OVER ("
+                "    PARTITION BY doc_id % 10 "
+                "    ORDER BY n_chars DESC, doc_id ASC) AS rn "
+                "  FROM documents) WHERE rn <= 3"
             ),
             "group_normalize_events": (
                 # STDDEV_SAMP over non-null values; a <2-row or
