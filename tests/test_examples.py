@@ -167,3 +167,22 @@ def test_anomaly_alerting_example(ray_session):
     ret = pq.read_table("/tmp/vector_ray_examples/anomaly/retention")
     assert {"cohort", "period", "n_users"} <= set(ret.column_names)
     assert ret.num_rows > 0
+
+
+def test_posttraining_example(ray_session):
+    from vector_ray import datagen
+
+    datagen.ensure_corpus("sf0.001")
+    shutil.rmtree("/tmp/vector_ray_examples/posttraining", ignore_errors=True)
+    _run("examples/posttraining.toml")
+    sft = pq.read_table("/tmp/vector_ray_examples/posttraining/sft")
+    assert sft.num_rows > 0
+    assert {"turn", "n_ctx", "tokens"} <= set(sft.column_names)
+    assert pa.types.is_int32(sft["tokens"].type.value_type)
+    assert max(len(t) for t in sft["tokens"].to_pylist()) <= 256
+    dpo = pq.read_table("/tmp/vector_ray_examples/posttraining/dpo")
+    assert dpo.num_rows > 0
+    assert (min(dpo["gap"].to_pylist()) >= 8.0
+            and {"chosen_id", "rejected_id"} <= set(dpo.column_names))
+    adv = pq.read_table("/tmp/vector_ray_examples/posttraining/advantages")
+    assert adv.num_rows == 5000 and "advantage" in adv.column_names
