@@ -574,3 +574,31 @@ def test_preference_pairs(ray_session):
         "prompt_id"
     )
     assert one.equals(out0)
+
+
+def test_preference_pairs_hot_group(ray_session):
+    """A single group holding every row (worst-case skew): phase 1
+    collapses each block to ONE candidate row, so the exchange moves
+    O(blocks), and the result is still exact."""
+    import numpy as np
+
+    from vector_ray.functions.curation import preference_pairs
+
+    n = 50_000
+    rng = np.random.RandomState(7)
+    scores = rng.permutation(n).astype(np.float64)
+    t = pa.table(
+        {
+            "prompt_id": pa.array(np.zeros(n, np.int64)),
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    out = _collect(
+        preference_pairs(rd.from_arrow(t).repartition(32), margin=0.0)
+    )
+    assert out.num_rows == 1
+    r = out.to_pylist()[0]
+    assert r["chosen_id"] == int(np.argmax(scores))
+    assert r["rejected_id"] == int(np.argmin(scores))
+    assert r["gap"] == float(n - 1)
