@@ -307,3 +307,51 @@ def test_aes_key_monotone_in_weight(weights):
         sorted_keys[i] <= sorted_keys[i + 1] + 1e-15
         for i in range(len(sorted_keys) - 1)
     )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=20), max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_turn_examples_matches_reference(ray_session, docs):
+    """turn_examples == a straight-line per-row reference: one example
+    per closed assistant turn (prefix through the closing marker, which
+    is every even-indexed marker), plus the whole row for a trailing
+    open turn."""
+    import ray.data as rd
+
+    from vector_ray.functions.tokens import turn_examples
+
+    MARKER = 7  # plenty of collisions in the 0..20 alphabet
+
+    def reference(row_id, toks):
+        out = []
+        mpos = [i for i, v in enumerate(toks) if v == MARKER]
+        for j in range(1, len(mpos), 2):  # even rank = closing marker
+            out.append((row_id, j // 2 + 1, toks[: mpos[j] + 1]))
+        if len(mpos) % 2 == 1:
+            out.append((row_id, (len(mpos) + 1) // 2, list(toks)))
+        return out
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "tokens": pa.array(
+                [list(map(int, d)) for d in docs], pa.list_(pa.int32())
+            ),
+        }
+    )
+    expect = sorted(
+        ex for i, d in enumerate(docs) for ex in reference(i, list(d))
+    )
+    got = turn_examples(rd.from_arrow(t).repartition(3), [MARKER]).take_all()
+    got_rows = sorted(
+        (r["doc_id"], r["turn"], list(r["tokens"])) for r in got
+    )
+    assert got_rows == expect
+    for r in got:
+        assert r["n_ctx"] == len(r["tokens"])
