@@ -271,3 +271,24 @@ def test_loss_mask_turn_semantics(ray_session):
     assert st.loc["b", "n_trainable"] == 1
     assert st.loc["c", "n_trainable"] == 0
     assert st.loc["a", "trainable_frac"] == 0.4
+
+
+def test_vocab_coverage(ray_session):
+    from vector_ray.functions.tokens import vocab_coverage
+
+    t = pa.table(
+        {
+            "tokens": pa.array(
+                # token 5 x6, token 9 x3, token 2 x1 -> total 10
+                [[5, 5, 5], [5, 9, 9], [5, 5, 9, 2]],
+                pa.list_(pa.int32()),
+            )
+        }
+    )
+    out = vocab_coverage(
+        rd.from_arrow(t).repartition(2), ranks=(1, 2, 100)
+    ).to_pydict()
+    assert out["rank"] == [1, 2, 100]
+    assert out["n_distinct"] == [1, 2, 3]  # only 3 distinct present
+    assert out["covered"] == [6, 9, 10]
+    assert out["share"] == [0.6, 0.9, 1.0]

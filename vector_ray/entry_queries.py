@@ -3234,6 +3234,19 @@ def q_loss_mask(sf_dir: str):
     return loss_mask_stats(ds, lambda v: v % 97 == 0)
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary concentration curve (functions/tokens.py
+    vocab_coverage): share of all token occurrences covered by the
+    top-r most frequent ids at r ∈ {10, 100, 1000, 10000} — the Zipf
+    diagnostic behind tokenizer sizing. One shuffle-free dense count
+    pass + O(vocab) driver cumsum."""
+    from vector_ray.functions.tokens import vocab_coverage
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(datagen.sequences_dir(tag), columns=["tokens"])
+    return vocab_coverage(ds)
+
+
 def q_turn_examples(sf_dir: str):
     """Per-turn SFT example fan-out (functions/tokens.py
     turn_examples): with the same %97 marker convention as
@@ -4408,6 +4421,7 @@ QUERIES = {
     "ngram_novelty_corpus": q_ngram_novelty,
     "loss_mask_corpus": q_loss_mask,
     "turn_examples_corpus": q_turn_examples,
+    "vocab_coverage_corpus": q_vocab_coverage,
     "ppl_windows_corpus": q_ppl_windows,
     "unimax_sample_corpus": q_unimax_sample,
     "preference_pairs_documents": q_preference_pairs,
@@ -5545,6 +5559,25 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(SUM(CASE WHEN seen % 2 = 1 AND NOT is_m THEN 1.0 ELSE 0 END) "
         "  / COUNT(*), 6) AS trainable_frac "
         "FROM s GROUP BY doc_id"
+    )
+    sql["vocab_coverage_corpus"] = (
+        # rank by (cnt DESC, tok ASC); covered = running sum at rank
+        # LEAST(r, #distinct); share rounded like the numpy side
+        "WITH tk AS (SELECT unnest(tokens) AS tok "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}')), "
+        "c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok), "
+        "o AS (SELECT tok, cnt, ROW_NUMBER() OVER ("
+        "    ORDER BY cnt DESC, tok ASC) AS rk, "
+        "  SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC "
+        "    ROWS UNBOUNDED PRECEDING) AS cum FROM c), "
+        "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, "
+        "  CAST(COUNT(*) AS BIGINT) AS nz FROM c), "
+        "r(rank) AS (VALUES (10), (100), (1000), (10000)) "
+        "SELECT CAST(r.rank AS BIGINT) AS rank, "
+        "CAST(LEAST(r.rank, t.nz) AS BIGINT) AS n_distinct, "
+        "CAST(o.cum AS BIGINT) AS covered, "
+        "ROUND(CAST(o.cum AS DOUBLE) / t.total, 6) AS share "
+        "FROM r CROSS JOIN t JOIN o ON o.rk = LEAST(r.rank, t.nz)"
     )
     sql["turn_examples_corpus"] = (
         # closing markers = even rank within the doc; trailing open
