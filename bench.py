@@ -127,6 +127,22 @@ def run_bench() -> dict:
             k=50,
         ).count()
     )
+    # post-training prep: per-turn SFT fan-out (narrow, one gather per
+    # block) and DPO preference pairs (one candidate row per group per
+    # block crosses the single exchange)
+    from vector_ray.functions.tokens import turn_examples
+
+    queries["turn_examples"] = timed(
+        lambda: turn_examples(
+            rd.read_parquet(
+                _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
+            ),
+            lambda v: v % 97 == 0,
+        ).count()
+    )
+    from vector_ray.entry_queries import q_preference_pairs
+
+    queries["pref_pairs"] = timed(lambda: q_preference_pairs(sf_dir).count())
     # corpus LM scoring: dense count tree reduction + broadcast logp +
     # vectorized per-sequence NLL (two passes over every token)
     from vector_ray.functions.lm import token_lm_score
