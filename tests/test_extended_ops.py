@@ -1007,3 +1007,73 @@ def test_group_normalize(ray_session):
         one["advantage"].fillna(-9).tolist(),
         out["advantage"].fillna(-9).tolist(),
     )
+
+
+def test_group_normalize_large_magnitude_and_null_keys(ray_session):
+    """Two review regressions: (a) the variance must be two-pass stable
+    — values 1e8+{0..3} have true sample std ~1.29, which the one-pass
+    sum-of-squares form got 26% wrong; (b) null INT keys must form ONE
+    group (SQL PARTITION BY), not NaN singletons."""
+    import numpy as np
+
+    from vector_ray.stages.grouped import group_normalize
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, None, None, None], pa.int64()),
+            "event_id": pa.array(range(7), pa.int64()),
+            "value": pa.array(
+                [1e8, 1e8 + 1, 1e8 + 2, 1e8 + 3, 10.0, 20.0, 30.0],
+                pa.float64(),
+            ),
+        }
+    )
+    out = (
+        group_normalize(
+            rd.from_arrow(t).repartition(3),
+            {"group_by": "k", "field": "value", "round": 6},
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    z = out["advantage"].tolist()
+    std = np.std([0.0, 1.0, 2.0, 3.0], ddof=1)  # shift-invariant truth
+    exp = [round((v - 1.5) / std, 6) for v in [0.0, 1.0, 2.0, 3.0]]
+    assert np.allclose(z[:4], exp), z[:4]
+    # the three null-key rows form one group: mean 20, std 10
+    assert np.allclose(z[4:], [-1.0, 0.0, 1.0]), z[4:]
+
+
+def test_preference_pairs_null_keys_and_nan_scores(ray_session):
+    """Null group keys and NaN scores are dropped instead of crashing
+    (null int key -> float64 NaN round-trip) or silently winning (NaN
+    sorts above everything in SQL)."""
+    import numpy as np
+
+    from vector_ray.functions.curation import preference_pairs
+
+    t = pa.table(
+        {
+            "prompt_id": pa.array([1, 1, 1, None, None], pa.int64()),
+            "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "score": pa.array(
+                [5.0, float("nan"), 1.0, 9.0, 2.0], pa.float64()
+            ),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            b
+            for b in [
+                __import__("ray").get(r)
+                for r in preference_pairs(
+                    rd.from_arrow(t).repartition(2), margin=0.0
+                ).materialize().to_arrow_refs()
+            ]
+            if b.num_rows
+        ]
+    )
+    assert out.num_rows == 1
+    r = out.to_pylist()[0]
+    # NaN row 11 excluded -> pair is (10, 12); null-key rows dropped
+    assert (r["chosen_id"], r["rejected_id"]) == (10, 12)

@@ -2061,15 +2061,10 @@ def q_spans_events(sf_dir: str):
     )
 
 
-def q_best_of_n(sf_dir: str):
-    """Rejection sampling / best-of-n selection (stages/shuffle.py
-    topk_per_key): keep the top-3 highest-scoring candidates per prompt
-    group (doc_id % 10 pools, score = n_chars, ties → smaller id) — the
-    post-training step that keeps only the best sampled responses.
-    Skew-safe salted two-phase top-k: a block contributes at most k
-    rows per (key, salt) before the exchange."""
-    from vector_ray.stages.shuffle import topk_per_key
-
+def _prompt_pool(sf_dir: str):
+    """Shared candidate-pool prep for the post-training queries:
+    documents bucketed into prompt groups by ``doc_id % 10``, score =
+    n_chars as float64."""
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
@@ -2090,8 +2085,20 @@ def q_best_of_n(sf_dir: str):
             }
         )
 
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def q_best_of_n(sf_dir: str):
+    """Rejection sampling / best-of-n selection (stages/shuffle.py
+    topk_per_key): keep the top-3 highest-scoring candidates per prompt
+    group (doc_id % 10 pools, score = n_chars, ties → smaller id) — the
+    post-training step that keeps only the best sampled responses.
+    Skew-safe salted two-phase top-k: a block contributes at most k
+    rows per (key, salt) before the exchange."""
+    from vector_ray.stages.shuffle import topk_per_key
+
     return topk_per_key(
-        ds.map_batches(prep, batch_format="pyarrow"),
+        _prompt_pool(sf_dir),
         key="prompt_id", order_by="score", k=3, tiebreak="doc_id",
     )
 
@@ -3303,29 +3310,7 @@ def q_preference_pairs(sf_dir: str):
     candidate row per group before the single key exchange."""
     from vector_ray.functions.curation import preference_pairs
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-    )
-
-    def prep(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        prompt = pc.cast(
-            pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)),
-            pa.int64(),
-        )
-        return pa.table(
-            {
-                "prompt_id": prompt,
-                "doc_id": ids,
-                "score": pc.cast(t["n_chars"], pa.float64()),
-            }
-        )
-
-    return preference_pairs(
-        ds.map_batches(prep, batch_format="pyarrow"), margin=50.0
-    )
+    return preference_pairs(_prompt_pool(sf_dir), margin=50.0)
 
 
 def q_span_dedupe_exchange(sf_dir: str):

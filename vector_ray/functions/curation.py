@@ -505,10 +505,12 @@ def preference_pairs(
     Tie rule (both sides): equal scores resolve to the SMALLER id, so
     the output is deterministic at any partitioning and matches a SQL
     ``ROW_NUMBER() OVER (ORDER BY score DESC|ASC, id ASC)`` oracle.
-    Null scores are dropped (SQL ordering would put them last; a pair
-    built from a null score is meaningless). Groups whose chosen and
-    rejected collapse to the same row (single candidate, or all scores
-    equal with margin 0) are dropped.
+    Null and NaN scores are dropped (a pair built from a non-score is
+    meaningless; SQL ranks NaN above everything, which no caller
+    wants), and rows with a null group key are dropped (a candidate
+    needs a prompt). Groups whose chosen and rejected collapse to the
+    same row (single candidate, or all scores equal with margin 0) are
+    dropped.
 
     Distributed shape: two-phase argmax/argmin. Phase 1 collapses each
     BLOCK to at most one candidate row per group present in it (local
@@ -528,7 +530,17 @@ def preference_pairs(
         score = t[score_field]
         if isinstance(score, pa.ChunkedArray):
             score = score.combine_chunks()
-        valid = pc.is_valid(score)
+        # drop null/NaN scores and null group keys up front: NaN keys
+        # would each become their own run (NaN != NaN) and a null int
+        # key poisons the whole block via the float64 round-trip
+        fscore = pc.cast(score, pa.float64())
+        valid = pc.and_kleene(
+            pc.and_kleene(
+                pc.is_valid(score), pc.invert(pc.is_nan(fscore))
+            ),
+            pc.is_valid(t[group_field]),
+        )
+        valid = pc.fill_null(valid, False)
         if not pc.all(valid).as_py():
             t = t.filter(valid)
             score = t[score_field]

@@ -62,7 +62,7 @@ def _flat_tokens(t: pa.Table, col: str = "tokens") -> tuple[np.ndarray, np.ndarr
 
 
 def dense_vector_merge(partials, width: int, levels: int = 2, fanin: int = 64,
-                       col: str = "cnt"):
+                       col: str | list[str] = "cnt"):
     """Shuffle-free tree merge of one-row dense count blocks.
 
     ``map_batches`` with a row ``batch_size`` coalesces up to ``fanin``
@@ -76,12 +76,17 @@ def dense_vector_merge(partials, width: int, levels: int = 2, fanin: int = 64,
     just co-locating a few hundred tiny rows.
     """
 
+    cols = [col] if isinstance(col, str) else list(col)
+
     def merge(t: pa.Table) -> pa.Table:
-        flat = t[col].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        summed = flat.reshape(t.num_rows, width).sum(axis=0)
-        return pa.table({col: pa.array([summed], pa.list_(pa.int64()))})
+        out_cols = {}
+        for c in cols:
+            flat = t[c].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+            summed = flat.reshape(t.num_rows, width).sum(axis=0)
+            out_cols[c] = pa.array([summed], pa.list_(pa.int64()))
+        return pa.table(out_cols)
 
     out = partials
     for _ in range(levels):
@@ -311,7 +316,7 @@ def pack_sequences(
 # ---------------------------------------------------------------------------
 
 
-def token_topk(ds: rd.Dataset, k: int = 50, num_parts: int = 32) -> rd.Dataset:
+def token_topk(ds: rd.Dataset, k: int = 50) -> rd.Dataset:
     """Top-k most frequent token ids across the corpus.
 
     Dense tree reduction with NO shuffle at all: each *block* collapses
@@ -678,7 +683,7 @@ def _iter_matrices(ds, batch_size: int, chunk_len: int, drop_last: bool):
 # ---------------------------------------------------------------------------
 
 
-def token_counts(ds: rd.Dataset, num_parts: int = 32) -> np.ndarray:
+def token_counts(ds: rd.Dataset) -> np.ndarray:
     """Exact dense per-token corpus counts (vocab-sized int64 vector on
     the driver — bounded by VOCAB_SIZE, never by corpus size)."""
 
@@ -1784,14 +1789,6 @@ def positional_stats(ds, max_pos: int = 2048, round_to: int = 4):
         )
         return flat.reshape(group.num_rows, max_pos).sum(axis=0)
 
-    def merge_sums(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "n": pa.array([_dense(group, "n")], pa.list_(pa.int64())),
-                "s": pa.array([_dense(group, "s")], pa.list_(pa.int64())),
-            }
-        )
-
     def finalize(group: pa.Table) -> pa.Table:
         n, s = _dense(group, "n"), _dense(group, "s")
         keep = n > 0
@@ -1808,14 +1805,14 @@ def positional_stats(ds, max_pos: int = 2048, round_to: int = 4):
             }
         )
 
-    # two block-coalescing merge levels (no shuffle; see
-    # dense_vector_merge) then one single-block finalize
-    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    for _ in range(2):
-        out = out.map_batches(
-            merge_sums, batch_format="pyarrow", batch_size=64
-        )
-    return out.repartition(1).map_batches(
+    # block-coalescing tree merge of both vectors (no shuffle) then one
+    # single-block finalize
+    merged = dense_vector_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        max_pos,
+        col=["n", "s"],
+    )
+    return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
 
@@ -2345,11 +2342,11 @@ def vocab_coverage(ds, ranks=(10, 100, 1000, 10000), round_to: int = 6):
     nz = int((sorted_counts > 0).sum())
     cum = np.cumsum(sorted_counts)
     rows = []
-    for r in ranks:
-        k = min(int(r), nz)
-        covered = int(cum[k - 1]) if k > 0 else 0
-        share = covered / total if total else 0.0
-        rows.append((int(r), k, covered, share))
+    if total:  # empty corpus -> empty curve, matching the SQL oracle
+        for r in ranks:
+            k = min(int(r), nz)
+            covered = int(cum[k - 1]) if k > 0 else 0
+            rows.append((int(r), k, covered, covered / total))
     return pa.table(
         {
             "rank": pa.array([r[0] for r in rows], pa.int64()),
