@@ -346,3 +346,110 @@ def test_assert_schema_modes(ray_session):
         collect(
             assert_schema(rd.from_arrow(t), {"columns": {"nope": {"min": 1}}})
         )
+
+
+def test_join_spec_transform(ray_session):
+    """Two-input join in the spec DAG: the `right` option names an
+    upstream node (validated, topo-ordered, fan-out-counted like any
+    edge); bucketed hash join runs per bucket."""
+    from vector_ray import run_pipeline
+    from vector_ray.validate import ValidationError
+
+    res = run_pipeline(
+        {
+            "sources": {
+                "users": {
+                    "type": "inline",
+                    "rows": [
+                        {"uid": 1, "name": "ann"},
+                        {"uid": 2, "name": "bo"},
+                        {"uid": 3, "name": "cy"},
+                    ],
+                },
+                "orders": {
+                    "type": "inline",
+                    "rows": [
+                        {"uid": 1, "total": 10},
+                        {"uid": 1, "total": 5},
+                        {"uid": 3, "total": 7},
+                        {"uid": 9, "total": 99},
+                    ],
+                },
+            },
+            "transforms": {
+                "j": {
+                    "type": "join",
+                    "inputs": ["orders"],
+                    "right": "users",
+                    "key": "uid",
+                    "how": "inner",
+                    "num_buckets": 4,
+                }
+            },
+            "sinks": {"out": {"type": "collect", "inputs": ["j"]}},
+        }
+    )
+    t = res.sinks["out"].table
+    rows = sorted(
+        (r["uid"], r["total"], r["name"]) for r in t.to_pylist()
+    )
+    assert rows == [(1, 5, "ann"), (1, 10, "ann"), (3, 7, "cy")]
+
+    # dangling right ref -> INVALID_INPUT at validation time
+    with pytest.raises(ValidationError) as ei:
+        run_pipeline(
+            {
+                "sources": {"a": {"type": "demo_logs", "count": 5}},
+                "transforms": {
+                    "j": {"type": "join", "inputs": ["a"],
+                          "right": "nope", "key": "x"}
+                },
+                "sinks": {"s": {"type": "blackhole", "inputs": ["j"]}},
+            }
+        )
+    assert "INVALID_INPUT" in str(ei.value)
+
+
+def test_asof_join_spec_transform(ray_session):
+    from vector_ray import run_pipeline
+
+    res = run_pipeline(
+        {
+            "sources": {
+                "events": {
+                    "type": "inline",
+                    "rows": [
+                        {"host": "a", "ts": 100, "msg": "x"},
+                        {"host": "a", "ts": 250, "msg": "y"},
+                        {"host": "b", "ts": 50, "msg": "z"},
+                    ],
+                },
+                "configs": {
+                    "type": "inline",
+                    "rows": [
+                        {"host": "a", "ts": 90, "ver": 1},
+                        {"host": "a", "ts": 200, "ver": 2},
+                        {"host": "b", "ts": 400, "ver": 7},
+                    ],
+                },
+            },
+            "transforms": {
+                "j": {
+                    "type": "asof_join",
+                    "inputs": ["events"],
+                    "right": "configs",
+                    "by": "host",
+                    "on": "ts",
+                    "num_buckets": 2,
+                }
+            },
+            "sinks": {"out": {"type": "collect", "inputs": ["j"]}},
+        }
+    )
+    rows = sorted(
+        (r["host"], r["ts"], r.get("ver"))
+        for r in res.sinks["out"].table.to_pylist()
+    )
+    # backward: event@100 -> ver1(@90), event@250 -> ver2(@200),
+    # b@50 has no earlier config -> null
+    assert rows == [("a", 100, 1), ("a", 250, 2), ("b", 50, None)]

@@ -88,6 +88,8 @@ MOVEMENT = {
     "budget_select": "broadcast",
     "dsir": "broadcast",
     "topk_per_key": "shuffle",
+    "join": "shuffle",  # one tagged-union hash exchange, per-bucket Arrow join
+    "asof_join": "shuffle",  # same exchange, per-bucket searchsorted merge
     # token-layout family
     "token_entropy": "narrow",
     "strip_tokens": "narrow",

@@ -70,13 +70,22 @@ def _as_spec(spec) -> PipelineSpec:
     return PipelineSpec.from_dict(spec)
 
 
+def _node_refs(cfg: dict) -> list[str]:
+    """Every upstream node ref a transform/sink names: its ``inputs``
+    plus, for two-input transforms (join), the ``right`` option."""
+    refs = list(cfg.get("inputs") or [])
+    if cfg.get("right"):
+        refs.append(str(cfg["right"]))
+    return refs
+
+
 def _topo_order(spec: PipelineSpec) -> list[str]:
     """Kahn's algorithm over transform nodes (sources have no inputs)."""
     deps: dict[str, set[str]] = {}
     for name, cfg in spec.transforms.items():
         deps[name] = {
             ref.split(".", 1)[0]
-            for ref in (cfg.get("inputs") or [])
+            for ref in _node_refs(cfg)
             if ref.split(".", 1)[0] in spec.transforms
         }
     order, ready = [], [n for n, d in deps.items() if not d]
@@ -106,7 +115,7 @@ def build_pipeline(spec, ctx: PipelineContext | None = None) -> dict[str, Any]:
     # consumer fan-out count per upstream node (materialize shared nodes)
     consumers: dict[str, int] = {}
     for cfg in list(spec.transforms.values()) + list(spec.sinks.values()):
-        for ref in cfg.get("inputs") or []:
+        for ref in _node_refs(cfg):
             consumers[ref.split(".", 1)[0]] = (
                 consumers.get(ref.split(".", 1)[0], 0) + 1
             )
@@ -137,6 +146,11 @@ def build_pipeline(spec, ctx: PipelineContext | None = None) -> dict[str, Any]:
     for name in _topo_order(spec):
         cfg = spec.transforms[name]
         options = {k: v for k, v in cfg.items() if k not in ("type", "inputs")}
+        if cfg.get("right"):
+            # two-input transform (join): the right side is a node ref,
+            # resolved here and handed to the stage as a Dataset
+            options = dict(options)
+            options["_right_ds"] = resolve(str(cfg["right"]))
         ds = TRANSFORMS[cfg["type"]](gather(cfg), options, ctx)
         if ctx.metrics is not None:
             from vector_ray.state.metrics import instrument

@@ -55,6 +55,59 @@ def _topk_per_key(ds, options, ctx=None):
     )
 
 
+def _join(ds, options, ctx=None):
+    """Two-input equi-join as a spec transform (stages/shuffle.py
+    bucketed_join): {"type": "join", "inputs": ["left_node"],
+    "right": "right_node", "key": "user_id", "how": "inner",
+    "num_buckets": 32, "suffix": "_r"}. The pipeline compiler resolves
+    the ``right`` node ref and hands its Dataset in as ``_right_ds``
+    (referential integrity enforced by validate_spec, and the right
+    node participates in topo ordering / fan-out materialization like
+    any other edge). ``how``: inner | left | full | semi | anti."""
+    from vector_ray.stages.shuffle import bucketed_join
+
+    right = options.get("_right_ds")
+    if right is None:
+        raise ValueError(
+            "join requires a 'right' option naming an upstream node"
+        )
+    return bucketed_join(
+        ds,
+        right,
+        options["key"],
+        num_buckets=int(options.get("num_buckets", 32)),
+        how=options.get("how", "inner"),
+        suffix=options.get("suffix", "_r"),
+    )
+
+
+def _asof_join(ds, options, ctx=None):
+    """Two-input as-of join as a spec transform (stages/shuffle.py
+    bucketed_asof_join): {"type": "asof_join", "inputs": ["events"],
+    "right": "configs", "by": "host", "on": "ts",
+    "direction": "backward", "tolerance": 60000000}. Same ``right``
+    node-ref plumbing as "join"."""
+    from vector_ray.stages.shuffle import bucketed_asof_join
+
+    right = options.get("_right_ds")
+    if right is None:
+        raise ValueError(
+            "asof_join requires a 'right' option naming an upstream node"
+        )
+    tol = options.get("tolerance")
+    return bucketed_asof_join(
+        ds,
+        right,
+        by=options["by"],
+        on=options["on"],
+        num_buckets=int(options.get("num_buckets", 32)),
+        how=options.get("how", "left"),
+        suffix=options.get("suffix", "_r"),
+        direction=options.get("direction", "backward"),
+        tolerance=int(tol) if tol is not None else None,
+    )
+
+
 def _profile(ds, options, ctx=None):
     """Data-quality profile stage (functions/dataops.py): per-column
     rows / nulls / distinct counts; ``approx`` swaps exact distinct for
@@ -111,6 +164,8 @@ TRANSFORMS = {
     "lag_delta": reshape.lag_delta,
     "profile": _profile,
     "topk_per_key": _topk_per_key,
+    "join": _join,
+    "asof_join": _asof_join,
     "log_templates": reshape.log_templates,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,

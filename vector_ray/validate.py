@@ -104,7 +104,14 @@ def validate_spec(spec: dict, known_types: set[str] | None = None) -> Validation
                         Issue("warning", "MISSING_INPUTS",
                               f"{section[:-1]} '{name}' has no inputs", name)
                     )
-                for ref in inputs:
+                # two-input transforms (join) name their right side via
+                # the ``right`` option — same referential rules
+                extra = (
+                    [str(cfg["right"])]
+                    if section == "transforms" and cfg.get("right")
+                    else []
+                )
+                for ref in list(inputs) + extra:
                     if _strip_port(ref) not in valid_inputs:
                         res.issues.append(
                             Issue("error", "INVALID_INPUT",
