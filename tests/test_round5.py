@@ -1,0 +1,276 @@
+"""Round-5 additions: k-anonymity audit/suppression, Kneser–Ney
+byte-bigram LM scoring, product quantization (codes + ADC top-k), and
+the deflate compression-ratio quality signal. Each checked against a
+hand reference on tiny fixtures plus degenerate-input behavior.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+
+def _collect(ds) -> pa.Table:
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
+
+
+# ---------------------------------------------------------------------------
+# kanonymity
+# ---------------------------------------------------------------------------
+
+
+def _people_ds(num_blocks=3):
+    # QI = (city, age): ("a", 30) x 4 rows, ("b", 30) x 2, ("b", 40) x 1
+    rows = [
+        (1, "a", 30), (2, "a", 30), (3, "a", 30), (4, "a", 30),
+        (5, "b", 30), (6, "b", 30), (7, "b", 40),
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "city": pa.array([r[1] for r in rows], pa.string()),
+                "age": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(num_blocks)
+
+
+def test_kanonymity_audit(ray_session):
+    from vector_ray.functions.dataops import kanonymity
+
+    out = _collect(
+        kanonymity(_people_ds(), ["city", "age"], k=3, mode="audit")
+    )
+    got = {
+        (c, a): (n, r)
+        for c, a, n, r in zip(
+            out["city"].to_pylist(), out["age"].to_pylist(),
+            out["n"].to_pylist(), out["at_risk"].to_pylist(),
+        )
+    }
+    assert got == {
+        ("a", 30): (4, False),
+        ("b", 30): (2, True),
+        ("b", 40): (1, True),
+    }
+
+
+def test_kanonymity_suppress(ray_session):
+    from vector_ray.functions.dataops import kanonymity
+
+    out = _collect(
+        kanonymity(_people_ds(), ["city", "age"], k=3, mode="suppress",
+                   id_field="event_id")
+    )
+    by_id = {
+        i: (c, a)
+        for i, c, a in zip(
+            out["event_id"].to_pylist(), out["city"].to_pylist(),
+            out["age"].to_pylist(),
+        )
+    }
+    assert len(by_id) == 7
+    # the k>=3 group survives intact; both risky groups are masked
+    for i in (1, 2, 3, 4):
+        assert by_id[i] == ("a", 30)
+    for i in (5, 6, 7):
+        assert by_id[i] == ("*", -1)
+
+
+def test_kanonymity_bad_mode(ray_session):
+    from vector_ray.functions.dataops import kanonymity
+
+    with pytest.raises(ValueError):
+        kanonymity(_people_ds(), ["city"], k=2, mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_kn_bigram_hand_reference(ray_session):
+    from vector_ray.functions.lm import kn_bigram_score
+
+    docs = {
+        "d1": [1, 2, 1, 2, 3],
+        "d2": [2, 1, 2],
+        "d3": [7],              # unscorable, must drop
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.string()),
+                "tokens": pa.array(list(docs.values()), pa.list_(pa.int32())),
+            }
+        )
+    ).repartition(2)
+    out = _collect(kn_bigram_score(ds))
+    got = dict(zip(out["doc_id"].to_pylist(), out["nll_kn"].to_pylist()))
+
+    # straight-line reference
+    pairs = []
+    for toks in docs.values():
+        b = [t % 256 for t in toks]
+        pairs += list(zip(b[:-1], b[1:]))
+    from collections import Counter
+
+    c2 = Counter(pairs)
+    c1 = Counter()
+    nf = Counter()
+    nr = Counter()
+    for (pv, cu), n in c2.items():
+        c1[pv] += n
+        nf[pv] += 1
+        nr[cu] += 1
+    tt = float(len(c2))
+    want = {}
+    for did, toks in docs.items():
+        b = [t % 256 for t in toks]
+        if len(b) < 2:
+            continue
+        lps = []
+        for pv, cu in zip(b[:-1], b[1:]):
+            p = (c2[(pv, cu)] - 0.75) / c1[pv] \
+                + 0.75 * nf[pv] / c1[pv] * (nr[cu] / tt)
+            lps.append(math.log(p))
+        nll = -(sum(lps) / len(lps))
+
+        def rha(x, nd):
+            scale = 10.0 ** nd
+            return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+        want[did] = rha(rha(nll, 9), 4)
+    assert set(got) == {"d1", "d2"}
+    for did in want:
+        assert got[did] == pytest.approx(want[did], abs=1e-9)
+
+
+def test_kn_bigram_probabilities_sum_sane(ray_session):
+    # KN probabilities over observed events must be in (0, 1]
+    from vector_ray.functions.lm import kn_bigram_score
+
+    rng = np.random.default_rng(5)
+    toks = [rng.integers(0, 50, size=rng.integers(2, 30)).tolist()
+            for _ in range(40)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(len(toks))]),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+            }
+        )
+    ).repartition(3)
+    out = _collect(kn_bigram_score(ds))
+    nll = np.asarray(out["nll_kn"].to_pylist())
+    assert len(nll) == len(toks)
+    assert (nll >= 0).all()          # -log p >= 0 for p <= 1
+    assert np.isfinite(nll).all()
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _emb_ds(n=64, d=16, seed=9, num_blocks=4):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(num_blocks), mat
+
+
+def test_pq_codes_shape_and_determinism(ray_session):
+    from vector_ray.functions.similarity import pq_codes
+
+    ds, _ = _emb_ds()
+    a = _collect(pq_codes(ds, m=4, k=8, sample_size=32, iters=2))
+    b = _collect(pq_codes(ds, m=4, k=8, sample_size=32, iters=2))
+    assert a.num_rows == 64
+    codes = a["code"].to_pylist()
+    assert all(len(c) == 4 for c in codes)
+    assert all(0 <= v < 8 for c in codes for v in c)
+    da = dict(zip(a["vec_id"].to_pylist(), a["code"].to_pylist()))
+    db = dict(zip(b["vec_id"].to_pylist(), b["code"].to_pylist()))
+    assert da == db  # bit-for-bit deterministic across runs
+
+
+def test_pq_topk_self_query_first(ray_session):
+    from vector_ray.functions.similarity import pq_topk
+
+    ds, mat = _emb_ds()
+    out = _collect(pq_topk(ds, mat[0], k=5, m=4, n_centroids=8,
+                           sample_size=32, iters=2))
+    ids = out["vec_id"].to_pylist()
+    dists = out["dist"].to_pylist()
+    assert len(ids) == 5
+    # the query vector's own code minimizes its own ADC distance
+    assert ids[0] == 0
+    assert dists == sorted(dists)
+    assert all(isinstance(v, int) and v >= 0 for v in dists)
+
+
+def test_pq_dim_not_divisible_raises(ray_session):
+    from vector_ray.functions.similarity import pq_topk
+
+    ds, mat = _emb_ds(d=15)
+    with pytest.raises(ValueError):
+        _collect(pq_topk(ds, mat[0], m=4, sample_size=16))
+
+
+# ---------------------------------------------------------------------------
+# compression ratio
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_ordering(ray_session):
+    from vector_ray.functions.text import compression_ratio
+
+    rng = np.random.default_rng(3)
+    noisy = "".join(chr(33 + int(v)) for v in rng.integers(0, 90, size=400))
+    docs = {
+        1: "spam " * 80,        # highly compressible boilerplate
+        2: noisy,               # near-incompressible noise
+        3: "",                  # empty -> ratio 0
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+            }
+        )
+    ).repartition(2)
+    out = _collect(compression_ratio(ds))
+    got = {
+        i: (nr, nc, r)
+        for i, nr, nc, r in zip(
+            out["doc_id"].to_pylist(), out["n_raw"].to_pylist(),
+            out["n_comp"].to_pylist(), out["ratio"].to_pylist(),
+        )
+    }
+    assert got[1][2] < 0.1          # boilerplate compresses hard
+    assert got[2][2] > 0.5          # noise barely compresses
+    assert got[3] == (0, len(__import__("zlib").compress(b"", 6)), 0.0)
+    import zlib
+
+    for i, text in docs.items():
+        raw = text.encode()
+        assert got[i][0] == len(raw)
+        assert got[i][1] == len(zlib.compress(raw, 6))

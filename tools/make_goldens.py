@@ -780,7 +780,166 @@ def golden_pca_whiten(k: int = 8, round_to: int = 6) -> pa.Table:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# compression ratio (zlib deflate) — straight-line per-row loop
+# ---------------------------------------------------------------------------
+
+
+def golden_compression(docs: pa.Table) -> pa.Table:
+    import zlib
+
+    ids, n_raws, n_comps, ratios = [], [], [], []
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        raw = (text or "").encode("utf-8")
+        n_raw = len(raw)
+        n_comp = len(zlib.compress(raw, 6))
+        ratio = round_half_away(
+            round_half_away(n_comp / n_raw, 9), 4) if n_raw > 0 else 0.0
+        ids.append(did)
+        n_raws.append(n_raw)
+        n_comps.append(n_comp)
+        ratios.append(ratio)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_raw": pa.array(n_raws, pa.int64()),
+            "n_comp": pa.array(n_comps, pa.int64()),
+            "ratio": pa.array(ratios, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization — independent integer reimplementation
+# (SQ8 grid, hash-bottom-k sample, integer Lloyd, ADC) with per-row
+# loops and Python-int arithmetic throughout.
+# ---------------------------------------------------------------------------
+
+
+def _pq_ref_quantize_row(vec, lo, hi):
+    import math
+
+    out = []
+    for x, l, h in zip(vec, lo, hi):
+        span = h - l
+        if span > 0:
+            q = round_half_away((x - l) * 255.0 / span, 9)
+            q = math.copysign(math.floor(abs(q) + 0.5), q)
+            q = min(max(q, 0.0), 255.0)
+            out.append(int(q))
+        else:
+            out.append(0)
+    return out
+
+
+def _pq_ref_model(emb: pa.Table, m=8, kk=16, sample_size=512, iters=4):
+    ids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+    d = len(vecs[0])
+    dsub = d // m
+    lo = [min(v[i] for v in vecs) for i in range(d)]
+    hi = [max(v[i] for v in vecs) for i in range(d)]
+    qrows = {vid: _pq_ref_quantize_row(v, lo, hi) for vid, v in zip(ids, vecs)}
+    order = sorted(ids, key=lambda vid: ((vid * 2654435761) % (1 << 32), vid))
+    samp = [qrows[vid] for vid in order[:sample_size]]
+    n = len(samp)
+    kk = min(kk, n)
+    init_idx = np.linspace(0, n - 1, kk).astype(int)
+    books = []
+    for j in range(m):
+        sub = [row[j * dsub:(j + 1) * dsub] for row in samp]
+        cent = [list(sub[i]) for i in init_idx]
+        for _ in range(iters):
+            assign = []
+            for row in sub:
+                best, bestd = 0, None
+                for ci, c in enumerate(cent):
+                    d2 = sum((a - b) ** 2 for a, b in zip(row, c))
+                    if bestd is None or d2 < bestd:
+                        best, bestd = ci, d2
+                assign.append(best)
+            for ci in range(kk):
+                members = [sub[i] for i, a in enumerate(assign) if a == ci]
+                if members:
+                    cnt = len(members)
+                    cent[ci] = [
+                        (2 * sum(col) + cnt) // (2 * cnt)
+                        for col in zip(*members)
+                    ]
+        books.append(cent)
+    return lo, hi, books, dsub
+
+
+def _pq_ref_code(qrow, books, dsub):
+    code = []
+    for j, cent in enumerate(books):
+        sub = qrow[j * dsub:(j + 1) * dsub]
+        best, bestd = 0, None
+        for ci, c in enumerate(cent):
+            d2 = sum((a - b) ** 2 for a, b in zip(sub, c))
+            if bestd is None or d2 < bestd:
+                best, bestd = ci, d2
+        code.append(best)
+    return code
+
+
+def golden_pq_codes(emb: pa.Table) -> pa.Table:
+    lo, hi, books, dsub = _pq_ref_model(emb)
+    ids, codes = [], []
+    for vid, v in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()):
+        ids.append(vid)
+        codes.append(_pq_ref_code(_pq_ref_quantize_row(v, lo, hi), books, dsub))
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "code": pa.array(codes, pa.list_(pa.int64())),
+        }
+    )
+
+
+def golden_pq_topk(emb: pa.Table, k=10) -> pa.Table:
+    lo, hi, books, dsub = _pq_ref_model(emb)
+    qvec = None
+    for vid, v in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()):
+        if vid == 0:
+            qvec = v
+            break
+    qq = _pq_ref_quantize_row(qvec, lo, hi)
+    lut = [
+        [
+            sum((a - b) ** 2
+                for a, b in zip(qq[j * dsub:(j + 1) * dsub], c))
+            for c in cent
+        ]
+        for j, cent in enumerate(books)
+    ]
+    scored = []
+    for vid, v in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()):
+        code = _pq_ref_code(_pq_ref_quantize_row(v, lo, hi), books, dsub)
+        dist = sum(lut[j][c] for j, c in enumerate(code))
+        scored.append((dist, vid))
+    scored.sort()
+    top = scored[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([vid for _, vid in top], pa.int64()),
+            "dist": pa.array([d for d, _ in top], pa.int64()),
+        }
+    )
+
+
 GOLDENS = {
+    "compression_documents": lambda: golden_compression(
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ),
+    "pq_codes_embeddings": lambda: golden_pq_codes(
+        pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ),
+    "pq_topk_embeddings": lambda: golden_pq_topk(
+        pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ),
     "pca_whiten_embeddings": golden_pca_whiten,
     "bpe_train_corpus": golden_bpe_train,
     "bpe_encode_corpus": golden_bpe_encode,

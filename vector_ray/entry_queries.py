@@ -4381,7 +4381,114 @@ def q_jaccard_linkpred_events(sf_dir: str):
     )
 
 
+def _events_qi(sf_dir: str, with_id: bool = False):
+    """events projected to the (event_type, floor(value/10)) quasi-
+    identifier pair used by the k-anonymity queries."""
+    cols = (["event_id"] if with_id else []) + ["event_type", "value"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def qi(t: pa.Table) -> pa.Table:
+        vb = pc.cast(pc.floor(pc.divide(t["value"], 10.0)), pa.int64())
+        out = {"event_type": t["event_type"], "vbucket": vb}
+        if with_id:
+            out = {"event_id": t["event_id"], **out}
+        return pa.table(out)
+
+    return ds.map_batches(qi, batch_format="pyarrow")
+
+
+def q_kanon_events(sf_dir: str):
+    """k-anonymity audit (functions/dataops.py kanonymity): one row per
+    quasi-identifier combination (event_type, floor(value/10)) with its
+    population and ``at_risk = n < 25`` — the privacy gate a corpus
+    passes before release. Two-phase grouped count; the shuffle moves
+    one partial per (combo, block)."""
+    from vector_ray.functions.dataops import kanonymity
+
+    return kanonymity(_events_qi(sf_dir), ["event_type", "vbucket"],
+                      k=25, mode="audit")
+
+
+def q_kanon_suppress_events(sf_dir: str):
+    """k-anonymity cell suppression: rows whose QI combo has < 25 peers
+    get their quasi-identifier cells replaced by sentinels ('*' / -1).
+    The at-risk combo set joins back through ONE bucketed hash join on
+    the QI key — never broadcast (it is unbounded at corpus scale)."""
+    from vector_ray.functions.dataops import kanonymity
+
+    return kanonymity(_events_qi(sf_dir, with_id=True),
+                      ["event_type", "vbucket"], k=25, mode="suppress",
+                      id_field="event_id")
+
+
+def q_kn_bigram(sf_dir: str):
+    """Interpolated Kneser–Ney byte-bigram LM scoring (functions/lm.py
+    kn_bigram_score): same two-pass dense-count plan as
+    bigram_lm_corpus, with the classic continuation-count smoothing
+    (d = 0.75) instead of add-one. Docs with < 2 tokens drop."""
+    from vector_ray.functions.lm import kn_bigram_score
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return kn_bigram_score(ds).select_columns(["doc_id", "nll_kn"])
+
+
+def q_compression_documents(sf_dir: str):
+    """Per-document deflate compression ratio (functions/text.py
+    compression_ratio) — the boilerplate/noise quality signal. One
+    streamed pass over C deflate; oracle is the frozen golden from the
+    independent loop in tools/make_goldens.py (SQL has no deflate)."""
+    from vector_ray.functions.text import compression_ratio
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return compression_ratio(ds)
+
+
+def _embedding_query_vec(sf_dir: str) -> np.ndarray:
+    return np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0]
+        .as_py()
+    )
+
+
+def q_pq_codes_embeddings(sf_dir: str):
+    """Product-quantization encoding (functions/similarity.py
+    pq_codes): SQ8 grid + integer Lloyd codebooks (m=8 subspaces,
+    16 centroids) trained on a deterministic hash-bottom-512 sample;
+    every vector compresses to an 8-byte code in one streamed pass.
+    Exact integer arithmetic end-to-end — the frozen golden recomputes
+    it with straight-line loops."""
+    from vector_ray.functions.similarity import pq_codes
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return pq_codes(ds)
+
+
+def q_pq_topk_embeddings(sf_dir: str):
+    """PQ/ADC approximate nearest-neighbor top-10 (functions/
+    similarity.py pq_topk): integer squared-L2 lookup tables per
+    subspace, per-batch local top-k, tiny global sort — the
+    memory-side ANN scale path (8 bytes/vector resident)."""
+    from vector_ray.functions.similarity import pq_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return pq_topk(ds, _embedding_query_vec(sf_dir), k=10)
+
+
 QUERIES = {
+    "kanon_events": q_kanon_events,
+    "kanon_suppress_events": q_kanon_suppress_events,
+    "kn_bigram_corpus": q_kn_bigram,
+    "compression_documents": q_compression_documents,
+    "pq_codes_embeddings": q_pq_codes_embeddings,
+    "pq_topk_embeddings": q_pq_topk_embeddings,
     "welch_events": q_welch_events,
     "linkpred_events": q_linkpred_events,
     "jaccard_linkpred_events": q_jaccard_linkpred_events,
@@ -7059,7 +7166,50 @@ def oracle_sql() -> dict[str, str]:
         "JOIN uni ub ON ub.word = big.w2 WHERE big.c >= 5) "
         "SELECT w1, w2, c, pmi FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20"
     )
+    sql["kanon_events"] = (
+        "SELECT event_type, CAST(floor(value/10) AS BIGINT) AS vbucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n, COUNT(*) < 25 AS at_risk "
+        "FROM events GROUP BY 1, 2"
+    )
+    sql["kanon_suppress_events"] = (
+        "WITH q AS (SELECT event_id, event_type, "
+        "  CAST(floor(value/10) AS BIGINT) AS vbucket FROM events), "
+        "g AS (SELECT event_type, vbucket, COUNT(*) AS n "
+        "  FROM q GROUP BY 1, 2) "
+        "SELECT q.event_id, "
+        "CASE WHEN g.n < 25 THEN '*' ELSE q.event_type END AS event_type, "
+        "CASE WHEN g.n < 25 THEN -1 ELSE q.vbucket END AS vbucket "
+        "FROM q JOIN g USING (event_type, vbucket)"
+    )
+    sql["kn_bigram_corpus"] = (
+        # interpolated Kneser-Ney over observed byte bigrams; every
+        # scored pair is observed (counts come from the same corpus) so
+        # plain JOINs suffice. Arithmetic mirrors functions/lm.py
+        # kn_bigram_score term-for-term (same float64 op order).
+        "WITH tk AS (SELECT doc_id, unnest(tokens) % 256 AS b, "
+        "  generate_subscripts(tokens, 1) AS i "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}')), "
+        "pr AS (SELECT doc_id, "
+        "  LAG(b) OVER (PARTITION BY doc_id ORDER BY i) AS pv, b AS cu "
+        "  FROM tk), "
+        "prs AS (SELECT * FROM pr WHERE pv IS NOT NULL), "
+        "c2 AS (SELECT pv, cu, CAST(COUNT(*) AS DOUBLE) AS n "
+        "  FROM prs GROUP BY pv, cu), "
+        "c1 AS (SELECT pv, SUM(n) AS nn, CAST(COUNT(*) AS DOUBLE) AS nf "
+        "  FROM c2 GROUP BY pv), "
+        "r AS (SELECT cu, CAST(COUNT(*) AS DOUBLE) AS nr FROM c2 GROUP BY cu), "
+        "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM c2), "
+        "sc AS (SELECT p.doc_id, "
+        "  ln((c2.n - 0.75) / c1.nn + 0.75 * c1.nf / c1.nn * (r.nr / t.tt)) AS lp "
+        "  FROM prs p JOIN c2 ON c2.pv = p.pv AND c2.cu = p.cu "
+        "  JOIN c1 ON c1.pv = p.pv JOIN r ON r.cu = p.cu CROSS JOIN t) "
+        "SELECT doc_id, ROUND(ROUND(-AVG(lp), 9), 4) AS nll_kn "
+        "FROM sc GROUP BY doc_id"
+    )
     for name in (
+        "compression_documents",
+        "pq_codes_embeddings",
+        "pq_topk_embeddings",
         "pca_whiten_embeddings",
         "simhash_documents",
         "minhash_pairs_documents",

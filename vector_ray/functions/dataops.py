@@ -439,3 +439,79 @@ def incremental_rollup(
         return out.filter(pc.greater(n, z))
 
     return merged.map_batches(apply, batch_format="pyarrow")
+
+
+def kanonymity(
+    ds,
+    quasi: list[str],
+    k: int = 25,
+    mode: str = "audit",
+    id_field: str = "event_id",
+    num_buckets: int = 32,
+):
+    """k-anonymity over a set of quasi-identifier columns — the privacy
+    audit a corpus runs before release (Sweeney 2002, public defn): a
+    row is re-identifiable when its quasi-identifier combination is
+    shared by fewer than ``k`` rows.
+
+    ``mode="audit"``    → one row per QI combination: quasi columns,
+                          its population ``n``, and ``at_risk = n < k``.
+                          Plan: the existing two-phase grouped aggregate
+                          (per-block partial counts, then a small
+                          groupby-sum) — the shuffle moves one partial
+                          per (combo, block), never raw rows.
+    ``mode="suppress"`` → the row stream with the QI columns of at-risk
+                          rows suppressed to NULL (cell suppression).
+                          Plan: the at-risk combo set joins back via ONE
+                          ``bucketed_join`` keyed on the QI columns —
+                          the risky set is unbounded at corpus scale
+                          (every rare combo), so it is never broadcast.
+
+    Reference mapping: extends the reference's per-component count
+    contract (validation/functional_test.rs:206-212) to a row-privacy
+    gate; no reference analog — LLM-pipeline addition.
+    """
+    from vector_ray.stages.grouped import aggregate
+    from vector_ray.stages.shuffle import bucketed_join
+
+    qcols = list(quasi)
+    audit = aggregate(
+        ds, {"group_by": qcols, "aggregates": {"n": {"fn": "count"}}}
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "at_risk", pc.less(pc.cast(t["n"], pa.int64()), pa.scalar(k))
+        )
+
+    audit = audit.map_batches(flag, batch_format="pyarrow")
+    if mode == "audit":
+        return audit
+    if mode != "suppress":
+        raise ValueError(f"unknown kanonymity mode {mode!r} (audit | suppress)")
+
+    def risky_keys(t: pa.Table) -> pa.Table:
+        out = t.filter(t["at_risk"]).select(qcols)
+        return out.append_column(
+            "__risk", pa.array(np.ones(out.num_rows, dtype=bool))
+        )
+
+    risky = audit.map_batches(risky_keys, batch_format="pyarrow")
+    rows = ds.select_columns([id_field, *qcols])
+    joined = bucketed_join(rows, risky, key=qcols,
+                           num_buckets=num_buckets, how="left")
+
+    def mask(t: pa.Table) -> pa.Table:
+        hit = pc.fill_null(t["__risk"], False)
+        cols = {id_field: t[id_field]}
+        for c in qcols:
+            typ = t.schema.field(c).type
+            sent = (
+                pa.scalar("*", typ)
+                if pa.types.is_string(typ) or pa.types.is_large_string(typ)
+                else pa.scalar(-1, typ)
+            )
+            cols[c] = pc.if_else(hit, sent, t[c])
+        return pa.table(cols)
+
+    return joined.map_batches(mask, batch_format="pyarrow")

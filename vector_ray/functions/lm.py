@@ -447,6 +447,37 @@ def bigram_lm_score(ds, field: str = "tokens", target: str = "nll",
     logp = np.log(c2 + 1.0) - np.log(
         c2.sum(axis=1, keepdims=True) + 256.0
     )
+    return _bigram_score_with_logp(ds, logp, field, target, round_to)
+
+
+def kn_bigram_score(ds, field: str = "tokens", target: str = "nll_kn",
+                    discount: float = 0.75, round_to: int = 4):
+    """Interpolated Kneser–Ney byte-bigram scoring (the classic LM
+    smoothing one level past add-one): for an observed pair,
+
+        P(cur|prev) = (c2 − d)/c1  +  d·N1+(prev,·)/c1 · Pcont(cur)
+        Pcont(cur)  = N1+(·,cur) / |{(pv,cu): c2 > 0}|
+
+    with absolute discount ``d``. Every pair scored comes from the same
+    corpus the counts were taken from, so c2 ≥ 1 and no zero branch is
+    needed. Same two-pass dense-matrix plan as ``bigram_lm_score``;
+    arithmetic mirrors the SQL oracle expression term-for-term so the
+    float64 results round identically. Docs with < 2 tokens drop."""
+    c2 = bigram_counts_dense(ds, field).astype(np.float64)
+    c1 = c2.sum(axis=1, keepdims=True)
+    nf = (c2 > 0).sum(axis=1, keepdims=True).astype(np.float64)
+    nr = (c2 > 0).sum(axis=0, keepdims=True).astype(np.float64)
+    tt = float((c2 > 0).sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = (c2 - discount) / c1 + discount * nf / c1 * (nr / tt)
+        logp = np.log(p)
+    return _bigram_score_with_logp(ds, logp, field, target, round_to)
+
+
+def _bigram_score_with_logp(ds, logp: np.ndarray, field: str, target: str,
+                            round_to: int):
+    """Shared second pass: broadcast a dense 256×256 log-prob table and
+    compute each doc's mean −log P over its within-row transitions."""
     logp_ref = ray.put(logp.reshape(-1))
 
     def score(batch: pa.Table) -> pa.Table:

@@ -308,3 +308,220 @@ def rrf_fuse(
         )
     cols["rrf"] = pa.array(out["rrf"].to_numpy(), pa.float64())
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the memory-side ANN scale path
+# ---------------------------------------------------------------------------
+#
+# Completes the ANN family (brute-force = exact baseline, LSH / IVF =
+# scan-pruning paths): PQ shrinks the *per-vector memory* so a 100 TB
+# embedding corpus's codes fit in RAM (m bytes/vector instead of 4·d).
+# Public definition: Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI 2011.
+#
+# Everything here is EXACT INTEGER arithmetic so results are
+# reproducible bit-for-bit by an independent straight-line
+# reimplementation (the frozen-golden oracle): vectors are first
+# scalar-quantized to the 0..255 grid with the same double-rounded
+# expression as ``embeddings.quantize_embeddings``, then codebooks are
+# trained by integer Lloyd k-means (centroid update = round-half-up
+# integer mean, ties -> lowest centroid index) on a deterministic
+# hash-bottom-k sample, and ADC search sums integer squared-L2 lookup
+# tables. This mirrors real deployments (SQ8 + PQ stacks); nothing
+# below ever materializes the corpus — the sample is k·O(1) rows, the
+# codebooks broadcast once, and per-batch candidates are k rows each.
+
+_PQ_HASH_MULT = 2654435761
+
+
+def _pq_quantize(x: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """The exact quantize expression of ``quantize_embeddings`` (round-9
+    then round-half-away, clip to 0..255; constant dims -> 0)."""
+    from vector_ray.schema import round_sql_np
+
+    span = hi - lo
+    safe = np.where(span > 0, span, 1.0)
+    q = round_sql_np((x - lo) * 255.0 / safe, 9)
+    q = np.sign(q) * np.floor(np.abs(q) + 0.5)
+    q = np.clip(q, 0, 255.0)
+    return np.where(span > 0, q, 0.0).astype(np.int64)
+
+
+def _pq_minmax(ds, field: str) -> tuple[np.ndarray, np.ndarray]:
+    """Global per-dimension min/max (one partials pass, two d-vectors
+    per block — identical plan to quantize_embeddings)."""
+    from vector_ray.functions.embeddings import _collect, _matrix
+
+    def mm_part(t: pa.Table) -> pa.Table:
+        x = _matrix(t, field)
+        if not x.size:
+            return pa.table({"mn": pa.array([], pa.list_(pa.float64())),
+                             "mx": pa.array([], pa.list_(pa.float64()))})
+        return pa.table(
+            {"mn": pa.array([x.min(axis=0).tolist()], pa.list_(pa.float64())),
+             "mx": pa.array([x.max(axis=0).tolist()], pa.list_(pa.float64()))})
+
+    parts = _collect(ds.map_batches(mm_part, batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        raise ValueError("pq: empty dataset")
+    mn = np.min(np.asarray(parts["mn"].to_pylist(), np.float64), axis=0)
+    mx = np.max(np.asarray(parts["mx"].to_pylist(), np.float64), axis=0)
+    return mn, mx
+
+
+def _pq_sample(ds, id_field: str, field: str, sample_size: int) -> pa.Table:
+    """Deterministic bounded training sample: the ``sample_size`` rows
+    with the smallest (id·2654435761 mod 2^32, id) — each block
+    pre-prunes to its local bottom-k, so the global sort sees only
+    k×blocks rows (the bottomk_sample plan, order-independent)."""
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_field].to_numpy(zero_copy_only=False), np.uint64)
+        h = (ids * np.uint64(_PQ_HASH_MULT)) % np.uint64(1 << 32)
+        keep = np.argsort(h, kind="stable")[:sample_size]
+        out = t.select([id_field, field]).take(pa.array(np.sort(keep)))
+        return out.append_column("__h", pa.array(h[np.sort(keep)].astype(np.int64)))
+
+    from vector_ray.functions.embeddings import _collect
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return _collect(pruned.sort(["__h", id_field]).limit(sample_size))
+
+
+def train_pq_codebooks(
+    ds,
+    field: str = "embedding",
+    id_field: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 512,
+    iters: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Integer Lloyd k-means per subspace over the quantized sample.
+    Init = k evenly spaced rows of the hash-ordered sample; assignment
+    ties -> lowest centroid index; update = round-half-up integer mean;
+    empty clusters keep their previous centroid. Returns
+    (codebooks[m, k, dsub] int64, lo[d], hi[d])."""
+    lo, hi = _pq_minmax(ds, field)
+    samp = _pq_sample(ds, id_field, field, sample_size)
+    from vector_ray.functions.embeddings import _matrix
+
+    x = _pq_quantize(_matrix(samp, field), lo, hi)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    kk = min(k, n)
+    init_idx = np.linspace(0, n - 1, kk).astype(int)
+    books = np.empty((m, kk, dsub), dtype=np.int64)
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        cent = sub[init_idx].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub[:, None, :] - cent[None, :, :]) ** 2
+            ).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # first (lowest) min index
+            for c in range(kk):
+                members = sub[assign == c]
+                if len(members):
+                    s = members.sum(axis=0)
+                    cnt = len(members)
+                    cent[c] = (2 * s + cnt) // (2 * cnt)
+        books[j] = cent
+    return books, lo, hi
+
+
+def _pq_assign(xq: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Vectorized integer code assignment: argmin squared-L2 per
+    subspace (exact int64; ties -> lowest index)."""
+    n, d = xq.shape
+    m, kk, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        sub = xq[:, j * dsub:(j + 1) * dsub]
+        cent = books[j]
+        # |x-c|^2 = |x|^2 - 2 x·c + |c|^2 ; |x|^2 constant per row
+        cross = sub @ cent.T                        # int64 exact
+        cnorm = (cent * cent).sum(axis=1)
+        codes[:, j] = np.argmin(cnorm[None, :] - 2 * cross, axis=1)
+    return codes
+
+
+def pq_codes(
+    ds,
+    field: str = "embedding",
+    id_field: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 512,
+    iters: int = 4,
+):
+    """Encode every vector to its m-byte PQ code (one streamed pass;
+    codebooks broadcast once via ray.put, fetched per actor)."""
+    books, lo, hi = train_pq_codebooks(
+        ds, field=field, id_field=id_field, m=m, k=k,
+        sample_size=sample_size, iters=iters)
+    model = ray.put((books, lo, hi))
+
+    def encode(t: pa.Table, mref=model) -> pa.Table:
+        bks, l, h = ray.get(mref)
+        from vector_ray.functions.embeddings import _matrix
+
+        x = _matrix(t, field)
+        if not x.size:
+            return pa.table({id_field: t[id_field],
+                             "code": pa.array([], pa.list_(pa.int64()))})
+        codes = _pq_assign(_pq_quantize(x, l, h), bks)
+        return pa.table(
+            {id_field: t[id_field],
+             "code": pa.array([r.tolist() for r in codes], pa.list_(pa.int64()))})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    field: str = "embedding",
+    id_field: str = "vec_id",
+    m: int = 8,
+    n_centroids: int = 16,
+    sample_size: int = 512,
+    iters: int = 4,
+):
+    """ADC (asymmetric distance) top-k: quantize the query on the same
+    grid, precompute the m×k integer lookup table lut[j][c] =
+    |q_sub_j − codebook[j][c]|², then each row's approximate distance is
+    the sum of m table lookups over its code. Per-batch local top-k by
+    (dist asc, id asc), tiny global sort — the brute_force_topk plan
+    with integer distances. Smaller dist = closer."""
+    books, lo, hi = train_pq_codebooks(
+        ds, field=field, id_field=id_field, m=m, k=n_centroids,
+        sample_size=sample_size, iters=iters)
+    mq, kk, dsub = books.shape
+    qv = _pq_quantize(np.asarray(query, np.float64)[None, :], lo, hi)[0]
+    lut = np.empty((mq, kk), dtype=np.int64)
+    for j in range(mq):
+        lut[j] = ((books[j] - qv[j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)
+    model = ray.put((books, lo, hi, lut))
+
+    def score(t: pa.Table, mref=model) -> pa.Table:
+        bks, l, h, tab = ray.get(mref)
+        from vector_ray.functions.embeddings import _matrix
+
+        x = _matrix(t, field)
+        if not x.size:
+            return pa.table({id_field: t[id_field],
+                             "dist": pa.array([], pa.int64())})
+        codes = _pq_assign(_pq_quantize(x, l, h), bks)
+        dist = tab[np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+        ids = np.asarray(t[id_field].to_numpy(zero_copy_only=False), np.int64)
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table({id_field: t[id_field].take(pa.array(order)),
+                         "dist": pa.array(dist[order], pa.int64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["dist", id_field]).limit(k)

@@ -1023,3 +1023,48 @@ def pmi_bigrams(
     return scored.sort(
         ["pmi", "w1", "w2"], descending=[True, False, False]
     ).limit(int(k))
+
+
+def compression_ratio(
+    ds,
+    field: str = "text",
+    id_field: str = "doc_id",
+    level: int = 6,
+    round_to: int = 4,
+):
+    """Per-document deflate compression ratio — the classic corpus
+    quality signal (highly compressible => boilerplate / templated
+    repetition; near-incompressible => binary noise or encrypted junk;
+    used by Gopher/RefinedWeb-style cleaning stacks, public defn).
+
+    ratio = len(zlib.compress(utf8, level)) / len(utf8)  (empty -> 0).
+
+    The per-row loop hands each string to zlib's C deflate — the Python
+    overhead is one call per doc against a CPU-bound C kernel, and rows
+    stream through ``map_batches`` tasks; nothing shuffles. Oracle:
+    frozen golden (SQL has no deflate) recomputed by the independent
+    straight-line loop in tools/make_goldens.py."""
+    import zlib
+
+    from vector_ray.schema import round_sql_np
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t[field].to_pylist()
+        n_raw = np.empty(len(texts), dtype=np.int64)
+        n_comp = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            raw = (s or "").encode("utf-8")
+            n_raw[i] = len(raw)
+            n_comp[i] = len(zlib.compress(raw, level))
+        ratio = np.where(n_raw > 0, n_comp / np.maximum(n_raw, 1), 0.0)
+        ratio = round_sql_np(round_sql_np(ratio, 9), round_to)
+        return pa.table(
+            {
+                id_field: t[id_field],
+                "n_raw": pa.array(n_raw, pa.int64()),
+                "n_comp": pa.array(n_comp, pa.int64()),
+                "ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
