@@ -274,3 +274,92 @@ def test_compression_ratio_ordering(ray_session):
         raw = text.encode()
         assert got[i][0] == len(raw)
         assert got[i][1] == len(zlib.compress(raw, 6))
+
+
+# ---------------------------------------------------------------------------
+# hbos_score
+# ---------------------------------------------------------------------------
+
+
+def test_hbos_hand_reference(ray_session):
+    from vector_ray.functions.dataops import hbos_score
+
+    # feature f1: bucket 0 x 3 rows, bucket 1 x 1; f2: bucket 5 x 2, 7 x 2
+    rows = [(1, 0, 5), (2, 0, 5), (3, 0, 7), (4, 1, 7)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "f1": pa.array([r[1] for r in rows], pa.int64()),
+                "f2": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    out = _collect(hbos_score(ds, ["f1", "f2"]))
+    got = dict(zip(out["event_id"].to_pylist(), out["hbos"].to_pylist()))
+    c1 = {0: 3, 1: 1}
+    c2 = {5: 2, 7: 2}
+
+    def rha(x, nd):
+        scale = 10.0 ** nd
+        return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+    for eid, b1, b2 in rows:
+        want = -(math.log(c1[b1] / 4.0) + math.log(c2[b2] / 4.0))
+        assert got[eid] == pytest.approx(rha(rha(want, 9), 6), abs=1e-9)
+    # the (1, 7) row is the rarest combination -> highest score
+    assert got[4] == max(got.values())
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_hand_reference(ray_session):
+    from vector_ray.functions.similarity import hard_negatives
+
+    # two orthogonal label-0 axes plus label-1 vectors at known angles
+    vecs = {
+        0: ([1.0, 0.0, 0.0, 0.0], 0),
+        1: ([0.0, 1.0, 0.0, 0.0], 0),
+        2: ([0.9, 0.1, 0.0, 0.0], 1),   # closest label-1 to vec 0
+        3: ([0.1, 0.9, 0.0, 0.0], 1),   # closest label-1 to vec 1
+        4: ([0.0, 0.0, 1.0, 0.0], 1),
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [v for v, _ in vecs.values()], pa.list_(pa.float32())
+                ),
+                "label": pa.array([l for _, l in vecs.values()], pa.int32()),
+            }
+        )
+    ).repartition(2)
+    out = _collect(hard_negatives(ds, n_anchors=5))
+    got = {a: c for a, c in zip(out["aid"].to_pylist(), out["cand"].to_pylist())}
+    assert got[0] == 2
+    assert got[1] == 3
+    # anchors of label 1 must pick a label-0 vector
+    for a in (2, 3, 4):
+        assert vecs[got[a]][1] == 0
+
+
+def test_hard_negatives_single_label_empty(ray_session):
+    from vector_ray.functions.similarity import hard_negatives
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], pa.list_(pa.float32())
+                ),
+                "label": pa.array([7, 7, 7], pa.int32()),
+            }
+        )
+    ).repartition(2)
+    out = _collect(hard_negatives(ds, n_anchors=3))
+    assert out.num_rows == 0  # no cross-label pair exists

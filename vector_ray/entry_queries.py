@@ -4421,6 +4421,29 @@ def q_kanon_suppress_events(sf_dir: str):
                       id_field="event_id")
 
 
+def q_hbos_events(sf_dir: str):
+    """Histogram-based outlier score (functions/dataops.py hbos_score)
+    over (hour-of-day, floor(value/50)) feature buckets: additive
+    −log-density anomaly score per event. Two-phase bounded histogram
+    + broadcast + vectorized lookup pass."""
+    from vector_ray.functions.dataops import hbos_score
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "value"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "h": pc.cast(pc.hour(t["ts"]), pa.int64()),
+                "vb": pc.cast(pc.floor(pc.divide(t["value"], 50.0)), pa.int64()),
+            }
+        )
+
+    return hbos_score(ds.map_batches(buckets, batch_format="pyarrow"),
+                      ["h", "vb"])
+
+
 def q_kn_bigram(sf_dir: str):
     """Interpolated Kneser–Ney byte-bigram LM scoring (functions/lm.py
     kn_bigram_score): same two-pass dense-count plan as
@@ -4456,6 +4479,19 @@ def _embedding_query_vec(sf_dir: str) -> np.ndarray:
     )
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining (functions/similarity.py hard_negatives):
+    for each of 32 hash-sampled anchors, the most-similar vector with a
+    different label — the contrastive-training pair miner. One matmul
+    per batch against the broadcast anchor matrix; the exact reduce is
+    a skew-safe per-anchor top-1 over anchor×block partial rows."""
+    from vector_ray.functions.similarity import hard_negatives
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    return hard_negatives(ds, n_anchors=32)
+
+
 def q_pq_codes_embeddings(sf_dir: str):
     """Product-quantization encoding (functions/similarity.py
     pq_codes): SQ8 grid + integer Lloyd codebooks (m=8 subspaces,
@@ -4486,6 +4522,8 @@ QUERIES = {
     "kanon_events": q_kanon_events,
     "kanon_suppress_events": q_kanon_suppress_events,
     "kn_bigram_corpus": q_kn_bigram,
+    "hbos_events": q_hbos_events,
+    "hard_negatives_embeddings": q_hard_negatives,
     "compression_documents": q_compression_documents,
     "pq_codes_embeddings": q_pq_codes_embeddings,
     "pq_topk_embeddings": q_pq_topk_embeddings,
@@ -7180,6 +7218,34 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN g.n < 25 THEN '*' ELSE q.event_type END AS event_type, "
         "CASE WHEN g.n < 25 THEN -1 ELSE q.vbucket END AS vbucket "
         "FROM q JOIN g USING (event_type, vbucket)"
+    )
+    sql["hard_negatives_embeddings"] = (
+        # same multiplicative-hash anchor sample as the engine; rank by
+        # the ROUNDED similarity so last-ulp cosine differences cannot
+        # flip the argmax (same guard as the ann oracles)
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+        "  FROM embeddings), "
+        "a AS (SELECT vec_id AS aid, label AS alabel, v AS av FROM e "
+        "  ORDER BY (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296, "
+        "  vec_id LIMIT 32), "
+        "s AS (SELECT a.aid, e.vec_id AS cand, "
+        "  ROUND(list_cosine_similarity(a.av, e.v), 6) AS sim "
+        "  FROM a JOIN e ON e.label <> a.alabel), "
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid "
+        "  ORDER BY sim DESC, cand) AS r FROM s) "
+        "SELECT aid, cand, sim FROM rk WHERE r = 1"
+    )
+    sql["hbos_events"] = (
+        # additive -log density over the two bounded feature histograms;
+        # op order mirrors functions/dataops.py hbos_score
+        "WITH f AS (SELECT event_id, CAST(hour(ts) AS BIGINT) AS h, "
+        "  CAST(floor(value/50) AS BIGINT) AS vb FROM events), "
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM f), "
+        "ch AS (SELECT h, CAST(COUNT(*) AS DOUBLE) AS c FROM f GROUP BY 1), "
+        "cv AS (SELECT vb, CAST(COUNT(*) AS DOUBLE) AS c FROM f GROUP BY 1) "
+        "SELECT f.event_id, "
+        "ROUND(ROUND(-(ln(ch.c / n.nn) + ln(cv.c / n.nn)), 9), 6) AS hbos "
+        "FROM f JOIN ch USING (h) JOIN cv USING (vb) CROSS JOIN n"
     )
     sql["kn_bigram_corpus"] = (
         # interpolated Kneser-Ney over observed byte bigrams; every

@@ -515,3 +515,81 @@ def kanonymity(
         return pa.table(cols)
 
     return joined.map_batches(mask, batch_format="pyarrow")
+
+
+def hbos_score(
+    ds,
+    features: list[str],
+    id_field: str = "event_id",
+    target: str = "hbos",
+    round_to: int = 6,
+):
+    """Histogram-Based Outlier Score (Goldstein & Dengel, KI 2012 —
+    public definition): with each feature pre-discretized to an int64
+    bucket column, score(x) = −Σ_f log( count_f(bucket_f(x)) / N ).
+    Rare feature-bucket combinations score high; the score is additive
+    over features, so no joint histogram (and no joint-sparsity blowup)
+    is needed.
+
+    Plan: ONE unpivot pass feeds the two-phase grouped count over
+    (feature, bucket) — the shuffle carries one partial per (feature,
+    bucket, block) and the result is Σ_f |buckets_f| rows, bounded by
+    the discretization the caller chose (small by construction — e.g.
+    24 hour bins × a handful of value bins), NOT by corpus size. The
+    tiny histogram broadcasts once via ray.put; the scoring pass is
+    vectorized searchsorted lookups. Every row's bucket is observed
+    (it contributed to the histogram), so lookups always hit.
+    Arithmetic mirrors the SQL oracle term-for-term."""
+    import ray
+
+    from vector_ray.schema import round_sql_np
+    from vector_ray.stages.grouped import aggregate
+
+    feats = list(features)
+
+    def unpivot(t: pa.Table) -> pa.Table:
+        parts = []
+        for f in feats:
+            parts.append(
+                pa.table(
+                    {
+                        "feature": pa.array([f] * t.num_rows, pa.string()),
+                        "bucket": pc.cast(t[f], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    hist = aggregate(
+        ds.map_batches(unpivot, batch_format="pyarrow"),
+        {"group_by": ["feature", "bucket"], "aggregates": {"n": {"fn": "count"}}},
+    )
+    htbl = pa.concat_tables(
+        [t for t in ray.get(hist.materialize().to_arrow_refs()) if t.num_rows]
+    )
+    lookups = {}
+    total = 0.0
+    for f in feats:
+        sel = htbl.filter(pc.equal(htbl["feature"], f))
+        buckets = np.asarray(sel["bucket"].to_numpy(zero_copy_only=False), np.int64)
+        counts = np.asarray(sel["n"].to_numpy(zero_copy_only=False), np.float64)
+        order = np.argsort(buckets)
+        lookups[f] = (buckets[order], counts[order])
+        if f == feats[0]:
+            total = float(counts.sum())
+    model = ray.put((lookups, total))
+
+    def score(t: pa.Table, mref=model) -> pa.Table:
+        lk, nn = ray.get(mref)
+        acc = None
+        for f in feats:
+            b, c = lk[f]
+            vals = np.asarray(t[f].to_numpy(zero_copy_only=False), np.int64)
+            cnt = c[np.searchsorted(b, vals)]
+            term = np.log(cnt / nn)
+            acc = term if acc is None else acc + term
+        s = -acc if acc is not None else np.zeros(t.num_rows)
+        s = round_sql_np(round_sql_np(s, 9), round_to)
+        return pa.table({id_field: t[id_field], target: pa.array(s, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -525,3 +525,86 @@ def pq_topk(
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["dist", id_field]).limit(k)
+
+
+def hard_negatives(
+    ds,
+    n_anchors: int = 32,
+    id_field: str = "vec_id",
+    field: str = "embedding",
+    label_field: str = "label",
+    round_to: int = 6,
+):
+    """Hard-negative mining for contrastive / retrieval training: for
+    each of ``n_anchors`` deterministically sampled anchor vectors, the
+    single most-similar vector with a DIFFERENT label (the hardest
+    negative). Returns (aid, cand, sim).
+
+    Plan: the anchor sample is the hash-bottom-``n_anchors`` rows (same
+    order-independent rule as the PQ training sample) — bounded, so the
+    (m × d) anchor matrix broadcasts whole via ray.put. Each batch
+    computes one matmul against the anchors, masks same-label columns,
+    and emits at most ONE candidate row per anchor (rows pre-sorted by
+    id so argmax tie-breaks to the lowest candidate id). The final
+    exact reduce is a skew-safe per-anchor top-1 over m × num_blocks
+    tiny partial rows — never the raw corpus."""
+    from vector_ray.stages.shuffle import topk_per_key
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_field].to_numpy(zero_copy_only=False), np.uint64)
+        h = (ids * np.uint64(_PQ_HASH_MULT)) % np.uint64(1 << 32)
+        keep = np.sort(np.argsort(h, kind="stable")[:n_anchors])
+        out = t.select([id_field, field, label_field]).take(pa.array(keep))
+        return out.append_column("__h", pa.array(h[keep].astype(np.int64)))
+
+    from vector_ray.functions.embeddings import _collect
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    samp = _collect(pruned.sort(["__h", id_field]).limit(n_anchors))
+    a_ids = np.asarray(samp[id_field].to_numpy(zero_copy_only=False), np.int64)
+    a_labels = np.asarray(
+        samp[label_field].to_numpy(zero_copy_only=False), np.int64
+    )
+    from vector_ray.functions.embeddings import _matrix
+
+    a_mat = _normalize(_matrix(samp, field))
+    model = ray.put((a_ids, a_labels, a_mat))
+
+    def score(t: pa.Table, mref=model) -> pa.Table:
+        aid, alab, am = ray.get(mref)
+        empty = pa.table(
+            {
+                "aid": pa.array([], pa.int64()),
+                "cand": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        # sort rows by candidate id so np.argmax's first-max rule
+        # tie-breaks to the lowest id, matching the global sort
+        raw_ids = np.asarray(t[id_field].to_numpy(zero_copy_only=False), np.int64)
+        t = t.take(pa.array(np.argsort(raw_ids, kind="stable")))
+        mat = _embedding_matrix(t, field)
+        ids = np.asarray(t[id_field].to_numpy(zero_copy_only=False), np.int64)
+        labs = np.asarray(
+            t[label_field].to_numpy(zero_copy_only=False), np.int64
+        )
+        sims = round_sql_np(_normalize(mat) @ am.T, round_to)  # (n, m)
+        sims[labs[:, None] == alab[None, :]] = -np.inf
+        best = np.argmax(sims, axis=0)
+        bsim = sims[best, np.arange(len(aid))]
+        ok = np.isfinite(bsim)
+        if not ok.any():
+            return empty
+        return pa.table(
+            {
+                "aid": pa.array(aid[ok], pa.int64()),
+                "cand": pa.array(ids[best[ok]], pa.int64()),
+                "sim": pa.array(bsim[ok], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return topk_per_key(partials, key="aid", order_by="sim", k=1,
+                        descending=True, tiebreak="cand")
