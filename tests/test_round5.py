@@ -363,3 +363,65 @@ def test_hard_negatives_single_label_empty(ray_session):
     ).repartition(2)
     out = _collect(hard_negatives(ds, n_anchors=3))
     assert out.num_rows == 0  # no cross-label pair exists
+
+
+# ---------------------------------------------------------------------------
+# spec-DAG wiring for the round-5 transform family
+# ---------------------------------------------------------------------------
+
+
+def test_spec_transforms_round5(ray_session):
+    from vector_ray import run_pipeline
+
+    rows = [
+        {"event_id": i, "city": "a" if i < 8 else "b", "age": 30}
+        for i in range(10)
+    ]
+    out = run_pipeline(
+        {
+            "sources": {"in": {"type": "inline", "rows": rows}},
+            "transforms": {
+                "kan": {"type": "kanonymity", "inputs": ["in"],
+                        "quasi": ["city", "age"], "k": 3},
+                "hb": {"type": "hbos", "inputs": ["in"],
+                       "features": ["age"], "id_field": "event_id"},
+            },
+            "sinks": {
+                "a": {"type": "collect", "inputs": ["kan"]},
+                "h": {"type": "collect", "inputs": ["hb"]},
+            },
+        }
+    ).sinks
+    kan = out["a"].table
+    assert set(kan.column_names) == {"city", "age", "n", "at_risk"}
+    assert kan.num_rows == 2
+    hb = out["h"].table
+    assert hb.num_rows == 10 and "hbos" in hb.column_names
+
+    docs = [{"doc_id": i, "text": "xyz " * (i + 1)} for i in range(6)]
+    out2 = run_pipeline(
+        {
+            "sources": {"d": {"type": "inline", "rows": docs}},
+            "transforms": {
+                "cr": {"type": "compression_ratio", "inputs": ["d"]},
+            },
+            "sinks": {"o": {"type": "collect", "inputs": ["cr"]}},
+        }
+    ).sinks["o"].table
+    assert out2.num_rows == 6 and "ratio" in out2.column_names
+
+
+def test_explain_classifies_round5(ray_session):
+    from vector_ray.explain import explain
+
+    plan = explain(
+        {
+            "sources": {"in": {"type": "inline", "rows": [{"x": 1}]}},
+            "transforms": {
+                "k": {"type": "kanonymity", "inputs": ["in"], "quasi": ["x"]},
+                "h": {"type": "hbos", "inputs": ["k"], "features": ["x"]},
+            },
+            "sinks": {"o": {"type": "collect", "inputs": ["h"]}},
+        }
+    )
+    assert "hybrid" in plan and "broadcast" in plan

@@ -109,6 +109,13 @@ MOVEMENT = {
     "ngram_novelty": "shuffle",  # gram-key groupbys + bucketed join
     "unimax_sample": "broadcast",  # per-source counts up, budgets down
     "preference_pairs": "shuffle",  # 1-row-per-group block partials, one key exchange
+    # privacy / anomaly / ANN-compression family
+    "kanonymity": "hybrid",  # two-phase combo counts; suppress adds a bucketed join
+    "hbos": "broadcast",  # bounded histograms up, lookup tables down
+    "compression_ratio": "narrow",
+    "kn_bigram": "broadcast",  # 256x256 KN counts up, logp table down
+    "pq_codes": "broadcast",  # minmax + sample partials up, codebooks down
+    "hard_negatives": "broadcast",  # anchor matrix down, per-anchor top-1 partials up
     # dense time-series family
     "gapfill": "shuffle",  # bounds partials up, then one groupby on key
     "seasonal_z": "hybrid",  # tumbling partials -> gapfill shuffle -> slot zscore

@@ -220,6 +220,13 @@ TRANSFORMS = {
     "ngram_novelty": tokenops.ngram_novelty,
     "unimax_sample": curate.unimax_sample,
     "preference_pairs": curate.preference_pairs,
+    # privacy / anomaly / ANN-compression family (round 5)
+    "kanonymity": curate.kanonymity,
+    "hbos": curate.hbos,
+    "compression_ratio": curate.compression_ratio,
+    "kn_bigram": curate.kn_bigram,
+    "pq_codes": curate.pq_codes,
+    "hard_negatives": curate.hard_negatives,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

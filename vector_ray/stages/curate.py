@@ -363,3 +363,87 @@ def preference_pairs(ds, options: dict, ctx=None):
         margin=float(options.get("margin", 0.0)),
         num_buckets=int(options.get("num_buckets", 64)),
     )
+
+
+def kanonymity(ds, options: dict, ctx=None):
+    """{"type": "kanonymity", "quasi": ["event_type", "vbucket"],
+        "k": 25, "mode": "audit" | "suppress", "id_field": "event_id"}"""
+    from vector_ray.functions.dataops import kanonymity as _kanon
+
+    return _kanon(
+        ds,
+        list(options["quasi"]),
+        k=int(options.get("k", 25)),
+        mode=options.get("mode", "audit"),
+        id_field=options.get("id_field", "event_id"),
+        num_buckets=int(options.get("num_buckets", 32)),
+    )
+
+
+def hbos(ds, options: dict, ctx=None):
+    """{"type": "hbos", "features": ["h", "vb"], "id_field": "event_id"}
+    Features must already be discrete int bucket columns."""
+    from vector_ray.functions.dataops import hbos_score
+
+    return hbos_score(
+        ds,
+        list(options["features"]),
+        id_field=options.get("id_field", "event_id"),
+        target=options.get("target", "hbos"),
+        round_to=int(options.get("round", 6)),
+    )
+
+
+def compression_ratio(ds, options: dict, ctx=None):
+    """{"type": "compression_ratio", "field": "text", "id_field": "doc_id"}"""
+    from vector_ray.functions.text import compression_ratio as _cr
+
+    return _cr(
+        ds,
+        field=options.get("field", "text"),
+        id_field=options.get("id_field", "doc_id"),
+        level=int(options.get("level", 6)),
+        round_to=int(options.get("round", 4)),
+    )
+
+
+def kn_bigram(ds, options: dict, ctx=None):
+    """{"type": "kn_bigram", "field": "tokens", "discount": 0.75}"""
+    from vector_ray.functions.lm import kn_bigram_score
+
+    return kn_bigram_score(
+        ds,
+        field=options.get("field", "tokens"),
+        target=options.get("target", "nll_kn"),
+        discount=float(options.get("discount", 0.75)),
+        round_to=int(options.get("round", 4)),
+    )
+
+
+def pq_codes(ds, options: dict, ctx=None):
+    """{"type": "pq_codes", "m": 8, "k": 16, "sample_size": 512}"""
+    from vector_ray.functions.similarity import pq_codes as _pq
+
+    return _pq(
+        ds,
+        field=options.get("field", "embedding"),
+        id_field=options.get("id_field", "vec_id"),
+        m=int(options.get("m", 8)),
+        k=int(options.get("k", 16)),
+        sample_size=int(options.get("sample_size", 512)),
+        iters=int(options.get("iters", 4)),
+    )
+
+
+def hard_negatives(ds, options: dict, ctx=None):
+    """{"type": "hard_negatives", "n_anchors": 32, "label_field": "label"}"""
+    from vector_ray.functions.similarity import hard_negatives as _hn
+
+    return _hn(
+        ds,
+        n_anchors=int(options.get("n_anchors", 32)),
+        id_field=options.get("id_field", "vec_id"),
+        field=options.get("field", "embedding"),
+        label_field=options.get("label_field", "label"),
+        round_to=int(options.get("round", 6)),
+    )
