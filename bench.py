@@ -171,31 +171,35 @@ def run_bench() -> dict:
         ),
         n=8,
     ).count()
-    _t0 = time.perf_counter()  # timed once: two full-corpus passes/run
-    span_dedupe(
-        plant_duplicates(
-            rd.read_parquet(
-                _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
-            )
-        ),
-        n=8,
-    ).count()
-    queries["span_dedupe"] = round(time.perf_counter() - _t0, 3)
+    # best-of-2 like every other leg: this is the longest single op in
+    # the bench, so a host-steal burst mid-leg would otherwise dominate
+    # the recorded number (measured 2026-08-21: 22-46 s under residual
+    # load vs 7.6-9.4 s warm on the same tree, idle host)
+    queries["span_dedupe"] = timed(
+        lambda: span_dedupe(
+            plant_duplicates(
+                rd.read_parquet(
+                    _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
+                )
+            ),
+            n=8,
+        ).count()
+    )
     # broadcast-mask contrast (pure-streaming two-read plan, whole
     # index shipped to every worker) — the plan auto used to pick;
     # kept in the bench so the auto=exchange default stays justified
     # by a same-run measurement
-    _t0 = time.perf_counter()
-    span_dedupe(
-        plant_duplicates(
-            rd.read_parquet(
-                _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
-            )
-        ),
-        n=8,
-        mask="broadcast",
-    ).count()
-    queries["span_dedupe_b"] = round(time.perf_counter() - _t0, 3)
+    queries["span_dedupe_b"] = timed(
+        lambda: span_dedupe(
+            plant_duplicates(
+                rd.read_parquet(
+                    _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
+                )
+            ),
+            n=8,
+            mask="broadcast",
+        ).count()
+    )
     # pretrain prep e2e (mixture + split filter inside exact packing,
     # epoch shuffle, partitioned writes + checkpoints): the tokens-axis
     # counterpart of the flagship headline

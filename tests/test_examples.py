@@ -186,3 +186,20 @@ def test_posttraining_example(ray_session):
             and {"chosen_id", "rejected_id"} <= set(dpo.column_names))
     adv = pq.read_table("/tmp/vector_ray_examples/posttraining/advantages")
     assert adv.num_rows == 5000 and "advantage" in adv.column_names
+
+
+def test_privacy_release_example(ray_session):
+    shutil.rmtree("/tmp/vector_ray_examples/privacy", ignore_errors=True)
+    _run("examples/privacy_release.toml")
+    audit = pq.read_table("/tmp/vector_ray_examples/privacy/audit")
+    assert {"event_type", "vbucket", "n", "at_risk"} <= set(audit.column_names)
+    assert audit.num_rows > 0
+    release = pq.read_table("/tmp/vector_ray_examples/privacy/release")
+    assert release.num_rows == 1000  # every event survives, cells masked
+    masked = release.filter(pc.equal(release["event_type"], "*"))
+    risky_n = pc.sum(
+        audit.filter(audit["at_risk"])["n"]
+    ).as_py() or 0
+    assert masked.num_rows == risky_n  # suppression count == audit count
+    out = pq.read_table("/tmp/vector_ray_examples/privacy/outliers")
+    assert out.num_rows == 1000 and "hbos" in out.column_names
