@@ -425,3 +425,56 @@ def test_explain_classifies_round5(ray_session):
         }
     )
     assert "hybrid" in plan and "broadcast" in plan
+
+
+# ---------------------------------------------------------------------------
+# negative_samples
+# ---------------------------------------------------------------------------
+
+
+def test_negative_samples_distribution_and_determinism(ray_session):
+    from vector_ray.functions.tokens import negative_samples
+
+    # token 7 dominates the corpus; draws must be ~proportional to c^0.75
+    toks = [[7] * 50 + [11, 13] for _ in range(200)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([f"doc-{i:05d}" for i in range(200)]),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+            }
+        )
+    ).repartition(4)
+    a = _collect(negative_samples(ds, k=4))
+    b = _collect(negative_samples(ds.repartition(7), k=4))
+    assert a.num_rows == 800
+    da = sorted(zip(a["doc_id"].to_pylist(), a["j"].to_pylist(),
+                    a["neg"].to_pylist()))
+    db = sorted(zip(b["doc_id"].to_pylist(), b["j"].to_pylist(),
+                    b["neg"].to_pylist()))
+    assert da == db  # partitioning-invariant draws
+    negs = a["neg"].to_pylist()
+    assert set(negs) <= {7, 11, 13}  # only observed tokens drawn
+    share7 = negs.count(7) / len(negs)
+    # weights: 10000^0.75 : 200^0.75 : 200^0.75 -> token 7 share ~ 0.90
+    import math
+
+    w7 = math.floor((200 * 50) ** 0.75 * 1000 + 0.5)
+    wo = math.floor(200 ** 0.75 * 1000 + 0.5)
+    expect = w7 / (w7 + 2 * wo)
+    assert abs(share7 - expect) < 0.05
+
+
+def test_negative_samples_empty_raises(ray_session):
+    from vector_ray.functions.tokens import negative_samples
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "tokens": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+    )
+    with pytest.raises(ValueError):
+        negative_samples(ds)

@@ -4421,6 +4421,21 @@ def q_kanon_suppress_events(sf_dir: str):
                       id_field="event_id")
 
 
+def q_negative_samples(sf_dir: str):
+    """word2vec-style negative sampling (functions/tokens.py
+    negative_samples): 4 deterministic unigram^0.75 draws per doc.
+    One dense count pass, exact-integer fixed-point cum table broadcast
+    once, hash-uniform mapped onto [0, W) by a 128-bit-safe
+    multiply-shift — reproducible at any partitioning."""
+    from vector_ray.functions.tokens import negative_samples
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    return negative_samples(ds, k=4)
+
+
 def q_hbos_events(sf_dir: str):
     """Histogram-based outlier score (functions/dataops.py hbos_score)
     over (hour-of-day, floor(value/50)) feature buckets: additive
@@ -4524,6 +4539,7 @@ QUERIES = {
     "kn_bigram_corpus": q_kn_bigram,
     "hbos_events": q_hbos_events,
     "hard_negatives_embeddings": q_hard_negatives,
+    "negative_samples_corpus": q_negative_samples,
     "compression_documents": q_compression_documents,
     "pq_codes_embeddings": q_pq_codes_embeddings,
     "pq_topk_embeddings": q_pq_topk_embeddings,
@@ -7218,6 +7234,31 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN g.n < 25 THEN '*' ELSE q.event_type END AS event_type, "
         "CASE WHEN g.n < 25 THEN -1 ELSE q.vbucket END AS vbucket "
         "FROM q JOIN g USING (event_type, vbucket)"
+    )
+    sql["negative_samples_corpus"] = (
+        # unigram^0.75 fixed-point weights, exact-integer prefix table,
+        # hash-uniform -> [0, W) by HUGEINT multiply-shift; the range
+        # join picks the owning interval (zero-width = unobserved
+        # tokens never match). Arithmetic mirrors
+        # functions/tokens.py negative_samples term-for-term.
+        "WITH tk AS (SELECT unnest(tokens) AS v "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}')), "
+        "c AS (SELECT v, CAST(COUNT(*) AS DOUBLE) AS n FROM tk GROUP BY v), "
+        "w AS (SELECT v, CAST(FLOOR(POW(n, 0.75) * 1000 + 0.5) AS HUGEINT) "
+        "  AS wt FROM c), "
+        "cw AS (SELECT v, wt, SUM(wt) OVER (ORDER BY v) AS hi FROM w), "
+        "tot AS (SELECT CAST(SUM(wt) AS HUGEINT) AS wtot FROM w), "
+        "d AS (SELECT doc_id, CAST(substr(doc_id, 5) AS HUGEINT) AS did "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}')), "
+        "dr AS (SELECT doc_id, did, j FROM d CROSS JOIN "
+        "  (SELECT unnest(generate_series(1, 4)) AS j) _j), "
+        "hx AS (SELECT doc_id, j, ((did * 2654435761) % 4294967296 "
+        "  + (j * 2246822519) % 4294967296) % 4294967296 AS h FROM dr), "
+        "xs AS (SELECT doc_id, j, "
+        "  (h * (SELECT wtot FROM tot)) // 4294967296 AS x FROM hx) "
+        "SELECT xs.doc_id, CAST(xs.j AS BIGINT) AS j, "
+        "CAST(cw.v AS BIGINT) AS neg FROM xs "
+        "JOIN cw ON xs.x >= cw.hi - cw.wt AND xs.x < cw.hi"
     )
     sql["hard_negatives_embeddings"] = (
         # same multiplicative-hash anchor sample as the engine; rank by

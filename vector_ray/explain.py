@@ -116,6 +116,7 @@ MOVEMENT = {
     "kn_bigram": "broadcast",  # 256x256 KN counts up, logp table down
     "pq_codes": "broadcast",  # minmax + sample partials up, codebooks down
     "hard_negatives": "broadcast",  # anchor matrix down, per-anchor top-1 partials up
+    "negative_samples": "broadcast",  # dense counts up, cum table down
     # dense time-series family
     "gapfill": "shuffle",  # bounds partials up, then one groupby on key
     "seasonal_z": "hybrid",  # tumbling partials -> gapfill shuffle -> slot zscore

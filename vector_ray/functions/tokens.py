@@ -2360,3 +2360,79 @@ def vocab_coverage(ds, ranks=(10, 100, 1000, 10000), round_to: int = 6):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# negative sampling — word2vec/contrastive training negatives
+# ---------------------------------------------------------------------------
+#
+# Mikolov et al. 2013 (public): negatives are drawn from the unigram
+# distribution raised to the 3/4 power. Everything past the one dense
+# count pass is EXACT INTEGER arithmetic so the draw is reproducible at
+# any partitioning and bit-identical to the SQL oracle: weights are the
+# smoothed counts fixed-point-scaled to integers, the cumulative table
+# is an exact integer prefix sum, and the per-draw uniform is a
+# multiplicative doc/draw hash mapped onto [0, W) by an exact 128-bit
+# (hi/lo split) multiply-shift. The vocab-sized cum table broadcasts
+# once; the corpus never shuffles.
+
+
+def negative_samples(
+    ds: "rd.Dataset",
+    k: int = 4,
+    alpha: float = 0.75,
+    scale: int = 1000,
+    id_field: str = "doc_id",
+) -> "rd.Dataset":
+    """k deterministic negative token draws per document: (doc_id, j,
+    neg) for j in 1..k, where P(neg = v) ∝ round(count(v)^alpha *
+    scale) / W. Tokens absent from the corpus have zero-width intervals
+    and are never drawn."""
+    from vector_ray.functions.curation import _doc_hash
+
+    c = token_counts(ds.select_columns(["tokens"]))
+    with np.errstate(divide="ignore"):
+        p = c.astype(np.float64) ** alpha
+    w = np.floor(p * float(scale) + 0.5).astype(np.uint64)
+    cum = np.cumsum(w)                       # exact: int64 sums << 2^63
+    total = int(cum[-1])
+    if total <= 0:
+        raise ValueError("negative_samples: empty corpus")
+    w_hi = np.uint64(total >> 32)
+    w_lo = np.uint64(total & 0xFFFFFFFF)
+    cum_ref = ray.put(cum)
+
+    m2 = np.uint64(2246822519)
+    mod32 = np.uint64(1 << 32)
+
+    def draw(t: pa.Table, cref=cum_ref) -> pa.Table:
+        cumv = ray.get(cref)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_field: t[id_field],
+                    "j": pa.array([], pa.int64()),
+                    "neg": pa.array([], pa.int64()),
+                }
+            )
+        h1 = _doc_hash(t, 2654435761, id_field).astype(np.uint64)
+        ids = t[id_field]
+        negs = np.empty((t.num_rows, k), dtype=np.int64)
+        for j in range(1, k + 1):
+            h = (h1 + (np.uint64(j) * m2) % mod32) % mod32
+            # x = floor(h / 2^32 * W) via exact hi/lo split multiply
+            x = h * w_hi + ((h * w_lo) >> np.uint64(32))
+            negs[:, j - 1] = np.searchsorted(cumv, x, side="right")
+        idx = np.repeat(np.arange(t.num_rows), k)
+        return pa.table(
+            {
+                id_field: ids.take(pa.array(idx)),
+                "j": pa.array(np.tile(np.arange(1, k + 1), t.num_rows),
+                              pa.int64()),
+                "neg": pa.array(negs.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_field]).map_batches(
+        draw, batch_format="pyarrow"
+    )

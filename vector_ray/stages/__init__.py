@@ -227,6 +227,7 @@ TRANSFORMS = {
     "kn_bigram": curate.kn_bigram,
     "pq_codes": curate.pq_codes,
     "hard_negatives": curate.hard_negatives,
+    "negative_samples": curate.negative_samples,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

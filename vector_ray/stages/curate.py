@@ -447,3 +447,16 @@ def hard_negatives(ds, options: dict, ctx=None):
         label_field=options.get("label_field", "label"),
         round_to=int(options.get("round", 6)),
     )
+
+
+def negative_samples(ds, options: dict, ctx=None):
+    """{"type": "negative_samples", "k": 4, "alpha": 0.75}"""
+    from vector_ray.functions.tokens import negative_samples as _ns
+
+    return _ns(
+        ds,
+        k=int(options.get("k", 4)),
+        alpha=float(options.get("alpha", 0.75)),
+        scale=int(options.get("scale", 1000)),
+        id_field=options.get("id_field", "doc_id"),
+    )
