@@ -478,3 +478,84 @@ def test_negative_samples_empty_raises(ray_session):
     )
     with pytest.raises(ValueError):
         negative_samples(ds)
+
+
+# ---------------------------------------------------------------------------
+# skipgram_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_skipgram_hand_reference(ray_session):
+    from vector_ray.functions.tokens import skipgram_pairs
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["a", "b"]),
+                "tokens": pa.array([[10, 20, 30], [5]], pa.list_(pa.int32())),
+            }
+        )
+    ).repartition(2)
+    out = _collect(skipgram_pairs(ds, window=2))
+    got = sorted(
+        zip(out["doc_id"].to_pylist(), out["i"].to_pylist(),
+            out["c"].to_pylist(), out["ctx"].to_pylist(),
+            out["d"].to_pylist())
+    )
+    want = sorted([
+        ("a", 1, 10, 20, 1), ("a", 2, 20, 10, -1),
+        ("a", 2, 20, 30, 1), ("a", 3, 30, 20, -1),
+        ("a", 1, 10, 30, 2), ("a", 3, 30, 10, -2),
+    ])
+    assert got == want  # single-token doc "b" emits nothing
+
+
+def test_skipgram_never_crosses_docs(ray_session):
+    from vector_ray.functions.tokens import skipgram_pairs
+
+    # many single-token docs in one block: zero cross-doc pairs allowed
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(20)]),
+                "tokens": pa.array([[i] for i in range(20)],
+                                   pa.list_(pa.int32())),
+            }
+        )
+    ).repartition(1)
+    out = _collect(skipgram_pairs(ds, window=3))
+    assert out.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# keep_best
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_hand_reference(ray_session):
+    from vector_ray.functions.dedup import keep_best
+
+    cc = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 7, 8], pa.int64()),
+                "cluster": pa.array([1, 1, 1, 7, 7], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    quality = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 7, 8], pa.int64()),
+                "n_chars": pa.array([10, 99, 99, 5, 5], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = _collect(keep_best(cc, quality))
+    got = {
+        i: k for i, k in zip(out["doc_id"].to_pylist(),
+                             out["kept"].to_pylist())
+    }
+    # cluster 1: docs 2 and 3 tie at 99 -> smaller id 2 wins
+    # cluster 7: docs 7 and 8 tie at 5 -> smaller id 7 wins
+    assert got == {1: False, 2: True, 3: False, 7: True, 8: False}

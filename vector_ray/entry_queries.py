@@ -4436,6 +4436,51 @@ def q_negative_samples(sf_dir: str):
     return negative_samples(ds, k=4)
 
 
+def q_skipgram(sf_dir: str):
+    """word2vec skip-gram pair fan-out (functions/tokens.py
+    skipgram_pairs) over a deterministic 1-in-50 doc sample: (doc_id,
+    i, center, context, offset) within a ±2 window, never crossing doc
+    boundaries. Pure narrow expansion — no shuffle anywhere."""
+    from vector_ray.functions.curation import _doc_hash
+    from vector_ray.functions.tokens import skipgram_pairs
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+
+    def sample(t: pa.Table) -> pa.Table:
+        h = _doc_hash(t, 2654435761).astype(np.uint64)
+        return t.filter(pa.array(h % np.uint64(50) == 0))
+
+    return skipgram_pairs(
+        ds.map_batches(sample, batch_format="pyarrow"), window=2
+    )
+
+
+def q_near_dedupe_best(sf_dir: str):
+    """Quality-aware near-dup canonicalization (functions/dedup.py
+    keep_best): the near_dedupe pair graph + connected components, but
+    each cluster keeps its LONGEST member (n_chars, ties -> smaller
+    id) instead of the min id — the RefinedWeb-style keep-best policy.
+    Winner set is one row per cluster, joined back, never broadcast."""
+    from vector_ray.functions.dedup import (
+        connected_components_distributed,
+        keep_best,
+        ngram_jaccard_pairs,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pairs = ngram_jaccard_pairs(ds, bucket_by=["lang"], threshold=0.3)
+    cc = connected_components_distributed(pairs)
+    quality = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return keep_best(cc, quality)
+
+
 def q_hbos_events(sf_dir: str):
     """Histogram-based outlier score (functions/dataops.py hbos_score)
     over (hour-of-day, floor(value/50)) feature buckets: additive
@@ -4540,6 +4585,8 @@ QUERIES = {
     "hbos_events": q_hbos_events,
     "hard_negatives_embeddings": q_hard_negatives,
     "negative_samples_corpus": q_negative_samples,
+    "skipgram_corpus": q_skipgram,
+    "near_dedupe_best_documents": q_near_dedupe_best,
     "compression_documents": q_compression_documents,
     "pq_codes_embeddings": q_pq_codes_embeddings,
     "pq_topk_embeddings": q_pq_topk_embeddings,
@@ -7234,6 +7281,50 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN g.n < 25 THEN '*' ELSE q.event_type END AS event_type, "
         "CASE WHEN g.n < 25 THEN -1 ELSE q.vbucket END AS vbucket "
         "FROM q JOIN g USING (event_type, vbucket)"
+    )
+    sql["skipgram_corpus"] = (
+        "WITH d0 AS (SELECT doc_id, tokens "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}') "
+        "  WHERE ((CAST(substr(doc_id, 5) AS HUGEINT) * 2654435761) "
+        "    % 4294967296) % 50 = 0), "
+        "tk AS (SELECT doc_id, unnest(tokens) AS v, "
+        "  generate_subscripts(tokens, 1) AS i FROM d0) "
+        "SELECT a.doc_id, CAST(a.i AS BIGINT) AS i, CAST(a.v AS BIGINT) AS c, "
+        "CAST(b.v AS BIGINT) AS ctx, CAST(b.i - a.i AS BIGINT) AS d "
+        "FROM tk a JOIN tk b ON a.doc_id = b.doc_id "
+        "AND b.i BETWEEN a.i - 2 AND a.i + 2 AND b.i != a.i"
+    )
+    sql["near_dedupe_best_documents"] = (
+        # same pair graph + transitive closure as near_dedupe_documents,
+        # then each cluster's longest member wins (ties -> smaller id)
+        "WITH RECURSIVE w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws "
+        "  FROM documents), "
+        "s AS (SELECT doc_id, lang, CASE "
+        "  WHEN len(ws) < 3 THEN [array_to_string("
+        "    list_transform(range(3), j -> ws[least(1 + j, len(ws))]), ' ')] "
+        "  ELSE list_transform(range(len(ws) - 2), "
+        "    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END AS sh "
+        "  FROM w), "
+        "d AS (SELECT doc_id, lang, list_distinct(sh) AS sh FROM s), "
+        "p AS (SELECT doc_a, doc_b FROM ("
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac "
+        "  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+        "  WHERE len(list_intersect(a.sh, b.sh)) > 0) WHERE jac >= 0.3), "
+        "e AS (SELECT doc_a AS u, doc_b AS v FROM p "
+        "  UNION SELECT doc_b, doc_a FROM p), "
+        "n AS (SELECT DISTINCT u AS node FROM e), "
+        "reach AS (SELECT node, node AS r FROM n "
+        "  UNION SELECT e.u, reach.r FROM e JOIN reach ON reach.node = e.v), "
+        "cl AS (SELECT node AS doc_id, MIN(r) AS cluster "
+        "  FROM reach GROUP BY node), "
+        "q AS (SELECT cl.doc_id, cl.cluster, d2.n_chars FROM cl "
+        "  JOIN documents d2 USING (doc_id)), "
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster "
+        "  ORDER BY n_chars DESC, doc_id) AS rn FROM q) "
+        "SELECT doc_id, cluster, CAST(n_chars AS BIGINT) AS n_chars, "
+        "rn = 1 AS kept FROM rk"
     )
     sql["negative_samples_corpus"] = (
         # unigram^0.75 fixed-point weights, exact-integer prefix table,

@@ -1118,3 +1118,55 @@ def token_minhash_candidates(
         .map_groups(pairs, batch_format="pyarrow")
     )
     return _dedupe_pairs(cand, "est_jaccard")
+
+
+def keep_best(
+    cc_ds,
+    quality_ds,
+    id_field: str = "doc_id",
+    cluster_field: str = "cluster",
+    score_field: str = "n_chars",
+    num_buckets: int = 32,
+):
+    """Quality-aware canonicalization of near-dup clusters: instead of
+    keeping the min-id member, keep each cluster's BEST-scoring member
+    (ties -> smaller id). Input: the (id, cluster) table from connected
+    components and an (id, score) quality table.
+
+    Plan: one bucketed join attaches scores, a skew-safe per-cluster
+    top-1 picks each winner, and a second bucketed join on the cluster
+    key flags every member — the winner set is one row per cluster
+    (unbounded at corpus scale), so it is never broadcast."""
+    from vector_ray.stages.shuffle import bucketed_join, topk_per_key
+
+    scored = bucketed_join(
+        cc_ds, quality_ds, id_field, num_buckets=num_buckets, how="inner"
+    )
+    winners = topk_per_key(
+        scored, key=cluster_field, order_by=score_field, k=1,
+        descending=True, tiebreak=id_field,
+    )
+
+    def to_best(t: pa.Table) -> pa.Table:
+        return pa.table({cluster_field: t[cluster_field],
+                         "__best": t[id_field]})
+
+    best = winners.map_batches(to_best, batch_format="pyarrow")
+    flagged = bucketed_join(
+        scored, best, cluster_field, num_buckets=num_buckets, how="left"
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        kept = pc.equal(t[id_field], t["__best"])
+        kept = pc.fill_null(kept, False)
+        return pa.table(
+            {
+                id_field: t[id_field],
+                cluster_field: t[cluster_field],
+                score_field: pc.cast(t[score_field], pa.int64()),
+                "kept": kept.combine_chunks()
+                if isinstance(kept, pa.ChunkedArray) else kept,
+            }
+        )
+
+    return flagged.map_batches(flag, batch_format="pyarrow")

@@ -228,6 +228,7 @@ TRANSFORMS = {
     "pq_codes": curate.pq_codes,
     "hard_negatives": curate.hard_negatives,
     "negative_samples": curate.negative_samples,
+    "skipgram": curate.skipgram,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

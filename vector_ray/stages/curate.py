@@ -460,3 +460,14 @@ def negative_samples(ds, options: dict, ctx=None):
         scale=int(options.get("scale", 1000)),
         id_field=options.get("id_field", "doc_id"),
     )
+
+
+def skipgram(ds, options: dict, ctx=None):
+    """{"type": "skipgram", "window": 2, "id_field": "doc_id"}"""
+    from vector_ray.functions.tokens import skipgram_pairs
+
+    return skipgram_pairs(
+        ds,
+        window=int(options.get("window", 2)),
+        id_field=options.get("id_field", "doc_id"),
+    )
