@@ -559,3 +559,38 @@ def test_keep_best_hand_reference(ray_session):
     # cluster 1: docs 2 and 3 tie at 99 -> smaller id 2 wins
     # cluster 7: docs 7 and 8 tie at 5 -> smaller id 7 wins
     assert got == {1: False, 2: True, 3: False, 7: True, 8: False}
+
+
+# ---------------------------------------------------------------------------
+# mode_per_key
+# ---------------------------------------------------------------------------
+
+
+def test_mode_per_key_hand_reference(ray_session):
+    from vector_ray.stages.shuffle import mode_per_key
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),           # user 1: a wins 2/3
+        (2, "x"), (2, "y"),                     # user 2: tie -> "x"
+        (3, "z"),                               # user 3: unanimous
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = _collect(mode_per_key(ds, key="user_id", field="event_type"))
+    got = {
+        u: (l, nv, nt, ag)
+        for u, l, nv, nt, ag in zip(
+            out["user_id"].to_pylist(), out["event_type"].to_pylist(),
+            out["n_votes"].to_pylist(), out["n_total"].to_pylist(),
+            out["agreement"].to_pylist(),
+        )
+    }
+    assert got[1] == ("a", 2, 3, 0.666667)
+    assert got[2] == ("x", 1, 2, 0.5)
+    assert got[3] == ("z", 1, 1, 1.0)

@@ -4436,6 +4436,19 @@ def q_negative_samples(sf_dir: str):
     return negative_samples(ds, k=4)
 
 
+def q_mode_events(sf_dir: str):
+    """Distributed majority vote (stages/shuffle.py mode_per_key): each
+    user's modal event type with vote count, total and agreement share
+    — the rater-pool label-aggregation primitive. Two-phase counts,
+    skew-safe per-key top-1, totals re-reduced from the same count
+    table, one bucketed join; nothing broadcasts."""
+    from vector_ray.stages.shuffle import mode_per_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return mode_per_key(ds, key="user_id", field="event_type")
+
+
 def q_skipgram(sf_dir: str):
     """word2vec skip-gram pair fan-out (functions/tokens.py
     skipgram_pairs) over a deterministic 1-in-50 doc sample: (doc_id,
@@ -4586,6 +4599,7 @@ QUERIES = {
     "hard_negatives_embeddings": q_hard_negatives,
     "negative_samples_corpus": q_negative_samples,
     "skipgram_corpus": q_skipgram,
+    "mode_events": q_mode_events,
     "near_dedupe_best_documents": q_near_dedupe_best,
     "compression_documents": q_compression_documents,
     "pq_codes_embeddings": q_pq_codes_embeddings,
@@ -7281,6 +7295,17 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN g.n < 25 THEN '*' ELSE q.event_type END AS event_type, "
         "CASE WHEN g.n < 25 THEN -1 ELSE q.vbucket END AS vbucket "
         "FROM q JOIN g USING (event_type, vbucket)"
+    )
+    sql["mode_events"] = (
+        "WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) "
+        "  AS n FROM events GROUP BY 1, 2), "
+        "t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_total "
+        "  FROM c GROUP BY 1), "
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "  ORDER BY n DESC, event_type) AS r FROM c) "
+        "SELECT rk.user_id, rk.event_type, rk.n AS n_votes, t.n_total, "
+        "ROUND(ROUND(CAST(rk.n AS DOUBLE) / CAST(t.n_total AS DOUBLE), 9), 6) "
+        "  AS agreement FROM rk JOIN t USING (user_id) WHERE r = 1"
     )
     sql["skipgram_corpus"] = (
         "WITH d0 AS (SELECT doc_id, tokens "

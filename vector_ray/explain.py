@@ -118,6 +118,7 @@ MOVEMENT = {
     "hard_negatives": "broadcast",  # anchor matrix down, per-anchor top-1 partials up
     "negative_samples": "broadcast",  # dense counts up, cum table down
     "skipgram": "narrow",  # 2*window shifted views per block, no shuffle
+    "mode": "hybrid",  # (key,value) count partials -> top-1 + totals join
     # dense time-series family
     "gapfill": "shuffle",  # bounds partials up, then one groupby on key
     "seasonal_z": "hybrid",  # tumbling partials -> gapfill shuffle -> slot zscore

@@ -229,6 +229,7 @@ TRANSFORMS = {
     "hard_negatives": curate.hard_negatives,
     "negative_samples": curate.negative_samples,
     "skipgram": curate.skipgram,
+    "mode": curate.mode,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

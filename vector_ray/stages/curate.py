@@ -471,3 +471,17 @@ def skipgram(ds, options: dict, ctx=None):
         window=int(options.get("window", 2)),
         id_field=options.get("id_field", "doc_id"),
     )
+
+
+def mode(ds, options: dict, ctx=None):
+    """{"type": "mode", "key": "user_id", "field": "event_type"}"""
+    from vector_ray.stages.shuffle import mode_per_key
+
+    return mode_per_key(
+        ds,
+        key=options["key"],
+        field=options["field"],
+        salt_buckets=int(options.get("salt_buckets", 16)),
+        num_buckets=int(options.get("num_buckets", 32)),
+        round_to=int(options.get("round", 6)),
+    )

@@ -848,3 +848,69 @@ def bloom_prefilter(
         )
 
     return big_ds.map_batches(filt, batch_format="pyarrow")
+
+
+def mode_per_key(
+    ds,
+    key: str,
+    field: str,
+    salt_buckets: int = 16,
+    num_buckets: int = 32,
+    round_to: int = 6,
+):
+    """Distributed mode (majority vote): each key's most frequent
+    ``field`` value, vote count, total votes, and agreement share —
+    the label-aggregation primitive for rater pools / weak supervision.
+    Ties break to the smallest value (deterministic).
+
+    Plan: per-block (key, value) count combiner feeds the two-phase
+    grouped count, a skew-safe per-key top-1 picks the winner, and the
+    per-key totals re-reduce from the SAME (key, value) count table
+    (no second corpus pass) before one bucketed join — winner and
+    total sets are one row per key and never broadcast."""
+    import pyarrow.compute as _pc
+
+    from vector_ray.stages.grouped import aggregate
+
+    counts = aggregate(
+        ds.select_columns([key, field]),
+        {"group_by": [key, field], "aggregates": {"n": {"fn": "count"}}},
+    )
+    counts = counts.materialize()  # one table feeds winner + totals
+    win = topk_per_key(counts, key=key, order_by="n", k=1,
+                       descending=True, tiebreak=field,
+                       salt_buckets=salt_buckets)
+    totals = aggregate(
+        counts,
+        {"group_by": [key],
+         "aggregates": {"n_total": {"fn": "sum", "field": "n", "int": True}}},
+    )
+    joined = bucketed_join(win, totals, key, num_buckets=num_buckets,
+                           how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = _pc.cast(t["n"], pa.int64())
+        tot = _pc.cast(t["n_total"], pa.int64())
+        import numpy as _np
+
+        from vector_ray.schema import round_sql_np
+
+        share = round_sql_np(
+            round_sql_np(
+                _np.asarray(n.to_numpy(zero_copy_only=False), _np.float64)
+                / _np.asarray(tot.to_numpy(zero_copy_only=False), _np.float64),
+                9,
+            ),
+            round_to,
+        )
+        return pa.table(
+            {
+                key: t[key],
+                field: t[field],
+                "n_votes": n,
+                "n_total": tot,
+                "agreement": pa.array(share, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
