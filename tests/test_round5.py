@@ -594,3 +594,52 @@ def test_mode_per_key_hand_reference(ray_session):
     assert got[1] == ("a", 2, 3, 0.666667)
     assert got[2] == ("x", 1, 2, 0.5)
     assert got[3] == ("z", 1, 1, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# training_batches mid-epoch resume
+# ---------------------------------------------------------------------------
+
+
+def _chunks_ds(n=40, chunk_len=8):
+    rng = np.random.default_rng(2)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "chunk_id": pa.array(np.arange(n), pa.int64()),
+                "tokens": pa.array(
+                    [rng.integers(0, 100, size=chunk_len).tolist()
+                     for _ in range(n)],
+                    pa.list_(pa.int32()),
+                ),
+            }
+        )
+    ).repartition(4)
+
+
+@pytest.mark.parametrize("epoch", [None, 1])
+def test_training_batches_resume(ray_session, epoch):
+    from vector_ray.functions.tokens import training_batches
+
+    ds = _chunks_ds()
+    full = list(training_batches(ds, batch_size=4, chunk_len=8,
+                                 epoch=epoch, yield_ids=True))
+    assert len(full) == 10
+    # consume 3 batches, then resume after the last consumed chunk
+    last = int(full[2][0][-1])
+    resumed = list(training_batches(ds, batch_size=4, chunk_len=8,
+                                    epoch=epoch, yield_ids=True,
+                                    resume_after=last))
+    assert len(resumed) == 7
+    for (ids_a, mat_a), (ids_b, mat_b) in zip(full[3:], resumed):
+        assert ids_a.tolist() == ids_b.tolist()
+        assert np.array_equal(mat_a, mat_b)
+
+
+def test_training_batches_plain_unchanged(ray_session):
+    # default call still yields bare matrices (back-compat)
+    from vector_ray.functions.tokens import training_batches
+
+    out = list(training_batches(_chunks_ds(), batch_size=4, chunk_len=8))
+    assert len(out) == 10
+    assert all(isinstance(m, np.ndarray) and m.shape == (4, 8) for m in out)

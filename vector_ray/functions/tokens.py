@@ -616,6 +616,8 @@ def training_batches(
     chunk_len: int = 2048,
     epoch: int | None = None,
     drop_last: bool = True,
+    resume_after: int | None = None,
+    yield_ids: bool = False,
 ):
     """Last-mile trainer feed: yield dense ``int32 [batch_size, chunk_len]``
     numpy matrices from a packed-chunk Dataset (``pack_sequences`` /
@@ -631,10 +633,48 @@ def training_batches(
     so the feed (a) fixes a total order — ``chunk_id`` ascending, or the
     epoch-shuffle key — and (b) iterates with ``preserve_order`` so the
     iterator yields that order regardless of task completion timing.
+
+    Mid-epoch resume: ``resume_after=<chunk_id>`` (the last chunk of the
+    last completed batch — track it with ``yield_ids=True``, which
+    yields ``(ids, matrix)`` pairs) drops every chunk at-or-before that
+    position in the SAME total order, as a vectorized narrow filter
+    BEFORE the order shuffle — a crashed consumer fast-forwards without
+    re-shuffling or re-decoding consumed chunks. Works for both plain
+    and epoch-shuffled orders (the epoch filter compares the
+    (shuffle_key, chunk_id) sort key, exact integer arithmetic).
     """
     from ray.data import DataContext
 
     ds = chunks_ds
+    if resume_after is not None:
+        last = int(resume_after)
+        if epoch is not None:
+            from vector_ray.functions.curation import (
+                EPOCH_MULT,
+                HASH_MOD,
+                _doc_hash,
+            )
+
+            mult = pow(EPOCH_MULT, epoch + 1, HASH_MOD)
+            h_last = (last * mult) % HASH_MOD
+
+            def keep(t: pa.Table) -> pa.Table:
+                h = _doc_hash(t, mult, "chunk_id").astype(np.int64)
+                ids = np.asarray(
+                    t["chunk_id"].to_numpy(zero_copy_only=False), np.int64
+                )
+                mask = (h > h_last) | ((h == h_last) & (ids > last))
+                return t.filter(pa.array(mask))
+
+        else:
+
+            def keep(t: pa.Table) -> pa.Table:
+                ids = np.asarray(
+                    t["chunk_id"].to_numpy(zero_copy_only=False), np.int64
+                )
+                return t.filter(pa.array(ids > last))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow")
     if epoch is not None:
         from vector_ray.functions.curation import epoch_shuffle
 
@@ -645,13 +685,17 @@ def training_batches(
     prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
     try:
-        yield from _iter_matrices(ds, batch_size, chunk_len, drop_last)
+        yield from _iter_matrices(
+            ds, batch_size, chunk_len, drop_last, yield_ids=yield_ids
+        )
     finally:
         ctx.execution_options.preserve_order = prev
 
 
-def _iter_matrices(ds, batch_size: int, chunk_len: int, drop_last: bool):
+def _iter_matrices(ds, batch_size: int, chunk_len: int, drop_last: bool,
+                   yield_ids: bool = False):
     rows = np.empty((0, chunk_len), dtype=np.int32)
+    ids = np.empty(0, dtype=np.int64)
     for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
         toks = batch["tokens"]
         if isinstance(toks, pa.ChunkedArray):
@@ -666,11 +710,20 @@ def _iter_matrices(ds, batch_size: int, chunk_len: int, drop_last: bool):
             starts[full][:, None] + np.arange(chunk_len, dtype=np.int64)[None, :]
         )
         rows = np.concatenate([rows, flat[idx]], axis=0)
+        if yield_ids:
+            bid = np.asarray(
+                batch["chunk_id"].to_numpy(zero_copy_only=False), np.int64
+            )
+            ids = np.concatenate([ids, bid[full]])
         while len(rows) >= batch_size:
-            yield rows[:batch_size]
+            if yield_ids:
+                yield ids[:batch_size], rows[:batch_size]
+                ids = ids[batch_size:]
+            else:
+                yield rows[:batch_size]
             rows = rows[batch_size:]
     if len(rows) and not drop_last:
-        yield rows
+        yield (ids, rows) if yield_ids else rows
 
 
 # ---------------------------------------------------------------------------
