@@ -355,3 +355,108 @@ def test_turn_examples_matches_reference(ray_session, docs):
     assert got_rows == expect
     for r in got:
         assert r["n_ctx"] == len(r["tokens"])
+
+
+# ---------------------------------------------------------------------------
+# round-5 pure kernels
+# ---------------------------------------------------------------------------
+
+float_vecs = st.lists(
+    st.lists(st.floats(-100, 100, allow_nan=False, width=32),
+             min_size=8, max_size=8),
+    min_size=4,
+    max_size=32,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(float_vecs)
+def test_pq_quantize_bounds_and_monotonicity(vecs):
+    from vector_ray.functions.similarity import _pq_quantize
+
+    x = np.asarray(vecs, dtype=np.float64)
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    q = _pq_quantize(x, lo, hi)
+    assert q.dtype == np.int64
+    assert ((q >= 0) & (q <= 255)).all()
+    # per-dim monotone: larger input never quantizes lower
+    for d in range(x.shape[1]):
+        order = np.argsort(x[:, d], kind="stable")
+        qs = q[order, d]
+        assert (np.diff(qs) >= 0).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(float_vecs)
+def test_pq_assign_is_optimal(vecs):
+    from vector_ray.functions.similarity import _pq_assign, _pq_quantize
+
+    x = np.asarray(vecs, dtype=np.float64)
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    xq = _pq_quantize(x, lo, hi)
+    m, dsub = 2, 4
+    books = np.stack(
+        [xq[: min(4, len(xq)), j * dsub:(j + 1) * dsub] for j in range(m)]
+    )
+    codes = _pq_assign(xq, books)
+    for j in range(m):
+        sub = xq[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        chosen = d2[np.arange(len(sub)), codes[:, j]]
+        assert (chosen <= d2.min(axis=1)).all()  # optimal assignment
+        # first-min tie rule
+        assert (codes[:, j] == np.argmin(d2, axis=1)).all()
+
+
+token_docs = st.lists(
+    st.lists(st.integers(0, 30), min_size=0, max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(token_docs, st.integers(1, 3))
+def test_skipgram_batch_matches_enumeration(docs, window):
+    from vector_ray.functions.tokens import skipgram_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(docs))]),
+            "tokens": pa.array(docs, pa.list_(pa.int32())),
+        }
+    )
+    out = skipgram_batch(t, window)
+    got = sorted(
+        zip(out["doc_id"].to_pylist(), out["i"].to_pylist(),
+            out["c"].to_pylist(), out["ctx"].to_pylist(),
+            out["d"].to_pylist())
+    )
+    want = []
+    for di, doc in enumerate(docs):
+        for i, c in enumerate(doc):
+            for d in range(-window, window + 1):
+                j = i + d
+                if d != 0 and 0 <= j < len(doc):
+                    want.append((f"d{di}", i + 1, c, doc[j], d))
+    assert got == sorted(want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(1, 50), min_size=2, max_size=40))
+def test_kn_probabilities_in_unit_interval(counts):
+    # random observed bigram counts on a tiny alphabet: every observed
+    # pair's KN probability must lie in (0, 1]
+    rng = np.random.default_rng(0)
+    k = 6
+    c2 = np.zeros((k, k))
+    for i, c in enumerate(counts):
+        c2[i % k, (i * 7 + 3) % k] += c
+    c1 = c2.sum(axis=1, keepdims=True)
+    nf = (c2 > 0).sum(axis=1, keepdims=True).astype(float)
+    nr = (c2 > 0).sum(axis=0, keepdims=True).astype(float)
+    tt = float((c2 > 0).sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = (c2 - 0.75) / c1 + 0.75 * nf / c1 * (nr / tt)
+    obs = p[c2 > 0]
+    assert (obs > 0).all() and (obs <= 1.0 + 1e-12).all()

@@ -2508,51 +2508,59 @@ def skipgram_pairs(
     stream it without materializing."""
 
     def pairs(t: pa.Table) -> pa.Table:
-        values, offsets = _flat_tokens(t)
-        lens = np.diff(offsets)
-        empty = {
-            id_field: t[id_field].take(pa.array([], pa.int32())),
-            "i": pa.array([], pa.int64()),
-            "c": pa.array([], pa.int64()),
-            "ctx": pa.array([], pa.int64()),
-            "d": pa.array([], pa.int64()),
-        }
-        if len(values) == 0:
-            return pa.table(empty)
-        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        starts = offsets[row_of]  # flat index of each position's row start
-        out_row, out_i, out_c, out_ctx, out_d = [], [], [], [], []
-        for d in range(1, window + 1):
-            if d >= len(values):
-                break
-            ok = row_of[:-d] == row_of[d:]
-            p = np.nonzero(ok)[0]
-            if not len(p):
-                continue
-            # forward: center at p, context at p+d
-            out_row += [row_of[p], row_of[p + d]]
-            out_i += [p - starts[p] + 1, (p + d) - starts[p + d] + 1]
-            out_c += [values[p], values[p + d]]
-            out_ctx += [values[p + d], values[p]]
-            out_d += [
-                np.full(len(p), d, dtype=np.int64),
-                np.full(len(p), -d, dtype=np.int64),
-            ]
-        if not out_row:
-            return pa.table(empty)
-        rows = np.concatenate(out_row)
-        return pa.table(
-            {
-                id_field: t[id_field].take(pa.array(rows)),
-                "i": pa.array(np.concatenate(out_i), pa.int64()),
-                "c": pa.array(
-                    np.concatenate(out_c).astype(np.int64), pa.int64()
-                ),
-                "ctx": pa.array(
-                    np.concatenate(out_ctx).astype(np.int64), pa.int64()
-                ),
-                "d": pa.array(np.concatenate(out_d), pa.int64()),
-            }
-        )
+        return skipgram_batch(t, window, id_field)
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def skipgram_batch(
+    t: pa.Table, window: int, id_field: str = "doc_id"
+) -> pa.Table:
+    """Pure per-batch skip-gram kernel (testable without a Ray
+    session); see ``skipgram_pairs`` for the semantics."""
+    values, offsets = _flat_tokens(t)
+    lens = np.diff(offsets)
+    empty = {
+        id_field: t[id_field].take(pa.array([], pa.int32())),
+        "i": pa.array([], pa.int64()),
+        "c": pa.array([], pa.int64()),
+        "ctx": pa.array([], pa.int64()),
+        "d": pa.array([], pa.int64()),
+    }
+    if len(values) == 0:
+        return pa.table(empty)
+    row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    starts = offsets[row_of]  # flat index of each position's row start
+    out_row, out_i, out_c, out_ctx, out_d = [], [], [], [], []
+    for d in range(1, window + 1):
+        if d >= len(values):
+            break
+        ok = row_of[:-d] == row_of[d:]
+        p = np.nonzero(ok)[0]
+        if not len(p):
+            continue
+        # forward: center at p, context at p+d
+        out_row += [row_of[p], row_of[p + d]]
+        out_i += [p - starts[p] + 1, (p + d) - starts[p + d] + 1]
+        out_c += [values[p], values[p + d]]
+        out_ctx += [values[p + d], values[p]]
+        out_d += [
+            np.full(len(p), d, dtype=np.int64),
+            np.full(len(p), -d, dtype=np.int64),
+        ]
+    if not out_row:
+        return pa.table(empty)
+    rows = np.concatenate(out_row)
+    return pa.table(
+        {
+            id_field: t[id_field].take(pa.array(rows)),
+            "i": pa.array(np.concatenate(out_i), pa.int64()),
+            "c": pa.array(
+                np.concatenate(out_c).astype(np.int64), pa.int64()
+            ),
+            "ctx": pa.array(
+                np.concatenate(out_ctx).astype(np.int64), pa.int64()
+            ),
+            "d": pa.array(np.concatenate(out_d), pa.int64()),
+        }
+    )
