@@ -291,3 +291,53 @@ def test_dense_merge_survives_worker_kill(ray_session, tmp_path):
     # the kill may land between datasets on a fast box; the assertion
     # above is the contract either way, but record what happened
     print(f"killed workers: {killed}")
+
+
+def test_mode_per_key_survives_worker_kill(ray_session):
+    """SIGKILL a busy worker mid-run of the majority-vote aggregate:
+    the two-phase counts + salted top-1 + bucketed join must all retry
+    to the same deterministic answer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from vector_ray.stages.shuffle import mode_per_key
+
+    rng = np.random.default_rng(11)
+    n = 400_000
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 2000, size=n), pa.int64()),
+            "event_type": pa.array(
+                np.array(["a", "b", "c", "d"])[rng.integers(0, 4, size=n)]
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(32)
+
+    def run():
+        out = mode_per_key(ds, key="user_id", field="event_type")
+        tables = [
+            x
+            for x in ray.get(out.materialize().to_arrow_refs())
+            if x.num_rows
+        ]
+        merged = pa.concat_tables(tables).sort_by("user_id")
+        return merged
+
+    baseline = run()
+
+    killed: list = []
+    killer = threading.Thread(target=_kill_one_busy_worker, args=(killed,))
+    killer.start()
+    try:
+        result = run()
+    finally:
+        killer.join()
+
+    assert result.equals(baseline)
+    # the kill may have landed between stages; the test is only
+    # meaningful when a worker actually died, so surface that
+    if not killed:
+        pytest.skip("no busy worker observed to kill (run too fast)")
