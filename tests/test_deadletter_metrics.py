@@ -60,3 +60,22 @@ def test_dead_letter_and_stage_metrics(ray_session, tmp_path):
     with open(os.path.join(out_dir, "metrics.json")) as f:
         metrics = json.load(f)
     assert metrics["group-00000/route"]["rows"] == 500
+
+
+def test_prometheus_exposition_format():
+    from vector_ray.state.metrics import to_prometheus
+
+    snap = {
+        "parse": {"rows": 100, "bytes": 2048, "batches": 4, "errors": 0},
+        'we"ird': {"rows": 1, "bytes": 2, "batches": 1, "errors": 1},
+    }
+    text = to_prometheus(snap)
+    assert text.endswith("\n")
+    assert '# TYPE vector_ray_rows_total counter' in text
+    assert 'vector_ray_rows_total{component="parse"} 100' in text
+    assert 'vector_ray_errors_total{component="we\\"ird"} 1' in text
+    # every non-comment line: metric{label} value
+    for line in text.strip().split("\n"):
+        if line.startswith("#"):
+            continue
+        assert "} " in line and line.startswith("vector_ray_")

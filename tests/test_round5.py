@@ -643,3 +643,79 @@ def test_training_batches_plain_unchanged(ray_session):
     out = list(training_batches(_chunks_ds(), batch_size=4, chunk_len=8))
     assert len(out) == 10
     assert all(isinstance(m, np.ndarray) and m.shape == (4, 8) for m in out)
+
+
+# ---------------------------------------------------------------------------
+# cosine_join
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_join_hand_reference(ray_session):
+    from vector_ray.functions.similarity import cosine_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(2)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.1], [-1.0, 0.0]], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = _collect(cosine_join(left, right, threshold=0.5))
+    got = {(a, b): c for a, b, c in zip(out["a"].to_pylist(),
+                                        out["b"].to_pylist(),
+                                        out["cosine"].to_pylist())}
+    assert set(got) == {(0, 1)}       # only the aligned pair passes 0.5
+    assert got[(0, 1)] > 0.99
+
+
+def test_cosine_join_empty_right_raises(ray_session):
+    from vector_ray.functions.similarity import cosine_join
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32())),
+            }
+        )
+    )
+    with pytest.raises(ValueError):
+        cosine_join(ds, ds.filter(lambda r: False), threshold=0.5)
+
+
+def test_cosine_join_spec_transform(ray_session):
+    from vector_ray import run_pipeline
+
+    rows = [
+        {"vec_id": i, "embedding": [1.0, 0.0] if i % 2 == 0 else [0.9, 0.1]}
+        for i in range(8)
+    ]
+    res = run_pipeline(
+        {
+            "sources": {"all": {"type": "inline", "rows": rows}},
+            "transforms": {
+                "corpus": {"type": "filter", "inputs": ["all"],
+                           "condition": ".vec_id % 2 == 0"},
+                "probes": {"type": "filter", "inputs": ["all"],
+                           "condition": ".vec_id % 2 == 1"},
+                "cj": {"type": "cosine_join", "inputs": ["corpus"],
+                       "right": "probes", "threshold": 0.9},
+            },
+            "sinks": {"o": {"type": "collect", "inputs": ["cj"]}},
+        }
+    ).sinks["o"].table
+    assert res.num_rows == 16  # 4 corpus x 4 probes, all above 0.9
+    assert set(res.column_names) == {"a", "b", "cosine"}

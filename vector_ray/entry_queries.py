@@ -4436,6 +4436,30 @@ def q_negative_samples(sf_dir: str):
     return negative_samples(ds, k=4)
 
 
+def q_cosine_join(sf_dir: str):
+    """Two-table cosine similarity join (functions/similarity.py
+    cosine_join): even-id vectors stream against the broadcast odd-id
+    probe matrix; every pair with rounded cosine >= 0.35 is emitted.
+    The probe-set shape: eval queries vs corpus, one matmul per batch,
+    no shuffle."""
+    from vector_ray.functions.similarity import cosine_join
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), 0))
+
+    def odd(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), 1))
+
+    return cosine_join(
+        ds.map_batches(even, batch_format="pyarrow"),
+        ds.map_batches(odd, batch_format="pyarrow"),
+        threshold=0.35,
+    )
+
+
 def q_mode_events(sf_dir: str):
     """Distributed majority vote (stages/shuffle.py mode_per_key): each
     user's modal event type with vote count, total and agreement share
@@ -4600,6 +4624,7 @@ QUERIES = {
     "negative_samples_corpus": q_negative_samples,
     "skipgram_corpus": q_skipgram,
     "mode_events": q_mode_events,
+    "cosine_join_embeddings": q_cosine_join,
     "near_dedupe_best_documents": q_near_dedupe_best,
     "compression_documents": q_compression_documents,
     "pq_codes_embeddings": q_pq_codes_embeddings,
@@ -7295,6 +7320,16 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN g.n < 25 THEN '*' ELSE q.event_type END AS event_type, "
         "CASE WHEN g.n < 25 THEN -1 ELSE q.vbucket END AS vbucket "
         "FROM q JOIN g USING (event_type, vbucket)"
+    )
+    sql["cosine_join_embeddings"] = (
+        # threshold on the double-rounded value on BOTH sides (same
+        # boundary guard as embedding_dups)
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "  FROM embeddings) "
+        "SELECT a.vec_id AS a, b.vec_id AS b, "
+        "ROUND(ROUND(list_cosine_similarity(a.v, b.v), 9), 6) AS cosine "
+        "FROM e a JOIN e b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1 "
+        "WHERE ROUND(ROUND(list_cosine_similarity(a.v, b.v), 9), 6) >= 0.35"
     )
     sql["mode_events"] = (
         "WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) "

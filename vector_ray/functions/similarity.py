@@ -608,3 +608,65 @@ def hard_negatives(
     partials = ds.map_batches(score, batch_format="pyarrow")
     return topk_per_key(partials, key="aid", order_by="sim", k=1,
                         descending=True, tiebreak="cand")
+
+
+def cosine_join(
+    left_ds,
+    right_ds,
+    threshold: float = 0.4,
+    id_field: str = "vec_id",
+    right_id_field: str | None = None,
+    field: str = "embedding",
+    round_to: int = 6,
+):
+    """All-pairs cosine similarity join between TWO tables: every
+    (left, right) pair with rounded cosine >= ``threshold`` — the
+    retrieval-eval / probe-set shape (eval queries vs corpus,
+    new-batch vs blocklist).
+
+    The RIGHT side is the bounded probe set: it is collected once and
+    broadcast as a normalized matrix via ray.put (document the bound —
+    at corpus scale the probe set is the small side by construction;
+    for two unbounded sides use the LSH-bucketed self-join path of
+    ``embedding_dup_pairs``). The left side streams one matmul per
+    batch; the threshold applies to the double-rounded value on both
+    engine and oracle sides so last-ulp differences cannot flip
+    membership at the boundary."""
+    rid = right_id_field or id_field
+    from vector_ray.functions.embeddings import _collect, _matrix
+
+    probe = _collect(right_ds.select_columns([rid, field]))
+    if probe.num_rows == 0:
+        raise ValueError("cosine_join: empty right side")
+    r_ids = np.asarray(probe[rid].to_numpy(zero_copy_only=False), np.int64)
+    r_mat = _normalize(_matrix(probe, field))
+    model = ray.put((r_ids, r_mat))
+
+    def score(t: pa.Table, mref=model) -> pa.Table:
+        rids, rmat = ray.get(mref)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        mat = _embedding_matrix(t, field)
+        ids = np.asarray(t[id_field].to_numpy(zero_copy_only=False), np.int64)
+        sims = round_sql_np(
+            round_sql_np(_normalize(mat) @ rmat.T, 9), round_to
+        )
+        li, ri = np.nonzero(sims >= threshold)
+        if not len(li):
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(ids[li], pa.int64()),
+                "b": pa.array(rids[ri], pa.int64()),
+                "cosine": pa.array(sims[li, ri], pa.float64()),
+            }
+        )
+
+    return left_ds.map_batches(score, batch_format="pyarrow")

@@ -119,6 +119,31 @@ def _profile(ds, options, ctx=None):
     )
 
 
+
+def _cosine_join(ds, options, ctx=None):
+    """Two-input cosine similarity join as a spec transform
+    (functions/similarity.py cosine_join): {"type": "cosine_join",
+    "inputs": ["corpus"], "right": "probes", "threshold": 0.4}. The
+    right node is the bounded probe set (broadcast once); same
+    ``right`` node-ref plumbing as "join"."""
+    from vector_ray.functions.similarity import cosine_join
+
+    right = options.get("_right_ds")
+    if right is None:
+        raise ValueError(
+            "cosine_join requires a 'right' option naming an upstream node"
+        )
+    return cosine_join(
+        ds,
+        right,
+        threshold=float(options.get("threshold", 0.4)),
+        id_field=options.get("id_field", "vec_id"),
+        right_id_field=options.get("right_id_field"),
+        field=options.get("field", "embedding"),
+        round_to=int(options.get("round", 6)),
+    )
+
+
 TRANSFORMS = {
     "remap": core.remap,
     "filter": core.filter_,
@@ -166,6 +191,7 @@ TRANSFORMS = {
     "topk_per_key": _topk_per_key,
     "join": _join,
     "asof_join": _asof_join,
+    "cosine_join": _cosine_join,
     "log_templates": reshape.log_templates,
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,

@@ -62,3 +62,33 @@ def instrument(ds, component: str, hub):
         return batch
 
     return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def to_prometheus(snapshot: dict, prefix: str = "vector_ray") -> str:
+    """Render a MetricsHub snapshot in the Prometheus text exposition
+    format (v0.0.4, public spec) — the pull-endpoint payload an ops
+    stack scrapes. Counter semantics match the reference's NodeMetrics
+    (received/sent totals per component, messages.rs:103-122):
+
+        vector_ray_rows_total{component="parse"} 16000
+        vector_ray_bytes_total{component="parse"} 5242880
+        ...
+
+    Pure formatting — no Ray calls; pass ``safe_snapshot(hub)``."""
+    names = {
+        "rows": ("rows_total", "Rows processed per component"),
+        "bytes": ("bytes_total", "Bytes processed per component"),
+        "batches": ("batches_total", "Batches processed per component"),
+        "errors": ("errors_total", "Errors recorded per component"),
+    }
+    lines: list[str] = []
+    for key, (suffix, help_text) in names.items():
+        metric = f"{prefix}_{suffix}"
+        lines.append(f"# HELP {metric} {help_text}")
+        lines.append(f"# TYPE {metric} counter")
+        for component in sorted(snapshot):
+            value = snapshot[component].get(key, 0)
+            label = component.replace("\\", "\\\\").replace('"', '\\"')
+            out = int(value) if float(value).is_integer() else value
+            lines.append(f'{metric}{{component="{label}"}} {out}')
+    return "\n".join(lines) + "\n"
