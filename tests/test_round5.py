@@ -719,3 +719,69 @@ def test_cosine_join_spec_transform(ray_session):
     ).sinks["o"].table
     assert res.num_rows == 16  # 4 corpus x 4 probes, all above 0.9
     assert set(res.column_names) == {"a", "b", "cosine"}
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_drift_hand_reference(ray_session):
+    from vector_ray.functions.dataops import psi_drift
+
+    # key "s": identical halves -> PSI ~ 0 (exactly 0 with symmetry);
+    # key "m": all mass moves bucket 0 -> 1 between halves -> large PSI
+    rows = (
+        [("s", 0, 0)] * 5 + [("s", 1, 0)] * 5
+        + [("s", 0, 1)] * 5 + [("s", 1, 1)] * 5
+        + [("m", 0, 0)] * 10 + [("m", 1, 1)] * 10
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows]),
+                "vb": pa.array([r[1] for r in rows], pa.int64()),
+                "half": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = psi_drift(ds, key="k", bucket="vb", half="half")
+    got = {
+        k: (r, c, p)
+        for k, r, c, p in zip(out["k"].to_pylist(), out["n_ref"].to_pylist(),
+                              out["n_cur"].to_pylist(), out["psi"].to_pylist())
+    }
+    assert got["s"] == (10, 10, 0.0)
+    assert got["m"][0] == 10 and got["m"][1] == 10
+    assert got["m"][2] > 1.0  # total shift reads as major drift
+
+    import math
+
+    def rha(x, nd):
+        s = 10.0 ** nd
+        return math.copysign(math.floor(abs(x) * s + 0.5) / s, x)
+
+    # hand formula for "m": buckets {0: (10,0), 1: (0,10)}, nb=2.
+    # Both buckets contribute the same |term| with the same sign
+    # ((q-p)·ln(q/p) is symmetric under swapping p and q), so psi = 2·t0
+    p0, q0 = 11 / 12, 1 / 12
+    t0 = rha((q0 - p0) * math.log(q0 / p0), 9)
+    want = rha(rha(t0 * 2, 9), 6)
+    assert got["m"][2] == pytest.approx(want, abs=1e-9)
+
+
+def test_psi_spec_transform(ray_session):
+    from vector_ray import run_pipeline
+
+    rows = ([{"k": "a", "vb": 0, "half": 0}] * 10
+            + [{"k": "a", "vb": 3, "half": 1}] * 10)
+    res = run_pipeline(
+        {
+            "sources": {"e": {"type": "inline", "rows": rows}},
+            "transforms": {"p": {"type": "psi", "inputs": ["e"],
+                                 "key": "k", "bucket": "vb",
+                                 "half": "half"}},
+            "sinks": {"o": {"type": "collect", "inputs": ["p"]}},
+        }
+    ).sinks["o"].table
+    assert res.num_rows == 1 and res["psi"][0].as_py() > 1.0

@@ -4436,6 +4436,34 @@ def q_negative_samples(sf_dir: str):
     return negative_samples(ds, k=4)
 
 
+def q_psi_events(sf_dir: str):
+    """Population-stability-index drift per event type (functions/
+    dataops.py psi_drift): value distribution of the second half of
+    January vs the first, Laplace-smoothed over the union bucket set.
+    One bounded two-phase histogram; per-term round-9 before the sum
+    (the bm25 oracle-parity trick)."""
+    from vector_ray.functions.dataops import psi_drift
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    split = pa.scalar(
+        __import__("datetime").datetime(2024, 1, 16), pa.timestamp("us")
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "vb": pc.cast(pc.floor(pc.divide(t["value"], 25.0)),
+                              pa.int64()),
+                "half": pc.cast(pc.greater_equal(t["ts"], split), pa.int64()),
+            }
+        )
+
+    return psi_drift(ds.map_batches(tag, batch_format="pyarrow"),
+                     key="event_type", bucket="vb", half="half")
+
+
 def q_cosine_join(sf_dir: str):
     """Two-table cosine similarity join (functions/similarity.py
     cosine_join): even-id vectors stream against the broadcast odd-id
@@ -4625,6 +4653,7 @@ QUERIES = {
     "skipgram_corpus": q_skipgram,
     "mode_events": q_mode_events,
     "cosine_join_embeddings": q_cosine_join,
+    "psi_events": q_psi_events,
     "near_dedupe_best_documents": q_near_dedupe_best,
     "compression_documents": q_compression_documents,
     "pq_codes_embeddings": q_pq_codes_embeddings,
@@ -7320,6 +7349,34 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN g.n < 25 THEN '*' ELSE q.event_type END AS event_type, "
         "CASE WHEN g.n < 25 THEN -1 ELSE q.vbucket END AS vbucket "
         "FROM q JOIN g USING (event_type, vbucket)"
+    )
+    sql["psi_events"] = (
+        # Laplace-smoothed PSI; p/q/term expressions mirror
+        # functions/dataops.py psi_drift, each term rounded to 9
+        # before the sum (bm25 parity trick)
+        "WITH f AS (SELECT event_type, "
+        "  CAST(floor(value/25) AS BIGINT) AS vb, "
+        "  CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h "
+        "  FROM events), "
+        "c AS (SELECT event_type, vb, h, COUNT(*) AS n FROM f "
+        "  GROUP BY 1, 2, 3), "
+        "b AS (SELECT event_type, vb, "
+        "  COALESCE(SUM(CASE WHEN h = 0 THEN n END), 0) AS cr, "
+        "  COALESCE(SUM(CASE WHEN h = 1 THEN n END), 0) AS cc "
+        "  FROM c GROUP BY 1, 2), "
+        "t AS (SELECT event_type, COUNT(*) AS nb, SUM(cr) AS nr, "
+        "  SUM(cc) AS nc FROM b GROUP BY 1), "
+        "pq AS (SELECT b.event_type, "
+        "  (b.cr + 1.0) / (t.nr + t.nb) AS p, "
+        "  (b.cc + 1.0) / (t.nc + t.nb) AS q "
+        "  FROM b JOIN t USING (event_type)), "
+        "terms AS (SELECT event_type, "
+        "  ROUND((q - p) * ln(q / p), 9) AS term FROM pq) "
+        "SELECT t.event_type, CAST(t.nr AS BIGINT) AS n_ref, "
+        "CAST(t.nc AS BIGINT) AS n_cur, "
+        "ROUND(ROUND(s.psum, 9), 6) AS psi "
+        "FROM t JOIN (SELECT event_type, SUM(term) AS psum "
+        "  FROM terms GROUP BY 1) s USING (event_type)"
     )
     sql["cosine_join_embeddings"] = (
         # threshold on the double-rounded value on BOTH sides (same

@@ -120,6 +120,7 @@ MOVEMENT = {
     "skipgram": "narrow",  # 2*window shifted views per block, no shuffle
     "mode": "hybrid",  # (key,value) count partials -> top-1 + totals join
     "cosine_join": "broadcast",  # bounded probe matrix down, one matmul per block
+    "psi": "hybrid",  # bounded (key,bucket,half) count partials -> tiny finalize
     # dense time-series family
     "gapfill": "shuffle",  # bounds partials up, then one groupby on key
     "seasonal_z": "hybrid",  # tumbling partials -> gapfill shuffle -> slot zscore

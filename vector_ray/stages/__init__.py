@@ -256,6 +256,7 @@ TRANSFORMS = {
     "negative_samples": curate.negative_samples,
     "skipgram": curate.skipgram,
     "mode": curate.mode,
+    "psi": curate.psi,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

@@ -485,3 +485,22 @@ def mode(ds, options: dict, ctx=None):
         num_buckets=int(options.get("num_buckets", 32)),
         round_to=int(options.get("round", 6)),
     )
+
+
+def psi(ds, options: dict, ctx=None):
+    """{"type": "psi", "key": "event_type", "bucket": "vb",
+        "half": "half"} — columns pre-derived upstream (remap).
+    psi_drift finalizes to one tiny Arrow table (bounded by the
+    discretization); re-wrap it so downstream nodes see a Dataset."""
+    import ray.data as rd
+
+    from vector_ray.functions.dataops import psi_drift
+
+    out = psi_drift(
+        ds,
+        key=options["key"],
+        bucket=options["bucket"],
+        half=options["half"],
+        round_to=int(options.get("round", 6)),
+    )
+    return rd.from_arrow(out)
