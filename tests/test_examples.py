@@ -203,3 +203,16 @@ def test_privacy_release_example(ray_session):
     assert masked.num_rows == risky_n  # suppression count == audit count
     out = pq.read_table("/tmp/vector_ray_examples/privacy/outliers")
     assert out.num_rows == 1000 and "hbos" in out.column_names
+
+
+def test_contrastive_prep_example(ray_session):
+    shutil.rmtree("/tmp/vector_ray_examples/contrastive", ignore_errors=True)
+    _run("examples/contrastive_prep.toml")
+    pairs = pq.read_table("/tmp/vector_ray_examples/contrastive/pairs")
+    assert pairs.num_rows > 0
+    assert {"doc_id", "i", "c", "ctx", "d"} <= set(pairs.column_names)
+    negs = pq.read_table("/tmp/vector_ray_examples/contrastive/negatives")
+    assert negs.num_rows == 2 * 500  # k=2 draws per sf0.001 document
+    hard = pq.read_table("/tmp/vector_ray_examples/contrastive/hardneg")
+    assert hard.num_rows > 0
+    assert {"aid", "cand", "sim"} <= set(hard.column_names)
