@@ -785,3 +785,74 @@ def test_psi_spec_transform(ray_session):
         }
     ).sinks["o"].table
     assert res.num_rows == 1 and res["psi"][0].as_py() > 1.0
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_coverage_guarantee(ray_session):
+    """Any shared substring of >= window + k - 1 tokens must share at
+    least one fingerprint — the paper's correctness property."""
+    from vector_ray.functions.dedup import winnow_fingerprints
+
+    rng = np.random.default_rng(4)
+    shared = rng.integers(0, 1000, size=12).tolist()   # 12 >= 4 + 4 - 1
+    a = rng.integers(0, 1000, size=20).tolist() + shared
+    b = shared + rng.integers(0, 1000, size=17).tolist()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["A", "B"]),
+                "tokens": pa.array([a, b], pa.list_(pa.int32())),
+            }
+        )
+    ).repartition(2)
+    out = _collect(winnow_fingerprints(ds, k=4, window=4))
+    fps = {}
+    for d, f in zip(out["doc_id"].to_pylist(), out["fp"].to_pylist()):
+        fps.setdefault(d, set()).add(f)
+    assert fps["A"] & fps["B"]  # at least one shared fingerprint
+
+
+def test_winnow_density_and_boundaries(ray_session):
+    from vector_ray.functions.dedup import winnow_fingerprints
+
+    rng = np.random.default_rng(9)
+    docs = [rng.integers(0, 5000, size=200).tolist() for _ in range(10)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(10)]),
+                "tokens": pa.array(docs, pa.list_(pa.int32())),
+            }
+        )
+    )
+    one_block = _collect(winnow_fingerprints(ds.repartition(1)))
+    many = _collect(winnow_fingerprints(ds.repartition(5)))
+    key = lambda t: sorted(zip(t["doc_id"].to_pylist(),
+                               t["pos"].to_pylist(), t["fp"].to_pylist()))
+    assert key(one_block) == key(many)  # doc boundaries, not block layout
+    # expected density ~ 2/(w+1) = 0.4 of gram positions
+    n_grams = sum(len(d) - 3 for d in docs)
+    assert 0.2 < one_block.num_rows / n_grams < 0.6
+    # positions are valid 1-based gram indices
+    for d, p in zip(one_block["doc_id"].to_pylist(),
+                    one_block["pos"].to_pylist()):
+        assert 1 <= p <= 200 - 3
+
+
+def test_winnow_short_docs_empty(ray_session):
+    from vector_ray.functions.dedup import winnow_fingerprints
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["x", "y"]),
+                "tokens": pa.array([[1, 2, 3], []], pa.list_(pa.int32())),
+            }
+        )
+    )
+    out = _collect(winnow_fingerprints(ds, k=4, window=4))
+    assert out.num_rows == 0

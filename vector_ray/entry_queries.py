@@ -4436,6 +4436,31 @@ def q_negative_samples(sf_dir: str):
     return negative_samples(ds, k=4)
 
 
+def q_winnow(sf_dir: str):
+    """Winnowing document fingerprints (functions/dedup.py
+    winnow_fingerprints, Schleimer et al. 2003): per doc, the distinct
+    (position, hash) pairs selected by rightmost-min over sliding
+    4-windows of 4-token gram hashes — guaranteed-coverage local
+    fingerprints for plagiarism/attribution. Pure narrow pass over a
+    1-in-20 doc sample; gram arithmetic bit-reproducible in SQL."""
+    from vector_ray.functions.dedup import winnow_fingerprints
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+
+    def sample(t: pa.Table) -> pa.Table:
+        did = pc.cast(
+            pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % 20 == 0))
+
+    return winnow_fingerprints(
+        ds.map_batches(sample, batch_format="pyarrow"), k=4, window=4
+    )
+
+
 def q_psi_events(sf_dir: str):
     """Population-stability-index drift per event type (functions/
     dataops.py psi_drift): value distribution of the second half of
@@ -4654,6 +4679,7 @@ QUERIES = {
     "mode_events": q_mode_events,
     "cosine_join_embeddings": q_cosine_join,
     "psi_events": q_psi_events,
+    "winnow_corpus": q_winnow,
     "near_dedupe_best_documents": q_near_dedupe_best,
     "compression_documents": q_compression_documents,
     "pq_codes_embeddings": q_pq_codes_embeddings,
@@ -7349,6 +7375,31 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN g.n < 25 THEN '*' ELSE q.event_type END AS event_type, "
         "CASE WHEN g.n < 25 THEN -1 ELSE q.vbucket END AS vbucket "
         "FROM q JOIN g USING (event_type, vbucket)"
+    )
+    sql["winnow_corpus"] = (
+        # same (t+1)-offset mod-(2^31-1) polynomial fold as
+        # token_minhash (every intermediate < 2^52, exact in BIGINT);
+        # rightmost-min per window via ROW_NUMBER (s ASC, p DESC)
+        "WITH d0 AS (SELECT doc_id, tokens "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}') "
+        "  WHERE CAST(doc_id[5:] AS BIGINT) % 20 = 0 "
+        "  AND len(tokens) >= 4), "
+        "g AS (SELECT doc_id, p, "
+        "  ((((CAST(tokens[p] AS BIGINT) + 1) % 2147483647 * 1000003 "
+        "     + tokens[p+1] + 1) % 2147483647 * 1000003 "
+        "     + tokens[p+2] + 1) % 2147483647 * 1000003 "
+        "     + tokens[p+3] + 1) % 2147483647 AS s "
+        "  FROM (SELECT doc_id, tokens, "
+        "    unnest(generate_series(1, len(tokens) - 3)) AS p FROM d0)), "
+        "ng AS (SELECT doc_id, MAX(p) AS m FROM g GROUP BY 1), "
+        "wnd AS (SELECT doc_id, unnest(generate_series(1, m - 3)) AS ws "
+        "  FROM ng WHERE m >= 4), "
+        "rk AS (SELECT g.doc_id, g.p, g.s, "
+        "  ROW_NUMBER() OVER (PARTITION BY g.doc_id, w.ws "
+        "    ORDER BY g.s ASC, g.p DESC) AS r "
+        "  FROM wnd w JOIN g ON g.doc_id = w.doc_id "
+        "  AND g.p BETWEEN w.ws AND w.ws + 3) "
+        "SELECT DISTINCT doc_id, p AS pos, s AS fp FROM rk WHERE r = 1"
     )
     sql["psi_events"] = (
         # Laplace-smoothed PSI; p/q/term expressions mirror

@@ -121,6 +121,7 @@ MOVEMENT = {
     "mode": "hybrid",  # (key,value) count partials -> top-1 + totals join
     "cosine_join": "broadcast",  # bounded probe matrix down, one matmul per block
     "psi": "hybrid",  # bounded (key,bucket,half) count partials -> tiny finalize
+    "winnow": "narrow",  # sliding-window argmin per block, no shuffle
     # dense time-series family
     "gapfill": "shuffle",  # bounds partials up, then one groupby on key
     "seasonal_z": "hybrid",  # tumbling partials -> gapfill shuffle -> slot zscore

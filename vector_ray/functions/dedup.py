@@ -1170,3 +1170,103 @@ def keep_best(
         )
 
     return flagged.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+# the MOSS local fingerprinting scheme, public definition)
+# ---------------------------------------------------------------------------
+
+_WINNOW_MOD = 2147483647      # 2^31 - 1, same fold modulus as token_minhash
+_WINNOW_MULT = 1000003
+
+
+def _winnow_gram_hashes(values: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial fold of k-token grams over flat token values, exact in
+    int64 (every intermediate < 2^52): the same (t+1)-offset
+    mod-(2^31-1) arithmetic as token_minhash, one more fold per extra
+    gram token — bit-reproducible in SQL BIGINT."""
+    v = values.astype(np.int64)
+    if len(v) < k:
+        return np.empty(0, dtype=np.int64)
+    h = (v[: len(v) - k + 1] + 1) % _WINNOW_MOD
+    for j in range(1, k):
+        h = (h * _WINNOW_MULT + v[j: len(v) - k + 1 + j] + 1) % _WINNOW_MOD
+    return h
+
+
+def winnow_fingerprints(
+    ds,
+    k: int = 4,
+    window: int = 4,
+    id_field: str = "doc_id",
+    token_field: str = "tokens",
+):
+    """Winnowing document fingerprints: hash every k-token gram, then in
+    each sliding window of ``window`` consecutive gram hashes select the
+    minimum (ties -> RIGHTMOST position, the paper's robust rule) and
+    emit the distinct selected (position, hash) pairs per document.
+    Guarantees: any shared substring of length >= window + k − 1 tokens
+    produces at least one shared fingerprint, and fingerprint density is
+    ~2/(window+1) — the plagiarism/attribution-grade local fingerprint
+    (far more robust than one whole-doc hash).
+
+    Pure narrow pass: flat gram hashes + a numpy sliding-window argmin
+    per block; windows never cross documents; no shuffle. Output
+    (doc_id, pos, fp) with 1-based gram position."""
+    from vector_ray.functions.tokens import _flat_tokens
+
+    def fps(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_field: t[id_field].take(pa.array([], pa.int32())),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.int64()),
+            }
+        )
+        values, offsets = _flat_tokens(t, token_field)
+        if len(values) < k:
+            return empty
+        lens = np.diff(offsets)
+        g = _winnow_gram_hashes(values, k)            # flat gram hashes
+        grow = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[
+            : len(g)
+        ]
+        # gram at flat index p is valid when all k tokens share a row
+        gvalid = grow == np.repeat(
+            np.arange(len(lens), dtype=np.int64), lens
+        )[k - 1: k - 1 + len(g)]
+        if len(g) < window:
+            return empty
+        swv = np.lib.stride_tricks.sliding_window_view(g, window)
+        # window valid when its first and last grams share a row AND
+        # every gram inside is row-valid
+        wrow = grow[: len(swv)]
+        wok = (
+            (wrow == grow[window - 1: window - 1 + len(swv)])
+            & np.lib.stride_tricks.sliding_window_view(
+                gvalid, window
+            ).all(axis=1)
+        )
+        if not wok.any():
+            return empty
+        # rightmost-min: argmin over the REVERSED window
+        rev = np.argmin(swv[:, ::-1], axis=1)
+        sel = np.arange(len(swv), dtype=np.int64) + (window - 1 - rev)
+        sel = sel[wok]
+        rows = grow[sel]
+        # 1-based gram position within the document
+        pos = sel - offsets[rows] + 1
+        # distinct (row, pos) — adjacent windows reselect the same min
+        key = rows * (np.int64(1) << 32) + pos
+        _, first = np.unique(key, return_index=True)
+        sel, rows, pos = sel[first], rows[first], pos[first]
+        return pa.table(
+            {
+                id_field: t[id_field].take(pa.array(rows)),
+                "pos": pa.array(pos, pa.int64()),
+                "fp": pa.array(g[sel], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fps, batch_format="pyarrow")

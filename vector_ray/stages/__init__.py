@@ -257,6 +257,7 @@ TRANSFORMS = {
     "skipgram": curate.skipgram,
     "mode": curate.mode,
     "psi": curate.psi,
+    "winnow": curate.winnow,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

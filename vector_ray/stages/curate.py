@@ -504,3 +504,16 @@ def psi(ds, options: dict, ctx=None):
         round_to=int(options.get("round", 6)),
     )
     return rd.from_arrow(out)
+
+
+def winnow(ds, options: dict, ctx=None):
+    """{"type": "winnow", "k": 4, "window": 4, "id_field": "doc_id"}"""
+    from vector_ray.functions.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        ds,
+        k=int(options.get("k", 4)),
+        window=int(options.get("window", 4)),
+        id_field=options.get("id_field", "doc_id"),
+        token_field=options.get("token_field", "tokens"),
+    )
