@@ -856,3 +856,53 @@ def test_winnow_short_docs_empty(ray_session):
     )
     out = _collect(winnow_fingerprints(ds, k=4, window=4))
     assert out.num_rows == 0
+
+
+def test_kanonymity_suppress_null_qi(ray_session):
+    # a NULL quasi-identifier forms a combo like any other value: its
+    # at-risk rows must be masked, not silently skipped by the join
+    from vector_ray.functions.dataops import kanonymity
+
+    rows = [
+        (1, "a", 30), (2, "a", 30), (3, "a", 30),
+        (4, None, 30),                      # lone NULL-city row: at risk
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "city": pa.array([r[1] for r in rows], pa.string()),
+                "age": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    out = _collect(
+        kanonymity(ds, ["city", "age"], k=2, mode="suppress",
+                   id_field="event_id")
+    )
+    by_id = {
+        i: (c, a)
+        for i, c, a in zip(out["event_id"].to_pylist(),
+                           out["city"].to_pylist(), out["age"].to_pylist())
+    }
+    assert len(by_id) == 4
+    assert by_id[4] == ("*", -1)            # masked, not dropped/skipped
+    for i in (1, 2, 3):
+        assert by_id[i] == ("a", 30)
+
+
+def test_hbos_and_psi_empty_inputs(ray_session):
+    from vector_ray.functions.dataops import hbos_score, psi_drift
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "f1": pa.array([], pa.int64()),
+                "half": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert _collect(hbos_score(empty, ["f1"])).num_rows == 0
+    out = psi_drift(empty, key="event_id", bucket="f1", half="half")
+    assert out.num_rows == 0

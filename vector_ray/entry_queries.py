@@ -7374,7 +7374,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT q.event_id, "
         "CASE WHEN g.n < 25 THEN '*' ELSE q.event_type END AS event_type, "
         "CASE WHEN g.n < 25 THEN -1 ELSE q.vbucket END AS vbucket "
-        "FROM q JOIN g USING (event_type, vbucket)"
+        # NULL-safe join: rows whose QI contains NULL still belong to a
+        # counted combo and must keep/mask like any other row (the
+        # engine joins on sentinel-encoded keys for the same reason)
+        "FROM q LEFT JOIN g ON q.event_type IS NOT DISTINCT FROM "
+        "g.event_type AND q.vbucket IS NOT DISTINCT FROM g.vbucket"
     )
     sql["winnow_corpus"] = (
         # same (t+1)-offset mod-(2^31-1) polynomial fold as

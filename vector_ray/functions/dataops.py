@@ -460,12 +460,21 @@ def kanonymity(
                           (per-block partial counts, then a small
                           groupby-sum) — the shuffle moves one partial
                           per (combo, block), never raw rows.
-    ``mode="suppress"`` → the row stream with the QI columns of at-risk
-                          rows suppressed to NULL (cell suppression).
+    ``mode="suppress"`` → the row stream with the QI cells of at-risk
+                          rows replaced by sentinels ('*' for strings,
+                          -1 for other types — cell suppression).
                           Plan: the at-risk combo set joins back via ONE
-                          ``bucketed_join`` keyed on the QI columns —
+                          ``bucketed_join`` on NULL-safe derived keys —
                           the risky set is unbounded at corpus scale
                           (every rare combo), so it is never broadcast.
+
+    NULL quasi values are first-class: a combo like (NULL, 3) is
+    counted, flagged, and suppressed like any other. The entire
+    pipeline runs on sentinel-encoded STRING key columns (NULL →
+    ``"\\x00null"``) because both Ray's sort-boundary partitioning
+    (None < str raises in Python) and Arrow's hash join (NULL never
+    equals NULL) mishandle null keys; original values/types are decoded
+    back for the audit output.
 
     Reference mapping: extends the reference's per-component count
     contract (validation/functional_test.rs:206-212) to a row-privacy
@@ -475,8 +484,23 @@ def kanonymity(
     from vector_ray.stages.shuffle import bucketed_join
 
     qcols = list(quasi)
+    schema = ds.schema()
+    qtypes = dict(zip(schema.names, schema.types))
+    null_sent = "\x00null"
+    jkeys = [f"__jk{i}" for i in range(len(qcols))]
+
+    def add_jkeys(t: pa.Table) -> pa.Table:
+        for i, c in enumerate(qcols):
+            t = t.append_column(
+                jkeys[i],
+                pc.fill_null(pc.cast(t[c], pa.string()), null_sent),
+            )
+        return t
+
+    encoded = ds.map_batches(add_jkeys, batch_format="pyarrow")
     audit = aggregate(
-        ds, {"group_by": qcols, "aggregates": {"n": {"fn": "count"}}}
+        encoded.select_columns(jkeys),
+        {"group_by": jkeys, "aggregates": {"n": {"fn": "count"}}},
     )
 
     def flag(t: pa.Table) -> pa.Table:
@@ -486,19 +510,33 @@ def kanonymity(
 
     audit = audit.map_batches(flag, batch_format="pyarrow")
     if mode == "audit":
-        return audit
+
+        def decode(t: pa.Table) -> pa.Table:
+            cols = {}
+            for i, c in enumerate(qcols):
+                jk = t[jkeys[i]]
+                cols[c] = pc.cast(
+                    pc.if_else(pc.equal(jk, null_sent),
+                               pa.scalar(None, pa.string()), jk),
+                    qtypes[c],
+                )
+            cols["n"] = t["n"]
+            cols["at_risk"] = t["at_risk"]
+            return pa.table(cols)
+
+        return audit.map_batches(decode, batch_format="pyarrow")
     if mode != "suppress":
         raise ValueError(f"unknown kanonymity mode {mode!r} (audit | suppress)")
 
-    def risky_keys(t: pa.Table) -> pa.Table:
-        out = t.filter(t["at_risk"]).select(qcols)
+    def risky_jkeys(t: pa.Table) -> pa.Table:
+        out = t.filter(t["at_risk"]).select(jkeys)
         return out.append_column(
             "__risk", pa.array(np.ones(out.num_rows, dtype=bool))
         )
 
-    risky = audit.map_batches(risky_keys, batch_format="pyarrow")
-    rows = ds.select_columns([id_field, *qcols])
-    joined = bucketed_join(rows, risky, key=qcols,
+    risky = audit.map_batches(risky_jkeys, batch_format="pyarrow")
+    rows = encoded.select_columns([id_field, *qcols, *jkeys])
+    joined = bucketed_join(rows, risky, key=jkeys,
                            num_buckets=num_buckets, how="left")
 
     def mask(t: pa.Table) -> pa.Table:
@@ -564,19 +602,30 @@ def hbos_score(
         ds.map_batches(unpivot, batch_format="pyarrow"),
         {"group_by": ["feature", "bucket"], "aggregates": {"n": {"fn": "count"}}},
     )
-    htbl = pa.concat_tables(
-        [t for t in ray.get(hist.materialize().to_arrow_refs()) if t.num_rows]
-    )
+    from vector_ray.functions.embeddings import _collect
+
+    htbl = _collect(hist)
     lookups = {}
     total = 0.0
-    for f in feats:
-        sel = htbl.filter(pc.equal(htbl["feature"], f))
-        buckets = np.asarray(sel["bucket"].to_numpy(zero_copy_only=False), np.int64)
-        counts = np.asarray(sel["n"].to_numpy(zero_copy_only=False), np.float64)
-        order = np.argsort(buckets)
-        lookups[f] = (buckets[order], counts[order])
-        if f == feats[0]:
-            total = float(counts.sum())
+    if htbl.num_rows:
+        for f in feats:
+            sel = htbl.filter(pc.equal(htbl["feature"], f))
+            buckets = np.asarray(
+                sel["bucket"].to_numpy(zero_copy_only=False), np.int64
+            )
+            counts = np.asarray(
+                sel["n"].to_numpy(zero_copy_only=False), np.float64
+            )
+            order = np.argsort(buckets)
+            lookups[f] = (buckets[order], counts[order])
+            if f == feats[0]:
+                total = float(counts.sum())
+    else:
+        # empty input: nothing will be scored, but the broadcast model
+        # must still exist for the (empty) scoring pass
+        lookups = {
+            f: (np.empty(0, np.int64), np.empty(0, np.float64)) for f in feats
+        }
     model = ray.put((lookups, total))
 
     def score(t: pa.Table, mref=model) -> pa.Table:
@@ -621,8 +670,6 @@ def psi_drift(
     the bm25 oracle-parity trick). Output: (key, n_ref, n_cur, psi)."""
     import math
 
-    import ray
-
     from vector_ray.schema import round_sql_np
     from vector_ray.stages.grouped import aggregate
 
@@ -631,9 +678,9 @@ def psi_drift(
         {"group_by": [key, bucket, half],
          "aggregates": {"n": {"fn": "count"}}},
     )
-    htbl = pa.concat_tables(
-        [t for t in ray.get(hist.materialize().to_arrow_refs()) if t.num_rows]
-    )
+    from vector_ray.functions.embeddings import _collect
+
+    htbl = _collect(hist)
     if htbl.num_rows == 0:
         return pa.table(
             {key: pa.array([], pa.string()), "n_ref": pa.array([], pa.int64()),

@@ -370,17 +370,26 @@ def _pq_minmax(ds, field: str) -> tuple[np.ndarray, np.ndarray]:
     return mn, mx
 
 
-def _pq_sample(ds, id_field: str, field: str, sample_size: int) -> pa.Table:
+def _pq_sample(
+    ds,
+    id_field: str,
+    field: str,
+    sample_size: int,
+    extra_columns: tuple = (),
+) -> pa.Table:
     """Deterministic bounded training sample: the ``sample_size`` rows
     with the smallest (id·2654435761 mod 2^32, id) — each block
     pre-prunes to its local bottom-k, so the global sort sees only
-    k×blocks rows (the bottomk_sample plan, order-independent)."""
+    k×blocks rows (the bottomk_sample plan, order-independent). The
+    returned table is hash-ordered and carries ``extra_columns``
+    verbatim (hard_negatives reuses this sampler for its anchor set)."""
+    cols = [id_field, field, *extra_columns]
 
     def local(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_field].to_numpy(zero_copy_only=False), np.uint64)
         h = (ids * np.uint64(_PQ_HASH_MULT)) % np.uint64(1 << 32)
         keep = np.argsort(h, kind="stable")[:sample_size]
-        out = t.select([id_field, field]).take(pa.array(np.sort(keep)))
+        out = t.select(cols).take(pa.array(np.sort(keep)))
         return out.append_column("__h", pa.array(h[np.sort(keep)].astype(np.int64)))
 
     from vector_ray.functions.embeddings import _collect
@@ -550,17 +559,8 @@ def hard_negatives(
     tiny partial rows — never the raw corpus."""
     from vector_ray.stages.shuffle import topk_per_key
 
-    def local(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_field].to_numpy(zero_copy_only=False), np.uint64)
-        h = (ids * np.uint64(_PQ_HASH_MULT)) % np.uint64(1 << 32)
-        keep = np.sort(np.argsort(h, kind="stable")[:n_anchors])
-        out = t.select([id_field, field, label_field]).take(pa.array(keep))
-        return out.append_column("__h", pa.array(h[keep].astype(np.int64)))
-
-    from vector_ray.functions.embeddings import _collect
-
-    pruned = ds.map_batches(local, batch_format="pyarrow")
-    samp = _collect(pruned.sort(["__h", id_field]).limit(n_anchors))
+    samp = _pq_sample(ds, id_field, field, n_anchors,
+                      extra_columns=(label_field,))
     a_ids = np.asarray(samp[id_field].to_numpy(zero_copy_only=False), np.int64)
     a_labels = np.asarray(
         samp[label_field].to_numpy(zero_copy_only=False), np.int64

@@ -88,7 +88,11 @@ def to_prometheus(snapshot: dict, prefix: str = "vector_ray") -> str:
         lines.append(f"# TYPE {metric} counter")
         for component in sorted(snapshot):
             value = snapshot[component].get(key, 0)
-            label = component.replace("\\", "\\\\").replace('"', '\\"')
+            label = (
+                component.replace("\\", "\\\\")
+                .replace('"', '\\"')
+                .replace("\n", "\\n")
+            )
             out = int(value) if float(value).is_integer() else value
             lines.append(f'{metric}{{component="{label}"}} {out}')
     return "\n".join(lines) + "\n"
