@@ -906,3 +906,49 @@ def test_hbos_and_psi_empty_inputs(ray_session):
     assert _collect(hbos_score(empty, ["f1"])).num_rows == 0
     out = psi_drift(empty, key="event_id", bucket="f1", half="half")
     assert out.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# personalized pagerank
+# ---------------------------------------------------------------------------
+
+
+def _star_edges():
+    # hub 0 -> {1..4}, plus a chain 5 -> 6
+    edges = [(0, i) for i in range(1, 5)] + [(5, 6)]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(2)
+
+
+def test_ppr_concentrates_on_seed_neighborhood(ray_session):
+    from vector_ray.functions.graph import pagerank
+
+    plain = pagerank(_star_edges(), iters=6, mode="broadcast")
+    ppr = pagerank(_star_edges(), iters=6, mode="broadcast", seeds=[0])
+    pr = dict(zip(plain["node"].to_pylist(), plain["rank"].to_pylist()))
+    pp = dict(zip(ppr["node"].to_pylist(), ppr["rank"].to_pylist()))
+    # teleporting to the hub concentrates mass there (dangling leaves
+    # recycle to the seed instead of spreading uniformly)
+    assert pp[0] > pr[0]
+    # the disconnected chain gets NO teleport and no in-flow: node 5
+    # is exactly zero, and both chain nodes starve vs plain PR
+    assert pp[5] == 0.0
+    assert pp[5] < pr[5] and pp[6] < pr[6]
+    # a seed successor still dominates the disconnected leaf
+    assert pp[1] > pp[6]
+    assert abs(sum(pp.values()) - 1.0) < 1e-3  # still a distribution
+
+
+def test_ppr_bad_seeds(ray_session):
+    from vector_ray.functions.graph import pagerank
+
+    with pytest.raises(ValueError):
+        pagerank(_star_edges(), mode="broadcast", seeds=[999])
+    with pytest.raises(NotImplementedError):
+        pagerank(_star_edges(), mode="bucketed", seeds=[0])

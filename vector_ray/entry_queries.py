@@ -3650,6 +3650,20 @@ def q_pagerank_events(sf_dir: str):
     )
 
 
+def q_ppr_events(sf_dir: str):
+    """Personalized PageRank (functions/graph.py pagerank seeds=...):
+    teleport restricted to users 1-3 — the "related to these nodes"
+    recommendation ranking over the same click graph. Same broadcast
+    power iteration; rank_0 = s, rank' = (1-d)s + d(contrib +
+    dangling*s)."""
+    from vector_ray.functions.graph import pagerank
+
+    return pagerank(
+        _event_click_edges(sf_dir), iters=4, damping=0.85,
+        mode="broadcast", seeds=[1, 2, 3],
+    )
+
+
 def q_pagerank_events_bucketed(sf_dir: str):
     """Same PageRank via the large-N plan: the rank vector never
     leaves the cluster — per-iteration bucketed hash joins co-partition
@@ -4831,6 +4845,7 @@ QUERIES = {
     "zorder_events": q_zorder_events,
     "pagerank_events": q_pagerank_events,
     "pagerank_events_bucketed": q_pagerank_events_bucketed,
+    "ppr_events": q_ppr_events,
     "hits_events": q_hits_events,
     "pagerank_events_weighted": q_pagerank_events_weighted,
     "components_events": q_components_events,
@@ -5534,7 +5549,8 @@ def _zorder_events_sql() -> str:
 
 
 def _pagerank_events_sql(
-    iters: int = 4, damping: float = 0.85, weighted: bool = False
+    iters: int = 4, damping: float = 0.85, weighted: bool = False,
+    seeds: list | None = None,
 ) -> str:
     """Unrolled power-iteration PageRank over the click graph —
     mechanically the same recurrence the engine runs (same double
@@ -5568,12 +5584,37 @@ def _pagerank_events_sql(
         ]
         contrib = "SUM(r.r / d.outdeg)"
         dang = "WHERE d.node IS NULL"
-    parts += [
-        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), ",
-        "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn), ",
-    ]
+    if seeds is not None:
+        seed_list = ", ".join(str(int(s)) for s in seeds)
+        parts += [
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), ",
+            f"sm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM nodes "
+            f"WHERE node IN ({seed_list})), ",
+            f"sv AS (SELECT node, CASE WHEN node IN ({seed_list}) "
+            "THEN 1.0 / sm.m ELSE 0.0 END AS s FROM nodes, sm), ",
+            "r0 AS (SELECT node, s AS r FROM sv), ",
+        ]
+    else:
+        parts += [
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), ",
+            "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn), ",
+        ]
     for i in range(1, iters + 1):
         p = i - 1
+        if seeds is not None:
+            parts.append(
+                f"c{i} AS (SELECT e.dst AS node, {contrib} AS s "
+                f"FROM edges e JOIN r{p} r ON e.src = r.node "
+                f"JOIN deg d ON e.src = d.node GROUP BY 1), "
+                f"g{i} AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r{p} r "
+                f"LEFT JOIN deg d ON r.node = d.node {dang}), "
+                f"r{i} AS (SELECT nd.node, {one_minus} * sv.s + {d} * "
+                f"(COALESCE(c.s, 0) + g{i}.dm * sv.s) AS r "
+                f"FROM nodes nd CROSS JOIN g{i} "
+                f"JOIN sv ON sv.node = nd.node "
+                f"LEFT JOIN c{i} c ON nd.node = c.node), "
+            )
+            continue
         parts.append(
             f"c{i} AS (SELECT e.dst AS node, {contrib} AS s "
             f"FROM edges e JOIN r{p} r ON e.src = r.node "
@@ -5902,6 +5943,8 @@ def oracle_sql() -> dict[str, str]:
     # recurrence — one unrolled-iteration oracle covers both
     sql["zorder_events"] = _zorder_events_sql()
     sql["pagerank_events"] = _pagerank_events_sql(iters=4, damping=0.85)
+    sql["ppr_events"] = _pagerank_events_sql(
+        iters=4, damping=0.85, seeds=[1, 2, 3])
     sql["pagerank_events_bucketed"] = sql["pagerank_events"]
     sql["logreg_quality_corpus"] = _logreg_quality_sql(
         _seq_glob(ORACLE_TAG), iters=3, lr=0.5

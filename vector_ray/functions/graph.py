@@ -119,6 +119,7 @@ def pagerank(
     num_buckets: int = 32,
     round_to: int = 6,
     weight: str | None = None,
+    seeds: list | None = None,
 ):
     """PageRank over an edge Dataset with integer node ids.
 
@@ -131,6 +132,15 @@ def pagerank(
     edge then carries rank(u) * w(e) / out_strength(u), where
     out_strength sums u's edge weights (an all-zero-weight node is
     dangling). ``weight=None`` is the classic unweighted recurrence.
+
+    ``seeds`` switches to PERSONALIZED PageRank (the "related to these
+    nodes" recommendation shape): the teleport vector becomes uniform
+    over the seed nodes instead of over all nodes — rank_0 = s and
+    rank' = (1−d)·s + d·(contrib + dangling·s), with s = 1/|seeds ∩
+    nodes| on present seeds. Broadcast mode only (the O(N) seed vector
+    is driver state exactly like the rank vector); the bucketed scale
+    path would carry s as a joined column next to rank and is raised
+    as unimplemented rather than silently falling back.
     """
     if mode not in ("auto", "broadcast", "bucketed"):
         raise ValueError(f"pagerank: unknown mode {mode!r}")
@@ -159,7 +169,14 @@ def pagerank(
 
     if mode == "broadcast":
         return _pagerank_broadcast(
-            ds_edges, deg_ds, src, dst, iters, damping, round_to, weight
+            ds_edges, deg_ds, src, dst, iters, damping, round_to, weight,
+            seeds=seeds,
+        )
+    if seeds is not None:
+        raise NotImplementedError(
+            "personalized pagerank is broadcast-mode only for now; the "
+            "bucketed plan would carry the seed vector as a column "
+            "joined next to rank"
         )
     return _pagerank_bucketed(
         ds_edges, deg_ds, src, dst, iters, damping, num_buckets, round_to,
@@ -175,14 +192,25 @@ def pagerank(
 
 
 def _pagerank_broadcast(
-    ds_edges, deg_ds, src, dst, iters, damping, round_to, weight=None
+    ds_edges, deg_ds, src, dst, iters, damping, round_to, weight=None,
+    seeds=None,
 ) -> pa.Table:
     deg_t = _collect(deg_ds).sort_by("node")
     nodes = _np_col(deg_t, "node")
     outdeg = _np_col(deg_t, "outdeg", np.float64)
     n = float(len(nodes))
-    base = (1.0 - damping) / n
-    rank = np.full(len(nodes), 1.0 / n, np.float64)
+    one_minus = 1.0 - damping
+    if seeds is not None:
+        mask = np.isin(nodes, np.asarray(list(seeds), dtype=nodes.dtype))
+        m = float(mask.sum())
+        if m == 0:
+            raise ValueError("pagerank: no seed node present in the graph")
+        sv = mask.astype(np.float64) / m
+        rank = sv.copy()
+    else:
+        sv = None
+        rank = np.full(len(nodes), 1.0 / n, np.float64)
+    base = one_minus / n
     has_out = outdeg > 0
     nodes_ref = ray.put(nodes)
 
@@ -217,7 +245,10 @@ def _pagerank_broadcast(
         if merged.num_rows:
             pos = np.searchsorted(nodes, _np_col(merged, "node"))
             cvec[pos] = _np_col(merged, "sum(contrib)", np.float64)
-        rank = base + damping * (cvec + dangling / n)
+        if sv is not None:
+            rank = one_minus * sv + damping * (cvec + dangling * sv)
+        else:
+            rank = base + damping * (cvec + dangling / n)
 
     return pa.table(
         {
