@@ -952,3 +952,56 @@ def test_ppr_bad_seeds(ray_session):
         pagerank(_star_edges(), mode="broadcast", seeds=[999])
     with pytest.raises(NotImplementedError):
         pagerank(_star_edges(), mode="bucketed", seeds=[0])
+
+
+# ---------------------------------------------------------------------------
+# texttile
+# ---------------------------------------------------------------------------
+
+
+def test_texttile_hand_reference(ray_session):
+    from vector_ray.functions.text import texttile
+
+    # 3 blocks of 4 words: blocks 0/1 share nothing -> dot 0 at gap 1;
+    # block 1 has one "x", block 2 has two -> dot 1*2=2 at gap 2; only
+    # two gaps, neither interior -> no boundary flagged
+    text1 = "a b c d e f g x x x y z"
+    # 4 blocks: cohesive-weak-cohesive around gap 2 -> boundary at g=2
+    text2 = ("p p p p " + "p q r s " + "t u v w " + "t t t t").strip()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([text1, text2]),
+            }
+        )
+    ).repartition(2)
+    out = _collect(texttile(ds, block_words=4))
+    got = {
+        (d, g): (dot, b)
+        for d, g, dot, b in zip(out["doc_id"].to_pylist(),
+                                out["g"].to_pylist(),
+                                out["dot"].to_pylist(),
+                                out["boundary"].to_pylist())
+    }
+    assert got[(1, 1)] == (0, False)
+    assert got[(1, 2)] == (2, False)       # x(2)*x(1)=2
+    # doc 2 gap dots: g1 = p4*p1 = 4; g2 = 0; g3 = t1*t4 = 4
+    assert got[(2, 1)] == (4, False)
+    assert got[(2, 2)] == (0, True)        # strict local minimum
+    assert got[(2, 3)] == (4, False)
+
+
+def test_texttile_short_docs(ray_session):
+    from vector_ray.functions.text import texttile
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b c", "a b c d e f g h i j k"]),
+            }
+        )
+    )
+    out = _collect(texttile(ds, block_words=10))
+    assert out.num_rows == 0  # <2 full blocks everywhere

@@ -4450,6 +4450,18 @@ def q_negative_samples(sf_dir: str):
     return negative_samples(ds, k=4)
 
 
+def q_texttile(sf_dir: str):
+    """TextTiling topic-boundary detection (functions/text.py
+    texttile): integer bag-of-words dot between adjacent 10-word
+    blocks, boundary = strict local minimum — where a RAG chunker
+    should cut. Pure narrow pass, exact integers."""
+    from vector_ray.functions.text import texttile
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return texttile(ds)
+
+
 def q_winnow(sf_dir: str):
     """Winnowing document fingerprints (functions/dedup.py
     winnow_fingerprints, Schleimer et al. 2003): per doc, the distinct
@@ -4694,6 +4706,7 @@ QUERIES = {
     "cosine_join_embeddings": q_cosine_join,
     "psi_events": q_psi_events,
     "winnow_corpus": q_winnow,
+    "texttile_documents": q_texttile,
     "near_dedupe_best_documents": q_near_dedupe_best,
     "compression_documents": q_compression_documents,
     "pq_codes_embeddings": q_pq_codes_embeddings,
@@ -7422,6 +7435,33 @@ def oracle_sql() -> dict[str, str]:
         # engine joins on sentinel-encoded keys for the same reason)
         "FROM q LEFT JOIN g ON q.event_type IS NOT DISTINCT FROM "
         "g.event_type AND q.vbucket IS NOT DISTINCT FROM g.vbucket"
+    )
+    sql["texttile_documents"] = (
+        # integer block dots + strict-local-min boundary; DuckDB //
+        # is integer division like numpy's
+        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "  FROM documents), "
+        "ln AS (SELECT doc_id, len(w) AS n FROM ws), "
+        "wp AS (SELECT ws.doc_id, unnest(w) AS word, "
+        "  generate_subscripts(w, 1) AS i FROM ws), "
+        "bw AS (SELECT wp.doc_id, word, (i - 1) // 10 AS b "
+        "  FROM wp JOIN ln USING (doc_id) WHERE (i - 1) // 10 < n // 10), "
+        "c AS (SELECT doc_id, b, word, CAST(COUNT(*) AS BIGINT) AS c "
+        "  FROM bw GROUP BY 1, 2, 3), "
+        "dots AS (SELECT a.doc_id, a.b + 1 AS g, SUM(a.c * b2.c) AS dot "
+        "  FROM c a JOIN c b2 ON a.doc_id = b2.doc_id "
+        "  AND a.word = b2.word AND b2.b = a.b + 1 GROUP BY 1, 2), "
+        "gaps AS (SELECT doc_id, unnest(generate_series(1, n // 10 - 1)) "
+        "  AS g FROM ln WHERE n // 10 >= 2), "
+        "dd AS (SELECT gaps.doc_id, gaps.g, "
+        "  CAST(COALESCE(dots.dot, 0) AS BIGINT) AS dot "
+        "  FROM gaps LEFT JOIN dots USING (doc_id, g)), "
+        "fin AS (SELECT doc_id, g, dot, "
+        "  LAG(dot) OVER (PARTITION BY doc_id ORDER BY g) AS pv, "
+        "  LEAD(dot) OVER (PARTITION BY doc_id ORDER BY g) AS nx FROM dd) "
+        "SELECT doc_id, CAST(g AS BIGINT) AS g, dot, "
+        "(pv IS NOT NULL AND nx IS NOT NULL AND dot < pv AND dot < nx) "
+        "  AS boundary FROM fin"
     )
     sql["winnow_corpus"] = (
         # same (t+1)-offset mod-(2^31-1) polynomial fold as

@@ -122,6 +122,7 @@ MOVEMENT = {
     "cosine_join": "broadcast",  # bounded probe matrix down, one matmul per block
     "psi": "hybrid",  # bounded (key,bucket,half) count partials -> tiny finalize
     "winnow": "narrow",  # sliding-window argmin per block, no shuffle
+    "texttile": "narrow",  # per-doc block dots, one lexsort per batch
     # dense time-series family
     "gapfill": "shuffle",  # bounds partials up, then one groupby on key
     "seasonal_z": "hybrid",  # tumbling partials -> gapfill shuffle -> slot zscore

@@ -1068,3 +1068,94 @@ def compression_ratio(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def texttile(
+    ds,
+    field: str = "text",
+    id_field: str = "doc_id",
+    block_words: int = 10,
+):
+    """TextTiling-style topic-boundary detection (Hearst 1997, public
+    definition, integer variant): split each document into consecutive
+    ``block_words``-word blocks (trailing partial block dropped), score
+    every gap between adjacent blocks by the INTEGER dot product of
+    their bag-of-words count vectors, and flag a gap as a boundary when
+    its score is a strict local minimum (lower than both neighboring
+    gaps — interior gaps only). Low lexical cohesion across a gap =
+    topic shift = where a RAG chunker should cut.
+
+    Exact integer arithmetic end-to-end (no float similarity), so the
+    SQL oracle matches bit-for-bit. Pure narrow pass: per batch one
+    np.unique word-coding + one lexsort; documents never span batches;
+    no shuffle. Output (doc_id, g, dot, boundary) with gap g = 1..nb−1
+    between blocks g−1 and g."""
+
+    def gaps(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_field: t[id_field].take(pa.array([], pa.int32())),
+                "g": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+                "boundary": pa.array([], pa.bool_()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        col = pc.fill_null(pc.cast(t[field], pa.string()), "")
+        words = pc.split_pattern(col, pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = np.asarray(words.flatten(), dtype=object)
+        offsets = np.asarray(words.offsets, dtype=np.int64)
+        lens = np.diff(offsets)
+        nb = lens // block_words               # full blocks per doc
+        ngap = np.maximum(nb - 1, 0)
+        if ngap.sum() == 0:
+            return empty
+        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pos = np.arange(len(flat), dtype=np.int64) - offsets[row_of]
+        block = pos // block_words
+        keep = block < nb[row_of]              # drop trailing partial
+        if not keep.any():
+            return empty
+        _, codes = np.unique(flat[keep], return_inverse=True)
+        rows = row_of[keep]
+        blks = block[keep]
+        # count per (row, word, block): sort then run-length encode
+        order = np.lexsort((blks, codes, rows))
+        r, c, b = rows[order], codes[order], blks[order]
+        new = np.ones(len(r), dtype=bool)
+        new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, len(r)))
+        ru, cu, bu = r[starts], c[starts], b[starts]
+        # adjacent entries with same (row, word) and consecutive blocks
+        adj = (
+            (ru[1:] == ru[:-1]) & (cu[1:] == cu[:-1]) & (bu[1:] == bu[:-1] + 1)
+        )
+        prod = counts[:-1][adj] * counts[1:][adj]
+        gap_row = ru[:-1][adj]
+        gap_idx = bu[:-1][adj] + 1             # gap g sits after block g-1
+        # dense per-doc gap arrays via a flat offset layout
+        goff = np.concatenate([[0], np.cumsum(ngap)])
+        dots = np.zeros(int(goff[-1]), dtype=np.int64)
+        np.add.at(dots, goff[gap_row] + gap_idx - 1, prod)
+        out_rows = np.repeat(np.arange(len(lens), dtype=np.int64), ngap)
+        out_g = (np.arange(len(dots), dtype=np.int64) - goff[out_rows]) + 1
+        prev = np.full(len(dots), -1, dtype=np.int64)
+        nxt = np.full(len(dots), -1, dtype=np.int64)
+        prev[1:] = dots[:-1]
+        nxt[:-1] = dots[1:]
+        interior = (out_g > 1) & (out_g < ngap[out_rows])
+        boundary = interior & (dots < prev) & (dots < nxt)
+        return pa.table(
+            {
+                id_field: t[id_field].take(pa.array(out_rows)),
+                "g": pa.array(out_g, pa.int64()),
+                "dot": pa.array(dots, pa.int64()),
+                "boundary": pa.array(boundary, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(gaps, batch_format="pyarrow")

@@ -258,6 +258,7 @@ TRANSFORMS = {
     "mode": curate.mode,
     "psi": curate.psi,
     "winnow": curate.winnow,
+    "texttile": curate.texttile,
 }
 
 __all__ = ["TRANSFORMS", "core", "grouped", "metricops", "enrich"]

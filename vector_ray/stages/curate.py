@@ -517,3 +517,15 @@ def winnow(ds, options: dict, ctx=None):
         id_field=options.get("id_field", "doc_id"),
         token_field=options.get("token_field", "tokens"),
     )
+
+
+def texttile(ds, options: dict, ctx=None):
+    """{"type": "texttile", "field": "text", "block_words": 10}"""
+    from vector_ray.functions.text import texttile as _tt
+
+    return _tt(
+        ds,
+        field=options.get("field", "text"),
+        id_field=options.get("id_field", "doc_id"),
+        block_words=int(options.get("block_words", 10)),
+    )
