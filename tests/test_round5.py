@@ -1005,3 +1005,29 @@ def test_texttile_short_docs(ray_session):
     )
     out = _collect(texttile(ds, block_words=10))
     assert out.num_rows == 0  # <2 full blocks everywhere
+
+
+# ---------------------------------------------------------------------------
+# fold_assign
+# ---------------------------------------------------------------------------
+
+
+def test_fold_assign_stability_and_balance(ray_session):
+    from vector_ray.functions.curation import fold_assign
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([f"doc-{i:07d}" for i in range(2000)])})
+    )
+    a = _collect(fold_assign(ds.repartition(2), n_folds=5))
+    b = _collect(fold_assign(ds.repartition(9), n_folds=5))
+    da = dict(zip(a["doc_id"].to_pylist(), a["fold"].to_pylist()))
+    db = dict(zip(b["doc_id"].to_pylist(), b["fold"].to_pylist()))
+    assert da == db                       # partitioning-invariant folds
+    assert set(da.values()) == {0, 1, 2, 3, 4}
+    from collections import Counter
+
+    sizes = Counter(da.values())
+    assert max(sizes.values()) < 1.3 * min(sizes.values())  # balanced
+
+    with pytest.raises(ValueError):
+        fold_assign(ds, n_folds=1)

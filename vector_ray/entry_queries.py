@@ -4450,6 +4450,30 @@ def q_negative_samples(sf_dir: str):
     return negative_samples(ds, k=4)
 
 
+def q_fold_counts(sf_dir: str):
+    """k-fold CV assignment (functions/curation.py fold_assign):
+    hash-residue folds that survive resharding and corpus growth,
+    summarized to per-fold doc/token counts via the two-phase
+    aggregate."""
+    from vector_ray.functions.curation import fold_assign
+    from vector_ray.stages import grouped
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "n_tok"]
+    )
+    return grouped.aggregate(
+        fold_assign(ds, n_folds=5),
+        {
+            "group_by": ["fold"],
+            "aggregates": {
+                "n_docs": {"fn": "count"},
+                "n_tokens": {"fn": "sum", "field": "n_tok", "int": True},
+            },
+        },
+    )
+
+
 def q_texttile(sf_dir: str):
     """TextTiling topic-boundary detection (functions/text.py
     texttile): integer bag-of-words dot between adjacent 10-word
@@ -4707,6 +4731,7 @@ QUERIES = {
     "psi_events": q_psi_events,
     "winnow_corpus": q_winnow,
     "texttile_documents": q_texttile,
+    "fold_counts_corpus": q_fold_counts,
     "near_dedupe_best_documents": q_near_dedupe_best,
     "compression_documents": q_compression_documents,
     "pq_codes_embeddings": q_pq_codes_embeddings,
@@ -7435,6 +7460,15 @@ def oracle_sql() -> dict[str, str]:
         # engine joins on sentinel-encoded keys for the same reason)
         "FROM q LEFT JOIN g ON q.event_type IS NOT DISTINCT FROM "
         "g.event_type AND q.vbucket IS NOT DISTINCT FROM g.vbucket"
+    )
+    sql["fold_counts_corpus"] = (
+        # same SPLIT_MULT hash as split_assign; HUGEINT product mod
+        # 2^32 == numpy uint64-wrap mod 2^32
+        "SELECT CAST((CAST(substr(doc_id, 5) AS HUGEINT) * 2246822519) "
+        "% 4294967296 % 5 AS BIGINT) AS fold, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS n_tokens "
+        f"FROM read_parquet('{_seq_glob(ORACLE_TAG)}') GROUP BY 1"
     )
     sql["texttile_documents"] = (
         # integer block dots + strict-local-min boundary; DuckDB //

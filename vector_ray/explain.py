@@ -31,6 +31,7 @@ MOVEMENT = {
     "assert_schema": "narrow",
     "mixture_sample": "narrow",
     "split_assign": "narrow",
+    "fold_assign": "narrow",
     "log_to_metric": "hybrid",
     "metric_to_log": "narrow",
     "aggregate": "hybrid",

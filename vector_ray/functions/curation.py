@@ -617,3 +617,22 @@ def preference_pairs(
     return bucketed.groupby(_shuffle.BUCKET_COLUMN).map_groups(
         resolve, batch_format="pyarrow"
     )
+
+
+def fold_assign(ds: rd.Dataset, n_folds: int = 5,
+                id_field: str = "doc_id") -> rd.Dataset:
+    """Leakage-free k-fold cross-validation assignment: ``fold =
+    hash(id) % n_folds`` with the same multiplicative split hash as
+    ``split_assign`` (a doc's fold never collides with its train/val
+    split semantics — the mod-1000 val rule and the mod-k fold rule
+    read different residues of the same uniform hash). Hash-based, so
+    folds survive repartitioning and incremental corpus growth; narrow
+    pass, exact mod-2^32 parity with SQL at any id scale."""
+    if n_folds < 2:
+        raise ValueError("fold_assign: n_folds must be >= 2")
+
+    def assign(t: pa.Table) -> pa.Table:
+        fold = (_doc_hash(t, SPLIT_MULT) % n_folds).astype(np.int64)
+        return t.append_column("fold", pa.array(fold, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -208,6 +208,7 @@ TRANSFORMS = {
     # corpus-curation family (functions/curation.py)
     "mixture_sample": curate.mixture_sample,
     "split_assign": curate.split_assign,
+    "fold_assign": curate.fold_assign,
     "epoch_shuffle": curate.epoch_shuffle,
     "length_buckets": curate.length_buckets,
     "repetition_stats": curate.repetition_stats,

@@ -529,3 +529,12 @@ def texttile(ds, options: dict, ctx=None):
         id_field=options.get("id_field", "doc_id"),
         block_words=int(options.get("block_words", 10)),
     )
+
+
+def fold_assign(ds, options: dict, ctx=None):
+    """{"type": "fold_assign", "n_folds": 5, "id_field": "doc_id"}"""
+    return curation.fold_assign(
+        ds,
+        n_folds=int(options.get("n_folds", 5)),
+        id_field=options.get("id_field", "doc_id"),
+    )
