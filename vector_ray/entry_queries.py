@@ -7650,7 +7650,7 @@ def oracle_sql() -> dict[str, str]:
         "  ORDER BY (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296, "
         "  vec_id LIMIT 32), "
         "s AS (SELECT a.aid, e.vec_id AS cand, "
-        "  ROUND(list_cosine_similarity(a.av, e.v), 6) AS sim "
+        "  ROUND(ROUND(list_cosine_similarity(a.av, e.v), 9), 6) AS sim "
         "  FROM a JOIN e ON e.label <> a.alabel), "
         "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid "
         "  ORDER BY sim DESC, cand) AS r FROM s) "

@@ -633,8 +633,29 @@ def hbos_score(
         acc = None
         for f in feats:
             b, c = lk[f]
-            vals = np.asarray(t[f].to_numpy(zero_copy_only=False), np.int64)
-            cnt = c[np.searchsorted(b, vals)]
+            col = t[f]
+            if col.null_count:
+                raise ValueError(
+                    f"hbos_score: null values in feature {f!r}; "
+                    "fill or filter nulls before scoring"
+                )
+            vals = np.asarray(col.to_numpy(zero_copy_only=False), np.int64)
+            idx = np.searchsorted(b, vals)
+            # every scored value must be a bucket seen in the histogram
+            # pass; an unseen value would index out of range or hit a
+            # silently wrong neighbor count
+            if len(b) == 0:
+                bad = np.ones(len(vals), bool)
+            else:
+                safe = np.minimum(idx, len(b) - 1)
+                bad = (idx >= len(b)) | (b[safe] != vals)
+            if vals.size and bad.any():
+                raise ValueError(
+                    f"hbos_score: value(s) in feature {f!r} not present "
+                    "in the training histogram (score the same table the "
+                    "histogram was built from, or bucket new data first)"
+                )
+            cnt = c[idx]
             term = np.log(cnt / nn)
             acc = term if acc is None else acc + term
         s = -acc if acc is not None else np.zeros(t.num_rows)

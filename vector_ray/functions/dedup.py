@@ -1214,6 +1214,11 @@ def winnow_fingerprints(
     Pure narrow pass: flat gram hashes + a numpy sliding-window argmin
     per block; windows never cross documents; no shuffle. Output
     (doc_id, pos, fp) with 1-based gram position."""
+    if k < 1 or window < 1:
+        raise ValueError(
+            f"winnow_fingerprints: k and window must be >= 1, "
+            f"got k={k}, window={window}"
+        )
     from vector_ray.functions.tokens import _flat_tokens
 
     def fps(t: pa.Table) -> pa.Table:

@@ -388,7 +388,11 @@ def _pq_sample(
     def local(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_field].to_numpy(zero_copy_only=False), np.uint64)
         h = (ids * np.uint64(_PQ_HASH_MULT)) % np.uint64(1 << 32)
-        keep = np.argsort(h, kind="stable")[:sample_size]
+        # lexsort on (hash, id): ids colliding mod 2^32 (possible once
+        # ids exceed 2^32) must use the same (h, id) total order as the
+        # global sort below, or block-local selection would depend on
+        # row order within the block
+        keep = np.lexsort((ids, h))[:sample_size]
         out = t.select(cols).take(pa.array(np.sort(keep)))
         return out.append_column("__h", pa.array(h[np.sort(keep)].astype(np.int64)))
 
@@ -590,7 +594,12 @@ def hard_negatives(
         labs = np.asarray(
             t[label_field].to_numpy(zero_copy_only=False), np.int64
         )
-        sims = round_sql_np(_normalize(mat) @ am.T, round_to)  # (n, m)
+        # double-round (9 then round_to) like cosine_join so a cosine
+        # landing exactly on a 0.5e-6 boundary rounds identically in
+        # numpy and DuckDB (the oracle mirrors ROUND(ROUND(.., 9), 6))
+        sims = round_sql_np(
+            round_sql_np(_normalize(mat) @ am.T, 9), round_to
+        )  # (n, m)
         sims[labs[:, None] == alab[None, :]] = -np.inf
         best = np.argmax(sims, axis=0)
         bsim = sims[best, np.arange(len(aid))]

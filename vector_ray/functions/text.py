@@ -1088,8 +1088,12 @@ def texttile(
     Exact integer arithmetic end-to-end (no float similarity), so the
     SQL oracle matches bit-for-bit. Pure narrow pass: per batch one
     np.unique word-coding + one lexsort; documents never span batches;
+    ``block_words`` must be >= 1 (validated up front — a 0 would only
+    surface as an opaque numpy divide error inside a Ray task);
     no shuffle. Output (doc_id, g, dot, boundary) with gap g = 1..nb−1
     between blocks g−1 and g."""
+    if block_words < 1:
+        raise ValueError(f"texttile: block_words must be >= 1, got {block_words}")
 
     def gaps(t: pa.Table) -> pa.Table:
         empty = pa.table(
