@@ -137,10 +137,12 @@ def pagerank(
     nodes" recommendation shape): the teleport vector becomes uniform
     over the seed nodes instead of over all nodes — rank_0 = s and
     rank' = (1−d)·s + d·(contrib + dangling·s), with s = 1/|seeds ∩
-    nodes| on present seeds. Broadcast mode only (the O(N) seed vector
-    is driver state exactly like the rank vector); the bucketed scale
-    path would carry s as a joined column next to rank and is raised
-    as unimplemented rather than silently falling back.
+    nodes| on present seeds. Works in BOTH modes: the seed list itself
+    is a small user input (closure-captured, O(|seeds|)), so in
+    bucketed mode the per-node seed value is recomputed per batch from
+    the node column — cheaper than carrying it as a joined column, and
+    the O(N) seed VECTOR never exists anywhere. Byte-identical output
+    across modes (same arithmetic, same final double-round).
     """
     if mode not in ("auto", "broadcast", "bucketed"):
         raise ValueError(f"pagerank: unknown mode {mode!r}")
@@ -172,15 +174,9 @@ def pagerank(
             ds_edges, deg_ds, src, dst, iters, damping, round_to, weight,
             seeds=seeds,
         )
-    if seeds is not None:
-        raise NotImplementedError(
-            "personalized pagerank is broadcast-mode only for now; the "
-            "bucketed plan would carry the seed vector as a column "
-            "joined next to rank"
-        )
     return _pagerank_bucketed(
         ds_edges, deg_ds, src, dst, iters, damping, num_buckets, round_to,
-        weight,
+        weight, seeds=seeds,
     )
 
 
@@ -360,17 +356,43 @@ def hits(
 
 def _pagerank_bucketed(
     ds_edges, deg_ds, src, dst, iters, damping, num_buckets, round_to,
-    weight=None,
+    weight=None, seeds=None,
 ):
     from vector_ray.stages.shuffle import bucketed_join
 
     n = float(deg_ds.count())
     base = (1.0 - damping) / n
 
-    def seed(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "rank", pa.array(np.full(t.num_rows, 1.0 / n, np.float64))
+    if seeds is not None:
+        # personalized teleport: the seed LIST is small user input, so
+        # the per-node seed value s(node) = [node ∈ seeds] / m is a
+        # pure function recomputed per batch — no O(N) vector anywhere
+        seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+
+        def _seed_count(t: pa.Table) -> pa.Table:
+            c = int(np.isin(_np_col(t, "node"), seed_arr).sum())
+            return pa.table({"m": pa.array([c], pa.int64())})
+
+        m = (
+            deg_ds.map_batches(_seed_count, batch_format="pyarrow").sum("m")
+            or 0
         )
+        if m == 0:
+            raise ValueError("pagerank: no seed node present in the graph")
+        m = float(m)
+
+        def sv_of(node_arr: np.ndarray) -> np.ndarray:
+            return np.isin(node_arr, seed_arr).astype(np.float64) / m
+
+    else:
+        sv_of = None
+
+    def seed(t: pa.Table) -> pa.Table:
+        if sv_of is not None:
+            r = sv_of(_np_col(t, "node"))
+        else:
+            r = np.full(t.num_rows, 1.0 / n, np.float64)
+        return t.append_column("rank", pa.array(r))
 
     ranks = deg_ds.map_batches(seed, batch_format="pyarrow").materialize()
 
@@ -435,7 +457,11 @@ def _pagerank_bucketed(
 
         def apply(t: pa.Table, dang=dangling) -> pa.Table:
             c = np.nan_to_num(_np_col(t, "contrib", np.float64), nan=0.0)
-            r = base + damping * (c + dang / n)
+            if sv_of is not None:
+                s = sv_of(_np_col(t, "node"))
+                r = (1.0 - damping) * s + damping * (c + dang * s)
+            else:
+                r = base + damping * (c + dang / n)
             return pa.table(
                 {
                     "node": pc.cast(t["node"], pa.int64()),
