@@ -364,3 +364,24 @@ def test_softdedup_weights(ray_session):
     for c, w in zip(out["cluster"].to_pylist(), out["w"].to_pylist()):
         sums[c] += w
     assert all(abs(s - 1.0) < 1e-5 for s in sums.values())
+
+
+def test_rolling_fingerprint_full_content():
+    """Round-3: the default fingerprint is a FULL-content polynomial —
+    an edit anywhere (including past the old 8-word prefix) changes it,
+    and word order matters; window=k restores prefix-only semantics."""
+    from vector_ray.functions.text import rolling_hash_fingerprint
+
+    base = " ".join(f"w{i}" for i in range(20))
+    tail_edit = base[:-3] + "zzz"          # only the last word differs
+    reorder = " ".join(f"w{i}" for i in [1, 0] + list(range(2, 20)))
+    t = pa.table({"text": [base, base, tail_edit, reorder]})
+    fp = rolling_hash_fingerprint(t)["rhash"].to_pylist()
+    assert fp[0] == fp[1]
+    assert fp[2] != fp[0], "tail edit must change the full-content fp"
+    assert fp[3] != fp[0], "word order must matter"
+
+    # prefix window: tail edit beyond the window does NOT change it
+    fpw = rolling_hash_fingerprint(t, window=8)["rhash"].to_pylist()
+    assert fpw[2] == fpw[0]
+    assert fpw[3] != fpw[0]

@@ -930,7 +930,33 @@ def golden_pq_topk(emb: pa.Table, k=10) -> pa.Table:
     )
 
 
+def golden_fingerprint_rolling(docs: pa.Table) -> pa.Table:
+    """Independent per-row reimplementation of the full-content
+    positional polynomial fingerprint: fp = Σ_i fnv1a(w_i)·R^i mod 2^64
+    over the single-space word split (Python int arithmetic, no numpy)."""
+    R = 0x9E3779B97F4A7C15
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    out = []
+    for t in texts:
+        acc = 0
+        p = 1
+        for w in (t or "").split(" "):
+            acc = (acc + fnv1a(w) * p) % U64
+            p = (p * R) % U64
+        out.append(to_i64(acc))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "fingerprint": pa.array(out, pa.int64()),
+        }
+    )
+
+
 GOLDENS = {
+    "fingerprint_rolling_documents": lambda: golden_fingerprint_rolling(
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ),
     "compression_documents": lambda: golden_compression(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     ),

@@ -474,6 +474,22 @@ def q_quality_documents(sf_dir: str):
 
 
 def q_fingerprint_documents(sf_dir: str):
+    """md5 content fingerprint — oracle_parity mode (the digest itself
+    is the product, compared against DuckDB md5())."""
+    from vector_ray.functions.text import fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = fingerprint(ds, oracle_parity=True)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    )
+
+
+def q_fingerprint_rolling_documents(sf_dir: str):
+    """DEFAULT fingerprint path (functions/text.py fingerprint): the
+    vectorized full-content 64-bit positional polynomial over FNV-1a
+    word hashes — no Python row loop anywhere. Golden oracle: an
+    independent per-row reimplementation in tools/make_goldens.py."""
     from vector_ray.functions.text import fingerprint
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -2799,6 +2815,44 @@ def q_corpus_diff_documents(sf_dir: str):
     return corpus_diff(snap(7, None), snap(3, 4), key="doc_id", fingerprint="fp")
 
 
+def q_corpus_diff_rolling(sf_dir: str):
+    """Same snapshot diff via the DEFAULT (rolling full-content
+    polynomial) fingerprint — the 100 TB path with no per-row md5 loop.
+    The diff verdict depends only on fingerprint EQUALITY, and the
+    full-content polynomial distinguishes every edited text here, so
+    the md5-based SQL oracle (which diffs the same snapshots) applies
+    verbatim."""
+    from vector_ray.functions.dataops import corpus_diff
+    from vector_ray.functions.text import rolling_hash_fingerprint
+
+    def snap(drop_mod: int, edit_mod: int | None):
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            mod10 = pa.array(
+                np.asarray(t["doc_id"].combine_chunks()) % 10, pa.int64()
+            )
+            t = t.filter(pc.not_equal(mod10, pa.scalar(drop_mod, pa.int64())))
+            if edit_mod is not None:
+                edited = pc.binary_join_element_wise(t["text"], "!", "")
+                mask = pc.equal(
+                    pa.array(
+                        np.asarray(t["doc_id"].combine_chunks()) % 10,
+                        pa.int64(),
+                    ),
+                    pa.scalar(edit_mod, pa.int64()),
+                )
+                text = pc.if_else(mask, edited, t["text"])
+                t = t.set_column(t.column_names.index("text"), "text", text)
+            return rolling_hash_fingerprint(t, field="text", target="fp")
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    return corpus_diff(snap(7, None), snap(3, 4), key="doc_id", fingerprint="fp")
+
+
 def q_zscore_events(sf_dir: str):
     """Per-group z-score normalization of event values (two-phase
     moments broadcast, vectorized second pass)."""
@@ -4813,6 +4867,7 @@ QUERIES = {
     "token_stats_documents": q_token_stats_documents,
     "quality_documents": q_quality_documents,
     "fingerprint_documents": q_fingerprint_documents,
+    "fingerprint_rolling_documents": q_fingerprint_rolling_documents,
     "ann_topk": q_ann_topk,
     "window_tumbling_events": q_window_tumbling_events,
     "window_calendar_events": q_window_calendar_events,
@@ -4939,6 +4994,7 @@ QUERIES = {
     "lag_delta_events": q_lag_delta_events,
     "profile_events": q_profile_events,
     "corpus_diff_documents": q_corpus_diff_documents,
+    "corpus_diff_rolling": q_corpus_diff_rolling,
     "parse_url_documents": q_parse_url_documents,
     "log_templates_corpus": q_log_templates_corpus,
     "pushdown_events": q_pushdown_events,
@@ -6849,6 +6905,23 @@ def oracle_sql() -> dict[str, str]:
                 "FROM oldd o FULL JOIN newd n ON o.doc_id = n.doc_id "
                 "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp != n.fp"
             ),
+            # the rolling-fingerprint diff emits the SAME (doc_id,
+            # status) verdict: status depends only on fingerprint
+            # equality and the full-content polynomial separates every
+            # edited text here, so the md5-based diff SQL applies
+            "corpus_diff_rolling": (
+                "WITH oldd AS (SELECT doc_id, md5(text) AS fp FROM documents "
+                "  WHERE doc_id % 10 != 7), "
+                "newd AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 4 "
+                "  THEN text || '!' ELSE text END) AS fp FROM documents "
+                "  WHERE doc_id % 10 != 3) "
+                "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+                "CASE WHEN o.doc_id IS NULL THEN 'added' "
+                "  WHEN n.doc_id IS NULL THEN 'removed' "
+                "  ELSE 'changed' END AS status "
+                "FROM oldd o FULL JOIN newd n ON o.doc_id = n.doc_id "
+                "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp != n.fp"
+            ),
             "ntile_events": (
                 "SELECT event_id, event_type, "
                 "CAST(NTILE(4) OVER (PARTITION BY event_type "
@@ -7726,6 +7799,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents_corpus",
         "bpe_train_corpus",
         "bpe_encode_corpus",
+        "fingerprint_rolling_documents",
     ):
         sql[name] = f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
     return sql

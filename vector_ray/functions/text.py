@@ -135,7 +135,9 @@ def langid(ds, field: str = "text", concurrency: int = 4):
 
 def fingerprint_md5(t: pa.Table, field: str = "text", target: str = "fingerprint") -> pa.Table:
     """Content fingerprint = hex md5 of the UTF-8 text (matches SQL
-    ``md5(text)``). Content-defined; used for exact dedup at scale."""
+    ``md5(text)``). Per-row hashlib loop — kept ONLY for oracle parity
+    with DuckDB's md5(); the scale default is the vectorized
+    ``rolling_hash_fingerprint`` (see ``fingerprint``)."""
     col = t[field]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -146,34 +148,81 @@ def fingerprint_md5(t: pa.Table, field: str = "text", target: str = "fingerprint
     return t.append_column(target, pa.array(vals, pa.string()))
 
 
-def fingerprint(ds, field: str = "text"):
+def fingerprint(ds, field: str = "text", oracle_parity: bool = False):
+    """Content fingerprint column ``fingerprint`` for exact dedup /
+    snapshot diff. DEFAULT is the vectorized full-content 64-bit
+    positional polynomial (``rolling_hash_fingerprint`` — no Python
+    row loop, the 100 TB path); ``oracle_parity=True`` selects the hex
+    md5 variant whose value DuckDB's ``md5()`` reproduces (per-row
+    hashlib — use only where the SQL-comparable digest itself is the
+    product)."""
+    if oracle_parity:
+        return ds.map_batches(
+            lambda t: fingerprint_md5(t, field), batch_format="pyarrow"
+        )
     return ds.map_batches(
-        lambda t: fingerprint_md5(t, field), batch_format="pyarrow"
+        lambda t: rolling_hash_fingerprint(t, field, target="fingerprint"),
+        batch_format="pyarrow",
     )
 
 
 def rolling_hash_fingerprint(
-    t: pa.Table, field: str = "text", target: str = "rhash", window: int = 8
+    t: pa.Table,
+    field: str = "text",
+    target: str = "rhash",
+    window: int | None = None,
 ) -> pa.Table:
-    """Deterministic 64-bit rolling document fingerprint over word hashes
-    (vectorized numpy) — the cheap non-cryptographic variant for
-    100TB-scale exact dedup where md5 of full text is bandwidth-bound."""
+    """Deterministic 64-bit FULL-CONTENT document fingerprint — the
+    cheap non-cryptographic variant for 100TB-scale exact dedup where
+    per-row md5 of full text is Python-loop-bound.
+
+    fp(doc) = Σ_i fnv1a(word_i) · R^i  (mod 2^64),  R odd constant —
+    a positional polynomial over the FNV-1a word hashes, so any
+    insertion / deletion / edit / reorder anywhere in the document
+    changes the fingerprint (the round-2 variant folded only the first
+    8 words, which missed edits past the prefix). Fully vectorized:
+    one split, one flat word-hash pass, one cumprod power table, one
+    segmented reduceat — no loop over words or rows. ``window=k``
+    restricts to the first k words (prefix clustering use-case)."""
     from vector_ray.stages.core import _stable_hash_u64
 
     col = t[field]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     words = pc.split_pattern(pc.fill_null(pc.cast(col, pa.string()), ""), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
     flat = words.flatten()
-    h = _stable_hash_u64(flat) if len(flat) else np.array([], np.uint64)
-    offsets = np.asarray(words.offsets)
+    if t.num_rows == 0 or len(flat) == 0:
+        return t.append_column(
+            target, pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        )
+    h = _stable_hash_u64(flat)
+    offsets = np.asarray(words.offsets, dtype=np.int64)
     lengths = np.diff(offsets)
-    out = np.zeros(t.num_rows, dtype=np.uint64)
+    # local word position within each document
+    pos = np.arange(len(h), dtype=np.int64) - np.repeat(
+        offsets[:-1], lengths
+    )
+    if window is not None:
+        keepmask = pos < window
+    else:
+        keepmask = None
     mult = np.uint64(0x9E3779B97F4A7C15)
-    # vectorized over rows; loop only over the fixed window width
-    for j in range(window):
-        valid = lengths > j
-        out[valid] = out[valid] * mult + h[offsets[:-1][valid] + j]
+    maxw = int(lengths.max())
+    # R^0 .. R^(maxw-1), uint64 wraparound = mod 2^64
+    pows = np.empty(maxw, np.uint64)
+    pows[0] = np.uint64(1)
+    if maxw > 1:
+        np.multiply.accumulate(
+            np.full(maxw - 1, mult, np.uint64), out=pows[1:]
+        )
+    vals = h * pows[pos]
+    if keepmask is not None:
+        vals = np.where(keepmask, vals, np.uint64(0))
+    # split() never yields an empty word list ("" -> [""]), so every
+    # segment is non-empty and reduceat is well-defined
+    out = np.add.reduceat(vals, offsets[:-1])
     return t.append_column(target, pa.array(out.astype(np.int64), pa.int64()))
 
 
