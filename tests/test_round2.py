@@ -573,3 +573,49 @@ def test_frame_multiline(ray_session):
 
     with pytest.raises((VrlError, Exception)):
         frame(rd.from_arrow(t), {"method": "multiline"})
+
+
+def test_frame_vectorized_matches_per_row_scanners(ray_session):
+    """Round-3: the vectorized length-prefixed framers must agree
+    byte-for-byte with the per-row reference scanners on randomized
+    payloads — zero-length frames, empty/null payloads, and an
+    octet-counting frame big enough (8-digit prefix) to route through
+    the fallback path."""
+    import random
+
+    from vector_ray.stages.framing import (
+        _frame_length_delimited_vec,
+        _frame_octet_counting_vec,
+        _frame_scanned,
+        _scan_length_delimited,
+        _scan_octet_counting,
+    )
+
+    def mk_ld(frames):
+        return b"".join(len(f).to_bytes(4, "big") + f for f in frames)
+
+    def mk_oc(frames):
+        return b"".join(str(len(f)).encode() + b" " + f for f in frames)
+
+    rng = random.Random(7)
+    pl, po = [], []
+    for _ in range(800):
+        k = rng.randint(0, 5)
+        fr = [
+            bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 25)))
+            for _ in range(k)
+        ]
+        pl.append(mk_ld(fr))
+        po.append(mk_oc(fr))
+    pl[17] = None
+    po[23] = None
+    po[50] = b""
+    po[60] = mk_oc([b"a", b"x" * 10_000_000, b"b"])  # fallback row
+    tl = pa.table({"i": list(range(800)), "m": pa.array(pl, pa.binary())})
+    to = pa.table({"i": list(range(800)), "m": pa.array(po, pa.binary())})
+    assert _frame_length_delimited_vec(tl, "m").equals(
+        _frame_scanned(tl, "m", _scan_length_delimited)
+    )
+    assert _frame_octet_counting_vec(to, "m").equals(
+        _frame_scanned(to, "m", _scan_octet_counting)
+    )

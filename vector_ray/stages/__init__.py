@@ -38,6 +38,21 @@ def _pyscript(ds, options, ctx=None):
     )
 
 
+def _lua(ds, options, ctx=None):
+    """Vector ``lua`` transform (palette.rs:128). Two accepted forms:
+    (a) the user-extension slot — options["fn"] is a Python batch UDF
+    (same as ``pyscript``); (b) a VERBATIM Vector lua v2 config
+    (``hooks.process = "function (event, emit) ... end"``) whose
+    trivially mappable statement subset is translated to the vectorized
+    VRL remap by stages/lua_compat.py — anything outside that subset
+    raises VrlError naming the construct."""
+    if "fn" in options:
+        return _pyscript(ds, options, ctx)
+    from vector_ray.stages.lua_compat import lua_to_vrl
+
+    return core.remap(ds, {"source": lua_to_vrl(options)}, ctx)
+
+
 def _topk_per_key(ds, options, ctx=None):
     """Skew-safe per-key top-k as a spec transform (stages/shuffle.py):
     {"type": "topk_per_key", "key": "source", "order_by": "latency_ms",
@@ -196,7 +211,7 @@ TRANSFORMS = {
     "log_to_metric": metricops.log_to_metric,
     "metric_to_log": metricops.metric_to_log,
     "tag_cardinality_limit": metricops.tag_cardinality_limit,
-    "lua": _pyscript,
+    "lua": _lua,
     "pyscript": _pyscript,
     "test_basic": core.identity,
     "assert_schema": core.assert_schema,

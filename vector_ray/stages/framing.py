@@ -7,12 +7,17 @@ In a Parquet-backed Ray pipeline the "byte stream" is a binary/string
 payload column where one row may carry MANY frames (e.g. a socket read,
 a file chunk); ``frame`` explodes each payload into one row per frame,
 repeating the other columns. Delimiter-based framing is fully
-vectorized (one Arrow split + one take); the two length-prefixed
-framings scan each payload sequentially — frame offsets are
-data-dependent, so the scan is inherently serial *within* a payload,
-and parallelism comes from Ray distributing payload rows across
-batches/workers (documented scale path: keep payloads ≤ a few MB so a
-block's scan time stays bounded).
+vectorized (one Arrow split + one take). The two length-prefixed
+framings are vectorized OVER PAYLOADS: frame offsets are data-dependent
+(serial within a payload), so the scan loops over frame ORDINALS — each
+iteration advances one frame in every still-active payload with pure
+numpy gathers, and the loop count is max-frames-per-payload, not total
+frames. Micro-bench (this box, warm, best-of-5, one batch of 10^5
+payloads × 3 frames of 2-28 bytes): length_delimited 66 ms vectorized
+vs 204 ms per-row Python (3.1×); octet_counting 96 ms vs 175 ms (1.8×)
+— the gap widens as frames shrink (Python cost is per frame, vector
+cost is per ordinal). A malformed or >7-digit-prefix octet-counting
+payload falls back to the per-row scanner for exact legacy errors.
 """
 
 from __future__ import annotations
@@ -113,6 +118,9 @@ def _scan_octet_counting(payload: bytes) -> list[bytes]:
 
 
 def _frame_scanned(t: pa.Table, field: str, scan) -> pa.Table:
+    """Per-row Python fallback scanner (exact legacy error messages;
+    also used by the octet-counting fast path to re-scan payloads that
+    fail its bounded-prefix assumptions)."""
     col = t[field]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -127,6 +135,211 @@ def _frame_scanned(t: pa.Table, field: str, scan) -> pa.Table:
         frames_per_row[i] = len(fr)
         flat.extend(fr)
     return _explode(t, field, frames_per_row, pa.array(flat, pa.binary()))
+
+
+def _payload_buffer(t: pa.Table, field: str):
+    """(data bytes, start/end offsets per row) for a binary payload
+    column — zero-copy views over the Arrow buffers; null rows get an
+    empty [start, start) range (0 frames, like the legacy scan)."""
+    col = t[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not (pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)):
+        col = pc.cast(col, pa.binary())
+    col = pc.fill_null(col, b"")
+    col = pc.cast(col, pa.large_binary())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    data = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
+    return data, offsets[:-1].copy(), offsets[1:].copy()
+
+
+def _gather_slices(data: np.ndarray, starts: np.ndarray, lengths: np.ndarray):
+    """Binary array of data[starts[i] : starts[i]+lengths[i]] slices.
+    REQUIRES the slices sorted by start and non-overlapping (the framing
+    scanners guarantee both): the slice bytes are then extracted with a
+    single boolean-mask pass built by a bincount diff-trick — no
+    per-slice Python, no per-byte index array."""
+    tot = int(lengths.sum())
+    if tot == 0:
+        values = np.empty(0, np.uint8)
+    else:
+        n = len(data)
+        nz = lengths > 0
+        s = starts[nz].astype(np.int64)
+        e = s + lengths[nz].astype(np.int64)
+        # +1 at each start, -1 at each end; the running sum is 0/1
+        # (non-overlapping), so int8 can never overflow. Each index
+        # appears at most once as a start and once as an end, so plain
+        # scatter assignment/subtraction is exact.
+        d = np.zeros(n + 1, np.int8)
+        d[s] = 1
+        d[e] -= 1
+        values = data[np.cumsum(d[:n], dtype=np.int8) > 0]
+    off = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=off[1:])
+    arr = pa.Array.from_buffers(
+        pa.large_binary(),
+        len(lengths),
+        [None, pa.py_buffer(off), pa.py_buffer(np.ascontiguousarray(values))],
+    )
+    return pc.cast(arr, pa.binary())
+
+
+def _order_frames(num_rows, row_parts, start_parts, len_parts):
+    """Concatenate per-iteration (row, start, len) arrays and reorder
+    row-major (stable, so frame order within a row is preserved)."""
+    rows = np.concatenate(row_parts) if row_parts else np.empty(0, np.int64)
+    starts = (
+        np.concatenate(start_parts) if start_parts else np.empty(0, np.int64)
+    )
+    lens = np.concatenate(len_parts) if len_parts else np.empty(0, np.int64)
+    order = np.argsort(rows, kind="stable")
+    frames_per_row = np.bincount(rows, minlength=num_rows).astype(np.int64)
+    return frames_per_row, starts[order], lens[order]
+
+
+def _frame_length_delimited_vec(t: pa.Table, field: str) -> pa.Table:
+    """Vectorized 4-byte big-endian length-prefix framing: the loop is
+    over frame ordinals (max frames in any one payload); each iteration
+    decodes the next header of EVERY active payload at once."""
+    data, pos, ends = _payload_buffer(t, field)
+    orig_starts = pos.copy()
+    active = np.flatnonzero(ends > pos)
+    row_parts: list[np.ndarray] = []
+    start_parts: list[np.ndarray] = []
+    len_parts: list[np.ndarray] = []
+    while len(active):
+        p = pos[active]
+        e = ends[active]
+        done = p == e
+        short = (~done) & (p + 4 > e)
+        if short.any():
+            i = active[short][0]
+            raise VrlError(
+                f"length_delimited payload has {int(ends[i] - pos[i])} "
+                "trailing bytes"
+            )
+        active = active[~done]
+        if not len(active):
+            break
+        p = pos[active]
+        ln = (
+            (data[p].astype(np.int64) << 24)
+            | (data[p + 1].astype(np.int64) << 16)
+            | (data[p + 2].astype(np.int64) << 8)
+            | data[p + 3].astype(np.int64)
+        )
+        over = p + 4 + ln > ends[active]
+        if over.any():
+            j = int(np.flatnonzero(over)[0])
+            i = active[j]
+            raise VrlError(
+                f"length_delimited frame overruns payload "
+                f"(need {int(ln[j])} bytes at offset "
+                f"{int(p[j] + 4 - orig_starts[i])}, "
+                f"have {int(ends[i] - p[j] - 4)})"
+            )
+        row_parts.append(active.copy())
+        start_parts.append(p + 4)
+        len_parts.append(ln)
+        pos[active] = p + 4 + ln
+    fpr, fs, fl = _order_frames(t.num_rows, row_parts, start_parts, len_parts)
+    return _explode(t, field, fpr, _gather_slices(data, fs, fl))
+
+
+# fast-path window for "<digits> " prefixes: 7 digits + the space
+# covers frames up to 10 MB; a longer (still valid) prefix just routes
+# that payload to the per-row fallback scanner
+_OC_MAX_PREFIX = 8
+
+
+def _frame_octet_counting_vec(t: pa.Table, field: str) -> pa.Table:
+    """Vectorized RFC 6587 octet counting. Fast path assumes the ASCII
+    length prefix (digits + one space) fits in ``_OC_MAX_PREFIX`` bytes;
+    any payload violating that — or malformed — is re-scanned by the
+    per-row legacy scanner so error messages stay identical."""
+    data, pos, ends = _payload_buffer(t, field)
+    orig_starts = pos.copy()
+    active = np.flatnonzero(ends > pos)
+    fallback = np.zeros(t.num_rows, dtype=bool)
+    row_parts: list[np.ndarray] = []
+    start_parts: list[np.ndarray] = []
+    len_parts: list[np.ndarray] = []
+    while len(active):
+        p = pos[active]
+        e = ends[active]
+        done = p >= e
+        active = active[~done]
+        if not len(active):
+            break
+        p = pos[active]
+        e = ends[active]
+        # gather the next _OC_MAX_PREFIX bytes of each payload (clamped)
+        cols = np.arange(_OC_MAX_PREFIX, dtype=np.int64)
+        gidx = p[:, None] + cols[None, :]
+        valid = gidx < e[:, None]
+        m = np.where(valid, data[np.minimum(gidx, len(data) - 1)], 0)
+        is_space = (m == 0x20) & valid
+        has_space = is_space.any(axis=1)
+        sp = np.argmax(is_space, axis=1)  # first space offset
+        is_digit = (m >= 0x30) & (m <= 0x39)
+        before = cols[None, :] < sp[:, None]
+        digits_ok = (is_digit | ~before).all(axis=1) & (sp > 0)
+        ok = has_space & digits_ok
+        if not ok.all():
+            bad_rows = active[~ok]
+            fallback[bad_rows] = True
+            active = active[ok]
+            if not len(active):
+                break
+            p, e = pos[active], ends[active]
+            m, sp = m[ok], sp[ok]
+            before = cols[None, :] < sp[:, None]
+        ln = np.zeros(len(active), np.int64)
+        for j in range(_OC_MAX_PREFIX):
+            use = before[:, j]
+            ln[use] = ln[use] * 10 + (m[use, j] - 0x30)
+        start = p + sp + 1
+        over = start + ln > e
+        if over.any():
+            fallback[active[over]] = True
+            keep = ~over
+            active, start, ln = active[keep], start[keep], ln[keep]
+            if not len(active):
+                break
+        row_parts.append(active.copy())
+        start_parts.append(start)
+        len_parts.append(ln)
+        pos[active] = start + ln
+    fpr, fs, fl = _order_frames(t.num_rows, row_parts, start_parts, len_parts)
+    if fallback.any():
+        # re-scan malformed/oversized-prefix payloads row-by-row (this
+        # raises the legacy VrlError for truly malformed ones); splice
+        # their frames in place of whatever the fast path collected
+        keep_frames = np.repeat(~fallback, fpr)
+        fs, fl = fs[keep_frames], fl[keep_frames]
+        fpr = np.where(fallback, 0, fpr)
+        base = _gather_slices(data, fs, fl).to_pylist()
+        out_frames: list[bytes] = []
+        out_fpr = np.zeros(t.num_rows, np.int64)
+        cursor = 0
+        for i in range(t.num_rows):
+            if fallback[i]:
+                payload = bytes(data[orig_starts[i] : ends[i]])
+                fr = _scan_octet_counting(payload)
+                out_frames.extend(fr)
+                out_fpr[i] = len(fr)
+            else:
+                k = int(fpr[i])
+                out_frames.extend(base[cursor : cursor + k])
+                out_fpr[i] = k
+                cursor += k
+        return _explode(t, field, out_fpr, pa.array(out_frames, pa.binary()))
+    return _explode(t, field, fpr, _gather_slices(data, fs, fl))
 
 
 def _frame_multiline(t: pa.Table, field: str, start_pattern: str) -> pa.Table:
@@ -193,12 +406,9 @@ def compile_frame(options: dict):
         if method == "newline_delimited":
             delim = "\n"
         return lambda t: _frame_character_delimited(t, field, delim)
-    scan = (
-        _scan_length_delimited
-        if method == "length_delimited"
-        else _scan_octet_counting
-    )
-    return lambda t: _frame_scanned(t, field, scan)
+    if method == "length_delimited":
+        return lambda t: _frame_length_delimited_vec(t, field)
+    return lambda t: _frame_octet_counting_vec(t, field)
 
 
 def frame(ds, options: dict, ctx=None):
