@@ -1,0 +1,148 @@
+"""Pure-stdlib PNG / baseline-JPEG codecs (functions/codecs.py):
+round-trips, all five PNG filter types against an independent per-pixel
+reference, JPEG accuracy on smooth content, and honest out-of-scope
+errors."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from vector_ray.functions.codecs import (
+    _PNG_SIG,
+    _png_chunk,
+    decode_jpeg,
+    decode_png,
+    encode_jpeg,
+    encode_png,
+    synth_jpeg,
+    synth_png,
+)
+
+
+def test_png_round_trip_lossless():
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_all_filter_types():
+    """Scanlines cycling filters 0-4 must reconstruct exactly what an
+    independent per-pixel reference produces."""
+    h, w, nch = 10, 7, 3
+    rng = np.random.default_rng(5)
+    raw = bytearray()
+    for r in range(h):
+        raw.append(r % 5)
+        raw += rng.integers(0, 256, w * nch, dtype=np.uint8).tobytes()
+    raw = bytes(raw)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b""))
+
+    stride = w * nch
+    out = np.zeros((h, stride), np.int64)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        for x in range(stride):
+            a = out[r][x - nch] if x >= nch else 0
+            b = out[r - 1][x] if r > 0 else 0
+            c = out[r - 1][x - nch] if (r > 0 and x >= nch) else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] + a
+            elif ft == 2:
+                v = row[x] + b
+            elif ft == 3:
+                v = row[x] + (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                    b if pb <= pc_ else c)
+                v = row[x] + pred
+            out[r][x] = v & 0xFF
+    want = out.astype(np.uint8).reshape(h, w, nch)
+    assert np.array_equal(decode_png(png), want)
+
+
+def test_png_gray_and_rgba():
+    rng = np.random.default_rng(2)
+    for ctype, nch in [(0, 1), (6, 4)]:
+        raw = bytearray()
+        for _ in range(6):
+            raw.append(0)
+            raw += rng.integers(0, 256, 5 * nch, dtype=np.uint8).tobytes()
+        ihdr = struct.pack(">IIBBBBB", 5, 6, 8, ctype, 0, 0, 0)
+        png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+        assert decode_png(png).shape == (6, 5, 3)
+
+
+def test_png_out_of_scope_raises():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlaced
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"")) + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(png)
+    with pytest.raises(ValueError, match="PNG"):
+        decode_png(b"nope")
+
+
+def test_jpeg_smooth_accuracy_and_odd_dims():
+    yy, xx = np.mgrid[0:24, 0:32].astype(np.float64)
+    smooth = np.stack(
+        [(xx * 3 + 20), (yy * 4 + 10), (xx + yy * 2 + 5)], axis=2
+    ).clip(0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(smooth))
+    err = np.abs(dec.astype(int) - smooth.astype(int))
+    assert err.max() <= 14 and err.mean() < 4
+
+    odd = np.random.default_rng(1).integers(0, 256, (13, 9, 3), np.uint8)
+    assert decode_jpeg(encode_jpeg(odd)).shape == (13, 9, 3)
+
+
+def test_jpeg_deterministic_fixtures():
+    assert synth_jpeg(7) == synth_jpeg(7)
+    assert synth_png(7) == synth_png(7)
+    assert decode_jpeg(synth_jpeg(3, 20, 11)).shape == (11, 20, 3)
+
+
+def test_jpeg_out_of_scope_raises():
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg(b"nope")
+    # flip the sampling factor to 4:2:0 in a real payload -> honest raise
+    j = bytearray(synth_jpeg(1, 16, 16))
+    sof = j.find(b"\xff\xc0")
+    assert sof > 0
+    j[sof + 11] = 0x22  # luma h/v sampling 2x2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(j))
+
+
+def test_resize_and_features_png_jpeg(ray_session):
+    """End-to-end actor-pool stages over real PNG/JPEG payloads."""
+    import ray.data as rd
+
+    from vector_ray.functions.multimodal import (
+        extract_features,
+        png_jpeg_media_table,
+        resize_images,
+    )
+
+    ds = rd.from_arrow(png_jpeg_media_table(12, seed=9))
+    feats = extract_features(ds, mode="real", concurrency=1).to_pandas()
+    assert len(feats) == 12
+    out = resize_images(ds, out_w=8, out_h=8, concurrency=1).to_pandas()
+    assert out["resized"].all()
+    # every resized payload decodes to 8x8 in its own format
+    from vector_ray.functions.codecs import decode_jpeg as dj
+    from vector_ray.functions.codecs import decode_png as dp
+
+    for mt, p in zip(out["media_type"], out["payload"]):
+        px = dp(p) if mt == "image/png" else dj(p)
+        assert px.shape == (8, 8, 3)

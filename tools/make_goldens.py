@@ -930,6 +930,326 @@ def golden_pq_topk(emb: pa.Table, k=10) -> pa.Table:
     )
 
 
+def _parse_png_independent(payload: bytes) -> np.ndarray:
+    """Independent straight-line PNG decode: explicit chunk walk +
+    per-pixel filter reconstruction (nested Python loops, nothing like
+    the engine's per-row numpy path). 8-bit grey/RGB/RGBA."""
+    import zlib
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    idat = b""
+    w = h = ctype = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            assert body[8] == 8 and body[12] == 0
+            ctype = body[9]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = [[0] * stride for _ in range(h)]
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        for x in range(stride):
+            a = out[r][x - nch] if x >= nch else 0
+            b = out[r - 1][x] if r > 0 else 0
+            c = out[r - 1][x - nch] if (r > 0 and x >= nch) else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] + a
+            elif ft == 2:
+                v = row[x] + b
+            elif ft == 3:
+                v = row[x] + (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                v = row[x] + pred
+            else:
+                raise ValueError(f"filter {ft}")
+            out[r][x] = v & 0xFF
+    px = np.array(out, np.uint8).reshape(h, w, nch)
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif nch == 4:
+        px = px[..., :3]
+    return np.ascontiguousarray(px)
+
+
+_JPEG_ZIGZAG = [
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _parse_jpeg_independent(payload: bytes) -> np.ndarray:
+    """Independent straight-line baseline-JPEG decode: code-STRING
+    huffman maps, a bit-list reader, per-block Python loops (structure
+    unlike the engine's table-dict / accumulator / stacked-matmul
+    path). The 8x8 DCT basis matrix and YCbCr constants are the shared
+    public T.81/JFIF definitions; per-block (C.T @ B) @ C matches the
+    engine's documented association so pixels are bit-identical."""
+    assert payload[:2] == b"\xff\xd8"
+    C = np.array([
+        [
+            ((1.0 / 8.0) ** 0.5 if u == 0 else (2.0 / 8.0) ** 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ], np.float64)
+    pos = 2
+    qts, dcs, acs = {}, {}, {}
+    comps = None
+    h = w = None
+    scan = None
+    scan_comps = None
+    while pos + 4 <= len(payload):
+        assert payload[pos] == 0xFF
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                tq = body[off] & 0x0F
+                qts[tq] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                # code-string map: "0", "10", ... -> value
+                table = {}
+                code = 0
+                k = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[format(code, f"0{ln}b")] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                (acs if tc_th >> 4 else dcs)[tc_th & 0x0F] = table
+                off += 17 + nv
+        elif marker == 0xC0:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = [
+                (body[6 + 3 * c], body[8 + 3 * c]) for c in range(nc)
+            ]
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = {
+                body[1 + 2 * c]: (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            }
+            scan = payload[pos:]
+            break
+    # unstuff and expand the entropy segment to a bit string
+    bits_l = []
+    i = 0
+    while i < len(scan):
+        byte = scan[i]
+        if byte == 0xFF:
+            nxt = scan[i + 1] if i + 1 < len(scan) else 0
+            if nxt == 0x00:
+                bits_l.append(format(byte, "08b"))
+                i += 2
+                continue
+            break  # marker ends the scan
+        bits_l.append(format(byte, "08b"))
+        i += 1
+    bits = "".join(bits_l)
+    bp = 0
+
+    def read_bits(n):
+        nonlocal bp
+        v = int(bits[bp : bp + n], 2) if n else 0
+        bp += n
+        return v
+
+    def read_code(table):
+        nonlocal bp
+        for ln in range(1, 17):
+            cand = bits[bp : bp + ln]
+            if cand in table:
+                bp += ln
+                return table[cand]
+        raise ValueError("bad huffman code")
+
+    def extend(v, cat):
+        if cat == 0:
+            return 0
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    nmcu = bh * bw
+    ncomp = len(comps)
+    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in range(ncomp)]
+    preds = [0] * ncomp
+    for m in range(nmcu):
+        for ci, (cid, tq) in enumerate(comps):
+            td, ta = scan_comps[cid]
+            cat = read_code(dcs[td])
+            preds[ci] += extend(read_bits(cat), cat)
+            zz = [0] * 64
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = read_code(acs[ta])
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                zz[k] = extend(read_bits(rs & 0x0F), rs & 0x0F)
+                k += 1
+            block = np.zeros((8, 8), np.float64)
+            for k in range(64):
+                natural = _JPEG_ZIGZAG[k]
+                block[natural // 8][natural % 8] = zz[k] * qts[tq][k]
+            spatial = np.matmul(np.matmul(C.T, block), C)
+            r0, c0 = (m // bw) * 8, (m % bw) * 8
+            planes[ci][r0 : r0 + 8, c0 : c0 + 8] = spatial
+    planes = [p[:h, :w] + 128.0 for p in planes]
+    if ncomp == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    Y, Cb, Cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = Y + 1.402 * Cr
+    g = Y - 0.344136 * Cb - 0.714136 * Cr
+    b = Y + 1.772 * Cb
+    px = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(px), 0, 255).astype(np.uint8)
+
+
+def golden_media_png_jpeg(n=200, seed=17, dim=16) -> pa.Table:
+    """Independent recomputation of q_media_features_png: payloads from
+    the shared fixture generator; decode via the independent parsers
+    above; same public feature math as golden_media_real images."""
+    from vector_ray.functions.multimodal import png_jpeg_media_table
+
+    media = png_jpeg_media_table(n, seed=seed)
+    ids, types, nbytes, digests, argmaxes = [], [], [], [], []
+    wvec = np.arange(1, dim + 1, dtype=np.float64)
+    for mid, mtype, payload in zip(
+        media["media_id"].to_pylist(),
+        media["media_type"].to_pylist(),
+        media["payload"].to_pylist(),
+    ):
+        px = (
+            _parse_png_independent(payload)
+            if mtype == "image/png"
+            else _parse_jpeg_independent(payload)
+        ).astype(np.float64)
+        hh, ww, _ = px.shape
+        lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+        f = np.zeros(dim, np.float64)
+        f[:8] = hist / lum.size
+        f[8] = 2.0
+        f[9] = ww / 1024.0
+        f[10] = hh / 1024.0
+        f[11] = ww / hh
+        f[12:15] = px.reshape(-1, 3).mean(axis=0) / 255.0
+        f32 = f.astype(np.float32)
+        ids.append(mid)
+        types.append(mtype)
+        nbytes.append(len(payload))
+        digests.append(
+            round_half_away(
+                round_half_away(float(f32.astype(np.float64) @ wvec), 9), 6
+            )
+        )
+        argmaxes.append(int(np.argmax(f32)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(types, pa.string()),
+            "payload_bytes": pa.array(nbytes, pa.int64()),
+            "feat_digest": pa.array(digests, pa.float64()),
+            "feat_argmax": pa.array(argmaxes, pa.int64()),
+        }
+    )
+
+
+def golden_media_resize_jpeg(n=200, seed=17, out_w=16, out_h=16) -> pa.Table:
+    """Independent recomputation of q_media_resize_jpeg: independent
+    decode + explicit per-pixel nearest-neighbor loops; the re-encode
+    uses the SHARED single-writer encoders (encode_png/encode_jpeg are
+    the fixture writers — md5 of emitted bytes requires exactly one
+    writer, same rationale as encode_wav)."""
+    import hashlib
+
+    from vector_ray.functions.codecs import encode_jpeg, encode_png
+    from vector_ray.functions.multimodal import png_jpeg_media_table
+
+    media = png_jpeg_media_table(n, seed=seed)
+    ids, types, widths, heights, resized, md5s = [], [], [], [], [], []
+    for mid, mtype, payload in zip(
+        media["media_id"].to_pylist(),
+        media["media_type"].to_pylist(),
+        media["payload"].to_pylist(),
+    ):
+        px = (
+            _parse_png_independent(payload)
+            if mtype == "image/png"
+            else _parse_jpeg_independent(payload)
+        )
+        h, w, _ = px.shape
+        rows = []
+        for r in range(out_h):
+            sr = (r * h) // out_h
+            row = []
+            for c in range(out_w):
+                sc = (c * w) // out_w
+                row.append(px[sr][sc])
+            rows.append(row)
+        small = np.array(rows, np.uint8)
+        enc = (
+            encode_png(small) if mtype == "image/png" else encode_jpeg(small)
+        )
+        ids.append(mid)
+        types.append(mtype)
+        widths.append(out_w)
+        heights.append(out_h)
+        resized.append(True)
+        md5s.append(hashlib.md5(enc).hexdigest())
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(types, pa.string()),
+            "width": pa.array(np.array(widths, np.int32)),
+            "height": pa.array(np.array(heights, np.int32)),
+            "resized": pa.array(resized, pa.bool_()),
+            "payload_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
 def golden_fingerprint_rolling(docs: pa.Table) -> pa.Table:
     """Independent per-row reimplementation of the full-content
     positional polynomial fingerprint: fp = Σ_i fnv1a(w_i)·R^i mod 2^64
@@ -981,6 +1301,8 @@ GOLDENS = {
     ),
     "multimodal_features": golden_multimodal,
     "media_features_wavbmp": golden_media_real,
+    "media_features_png": golden_media_png_jpeg,
+    "media_resize_jpeg": golden_media_resize_jpeg,
     "media_resize_bmp": golden_media_resize,
     "media_resample_wav": golden_media_resample,
     "embedding_dups_lsh": lambda: golden_embedding_dups_lsh(

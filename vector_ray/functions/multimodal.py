@@ -8,11 +8,16 @@ Decode support is tiered by what this environment can honestly do:
   parsing) — actual byte-level codecs, no external libraries, used by
   ``MediaFeatureExtractor(mode="real")`` and checked against an
   independent straight-line decoder in the frozen-golden harness.
-* **STUBBED** for formats that genuinely need a codec library
-  (jpeg/png/mp4): ``mode="stub"`` raises ``NotImplementedError``;
-  ``mode="fake"`` produces a deterministic byte-histogram feature so
-  pipelines stay testable end-to-end. Swapping in PIL/ffmpeg changes
-  only the kernel body.
+* **REAL decode** also for ``image/png`` (zlib inflate + filter
+  reconstruction) and ``image/jpeg`` (baseline Huffman + DCT) via the
+  pure-stdlib codecs in ``functions/codecs.py`` (round-3 addition) —
+  scope per their docstring (8-bit non-interlaced PNG; baseline 4:4:4 /
+  grayscale JPEG), out-of-scope payloads raise ``NotImplementedError``
+  naming the feature.
+* **STUBBED** only for video (mp4): ``mode="stub"`` raises
+  ``NotImplementedError``; ``mode="fake"`` produces a deterministic
+  byte-histogram feature so arbitrary-format pipelines stay testable
+  end-to-end. Swapping in ffmpeg changes only the kernel body.
 
 The Ray-side plumbing — schema, actor-pool stage signature, per-batch
 layout, byte-budgeted batch sizing — is identical across all tiers.
@@ -182,6 +187,38 @@ def real_media_table(n: int, seed: int = 0) -> pa.Table:
     )
 
 
+def png_jpeg_media_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic media rows whose payloads are REAL PNG/JPEG bytes
+    (functions/codecs.py synth_* fixtures): even rows PNG, odd JPEG."""
+    from vector_ray.functions.codecs import synth_jpeg, synth_png
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, types, widths, heights = [], [], [], [], []
+    for i in range(n):
+        ids.append(f"m-{i:06d}")
+        w = int(rng.integers(8, 64))
+        h = int(rng.integers(8, 64))
+        if i % 2 == 0:
+            payloads.append(synth_png(seed * 1_000_003 + i, w, h))
+            types.append("image/png")
+        else:
+            payloads.append(synth_jpeg(seed * 1_000_003 + i, w, h))
+            types.append("image/jpeg")
+        widths.append(w)
+        heights.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(types),
+            "width": pa.array(np.array(widths, np.int32)),
+            "height": pa.array(np.array(heights, np.int32)),
+            "duration_ms": pa.array(np.zeros(n, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def wav_features(payload: bytes, dim: int = 16) -> np.ndarray:
     """16-dim audio descriptor: 8 segment-RMS values + global stats."""
     x, rate, nch = decode_wav(payload)
@@ -198,9 +235,10 @@ def wav_features(payload: bytes, dim: int = 16) -> np.ndarray:
     return f.astype(np.float32)
 
 
-def bmp_features(payload: bytes, dim: int = 16) -> np.ndarray:
-    """16-dim image descriptor: 8-bin luminance histogram + shape/colour."""
-    px = decode_bmp(payload).astype(np.float64)
+def image_features(px_rgb: np.ndarray, dim: int = 16) -> np.ndarray:
+    """16-dim image descriptor over decoded RGB pixels: 8-bin luminance
+    histogram + shape/colour — shared by every image format's decoder."""
+    px = px_rgb.astype(np.float64)
     h, w, _ = px.shape
     lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
     hist, _ = np.histogram(lum, bins=8, range=(0, 256))
@@ -212,6 +250,10 @@ def bmp_features(payload: bytes, dim: int = 16) -> np.ndarray:
     f[11] = w / h
     f[12:15] = px.reshape(-1, 3).mean(axis=0) / 255.0
     return f.astype(np.float32)
+
+
+def bmp_features(payload: bytes, dim: int = 16) -> np.ndarray:
+    return image_features(decode_bmp(payload), dim)
 
 
 class MediaFeatureExtractor:
@@ -243,9 +285,17 @@ class MediaFeatureExtractor:
                 return wav_features(payload, self.FEATURE_DIM)
             if media_type == "image/bmp":
                 return bmp_features(payload, self.FEATURE_DIM)
+            if media_type == "image/png":
+                from vector_ray.functions.codecs import decode_png
+
+                return image_features(decode_png(payload), self.FEATURE_DIM)
+            if media_type == "image/jpeg":
+                from vector_ray.functions.codecs import decode_jpeg
+
+                return image_features(decode_jpeg(payload), self.FEATURE_DIM)
             raise NotImplementedError(
-                f"no stdlib codec for {media_type}; jpeg/png/mp4 need an "
-                "external library (PIL/ffmpeg) not present here"
+                f"no stdlib codec for {media_type}; video (mp4) needs an "
+                "external library (ffmpeg) not present here"
             )
         # deterministic fake: histogram of byte values folded to 16 bins
         arr = np.frombuffer(payload, dtype=np.uint8)
@@ -359,10 +409,41 @@ def resample_audio(ds, out_rate: int = 16000, concurrency: int = 4,
     )
 
 
+def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor PNG resize: real decode → numpy gather →
+    re-encode (filter-0 RGB, the single encode_png writer)."""
+    from vector_ray.functions.codecs import decode_png, encode_png
+
+    px = decode_png(payload)
+    h, w, _ = px.shape
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return encode_png(np.ascontiguousarray(px[rows][:, cols]))
+
+
+def resize_jpeg(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor JPEG resize: real baseline decode → numpy
+    gather → re-encode (baseline 4:4:4, the single encode_jpeg writer)."""
+    from vector_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    px = decode_jpeg(payload)
+    h, w, _ = px.shape
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return encode_jpeg(np.ascontiguousarray(px[rows][:, cols]))
+
+
+_RESIZERS = {
+    "image/bmp": resize_bmp,
+    "image/png": resize_png,
+    "image/jpeg": resize_jpeg,
+}
+
+
 class ImageResizer:
-    """Actor-pool stage: nearest-neighbor resize of image/bmp payloads
-    to a fixed (width, height); non-BMP rows pass through unchanged with
-    ``resized=False`` (a real deployment adds jpeg/png kernels here)."""
+    """Actor-pool stage: nearest-neighbor resize of image payloads
+    (bmp/png/jpeg — all REAL stdlib codecs) to a fixed (width, height);
+    other rows pass through unchanged with ``resized=False``."""
 
     def __init__(self, out_w: int, out_h: int):
         self.out_w, self.out_h = out_w, out_h
@@ -371,8 +452,9 @@ class ImageResizer:
         payloads, types = t["payload"].to_pylist(), t["media_type"].to_pylist()
         new_payloads, widths, heights, resized = [], [], [], []
         for p, mt in zip(payloads, types):
-            if mt == "image/bmp":
-                new_payloads.append(resize_bmp(p, self.out_w, self.out_h))
+            kernel = _RESIZERS.get(mt)
+            if kernel is not None:
+                new_payloads.append(kernel(p, self.out_w, self.out_h))
                 widths.append(self.out_w)
                 heights.append(self.out_h)
                 resized.append(True)
