@@ -1077,3 +1077,53 @@ def test_preference_pairs_null_keys_and_nan_scores(ray_session):
     r = out.to_pylist()[0]
     # NaN row 11 excluded -> pair is (10, 12); null-key rows dropped
     assert (r["chosen_id"], r["rejected_id"]) == (10, 12)
+
+
+def test_edit_distance_pairs(ray_session):
+    """Blocked Levenshtein join: engine distances must equal a
+    straight-line per-pair DP reference on an adversarial fixture
+    (shared prefixes, equal strings, insert/delete/substitute mixes)."""
+    import numpy as np
+    import ray.data as rd
+
+    from vector_ray.functions.dedup import edit_distance_pairs
+
+    def ref_lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev = dp[0]
+            dp[0] = i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[-1]
+
+    texts = [
+        "prefix_one alpha beta gamma",
+        "prefix_one alpha beta gamma",      # identical -> dist 0
+        "prefix_one alpha beta gamm",       # delete
+        "prefix_one alpha bXta gamma",      # substitute
+        "prefix_one alpha beta gamma!!",    # insert
+        "prefix_two entirely different",    # other block
+        "prefix_two entirely same-ish",
+        "zz",                               # singleton block
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = (
+        edit_distance_pairs(
+            rd.from_arrow(t), block_prefix=10, max_chars=40, max_dist=40
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if texts[i][:10] == texts[j][:10]:
+                want.append((i, j, ref_lev(texts[i][:40], texts[j][:40])))
+    got = list(zip(out["a"], out["b"], out["dist"]))
+    assert sorted(got) == sorted(want)
+    assert got and (0, 1, 0) in got

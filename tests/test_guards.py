@@ -57,3 +57,40 @@ def test_hbos_rejects_unseen_bucket_value(ray_session):
         hbos_score(
             rd.from_arrow(train_null), features=["f1"], id_field="event_id"
         ).to_pandas()
+
+
+def test_tumbling_watermark_semantics(ray_session):
+    """Late events (arrival past window_end + grace) must be excluded
+    in drop mode and separated in tag mode; config must require both
+    watermark options together."""
+    import ray.data as rd
+
+    from vector_ray.stages.window import window
+
+    t = pa.table({
+        "ts": pa.array([10.0, 20.0, 30.0, 70.0], pa.float64()),
+        # window [0,60): ends at 60; grace 5 -> late iff arrival > 65
+        "arrival": pa.array([11.0, 64.0, 66.0, 71.0], pa.float64()),
+        "value": pa.array([1.0, 1.0, 1.0, 1.0]),
+    })
+    opts = {
+        "window": "tumbling", "size_secs": 60, "ts_field": "ts",
+        "arrival_field": "arrival", "allowed_lateness_secs": 5,
+        "aggregates": {"n": {"fn": "count"}},
+    }
+    out = window(rd.from_arrow(t), opts).to_pandas()
+    got = dict(zip(out["window_start"], out["n"]))
+    assert got == {0.0: 2, 60.0: 1}  # row 3 (arrival 66 > 65) dropped
+
+    out2 = window(
+        rd.from_arrow(t), opts | {"late": "tag"}
+    ).to_pandas()
+    key = list(zip(out2["window_start"], out2["is_late"], out2["n"]))
+    assert sorted(key) == [(0.0, False, 2), (0.0, True, 1), (60.0, False, 1)]
+
+    with pytest.raises(ValueError, match="together"):
+        window(rd.from_arrow(t), {
+            "window": "tumbling", "size_secs": 60, "ts_field": "ts",
+            "arrival_field": "arrival",
+            "aggregates": {"n": {"fn": "count"}},
+        })

@@ -459,6 +459,120 @@ def ngram_jaccard_pairs(
     return ds.groupby(bucket_by).map_groups(pairs, batch_format="pyarrow")
 
 
+def _levenshtein_vec(
+    A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Unit-cost Levenshtein distance for m string pairs at once.
+
+    ``A``/``B`` are (m, L) uint8 matrices of zero-padded byte strings
+    with true lengths ``la``/``lb``. Classic DP, but the loops are over
+    CHARACTER POSITIONS only (≤ L² iterations); every step is a
+    vectorized min over all m pairs. dp[i][j] depends only on the first
+    i/j characters, so reading dp at (la, lb) per pair is exact despite
+    the shared padded iteration space."""
+    m, L = A.shape
+    out = np.zeros(m, np.int64)
+    prev = np.broadcast_to(
+        np.arange(L + 1, dtype=np.int32), (m, L + 1)
+    ).copy()
+    cur = np.empty((m, L + 1), np.int32)
+    done = la == 0
+    out[done] = lb[done]
+    imax = int(la.max()) if m else 0
+    jmax = int(lb.max()) if m else 0
+    for i in range(1, imax + 1):
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, jmax + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int32)
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + cost, out=cur[:, j])
+        hit = la == i
+        if hit.any():
+            out[hit] = cur[hit, lb[hit]]
+        prev, cur = cur, prev
+    return out
+
+
+def edit_distance_pairs(
+    ds,
+    id_field: str = "doc_id",
+    field: str = "text",
+    block_prefix: int = 10,
+    max_chars: int = 40,
+    max_dist: int = 12,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+):
+    """Blocked Levenshtein edit-distance join: emit (a, b, dist) for
+    every same-block pair whose unit-cost edit distance over the first
+    ``max_chars`` characters is ≤ ``max_dist`` — the fuzzy near-dup /
+    entity-resolution primitive with an exact integer answer (DuckDB's
+    ``levenshtein`` reproduces it verbatim).
+
+    Scale plan: blocking key = first ``block_prefix`` characters (state
+    the assumption — near-dups must share the prefix; swap in any other
+    deterministic key for a different recall profile). One hash
+    exchange on the block key; within a block the O(n²·L²) DP is
+    vectorized ACROSS pairs (loops run over the ≤ L² character grid,
+    each step a single min over all pairs), and hot blocks are capped
+    deterministically with a logged drop (`_cap_bucket`), never
+    silently. ASCII-equivalent inputs assumed for byte==character
+    parity with the SQL oracle; multibyte text needs a codepoint
+    matrix instead (documented, not silently wrong: distances stay
+    consistent engine-side either way)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t[field], pa.string()), "")
+        return pa.table(
+            {
+                id_field: t[id_field],
+                "__s": pc.utf8_slice_codeunits(s, 0, max_chars),
+                "__bk": pc.utf8_slice_codeunits(s, 0, block_prefix),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field(id_field).type
+        empty = pa.table(
+            {
+                "a": pa.array([], id_type),
+                "b": pa.array([], id_type),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        group = _cap_bucket(group, id_field, max_bucket_rows, "editdist")
+        n = group.num_rows
+        if n < 2:
+            return empty
+        order = pc.sort_indices(group, sort_keys=[(id_field, "ascending")])
+        group = group.take(order)
+        ids = group[id_field].to_numpy(zero_copy_only=False)
+        scol = group["__s"].combine_chunks()
+        sbytes = [s.encode() for s in scol.to_pylist()]
+        L = max(len(b) for b in sbytes)
+        mat = np.zeros((n, max(L, 1)), np.uint8)
+        lens = np.zeros(n, np.int64)
+        for i, bts in enumerate(sbytes):
+            mat[i, : len(bts)] = np.frombuffer(bts, np.uint8)
+            lens[i] = len(bts)
+        xa, xb = np.triu_indices(n, k=1)
+        dist = _levenshtein_vec(mat[xa], lens[xa], mat[xb], lens[xb])
+        keep = dist <= max_dist
+        return pa.table(
+            {
+                "a": pa.array(ids[xa[keep]], id_type),
+                "b": pa.array(ids[xb[keep]], id_type),
+                "dist": pa.array(dist[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+
 def _embed_matrix(group: pa.Table, field: str) -> np.ndarray:
     col = group[field]
     if isinstance(col, pa.ChunkedArray):
