@@ -35,6 +35,11 @@ class PipelineSpec:
     sources: dict[str, dict] = field(default_factory=dict)
     transforms: dict[str, dict] = field(default_factory=dict)
     sinks: dict[str, dict] = field(default_factory=dict)
+    # taps: bounded event sampling of any node, without altering its
+    # output — the batch analog of the reference's live tap service
+    # (vectorize-cli/src/tap/mod.rs:31-88: default_limit 10,
+    # rate-limited). {"tap_name": {"node": "parse"[, "limit": 10]}}
+    taps: dict[str, dict] = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict) -> "PipelineSpec":
@@ -42,6 +47,7 @@ class PipelineSpec:
             sources=dict(d.get("sources") or {}),
             transforms=dict(d.get("transforms") or {}),
             sinks=dict(d.get("sinks") or {}),
+            taps=dict(d.get("taps") or {}),
         )
 
     def to_dict(self) -> dict:
@@ -62,6 +68,8 @@ class PipelineContext:
 class RunResult:
     sinks: dict[str, SinkResult]
     metrics: dict | None = None
+    # tap_name -> list of sampled event dicts (bounded by the tap limit)
+    taps: dict[str, list] = field(default_factory=dict)
 
 
 def _as_spec(spec) -> PipelineSpec:
@@ -188,6 +196,45 @@ def run_pipeline(spec, ctx: PipelineContext | None = None) -> RunResult:
         options = {k: v for k, v in cfg.items() if k not in ("type", "inputs")}
         sink_results[name] = SINKS[cfg["type"]](ds, options, ctx)
 
+    # taps: bounded deterministic samples of any node's stream, read
+    # AFTER the sinks so a tap on a shared (materialized) node reuses
+    # pinned blocks; on an unshared node the limit() pushes down into
+    # the streaming executor, so only ~limit rows are recomputed. The
+    # per-tap cap mirrors the reference's rate-limit posture — a tap is
+    # a peek, never a full export (use a sink for that).
+    _TAP_MAX = 1000
+    taps: dict[str, list] = {}
+
+    def _tap_error(code: str, tname: str, msg: str):
+        from vector_ray.validate import Issue, ValidationResult
+
+        res = ValidationResult()
+        res.issues.append(
+            Issue(severity="error", code=code, message=msg, component=tname)
+        )
+        return ValidationError(res)
+
+    for tname, tcfg in spec.taps.items():
+        ref = str(tcfg.get("node", ""))
+        base = ref.split(".", 1)[0]
+        if base not in node_ds:
+            raise _tap_error(
+                "INVALID_INPUT", tname,
+                f"tap references non-existent node {base!r}",
+            )
+        limit = int(tcfg.get("limit", 10))  # tap/mod.rs default_limit
+        if not 1 <= limit <= _TAP_MAX:
+            raise _tap_error(
+                "INVALID_OPTION", tname,
+                f"tap limit must be in [1, {_TAP_MAX}] (a tap is a "
+                "bounded peek, not an export)",
+            )
+        port = ref.partition(".")[2]
+        ds = node_ds[base]
+        if port:
+            ds = route_port(ds, port)
+        taps[tname] = ds.limit(limit).take_all()
+
     metrics = None
     if ctx.metrics is not None:
         # stage fns report fire-and-forget; wait for the hub's view to
@@ -203,4 +250,4 @@ def run_pipeline(spec, ctx: PipelineContext | None = None) -> RunResult:
             if again == metrics:
                 break
             metrics = again
-    return RunResult(sinks=sink_results, metrics=metrics)
+    return RunResult(sinks=sink_results, metrics=metrics, taps=taps)
