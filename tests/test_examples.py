@@ -216,3 +216,17 @@ def test_contrastive_prep_example(ray_session):
     hard = pq.read_table("/tmp/vector_ray_examples/contrastive/hardneg")
     assert hard.num_rows > 0
     assert {"aid", "cand", "sim"} <= set(hard.column_names)
+
+
+def test_vector_compat_example(ray_session):
+    """Round-3 showcase: verbatim lua v2 block + watermark window + tap
+    must run end-to-end from the shipped TOML."""
+    spec = toml_io.load("examples/vector_compat.toml")
+    from vector_ray.pipeline import run_pipeline as run_spec
+
+    res = run_spec(spec)  # pass the spec object so taps survive
+    assert res.sinks["out"].count > 0
+    tbl = res.sinks["out"].table
+    assert {"window_start", "n", "value_sum"} <= set(tbl.column_names)
+    assert len(res.taps["lua_peek"]) == 5
+    assert res.taps["lua_peek"][0]["tag"].endswith("-lua")

@@ -259,13 +259,20 @@ def test_real_media_extractor(ray_session):
     assert len(out) == 12
     flags = {row.features[8] for _, row in out.iterrows()}
     assert flags == {1.0, 2.0}  # both audio and image rows decoded
-    # real mode refuses formats without a stdlib codec
+    # real mode refuses formats without a stdlib codec (jpeg/png ARE
+    # stdlib codecs since round 3 — video is the remaining honest stub)
     import pyarrow as _pa
 
+    mp4_row = t.slice(0, 1).set_column(
+        2, "media_type", _pa.array(["video/mp4"])
+    )
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(mode="real")(mp4_row)
+    # a BMP payload mislabeled image/jpeg is rejected by the real codec
     jpeg_row = t.slice(0, 1).set_column(
         2, "media_type", _pa.array(["image/jpeg"])
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="JPEG"):
         MediaFeatureExtractor(mode="real")(jpeg_row)
 
 
@@ -385,3 +392,30 @@ def test_rolling_fingerprint_full_content():
     fpw = rolling_hash_fingerprint(t, window=8)["rhash"].to_pylist()
     assert fpw[2] == fpw[0]
     assert fpw[3] != fpw[0]
+
+
+def test_canonical_url():
+    """URL canonicalization: case, default ports, fragments, tracking
+    params, param order, trailing slashes; non-URLs pass through."""
+    from vector_ray.functions.text import canonical_url
+
+    urls = [
+        "HTTPS://Example.ORG:443/docs/5/?b=2&utm_source=x&a=1#frag",
+        "http://example.org:80/",
+        "https://example.org/docs/7?a=1&b=2",
+        "https://example.org/docs/7?b=2&a=1",
+        "not a url",
+        None,
+        "https://example.org/path/?fbclid=abc",
+        "https://example.org:8080/x?z=1",
+    ]
+    out = canonical_url(
+        pa.table({"url": pa.array(urls, pa.string())})
+    )["canonical_url"].to_pylist()
+    assert out[0] == "https://example.org/docs/5?a=1&b=2"
+    assert out[1] == "http://example.org/"
+    assert out[2] == out[3] == "https://example.org/docs/7?a=1&b=2"
+    assert out[4] == "not a url"
+    assert out[5] == ""
+    assert out[6] == "https://example.org/path"
+    assert out[7] == "https://example.org:8080/x?z=1"

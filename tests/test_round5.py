@@ -950,8 +950,10 @@ def test_ppr_bad_seeds(ray_session):
 
     with pytest.raises(ValueError):
         pagerank(_star_edges(), mode="broadcast", seeds=[999])
-    with pytest.raises(NotImplementedError):
-        pagerank(_star_edges(), mode="bucketed", seeds=[0])
+    # round 3: bucketed personalized PR is implemented — absent seeds
+    # raise the same ValueError there (not NotImplementedError)
+    with pytest.raises(ValueError):
+        pagerank(_star_edges(), mode="bucketed", seeds=[999])
 
 
 # ---------------------------------------------------------------------------

@@ -90,7 +90,11 @@ def cmd_run(args) -> int:
         name: {"kind": r.kind, "count": r.count, "path": r.path}
         for name, r in result.sinks.items()
     }
-    print(json.dumps(out, indent=2))
+    if result.taps:
+        out["_taps"] = {
+            name: rows for name, rows in result.taps.items()
+        }
+    print(json.dumps(out, indent=2, default=str))
     import ray
 
     ray.shutdown()

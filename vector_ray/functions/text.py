@@ -133,6 +133,107 @@ def langid(ds, field: str = "text", concurrency: int = 4):
     )
 
 
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=")
+
+
+def canonical_url(
+    t: pa.Table, field: str = "url", target: str = "canonical_url"
+) -> pa.Table:
+    """Canonicalize a URL column — the dedupe-by-URL primitive every
+    web-corpus pipeline runs before content dedup:
+
+    * scheme and host lowercased; default port (:80 http / :443 https)
+      stripped;
+    * fragment removed;
+    * tracking parameters dropped (utm_*, fbclid, gclid, msclkid);
+    * remaining query parameters SORTED (codepoint order), so
+      param-order permutations collide;
+    * trailing path slash removed (except the bare root path).
+
+    Fully vectorized: one regex decomposition (pc.extract_regex), one
+    flat param split + starts_with filter, one lexsort over (row,
+    param), one list rebuild + join, one element-wise reassembly — no
+    Python row loop. Rows that do not parse as absolute URLs pass
+    through unchanged (null-safe)."""
+    col = t[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.fill_null(pc.cast(col, pa.string()), "")
+    parts = pc.extract_regex(
+        s,
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)"
+        r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$",
+    )
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    ok = pc.is_valid(parts)
+    n = t.num_rows
+    scheme = pc.fill_null(
+        pc.utf8_lower(pc.struct_field(parts, "scheme")), ""
+    )
+    host = pc.fill_null(pc.utf8_lower(pc.struct_field(parts, "host")), "")
+    path = pc.fill_null(pc.struct_field(parts, "path"), "")
+    query = pc.fill_null(pc.struct_field(parts, "query"), "")
+    # strip default ports (element-wise conditional suffix removal)
+    for sch, port in (("http", ":80"), ("https", ":443")):
+        hit = pc.and_(pc.equal(scheme, sch), pc.ends_with(host, port))
+        stripped = pc.utf8_replace_slice(
+            host, start=-len(port), stop=2**30, replacement=""
+        )
+        host = pc.if_else(hit, stripped, host)
+    # trailing path slash (keep the bare "/" root)
+    slash = pc.and_(
+        pc.ends_with(path, "/"), pc.greater(pc.utf8_length(path), 1)
+    )
+    path = pc.if_else(
+        slash,
+        pc.utf8_replace_slice(path, start=-1, stop=2**30, replacement=""),
+        path,
+    )
+    # query params: split, drop tracking + empties, sort, rejoin
+    plists = pc.split_pattern(query, "&")
+    if isinstance(plists, pa.ChunkedArray):
+        plists = plists.combine_chunks()
+    flat = plists.flatten()
+    offsets = np.asarray(plists.offsets, dtype=np.int64)
+    lens = np.diff(offsets)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = ~np.asarray(
+        pc.equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+    )
+    for pref in _TRACKING_PREFIXES:
+        keep &= ~np.asarray(
+            pc.starts_with(flat, pref).to_numpy(zero_copy_only=False)
+        )
+    flat_np = np.asarray(flat.to_numpy(zero_copy_only=False), object)[keep]
+    rows_k = row_of[keep]
+    order = np.lexsort((flat_np.astype(str), rows_k)) if len(rows_k) else []
+    flat_sorted = flat_np[order] if len(rows_k) else flat_np
+    rows_sorted = rows_k[order] if len(rows_k) else rows_k
+    counts = np.bincount(rows_sorted, minlength=n) if n else np.zeros(0, np.int64)
+    new_off = np.zeros(n + 1, np.int32)
+    np.cumsum(counts, out=new_off[1:])
+    qs = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(new_off), pa.array(flat_sorted, pa.string())
+        ),
+        "&",
+    )
+    canon = pc.binary_join_element_wise(
+        scheme, "://", host, path,
+        pc.if_else(
+            pc.greater(pc.utf8_length(qs), 0),
+            pc.binary_join_element_wise("?", qs, ""),
+            "",
+        ),
+        "",
+    )
+    out = pc.if_else(ok, canon, s)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return t.append_column(target, out)
+
+
 def fingerprint_md5(t: pa.Table, field: str = "text", target: str = "fingerprint") -> pa.Table:
     """Content fingerprint = hex md5 of the UTF-8 text (matches SQL
     ``md5(text)``). Per-row hashlib loop — kept ONLY for oracle parity

@@ -51,11 +51,14 @@ class PipelineSpec:
         )
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "sources": self.sources,
             "transforms": self.transforms,
             "sinks": self.sinks,
         }
+        if self.taps:
+            d["taps"] = self.taps
+        return d
 
 
 @dataclass

@@ -2085,3 +2085,59 @@ def q_edit_distance_pairs(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return edit_distance_pairs(ds)
+
+
+def q_canonical_url_documents(sf_dir: str):
+    """URL canonicalization (functions/text.py canonical_url, round-3):
+    messy URLs synthesized from documents columns — mixed-case scheme
+    and host, default :443 port, trailing path slash, tracking params,
+    unsorted query params, fragments — must reduce to the analytically
+    known canonical form (the SQL oracle BUILDS the expected canonical
+    URL directly from the columns; it never re-implements the
+    canonicalizer, so this is an independent ground truth)."""
+    from vector_ray.functions.text import canonical_url
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+
+    def messy(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        mod = lambda k: pc.cast(  # noqa: E731
+            pc.equal(
+                pc.subtract(
+                    did, pc.multiply(pc.divide(did, k), k)
+                ),
+                0,
+            ),
+            pa.bool_(),
+        )
+        scheme = pc.if_else(mod(3), "HTTPS", "https")
+        host_src = pc.if_else(
+            mod(2),
+            pc.utf8_upper(t["source"].combine_chunks()),
+            t["source"].combine_chunks(),
+        )
+        port = pc.if_else(mod(5), ":443", "")
+        slash = pc.if_else(mod(7), "/", "")
+        frag = pc.if_else(mod(6), "#sec", "")
+        a_val = pc.cast(
+            pc.subtract(did, pc.multiply(pc.divide(did, 4), 4)),
+            pa.string(),
+        )
+        url = pc.binary_join_element_wise(
+            scheme, "://", host_src, ".Example.ORG", port,
+            "/docs/", pc.cast(did, pa.string()), slash,
+            "?b=", t["lang"].combine_chunks(),
+            "&utm_source=x&a=", a_val, frag, "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    built = ds.map_batches(messy, batch_format="pyarrow")
+    out = built.map_batches(
+        lambda t: canonical_url(t), batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "canonical_url"]),
+        batch_format="pyarrow",
+    )

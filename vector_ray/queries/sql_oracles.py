@@ -1969,4 +1969,13 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(ROUND(SUM(value), 9), 4) AS value_sum "
         "FROM w GROUP BY window_start, is_late"
     )
+    sql["canonical_url_documents"] = (
+        # the EXPECTED canonical form built directly from the columns —
+        # an independent ground truth, not a SQL reimplementation of
+        # the canonicalizer (integer doc_id // is floor division, and
+        # doc_id % 4 equals the engine's a= param)
+        "SELECT doc_id, 'https://' || lower(source) || "
+        "'.example.org/docs/' || doc_id || '?a=' || (doc_id % 4) || "
+        "'&b=' || lang AS canonical_url FROM documents"
+    )
     return sql
