@@ -101,3 +101,46 @@ def test_source_token_drift_matches_naive(ray_session):
         assert out["n_tokens"][i].as_py() == ns
         assert abs(out["kl"][i].as_py() - kl) < 1e-3
     assert out["kl"][2].as_py() > out["kl"][0].as_py()
+
+
+def test_ngram_diversity_reference(ray_session):
+    """Trigram diversity vs a straight-line dict reference, across
+    multiple blocks so the combiner path is exercised."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.functions.text import ngram_diversity
+
+    docs = [
+        ("a", "x y z x y z x y z"),          # repeated gram
+        ("a", "p q r s"),
+        ("b", "one two three four five"),
+        ("b", "one two three four five"),    # exact dup doc
+        ("a", ""),                            # empty
+    ]
+    t = pa.table({"source": [d[0] for d in docs],
+                  "text": [d[1] for d in docs]})
+    out = (
+        ngram_diversity(
+            rd.from_arrow(t).repartition(3), n=3, group_by="source"
+        )
+        .to_pandas()
+        .set_index("source")
+    )
+
+    ref: dict = {}
+    for src, text in docs:
+        ws = text.split(" ")
+        grams = [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+        tot, dis = ref.setdefault(src, [0, set()])
+        ref[src][0] += len(grams)
+        ref[src][1].update(grams)
+    for src, (tot, dis) in ref.items():
+        if tot == 0:
+            assert src not in out.index
+            continue
+        row = out.loc[src]
+        assert row["n_grams"] == tot
+        assert row["n_distinct"] == len(dis)
+        assert abs(row["diversity"] - len(dis) / tot) < 1e-6

@@ -133,6 +133,149 @@ def langid(ds, field: str = "text", concurrency: int = 4):
     )
 
 
+def ngram_diversity(
+    ds,
+    n: int = 3,
+    group_by: str = "source",
+    field: str = "text",
+    round_to: int = 6,
+):
+    """Per-slice n-gram diversity: distinct word n-grams / total word
+    n-grams for each ``group_by`` value — the self-BLEU-style
+    repetitiveness gate (a slice whose diversity collapses is template
+    spam / boilerplate and gets down-weighted in the mixture).
+
+    Plan: per batch, n-gram STRINGS are built vectorized (one split,
+    n-1 shifted element-wise joins over the flat word array, row-
+    boundary masked); the block emits (a) per-group total counts and
+    (b) the block-DISTINCT (group, gram) pairs — the combiner — so the
+    distinct shuffle carries each gram at most once per block. A small
+    groupby dedups pairs globally, a second counts per group. Exact
+    string grams (not hashes): the SQL oracle's COUNT(DISTINCT) must
+    match bit-for-bit, and a 64-bit hash collision would silently
+    undercount. At 100 TB swap gram strings for a 128-bit hash + the
+    HLL sketch in functions/sketches.py (documented tradeoff)."""
+    from ray.data.aggregate import Sum
+
+    def grams_of(t: pa.Table):
+        col = pc.fill_null(pc.cast(t[field], pa.string()), "")
+        words = pc.split_pattern(col, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        offsets = np.asarray(words.offsets, dtype=np.int64)
+        lens = np.diff(offsets)
+        total = len(flat)
+        if total == 0:
+            return None, None
+        row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        pos = np.arange(total, dtype=np.int64) - offsets[:-1][row_of]
+        valid = pos <= lens[row_of] - n
+        # build gram strings over the first total-(n-1) positions: the
+        # j-th operand is the flat word array shifted by j
+        m = total - (n - 1)
+        if m <= 0:
+            return None, None
+        joined = flat.slice(0, m)
+        for j in range(1, n):
+            joined = pc.binary_join_element_wise(
+                joined, flat.slice(j, m), " "
+            )
+        keep = valid[:m]
+        groups = t[group_by].combine_chunks().take(
+            pa.array(row_of[:m][keep])
+        )
+        grams = joined.filter(pa.array(keep))
+        return groups, grams
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_by: pa.array([], pa.string()),
+                "gram": pa.array([], pa.string()),
+                "n_total": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        groups, grams = grams_of(t)
+        if groups is None or len(grams) == 0:
+            return empty
+        pairs = pa.table({group_by: groups, "gram": grams})
+        # block-level distinct pairs (combiner) + per-group totals
+        dist = pairs.group_by([group_by, "gram"]).aggregate(
+            [("gram", "count")]
+        )
+        totals = pairs.group_by([group_by]).aggregate([("gram", "count")])
+        tot_map = dict(
+            zip(
+                totals[group_by].to_pylist(),
+                totals["gram_count"].to_pylist(),
+            )
+        )
+        # attach each group's block total to its FIRST pair row only
+        # (loop over distinct GROUPS, not grams)
+        first = np.zeros(dist.num_rows, np.int64)
+        gcol_np = np.asarray(
+            dist[group_by].to_numpy(zero_copy_only=False), object
+        )
+        uniq, first_idx = np.unique(gcol_np.astype(str), return_index=True)
+        for g_str, idx in zip(uniq, first_idx):
+            first[idx] = tot_map[gcol_np[idx]]
+        return pa.table(
+            {
+                group_by: dist[group_by],
+                "gram": dist["gram"],
+                "n_total": pa.array(first, pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    # dedup pairs globally, carrying the block totals through a sum
+    merged = pairs.groupby([group_by, "gram"]).aggregate(
+        Sum("n_total", alias_name="n_total")
+    )
+
+    def finish_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_by]).aggregate(
+            [("gram", "count"), ("n_total", "sum")]
+        )
+        return pa.table(
+            {
+                group_by: g[group_by],
+                "n_distinct": pc.cast(g["gram_count"], pa.int64()),
+                "n_grams": pc.cast(g["n_total_sum"], pa.int64()),
+            }
+        )
+
+    per_group = (
+        merged.map_batches(finish_partial, batch_format="pyarrow")
+        .groupby(group_by)
+        .sum(["n_distinct", "n_grams"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        from vector_ray.schema import round_sql_np
+
+        nd = np.asarray(
+            t["sum(n_distinct)"].to_numpy(zero_copy_only=False), np.float64
+        )
+        ng = np.asarray(
+            t["sum(n_grams)"].to_numpy(zero_copy_only=False), np.float64
+        )
+        div = round_sql_np(round_sql_np(nd / ng, 9), round_to)
+        return pa.table(
+            {
+                group_by: t[group_by],
+                "n_grams": pc.cast(t["sum(n_grams)"], pa.int64()),
+                "n_distinct": pc.cast(t["sum(n_distinct)"], pa.int64()),
+                "diversity": pa.array(div, pa.float64()),
+            }
+        )
+
+    return per_group.map_batches(finish, batch_format="pyarrow")
+
+
 _TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=")
 
 

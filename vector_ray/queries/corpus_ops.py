@@ -2141,3 +2141,16 @@ def q_canonical_url_documents(sf_dir: str):
         lambda t: t.select(["doc_id", "canonical_url"]),
         batch_format="pyarrow",
     )
+
+
+def q_ngram_diversity_documents(sf_dir: str):
+    """Per-source trigram diversity (functions/text.py ngram_diversity,
+    round-3): distinct word 3-grams / total 3-grams per source — the
+    self-BLEU-style repetitiveness gate. Exact string grams so the SQL
+    COUNT(DISTINCT) oracle matches bit-for-bit."""
+    from vector_ray.functions.text import ngram_diversity
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return ngram_diversity(ds, n=3, group_by="source")

@@ -1978,4 +1978,19 @@ def oracle_sql() -> dict[str, str]:
         "'.example.org/docs/' || doc_id || '?a=' || (doc_id % 4) || "
         "'&b=' || lang AS canonical_url FROM documents"
     )
+    sql["ngram_diversity_documents"] = (
+        # trigrams via position self-joins; COUNT(DISTINCT) on the
+        # exact gram strings mirrors the engine's string-gram dedup
+        "WITH w AS (SELECT source, doc_id, "
+        "  unnest(string_split(text, ' ')) AS w, "
+        "  generate_subscripts(string_split(text, ' '), 1) AS i "
+        "  FROM documents), "
+        "g AS (SELECT a.source, a.w || ' ' || b.w || ' ' || c.w AS gram "
+        "  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1 "
+        "  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct, "
+        "ROUND(ROUND(COUNT(DISTINCT gram) * 1.0 / COUNT(*), 9), 6) "
+        "  AS diversity FROM g GROUP BY source"
+    )
     return sql
