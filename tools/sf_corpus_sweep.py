@@ -24,7 +24,6 @@ import os
 import re
 import shutil
 import sys
-import threading
 import time
 import warnings
 
@@ -108,76 +107,59 @@ def main() -> int:
         t_engine = time.perf_counter() - t0
 
         sql = oracles[name].replace(f"/{'sf0.01'}/", f"/{tag}/")
-        con = duckdb.connect()
-        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-        con.execute(
-            "SET memory_limit='48GB'; SET threads=12; "
-            "SET temp_directory='/tmp/duckdb_spill'; "
-            "SET max_temp_directory_size='60GB';"
+        # the oracle runs in a SUBPROCESS: a DuckDB out-of-memory (or
+        # the segfault it can leave behind) must not take down the
+        # sweep — a dead oracle process is recorded as an exclusion
+        import base64
+        import subprocess
+
+        payload = base64.b64encode(sql.encode()).decode()
+        runner = (
+            "import base64, json, os, duckdb, sys\n"
+            "sql = base64.b64decode(sys.argv[1]).decode()\n"
+            "eng = sys.argv[2]\n"
+            "os.makedirs('/tmp/duckdb_spill', exist_ok=True)\n"
+            "con = duckdb.connect()\n"
+            "con.execute(\"SET memory_limit='48GB'; SET threads=12; \"\n"
+            "    \"SET temp_directory='/tmp/duckdb_spill'; \"\n"
+            "    \"SET max_temp_directory_size='60GB';\")\n"
+            "con.execute(f'CREATE VIEW orc AS ({sql})')\n"
+            "cols = [d[0] for d in con.execute('SELECT * FROM orc LIMIT 0').description]\n"
+            "collist = ', '.join(f'\"{c}\"' for c in cols)\n"
+            "con.execute(f\"CREATE VIEW eng AS SELECT {collist} FROM read_parquet('{eng}/*.parquet')\")\n"
+            "row = con.execute('SELECT (SELECT COUNT(*) FROM eng), (SELECT COUNT(*) FROM orc), '\n"
+            "    '(SELECT COUNT(*) FROM ((SELECT * FROM eng EXCEPT ALL SELECT * FROM orc) '\n"
+            "    'UNION ALL (SELECT * FROM orc EXCEPT ALL SELECT * FROM eng)))').fetchone()\n"
+            "print(json.dumps(list(row)))\n"
         )
-        result: dict = {}
-
-        def run_oracle():
-            try:
-                q = (
-                    "SELECT (SELECT COUNT(*) FROM eng) AS n_eng, "
-                    "(SELECT COUNT(*) FROM orc) AS n_orc, "
-                    "(SELECT COUNT(*) FROM ((SELECT * FROM eng EXCEPT ALL "
-                    "SELECT * FROM orc) UNION ALL (SELECT * FROM orc "
-                    "EXCEPT ALL SELECT * FROM eng))) AS n_diff"
-                )
-                con.execute(
-                    f"CREATE VIEW orc AS ({sql})"
-                )
-                # align column ORDER to the oracle's (EXCEPT is positional)
-                cols = [d[0] for d in con.execute(
-                    "SELECT * FROM orc LIMIT 0").description]
-                collist = ", ".join(f'"{c}"' for c in cols)
-                con.execute(
-                    f"CREATE VIEW eng AS SELECT {collist} FROM "
-                    f"read_parquet('{out_root}/{name}/*.parquet')"
-                )
-                result["row"] = con.execute(q).fetchone()
-            except Exception as e:  # noqa: BLE001
-                result["err"] = f"{type(e).__name__}: {e}"
-
-        th = threading.Thread(target=run_oracle, daemon=True)
-        th.start()
-        th.join(timeout)
-        t_total = time.perf_counter() - t0
-        if th.is_alive():
-            try:
-                con.interrupt()
-            except Exception:  # noqa: BLE001
-                pass
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", runner, payload,
+                 f"{out_root}/{name}"],
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
             print(
                 f"ORACLE_TIMEOUT  {name}: engine {t_engine:.1f}s ok, "
                 f"oracle exceeded {timeout:.0f}s (documented exclusion)"
             )
-            th.join(30)
-            try:
-                con.close()  # release DuckDB worker threads + memory
-            except Exception:  # noqa: BLE001
-                pass
             continue
-        try:
-            con.close()  # release DuckDB worker threads + memory
-        except Exception:  # noqa: BLE001
-            pass
-        if "err" in result:
-            if "OutOfMemory" in result["err"]:
-                # the ORACLE (a single-node DuckDB re-derivation) ran out
-                # of memory, not the engine — same class of exclusion as
-                # a timeout: the engine side completed and is recorded
+        t_total = time.perf_counter() - t0
+        if proc.returncode != 0:
+            err = (proc.stderr or "").strip().splitlines()
+            tail_line = err[-1] if err else f"exit {proc.returncode}"
+            if "OutOfMemory" in tail_line or proc.returncode in (-9, -11, 139):
                 print(
                     f"ORACLE_OOM  {name}: engine {t_engine:.1f}s ok, "
-                    f"oracle exceeded memory (documented exclusion)"
+                    f"oracle died ({tail_line[:120]}) — documented exclusion"
                 )
                 continue
-            print(f"FAIL  {name}: oracle raised {result['err']}")
+            print(f"FAIL  {name}: oracle raised {tail_line[:200]}")
             failures += 1
             continue
-        n_eng, n_orc, n_diff = result["row"]
+        import json as _json
+
+        n_eng, n_orc, n_diff = _json.loads(proc.stdout.strip().splitlines()[-1])
         if n_eng == n_orc and n_diff == 0:
             print(
                 f"OK    {name}: {n_eng} rows exact "

@@ -794,7 +794,16 @@ def _with_arrival(sf_dir: str):
             pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False),
             np.float64,
         ) / 1e6
-        return t.append_column("arrival", pa.array(secs + jit, pa.float64()))
+        t = t.append_column("arrival", pa.array(secs + jit, pa.float64()))
+        # integer micros: float sums of shuffled blocks are order-
+        # dependent in the last ulp; integer sums are exact (the
+        # window_tumbling_events oracle pattern)
+        micros = pc.cast(
+            round_sql(pc.multiply(t["value"], 1e6), 0), pa.int64()
+        )
+        if isinstance(micros, pa.ChunkedArray):
+            micros = micros.combine_chunks()
+        return t.append_column("value_micros", micros)
 
     return ds.map_batches(add, batch_format="pyarrow")
 
@@ -816,7 +825,8 @@ def q_window_late_events(sf_dir: str):
             "allowed_lateness_secs": 600,
             "aggregates": {
                 "n": {"fn": "count"},
-                "value_sum": {"fn": "sum", "field": "value", "round": 4},
+                "total_micros": {"fn": "sum", "field": "value_micros",
+                                 "int": True},
             },
         },
     )
@@ -839,7 +849,32 @@ def q_window_late_tagged_events(sf_dir: str):
             "late": "tag",
             "aggregates": {
                 "n": {"fn": "count"},
-                "value_sum": {"fn": "sum", "field": "value", "round": 4},
+                "total_micros": {"fn": "sum", "field": "value_micros",
+                                 "int": True},
+            },
+        },
+    )
+
+
+def q_window_sliding_late_events(sf_dir: str):
+    """Sliding window with PER-PANE watermark ruling: 1h windows
+    sliding every 30min; a disordered event can be late for the
+    earlier of its two panes yet on time for the later one."""
+    from vector_ray.stages.window import window
+
+    return window(
+        _with_arrival(sf_dir),
+        {
+            "window": "sliding",
+            "size_secs": 3600,
+            "slide_secs": 1800,
+            "ts_field": "ts",
+            "arrival_field": "arrival",
+            "allowed_lateness_secs": 600,
+            "aggregates": {
+                "n": {"fn": "count"},
+                "total_micros": {"fn": "sum", "field": "value_micros",
+                                 "int": True},
             },
         },
     )

@@ -1961,12 +1961,14 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["window_late_events"] = base_late + (
         "SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n, "
-        "ROUND(ROUND(SUM(value), 9), 4) AS value_sum "
+        "CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) "
+        "AS total_micros "
         "FROM w WHERE NOT is_late GROUP BY window_start"
     )
     sql["window_late_tagged_events"] = base_late + (
         "SELECT window_start, is_late, CAST(COUNT(*) AS BIGINT) AS n, "
-        "ROUND(ROUND(SUM(value), 9), 4) AS value_sum "
+        "CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) "
+        "AS total_micros "
         "FROM w GROUP BY window_start, is_late"
     )
     sql["canonical_url_documents"] = (
@@ -1992,5 +1994,25 @@ def oracle_sql() -> dict[str, str]:
         "CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct, "
         "ROUND(ROUND(COUNT(DISTINCT gram) * 1.0 / COUNT(*), 9), 6) "
         "  AS diversity FROM g GROUP BY source"
+    )
+    sql["window_sliding_late_events"] = (
+        # each event joins every 30-min-slid 1h window containing it;
+        # lateness ruled per assigned pane (w + size + grace)
+        "WITH e AS (SELECT event_id, value, "
+        "  epoch_us(ts) / 1000000.0 AS secs, "
+        "  epoch_us(ts) / 1000000.0 + "
+        "  ((event_id * 2654435761) % 4294967296) / 4294967296.0 * 7200.0 "
+        "    AS arrival FROM events), "
+        "wins AS (SELECT e.*, w.window_start FROM e JOIN ("
+        "  SELECT DISTINCT FLOOR(secs / 1800) * 1800 - k * 1800 "
+        "    AS window_start FROM e, (VALUES (0), (1)) AS t(k)) w "
+        "  ON e.secs >= w.window_start "
+        "  AND e.secs < w.window_start + 3600 "
+        "  AND e.arrival <= w.window_start + 3600 + 600.0 "
+        "  AND w.window_start >= 0) "
+        "SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) "
+        "AS total_micros "
+        "FROM wins GROUP BY window_start"
     )
     return sql

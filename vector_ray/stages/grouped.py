@@ -511,17 +511,24 @@ def compile_partial_agg(group_by: list[str], aggregates: dict) -> Callable:
 
 
 def _round_and_order(t: pa.Table, group_by, aggregates, ndigits) -> pa.Table:
-    if ndigits is not None:
-        for col in t.column_names:
-            if pa.types.is_floating(t.schema.field(col).type):
-                i = t.column_names.index(col)
-                # half_towards_infinity matches SQL ROUND semantics
-                # (DuckDB oracle parity); arrow default is half_to_even
-                t = t.set_column(
-                    i,
-                    col,
-                    pc.round(t[col], ndigits=ndigits, round_mode="half_towards_infinity"),
-                )
+    # per-aggregate {"round": N} overrides the top-level option for its
+    # column (previously a silently ignored key — a config foot-gun)
+    per_col = {
+        name: spec.get("round")
+        for name, spec in aggregates.items()
+        if isinstance(spec, dict) and spec.get("round") is not None
+    }
+    for col in t.column_names:
+        nd = per_col.get(col, ndigits)
+        if nd is not None and pa.types.is_floating(t.schema.field(col).type):
+            i = t.column_names.index(col)
+            # half_towards_infinity matches SQL ROUND semantics
+            # (DuckDB oracle parity); arrow default is half_to_even
+            t = t.set_column(
+                i,
+                col,
+                pc.round(t[col], ndigits=nd, round_mode="half_towards_infinity"),
+            )
     order = group_by + [o for o in aggregates if o in t.column_names]
     return t.select(order)
 

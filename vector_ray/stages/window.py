@@ -152,13 +152,27 @@ def calendar(ds, options: dict, ctx=None):
 
 
 def sliding(ds, options: dict, ctx=None):
-    """options: size_secs, slide_secs, ts_field, key_field(s), aggregates."""
+    """options: size_secs, slide_secs, ts_field, key_field(s), aggregates.
+
+    Watermark semantics (same contract as ``tumbling``): with
+    ``arrival_field`` + ``allowed_lateness_secs``, lateness is judged
+    PER ASSIGNED WINDOW — a disordered event can be late for an early
+    pane it overlaps yet still on time for a later one, exactly as a
+    streaming engine's per-pane watermark would rule. Late assignments
+    are dropped (final-panes contract)."""
     size = float(options["size_secs"])
     slide = float(options.get("slide_secs", size))
     ts_field = options.get("ts_field", "ts")
     keys = options.get("key_fields") or (
         [options["key_field"]] if options.get("key_field") else []
     )
+    arrival = options.get("arrival_field")
+    lateness = options.get("allowed_lateness_secs")
+    if (arrival is None) != (lateness is None):
+        raise ValueError(
+            "sliding: arrival_field and allowed_lateness_secs must be "
+            "given together (both define the watermark policy)"
+        )
 
     def explode(t: pa.Table) -> pa.Table:
         secs_arr = _epoch_secs(t[ts_field])
@@ -176,7 +190,15 @@ def sliding(ds, options: dict, ctx=None):
         )
         w = (np.repeat(first, counts) + within) * slide
         out = t.take(pa.array(row_id))
-        return out.append_column("window_start", pa.array(w, pa.float64()))
+        out = out.append_column("window_start", pa.array(w, pa.float64()))
+        if arrival is not None:
+            arr_col = _epoch_secs(out[arrival])
+            if isinstance(arr_col, pa.ChunkedArray):
+                arr_col = arr_col.combine_chunks()
+            arr = arr_col.to_numpy(zero_copy_only=False)
+            on_time = arr <= w + size + float(lateness)
+            out = out.filter(pa.array(on_time))
+        return out
 
     windowed = ds.map_batches(explode, batch_format="pyarrow")
     return agg_stage(
