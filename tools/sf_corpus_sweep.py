@@ -13,7 +13,12 @@ in pandas:
 
 Per-query wall-clock budget: a query whose ORACLE cannot finish inside
 ``--timeout`` seconds is recorded ``ORACLE_TIMEOUT`` (the engine side
-still ran) — a documented exclusion, not a silent skip.
+still ran) — a documented exclusion, not a silent skip. Each oracle
+runs in its own subprocess so a DuckDB OOM/segfault cannot kill the
+sweep. Queries whose SQL oracle is inherently unspillable (giant-list
+rebuilds) get a STREAM verifier instead: a constant-memory positional
+hash-sum equality over the flattened token streams (see
+``STREAM_VERIFIERS``).
 
 Usage: python tools/sf_corpus_sweep.py [tag] [--timeout N] [query ...]
 """
@@ -74,6 +79,34 @@ def main() -> int:
         corpus_queries = [q for q in corpus_queries if q in only]
     print(f"{len(corpus_queries)} corpus-scaling queries at {tag}")
 
+    # Special-case verifier for exact concat-and-chunk packing: its SQL
+    # oracle re-builds 2048-token LIST chunks via a global aggregation,
+    # which DuckDB cannot spill (OOM at sf1). Instead verify the
+    # DEFINITION directly and streamingly: the flattened (global
+    # position, token) stream of the engine's chunks must equal the
+    # corpus's doc_id-ordered token stream — compared by COUNT + SUM of
+    # a per-(pos, tok) hash, constant-memory aggregates over both sides.
+    def pack_stream_sql(eng_glob: str, seq_glob: str) -> str:
+        return (
+            "WITH e AS (SELECT chunk_id, unnest(tokens) AS tok, "
+            f"  generate_subscripts(tokens, 1) AS i FROM read_parquet('{eng_glob}')), "
+            "epos AS (SELECT chunk_id * 2048 + i - 1 AS pos, tok FROM e), "
+            f"c AS (SELECT doc_id, tokens FROM read_parquet('{seq_glob}')), "
+            "cw AS (SELECT tokens, COALESCE(SUM(len(tokens)) OVER ("
+            "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "  PRECEDING), 0) AS base FROM c), "
+            "cpos AS (SELECT base + generate_subscripts(tokens, 1) - 1 AS pos, "
+            "  unnest(tokens) AS tok FROM cw), "
+            "a AS (SELECT COUNT(*) AS n, SUM(hash(pos, tok)::HUGEINT) AS h "
+            "  FROM epos), "
+            "b AS (SELECT COUNT(*) AS n, SUM(hash(pos, tok)::HUGEINT) AS h "
+            "  FROM cpos) "
+            "SELECT a.n, b.n, CASE WHEN a.n = b.n AND a.h = b.h "
+            "THEN 0 ELSE 1 END FROM a, b"
+        )
+
+    STREAM_VERIFIERS = {"pack_sequences_corpus": pack_stream_sql}
+
     sf_dir = f"/root/testdata/{tag}"  # only the basename (tag) is used
     out_root = f"/tmp/sf_sweep/{tag}"
     os.makedirs(out_root, exist_ok=True)
@@ -106,7 +139,16 @@ def main() -> int:
             continue
         t_engine = time.perf_counter() - t0
 
-        sql = oracles[name].replace(f"/{'sf0.01'}/", f"/{tag}/")
+        stream = STREAM_VERIFIERS.get(name)
+        if stream is not None:
+            sql = stream(
+                f"{out_root}/{name}/*.parquet",
+                f"{datagen.sequences_dir(tag)}/*.parquet",
+            )
+            mode = "direct"
+        else:
+            sql = oracles[name].replace(f"/{'sf0.01'}/", f"/{tag}/")
+            mode = "views"
         # the oracle runs in a SUBPROCESS: a DuckDB out-of-memory (or
         # the segfault it can leave behind) must not take down the
         # sweep — a dead oracle process is recorded as an exclusion
@@ -118,11 +160,16 @@ def main() -> int:
             "import base64, json, os, duckdb, sys\n"
             "sql = base64.b64decode(sys.argv[1]).decode()\n"
             "eng = sys.argv[2]\n"
+            "mode = sys.argv[3]\n"
             "os.makedirs('/tmp/duckdb_spill', exist_ok=True)\n"
             "con = duckdb.connect()\n"
             "con.execute(\"SET memory_limit='48GB'; SET threads=12; \"\n"
             "    \"SET temp_directory='/tmp/duckdb_spill'; \"\n"
             "    \"SET max_temp_directory_size='60GB';\")\n"
+            "if mode == 'direct':\n"
+            "    row = con.execute(sql).fetchone()\n"
+            "    print(json.dumps([int(row[0]), int(row[1]), int(row[2])]))\n"
+            "    sys.exit(0)\n"
             "con.execute(f'CREATE VIEW orc AS ({sql})')\n"
             "cols = [d[0] for d in con.execute('SELECT * FROM orc LIMIT 0').description]\n"
             "collist = ', '.join(f'\"{c}\"' for c in cols)\n"
@@ -135,7 +182,7 @@ def main() -> int:
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", runner, payload,
-                 f"{out_root}/{name}"],
+                 f"{out_root}/{name}", mode],
                 capture_output=True, text=True, timeout=timeout,
             )
         except subprocess.TimeoutExpired:
