@@ -105,7 +105,35 @@ def main() -> int:
             "THEN 0 ELSE 1 END FROM a, b"
         )
 
-    STREAM_VERIFIERS = {"pack_sequences_corpus": pack_stream_sql}
+    def pack_eos_stream_sql(eng_glob: str, seq_glob: str) -> str:
+        # same positional check, but the reference stream is "each doc's
+        # tokens followed by one EOS separator" (append_eos composed
+        # into the pack) — the EOS id mirrors functions/tokens.py
+        from vector_ray.functions.tokens import EOS_TOKEN
+
+        return (
+            "WITH e AS (SELECT chunk_id, unnest(tokens) AS tok, "
+            f"  generate_subscripts(tokens, 1) AS i FROM read_parquet('{eng_glob}')), "
+            "epos AS (SELECT chunk_id * 2048 + i - 1 AS pos, tok FROM e), "
+            f"c AS (SELECT doc_id, tokens FROM read_parquet('{seq_glob}')), "
+            "cw AS (SELECT tokens, COALESCE(SUM(len(tokens) + 1) OVER ("
+            "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "  PRECEDING), 0) AS base FROM c), "
+            "cpos AS (SELECT base + generate_subscripts(tokens, 1) - 1 AS pos, "
+            "  unnest(tokens) AS tok FROM cw "
+            f"  UNION ALL SELECT base + len(tokens), {EOS_TOKEN} FROM cw), "
+            "a AS (SELECT COUNT(*) AS n, SUM(hash(pos, tok)::HUGEINT) AS h "
+            "  FROM epos), "
+            "b AS (SELECT COUNT(*) AS n, SUM(hash(pos, tok)::HUGEINT) AS h "
+            "  FROM cpos) "
+            "SELECT a.n, b.n, CASE WHEN a.n = b.n AND a.h = b.h "
+            "THEN 0 ELSE 1 END FROM a, b"
+        )
+
+    STREAM_VERIFIERS = {
+        "pack_sequences_corpus": pack_stream_sql,
+        "pack_eos_corpus": pack_eos_stream_sql,
+    }
 
     sf_dir = f"/root/testdata/{tag}"  # only the basename (tag) is used
     out_root = f"/tmp/sf_sweep/{tag}"
