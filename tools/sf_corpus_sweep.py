@@ -223,7 +223,8 @@ def main() -> int:
         if proc.returncode != 0:
             err = (proc.stderr or "").strip().splitlines()
             tail_line = err[-1] if err else f"exit {proc.returncode}"
-            if "OutOfMemory" in tail_line or proc.returncode in (-9, -11, 139):
+            if ("OutOfMemory" in tail_line or "temp_directory" in tail_line
+                    or proc.returncode in (-9, -11, 139)):
                 print(
                     f"ORACLE_OOM  {name}: engine {t_engine:.1f}s ok, "
                     f"oracle died ({tail_line[:120]}) — documented exclusion"
