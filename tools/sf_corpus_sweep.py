@@ -224,6 +224,7 @@ def main() -> int:
             err = (proc.stderr or "").strip().splitlines()
             tail_line = err[-1] if err else f"exit {proc.returncode}"
             if ("OutOfMemory" in tail_line or "temp_directory" in tail_line
+                    or "No space left" in tail_line
                     or proc.returncode in (-9, -11, 139)):
                 print(
                     f"ORACLE_OOM  {name}: engine {t_engine:.1f}s ok, "
@@ -236,6 +237,7 @@ def main() -> int:
         import json as _json
 
         n_eng, n_orc, n_diff = _json.loads(proc.stdout.strip().splitlines()[-1])
+        shutil.rmtree(f"{out_root}/{name}", ignore_errors=True)
         if n_eng == n_orc and n_diff == 0:
             print(
                 f"OK    {name}: {n_eng} rows exact "
