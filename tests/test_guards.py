@@ -94,3 +94,79 @@ def test_tumbling_watermark_semantics(ray_session):
             "arrival_field": "arrival",
             "aggregates": {"n": {"fn": "count"}},
         })
+
+
+def test_watermark_null_arrival_raises(ray_session):
+    """A null arrival has no place on the watermark timeline: in tag
+    mode it would become a silent third grouping bucket, in drop mode
+    a silent drop — both must raise naming the column (ADVICE r3)."""
+    import ray.data as rd
+
+    from vector_ray.stages.window import window
+
+    t = pa.table({
+        "ts": pa.array([10.0, 20.0], pa.float64()),
+        "arrival": pa.array([11.0, None], pa.float64()),
+    })
+    for late_mode in ("drop", "tag"):
+        opts = {
+            "window": "tumbling", "size_secs": 60, "ts_field": "ts",
+            "arrival_field": "arrival", "allowed_lateness_secs": 5,
+            "late": late_mode,
+            "aggregates": {"n": {"fn": "count"}},
+        }
+        with pytest.raises(Exception, match="null"):
+            window(rd.from_arrow(t), opts).to_pandas()
+    # sliding and session reject the same way
+    with pytest.raises(Exception, match="null"):
+        window(rd.from_arrow(t), {
+            "window": "sliding", "size_secs": 60, "slide_secs": 30,
+            "ts_field": "ts", "arrival_field": "arrival",
+            "allowed_lateness_secs": 5,
+            "aggregates": {"n": {"fn": "count"}},
+        }).to_pandas()
+    t2 = t.append_column("user", pa.array(["u1", "u1"]))
+    with pytest.raises(Exception, match="null"):
+        window(rd.from_arrow(t2), {
+            "window": "session", "gap_secs": 60, "ts_field": "ts",
+            "key_field": "user", "arrival_field": "arrival",
+            "allowed_lateness_secs": 5,
+            "aggregates": {"n": {"fn": "count"}},
+        }).to_pandas()
+
+
+def test_session_watermark_semantics(ray_session):
+    """Session late policy: late iff arrival > ts + gap + grace. Drop
+    mode removes the late row BEFORE sessionization (so a bridging
+    event cannot merge two sessions); tag mode sessionizes late rows
+    separately with an is_late column."""
+    import ray.data as rd
+
+    from vector_ray.stages.window import window
+
+    # gap 10, grace 5 -> late iff arrival > ts + 15.
+    # u1: ts 0, 8, 16 chain into ONE session when all on time; the
+    # middle event (ts 8) is late (arrival 30 > 23), so dropping it
+    # splits the chain into two sessions (0) and (16).
+    t = pa.table({
+        "user": pa.array(["u1", "u1", "u1"]),
+        "ts": pa.array([0.0, 8.0, 16.0], pa.float64()),
+        "arrival": pa.array([1.0, 30.0, 17.0], pa.float64()),
+    })
+    opts = {
+        "window": "session", "gap_secs": 10, "ts_field": "ts",
+        "key_field": "user", "arrival_field": "arrival",
+        "allowed_lateness_secs": 5,
+        "aggregates": {"n": {"fn": "count"}},
+    }
+    out = window(rd.from_arrow(t), opts).to_pandas()
+    spans = sorted(zip(out["session_start"], out["session_end"], out["n"]))
+    assert spans == [(0.0, 0.0, 1), (16.0, 16.0, 1)]
+
+    out2 = window(rd.from_arrow(t), opts | {"late": "tag"}).to_pandas()
+    rows = sorted(
+        zip(out2["is_late"], out2["session_start"], out2["n"])
+    )
+    # on-time rows (0, 16) still split; the late row is its own
+    # side-output session
+    assert rows == [(False, 0.0, 1), (False, 16.0, 1), (True, 8.0, 1)]

@@ -26,9 +26,11 @@ HOOK = (
 
 def test_translates_mappable_subset():
     src = lua_to_vrl(_cfg(HOOK))
+    # '..' operands are string()-wrapped: Lua coerces concat operands
+    # to string, so numeric FIELDS must concatenate ("12"), not add
     assert src.splitlines() == [
         ".y = .x * 2 + 1",
-        '.t = .name + "-z"',
+        '.t = string(.name) + "-z"',
         "del(.gone)",
     ]
 
@@ -59,16 +61,96 @@ def test_end_to_end_remap(ray_session):
 
 @pytest.mark.parametrize("process,needle", [
     ("function (event, emit)\n  if x then end\n  emit(event)\nend",
-     "unsupported statement"),
+     "unsupported construct"),
     ("function (event, emit)\n  event.log.y = os.time()\n  emit(event)\nend",
      "unsupported construct"),
     ("function (event, emit)\n  event.log.y = 1\nend", "emit"),
     ("function (event, emit)\n  emit(event)\n  event.log.y = 1\nend",
-     "after emit"),
+     "must end with exactly one"),
+    # conditional emit (emit inside an if branch) is not translatable
+    ("function (event, emit)\n  if event.log.x > 1 then\n    emit(event)\n"
+     "  end\nend", "emit"),
+    # loops / locals raise by name
+    ("function (event, emit)\n  for i = 1, 3 do\n  end\n  emit(event)\nend",
+     "unsupported construct"),
+    # '..' with a numeric literal operand would coerce in Lua
+    ("function (event, emit)\n  event.log.y = event.log.x .. 1\n"
+     "  emit(event)\nend", "numeric operand"),
+    # mixed '..'/arithmetic without parens is ambiguous across languages
+    ("function (event, emit)\n  event.log.y = event.log.a .. event.log.b"
+     " + 1\n  emit(event)\nend", "parenthes"),
 ])
 def test_untranslatable_constructs_raise(process, needle):
     with pytest.raises(VrlError, match=needle):
         lua_to_vrl(_cfg(process))
+
+
+COND_HOOK = (
+    "function (event, emit)\n"
+    "  if event.log.v >= 100 then\n"
+    "    event.log.band = 'high'\n"
+    "    event.log.flag = 1\n"
+    "  elseif event.log.v >= 10 then\n"
+    "    event.log.band = 'mid'\n"
+    "  else\n"
+    "    event.log.band = 'low'\n"
+    "    event.log.flag = 0\n"
+    "  end\n"
+    "  emit(event)\n"
+    "end"
+)
+
+
+def test_translates_conditionals():
+    src = lua_to_vrl(_cfg(COND_HOOK))
+    assert src == (
+        'if .v >= 100 { .band = "high"; .flag = 1 } '
+        'else if .v >= 10 { .band = "mid" } '
+        'else { .band = "low"; .flag = 0 }'
+    )
+
+
+def test_conditional_end_to_end(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages import TRANSFORMS
+
+    ds = rd.from_arrow(
+        pa.table({"v": [5.0, 50.0, 500.0, None]})
+    )
+    out = TRANSFORMS["lua"](ds, _cfg(COND_HOOK)).to_pandas()
+    by_v = dict(zip(out["v"], zip(out["band"], out["flag"])))
+    assert by_v[5.0] == ("low", 0)
+    assert by_v[50.0][0] == "mid" and pa.compute.is_null(
+        pa.scalar(by_v[50.0][1])
+    ).as_py() in (True,) or by_v[50.0][1] != by_v[50.0][1]  # NaN/null
+    assert by_v[500.0] == ("high", 1)
+
+
+def test_nested_conditionals_translate_and_run(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages import TRANSFORMS
+
+    hook = (
+        "function (e, emit)\n"
+        "  if e.log.kind == 'a' and e.log.v > 0 then\n"
+        "    if e.log.v > 10 then\n"
+        "      e.log.tag = 'big-a'\n"
+        "    else\n"
+        "      e.log.tag = 'small-a'\n"
+        "    end\n"
+        "  else\n"
+        "    e.log.tag = 'other'\n"
+        "  end\n"
+        "  emit(e)\n"
+        "end"
+    )
+    ds = rd.from_arrow(
+        pa.table({"kind": ["a", "a", "b"], "v": [5, 50, 50]})
+    )
+    out = TRANSFORMS["lua"](ds, _cfg(hook)).to_pandas()
+    assert out["tag"].tolist() == ["small-a", "big-a", "other"]
 
 
 def test_stateful_setup_raises():

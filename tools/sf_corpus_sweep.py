@@ -223,9 +223,32 @@ def main() -> int:
         if proc.returncode != 0:
             err = (proc.stderr or "").strip().splitlines()
             tail_line = err[-1] if err else f"exit {proc.returncode}"
-            if ("OutOfMemory" in tail_line or "temp_directory" in tail_line
-                    or "No space left" in tail_line
-                    or proc.returncode in (-9, -11, 139)):
+            # capacity exclusion needs EVIDENCE of memory/disk pressure,
+            # not just a crashy exit code: a segfault (-11/139) or kill
+            # (-9) counts only when stderr mentions OOM/spill anywhere
+            # or the spill dir is non-empty — a genuine DuckDB crash on
+            # a malformed oracle query must register as FAIL, not as a
+            # capacity exclusion
+            full_err = proc.stderr or ""
+            mem_evidence = (
+                "OutOfMemory" in full_err
+                or "temp_directory" in full_err
+                or "No space left" in full_err
+                or any(
+                    os.listdir(d)
+                    for d in ("/tmp/duckdb_spill",)
+                    if os.path.isdir(d)
+                )
+            )
+            if proc.returncode in (-9, -11, 139) and not mem_evidence:
+                print(
+                    f"FAIL  {name}: oracle crashed (exit "
+                    f"{proc.returncode}) with no OOM/spill evidence — "
+                    f"{tail_line[:160]}"
+                )
+                failures += 1
+                continue
+            if mem_evidence or proc.returncode in (-9, -11, 139):
                 print(
                     f"ORACLE_OOM  {name}: engine {t_engine:.1f}s ok, "
                     f"oracle died ({tail_line[:120]}) — documented exclusion"

@@ -372,6 +372,10 @@ def canonical_url(
         "",
     )
     out = pc.if_else(ok, canon, s)
+    # null input rows stay NULL (not ""): fill_null above exists only so
+    # the regex kernel runs; collapsing nulls to "" would make every
+    # null-URL row collide in downstream dedupe-by-URL
+    out = pc.if_else(pc.is_null(col), pa.scalar(None, pa.string()), out)
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
     return t.append_column(target, out)

@@ -817,6 +817,21 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT event_id, value * 2 + 1 AS value_x2, "
                 "event_type || '-lua' AS tag FROM events"
             ),
+            # the verbatim lua if/elseif/else hook: a null value falls
+            # through to ELSE on both sides (lua cond error -> false in
+            # the shim; SQL CASE null -> no match), flag/big_buy stay
+            # NULL in arms that do not assign them
+            "lua_conditional_events": (
+                "SELECT event_id, "
+                "CASE WHEN value >= 100 THEN 'high' "
+                "WHEN value >= 10 THEN 'mid' ELSE 'low' END AS band, "
+                "CASE WHEN value >= 100 THEN CAST(1 AS BIGINT) "
+                "WHEN value >= 10 THEN NULL "
+                "ELSE CAST(0 AS BIGINT) END AS flag, "
+                "CASE WHEN event_type = 'purchase' AND value >= 50 "
+                "THEN CAST(1 AS BIGINT) ELSE NULL END AS big_buy "
+                "FROM events"
+            ),
             "test_basic_events": (
                 "SELECT event_id, event_type, value FROM events"
             ),
@@ -1964,6 +1979,24 @@ def oracle_sql() -> dict[str, str]:
         "CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) "
         "AS total_micros "
         "FROM w WHERE NOT is_late GROUP BY window_start"
+    )
+    sql["window_session_late_events"] = (
+        # same watermark policy on session windows: late iff arrival >
+        # own ts + gap + grace; late rows removed BEFORE sessionization
+        "WITH e AS (SELECT user_id, ts, epoch_us(ts) / 1000000.0 AS secs, "
+        "  epoch_us(ts) / 1000000.0 + "
+        "  ((event_id * 2654435761) % 4294967296) / 4294967296.0 * 7200.0 "
+        "    AS arrival FROM events), "
+        "f AS (SELECT user_id, ts FROM e "
+        "  WHERE NOT (arrival > secs + 3600 + 600.0)), "
+        "s AS (SELECT user_id, ts, SUM(new_session) OVER ("
+        "    PARTITION BY user_id ORDER BY ts) AS sid FROM ("
+        "    SELECT user_id, ts, CASE WHEN epoch(ts) - epoch(lag(ts) OVER ("
+        "      PARTITION BY user_id ORDER BY ts)) > 3600 OR lag(ts) OVER ("
+        "      PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END "
+        "    AS new_session FROM f)) "
+        "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+        "COUNT(*) AS n FROM s GROUP BY user_id, sid"
     )
     sql["window_late_tagged_events"] = base_late + (
         "SELECT window_start, is_late, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -8,7 +8,7 @@ Ray-Data mapping of the reference's remap/filter/route/sample transforms
 from __future__ import annotations
 
 import re
-from typing import Callable
+from typing import Any, Callable
 
 import numpy as np
 import pyarrow as pa
@@ -30,11 +30,94 @@ UNMATCHED = "_unmatched"
 # ---------------------------------------------------------------------------
 
 
+def _split_statements(source: str) -> list[str]:
+    """Split a remap program into statements on ``;``/newline at brace
+    depth 0, so an ``if cond { ... } else { ... }`` block (which spans
+    lines) stays one statement."""
+    stmts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    for ch in source:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth < 0:
+                raise VrlError("unbalanced '}' in remap program")
+        if ch in ";\n" and depth == 0:
+            s = "".join(cur).strip()
+            if s:
+                stmts.append(s)
+            cur = []
+        else:
+            cur.append(ch)
+    if depth != 0:
+        raise VrlError("unbalanced '{' in remap program")
+    s = "".join(cur).strip()
+    if s:
+        stmts.append(s)
+    return stmts
+
+
+def _match_brace(stmt: str, open_idx: int) -> int:
+    """Index of the ``}`` matching the ``{`` at ``open_idx``."""
+    depth = 0
+    for i in range(open_idx, len(stmt)):
+        if stmt[i] == "{":
+            depth += 1
+        elif stmt[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise VrlError(f"unbalanced braces in {stmt!r}")
+
+
+def _parse_if(stmt: str) -> dict:
+    """Parse an ``if <cond> { ... } [else if <cond> { ... }]* [else
+    { ... }]`` chain into ``{"op": "if", "branches": [(cond, ops)...],
+    "else_ops": [...]}`` with recursively parsed branch bodies."""
+    branches: list[tuple[str, list[dict]]] = []
+    else_ops: list[dict] = []
+    rest = stmt
+    while True:
+        m = re.match(r"^if\b\s*", rest)
+        if not m:
+            raise VrlError(f"malformed if statement: {stmt!r}")
+        brace = rest.find("{", m.end())
+        if brace < 0:
+            raise VrlError(f"if condition missing '{{' block: {stmt!r}")
+        cond = rest[m.end():brace].strip()
+        if not cond:
+            raise VrlError(f"empty if condition in {stmt!r}")
+        close = _match_brace(rest, brace)
+        branches.append((cond, _parse_program(rest[brace + 1 : close])))
+        rest = rest[close + 1 :].strip()
+        if not rest:
+            break
+        em = re.match(r"^else\b\s*", rest)
+        if not em:
+            raise VrlError(f"unexpected text after if block: {rest!r}")
+        rest = rest[em.end():].strip()
+        if rest.startswith("if"):
+            continue  # else if — loop parses the next branch
+        if not rest.startswith("{"):
+            raise VrlError(f"malformed else block in {stmt!r}")
+        close = _match_brace(rest, 0)
+        else_ops = _parse_program(rest[1:close])
+        tail = rest[close + 1 :].strip()
+        if tail:
+            raise VrlError(f"unexpected text after else block: {tail!r}")
+        break
+    return {"op": "if", "branches": branches, "else_ops": else_ops}
+
+
 def _parse_program(source: str) -> list[dict]:
     ops: list[dict] = []
-    for raw in re.split(r"[;\n]", source):
-        stmt = raw.strip()
-        if not stmt or stmt.startswith("#"):
+    for stmt in _split_statements(source):
+        if stmt.startswith("#"):
+            continue
+        if re.match(r"^if\b", stmt):
+            ops.append(_parse_if(stmt))
             continue
         m = re.match(r"^del\(\.([A-Za-z_][\w.]*)\)$", stmt)
         if m:
@@ -60,6 +143,103 @@ def _set_column(table: pa.Table, name: str, values) -> pa.Table:
     return table.append_column(name, values)
 
 
+def _as_array(vals, num_rows: int):
+    """Broadcast scalars to a combined Arrow array of ``num_rows``."""
+    if isinstance(vals, pa.Scalar):
+        vals = pa.array([vals.as_py()] * num_rows, vals.type)
+    elif not hasattr(vals, "type"):
+        vals = pa.array([vals] * num_rows)
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    return vals
+
+
+def _masked_set(target: str, expr_fn) -> Callable:
+    """One ``pc.if_else`` blend: rows under ``mask`` take the expression
+    value (or null for a branch-local ``del``), the rest keep their
+    current value."""
+
+    def apply(t: pa.Table, mask) -> pa.Table:
+        if expr_fn is None:  # del(.target) under a mask → set-to-null
+            cur = (
+                t[target].combine_chunks()
+                if target in t.column_names
+                else pa.nulls(t.num_rows)
+            )
+            vals = pa.nulls(t.num_rows, cur.type)
+        else:
+            vals = _as_array(expr_fn(t), t.num_rows)
+            cur = (
+                t[target].combine_chunks()
+                if target in t.column_names
+                else pa.nulls(t.num_rows, vals.type)
+            )
+            if pa.types.is_null(vals.type):
+                vals = pa.nulls(t.num_rows, cur.type)
+            elif cur.type != vals.type:
+                cur = pc.cast(cur, vals.type)
+        return _set_column(t, target, pc.if_else(mask, vals, cur))
+
+    return apply
+
+
+def _compile_masked_ops(ops: list[dict]) -> list[Callable]:
+    out: list[Callable] = []
+    for sub in ops:
+        if sub["op"] == "set":
+            out.append(_masked_set(sub["target"], compile_expr(sub["expr"])))
+        elif sub["op"] == "drop":
+            out.extend(_masked_set(f, None) for f in sub["fields"])
+        elif sub["op"] == "if":
+            out.append(_compile_if_masked(sub))
+        else:
+            raise VrlError(
+                "only assignments, del() and nested if are supported "
+                f"inside an if branch, got op {sub['op']!r}"
+            )
+    return out
+
+
+def _compile_if_masked(op: dict) -> Callable:
+    """Vectorized VRL ``if`` chain as a mask-threaded closure: each
+    branch's condition claims the not-yet-claimed rows it matches
+    (within the enclosing mask, so chains nest), and the branch's
+    assignments are blended in with ``pc.if_else`` over that mask — one
+    kernel pass per (branch, target), never a row loop. Branch bodies
+    are assignments, ``del`` (a per-row conditional set-to-null — a
+    columnar engine can't drop a column for a subset of rows) and
+    nested ``if``s. Null condition results count as false (VRL's
+    error-to-false condition semantics)."""
+    branches: list[tuple[Any, list[Callable]]] = [
+        (compile_predicate(cond), _compile_masked_ops(ops))
+        for cond, ops in op["branches"]
+    ]
+    if op.get("else_ops"):
+        branches.append((None, _compile_masked_ops(op["else_ops"])))
+
+    def apply(t: pa.Table, outer) -> pa.Table:
+        remaining = outer  # rows not claimed by an earlier branch
+        for cond_fn, mops in branches:
+            if cond_fn is None:  # else branch claims everything left
+                mask = remaining
+            else:
+                mask = pc.fill_null(cond_fn(t), False)
+                if isinstance(mask, pa.ChunkedArray):
+                    mask = mask.combine_chunks()
+                mask = pc.and_(mask, remaining)
+            remaining = pc.and_(remaining, pc.invert(mask))
+            for mop in mops:
+                t = mop(t, mask)
+        return t
+
+    return apply
+
+
+def _compile_if(op: dict) -> Callable[[pa.Table], pa.Table]:
+    masked = _compile_if_masked(op)
+    return lambda t: masked(t, pa.array(np.ones(t.num_rows, dtype=bool)))
+
+
 def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
     kind = op["op"]
 
@@ -67,6 +247,9 @@ def _compile_op(op: dict) -> Callable[[pa.Table], pa.Table]:
         expr = compile_expr(op["expr"])
         target = op["target"]
         return lambda t: _set_column(t, target, expr(t))
+
+    if kind == "if":
+        return _compile_if(op)
 
     if kind == "parse_regex":
         # grok-style extraction: one compiled regex with named groups,

@@ -7,17 +7,26 @@ This engine has no Lua VM. Instead, the TRIVIALLY MAPPABLE statement
 subset of a verbatim Vector lua v2 config is translated to the engine's
 vectorized VRL remap program:
 
-    event.log.<field> = <expr>      ->  .<field> = <expr'>
-    event.log.<field> = nil         ->  del(.<field>)
-    emit(event)  (exactly once, last)  -> (implicit: remap emits 1:1)
+    event.log.<field> = <expr>        ->  .<field> = <expr'>
+    event.log.<field> = nil           ->  del(.<field>)
+    if <cond> then <stmts>
+    [elseif <cond> then <stmts>]*
+    [else <stmts>] end                ->  if <cond'> { ... } else ...
+    emit(event)  (exactly once, last)   -> (implicit: remap emits 1:1)
 
 where <expr'> maps ``event.log.x`` -> ``.x``, Lua's ``..`` concat ->
-VRL ``+``, and passes through numeric/string literals, ``+ - * / %``
-and parentheses. Anything outside that subset — control flow, local
-variables, library calls, stateful global setup, conditional emit /
-drop — raises ``VrlError`` naming the construct, so a user porting a
-real lua block sees exactly which line needs a rewrite (to filter /
-route / pyscript) instead of silently wrong output.
+VRL ``+`` (STRING operands only — Lua ``..`` coerces numbers to
+strings, ``1 .. 2 == "12"``, which VRL ``+`` would compute as 3, so a
+``..`` with a numeric-literal operand or mixed un-parenthesized
+``..``/arithmetic raises instead of silently diverging), and passes
+through numeric/string literals, ``+ - * / %``, comparisons
+(``== ~= < > <= >=``), ``and/or/not``, ``nil`` and parentheses.
+Conditional blocks nest; a branch body is assignments / nil-deletes /
+nested ifs. Anything outside that subset — loops, local variables,
+library calls, stateful global setup, conditional emit / drop — raises
+``VrlError`` naming the construct, so a user porting a real lua block
+sees exactly which line needs a rewrite (to filter / route / pyscript)
+instead of silently wrong output.
 """
 
 from __future__ import annotations
@@ -28,9 +37,11 @@ from vector_ray.vrl import VrlError
 
 _HOOK_RE = re.compile(
     r"^\s*function\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)"
-    r"(.*?)\bend\s*$",
+    r"(.*)\bend\s*$",
     re.S,
 )
+
+_ARITH_OPS = set("+-*/%")
 
 
 def _field_pattern(ev: str) -> re.Pattern:
@@ -40,35 +51,64 @@ def _field_pattern(ev: str) -> re.Pattern:
     )
 
 
-def _translate_expr(expr: str, ev: str) -> str:
+def _tokenize(expr: str, ev: str, conditions: bool) -> list[tuple[str, str]]:
+    """Lua expression -> [(kind, VRL text)] tokens. ``conditions``
+    additionally admits comparison / boolean operators and ``nil``."""
     field_re = _field_pattern(ev)
     tok_re = re.compile(
-        r"\s*(?:(?P<concat>\.\.)|(?P<op>[-+*/%()])"
+        r"\s*(?:(?P<concat>\.\.)"
+        r"|(?P<cmp>[=~<>]=|<|>)"
+        r"|(?P<word>\b(?:and|or|not|nil|true|false)\b)"
+        r"|(?P<op>[-+*/%()])"
         r"|(?P<num>\d+(?:\.\d+)?)"
         r"|(?P<dq>\"[^\"]*\")|(?P<sq>'[^']*'))"
     )
-    out: list[str] = []
-    pos = 0
-    n = len(expr)
+    _WORDS = {
+        "and": "&&", "or": "||", "not": "!", "nil": "null",
+        "true": "true", "false": "false",
+    }
+    _CMPS = {"==": "==", "~=": "!=", "<=": "<=", ">=": ">=", "<": "<", ">": ">"}
+    toks: list[tuple[str, str]] = []
+    pos, n = 0, len(expr)
     while pos < n:
         if expr[pos].isspace():
             pos += 1
             continue
         m = field_re.match(expr, pos)
         if m:
-            out.append("." + (m.group("dot") or m.group("br")))
+            toks.append(("field", "." + (m.group("dot") or m.group("br"))))
             pos = m.end()
             continue
         m = tok_re.match(expr, pos)
         if m and m.end() > pos:
             if m.group("concat"):
-                out.append("+")
+                toks.append(("concat", "+"))
+            elif m.group("cmp"):
+                if not conditions:
+                    raise VrlError(
+                        f"lua: comparison {m.group('cmp')!r} outside an "
+                        f"if condition in {expr.strip()!r}"
+                    )
+                if m.group("cmp") == "=":
+                    raise VrlError(
+                        f"lua: bare '=' in condition {expr.strip()!r} "
+                        "(did you mean '=='?)"
+                    )
+                toks.append(("cmp", _CMPS[m.group("cmp")]))
+            elif m.group("word"):
+                w = m.group("word")
+                if w in ("and", "or", "not") and not conditions:
+                    raise VrlError(
+                        f"lua: boolean {w!r} outside an if condition in "
+                        f"{expr.strip()!r}"
+                    )
+                toks.append(("word", _WORDS[w]))
             elif m.group("op"):
-                out.append(m.group("op"))
+                toks.append(("op", m.group("op")))
             elif m.group("num"):
-                out.append(m.group("num"))
+                toks.append(("num", m.group("num")))
             elif m.group("dq"):
-                out.append(m.group("dq"))
+                toks.append(("str", m.group("dq")))
             else:  # single-quoted lua string -> double-quoted VRL
                 inner = m.group("sq")[1:-1]
                 if '"' in inner:
@@ -77,18 +117,159 @@ def _translate_expr(expr: str, ev: str) -> str:
                         f"string literal {m.group('sq')!r} is not "
                         "translatable"
                     )
-                out.append(f'"{inner}"')
+                toks.append(("str", f'"{inner}"'))
             pos = m.end()
             continue
         bad = expr[pos:].split()[0]
         raise VrlError(
             f"lua: unsupported construct {bad!r} in expression "
             f"{expr.strip()!r} (translatable subset: event.log fields, "
-            "numeric/string literals, + - * / % .. and parentheses)"
+            "numeric/string/boolean literals, + - * / % .. comparisons, "
+            "and/or/not, nil and parentheses)"
         )
-    if not out:
+    if not toks:
         raise VrlError(f"lua: empty expression in {expr!r}")
-    return " ".join(out)
+    return toks
+
+
+def _check_concat(toks: list[tuple[str, str]], expr: str) -> None:
+    """Reject the ``..`` spellings whose Lua value diverges from VRL
+    ``+``: Lua coerces numeric operands to strings (``1 .. 2`` is
+    "12"; VRL ``+`` gives 3) and binds ``..`` LOOSER than arithmetic
+    (``a .. b + c`` is ``a .. (b+c)``), so a numeric-literal operand or
+    a ``..`` mixed with un-parenthesized arithmetic in the same
+    parenthesis group raises instead of silently producing a different
+    value. String-only concat chains translate fine."""
+    for i, (kind, _) in enumerate(toks):
+        if kind != "concat":
+            continue
+        for j in (i - 1, i + 1):
+            if not 0 <= j < len(toks):
+                continue
+            if toks[j][0] == "num":
+                raise VrlError(
+                    "lua: '..' with a numeric operand coerces to string "
+                    f"in Lua ('1 .. 2' == \"12\") in {expr.strip()!r} — "
+                    "not translatable to VRL '+'; wrap the operand in "
+                    "quotes if string concat is intended"
+                )
+            if toks[j][0] == "op" and toks[j][1] in "()":
+                raise VrlError(
+                    "lua: '..' on a parenthesized subexpression in "
+                    f"{expr.strip()!r} could be a numeric value Lua "
+                    "would coerce to string — not translatable; "
+                    "concatenate fields/literals directly"
+                )
+            if toks[j][0] == "field":
+                # Lua '..' coerces the operand to string; make that
+                # explicit so two NUMERIC fields concatenate ("12")
+                # instead of silently adding (int fields match Lua
+                # exactly; float formatting may differ from Lua %.14g)
+                toks[j] = ("fieldstr", f"string({toks[j][1]})")
+    # per parenthesis group: '..' and arithmetic may not mix (their
+    # relative precedence differs between Lua and VRL)
+    stack: list[set] = [set()]
+    for kind, text in toks:
+        if kind == "op" and text == "(":
+            stack.append(set())
+        elif kind == "op" and text == ")":
+            if len(stack) > 1:
+                stack.pop()
+        elif kind == "concat":
+            stack[-1].add("concat")
+        elif kind == "op" and text in _ARITH_OPS:
+            stack[-1].add("arith")
+        for grp in stack[-1:]:
+            if len(grp) > 1:
+                raise VrlError(
+                    "lua: mixing '..' and arithmetic without explicit "
+                    f"parentheses in {expr.strip()!r} is ambiguous "
+                    "(Lua binds '..' looser than '+'); parenthesize the "
+                    "arithmetic"
+                )
+
+
+def _translate_expr(expr: str, ev: str, conditions: bool = False) -> str:
+    toks = _tokenize(expr, ev, conditions)
+    _check_concat(toks, expr)
+    return " ".join(t for _, t in toks)
+
+
+_IF_RE = re.compile(r"^if\b(?P<cond>.+?)\bthen$")
+_ELSEIF_RE = re.compile(r"^elseif\b(?P<cond>.+?)\bthen$")
+
+
+def _parse_block(lines: list[str], i: int, ev: str, depth: int) -> tuple[list[str], int]:
+    """Parse statements from ``lines[i:]`` until the terminator of the
+    current block (``end`` / ``elseif`` / ``else`` at this depth);
+    returns (VRL statements, index of the terminator line)."""
+    stmts: list[str] = []
+    field_re = _field_pattern(ev)
+    while i < len(lines):
+        line = lines[i]
+        if line in ("end",) or _ELSEIF_RE.match(line) or line == "else":
+            if depth == 0:
+                raise VrlError(f"lua: unexpected {line.split()[0]!r} outside a block")
+            return stmts, i
+        m = _IF_RE.match(line)
+        if m:
+            vrl_if, i = _parse_if(lines, i, ev, depth)
+            stmts.append(vrl_if)
+            continue
+        if re.match(r"^(?:if|for|while|repeat|local|function)\b", line):
+            raise VrlError(
+                f"lua: unsupported construct in {line!r} (single-line "
+                "if bodies, loops, locals and nested functions are not "
+                "translatable; use multi-line 'if <cond> then' blocks)"
+            )
+        fm = field_re.match(line)
+        if not fm:
+            raise VrlError(
+                f"lua: unsupported statement {line!r} (translatable "
+                "subset: event.log.<field> = <expr>, "
+                "event.log.<field> = nil, if/elseif/else blocks, "
+                "one final emit)"
+            )
+        rest = line[fm.end():].lstrip()
+        if not rest.startswith("=") or rest.startswith("=="):
+            raise VrlError(
+                f"lua: unsupported statement {line!r} (expected an "
+                "assignment)"
+            )
+        target = "." + (fm.group("dot") or fm.group("br"))
+        rhs = rest[1:].strip()
+        if rhs == "nil":
+            stmts.append(f"del({target})")
+        else:
+            stmts.append(f"{target} = {_translate_expr(rhs, ev)}")
+        i += 1
+    if depth > 0:
+        raise VrlError("lua: if block not closed with 'end'")
+    return stmts, i
+
+
+def _parse_if(lines: list[str], i: int, ev: str, depth: int) -> tuple[str, int]:
+    """Translate an if/elseif/else chain starting at ``lines[i]`` into
+    one VRL ``if cond { ... } else if ... else { ... }`` statement;
+    returns (statement, index after the chain's ``end``)."""
+    parts: list[str] = []
+    m = _IF_RE.match(lines[i])
+    while True:
+        cond = _translate_expr(m.group("cond"), ev, conditions=True)
+        body, i = _parse_block(lines, i + 1, ev, depth + 1)
+        kw = "if" if not parts else "else if"
+        parts.append(f"{kw} {cond} {{ {'; '.join(body)} }}")
+        line = lines[i]
+        m = _ELSEIF_RE.match(line)
+        if m:
+            continue
+        if line == "else":
+            body, i = _parse_block(lines, i + 1, ev, depth + 1)
+            parts.append(f"else {{ {'; '.join(body)} }}")
+            line = lines[i]
+        if line != "end":
+            raise VrlError(f"lua: expected 'end' to close if, got {line!r}")
+        return " ".join(parts), i + 1
 
 
 def lua_to_vrl(options: dict) -> str:
@@ -127,45 +308,26 @@ def lua_to_vrl(options: dict) -> str:
             "'function (event, emit) ... end'"
         )
     ev, emit, body = m.group(1), m.group(2), m.group(3)
-    field_re = _field_pattern(ev)
     emit_re = re.compile(rf"^{re.escape(emit)}\s*\(\s*{re.escape(ev)}\s*\)$")
-    stmts: list[str] = []
-    emitted = False
+    # strip comments/blank lines up front so block parsing sees only
+    # real statements; the final emit is validated here (it is the 1:1
+    # remap implicit) and must be top-level and last
+    lines = []
     for raw in body.splitlines():
         line = raw.split("--", 1)[0].strip()
-        if not line:
-            continue
-        if emitted:
-            raise VrlError(
-                f"lua: statement after emit({ev}) is not supported: "
-                f"{line!r}"
-            )
-        if emit_re.match(line):
-            emitted = True
-            continue
-        fm = field_re.match(line)
-        if not fm:
-            raise VrlError(
-                f"lua: unsupported statement {line!r} (translatable "
-                "subset: event.log.<field> = <expr>, "
-                "event.log.<field> = nil, one final emit)"
-            )
-        rest = line[fm.end():].lstrip()
-        if not rest.startswith("="):
-            raise VrlError(
-                f"lua: unsupported statement {line!r} (expected "
-                "an assignment)"
-            )
-        target = "." + (fm.group("dot") or fm.group("br"))
-        rhs = rest[1:].strip()
-        if rhs == "nil":
-            stmts.append(f"del({target})")
-        else:
-            stmts.append(f"{target} = {_translate_expr(rhs, ev)}")
-    if not emitted:
+        if line:
+            lines.append(line)
+    if not lines or not emit_re.match(lines[-1]):
         raise VrlError(
             "lua: hooks.process must end with exactly one "
             f"emit({ev}) (conditional emit / drop is not translatable "
             "— use filter or route)"
         )
+    for line in lines[:-1]:
+        if emit_re.match(line):
+            raise VrlError(
+                f"lua: emit({ev}) may only appear once, as the final "
+                "statement (conditional emit is not translatable)"
+            )
+    stmts, _ = _parse_block(lines[:-1], 0, ev, 0)
     return "\n".join(stmts)

@@ -45,6 +45,24 @@ def _epoch_secs(col) -> pc.Expression:
     return pc.cast(col, pa.float64())
 
 
+def _arrival_secs(t: pa.Table, arrival: str, where: str):
+    """Arrival (processing-time) column as epoch seconds, REJECTING
+    nulls: a null arrival has no place on the watermark timeline — in
+    ``late: "tag"`` mode it would become a silent third grouping bucket
+    (neither on-time nor late) and in ``drop`` mode it would be
+    silently dropped, so raise instead (same explicit-null contract as
+    hbos_score)."""
+    arr = _epoch_secs(t[arrival])
+    nulls = pc.sum(pc.cast(pc.is_null(arr), pa.int64())).as_py() or 0
+    if nulls:
+        raise ValueError(
+            f"{where}: arrival column {arrival!r} has {nulls} null "
+            "row(s); lateness is undefined for a null arrival time — "
+            "filter them out or fill them before windowing"
+        )
+    return arr
+
+
 def tumbling(ds, options: dict, ctx=None):
     """options: size_secs, ts_field, key_field(s), aggregates, round.
 
@@ -86,7 +104,7 @@ def tumbling(ds, options: dict, ctx=None):
             win = win.combine_chunks()
         t = t.append_column("window_start", win)
         if arrival is not None:
-            arr = _epoch_secs(t[arrival])
+            arr = _arrival_secs(t, arrival, "tumbling")
             late = pc.greater(
                 arr, pc.add(pc.add(win, size), float(lateness))
             )
@@ -192,7 +210,7 @@ def sliding(ds, options: dict, ctx=None):
         out = t.take(pa.array(row_id))
         out = out.append_column("window_start", pa.array(w, pa.float64()))
         if arrival is not None:
-            arr_col = _epoch_secs(out[arrival])
+            arr_col = _arrival_secs(out, arrival, "sliding")
             if isinstance(arr_col, pa.ChunkedArray):
                 arr_col = arr_col.combine_chunks()
             arr = arr_col.to_numpy(zero_copy_only=False)
@@ -214,11 +232,55 @@ def sliding(ds, options: dict, ctx=None):
 
 def session(ds, options: dict, ctx=None):
     """options: gap_secs, ts_field, key_field, aggregates (sum/count/
-    min/max/mean over listed fields, computed per session)."""
+    min/max/mean over listed fields, computed per session).
+
+    Watermark semantics (round-4, same contract as ``tumbling`` /
+    ``sliding``): with ``arrival_field`` + ``allowed_lateness_secs`` L,
+    an event is LATE iff
+
+        arrival_ts > event_ts + gap + L
+
+    — by the time it arrived, the watermark had passed its own
+    timestamp's session-expiry point (ts + gap) plus the grace period,
+    so any session it could have joined or extended was already closed.
+    ``late: "drop"`` (default) excludes late events BEFORE
+    sessionization (they never extend a session — the final-panes
+    contract); ``late: "tag"`` sessionizes late events separately per
+    key with an ``is_late`` output column (the streaming side-output
+    shape: the main output's sessions are unaffected). Per-event and
+    SQL-reproducible, like the fixed-window policies."""
     gap = float(options["gap_secs"])
     ts_field = options.get("ts_field", "ts")
     key = options["key_field"]
     aggregates: dict = options["aggregates"]
+    arrival = options.get("arrival_field")
+    lateness = options.get("allowed_lateness_secs")
+    late_mode = options.get("late", "drop")
+    if (arrival is None) != (lateness is None):
+        raise ValueError(
+            "session: arrival_field and allowed_lateness_secs must be "
+            "given together (both define the watermark policy)"
+        )
+    if late_mode not in ("drop", "tag"):
+        raise ValueError(f"session: unknown late mode {late_mode!r}")
+    group_keys = [key]
+    if arrival is not None:
+
+        def judge(t: pa.Table) -> pa.Table:
+            arr = _arrival_secs(t, arrival, "session")
+            secs = _epoch_secs(t[ts_field])
+            late = pc.greater(
+                arr, pc.add(pc.add(secs, gap), float(lateness))
+            )
+            if late_mode == "drop":
+                return t.filter(pc.invert(late))
+            if isinstance(late, pa.ChunkedArray):
+                late = late.combine_chunks()
+            return t.append_column("is_late", late)
+
+        ds = ds.map_batches(judge, batch_format="pyarrow")
+        if late_mode == "tag":
+            group_keys = [key, "is_late"]
 
     def sessions(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[(ts_field, "ascending")])
@@ -244,7 +306,10 @@ def session(ds, options: dict, ctx=None):
             specs + [(ts_field, "min"), (ts_field, "max")]
         )
         n = ga.num_rows
-        cols[key] = pa.array([g[key][0].as_py()] * n, g.schema.field(key).type)
+        for gk in group_keys:
+            cols[gk] = pa.array(
+                [g[gk][0].as_py()] * n, g.schema.field(gk).type
+            )
         start = ga[f"{ts_field}_min"]
         cols["session_start"] = start.combine_chunks() if isinstance(start, pa.ChunkedArray) else start
         end = ga[f"{ts_field}_max"]
@@ -255,7 +320,7 @@ def session(ds, options: dict, ctx=None):
             cols[out] = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
         return pa.table(cols)
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pyarrow")
+    return ds.groupby(group_keys).map_groups(sessions, batch_format="pyarrow")
 
 
 def window(ds, options: dict, ctx=None):
