@@ -25,6 +25,48 @@ import time
 import warnings
 
 
+def _reset_peak_rss() -> None:
+    """Reset the kernel's driver peak-RSS counter (VmHWM) so each query
+    leg reports ITS OWN high-water mark, not the session's."""
+    try:
+        with open("/proc/self/clear_refs", "w") as f:
+            f.write("5")
+    except OSError:
+        pass
+
+
+def _peak_rss_mb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return round(int(line.split()[1]) / 1024.0, 1)
+    except OSError:
+        pass
+    return -1.0
+
+
+def _spilled_mb(session_dir: str | None) -> float:
+    """Cumulative object-store spill for this Ray session, parsed from
+    the raylet's periodic 'Spilled N MiB, ...' progress lines (the
+    in-process memory_summary API needs grpc, absent here). Returns the
+    LAST (= largest, cumulative) value seen; 0.0 when nothing spilled."""
+    import glob
+    import re
+
+    best = 0.0
+    if not session_dir:
+        return best
+    for path in glob.glob(os.path.join(session_dir, "logs", "raylet*")):
+        try:
+            with open(path, errors="ignore") as f:
+                for m in re.finditer(r"Spilled (\d+) MiB", f.read()):
+                    best = max(best, float(m.group(1)))
+        except OSError:
+            continue
+    return best
+
+
 def run_bench() -> dict:
     warnings.filterwarnings("ignore")
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,13 +74,15 @@ def run_bench() -> dict:
 
     import ray
 
+    session_dir = None
     if not ray.is_initialized():
-        ray.init(
+        rctx = ray.init(
             address="local",
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
         )
+        session_dir = rctx.address_info.get("session_dir")
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -68,8 +112,27 @@ def run_bench() -> dict:
     # between identical runs (observed: 19.6s vs 3.5s for the same job
     # minutes apart), and min-of-3 measures the engine rather than
     # whichever neighbor was busy.
+    mem: dict[str, dict] = {}
+
+    def mem_leg(name: str):
+        """Memory evidence per leg: reset the driver peak-RSS counter
+        before and read VmHWM + session-cumulative spill delta after —
+        the measured form of 'nothing materializes unbounded on the
+        driver; the object store spills instead of the heap growing'."""
+        spill0 = _spilled_mb(session_dir)
+        _reset_peak_rss()
+
+        def done():
+            mem[name] = {
+                "peak_rss_mb": _peak_rss_mb(),
+                "spilled_mb": round(_spilled_mb(session_dir) - spill0, 1),
+            }
+
+        return done
+
     out_dir = f"/tmp/vector_ray_bench/{tag}/flagship"
     best = None
+    fin = mem_leg("flagship_e2e")
     for _ in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
         os.sync()  # corpus generation's dirty pages must not steal disk BW
@@ -84,6 +147,7 @@ def run_bench() -> dict:
         elapsed = time.perf_counter() - t0
         if best is None or elapsed < best[0]:
             best = (elapsed, summary)
+    fin()
     queries["flagship_e2e"] = round(best[0], 3)
     summary = best[1]
 
@@ -98,30 +162,35 @@ def run_bench() -> dict:
     from vector_ray.functions.tokens import pack_sequences
     from vector_ray.pipelines import flagship as _fl
 
-    def timed(fn, reps: int = 2) -> float:
+    def timed(name: str, fn, reps: int = 2) -> float:
+        fin = mem_leg(name)
         best_t = None
         for _ in range(reps):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
             best_t = dt if best_t is None or dt < best_t else best_t
+        fin()
         return round(best_t, 3)
 
-    queries["flagship_agg"] = timed(lambda: q_flagship_agg(sf_dir), reps=3)
-    queries["agg_lineitem"] = timed(lambda: q_agg_lineitem(sf_dir), reps=3)
+    queries["flagship_agg"] = timed("flagship_agg", lambda: q_flagship_agg(sf_dir), reps=3)
+    queries["agg_lineitem"] = timed("agg_lineitem", lambda: q_agg_lineitem(sf_dir), reps=3)
     queries["minhash_dedup"] = timed(
-        lambda: q_minhash_pairs_documents(sf_dir).count(), reps=3
+        "minhash_dedup", lambda: q_minhash_pairs_documents(sf_dir).count(),
+        reps=3,
     )
-    queries["ann_topk"] = timed(lambda: q_ann_topk(sf_dir).count())
+    queries["ann_topk"] = timed("ann_topk", lambda: q_ann_topk(sf_dir).count())
     # sequence packing (exact concat-and-chunk over the full corpus):
     # the headline tokens-axis op — shuffle-free for complete chunks
     queries["pack_2048"] = timed(
-        lambda: pack_sequences(_fl.list_input_files(seq_dir), 2048).count()
+        "pack_2048",
+        lambda: pack_sequences(_fl.list_input_files(seq_dir), 2048).count(),
     )
     # vocab top-k: dense bincount tree reduction, no row-level shuffle
     from vector_ray.functions.tokens import token_topk
 
     queries["token_topk"] = timed(
+        "token_topk",
         lambda: token_topk(
             rd.read_parquet(_fl.list_input_files(seq_dir), columns=["tokens"]),
             k=50,
@@ -133,6 +202,7 @@ def run_bench() -> dict:
     from vector_ray.functions.tokens import turn_examples
 
     queries["turn_examples"] = timed(
+        "turn_examples",
         lambda: turn_examples(
             rd.read_parquet(
                 _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
@@ -142,12 +212,13 @@ def run_bench() -> dict:
     )
     from vector_ray.entry_queries import q_preference_pairs
 
-    queries["pref_pairs"] = timed(lambda: q_preference_pairs(sf_dir).count())
+    queries["pref_pairs"] = timed("pref_pairs", lambda: q_preference_pairs(sf_dir).count())
     # corpus LM scoring: dense count tree reduction + broadcast logp +
     # vectorized per-sequence NLL (two passes over every token)
     from vector_ray.functions.lm import token_lm_score
 
     queries["lm_tokens"] = timed(
+        "lm_tokens",
         lambda: token_lm_score(
             rd.read_parquet(
                 _fl.list_input_files(seq_dir), columns=["doc_id", "tokens"]
@@ -178,16 +249,25 @@ def run_bench() -> dict:
     # the recorded number (measured 2026-08-21: 22-46 s under residual
     # load vs 7.6-9.4 s warm on the same tree, idle host)
     queries["span_dedupe"] = timed(
-        lambda: span_dedupe(planted, n=8).count()
+        "span_dedupe", lambda: span_dedupe(planted, n=8).count()
     )
     # broadcast-mask contrast (pure-streaming two-read plan, whole
     # index shipped to every worker) — the plan auto used to pick;
     # kept in the bench so the auto=exchange default stays justified
     # by a same-run measurement
     queries["span_dedupe_b"] = timed(
-        lambda: span_dedupe(planted, n=8, mask="broadcast").count()
+        "span_dedupe_b",
+        lambda: span_dedupe(planted, n=8, mask="broadcast").count(),
     )
     del planted
+    # n-gram novelty (round-4: packed bucket-exchange rework — the old
+    # row-per-(gram,did) double groupby measured 741 s on this leg; the
+    # packed two-level raw-task exchange measures ~8 s, same output)
+    from vector_ray.entry_queries import q_ngram_novelty
+
+    queries["ngram_novelty"] = timed(
+        "ngram_novelty", lambda: q_ngram_novelty(sf_dir).count()
+    )
     # pretrain prep e2e (mixture + split filter inside exact packing,
     # epoch shuffle, partitioned writes + checkpoints): the tokens-axis
     # counterpart of the flagship headline
@@ -198,13 +278,14 @@ def run_bench() -> dict:
         shutil.rmtree(pdir, ignore_errors=True)
         pretrain.run(seq_dir, pdir, pretrain.PretrainConfig(), resume=False)
 
-    queries["pretrain_pack"] = timed(_pretrain_once)
+    queries["pretrain_pack"] = timed("pretrain_pack", _pretrain_once)
 
     result = {
         "metric": "flagship parse->enrich->route->aggregate e2e seconds",
         "value": queries["flagship_e2e"],
         "unit": "sec",
         "queries": queries,
+        "mem": mem,
         "sf": tag,
         "num_cpus": num_cpus,
         "rows": summary["rows_total"],

@@ -146,3 +146,84 @@ def test_resize_and_features_png_jpeg(ray_session):
     for mt, p in zip(out["media_type"], out["payload"]):
         px = dp(p) if mt == "image/png" else dj(p)
         assert px.shape == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# mp4 / ISO-BMFF container (round-4): box-level parse, no frame decode
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_round_trip_fields():
+    from vector_ray.functions.codecs import encode_mp4, parse_mp4
+
+    tracks = [
+        {
+            "handler": b"vide", "codec": b"avc1", "width": 640,
+            "height": 360, "timescale": 12288,
+            "sample_deltas": [512, 512, 1024],
+            "sample_bytes": [b"a" * 100, b"b" * 50, b"c" * 200],
+        },
+        {
+            "handler": b"soun", "codec": b"mp4a", "width": 0, "height": 0,
+            "timescale": 44100, "sample_deltas": [1024] * 5,
+            "sample_bytes": [b"x" * 30] * 5,
+        },
+    ]
+    info = parse_mp4(encode_mp4(tracks))
+    assert info["brand"] == "isom"
+    assert len(info["tracks"]) == 2
+    v, a = info["tracks"]
+    assert (v["handler"], v["codec"], v["width"], v["height"]) == (
+        "vide", "avc1", 640, 360)
+    assert v["n_samples"] == 3 and v["sample_bytes"] == 350
+    assert v["max_sample_bytes"] == 200 and v["duration"] == 2048
+    assert (a["handler"], a["codec"], a["n_samples"]) == ("soun", "mp4a", 5)
+    assert a["sample_bytes"] == 150 and a["duration"] == 5120
+    # movie duration = longest track in movie timescale (1000)
+    assert info["duration"] == max(
+        2048 * 1000 // 12288, 5120 * 1000 // 44100)
+
+
+def test_mp4_synth_deterministic_and_audio_track():
+    from vector_ray.functions.codecs import parse_mp4, synth_mp4
+
+    assert synth_mp4(9) == synth_mp4(9)
+    even = parse_mp4(synth_mp4(8))
+    odd = parse_mp4(synth_mp4(9))
+    assert [t["handler"] for t in even["tracks"]] == ["vide"]
+    assert [t["handler"] for t in odd["tracks"]] == ["vide", "soun"]
+
+
+def test_mp4_frame_decode_is_declared_stub():
+    from vector_ray.functions.codecs import decode_mp4_frames, synth_mp4
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_mp4_frames(synth_mp4(1))
+
+
+def test_mp4_malformed_raises():
+    from vector_ray.functions.codecs import parse_mp4
+
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4(b"\x00\x00\x00\x08ftyp" + b"\xff" * 4)  # no moov box
+    with pytest.raises(ValueError, match="malformed|missing"):
+        parse_mp4(b"not an mp4 at all........")
+
+
+def test_mp4_features_extractor_real_mode(ray_session):
+    import ray.data as rd
+
+    from vector_ray.functions.multimodal import (
+        extract_features,
+        mp4_media_table,
+    )
+
+    tbl = mp4_media_table(6, seed=3)
+    out = extract_features(
+        rd.from_arrow(tbl), mode="real", concurrency=1
+    ).to_pandas()
+    assert len(out) == 6
+    feats = out["features"].tolist()
+    for f in feats:
+        assert f[0] == 3.0  # video flag
+        assert f[1] > 0     # duration_s

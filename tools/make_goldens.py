@@ -1273,7 +1273,153 @@ def golden_fingerprint_rolling(docs: pa.Table) -> pa.Table:
     )
 
 
+def _mp4_children(buf: bytes, lo: int, hi: int) -> list:
+    """Independent ISO-BMFF sibling scan (int.from_bytes arithmetic, no
+    shared code with codecs._walk_boxes): [(tag, body_lo, box_hi)]."""
+    out = []
+    i = lo
+    while i + 8 <= hi:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        tag = buf[i + 4 : i + 8].decode("latin1")
+        body = i + 8
+        if size == 1:
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:
+            size = hi - i
+        assert size >= 8 and i + size <= hi, f"bad box {tag} at {i}"
+        out.append((tag, body, i + size))
+        i += size
+    return out
+
+
+def _mp4_child(buf, lo, hi, want):
+    for tag, b, e in _mp4_children(buf, lo, hi):
+        if tag == want:
+            return b, e
+    raise AssertionError(f"no {want} box")
+
+
+def _parse_mp4_independent(buf: bytes) -> dict:
+    """Straight-line re-derivation of the container fields
+    codecs.parse_mp4 extracts, written against the public ISO/IEC
+    14496-12 box layout."""
+    fb, _ = _mp4_child(buf, 0, len(buf), "ftyp")
+    mb, me = _mp4_child(buf, 0, len(buf), "moov")
+    vb, _ = _mp4_child(buf, mb, me, "mvhd")
+    if buf[vb] == 1:
+        ts = int.from_bytes(buf[vb + 20 : vb + 24], "big")
+        dur = int.from_bytes(buf[vb + 24 : vb + 32], "big")
+    else:
+        ts = int.from_bytes(buf[vb + 12 : vb + 16], "big")
+        dur = int.from_bytes(buf[vb + 16 : vb + 20], "big")
+    tracks = []
+    for tag, tb, te in _mp4_children(buf, mb, me):
+        if tag != "trak":
+            continue
+        kb, ke = _mp4_child(buf, tb, te, "tkhd")
+        w = int.from_bytes(buf[ke - 8 : ke - 6], "big")
+        h = int.from_bytes(buf[ke - 4 : ke - 2], "big")
+        db, de = _mp4_child(buf, tb, te, "mdia")
+        ib, _ = _mp4_child(buf, db, de, "mdhd")
+        if buf[ib] == 1:
+            mts = int.from_bytes(buf[ib + 20 : ib + 24], "big")
+            mdur = int.from_bytes(buf[ib + 24 : ib + 32], "big")
+        else:
+            mts = int.from_bytes(buf[ib + 12 : ib + 16], "big")
+            mdur = int.from_bytes(buf[ib + 16 : ib + 20], "big")
+        lb, _ = _mp4_child(buf, db, de, "hdlr")
+        handler = buf[lb + 8 : lb + 12].decode("latin1")
+        nb, ne = _mp4_child(buf, db, de, "minf")
+        sb, se = _mp4_child(buf, nb, ne, "stbl")
+        eb, _ = _mp4_child(buf, sb, se, "stsd")
+        codec = buf[eb + 12 : eb + 16].decode("latin1")
+        zb, _ = _mp4_child(buf, sb, se, "stsz")
+        uniform = int.from_bytes(buf[zb + 4 : zb + 8], "big")
+        n = int.from_bytes(buf[zb + 8 : zb + 12], "big")
+        if uniform:
+            total, biggest = uniform * n, (uniform if n else 0)
+        else:
+            sizes = [
+                int.from_bytes(buf[zb + 12 + 4 * j : zb + 16 + 4 * j], "big")
+                for j in range(n)
+            ]
+            total, biggest = sum(sizes), (max(sizes) if sizes else 0)
+        cb, _ = _mp4_child(buf, sb, se, "stco")
+        n_chunks = int.from_bytes(buf[cb + 4 : cb + 8], "big")
+        tracks.append(
+            dict(handler=handler, codec=codec, width=w, height=h,
+                 timescale=mts, duration=mdur, n_samples=n,
+                 sample_bytes=total, max_sample_bytes=biggest,
+                 n_chunks=n_chunks)
+        )
+    return dict(timescale=ts, duration=dur, tracks=tracks)
+
+
+def golden_media_mp4(n=200, seed=23, dim=16) -> pa.Table:
+    """Independent recomputation of q_media_features_mp4: payloads from
+    the shared fixture generator; container fields via the independent
+    parser above; the public 16-dim descriptor math re-derived."""
+    from vector_ray.functions.multimodal import mp4_media_table
+
+    media = mp4_media_table(n, seed=seed)
+    ids, types, nbytes, digests, argmaxes = [], [], [], [], []
+    wvec = np.arange(1, dim + 1, dtype=np.float64)
+    for mid, payload in zip(
+        media["media_id"].to_pylist(), media["payload"].to_pylist()
+    ):
+        info = _parse_mp4_independent(payload)
+        f = np.zeros(dim, np.float64)
+        f[0] = 3.0
+        f[1] = info["duration"] / info["timescale"]
+        f[2] = len(info["tracks"])
+        vid = [t for t in info["tracks"] if t["handler"] == "vide"]
+        aud = [t for t in info["tracks"] if t["handler"] == "soun"]
+        if vid:
+            v = vid[0]
+            tdur = v["duration"] / v["timescale"]
+            f[3] = v["width"] / 1024.0
+            f[4] = v["height"] / 1024.0
+            f[5] = v["n_samples"] / tdur if tdur else 0.0
+            f[6] = v["sample_bytes"] / 1e6
+            f[7] = (
+                v["sample_bytes"] / v["n_samples"] / 1e3
+                if v["n_samples"]
+                else 0.0
+            )
+            f[8] = v["max_sample_bytes"] / 1e3
+            f[9] = 8.0 * v["sample_bytes"] / tdur / 1e6 if tdur else 0.0
+        if aud:
+            a = aud[0]
+            f[10] = 1.0
+            f[11] = a["duration"] / a["timescale"]
+            f[12] = a["n_samples"] / 1e3
+            f[13] = a["sample_bytes"] / 1e6
+        f[14] = sum(t["n_chunks"] for t in info["tracks"])
+        f[15] = len(payload) / 1e6
+        f32 = f.astype(np.float32)
+        ids.append(mid)
+        types.append("video/mp4")
+        nbytes.append(len(payload))
+        digests.append(
+            round_half_away(
+                round_half_away(float(f32.astype(np.float64) @ wvec), 9), 6
+            )
+        )
+        argmaxes.append(int(np.argmax(f32)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(types, pa.string()),
+            "payload_bytes": pa.array(nbytes, pa.int64()),
+            "feat_digest": pa.array(digests, pa.float64()),
+            "feat_argmax": pa.array(argmaxes, pa.int64()),
+        }
+    )
+
+
 GOLDENS = {
+    "media_features_mp4": golden_media_mp4,
     "fingerprint_rolling_documents": lambda: golden_fingerprint_rolling(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     ),

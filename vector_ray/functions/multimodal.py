@@ -14,10 +14,14 @@ Decode support is tiered by what this environment can honestly do:
   scope per their docstring (8-bit non-interlaced PNG; baseline 4:4:4 /
   grayscale JPEG), out-of-scope payloads raise ``NotImplementedError``
   naming the feature.
-* **STUBBED** only for video (mp4): ``mode="stub"`` raises
-  ``NotImplementedError``; ``mode="fake"`` produces a deterministic
-  byte-histogram feature so arbitrary-format pipelines stay testable
-  end-to-end. Swapping in ffmpeg changes only the kernel body.
+* **REAL container-level parsing** for ``video/mp4`` (round-4):
+  ``codecs.parse_mp4`` walks the ISO-BMFF box tree (ftyp/moov/trak/
+  stbl sample tables) for per-track codec id, dimensions, duration,
+  sample counts/sizes — everything a curation pipeline filters on.
+  Only FRAME decode (H.264 entropy) remains a declared stub
+  (``codecs.decode_mp4_frames`` raises naming ffmpeg); ``mode="fake"``
+  still produces a deterministic byte-histogram feature so
+  arbitrary-format pipelines stay testable end-to-end.
 
 The Ray-side plumbing — schema, actor-pool stage signature, per-batch
 layout, byte-budgeted batch sizing — is identical across all tiers.
@@ -256,6 +260,75 @@ def bmp_features(payload: bytes, dim: int = 16) -> np.ndarray:
     return image_features(decode_bmp(payload), dim)
 
 
+def mp4_features(payload: bytes, dim: int = 16) -> np.ndarray:
+    """16-dim video-container descriptor from the ISO-BMFF sample
+    tables (codecs.parse_mp4 — no frame decode): movie duration, track
+    mix, and the first video/audio tracks' sample-count / byte / rate
+    statistics. The shape a curation pipeline filters on (drop clips
+    shorter than X, bitrate outliers, missing audio)."""
+    from vector_ray.functions.codecs import parse_mp4
+
+    info = parse_mp4(payload)
+    f = np.zeros(dim, np.float64)
+    dur_s = info["duration"] / info["timescale"] if info["timescale"] else 0.0
+    f[0] = 3.0  # video flag (1=audio, 2=image)
+    f[1] = dur_s
+    f[2] = len(info["tracks"])
+    vid = next((t for t in info["tracks"] if t["handler"] == "vide"), None)
+    aud = next((t for t in info["tracks"] if t["handler"] == "soun"), None)
+    if vid is not None:
+        tdur = vid["duration"] / vid["timescale"] if vid["timescale"] else 0.0
+        f[3] = vid["width"] / 1024.0
+        f[4] = vid["height"] / 1024.0
+        f[5] = vid["n_samples"] / tdur if tdur else 0.0       # fps
+        f[6] = vid["sample_bytes"] / 1e6
+        f[7] = vid["sample_bytes"] / vid["n_samples"] / 1e3 if vid["n_samples"] else 0.0
+        f[8] = vid["max_sample_bytes"] / 1e3
+        f[9] = 8.0 * vid["sample_bytes"] / tdur / 1e6 if tdur else 0.0  # Mbps
+    if aud is not None:
+        adur = aud["duration"] / aud["timescale"] if aud["timescale"] else 0.0
+        f[10] = 1.0
+        f[11] = adur
+        f[12] = aud["n_samples"] / 1e3
+        f[13] = aud["sample_bytes"] / 1e6
+    f[14] = sum(t["n_chunks"] for t in info["tracks"])
+    f[15] = len(payload) / 1e6
+    return f.astype(np.float32)
+
+
+def mp4_media_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic media rows whose payloads are REAL ISO-BMFF bytes
+    (codecs.synth_mp4: avc1 video shell, odd seeds add an mp4a audio
+    track)."""
+    from vector_ray.functions.codecs import parse_mp4, synth_mp4
+
+    ids, payloads, widths, heights, durs = [], [], [], [], []
+    for i in range(n):
+        p = synth_mp4(seed * 1_000_003 + i)
+        info = parse_mp4(p)
+        vid = next(t for t in info["tracks"] if t["handler"] == "vide")
+        ids.append(f"m-{i:06d}")
+        payloads.append(p)
+        widths.append(vid["width"])
+        heights.append(vid["height"])
+        durs.append(
+            int(1000 * info["duration"] / info["timescale"])
+            if info["timescale"]
+            else 0
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video/mp4"] * n),
+            "width": pa.array(np.array(widths, np.int32)),
+            "height": pa.array(np.array(heights, np.int32)),
+            "duration_ms": pa.array(np.array(durs, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode + feature-extract media payloads.
 
@@ -293,9 +366,15 @@ class MediaFeatureExtractor:
                 from vector_ray.functions.codecs import decode_jpeg
 
                 return image_features(decode_jpeg(payload), self.FEATURE_DIM)
+            if media_type == "video/mp4":
+                # container-level features are REAL (parse_mp4: sample
+                # tables, duration, codec ids); FRAME decode remains
+                # the declared stub (codecs.decode_mp4_frames raises)
+                return mp4_features(payload, self.FEATURE_DIM)
             raise NotImplementedError(
-                f"no stdlib codec for {media_type}; video (mp4) needs an "
-                "external library (ffmpeg) not present here"
+                f"no stdlib codec for {media_type}; mp4 FRAME decode "
+                "needs an external library (ffmpeg) not present here "
+                "(container-level video/mp4 features ARE supported)"
             )
         # deterministic fake: histogram of byte values folded to 16 bins
         arr = np.frombuffer(payload, dtype=np.uint8)

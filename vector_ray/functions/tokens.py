@@ -2007,7 +2007,7 @@ def ngram_novelty(
     n: int = 8,
     id_field: str = "did",
     field: str = "tokens",
-    num_buckets: int = 32,
+    num_buckets: int = 64,
 ):
     """Per-doc n-gram novelty over an id-ordered corpus: for every doc,
     the fraction of its DISTINCT token n-grams whose global FIRST
@@ -2021,123 +2021,225 @@ def ngram_novelty(
     order). Docs with fewer than ``n`` tokens have no grams and drop
     out — mirrored by the SQL oracle.
 
-    Distributed plan: per block, distinct (gram-hash, did) pairs
-    (grams FNV-hashed — the same collision-free-at-scale contract as
-    span_dedupe); leg A groups by did for the distinct-gram count (a
-    per-block local combine is exact since a doc is one row); leg B
-    groups by gram for the min-did winner, then by winner-did for the
-    novel count; one bucketed left join stitches the legs. Gram rows
-    shrink to one per distinct gram per block before either shuffle.
+    Distributed plan (round-4: the span_dedupe packed bucket-exchange
+    treatment — the previous row-per-(gram,did) double Dataset-groupby
+    plan was the registry's heaviest all-to-all and never completed at
+    sf1): per block, raw (h1, h2, did) gram occurrences are PACKED into
+    ≤ ``num_buckets`` rows (list columns, bucketed by h1 high bits, no
+    per-batch lexsort — the _gram_index_parts plan), exchanged via raw
+    split/merge Ray tasks (driver-owned num_returns objects, lineage-
+    reconstructable), and each bucket task computes BOTH legs for its
+    hash range in one lexsort: distinct-(gram,did) per-did counts
+    (exact globally — a doc lives in exactly one row) and min-did
+    winners per gram (min over occurrences == min over distincts, so
+    raw occurrences need no pre-dedup). Each bucket emits one small
+    (did, n_grams, n_novel) partial table; the only Dataset shuffle
+    left is the final groupby-did sum over ≤ docs×num_buckets partial
+    rows — input-gram-volume shuffles are gone entirely.
+
+    Gram identity is the (h1, h2) 128-bit pair (span_dedupe's
+    collision-free-at-scale contract; the previous plan's single
+    64-bit hash starts colliding near 10⁹ distinct grams).
 
     Returns Dataset[(did:int64, n_grams:int64, n_novel:int64,
     novelty:float64)]."""
     from vector_ray.schema import round_sql_np
-    from vector_ray.stages.shuffle import bucketed_join
 
-    def pairs_part(t: pa.Table) -> pa.Table:
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    shift = np.uint64(64 - (num_buckets.bit_length() - 1))
+
+    def partials(t: pa.Table) -> pa.Table:
         values, offsets = _flat_tokens(t, field)
         starts, row_idx = _gram_windows(values, offsets, n)
         ids_col = t[id_field]
         if isinstance(ids_col, pa.ChunkedArray):
             ids_col = ids_col.combine_chunks()
         ids_all = np.asarray(ids_col, dtype=np.int64)
-        if len(starts) == 0:
-            return pa.table(
+        h1, h2 = _hash_grams_pair(values, starts, n)
+        did = ids_all[row_idx] if len(starts) else np.empty(0, np.int64)
+        # bucket by h1 high bits with a RADIX-stable argsort; raw
+        # occurrences ship packed — the per-bucket lexsort happens once
+        # in the merge task, not per batch (see _gram_index_parts)
+        bucket = (h1 >> shift).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        h1s = h1[order].view(np.int64)
+        h2s = h2[order].view(np.int64)
+        dids = did[order]
+        cuts = np.searchsorted(
+            bucket[order], np.arange(num_buckets + 1, dtype=np.int64)
+        )
+        offs = pa.array(cuts.astype(np.int32), pa.int32())
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(num_buckets, dtype=np.int64)),
+                "h1": pa.ListArray.from_arrays(offs, pa.array(h1s, pa.int64())),
+                "h2": pa.ListArray.from_arrays(offs, pa.array(h2s, pa.int64())),
+                "did": pa.ListArray.from_arrays(offs, pa.array(dids, pa.int64())),
+            }
+        )
+
+    blocks = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    if not blocks:
+        return rd.from_arrow(
+            pa.table(
                 {
-                    "gram": pa.array([], pa.int64()),
                     "did": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                    "novelty": pa.array([], pa.float64()),
                 }
             )
-        h = _hash_grams(values, starts, n).view(np.int64)
-        did = ids_all[row_idx]
-        # distinct (gram, did) within the block — exact global distinct
-        # per did because a doc is a single input row
-        order = np.lexsort((did, h))
-        hs, ds_ = h[order], did[order]
-        keep = np.ones(len(hs), dtype=bool)
-        keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
-        return pa.table(
-            {"gram": pa.array(hs[keep]), "did": pa.array(ds_[keep])}
         )
-
-    pairs = ds.map_batches(pairs_part, batch_format="pyarrow")
-
-    def count_part(t: pa.Table) -> pa.Table:
-        d = np.asarray(t["did"], dtype=np.int64)
-        uniq, cnt = np.unique(d, return_counts=True)
-        return pa.table(
-            {"did": pa.array(uniq), "n_grams": pa.array(cnt.astype(np.int64))}
-        )
-
-    counts = (
-        pairs.map_batches(count_part, batch_format="pyarrow")
-        .groupby("did")
-        .sum("n_grams")
-        .map_batches(
-            lambda t: t.rename_columns(["did", "n_grams"]),
-            batch_format="pyarrow",
-        )
+    num_groups = max(
+        1, min(len(blocks), int(ray.cluster_resources().get("CPU", 8)))
     )
 
-    def min_part(t: pa.Table) -> pa.Table:
-        g = np.asarray(t["gram"], dtype=np.int64)
-        d = np.asarray(t["did"], dtype=np.int64)
-        # local min did per gram: sort by (gram, did), keep first
-        order = np.lexsort((d, g))
-        gs, ds_ = g[order], d[order]
-        keep = np.ones(len(gs), dtype=bool)
-        keep[1:] = gs[1:] != gs[:-1]
+    @ray.remote(num_cpus=1, num_returns=num_buckets)
+    def split_group(*tbls):
+        acc: list[list] = [[] for _ in range(num_buckets)]
+        for tbl in tbls:
+            if tbl.num_rows == 0 or "bucket" not in tbl.column_names:
+                continue
+            bcol = tbl["bucket"].to_numpy(zero_copy_only=False)
+            c1 = tbl["h1"].combine_chunks()
+            c2 = tbl["h2"].combine_chunks()
+            cd = tbl["did"].combine_chunks()
+            for i, b in enumerate(bcol):
+                acc[b].append(
+                    (
+                        c1[i].values.to_numpy(zero_copy_only=False),
+                        c2[i].values.to_numpy(zero_copy_only=False),
+                        cd[i].values.to_numpy(zero_copy_only=False),
+                    )
+                )
+        empty = (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+        out = tuple(
+            tuple(np.concatenate([a[j] for a in acc[b]]) for j in range(3))
+            if acc[b]
+            else empty
+            for b in range(num_buckets)
+        )
+        # num_returns=1 treats the whole return as ONE object — unwrap
+        return out if num_buckets > 1 else out[0]
+
+    _EMPTY_P = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+    )
+
+    @ray.remote(num_cpus=1, num_returns=num_buckets)
+    def merge_bucket(*chunks):
+        # both legs for this hash range in ONE lexsort: after ordering
+        # by (h1, h2, did), the first row of each (h1, h2) run is the
+        # min-did winner, and the distinct-(pair, did) mask gives the
+        # per-did distinct-gram counts (globally exact: a doc lives in
+        # exactly one input row, so its grams all route here together).
+        # The (did, n_grams, n_novel) partial is returned pre-split by
+        # did low bits for the second exchange — a Dataset groupby over
+        # these ~docs×buckets partial rows measured 84 s at sf0.1 where
+        # the direct two-level exchange takes ~2 s.
+        h1 = np.concatenate([c[0] for c in chunks])
+        h2 = np.concatenate([c[1] for c in chunks])
+        d = np.concatenate([c[2] for c in chunks])
+        if not len(h1):
+            out = tuple(_EMPTY_P for _ in range(num_buckets))
+            return out if num_buckets > 1 else out[0]
+        order = np.lexsort((d, h2, h1))
+        h1s, h2s, ds_ = h1[order], h2[order], d[order]
+        new_gram = np.ones(len(h1s), dtype=bool)
+        new_gram[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        distinct = new_gram.copy()
+        distinct[1:] |= ds_[1:] != ds_[:-1]
+        uniq, n_grams = np.unique(ds_[distinct], return_counts=True)
+        winners = ds_[new_gram]
+        win_uniq, win_cnt = np.unique(winners, return_counts=True)
+        n_novel = np.zeros(len(uniq), dtype=np.int64)
+        pos = np.searchsorted(uniq, win_uniq)
+        n_novel[pos] = win_cnt
+        n_grams = n_grams.astype(np.int64)
+        # split by did low bits (sequential ids spread evenly); uniq is
+        # sorted, so a stable argsort of the bucket keys keeps did order
+        dbucket = uniq & np.int64(num_buckets - 1)
+        dorder = np.argsort(dbucket, kind="stable")
+        du, dg, dn = uniq[dorder], n_grams[dorder], n_novel[dorder]
+        cuts = np.searchsorted(
+            dbucket[dorder], np.arange(num_buckets + 1, dtype=np.int64)
+        )
+        out = tuple(
+            (du[cuts[b]:cuts[b + 1]], dg[cuts[b]:cuts[b + 1]],
+             dn[cuts[b]:cuts[b + 1]])
+            for b in range(num_buckets)
+        )
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_cpus=1)
+    def sum_did_bucket(*parts_):
+        # final per-did sums for one did hash range: every partial
+        # arrives did-sorted, so one argsort + reduceat finishes it
+        d = np.concatenate([p[0] for p in parts_])
+        g = np.concatenate([p[1] for p in parts_])
+        v = np.concatenate([p[2] for p in parts_])
+        if not len(d):
+            return pa.table(
+                {
+                    "did": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(d, kind="stable")
+        ds_, gs, vs = d[order], g[order], v[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        )
         return pa.table(
-            {"gram": pa.array(gs[keep]), "fdid": pa.array(ds_[keep])}
+            {
+                "did": pa.array(ds_[starts]),
+                "n_grams": pa.array(np.add.reduceat(gs, starts)),
+                "n_novel": pa.array(np.add.reduceat(vs, starts)),
+            }
         )
 
-    firsts = (
-        pairs.map_batches(min_part, batch_format="pyarrow")
-        .groupby("gram")
-        .min("fdid")
-        .map_batches(
-            lambda t: t.rename_columns(["gram", "fdid"]),
-            batch_format="pyarrow",
-        )
-    )
-
-    def novel_part(t: pa.Table) -> pa.Table:
-        d = np.asarray(t["fdid"], dtype=np.int64)
-        uniq, cnt = np.unique(d, return_counts=True)
-        return pa.table(
-            {"did": pa.array(uniq), "n_novel": pa.array(cnt.astype(np.int64))}
-        )
-
-    novel = (
-        firsts.map_batches(novel_part, batch_format="pyarrow")
-        .groupby("did")
-        .sum("n_novel")
-        .map_batches(
-            lambda t: t.rename_columns(["did", "n_novel"]),
-            batch_format="pyarrow",
-        )
-    )
-
-    joined = bucketed_join(
-        counts, novel, key="did", num_buckets=num_buckets, how="left"
-    )
+    parts = [
+        split_group.remote(*blocks[g::num_groups]) for g in range(num_groups)
+    ]
+    if num_buckets == 1:  # num_returns=1 yields a bare ref, not a list
+        parts = [[p] for p in parts]
+    gram_parts = [
+        merge_bucket.remote(*[p[b] for p in parts])
+        for b in range(num_buckets)
+    ]
+    if num_buckets == 1:
+        gram_parts = [[gp] for gp in gram_parts]
+    final_tables = [
+        sum_did_bucket.remote(*[gram_parts[g][b] for g in range(num_buckets)])
+        for b in range(num_buckets)
+    ]
+    merged = rd.from_arrow_refs(final_tables)
 
     def finish(t: pa.Table) -> pa.Table:
         ng = np.asarray(t["n_grams"], dtype=np.float64)
-        nv = pc.fill_null(t["n_novel"], 0)
-        nvf = np.asarray(nv, dtype=np.float64)
+        nv = np.asarray(t["n_novel"], dtype=np.float64)
         return pa.table(
             {
                 "did": t["did"],
                 "n_grams": t["n_grams"],
-                "n_novel": pc.cast(nv, pa.int64()),
-                "novelty": pa.array(
-                    round_sql_np(nvf / ng, 6), pa.float64()
-                ),
+                "n_novel": t["n_novel"],
+                "novelty": pa.array(round_sql_np(nv / ng, 6), pa.float64()),
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -1946,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize_bmp",
         "media_resample_wav",
         "media_features_png",
+        "media_features_mp4",
         "media_resize_jpeg",
         "agg_sketch_events",
         "pack_documents_corpus",
