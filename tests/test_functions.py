@@ -259,14 +259,22 @@ def test_real_media_extractor(ray_session):
     assert len(out) == 12
     flags = {row.features[8] for _, row in out.iterrows()}
     assert flags == {1.0, 2.0}  # both audio and image rows decoded
-    # real mode refuses formats without a stdlib codec (jpeg/png ARE
-    # stdlib codecs since round 3 — video is the remaining honest stub)
+    # real mode refuses formats without a stdlib codec (jpeg/png since
+    # round 3 and mp4 CONTAINER parsing since round 4 are real — frame
+    # decode and other containers stay honest stubs)
     import pyarrow as _pa
 
+    webm_row = t.slice(0, 1).set_column(
+        2, "media_type", _pa.array(["video/webm"])
+    )
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(mode="real")(webm_row)
+    # video/mp4 now routes to the REAL ISO-BMFF parser, which rejects
+    # a payload that is not actually an mp4 (this row is a BMP)
     mp4_row = t.slice(0, 1).set_column(
         2, "media_type", _pa.array(["video/mp4"])
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="mp4"):
         MediaFeatureExtractor(mode="real")(mp4_row)
     # a BMP payload mislabeled image/jpeg is rejected by the real codec
     jpeg_row = t.slice(0, 1).set_column(

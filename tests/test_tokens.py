@@ -337,3 +337,45 @@ def test_pack_sequences_shard_layout_invariant(ray_session, corpus_files,
             want["tokens"].combine_chunks()
         ), f"chunk payloads differ at {n_shards} shards"
         assert got["n_tok"].to_pylist() == want["n_tok"].to_pylist()
+
+
+def test_ngram_novelty_against_reference(ray_session):
+    """Incremental novelty: grams present anywhere in the reference are
+    pre-claimed (never novel for new docs), while new-vs-new first
+    occurrence still goes to the lower id."""
+    import ray.data as rd
+
+    from vector_ray.functions.tokens import (
+        ngram_novelty,
+        ngram_novelty_against,
+    )
+
+    seq = list(range(1, 9))           # one 8-gram: 1..8
+    other = list(range(11, 19))       # one 8-gram: 11..18
+    ref = pa.table({
+        "did": pa.array([99], pa.int64()),
+        "tokens": pa.array([seq], pa.list_(pa.int32())),
+    })
+    new = pa.table({
+        "did": pa.array([1, 2, 3], pa.int64()),
+        "tokens": pa.array([seq, other, other], pa.list_(pa.int32())),
+    })
+    out = (
+        ngram_novelty_against(rd.from_arrow(new), rd.from_arrow(ref), n=8)
+        .to_pandas()
+        .sort_values("did")
+    )
+    # doc 1's only gram is in the reference -> 0 novel; doc 2 wins the
+    # 'other' gram over doc 3
+    assert out["did"].tolist() == [1, 2, 3]
+    assert out["n_grams"].tolist() == [1, 1, 1]
+    assert out["n_novel"].tolist() == [0, 1, 0]
+    assert out["novelty"].tolist() == [0.0, 1.0, 0.0]
+    # reference docs never appear in the output
+    assert 99 not in out["did"].tolist()
+    # plain (no-reference) novelty on the same new docs is unchanged by
+    # the ref plumbing: doc 1 now wins its gram
+    plain = (
+        ngram_novelty(rd.from_arrow(new), n=8).to_pandas().sort_values("did")
+    )
+    assert plain["n_novel"].tolist() == [1, 1, 0]

@@ -341,3 +341,20 @@ def test_url_decode():
     assert got == [
         unquote_plus(v) if v is not None else None for v in vals
     ]
+
+
+def test_null_literal_comparison_is_vrl_not_sql():
+    """VRL treats `null` as a comparable VALUE: `.x == null` is true
+    exactly where x is null; `.x != null` is its complement. (Arrow's
+    raw kernel yields all-null -> an always-false mask — SQL
+    semantics — which silently broke lua `~= nil` translations.)"""
+    t = pa.table({"x": [1, None, 3]})
+    assert compile_predicate(".x != null")(t).to_pylist() == [
+        True, False, True]
+    assert compile_predicate(".x == null")(t).to_pylist() == [
+        False, True, False]
+    # literal-vs-literal folds to a broadcast constant
+    assert compile_predicate("null == null")(t).to_pylist() == [True] * 3
+    assert compile_predicate("1 == null")(t).to_pylist() == [False] * 3
+    with pytest.raises(VrlError, match="order"):
+        compile_predicate(".x > null")(t)

@@ -315,10 +315,13 @@ def main() -> int:
         "eng = sys.argv[2]\n"
         "id_col = sys.argv[3]\n"
         "files = json.loads(base64.b64decode(sys.argv[4]).decode())\n"
-        "os.makedirs('/tmp/duckdb_spill', exist_ok=True)\n"
+        "import atexit, shutil\n"
+        "spill = f'/tmp/duckdb_spill/{os.getpid()}'\n"
+        "os.makedirs(spill, exist_ok=True)\n"
+        "atexit.register(lambda: shutil.rmtree(spill, ignore_errors=True))\n"
         "con = duckdb.connect()\n"
-        "con.execute(\"SET memory_limit='48GB'; SET threads=12; \"\n"
-        "    \"SET temp_directory='/tmp/duckdb_spill'; \"\n"
+        "con.execute(\"SET memory_limit='32GB'; SET threads=12; \"\n"
+        "    f\"SET temp_directory='{spill}'; \"\n"
         "    \"SET max_temp_directory_size='60GB';\")\n"
         "con.execute(f'CREATE VIEW orc AS ({sql})')\n"
         "cols = [d[0] for d in con.execute('SELECT * FROM orc LIMIT 0').description]\n"
@@ -444,7 +447,93 @@ def main() -> int:
         return ("OK", int(row[0]), int(row[1]), int(row[2]),
                 f"{n_groups} shard partials + bounded final")
 
-    PYTHON_VERIFIERS = {"token_drift_corpus": verify_token_drift}
+    def verify_logreg_quality(eng_dir: str, shard_timeout: float):
+        """logreg_quality's OOM stage is the per-(doc, token) count
+        behind the 4 per-doc features; the 3 fixed gradient steps and
+        the scoring run over just 4 doubles per doc. Two phases:
+        per-shard feature extraction (per-doc decomposable) COPYied to
+        parquet, then the oracle's exact w1/w2/w3 + scoring SQL over
+        the bounded combined feature table. Weights are ROUND(...,9)ed
+        in the original precisely so summation order doesn't leak."""
+        import duckdb
+
+        seqdir = datagen.sequences_dir(tag)
+        files = sorted(_glob.glob(f"{seqdir}/*.parquet"))
+        n_groups = min(len(files), 16)
+        tmpd = f"{out_root}/_logreg_feats"
+        shutil.rmtree(tmpd, ignore_errors=True)
+        os.makedirs(tmpd, exist_ok=True)
+        for g in range(n_groups):
+            grp = files[g::n_groups]
+            flist = "[" + ", ".join(f"'{f}'" for f in grp) + "]"
+            con = duckdb.connect()
+            con.execute(
+                "SET memory_limit='24GB'; SET threads=12; "
+                "SET temp_directory='/tmp/duckdb_spill';"
+            )
+            con.execute(
+                "COPY (WITH base AS (SELECT doc_id, source, tokens, n_tok "
+                f"FROM read_parquet({flist}) WHERE n_tok > 0), "
+                "tk AS (SELECT doc_id, unnest(tokens) AS tok FROM base), "
+                "cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2), "
+                "st AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS nty, "
+                "CAST(MAX(c) AS DOUBLE) AS mx, CAST(SUM(c) AS DOUBLE) AS nt "
+                "FROM cnt GROUP BY 1) "
+                "SELECT b.doc_id, 1.0 AS x0, b.n_tok / 100.0 AS x1, "
+                "st.nty / st.nt AS x2, st.mx / st.nt AS x3, "
+                "CASE WHEN b.source IN ('wiki', 'books', 'academic') "
+                "THEN 1.0 ELSE 0.0 END AS y FROM base b JOIN st USING (doc_id)) "
+                f"TO '{tmpd}/part-{g}.parquet' (FORMAT PARQUET)"
+            )
+            con.close()
+        con = duckdb.connect()
+        con.execute(
+            "SET memory_limit='24GB'; SET threads=12; "
+            "SET temp_directory='/tmp/duckdb_spill';"
+        )
+        step = (
+            "SELECT ROUND(MAX(w.wa) - 0.5 * SUM((1.0 / (1.0 + exp(-(w.wa*x0 "
+            "+ w.wb*x1 + w.wc*x2 + w.wd*x3))) - y) * x0) / COUNT(*), 9) AS wa, "
+            "ROUND(MAX(w.wb) - 0.5 * SUM((1.0 / (1.0 + exp(-(w.wa*x0 + w.wb*x1 "
+            "+ w.wc*x2 + w.wd*x3))) - y) * x1) / COUNT(*), 9) AS wb, "
+            "ROUND(MAX(w.wc) - 0.5 * SUM((1.0 / (1.0 + exp(-(w.wa*x0 + w.wb*x1 "
+            "+ w.wc*x2 + w.wd*x3))) - y) * x2) / COUNT(*), 9) AS wc, "
+            "ROUND(MAX(w.wd) - 0.5 * SUM((1.0 / (1.0 + exp(-(w.wa*x0 + w.wb*x1 "
+            "+ w.wc*x2 + w.wd*x3))) - y) * x3) / COUNT(*), 9) AS wd "
+            "FROM feats, {prev} w"
+        )
+        con.execute(
+            "CREATE VIEW feats AS SELECT * FROM "
+            f"read_parquet('{tmpd}/*.parquet')"
+        )
+        con.execute(
+            "CREATE VIEW orc AS (WITH "
+            "w0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc, 0.0 AS wd), "
+            f"w1 AS ({step.format(prev='w0')}), "
+            f"w2 AS ({step.format(prev='w1')}), "
+            f"w3 AS ({step.format(prev='w2')}) "
+            "SELECT f.doc_id, ROUND(ROUND(1.0 / (1.0 + exp(-(w.wa*f.x0 + "
+            "w.wb*f.x1 + w.wc*f.x2 + w.wd*f.x3))), 9), 6) AS prob, "
+            "CAST(f.y AS BIGINT) AS label FROM feats f, w3 w)"
+        )
+        con.execute(
+            "CREATE VIEW eng AS SELECT doc_id, prob, label "
+            f"FROM read_parquet('{eng_dir}/*.parquet')"
+        )
+        row = con.execute(
+            "SELECT (SELECT COUNT(*) FROM eng), (SELECT COUNT(*) FROM orc), "
+            "(SELECT COUNT(*) FROM ((SELECT * FROM eng EXCEPT ALL SELECT * "
+            "FROM orc) UNION ALL (SELECT * FROM orc EXCEPT ALL SELECT * "
+            "FROM eng)))"
+        ).fetchone()
+        shutil.rmtree(tmpd, ignore_errors=True)
+        return ("OK", int(row[0]), int(row[1]), int(row[2]),
+                f"{n_groups} feature shards + bounded 3-step training")
+
+    PYTHON_VERIFIERS = {
+        "token_drift_corpus": verify_token_drift,
+        "logreg_quality_corpus": verify_logreg_quality,
+    }
 
     sf_dir = f"/root/testdata/{tag}"  # only the basename (tag) is used
     out_root = f"/tmp/sf_sweep/{tag}"
@@ -560,10 +649,13 @@ def main() -> int:
             "sql = base64.b64decode(sys.argv[1]).decode()\n"
             "eng = sys.argv[2]\n"
             "mode = sys.argv[3]\n"
-            "os.makedirs('/tmp/duckdb_spill', exist_ok=True)\n"
+            "import atexit, shutil\n"
+            "spill = f'/tmp/duckdb_spill/{os.getpid()}'\n"
+            "os.makedirs(spill, exist_ok=True)\n"
+            "atexit.register(lambda: shutil.rmtree(spill, ignore_errors=True))\n"
             "con = duckdb.connect()\n"
             "con.execute(\"SET memory_limit='48GB'; SET threads=12; \"\n"
-            "    \"SET temp_directory='/tmp/duckdb_spill'; \"\n"
+            "    f\"SET temp_directory='{spill}'; \"\n"
             "    \"SET max_temp_directory_size='60GB';\")\n"
             "if mode == 'direct':\n"
             "    row = con.execute(sql).fetchone()\n"

@@ -2008,6 +2008,7 @@ def ngram_novelty(
     id_field: str = "did",
     field: str = "tokens",
     num_buckets: int = 64,
+    ref_ds=None,
 ):
     """Per-doc n-gram novelty over an id-ordered corpus: for every doc,
     the fraction of its DISTINCT token n-grams whose global FIRST
@@ -2040,6 +2041,15 @@ def ngram_novelty(
     Gram identity is the (h1, h2) 128-bit pair (span_dedupe's
     collision-free-at-scale contract; the previous plan's single
     64-bit hash starts colliding near 10⁹ distinct grams).
+
+    ``ref_ds`` (round-4) switches to INCREMENTAL novelty — the
+    span_dedupe_against counterpart: every gram present anywhere in the
+    reference corpus is pre-claimed (its first occurrence predates
+    every new doc), so a new doc's novelty is the fraction of its
+    distinct grams seen neither in the reference NOR in an
+    earlier-id new doc. Reference grams ride the same packed exchange
+    under the sentinel id -1 (``id_field`` values must therefore be
+    >= 0) and never appear in the output.
 
     Returns Dataset[(did:int64, n_grams:int64, n_novel:int64,
     novelty:float64)]."""
@@ -2084,6 +2094,44 @@ def ngram_novelty(
         .materialize()
         .to_arrow_refs()
     )
+    if ref_ds is not None:
+        # reference grams enter the identical exchange under did = -1:
+        # lexsort puts -1 first within each gram run, so the reference
+        # wins every gram it contains and no new doc counts it as novel
+
+        def ref_partials(t: pa.Table) -> pa.Table:
+            values, offsets = _flat_tokens(t, field)
+            starts, _ = _gram_windows(values, offsets, n)
+            h1, h2 = _hash_grams_pair(values, starts, n)
+            bucket = (h1 >> shift).astype(np.int64)
+            order = np.argsort(bucket, kind="stable")
+            cuts = np.searchsorted(
+                bucket[order], np.arange(num_buckets + 1, dtype=np.int64)
+            )
+            offs = pa.array(cuts.astype(np.int32), pa.int32())
+            return pa.table(
+                {
+                    "bucket": pa.array(np.arange(num_buckets, dtype=np.int64)),
+                    "h1": pa.ListArray.from_arrays(
+                        offs, pa.array(h1[order].view(np.int64), pa.int64())
+                    ),
+                    "h2": pa.ListArray.from_arrays(
+                        offs, pa.array(h2[order].view(np.int64), pa.int64())
+                    ),
+                    "did": pa.ListArray.from_arrays(
+                        offs,
+                        pa.array(
+                            np.full(len(starts), -1, np.int64), pa.int64()
+                        ),
+                    ),
+                }
+            )
+
+        blocks = blocks + (
+            ref_ds.map_batches(ref_partials, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
     if not blocks:
         return rd.from_arrow(
             pa.table(
@@ -2161,7 +2209,13 @@ def ngram_novelty(
         distinct = new_gram.copy()
         distinct[1:] |= ds_[1:] != ds_[:-1]
         uniq, n_grams = np.unique(ds_[distinct], return_counts=True)
+        # reference rows (did = -1, incremental mode) claim their grams
+        # but never appear in the output; uniq is sorted so they are
+        # the first entry when present
+        if uniq.size and uniq[0] < 0:
+            uniq, n_grams = uniq[1:], n_grams[1:]
         winners = ds_[new_gram]
+        winners = winners[winners >= 0]
         win_uniq, win_cnt = np.unique(winners, return_counts=True)
         n_novel = np.zeros(len(uniq), dtype=np.int64)
         pos = np.searchsorted(uniq, win_uniq)
@@ -2240,6 +2294,30 @@ def ngram_novelty(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_novelty_against(
+    new_ds,
+    ref_ds,
+    n: int = 8,
+    id_field: str = "did",
+    field: str = "tokens",
+    num_buckets: int = 64,
+):
+    """Incremental-ingest novelty (the span_dedupe_against counterpart):
+    per-doc n-gram novelty of ``new_ds`` where every gram already
+    present in ``ref_ds`` counts as seen — "how much does this crawl
+    batch add to the corpus we already have". One pass over each
+    dataset through the shared packed bucket exchange; see
+    ``ngram_novelty``."""
+    return ngram_novelty(
+        new_ds,
+        n=n,
+        id_field=id_field,
+        field=field,
+        num_buckets=num_buckets,
+        ref_ds=ref_ds,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -386,6 +386,40 @@ def q_ngram_novelty(sf_dir: str):
     )
 
 
+def q_ngram_novelty_incr(sf_dir: str):
+    """Incremental-ingest novelty (functions/tokens.py
+    ngram_novelty_against, round-4): every-3rd doc plays the EXISTING
+    corpus, the rest are the new crawl batch — each new doc's novelty
+    is the fraction of its distinct 8-grams seen neither in the
+    reference nor in an earlier-id new doc. Same packed bucket
+    exchange as ngram_novelty; reference grams ride under a sentinel
+    id and never shuffle per-gram rows."""
+    from vector_ray.functions.tokens import ngram_novelty_against
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+
+    def add_did(t: pa.Table) -> pa.Table:
+        did = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+        return pa.table({"did": did, "tokens": t["tokens"]})
+
+    with_did = ds.map_batches(add_did, batch_format="pyarrow")
+
+    def split(is_ref: bool):
+        def f(t: pa.Table) -> pa.Table:
+            did = np.asarray(t["did"], dtype=np.int64)
+            mask = (did % 3 == 0) if is_ref else (did % 3 != 0)
+            return t.filter(pa.array(mask))
+
+        return f
+
+    new_ds = with_did.map_batches(split(False), batch_format="pyarrow")
+    ref_ds = with_did.map_batches(split(True), batch_format="pyarrow")
+    return ngram_novelty_against(new_ds, ref_ds, n=8)
+
+
 def q_loss_mask(sf_dir: str):
     """Per-sequence SFT loss-mask stats (functions/tokens.py
     loss_mask_stats): treating every token id divisible by 97 as a

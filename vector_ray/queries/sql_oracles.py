@@ -56,6 +56,28 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / c.n_grams, 6) "
         "  AS novelty FROM c LEFT JOIN nv USING (did)"
     )
+    sql["ngram_novelty_incr_corpus"] = (
+        # incremental variant: every-3rd doc is the REFERENCE corpus;
+        # its grams are pre-claimed, so a new doc's gram is novel iff
+        # it is in no reference doc AND its MIN new-doc id is this doc
+        "WITH g0 AS (SELECT CAST(doc_id[5:] AS BIGINT) AS did, "
+        "  array_to_string(tokens[p:p+7], ',') AS gram "
+        "  FROM (SELECT doc_id, tokens, "
+        "    unnest(generate_series(1, len(tokens) - 7)) AS p "
+        f"    FROM read_parquet('{_seq_glob(ORACLE_TAG)}') "
+        "    WHERE len(tokens) >= 8)), "
+        "refg AS (SELECT DISTINCT gram FROM g0 WHERE did % 3 = 0), "
+        "g AS (SELECT DISTINCT did, gram FROM g0 WHERE did % 3 != 0), "
+        "f AS (SELECT gram, MIN(did) AS fdid FROM g "
+        "  WHERE gram NOT IN (SELECT gram FROM refg) GROUP BY 1), "
+        "c AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS n_grams "
+        "  FROM g GROUP BY 1), "
+        "nv AS (SELECT fdid AS did, CAST(COUNT(*) AS BIGINT) AS n_novel "
+        "  FROM f GROUP BY 1) "
+        "SELECT c.did, c.n_grams, COALESCE(nv.n_novel, 0) AS n_novel, "
+        "ROUND(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / c.n_grams, 6) "
+        "  AS novelty FROM c LEFT JOIN nv USING (did)"
+    )
     sql["unimax_sample_corpus"] = (
         # UniMax waterfall in exact HUGEINT math: ascending by size,
         # capped prefix (3 epochs) via BOOL_AND window, ONE floor

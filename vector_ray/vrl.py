@@ -852,6 +852,22 @@ class _Parser:
 
             def _compare(t: pa.Table, fn=fn, l=l, r=r, op=op) -> Value:
                 lv, rv = l(t), r(t)
+                # VRL null equality: `null` is a comparable VALUE, not
+                # SQL's unknown — `.x == null` is true exactly where x
+                # is null (Arrow's kernel would yield all-null → an
+                # always-false mask, silently breaking `.x != null`)
+                if lv is None or rv is None:
+                    if ordering:
+                        raise VrlError(
+                            f"cannot order against null (op {op})"
+                        )
+                    if lv is None and rv is None:
+                        return op == "=="
+                    v = rv if lv is None else lv
+                    if not hasattr(v, "type"):  # non-null scalar literal
+                        return op == "!="
+                    mask = pc.is_null(v)
+                    return mask if op == "==" else pc.invert(mask)
                 lt = lv.type if hasattr(lv, "type") else None
                 if lt is not None and pa.types.is_string(lt) and isinstance(rv, (int, float)):
                     if ordering:
