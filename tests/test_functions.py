@@ -424,6 +424,8 @@ def test_canonical_url():
     assert out[1] == "http://example.org/"
     assert out[2] == out[3] == "https://example.org/docs/7?a=1&b=2"
     assert out[4] == "not a url"
-    assert out[5] == ""
+    # null URLs stay NULL (ADVICE r3): collapsing to "" made every
+    # null-URL row collide in downstream dedupe-by-URL
+    assert out[5] is None
     assert out[6] == "https://example.org/path"
     assert out[7] == "https://example.org:8080/x?z=1"
