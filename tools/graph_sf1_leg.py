@@ -32,7 +32,7 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=32, include_dashboard=False,
+        ray.init(address="local", num_cpus=int(__import__("os").environ.get("GRAPH_LEG_CPUS", "32")), include_dashboard=False,
                  logging_level="ERROR")
     from ray.data import DataContext
 

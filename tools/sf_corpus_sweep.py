@@ -320,6 +320,12 @@ def main() -> int:
 
     SHARDED_BUILDERS = {"contamination_corpus": contamination_shard_sql}
 
+    # span_corrupt's oracle rebuilds per-doc BIGINT[] lists via
+    # list(ORDER BY) + flatten — DuckDB's list-aggregation state is
+    # unspillable and measured ~30 GB for a 1/16 corpus shard, so this
+    # query shards 4× finer (64 groups ≈ 7-8 GB aggregation state each)
+    SHARD_GROUPS = {"span_corrupt_corpus": 64}
+
     import base64 as _b64
     import glob as _glob
     import json as _json
@@ -360,7 +366,7 @@ def main() -> int:
         id_col = SHARDED_PER_DOC[name]
         seqdir = datagen.sequences_dir(tag)
         files = sorted(_glob.glob(f"{seqdir}/*.parquet"))
-        n_groups = min(len(files), 16)
+        n_groups = min(len(files), SHARD_GROUPS.get(name, 16))
         glob_lit = f"'{seqdir}/*.parquet'"
         base_sql = oracles[name].replace("/sf0.01/", f"/{tag}/")
         builder = SHARDED_BUILDERS.get(name)
