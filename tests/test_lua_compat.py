@@ -169,3 +169,50 @@ def test_other_hooks_and_versions_raise():
                               "init": "function () end"}})
     with pytest.raises(VrlError, match="version"):
         lua_to_vrl(_cfg("function (e, m)\n  m(e)\nend") | {"version": "1"})
+
+
+@pytest.mark.parametrize("rhs,vrl", [
+    ("string.upper(e.log.name)", ".x = upcase ( .name )"),
+    ("string.lower(e.log.name) .. '-z'", '.x = downcase ( .name ) + "-z"'),
+    ("string.len(e.log.name) * 2", ".x = length ( .name ) * 2"),
+    ("tostring(e.log.v) .. 'u'", '.x = string ( .v ) + "u"'),
+    ("tonumber(e.log.s) + 1", ".x = to_float ( .s ) + 1"),
+    # Lua 1-based inclusive -> VRL 0-based exclusive
+    ("string.sub(e.log.name, 1, 3)", ".x = slice(.name, 0, 3)"),
+])
+def test_string_library_mappings(rhs, vrl):
+    src = lua_to_vrl(_cfg(
+        f"function (e, emit)\n  e.log.x = {rhs}\n  emit(e)\nend"))
+    assert src == vrl
+
+
+@pytest.mark.parametrize("rhs,needle", [
+    # negative (from-end) indices have no literal slice spelling
+    ("string.sub(e.log.name, -2, 3)", "string.sub"),
+    # unsupported library call raises by name
+    ("string.rep(e.log.name, 2)", "unsupported construct"),
+    # number-returning call concatenated -> would coerce in Lua
+    ("tonumber(e.log.s) .. 'x'", "parenthesized"),
+])
+def test_string_library_untranslatable(rhs, needle):
+    with pytest.raises(VrlError, match=needle):
+        lua_to_vrl(_cfg(
+            f"function (e, emit)\n  e.log.x = {rhs}\n  emit(e)\nend"))
+
+
+def test_string_library_end_to_end(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages import TRANSFORMS
+
+    hook = (
+        "function (e, emit)\n"
+        "  e.log.tag = string.upper(string.sub(e.log.name, 1, 3))"
+        " .. '-' .. tostring(e.log.v)\n"
+        "  emit(e)\n"
+        "end"
+    )
+    ds = rd.from_arrow(pa.table({"name": ["Hello", "WorldWide"],
+                                 "v": [1, 2]}))
+    out = TRANSFORMS["lua"](ds, _cfg(hook)).to_pandas()
+    assert out["tag"].tolist() == ["HEL-1", "WOR-2"]

@@ -241,12 +241,24 @@ def run_pipeline(spec, ctx: PipelineContext | None = None) -> RunResult:
     metrics = None
     if ctx.metrics is not None:
         # stage fns report fire-and-forget; wait for the hub's view to
-        # settle (two consecutive identical snapshots) before reading
+        # settle before reading. Two phases: first wait (bounded) until
+        # every instrumented transform has reported at least once — two
+        # consecutive EMPTY snapshots also compare equal, so the
+        # stability check alone returns too early when worker sends are
+        # still in flight under load (observed flake: KeyError on a
+        # component the job definitely ran). A stage whose input was
+        # empty never reports (its batch fn never ran) — hence the
+        # deadline rather than a hard requirement.
         import time
 
         from vector_ray.state.metrics import safe_snapshot
 
+        expected = set(spec.transforms or {})
+        deadline = time.monotonic() + 3.0
         metrics = safe_snapshot(ctx.metrics)
+        while not expected <= set(metrics) and time.monotonic() < deadline:
+            time.sleep(0.05)
+            metrics = safe_snapshot(ctx.metrics)
         for _ in range(20):
             time.sleep(0.05)
             again = safe_snapshot(ctx.metrics)

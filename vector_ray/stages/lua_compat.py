@@ -22,11 +22,17 @@ strings, ``1 .. 2 == "12"``, which VRL ``+`` would compute as 3, so a
 through numeric/string literals, ``+ - * / %``, comparisons
 (``== ~= < > <= >=``), ``and/or/not``, ``nil`` and parentheses.
 Conditional blocks nest; a branch body is assignments / nil-deletes /
-nested ifs. Anything outside that subset — loops, local variables,
-library calls, stateful global setup, conditional emit / drop — raises
-``VrlError`` naming the construct, so a user porting a real lua block
-sees exactly which line needs a rewrite (to filter / route / pyscript)
-instead of silently wrong output.
+nested ifs. The common string-library calls map to their vectorized
+VRL equivalents (round-4): ``string.upper``/``lower`` -> upcase/
+downcase, ``string.len`` -> length, ``string.sub(s, i, j)`` -> slice
+with the 1-based-inclusive -> 0-based-exclusive shift (positive
+ascending literal indices only), ``tostring`` -> string, ``tonumber``
+-> to_float (nil-on-failure == VRL null). Anything outside that subset
+— loops, local variables, other library calls, stateful global setup,
+conditional emit / drop — raises ``VrlError`` naming the construct, so
+a user porting a real lua block sees exactly which line needs a
+rewrite (to filter / route / pyscript) instead of silently wrong
+output.
 """
 
 from __future__ import annotations
@@ -49,6 +55,26 @@ def _field_pattern(ev: str) -> re.Pattern:
         rf"{re.escape(ev)}\.log(?:\.(?P<dot>[A-Za-z_]\w*)"
         rf"|\[\s*(?P<q>[\"'])(?P<br>[A-Za-z_]\w*)(?P=q)\s*\])"
     )
+
+
+# Lua standard-library calls with a direct vectorized VRL equivalent.
+# string.sub is handled separately (its 1-based inclusive indices shift
+# at translate time). Values: (VRL name, returns-string?).
+_LUA_FUNCS = {
+    "string.upper": ("upcase", True),
+    "string.lower": ("downcase", True),
+    "string.len": ("length", False),
+    "tostring": ("string", True),
+    "tonumber": ("to_float", False),  # nil on failure == VRL null
+}
+
+_SUB_RE = re.compile(
+    r"string\.sub\s*\(\s*(?P<inner>.*?)\s*,\s*(?P<i>-?\d+)\s*,"
+    r"\s*(?P<j>-?\d+)\s*\)"
+)
+_FUNC_RE = re.compile(
+    r"(?P<name>string\.(?:upper|lower|len)|tostring|tonumber)(?=\s*\()"
+)
 
 
 def _tokenize(expr: str, ev: str, conditions: bool) -> list[tuple[str, str]]:
@@ -77,6 +103,28 @@ def _tokenize(expr: str, ev: str, conditions: bool) -> list[tuple[str, str]]:
         m = field_re.match(expr, pos)
         if m:
             toks.append(("field", "." + (m.group("dot") or m.group("br"))))
+            pos = m.end()
+            continue
+        m = _SUB_RE.match(expr, pos)
+        if m:
+            # Lua string.sub(s, i, j): 1-based INCLUSIVE; VRL slice is
+            # 0-based exclusive -> slice(s, i-1, j). Negative (from-end)
+            # indices have no literal VRL spelling — raise by name.
+            i, j = int(m.group("i")), int(m.group("j"))
+            if i < 1 or j < i:
+                raise VrlError(
+                    f"lua: string.sub indices ({i}, {j}) are not "
+                    "translatable (only positive ascending 1-based "
+                    "literals map to VRL slice)"
+                )
+            inner = _translate_expr(m.group("inner"), ev)
+            toks.append(("strcall", f"slice({inner}, {i - 1}, {j})"))
+            pos = m.end()
+            continue
+        m = _FUNC_RE.match(expr, pos)
+        if m:
+            vrl_name, returns_str = _LUA_FUNCS[m.group("name")]
+            toks.append(("func_str" if returns_str else "func", vrl_name))
             pos = m.end()
             continue
         m = tok_re.match(expr, pos)
@@ -140,6 +188,18 @@ def _check_concat(toks: list[tuple[str, str]], expr: str) -> None:
     a ``..`` mixed with un-parenthesized arithmetic in the same
     parenthesis group raises instead of silently producing a different
     value. String-only concat chains translate fine."""
+    # which ')' tokens close a STRING-RETURNING call (tostring/upcase/
+    # ...) — those are safe '..' operands; a bare parenthesized
+    # subexpression is not (its value could be numeric)
+    str_close: set[int] = set()
+    stack_prev: list[tuple[int, str]] = []
+    for idx, (kind, text) in enumerate(toks):
+        if kind == "op" and text == "(":
+            stack_prev.append((idx, toks[idx - 1][0] if idx else ""))
+        elif kind == "op" and text == ")" and stack_prev:
+            _, prev_kind = stack_prev.pop()
+            if prev_kind == "func_str":
+                str_close.add(idx)
     for i, (kind, _) in enumerate(toks):
         if kind != "concat":
             continue
@@ -153,12 +213,15 @@ def _check_concat(toks: list[tuple[str, str]], expr: str) -> None:
                     "not translatable to VRL '+'; wrap the operand in "
                     "quotes if string concat is intended"
                 )
-            if toks[j][0] == "op" and toks[j][1] in "()":
+            if toks[j][0] == "op" and (
+                toks[j][1] == "(" or (toks[j][1] == ")" and j not in str_close)
+            ):
                 raise VrlError(
                     "lua: '..' on a parenthesized subexpression in "
                     f"{expr.strip()!r} could be a numeric value Lua "
                     "would coerce to string — not translatable; "
-                    "concatenate fields/literals directly"
+                    "concatenate fields/literals directly (or wrap in "
+                    "tostring())"
                 )
             if toks[j][0] == "field":
                 # Lua '..' coerces the operand to string; make that
