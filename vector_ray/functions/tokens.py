@@ -2066,6 +2066,14 @@ def ngram_novelty(
         if isinstance(ids_col, pa.ChunkedArray):
             ids_col = ids_col.combine_chunks()
         ids_all = np.asarray(ids_col, dtype=np.int64)
+        if ids_all.size and ids_all.min() < 0:
+            # the packed exchange reserves negative ids for the internal
+            # reference sentinel (-1); a user-supplied negative id would
+            # be silently dropped from the output by merge_bucket
+            raise ValueError(
+                f"ngram_novelty: {id_field!r} values must be >= 0 "
+                "(negative ids are reserved internally)"
+            )
         h1, h2 = _hash_grams_pair(values, starts, n)
         did = ids_all[row_idx] if len(starts) else np.empty(0, np.int64)
         # bucket by h1 high bits with a RADIX-stable argsort; raw

@@ -253,7 +253,29 @@ def run_pipeline(spec, ctx: PipelineContext | None = None) -> RunResult:
 
         from vector_ray.state.metrics import safe_snapshot
 
-        expected = set(spec.transforms or {})
+        # only transforms upstream of a consumed sink (or tap) ever
+        # execute — a dangling transform's batch fn never runs, so
+        # waiting for it to report would always stall the full deadline
+        roots = [
+            ref.split(".", 1)[0]
+            for cfg in spec.sinks.values()
+            for ref in _node_refs(cfg)
+        ] + [
+            str(tcfg.get("node", "")).split(".", 1)[0]
+            for tcfg in spec.taps.values()
+        ]
+        expected: set[str] = set()
+        frontier = [r for r in roots if r in (spec.transforms or {})]
+        while frontier:
+            name = frontier.pop()
+            if name in expected:
+                continue
+            expected.add(name)
+            frontier.extend(
+                ref.split(".", 1)[0]
+                for ref in _node_refs(spec.transforms[name])
+                if ref.split(".", 1)[0] in spec.transforms
+            )
         deadline = time.monotonic() + 3.0
         metrics = safe_snapshot(ctx.metrics)
         while not expected <= set(metrics) and time.monotonic() < deadline:

@@ -33,11 +33,42 @@ UNMATCHED = "_unmatched"
 def _split_statements(source: str) -> list[str]:
     """Split a remap program into statements on ``;``/newline at brace
     depth 0, so an ``if cond { ... } else { ... }`` block (which spans
-    lines) stays one statement."""
+    lines) stays one statement. Quote- and comment-aware: braces and
+    separators inside ``"..."``/``'...'`` literals are text (so
+    ``.x = "{"`` is a valid statement), and everything from an unquoted
+    ``#`` to end-of-line is stripped before splitting."""
     stmts: list[str] = []
     cur: list[str] = []
     depth = 0
-    for ch in source:
+    quote = ""
+    comment = False
+    i, n = 0, len(source)
+    while i < n:
+        ch = source[i]
+        if comment:
+            if ch != "\n":
+                i += 1
+                continue
+            comment = False  # the newline itself still splits below
+        elif quote:
+            cur.append(ch)
+            if ch == "\\" and i + 1 < n:
+                cur.append(source[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = ""
+            i += 1
+            continue
+        elif ch in "\"'":
+            quote = ch
+            cur.append(ch)
+            i += 1
+            continue
+        elif ch == "#":
+            comment = True
+            i += 1
+            continue
         if ch == "{":
             depth += 1
         elif ch == "}":
@@ -51,6 +82,9 @@ def _split_statements(source: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
+    if quote:
+        raise VrlError("unterminated string literal in remap program")
     if depth != 0:
         raise VrlError("unbalanced '{' in remap program")
     s = "".join(cur).strip()
@@ -59,16 +93,48 @@ def _split_statements(source: str) -> list[str]:
     return stmts
 
 
+def _find_brace(stmt: str, start: int) -> int:
+    """Index of the first ``{`` at or after ``start`` that is not inside
+    a string literal; -1 if none."""
+    quote = ""
+    i = start
+    while i < len(stmt):
+        ch = stmt[i]
+        if quote:
+            if ch == "\\":
+                i += 1
+            elif ch == quote:
+                quote = ""
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "{":
+            return i
+        i += 1
+    return -1
+
+
 def _match_brace(stmt: str, open_idx: int) -> int:
-    """Index of the ``}`` matching the ``{`` at ``open_idx``."""
+    """Index of the ``}`` matching the ``{`` at ``open_idx``, skipping
+    braces inside string literals."""
     depth = 0
-    for i in range(open_idx, len(stmt)):
-        if stmt[i] == "{":
+    quote = ""
+    i = open_idx
+    while i < len(stmt):
+        ch = stmt[i]
+        if quote:
+            if ch == "\\":
+                i += 1
+            elif ch == quote:
+                quote = ""
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "{":
             depth += 1
-        elif stmt[i] == "}":
+        elif ch == "}":
             depth -= 1
             if depth == 0:
                 return i
+        i += 1
     raise VrlError(f"unbalanced braces in {stmt!r}")
 
 
@@ -83,7 +149,7 @@ def _parse_if(stmt: str) -> dict:
         m = re.match(r"^if\b\s*", rest)
         if not m:
             raise VrlError(f"malformed if statement: {stmt!r}")
-        brace = rest.find("{", m.end())
+        brace = _find_brace(rest, m.end())
         if brace < 0:
             raise VrlError(f"if condition missing '{{' block: {stmt!r}")
         cond = rest[m.end():brace].strip()

@@ -31,6 +31,7 @@ from __future__ import annotations
 import re
 from typing import Any, Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -862,10 +863,16 @@ class _Parser:
                             f"cannot order against null (op {op})"
                         )
                     if lv is None and rv is None:
-                        return op == "=="
+                        # per-row mask, not a plain bool — predicate
+                        # consumers feed this straight to Table.filter
+                        return pa.array(
+                            np.full(t.num_rows, op == "==", dtype=bool)
+                        )
                     v = rv if lv is None else lv
                     if not hasattr(v, "type"):  # non-null scalar literal
-                        return op == "!="
+                        return pa.array(
+                            np.full(t.num_rows, op == "!=", dtype=bool)
+                        )
                     mask = pc.is_null(v)
                     return mask if op == "==" else pc.invert(mask)
                 lt = lv.type if hasattr(lv, "type") else None
