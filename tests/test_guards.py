@@ -170,3 +170,51 @@ def test_session_watermark_semantics(ray_session):
     # on-time rows (0, 16) still split; the late row is its own
     # side-output session
     assert rows == [(False, 0.0, 1), (False, 16.0, 1), (True, 8.0, 1)]
+
+
+def test_session_window_hot_key_guard(ray_session):
+    """A key whose group exceeds max_group_rows must raise with the
+    pre-split mitigation named, not OOM the worker at scale."""
+    import ray.data as rd
+
+    from vector_ray.stages.window import window
+
+    t = pa.table({
+        "user": pa.array(["u1"] * 5),
+        "ts": pa.array([0.0, 1.0, 2.0, 3.0, 4.0], pa.float64()),
+    })
+    opts = {
+        "window": "session", "gap_secs": 10, "ts_field": "ts",
+        "key_field": "user",
+        "aggregates": {"n": {"fn": "count"}},
+    }
+    # under the bound: works
+    ok = window(rd.from_arrow(t), opts | {"max_group_rows": 5}).to_pandas()
+    assert ok["n"].tolist() == [5]
+    # over the bound: raises naming the bound and the mitigation
+    with pytest.raises(Exception, match="max_group_rows"):
+        window(
+            rd.from_arrow(t), opts | {"max_group_rows": 4}
+        ).materialize()
+    with pytest.raises(ValueError, match="positive"):
+        window(rd.from_arrow(t), opts | {"max_group_rows": 0})
+
+
+def test_sessionize_hot_key_guard(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages.grouped import sessionize
+
+    t = pa.table({
+        "user": pa.array(["u1"] * 3 + ["u2"]),
+        "ts": pa.array([0.0, 100.0, 5000.0, 0.0], pa.float64()),
+    })
+    opts = {"group_by": "user", "ts_field": "ts", "gap_s": 1800.0}
+    ok = sessionize(
+        rd.from_arrow(t), opts | {"max_group_rows": 3}
+    ).to_pandas()
+    assert sorted(ok[ok["user"] == "u1"]["session_id"]) == [0, 0, 1]
+    with pytest.raises(Exception, match="max_group_rows"):
+        sessionize(
+            rd.from_arrow(t), opts | {"max_group_rows": 2}
+        ).materialize()

@@ -70,8 +70,11 @@ def test_end_to_end_remap(ray_session):
     # conditional emit (emit inside an if branch) is not translatable
     ("function (event, emit)\n  if event.log.x > 1 then\n    emit(event)\n"
      "  end\nend", "emit"),
-    # loops / locals raise by name
-    ("function (event, emit)\n  for i = 1, 3 do\n  end\n  emit(event)\nend",
+    # non-literal loop bounds / while loops raise by name (literal
+    # bounded 'for' and straight-line locals translate since round 5)
+    ("function (event, emit)\n  for i = 1, event.log.n do\n  end\n"
+     "  emit(event)\nend", "unsupported construct"),
+    ("function (event, emit)\n  while true do\n  end\n  emit(event)\nend",
      "unsupported construct"),
     # '..' with a numeric literal operand would coerce in Lua
     ("function (event, emit)\n  event.log.y = event.log.x .. 1\n"
@@ -216,3 +219,164 @@ def test_string_library_end_to_end(ray_session):
                                  "v": [1, 2]}))
     out = TRANSFORMS["lua"](ds, _cfg(hook)).to_pandas()
     assert out["tag"].tolist() == ["HEL-1", "WOR-2"]
+
+
+# ---------------------------------------------------------------------------
+# round-5: straight-line locals + literal-bounded for loops
+# ---------------------------------------------------------------------------
+
+
+def test_locals_substitute_straight_line():
+    src = lua_to_vrl(_cfg(
+        "function (event, emit)\n"
+        "  local base = event.log.value * 2\n"
+        "  event.log.scaled = base + 1\n"
+        "  emit(event)\nend"
+    ))
+    assert src == ".scaled = (.value * 2) + 1"
+
+
+def test_local_in_condition_and_branch_body():
+    src = lua_to_vrl(_cfg(
+        "function (event, emit)\n"
+        "  local lim = 50\n"
+        "  if event.log.value > lim then\n"
+        "    event.log.over = event.log.value - lim\n"
+        "  end\n"
+        "  emit(event)\nend"
+    ))
+    assert src == "if .value > (50) { .over = .value - (50) }"
+
+
+def test_for_loop_unrolls_with_accumulator():
+    src = lua_to_vrl(_cfg(
+        "function (event, emit)\n"
+        "  local s = 0\n"
+        "  for i = 1, 3 do\n"
+        "    s = s + i\n"
+        "  end\n"
+        "  event.log.total = s\n"
+        "  emit(event)\nend"
+    ))
+    assert src == ".total = ((((0) + (1)) + (2)) + (3))"
+
+
+def test_for_loop_step_and_field_write():
+    src = lua_to_vrl(_cfg(
+        "function (event, emit)\n"
+        "  for i = 4, 0, -2 do\n"
+        "    event.log.last = i\n"
+        "  end\n"
+        "  emit(event)\nend"
+    ))
+    assert src == ".last = (4)\n.last = (2)\n.last = (0)"
+
+
+def test_tainted_local_raises():
+    with pytest.raises(VrlError, match="reassigned after"):
+        lua_to_vrl(_cfg(
+            "function (event, emit)\n"
+            "  local old = event.log.value\n"
+            "  event.log.value = 0\n"
+            "  event.log.y = old\n"
+            "  emit(event)\nend"
+        ))
+
+
+def test_taint_applies_from_branch_assignment():
+    # the field reassignment happens in a conditional arm: Lua may or
+    # may not overwrite; substitution must refuse conservatively
+    with pytest.raises(VrlError, match="reassigned after"):
+        lua_to_vrl(_cfg(
+            "function (event, emit)\n"
+            "  local old = event.log.value\n"
+            "  if event.log.value > 1 then\n"
+            "    event.log.value = 0\n"
+            "  end\n"
+            "  event.log.y = old\n"
+            "  emit(event)\nend"
+        ))
+
+
+def test_untainted_local_use_before_reassign_ok():
+    src = lua_to_vrl(_cfg(
+        "function (event, emit)\n"
+        "  local old = event.log.value\n"
+        "  event.log.y = old\n"
+        "  event.log.value = 0\n"
+        "  emit(event)\nend"
+    ))
+    assert src == ".y = (.value)\n.value = 0"
+
+
+def test_loop_bounds_enforced():
+    with pytest.raises(VrlError, match="64"):
+        lua_to_vrl(_cfg(
+            "function (event, emit)\n  for i = 1, 100 do\n"
+            "    event.log.x = i\n  end\n  emit(event)\nend"
+        ))
+    # nested loops trip the total budget
+    with pytest.raises(VrlError, match="total bound"):
+        lua_to_vrl(_cfg(
+            "function (event, emit)\n"
+            "  for i = 1, 60 do\n"
+            "    for j = 1, 60 do\n"
+            "      event.log.x = i + j\n"
+            "    end\n"
+            "  end\n  emit(event)\nend"
+        ))
+    with pytest.raises(VrlError, match="step"):
+        lua_to_vrl(_cfg(
+            "function (event, emit)\n  for i = 1, 3, 0 do\n"
+            "    event.log.x = i\n  end\n  emit(event)\nend"
+        ))
+
+
+def test_loop_var_out_of_scope_after_loop():
+    with pytest.raises(VrlError, match="unsupported construct 'i'"):
+        lua_to_vrl(_cfg(
+            "function (event, emit)\n  for i = 1, 2 do\n"
+            "    event.log.x = i\n  end\n  event.log.y = i\n"
+            "  emit(event)\nend"
+        ))
+
+
+def test_local_and_loop_in_branch_raise():
+    with pytest.raises(VrlError, match="unsupported construct"):
+        lua_to_vrl(_cfg(
+            "function (event, emit)\n  if event.log.v > 1 then\n"
+            "    local z = 1\n  end\n  emit(event)\nend"
+        ))
+    with pytest.raises(VrlError, match="unsupported construct"):
+        lua_to_vrl(_cfg(
+            "function (event, emit)\n  if event.log.v > 1 then\n"
+            "    for i = 1, 2 do\n    end\n  end\n  emit(event)\nend"
+        ))
+
+
+def test_concat_on_local_raises():
+    with pytest.raises(VrlError, match="local variable"):
+        lua_to_vrl(_cfg(
+            "function (event, emit)\n  local v = event.log.value\n"
+            "  event.log.t = v .. 'x'\n  emit(event)\nend"
+        ))
+
+
+def test_loop_locals_end_to_end(ray_session):
+    import ray.data as rd
+
+    from vector_ray.stages import TRANSFORMS
+
+    ds = rd.from_arrow(pa.table({"value": [1.0, 10.0]}))
+    out = TRANSFORMS["lua"](ds, _cfg(
+        "function (event, emit)\n"
+        "  local s = 0\n"
+        "  for i = 1, 4 do\n"
+        "    s = s + i * i\n"
+        "  end\n"
+        "  event.log.powsum = s\n"
+        "  event.log.scaled = event.log.value * s\n"
+        "  emit(event)\nend"
+    )).to_pandas().sort_values("value")
+    assert out["powsum"].tolist() == [30.0, 30.0]
+    assert out["scaled"].tolist() == [30.0, 300.0]

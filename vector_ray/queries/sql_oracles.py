@@ -854,6 +854,13 @@ def oracle_sql() -> dict[str, str]:
                 "THEN CAST(1 AS BIGINT) ELSE NULL END AS big_buy "
                 "FROM events"
             ),
+            # the verbatim lua locals + bounded-for hook: the loop
+            # unrolls at translate time to the constant 30 (1+4+9+16);
+            # value*2+30 is the same IEEE float64 op sequence both sides
+            "lua_loop_events": (
+                "SELECT event_id, CAST(30 AS BIGINT) AS powsum, "
+                "value * 2 + 30 AS scaled FROM events"
+            ),
             "test_basic_events": (
                 "SELECT event_id, event_type, value FROM events"
             ),

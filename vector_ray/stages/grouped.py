@@ -900,14 +900,27 @@ def sessionize(ds, options: dict, ctx=None):
     relies on. All input columns pass through untouched.
 
     Partitioning assumption (same as SQL PARTITION BY): one key's
-    rows fit one worker; a pathologically hot key becomes a straggler
-    (pre-split upstream or salt if a key can exceed worker memory)."""
+    rows fit one worker; a key past ``max_group_rows`` raises with the
+    mitigation (pre-split by calendar day, sessionize within splits,
+    merge boundary sessions) instead of silently OOMing the worker."""
     key = options["group_by"]
     ts_field = options.get("ts_field", "ts")
     gap_s = float(options.get("gap_s", 1800.0))
     target = options.get("target", "session_id")
+    max_group_rows = int(options.get("max_group_rows", 10_000_000))
+    if max_group_rows <= 0:
+        raise ValueError("sessionize: max_group_rows must be positive")
 
     def label(g: pa.Table) -> pa.Table:
+        if g.num_rows > max_group_rows:
+            raise ValueError(
+                f"sessionize: key group has {g.num_rows} rows, exceeding "
+                f"max_group_rows={max_group_rows}. Pre-split the hot key "
+                "by calendar day (tumbling window on the event ts), "
+                "sessionize within each split, and merge boundary "
+                "sessions whose gap spans the split edge; or raise "
+                "max_group_rows if worker memory allows."
+            )
         ts = g[ts_field]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()

@@ -27,12 +27,35 @@ VRL equivalents (round-4): ``string.upper``/``lower`` -> upcase/
 downcase, ``string.len`` -> length, ``string.sub(s, i, j)`` -> slice
 with the 1-based-inclusive -> 0-based-exclusive shift (positive
 ascending literal indices only), ``tostring`` -> string, ``tonumber``
--> to_float (nil-on-failure == VRL null). Anything outside that subset
-— loops, local variables, other library calls, stateful global setup,
-conditional emit / drop — raises ``VrlError`` naming the construct, so
-a user porting a real lua block sees exactly which line needs a
-rewrite (to filter / route / pyscript) instead of silently wrong
-output.
+-> to_float (nil-on-failure == VRL null).
+
+Round-5 additions — still no VM, still translate-time only:
+
+    local x = <expr>                  -> straight-line substitution: later
+                                         references to ``x`` inline the
+                                         translated expression. A local
+                                         whose referenced event fields are
+                                         REASSIGNED after its definition
+                                         is tainted — using it then raises
+                                         (substitution would read the new
+                                         value where Lua kept the old one).
+    x = <expr>   (x a known local)    -> rebinds the substitution text
+                                         (accumulator patterns unroll to
+                                         nested expressions)
+    for i = A, B [, S] do ... end     -> literal integer bounds unroll at
+                                         translate time (≤ 64 iterations
+                                         per loop, ≤ 256 total); the loop
+                                         variable is a local bound to each
+                                         literal value in turn
+
+Locals and loops are top-level (or loop-body) constructs; inside an
+``if`` branch they raise (a conditionally-executed binding has no
+straight-line substitution). Anything outside the subset — ``while`` /
+``repeat`` loops, non-literal loop bounds, other library calls,
+stateful global setup, conditional emit / drop — raises ``VrlError``
+naming the construct, so a user porting a real lua block sees exactly
+which line needs a rewrite (to filter / route / pyscript) instead of
+silently wrong output.
 """
 
 from __future__ import annotations
@@ -77,9 +100,18 @@ _FUNC_RE = re.compile(
 )
 
 
-def _tokenize(expr: str, ev: str, conditions: bool) -> list[tuple[str, str]]:
+_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _tokenize(
+    expr: str, ev: str, conditions: bool, scope: dict | None = None,
+    fields_out: set | None = None,
+) -> list[tuple[str, str]]:
     """Lua expression -> [(kind, VRL text)] tokens. ``conditions``
-    additionally admits comparison / boolean operators and ``nil``."""
+    additionally admits comparison / boolean operators and ``nil``.
+    ``scope`` maps local-variable names to their substitution records;
+    ``fields_out`` collects the event fields the expression reads
+    (directly or through a substituted local) for taint tracking."""
     field_re = _field_pattern(ev)
     tok_re = re.compile(
         r"\s*(?:(?P<concat>\.\.)"
@@ -102,7 +134,10 @@ def _tokenize(expr: str, ev: str, conditions: bool) -> list[tuple[str, str]]:
             continue
         m = field_re.match(expr, pos)
         if m:
-            toks.append(("field", "." + (m.group("dot") or m.group("br"))))
+            name = m.group("dot") or m.group("br")
+            if fields_out is not None:
+                fields_out.add(name)
+            toks.append(("field", "." + name))
             pos = m.end()
             continue
         m = _SUB_RE.match(expr, pos)
@@ -117,7 +152,9 @@ def _tokenize(expr: str, ev: str, conditions: bool) -> list[tuple[str, str]]:
                     "translatable (only positive ascending 1-based "
                     "literals map to VRL slice)"
                 )
-            inner = _translate_expr(m.group("inner"), ev)
+            inner = _translate_expr(
+                m.group("inner"), ev, scope=scope, fields_out=fields_out
+            )
             toks.append(("strcall", f"slice({inner}, {i - 1}, {j})"))
             pos = m.end()
             continue
@@ -168,12 +205,28 @@ def _tokenize(expr: str, ev: str, conditions: bool) -> list[tuple[str, str]]:
                 toks.append(("str", f'"{inner}"'))
             pos = m.end()
             continue
+        m = _IDENT_RE.match(expr, pos)
+        if m and scope is not None and m.group(0) in scope:
+            var = scope[m.group(0)]
+            if var["tainted"]:
+                raise VrlError(
+                    f"lua: local {m.group(0)!r} reads event field(s) "
+                    f"{sorted(var['fields'])} that were reassigned after "
+                    "its definition — straight-line substitution would "
+                    "use the NEW value where Lua keeps the old one; "
+                    "move the local below the reassignment or inline it"
+                )
+            toks.append(("local", f"({var['expr']})"))
+            if fields_out is not None:
+                fields_out |= var["fields"]
+            pos = m.end()
+            continue
         bad = expr[pos:].split()[0]
         raise VrlError(
             f"lua: unsupported construct {bad!r} in expression "
             f"{expr.strip()!r} (translatable subset: event.log fields, "
-            "numeric/string/boolean literals, + - * / % .. comparisons, "
-            "and/or/not, nil and parentheses)"
+            "local variables, numeric/string/boolean literals, "
+            "+ - * / % .. comparisons, and/or/not, nil and parentheses)"
         )
     if not toks:
         raise VrlError(f"lua: empty expression in {expr!r}")
@@ -213,15 +266,19 @@ def _check_concat(toks: list[tuple[str, str]], expr: str) -> None:
                     "not translatable to VRL '+'; wrap the operand in "
                     "quotes if string concat is intended"
                 )
-            if toks[j][0] == "op" and (
-                toks[j][1] == "(" or (toks[j][1] == ")" and j not in str_close)
+            if toks[j][0] == "local" or (
+                toks[j][0] == "op"
+                and (
+                    toks[j][1] == "("
+                    or (toks[j][1] == ")" and j not in str_close)
+                )
             ):
                 raise VrlError(
-                    "lua: '..' on a parenthesized subexpression in "
-                    f"{expr.strip()!r} could be a numeric value Lua "
-                    "would coerce to string — not translatable; "
-                    "concatenate fields/literals directly (or wrap in "
-                    "tostring())"
+                    "lua: '..' on a parenthesized subexpression or "
+                    f"local variable in {expr.strip()!r} could be a "
+                    "numeric value Lua would coerce to string — not "
+                    "translatable; concatenate fields/literals directly "
+                    "(or wrap in tostring())"
                 )
             if toks[j][0] == "field":
                 # Lua '..' coerces the operand to string; make that
@@ -252,22 +309,75 @@ def _check_concat(toks: list[tuple[str, str]], expr: str) -> None:
                 )
 
 
-def _translate_expr(expr: str, ev: str, conditions: bool = False) -> str:
-    toks = _tokenize(expr, ev, conditions)
+def _translate_expr(
+    expr: str, ev: str, conditions: bool = False,
+    scope: dict | None = None, fields_out: set | None = None,
+) -> str:
+    toks = _tokenize(expr, ev, conditions, scope, fields_out)
     _check_concat(toks, expr)
     return " ".join(t for _, t in toks)
 
 
 _IF_RE = re.compile(r"^if\b(?P<cond>.+?)\bthen$")
 _ELSEIF_RE = re.compile(r"^elseif\b(?P<cond>.+?)\bthen$")
+_LOCAL_RE = re.compile(r"^local\s+(?P<name>[A-Za-z_]\w*)\s*=\s*(?P<rhs>.+)$")
+_FOR_RE = re.compile(
+    r"^for\s+(?P<var>[A-Za-z_]\w*)\s*=\s*(?P<a>-?\d+)\s*,\s*(?P<b>-?\d+)"
+    r"(?:\s*,\s*(?P<s>-?\d+))?\s+do$"
+)
+_BLOCK_OPEN_RE = re.compile(r"^(?:if|for|while)\b.*\b(?:then|do)$")
+
+# unroll bounds: per-loop and total across nested loops — past these a
+# translate-time unroll stops being "a few vectorized statements" and
+# the config needs a real rewrite (pyscript), not a 10k-statement remap
+_MAX_UNROLL = 64
+_MAX_UNROLL_TOTAL = 256
 
 
-def _parse_block(lines: list[str], i: int, ev: str, depth: int) -> tuple[list[str], int]:
+def _taint(scope: dict | None, field_name: str) -> None:
+    """Mark every live local that reads ``field_name`` as tainted —
+    substitution after the field changes would diverge from Lua."""
+    if scope:
+        for var in scope.values():
+            if field_name in var["fields"]:
+                var["tainted"] = True
+
+
+def _collect_for_body(lines: list[str], i: int) -> tuple[list[str], int]:
+    """Body lines of the ``for ... do`` at ``lines[i]`` up to its
+    matching ``end``; returns (body, index after the end)."""
+    depth_ctr = 1
+    j = i + 1
+    body: list[str] = []
+    while j < len(lines):
+        ln = lines[j]
+        if _BLOCK_OPEN_RE.match(ln):
+            depth_ctr += 1
+        elif ln == "end":
+            depth_ctr -= 1
+            if depth_ctr == 0:
+                return body, j + 1
+        body.append(ln)
+        j += 1
+    raise VrlError("lua: 'for' block not closed with 'end'")
+
+
+def _parse_block(
+    lines: list[str], i: int, ev: str, depth: int,
+    scope: dict | None = None, allow_locals: bool = False,
+    budget: list | None = None,
+) -> tuple[list[str], int]:
     """Parse statements from ``lines[i:]`` until the terminator of the
     current block (``end`` / ``elseif`` / ``else`` at this depth);
-    returns (VRL statements, index of the terminator line)."""
+    returns (VRL statements, index of the terminator line). ``scope``
+    holds local-variable substitutions (readable at any depth;
+    declarations/reassignments and ``for`` loops only where
+    ``allow_locals`` — top level and unrolled loop bodies, where
+    execution is unconditional)."""
     stmts: list[str] = []
     field_re = _field_pattern(ev)
+    if budget is None:
+        budget = [_MAX_UNROLL_TOTAL]
     while i < len(lines):
         line = lines[i]
         if line in ("end",) or _ELSEIF_RE.match(line) or line == "else":
@@ -276,21 +386,93 @@ def _parse_block(lines: list[str], i: int, ev: str, depth: int) -> tuple[list[st
             return stmts, i
         m = _IF_RE.match(line)
         if m:
-            vrl_if, i = _parse_if(lines, i, ev, depth)
+            vrl_if, i = _parse_if(lines, i, ev, depth, scope, budget)
             stmts.append(vrl_if)
             continue
+        if allow_locals and scope is not None:
+            lm = _LOCAL_RE.match(line)
+            if lm:
+                fields: set = set()
+                text = _translate_expr(
+                    lm.group("rhs"), ev, scope=scope, fields_out=fields
+                )
+                scope[lm.group("name")] = {
+                    "expr": text, "fields": fields, "tainted": False
+                }
+                i += 1
+                continue
+            fm2 = _FOR_RE.match(line)
+            if fm2:
+                a, b = int(fm2.group("a")), int(fm2.group("b"))
+                step = int(fm2.group("s")) if fm2.group("s") else 1
+                if step == 0:
+                    raise VrlError("lua: 'for' step of 0 never terminates")
+                iters = (
+                    range(a, b + 1, step) if step > 0
+                    else range(a, b - 1, step)
+                )
+                if len(iters) > _MAX_UNROLL:
+                    raise VrlError(
+                        f"lua: 'for' loop unrolls to {len(iters)} "
+                        f"iterations, past the {_MAX_UNROLL} translate-"
+                        "time bound — rewrite as pyscript"
+                    )
+                body, i = _collect_for_body(lines, i)
+                var = fm2.group("var")
+                shadow = scope.get(var)
+                before_keys = set(scope)
+                for v in iters:
+                    budget[0] -= 1
+                    if budget[0] < 0:
+                        raise VrlError(
+                            "lua: nested 'for' loops unroll past the "
+                            f"{_MAX_UNROLL_TOTAL}-iteration total bound "
+                            "— rewrite as pyscript"
+                        )
+                    scope[var] = {
+                        "expr": str(v), "fields": set(), "tainted": False
+                    }
+                    sub, _ = _parse_block(
+                        body, 0, ev, 0, scope, allow_locals=True,
+                        budget=budget,
+                    )
+                    stmts.extend(sub)
+                # loop-scoped names go out of scope in Lua: drop them so
+                # a use-after-loop raises instead of silently diverging
+                for k in set(scope) - before_keys:
+                    del scope[k]
+                if shadow is not None:
+                    scope[var] = shadow
+                elif var in scope:
+                    del scope[var]
+                continue
         if re.match(r"^(?:if|for|while|repeat|local|function)\b", line):
             raise VrlError(
                 f"lua: unsupported construct in {line!r} (single-line "
-                "if bodies, loops, locals and nested functions are not "
-                "translatable; use multi-line 'if <cond> then' blocks)"
+                "if bodies, while/repeat loops, nested functions, and "
+                "locals or 'for' loops inside a conditional branch are "
+                "not translatable; 'local x = <expr>' and literal-bound "
+                "'for i = a, b do' are supported at the top level)"
             )
         fm = field_re.match(line)
         if not fm:
+            if allow_locals and scope is not None:
+                am = re.match(r"^(?P<name>[A-Za-z_]\w*)\s*=\s*(?P<rhs>.+)$", line)
+                if am and am.group("name") in scope and not line.startswith("=="):
+                    fields = set()
+                    text = _translate_expr(
+                        am.group("rhs"), ev, scope=scope, fields_out=fields
+                    )
+                    scope[am.group("name")] = {
+                        "expr": text, "fields": fields, "tainted": False
+                    }
+                    i += 1
+                    continue
             raise VrlError(
                 f"lua: unsupported statement {line!r} (translatable "
                 "subset: event.log.<field> = <expr>, "
-                "event.log.<field> = nil, if/elseif/else blocks, "
+                "event.log.<field> = nil, local x = <expr>, "
+                "if/elseif/else blocks, literal 'for' loops, "
                 "one final emit)"
             )
         rest = line[fm.end():].lstrip()
@@ -299,27 +481,38 @@ def _parse_block(lines: list[str], i: int, ev: str, depth: int) -> tuple[list[st
                 f"lua: unsupported statement {line!r} (expected an "
                 "assignment)"
             )
-        target = "." + (fm.group("dot") or fm.group("br"))
+        target_name = fm.group("dot") or fm.group("br")
+        target = "." + target_name
         rhs = rest[1:].strip()
         if rhs == "nil":
             stmts.append(f"del({target})")
         else:
-            stmts.append(f"{target} = {_translate_expr(rhs, ev)}")
+            stmts.append(
+                f"{target} = {_translate_expr(rhs, ev, scope=scope)}"
+            )
+        _taint(scope, target_name)
         i += 1
     if depth > 0:
         raise VrlError("lua: if block not closed with 'end'")
     return stmts, i
 
 
-def _parse_if(lines: list[str], i: int, ev: str, depth: int) -> tuple[str, int]:
+def _parse_if(
+    lines: list[str], i: int, ev: str, depth: int,
+    scope: dict | None = None, budget: list | None = None,
+) -> tuple[str, int]:
     """Translate an if/elseif/else chain starting at ``lines[i]`` into
     one VRL ``if cond { ... } else if ... else { ... }`` statement;
     returns (statement, index after the chain's ``end``)."""
     parts: list[str] = []
     m = _IF_RE.match(lines[i])
     while True:
-        cond = _translate_expr(m.group("cond"), ev, conditions=True)
-        body, i = _parse_block(lines, i + 1, ev, depth + 1)
+        cond = _translate_expr(
+            m.group("cond"), ev, conditions=True, scope=scope
+        )
+        body, i = _parse_block(
+            lines, i + 1, ev, depth + 1, scope, budget=budget
+        )
         kw = "if" if not parts else "else if"
         parts.append(f"{kw} {cond} {{ {'; '.join(body)} }}")
         line = lines[i]
@@ -327,7 +520,9 @@ def _parse_if(lines: list[str], i: int, ev: str, depth: int) -> tuple[str, int]:
         if m:
             continue
         if line == "else":
-            body, i = _parse_block(lines, i + 1, ev, depth + 1)
+            body, i = _parse_block(
+                lines, i + 1, ev, depth + 1, scope, budget=budget
+            )
             parts.append(f"else {{ {'; '.join(body)} }}")
             line = lines[i]
         if line != "end":
@@ -392,5 +587,5 @@ def lua_to_vrl(options: dict) -> str:
                 f"lua: emit({ev}) may only appear once, as the final "
                 "statement (conditional emit is not translatable)"
             )
-    stmts, _ = _parse_block(lines[:-1], 0, ev, 0)
+    stmts, _ = _parse_block(lines[:-1], 0, ev, 0, scope={}, allow_locals=True)
     return "\n".join(stmts)

@@ -256,6 +256,9 @@ def session(ds, options: dict, ctx=None):
     arrival = options.get("arrival_field")
     lateness = options.get("allowed_lateness_secs")
     late_mode = options.get("late", "drop")
+    max_group_rows = int(options.get("max_group_rows", 10_000_000))
+    if max_group_rows <= 0:
+        raise ValueError("session: max_group_rows must be positive")
     if (arrival is None) != (lateness is None):
         raise ValueError(
             "session: arrival_field and allowed_lateness_secs must be "
@@ -283,6 +286,18 @@ def session(ds, options: dict, ctx=None):
             group_keys = [key, "is_late"]
 
     def sessions(g: pa.Table) -> pa.Table:
+        if g.num_rows > max_group_rows:
+            # session semantics need a key's whole history in one task;
+            # a hot key past this bound must be pre-split upstream — a
+            # silent attempt would OOM the worker instead
+            raise ValueError(
+                f"session: key group has {g.num_rows} rows, exceeding "
+                f"max_group_rows={max_group_rows}. Pre-split the hot key "
+                "by calendar day (tumbling window on the event ts), "
+                "sessionize within each split, and merge boundary "
+                "sessions whose gap spans the split edge; or raise "
+                "max_group_rows if worker memory allows."
+            )
         idx = pc.sort_indices(g, sort_keys=[(ts_field, "ascending")])
         g = g.take(idx)
         secs_arr = _epoch_secs(g[ts_field])
