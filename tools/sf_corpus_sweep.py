@@ -20,6 +20,19 @@ rebuilds) get a STREAM verifier instead: a constant-memory positional
 hash-sum equality over the flattened token streams (see
 ``STREAM_VERIFIERS``).
 
+Round-5 HASH-SLICE AUDIT: the five remaining full-re-derivation
+exclusions (span_dedupe / span_dedupe_exchange / span_dedupe_incr /
+ngram_novelty / ngram_novelty_incr — their global gram models are
+corpus-sized) are sample-audited through ``gram_slice_audit_corpus``:
+the engine's real packed bucket exchange restricted to the
+content-defined gram slice ``sum(tokens) % 256 == 17`` (a predicate SQL
+computes identically — both models are self-contained on a content
+slice), per-doc distinct/novel/duplicate counts compared exactly via
+the standard EXCEPT ALL path. Running THIS query at sf1 verifies the
+shared extraction + hash + exchange + counting machinery of all five
+excluded queries on ~1/256 of the sf1 gram volume; see
+functions/tokens.py gram_slice_audit and BASELINE.md round 5.
+
 Usage: python tools/sf_corpus_sweep.py [tag] [--timeout N] [query ...]
 """
 

@@ -386,6 +386,49 @@ def q_ngram_novelty(sf_dir: str):
     )
 
 
+def q_gram_slice_audit(sf_dir: str):
+    """Content-slice audit of the span_dedupe / ngram_novelty gram
+    models (functions/tokens.py gram_slice_audit, round-5): per-doc
+    distinct / first-occurrence / duplicate counts over the 8-grams
+    whose token sum ≡ 17 (mod 256), on the corpus WITH planted
+    duplicates so the dup leg is non-trivial. The same query + SQL run
+    at sf1 is the sampled audit of the five full-re-derivation oracle
+    exclusions. did mapping: originals use the int suffix, planted
+    dup- docs use 100_000_000 + suffix."""
+    from vector_ray.functions.tokens import gram_slice_audit, plant_duplicates
+
+    tag = _tag(sf_dir)
+    ds = rd.read_parquet(
+        datagen.sequences_dir(tag), columns=["doc_id", "tokens"]
+    )
+    ds = plant_duplicates(ds, every=31, skip=10, min_len=24)
+
+    def add_did(t: pa.Table) -> pa.Table:
+        s = t["doc_id"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        is_dup = pc.starts_with(s, "dup-")
+        tail = pc.if_else(
+            is_dup,
+            pc.utf8_slice_codeunits(s, 8, 99),
+            pc.utf8_slice_codeunits(s, 4, 99),
+        )
+        did = pc.add(
+            pc.cast(tail, pa.int64()),
+            pc.if_else(
+                is_dup,
+                pa.scalar(100_000_000, pa.int64()),
+                pa.scalar(0, pa.int64()),
+            ),
+        )
+        return pa.table({"did": did, "tokens": t["tokens"]})
+
+    return gram_slice_audit(
+        ds.map_batches(add_did, batch_format="pyarrow"),
+        n=8, modulus=256, residue=17, min_count=2,
+    )
+
+
 def q_ngram_novelty_incr(sf_dir: str):
     """Incremental-ingest novelty (functions/tokens.py
     ngram_novelty_against, round-4): every-3rd doc plays the EXISTING

@@ -56,6 +56,32 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / c.n_grams, 6) "
         "  AS novelty FROM c LEFT JOIN nv USING (did)"
     )
+    sql["gram_slice_audit_corpus"] = (
+        # content-slice audit (round-5): grams with token-sum % 256 ==
+        # 17, over the planted-duplicate union; per-doc distinct /
+        # min-did-novel / >=2-occurrence-dup counts. The predicate is a
+        # pure function of gram content, so both models are
+        # self-contained on the slice (see gram_slice_audit docstring)
+        "WITH orig AS (SELECT CAST(doc_id[5:] AS BIGINT) AS did, tokens "
+        f"  FROM read_parquet('{_seq_glob(ORACLE_TAG)}')), "
+        "dups AS (SELECT 100000000 + did AS did, tokens[11:] AS tokens "
+        "  FROM orig WHERE did % 31 = 0 AND len(tokens) >= 24), "
+        "allr AS (SELECT * FROM orig UNION ALL SELECT * FROM dups), "
+        "base AS (SELECT did, tokens, "
+        "    unnest(generate_series(1, len(tokens) - 7)) AS p "
+        "  FROM allr WHERE len(tokens) >= 8), "
+        "g0 AS (SELECT did, array_to_string(tokens[p:p+7], ',') AS gram "
+        "  FROM base WHERE list_sum(tokens[p:p+7]) % 256 = 17), "
+        "occ AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "  FROM g0 GROUP BY 1), "
+        "g AS (SELECT DISTINCT did, gram FROM g0), "
+        "f AS (SELECT gram, MIN(did) AS fdid FROM g GROUP BY 1) "
+        "SELECT g.did, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "  CAST(COUNT(*) FILTER (WHERE f.fdid = g.did) AS BIGINT) "
+        "    AS n_novel, "
+        "  CAST(COUNT(*) FILTER (WHERE occ.cnt >= 2) AS BIGINT) AS n_dup "
+        "FROM g JOIN occ USING (gram) JOIN f USING (gram) GROUP BY g.did"
+    )
     sql["ngram_novelty_incr_corpus"] = (
         # incremental variant: every-3rd doc is the REFERENCE corpus;
         # its grams are pre-claimed, so a new doc's gram is novel iff
