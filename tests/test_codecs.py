@@ -227,3 +227,82 @@ def test_mp4_features_extractor_real_mode(ray_session):
     for f in feats:
         assert f[0] == 3.0  # video flag
         assert f[1] > 0     # duration_s
+
+
+# ---------------------------------------------------------------------------
+# round-5: fragmented MP4 (moof/mdat)
+# ---------------------------------------------------------------------------
+
+
+def _one_track(deltas, sizes):
+    return [dict(handler=b"vide", codec=b"avc1", width=64, height=48,
+                 timescale=1000, sample_deltas=list(deltas),
+                 sample_bytes=[bytes([65 + i]) * s
+                               for i, s in enumerate(sizes)])]
+
+
+def test_fmp4_stats_match_moov_resident():
+    from vector_ray.functions.codecs import encode_fmp4, encode_mp4, parse_mp4
+
+    tracks = _one_track([40, 40, 20, 40, 40], [10, 20, 5, 30, 15])
+    classic = parse_mp4(encode_mp4(tracks))
+    frag = parse_mp4(encode_fmp4(tracks, frag_samples=2))
+    for k in ("handler", "codec", "width", "height", "timescale",
+              "duration", "n_samples", "sample_bytes",
+              "max_sample_bytes"):
+        assert classic["tracks"][0][k] == frag["tracks"][0][k], k
+    assert frag["fragmented"] and not classic["fragmented"]
+    # 5 samples at 2/fragment -> 3 fragments, each one trun (= chunk run)
+    assert frag["tracks"][0]["n_fragments"] == 3
+    assert frag["tracks"][0]["n_chunks"] == 3
+    # movie duration derived from fragment runs (mvhd carries 0)
+    assert frag["duration"] == classic["duration"]
+
+
+def test_fmp4_trex_defaults_path():
+    from vector_ray.functions.codecs import encode_fmp4, parse_mp4
+
+    # constant deltas equal the trex default -> truns omit per-sample
+    # durations entirely; sizes still ride per sample
+    tracks = _one_track([1024] * 7, [3, 1, 4, 1, 5, 9, 2])
+    info = parse_mp4(encode_fmp4(tracks, frag_samples=3))
+    t = info["tracks"][0]
+    assert t["n_samples"] == 7
+    assert t["duration"] == 7 * 1024
+    assert t["sample_bytes"] == 3 + 1 + 4 + 1 + 5 + 9 + 2
+    assert t["max_sample_bytes"] == 9
+
+
+def test_synth_fmp4_two_tracks_and_features():
+    from vector_ray.functions.codecs import parse_mp4, synth_fmp4
+    from vector_ray.functions.multimodal import mp4_features
+
+    info = parse_mp4(synth_fmp4(5))  # odd seed -> audio track too
+    handlers = sorted(t["handler"] for t in info["tracks"])
+    assert handlers == ["soun", "vide"]
+    assert all(t["n_samples"] > 0 for t in info["tracks"])
+    assert info["fragmented"] and info["duration"] > 0
+    f = mp4_features(synth_fmp4(5))
+    assert f[0] == 3.0 and f[1] > 0 and f[10] == 1.0
+
+
+def test_fmp4_independent_parser_agrees():
+    """The golden-side straight-line parser and the engine parser must
+    agree field-for-field on fragmented payloads."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_goldens import _parse_mp4_independent
+
+    from vector_ray.functions.codecs import parse_mp4, synth_fmp4
+
+    for seed in (0, 1, 8, 13):
+        p = synth_fmp4(seed)
+        a, b = parse_mp4(p), _parse_mp4_independent(p)
+        assert a["duration"] == b["duration"]
+        assert a["timescale"] == b["timescale"]
+        for ta, tb in zip(a["tracks"], b["tracks"]):
+            for k in ("handler", "codec", "width", "height", "timescale",
+                      "duration", "n_samples", "sample_bytes",
+                      "max_sample_bytes", "n_chunks"):
+                assert ta[k] == tb[k], (seed, k)

@@ -1347,11 +1347,84 @@ def _parse_mp4_independent(buf: bytes) -> dict:
             total, biggest = sum(sizes), (max(sizes) if sizes else 0)
         cb, _ = _mp4_child(buf, sb, se, "stco")
         n_chunks = int.from_bytes(buf[cb + 4 : cb + 8], "big")
+        tid_off = kb + 4 + (16 if buf[kb] == 1 else 8)
         tracks.append(
-            dict(handler=handler, codec=codec, width=w, height=h,
+            dict(track_id=int.from_bytes(buf[tid_off : tid_off + 4], "big"),
+                 handler=handler, codec=codec, width=w, height=h,
                  timescale=mts, duration=mdur, n_samples=n,
                  sample_bytes=total, max_sample_bytes=biggest,
                  n_chunks=n_chunks)
+        )
+    # fragmented MP4 (round-5): independent straight-line walk of the
+    # mvex/trex defaults and every top-level moof's traf/tfhd/trun,
+    # explicit per-sample loop (no numpy) per ISO/IEC 14496-12 §8.8
+    trex = {}
+    for tag, xb, xe in _mp4_children(buf, mb, me):
+        if tag != "mvex":
+            continue
+        for t2, eb2, _ in _mp4_children(buf, xb, xe):
+            if t2 == "trex":
+                trex[int.from_bytes(buf[eb2 + 4 : eb2 + 8], "big")] = (
+                    int.from_bytes(buf[eb2 + 12 : eb2 + 16], "big"),
+                    int.from_bytes(buf[eb2 + 16 : eb2 + 20], "big"),
+                )
+    by_id = {t["track_id"]: t for t in tracks}
+    saw_moof = False
+    for tag, bb, be in _mp4_children(buf, 0, len(buf)):
+        if tag != "moof":
+            continue
+        saw_moof = True
+        for t2, tb2, te2 in _mp4_children(buf, bb, be):
+            if t2 != "traf":
+                continue
+            hb2, _ = _mp4_child(buf, tb2, te2, "tfhd")
+            tf = int.from_bytes(buf[hb2 + 1 : hb2 + 4], "big")
+            tid = int.from_bytes(buf[hb2 + 4 : hb2 + 8], "big")
+            p = hb2 + 8
+            if tf & 0x1:
+                p += 8
+            if tf & 0x2:
+                p += 4
+            d_dur, d_size = trex.get(tid, (0, 0))
+            if tf & 0x8:
+                d_dur = int.from_bytes(buf[p : p + 4], "big")
+                p += 4
+            if tf & 0x10:
+                d_size = int.from_bytes(buf[p : p + 4], "big")
+                p += 4
+            tr = by_id[tid]
+            for t3, rb, _ in _mp4_children(buf, tb2, te2):
+                if t3 != "trun":
+                    continue
+                rf = int.from_bytes(buf[rb + 1 : rb + 4], "big")
+                ns = int.from_bytes(buf[rb + 4 : rb + 8], "big")
+                q = rb + 8
+                if rf & 0x1:
+                    q += 4
+                if rf & 0x4:
+                    q += 4
+                for _ in range(ns):
+                    sd, ss = d_dur, d_size
+                    if rf & 0x100:
+                        sd = int.from_bytes(buf[q : q + 4], "big")
+                        q += 4
+                    if rf & 0x200:
+                        ss = int.from_bytes(buf[q : q + 4], "big")
+                        q += 4
+                    if rf & 0x400:
+                        q += 4
+                    if rf & 0x800:
+                        q += 4
+                    tr["n_samples"] += 1
+                    tr["sample_bytes"] += ss
+                    tr["max_sample_bytes"] = max(tr["max_sample_bytes"], ss)
+                    tr["duration"] += sd
+                tr["n_chunks"] += 1
+    if saw_moof and dur == 0 and ts:
+        dur = max(
+            (t["duration"] * ts // t["timescale"]
+             for t in tracks if t["timescale"]),
+            default=0,
         )
     return dict(timescale=ts, duration=dur, tracks=tracks)
 
@@ -1418,8 +1491,71 @@ def golden_media_mp4(n=200, seed=23, dim=16) -> pa.Table:
     )
 
 
+def golden_media_fmp4(n=150, seed=29, dim=16) -> pa.Table:
+    """Independent recomputation of q_media_features_fmp4: fragmented
+    payloads from the shared fixture generator; container fields via
+    the fragment-aware independent parser; same 16-dim descriptor."""
+    from vector_ray.functions.multimodal import fmp4_media_table
+
+    media = fmp4_media_table(n, seed=seed)
+    ids, types, nbytes, digests, argmaxes = [], [], [], [], []
+    wvec = np.arange(1, dim + 1, dtype=np.float64)
+    for mid, payload in zip(
+        media["media_id"].to_pylist(), media["payload"].to_pylist()
+    ):
+        info = _parse_mp4_independent(payload)
+        f = np.zeros(dim, np.float64)
+        f[0] = 3.0
+        f[1] = info["duration"] / info["timescale"]
+        f[2] = len(info["tracks"])
+        vid = [t for t in info["tracks"] if t["handler"] == "vide"]
+        aud = [t for t in info["tracks"] if t["handler"] == "soun"]
+        if vid:
+            v = vid[0]
+            tdur = v["duration"] / v["timescale"]
+            f[3] = v["width"] / 1024.0
+            f[4] = v["height"] / 1024.0
+            f[5] = v["n_samples"] / tdur if tdur else 0.0
+            f[6] = v["sample_bytes"] / 1e6
+            f[7] = (
+                v["sample_bytes"] / v["n_samples"] / 1e3
+                if v["n_samples"]
+                else 0.0
+            )
+            f[8] = v["max_sample_bytes"] / 1e3
+            f[9] = 8.0 * v["sample_bytes"] / tdur / 1e6 if tdur else 0.0
+        if aud:
+            a = aud[0]
+            f[10] = 1.0
+            f[11] = a["duration"] / a["timescale"]
+            f[12] = a["n_samples"] / 1e3
+            f[13] = a["sample_bytes"] / 1e6
+        f[14] = sum(t["n_chunks"] for t in info["tracks"])
+        f[15] = len(payload) / 1e6
+        f32 = f.astype(np.float32)
+        ids.append(mid)
+        types.append("video/mp4")
+        nbytes.append(len(payload))
+        digests.append(
+            round_half_away(
+                round_half_away(float(f32.astype(np.float64) @ wvec), 9), 6
+            )
+        )
+        argmaxes.append(int(np.argmax(f32)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(types, pa.string()),
+            "payload_bytes": pa.array(nbytes, pa.int64()),
+            "feat_digest": pa.array(digests, pa.float64()),
+            "feat_argmax": pa.array(argmaxes, pa.int64()),
+        }
+    )
+
+
 GOLDENS = {
     "media_features_mp4": golden_media_mp4,
+    "media_features_fmp4": golden_media_fmp4,
     "fingerprint_rolling_documents": lambda: golden_fingerprint_rolling(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     ),

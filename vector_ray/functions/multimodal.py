@@ -329,6 +329,42 @@ def mp4_media_table(n: int, seed: int = 0) -> pa.Table:
     )
 
 
+def fmp4_media_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic media rows whose payloads are REAL fragmented
+    ISO-BMFF bytes (codecs.synth_fmp4: empty moov sample tables + mvex
+    defaults, samples in moof/mdat fragments — the streaming-video
+    shape; round-5). ``mp4_features`` consumes them through the same
+    ``parse_mp4``, which folds the fragment runs into the sample
+    statistics."""
+    from vector_ray.functions.codecs import parse_mp4, synth_fmp4
+
+    ids, payloads, widths, heights, durs = [], [], [], [], []
+    for i in range(n):
+        p = synth_fmp4(seed * 1_000_003 + i)
+        info = parse_mp4(p)
+        vid = next(t for t in info["tracks"] if t["handler"] == "vide")
+        ids.append(f"f-{i:06d}")
+        payloads.append(p)
+        widths.append(vid["width"])
+        heights.append(vid["height"])
+        durs.append(
+            int(1000 * info["duration"] / info["timescale"])
+            if info["timescale"]
+            else 0
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video/mp4"] * n),
+            "width": pa.array(np.array(widths, np.int32)),
+            "height": pa.array(np.array(heights, np.int32)),
+            "duration_ms": pa.array(np.array(durs, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode + feature-extract media payloads.
 

@@ -2002,6 +2002,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resample_wav",
         "media_features_png",
         "media_features_mp4",
+        "media_features_fmp4",
         "media_resize_jpeg",
         "agg_sketch_events",
         "pack_documents_corpus",
