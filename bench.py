@@ -280,6 +280,23 @@ def run_bench() -> dict:
 
     queries["pretrain_pack"] = timed("pretrain_pack", _pretrain_once)
 
+    # round-5 (VERDICT r4 item #5): heavy families previously invisible
+    # to the driver bench — graph (bucketed PageRank over the events
+    # edge list), Kneser–Ney bigram LM scoring, and winnowing
+    # fingerprints — each through its registry query on the same sf dir
+    from vector_ray.entry_queries import QUERIES as _Q
+
+    queries["pagerank_bucketed"] = timed(
+        "pagerank_bucketed",
+        lambda: _Q["pagerank_events_bucketed"](sf_dir).count(),
+    )
+    queries["kn_bigram"] = timed(
+        "kn_bigram", lambda: _Q["kn_bigram_corpus"](sf_dir).count()
+    )
+    queries["winnow"] = timed(
+        "winnow", lambda: _Q["winnow_corpus"](sf_dir).count()
+    )
+
     result = {
         "metric": "flagship parse->enrich->route->aggregate e2e seconds",
         "value": queries["flagship_e2e"],
