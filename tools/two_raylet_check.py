@@ -51,6 +51,7 @@ QUERY_NAMES = [
     "span_dedupe_corpus",
     "ngram_novelty_corpus",
     "pretrain_pack_corpus",
+    "gram_slice_audit_corpus",  # round-5 packed exchange, 3-leg merge
 ]
 
 
