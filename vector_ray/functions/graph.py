@@ -358,15 +358,49 @@ def _pagerank_bucketed(
     ds_edges, deg_ds, src, dst, iters, damping, num_buckets, round_to,
     weight=None, seeds=None,
 ):
-    from vector_ray.stages.shuffle import bucketed_join
+    """Raw-task bucket-exchange plan (round-5 rework). The rank vector
+    never exists whole anywhere AND the edges are partitioned by
+    src-bucket exactly once — per iteration only the deduped
+    (dst, contrib) partials move.
 
+    The previous plan re-shuffled the full edge list through two
+    ``bucketed_join``s + a groupby + a repartition EVERY iteration
+    (~6 chained Dataset all-to-all ops × iters, re-executing the lazy
+    edge projection each time). Measured at sf0.1 (200k edges, 1,600
+    nodes) that cost 24 s of pure per-op scheduling against 5.5 s for
+    broadcast mode on the same input; at sf1 (25M edges) it moved the
+    edge list 4× for nothing. This plan:
+
+      setup  — one split task partitions the (node, outdeg) table into
+               per-bucket node-sorted rank state (node % B); G split
+               tasks partition the edge blocks by src % B; B assemble
+               tasks then precompute the ITERATION-INVARIANT lookups
+               (src→rank-index positions, per-dst-bucket unique/inverse
+               group structure) so the loop does arithmetic only.
+      iter   — B contrib tasks (static edge bundle + own rank bucket →
+               per-dst-bucket partial sums, pre-split, plus the
+               bucket's dangling-rank scalar) then B update tasks
+               (merge partials into the bucket's rank vector). 2·B
+               tasks per iteration, zero Dataset machinery.
+      finish — B small tables → Dataset.
+
+    The edge bundle is pinned in the object store for the run
+    (spill-backed — the span_dedupe exchange contract). Output is
+    byte-identical to broadcast mode after the shared double-round
+    (pinned by tests/test_graph.py and the ppr_events_bucketed
+    oracle); contribution sums associate in a different order, which
+    the 1e-9-then-round_to double-round absorbs exactly like the
+    previous plan's groupby order did."""
+    import ray.data as rd
+
+    B = int(num_buckets)
+    if B < 1:
+        raise ValueError("pagerank: num_buckets must be >= 1")
     n = float(deg_ds.count())
     base = (1.0 - damping) / n
+    one_minus = 1.0 - damping
 
     if seeds is not None:
-        # personalized teleport: the seed LIST is small user input, so
-        # the per-node seed value s(node) = [node ∈ seeds] / m is a
-        # pure function recomputed per batch — no O(N) vector anywhere
         seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
 
         def _seed_count(t: pa.Table) -> pa.Table:
@@ -387,113 +421,167 @@ def _pagerank_bucketed(
     else:
         sv_of = None
 
-    def seed(t: pa.Table) -> pa.Table:
-        if sv_of is not None:
-            r = sv_of(_np_col(t, "node"))
-        else:
-            r = np.full(t.num_rows, 1.0 / n, np.float64)
-        return t.append_column("rank", pa.array(r))
+    def _unwrap(refs):
+        return [refs] if B == 1 else list(refs)
 
-    ranks = deg_ds.map_batches(seed, batch_format="pyarrow").materialize()
-
-    keep_cols = [src, dst] + ([weight] if weight else [])
-    edges = ds_edges.map_batches(
-        lambda t, s=src, d=dst, kc=tuple(keep_cols): _drop_null_edges(
-            t, s, d
-        ).select(list(kc)),
-        batch_format="pyarrow",
-    )
-
-    for _ in range(iters):
-        dangling = (
-            ranks.map_batches(
-                lambda t: t.filter(pc.equal(t["outdeg"], 0)).select(["rank"]),
-                batch_format="pyarrow",
-            ).sum("rank")
-            or 0.0
+    @ray.remote(num_cpus=1, num_returns=B)
+    def split_deg(*tbls):
+        node = np.concatenate(
+            [_np_col(t, "node") for t in tbls]
         )
-
-        def weights(t: pa.Table, s=src) -> pa.Table:
-            t = t.filter(pc.greater(t["outdeg"], 0))
-            w = pc.divide(
-                t["rank"], pc.cast(t["outdeg"], pa.float64())
-            )
-            # "__pr_w" cannot collide with a user edge-weight column
-            return pa.table(
-                {s: pc.cast(t["node"], pa.int64()), "__pr_w": w}
-            )
-
-        w_ds = ranks.map_batches(weights, batch_format="pyarrow")
-        joined = bucketed_join(
-            edges, w_ds, key=src, num_buckets=num_buckets, how="inner"
+        outdeg = np.concatenate(
+            [_np_col(t, "outdeg", np.float64) for t in tbls]
         )
-
-        def contrib_part(t: pa.Table, d=dst, ew=weight) -> pa.Table:
-            da = _np_col(t, d)
-            ws = _np_col(t, "__pr_w", np.float64)
-            if ew is not None:
-                ws = ws * _np_col(t, ew, np.float64)
-            ud, inv = np.unique(da, return_inverse=True)
-            return pa.table(
-                {
-                    "node": pa.array(ud),
-                    "contrib": pa.array(np.bincount(inv, weights=ws)),
-                }
-            )
-
-        contrib = (
-            joined.map_batches(contrib_part, batch_format="pyarrow")
-            .groupby("node")
-            .sum("contrib")
-            .map_batches(
-                lambda t: t.rename_columns(["node", "contrib"]),
-                batch_format="pyarrow",
-            )
-        )
-
-        updated = bucketed_join(
-            deg_ds, contrib, key="node", num_buckets=num_buckets, how="left"
-        )
-
-        def apply(t: pa.Table, dang=dangling) -> pa.Table:
-            c = np.nan_to_num(_np_col(t, "contrib", np.float64), nan=0.0)
+        b = node % B
+        order = np.argsort(b, kind="stable")
+        cuts = np.searchsorted(b[order], np.arange(B + 1))
+        out = []
+        for k in range(B):
+            nb = node[order][cuts[k]:cuts[k + 1]]
+            ob = outdeg[order][cuts[k]:cuts[k + 1]]
+            o2 = np.argsort(nb, kind="stable")
+            nb, ob = nb[o2], ob[o2]
             if sv_of is not None:
-                s = sv_of(_np_col(t, "node"))
-                r = (1.0 - damping) * s + damping * (c + dang * s)
+                r0 = sv_of(nb)
             else:
-                r = base + damping * (c + dang / n)
-            return pa.table(
-                {
-                    "node": pc.cast(t["node"], pa.int64()),
-                    "outdeg": t["outdeg"],  # int64 unweighted, float64 weighted
-                    "rank": pa.array(r),
-                }
-            )
+                r0 = np.full(len(nb), 1.0 / n, np.float64)
+            out.append((nb, ob, r0))
+        return tuple(out) if B > 1 else out[0]
 
-        # re-coalesce before materializing: the join's union+sort makes
-        # output blocks ~ (deg blocks + ranks blocks), so without this
-        # the per-iteration block (and task) count grows every round
-        ranks = (
-            updated.map_batches(apply, batch_format="pyarrow")
-            .repartition(num_buckets)
-            .materialize()
+    has_w = weight is not None
+
+    @ray.remote(num_cpus=1, num_returns=B)
+    def split_edges(*tbls):
+        srcs = np.concatenate([_np_col(t, src) for t in tbls])
+        dsts = np.concatenate([_np_col(t, dst) for t in tbls])
+        ews = (
+            np.concatenate([_np_col(t, weight, np.float64) for t in tbls])
+            if has_w
+            else None
         )
+        b = srcs % B
+        order = np.argsort(b, kind="stable")
+        cuts = np.searchsorted(b[order], np.arange(B + 1))
+        out = []
+        for k in range(B):
+            sl = slice(cuts[k], cuts[k + 1])
+            out.append(
+                (
+                    srcs[order][sl],
+                    dsts[order][sl],
+                    ews[order][sl] if has_w else None,
+                )
+            )
+        return tuple(out) if B > 1 else out[0]
 
-    def finish(t: pa.Table) -> pa.Table:
+    @ray.remote(num_cpus=1)
+    def assemble(state, *parts):
+        # iteration-invariant structure: src positions into this
+        # bucket's sorted node array, edges grouped by dst bucket, and
+        # each segment's unique-dst/inverse mapping (only the bincount
+        # weights change between iterations)
+        nodes_b = state[0]
+        srcs = np.concatenate([p[0] for p in parts])
+        dsts = np.concatenate([p[1] for p in parts])
+        ews = np.concatenate([p[2] for p in parts]) if has_w else None
+        src_idx = np.searchsorted(nodes_b, srcs)
+        db = dsts % B
+        order = np.argsort(db, kind="stable")
+        cuts = np.searchsorted(db[order], np.arange(B + 1))
+        src_idx = src_idx[order]
+        dsts = dsts[order]
+        if has_w:
+            ews = ews[order]
+        uds, invs = [], []
+        for k in range(B):
+            seg = dsts[cuts[k]:cuts[k + 1]]
+            ud, inv = np.unique(seg, return_inverse=True)
+            uds.append(ud)
+            invs.append(inv)
+        return (src_idx, cuts, tuple(uds), tuple(invs), ews)
+
+    @ray.remote(num_cpus=1, num_returns=B + 1)
+    def contrib(bundle, state):
+        nodes_b, outdeg_b, rank_b = state
+        has = outdeg_b > 0
+        w = np.where(has, rank_b / np.where(has, outdeg_b, 1.0), 0.0)
+        dang = float(rank_b[~has].sum())
+        src_idx, cuts, uds, invs, ews = bundle
+        ws = w[src_idx]
+        if ews is not None:
+            ws = ws * ews
+        outs = []
+        for k in range(B):
+            seg_w = ws[cuts[k]:cuts[k + 1]]
+            if len(seg_w):
+                sums = np.bincount(
+                    invs[k], weights=seg_w, minlength=len(uds[k])
+                )
+            else:
+                sums = np.zeros(len(uds[k]), np.float64)
+            outs.append((uds[k], sums))
+        outs.append(dang)
+        return tuple(outs)
+
+    @ray.remote(num_cpus=1)
+    def update(state, dang_total, *partials):
+        nodes_b, outdeg_b, _ = state
+        c = np.zeros(len(nodes_b), np.float64)
+        for ud, s in partials:
+            if len(ud):
+                c[np.searchsorted(nodes_b, ud)] += s
+        if sv_of is not None:
+            sv = sv_of(nodes_b)
+            r = one_minus * sv + damping * (c + dang_total * sv)
+        else:
+            r = base + damping * (c + dang_total / n)
+        return (nodes_b, outdeg_b, r)
+
+    @ray.remote(num_cpus=1)
+    def finish(state):
+        nodes_b, _, rank_b = state
         return pa.table(
             {
-                "node": t["node"],
+                "node": pa.array(nodes_b, pa.int64()),
                 "rank": pa.array(
-                    round_sql_np(
-                        round_sql_np(_np_col(t, "rank", np.float64), 9),
-                        round_to,
-                    )
+                    round_sql_np(round_sql_np(rank_b, 9), round_to)
                 ),
             }
         )
 
-    return ranks.map_batches(finish, batch_format="pyarrow")
+    keep_cols = [src, dst] + ([weight] if has_w else [])
 
+    def project(t: pa.Table, kc=tuple(keep_cols)) -> pa.Table:
+        return _drop_null_edges(t, src, dst).select(list(kc))
+
+    deg_blocks = deg_ds.to_arrow_refs()
+    ranks = _unwrap(split_deg.remote(*deg_blocks))
+    eblocks = (
+        ds_edges.map_batches(project, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    num_groups = max(
+        1,
+        min(len(eblocks), int(ray.cluster_resources().get("CPU", 8))),
+    )
+    parts = [
+        _unwrap(split_edges.remote(*eblocks[g::num_groups]))
+        for g in range(num_groups)
+    ]
+    bundles = [
+        assemble.remote(ranks[b], *[p[b] for p in parts]) for b in range(B)
+    ]
+    for _ in range(iters):
+        # outs[s] is a list of B partial refs + the dangling scalar ref
+        # (num_returns = B+1 >= 2, so always a list, B == 1 included)
+        outs = [contrib.remote(bundles[b], ranks[b]) for b in range(B)]
+        dang_total = float(sum(ray.get([o[B] for o in outs])))
+        ranks = [
+            update.remote(ranks[b], dang_total, *[outs[s][b] for s in range(B)])
+            for b in range(B)
+        ]
+    return rd.from_arrow_refs([finish.remote(r) for r in ranks])
 
 def label_propagation(
     edges_ds,
