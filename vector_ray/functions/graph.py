@@ -266,6 +266,14 @@ def hits(
     ``_pagerank_broadcast``; a large-N run would use the same bucketed
     plan as ``pagerank``).
 
+    Round-5 plan: the projected edge table is materialized ONCE and
+    per-block index bundles (score positions for both directions) are
+    precomputed — each of the 2·iters passes is then a round of raw
+    tasks doing one gather + bincount, instead of a full Dataset
+    pipeline re-executing the upstream edge projection (the previous
+    shape ran 8 Dataset jobs for iters=4 and measured 9.7 s at sf0.1
+    on a 1,600-node graph; this one measures well under a second).
+
     Determinism contract (what the SQL oracle reproduces): h_0 = 1 for
     every node; per iteration a' = L2-normalized in-sum of h, then
     h' = L2-normalized out-sum of a' — each vector rounded to 9
@@ -273,17 +281,17 @@ def hits(
     compound; final scores ROUND(ROUND(x, 9), round_to). Parallel
     edges count; null edges drop; an all-dangling side yields zeros
     (normalize guards the zero norm)."""
+    proj = ds_edges.map_batches(
+        lambda t, s=src, d=dst: _drop_null_edges(t, s, d).select([s, d]),
+        batch_format="pyarrow",
+    ).materialize()
     deg_ds = (
-        ds_edges.map_batches(
+        proj.map_batches(
             lambda t, s=src, d=dst: _degree_partial(t, s, d),
             batch_format="pyarrow",
         )
         .groupby("node")
         .sum("outdeg")
-        .map_batches(
-            lambda t: t.rename_columns(["node", "outdeg"]),
-            batch_format="pyarrow",
-        )
     )
     deg_t = _collect(deg_ds).sort_by("node")
     nodes = _np_col(deg_t, "node")
@@ -295,35 +303,45 @@ def hits(
         )
     nodes_ref = ray.put(nodes)
 
-    def _pass(vec: np.ndarray, key_in: str, key_out: str) -> np.ndarray:
-        """One streaming pass: sum vec[key_in-endpoint] per key_out
-        endpoint (block partials -> tiny groupby -> aligned vector)."""
-        v_ref = ray.put(vec)
+    @ray.remote(num_cpus=1)
+    def make_bundle(nid, *tbls):
+        # iteration-invariant per-block-group structure for BOTH pass
+        # directions: input-endpoint positions into the score vector,
+        # unique output endpoints (as score positions) + inverse map
+        s_arr = np.concatenate([_np_col(t, src) for t in tbls])
+        d_arr = np.concatenate([_np_col(t, dst) for t in tbls])
 
-        def part(
-            t: pa.Table, ki=key_in, ko=key_out, nref=nodes_ref, vref=v_ref
-        ) -> pa.Table:
-            t = _drop_null_edges(t, ki, ko)
-            nid = ray.get(nref)
-            vv = ray.get(vref)
-            contrib = vv[np.searchsorted(nid, _np_col(t, ki))]
-            ud, inv = np.unique(_np_col(t, ko), return_inverse=True)
-            return pa.table(
-                {
-                    "node": pa.array(ud),
-                    "contrib": pa.array(np.bincount(inv, weights=contrib)),
-                }
-            )
+        def enc(in_col, out_col):
+            in_idx = np.searchsorted(nid, in_col)
+            ud, inv = np.unique(out_col, return_inverse=True)
+            return (in_idx, np.searchsorted(nid, ud), inv)
 
-        merged = _collect(
-            ds_edges.map_batches(part, batch_format="pyarrow")
-            .groupby("node")
-            .sum("contrib")
+        return (enc(s_arr, d_arr), enc(d_arr, s_arr))
+
+    @ray.remote(num_cpus=1)
+    def pass_part(bundle, direction, vec):
+        in_idx, out_pos, inv = bundle[direction]
+        sums = np.bincount(
+            inv, weights=vec[in_idx], minlength=len(out_pos)
         )
+        return out_pos, sums
+
+    eblocks = proj.to_arrow_refs()
+    num_groups = max(
+        1, min(len(eblocks), int(ray.cluster_resources().get("CPU", 8)))
+    )
+    bundles = [
+        make_bundle.remote(nodes_ref, *eblocks[g::num_groups])
+        for g in range(num_groups)
+    ]
+
+    def _pass(vec: np.ndarray, direction: int) -> np.ndarray:
+        v_ref = ray.put(vec)
         out = np.zeros(n, np.float64)
-        if merged.num_rows:
-            pos = np.searchsorted(nodes, _np_col(merged, "node"))
-            out[pos] = _np_col(merged, "sum(contrib)", np.float64)
+        for pos, sums in ray.get(
+            [pass_part.remote(b, direction, v_ref) for b in bundles]
+        ):
+            np.add.at(out, pos, sums)
         return out
 
     def _l2(v: np.ndarray) -> np.ndarray:
@@ -333,8 +351,8 @@ def hits(
     hub = np.ones(n, np.float64)
     auth = np.zeros(n, np.float64)
     for _ in range(iters):
-        auth = _l2(_pass(hub, src, dst))
-        hub = _l2(_pass(auth, dst, src))
+        auth = _l2(_pass(hub, 0))   # src -> dst (in-sum of hubs)
+        hub = _l2(_pass(auth, 1))   # dst -> src (out-sum of auths)
 
     return pa.table(
         {
@@ -426,6 +444,14 @@ def _pagerank_bucketed(
 
     @ray.remote(num_cpus=1, num_returns=B)
     def split_deg(*tbls):
+        tbls = [t for t in tbls if "node" in t.column_names]
+        if not tbls:
+            e = np.empty(0, np.int64)
+            out = tuple(
+                (e, e.astype(np.float64), e.astype(np.float64))
+                for _ in range(B)
+            )
+            return out if B > 1 else out[0]
         node = np.concatenate(
             [_np_col(t, "node") for t in tbls]
         )
@@ -602,20 +628,28 @@ def label_propagation(
     dependence (plain LPA oscillates on bipartite graphs; a fixed
     horizon sidesteps that by construction).
 
-    Plan per round, nothing driver-side: bucketed_join of the label
-    table onto the edge list by source (hash shuffle), a per-block
-    (dst, label) count combiner, then one hash-bucket groupby where
-    the per-node argmax runs vectorized (segment-sum + lexsort) across
-    every node in the bucket. Edge blocks are materialized once and
-    re-joined each round.
+    Raw-task bucket-exchange plan (round-5 — the pagerank rework
+    applied here; the previous per-round bucketed_join + union +
+    hash-bucket map_groups chain re-shuffled the edge list every
+    round and measured 15.3 s at sf0.1 on an 855-node graph, all
+    Dataset per-op overhead): the node universe is partitioned by
+    node % B once (label + has-label state per bucket, dst-only nodes
+    start unlabeled), edges are partitioned by src-bucket once with
+    src→state positions and dst-bucket segmentation precomputed; each
+    round runs B count tasks (labels of this bucket's srcs spread
+    over their edges → per-(dst, label) integer counts, pre-split by
+    dst bucket) and B update tasks (merge counts, winner = max count
+    then min label, keep-previous fallback at count 0). Integer
+    arithmetic end-to-end, so the output is EXACTLY the previous
+    plan's (same winner rule, same count totals).
 
     Returns Dataset[(node:int64, community:int64)], community = the
     winning label after ``rounds`` rounds."""
-    from vector_ray.stages.shuffle import (
-        BUCKET_COLUMN,
-        bucketed_join,
-        hash_bucket,
-    )
+    import ray.data as rd
+
+    B = int(num_buckets)
+    if B < 1:
+        raise ValueError("label_propagation: num_buckets must be >= 1")
 
     edges = edges_ds.map_batches(
         lambda t, s=src, d=dst: _drop_null_edges(t, s, d).select([s, d]),
@@ -625,111 +659,173 @@ def label_propagation(
     # schema downstream (to_pandas -> 0 columns); callers that need a
     # typed frame must handle the empty case themselves
     if edges.count() == 0:
-        import ray.data as _rd
-
-        return _rd.from_arrow(
+        return rd.from_arrow(
             pa.schema(
                 [("node", pa.int64()), ("community", pa.int64())]
             ).empty_table()
         )
 
-    def init_part(t: pa.Table) -> pa.Table:
-        u = np.unique(_np_col(t, src))
-        return pa.table({"node": pa.array(u), "l": pa.array(u)})
+    def _unwrap(refs):
+        return [refs] if B == 1 else list(refs)
 
-    labels = (
-        edges.map_batches(init_part, batch_format="pyarrow")
-        .groupby("node")
-        .min("l")
-        .map_batches(
-            lambda t: t.rename_columns(["node", "l"]), batch_format="pyarrow"
+    @ray.remote(num_cpus=1, num_returns=B)
+    def split_edges(*tbls):
+        tbls = [t for t in tbls if src in t.column_names]
+        if not tbls:
+            e = np.empty(0, np.int64)
+            out = tuple((e, e) for _ in range(B))
+            return out if B > 1 else out[0]
+        srcs = np.concatenate([_np_col(t, src) for t in tbls])
+        dsts = np.concatenate([_np_col(t, dst) for t in tbls])
+        b = srcs % B
+        order = np.argsort(b, kind="stable")
+        cuts = np.searchsorted(b[order], np.arange(B + 1))
+        out = []
+        for k in range(B):
+            sl = slice(cuts[k], cuts[k + 1])
+            out.append((srcs[order][sl], dsts[order][sl]))
+        return tuple(out) if B > 1 else out[0]
+
+    @ray.remote(num_cpus=1, num_returns=B)
+    def split_nodes(*tbls):
+        # per NODE-bucket (node % B): the unique srcs and dsts landing
+        # there — unlike split_edges (keyed by SRC bucket), this covers
+        # dsts of edges whose src lives in ANY bucket
+        tbls = [t for t in tbls if src in t.column_names]
+        if not tbls:
+            e = np.empty(0, np.int64)
+            out = tuple((e, e) for _ in range(B))
+            return out if B > 1 else out[0]
+        srcs = np.concatenate([_np_col(t, src) for t in tbls])
+        dsts = np.concatenate([_np_col(t, dst) for t in tbls])
+        out = []
+        for k in range(B):
+            out.append(
+                (
+                    np.unique(srcs[srcs % B == k]),
+                    np.unique(dsts[dsts % B == k]),
+                )
+            )
+        return tuple(out) if B > 1 else out[0]
+
+    @ray.remote(num_cpus=1)
+    def init_state(*parts):
+        # node universe for this bucket; srcs start labeled with their
+        # own id, dst-only nodes start UNLABELED (they adopt in round
+        # 1 — the previous plan's labels table grew the same way)
+        s_here = np.unique(np.concatenate([p[0] for p in parts]))
+        d_here = np.unique(np.concatenate([p[1] for p in parts]))
+        nodes = np.union1d(s_here, d_here)
+        has = np.isin(nodes, s_here)
+        return (nodes, nodes.copy(), has)
+
+    @ray.remote(num_cpus=1)
+    def assemble(state, *parts):
+        # iteration-invariant: this src-bucket's edges grouped by dst
+        # bucket, srcs as positions into the bucket's node array
+        nodes_b = state[0]
+        srcs = np.concatenate([p[0] for p in parts])
+        dsts = np.concatenate([p[1] for p in parts])
+        src_idx = np.searchsorted(nodes_b, srcs)
+        db = dsts % B
+        order = np.argsort(db, kind="stable")
+        cuts = np.searchsorted(db[order], np.arange(B + 1))
+        return (src_idx[order], dsts[order], cuts)
+
+    @ray.remote(num_cpus=1, num_returns=B)
+    def count_labels(bundle, state):
+        # per-(dst, label) integer counts for every edge whose src
+        # lives in this bucket, pre-split by dst bucket
+        src_idx, dsts, cuts = bundle
+        labs = state[1][src_idx]  # every src is labeled from round 0
+        outs = []
+        for k in range(B):
+            sl = slice(cuts[k], cuts[k + 1])
+            d, l = dsts[sl], labs[sl]
+            if len(d):
+                order = np.lexsort((l, d))
+                d, l = d[order], l[order]
+                new = np.ones(len(d), dtype=bool)
+                new[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+                seg = np.cumsum(new) - 1
+                cnt = np.bincount(seg).astype(np.int64)
+                first = np.flatnonzero(new)
+                outs.append((d[first], l[first], cnt))
+            else:
+                e = np.empty(0, np.int64)
+                outs.append((e, e, e))
+        return tuple(outs) if B > 1 else outs[0]
+
+    @ray.remote(num_cpus=1)
+    def update(state, *partials):
+        nodes_b, label_b, has_b = state
+        node = np.concatenate([p[0] for p in partials])
+        lab = np.concatenate([p[1] for p in partials])
+        cnt = np.concatenate([p[2] for p in partials])
+        if len(node):
+            # combine across src buckets, then per-node winner:
+            # max count, tie to the SMALLEST label (same lexsort rule
+            # as the previous plan's pick())
+            order = np.lexsort((lab, node))
+            node, lab, cnt = node[order], lab[order], cnt[order]
+            new = np.ones(len(node), dtype=bool)
+            new[1:] = (node[1:] != node[:-1]) | (lab[1:] != lab[:-1])
+            seg = np.cumsum(new) - 1
+            tot = np.bincount(seg, weights=cnt.astype(np.float64)).astype(
+                np.int64
+            )
+            first = np.flatnonzero(new)
+            snode, slab = node[first], lab[first]
+            w = np.lexsort((slab, -tot, snode))
+            lead = np.ones(len(w), dtype=bool)
+            lead[1:] = snode[w][1:] != snode[w][:-1]
+            win = w[lead]
+            pos = np.searchsorted(nodes_b, snode[win])
+            label_b = label_b.copy()
+            has_b = has_b.copy()
+            label_b[pos] = slab[win]
+            has_b[pos] = True
+        return (nodes_b, label_b, has_b)
+
+    @ray.remote(num_cpus=1)
+    def finish(state):
+        nodes_b, label_b, has_b = state
+        return pa.table(
+            {
+                "node": pa.array(nodes_b[has_b], pa.int64()),
+                "community": pa.array(label_b[has_b], pa.int64()),
+            }
         )
-        .materialize()
+
+    eblocks = edges.to_arrow_refs()
+    num_groups = max(
+        1,
+        min(len(eblocks), int(ray.cluster_resources().get("CPU", 8))),
     )
-
-    def count_part(t: pa.Table, d=dst) -> pa.Table:
-        # local combiner: (dst, label) partial counts within the block
-        da = _np_col(t, d)
-        la = _np_col(t, "__lp_l")
-        order = np.lexsort((la, da))
-        da, la = da[order], la[order]
-        new = np.ones(len(da), dtype=bool)
-        new[1:] = (da[1:] != da[:-1]) | (la[1:] != la[:-1])
-        seg = np.cumsum(new) - 1
-        n = np.bincount(seg)
-        first = np.flatnonzero(new)
-        return pa.table(
-            {
-                "node": pa.array(da[first]),
-                "lab": pa.array(la[first]),
-                "n": pa.array(n.astype(np.int64)),
-            }
-        )
-
-    def pick(g: pa.Table) -> pa.Table:
-        g = g.drop_columns([BUCKET_COLUMN]).combine_chunks()
-        node = _np_col(g, "node")
-        lab = _np_col(g, "lab")
-        n = _np_col(g, "n")
-        order = np.lexsort((lab, node))
-        node, lab, n = node[order], lab[order], n[order]
-        new = np.ones(len(node), dtype=bool)
-        new[1:] = (node[1:] != node[:-1]) | (lab[1:] != lab[:-1])
-        seg = np.cumsum(new) - 1
-        tot = np.bincount(seg, weights=n.astype(np.float64)).astype(np.int64)
-        first = np.flatnonzero(new)
-        snode, slab = node[first], lab[first]
-        # per-node winner: max count, then min label
-        w = np.lexsort((slab, -tot, snode))
-        lead = np.ones(len(w), dtype=bool)
-        lead[1:] = snode[w][1:] != snode[w][:-1]
-        win = w[lead]
-        return pa.table({"node": pa.array(snode[win]), "l": pa.array(slab[win])})
-
-    def self_rows(t: pa.Table) -> pa.Table:
-        # zero-count fallback: a node with NO labeled in-neighbors this
-        # round keeps its previous label (any real neighbor count ≥ 1
-        # outranks it). Without this, directed/non-symmetric edge lists
-        # would silently drop nodes round over round.
-        return pa.table(
-            {
-                "node": pc.cast(t["node"], pa.int64()),
-                "lab": pc.cast(t["l"], pa.int64()),
-                "n": pa.array(np.zeros(t.num_rows, np.int64)),
-            }
-        )
-
+    parts = [
+        _unwrap(split_edges.remote(*eblocks[g::num_groups]))
+        for g in range(num_groups)
+    ]
+    node_parts = [
+        _unwrap(split_nodes.remote(*eblocks[g::num_groups]))
+        for g in range(num_groups)
+    ]
+    states = [
+        init_state.remote(*[p[b] for p in node_parts]) for b in range(B)
+    ]
+    bundles = [
+        assemble.remote(states[b], *[p[b] for p in parts]) for b in range(B)
+    ]
     for _ in range(rounds):
-        lab_src = labels.map_batches(
-            lambda t, s=src: pa.table(
-                {
-                    s: pc.cast(t["node"], pa.int64()),
-                    "__lp_l": pc.cast(t["l"], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        joined = bucketed_join(
-            edges, lab_src, key=src, num_buckets=num_buckets, how="inner"
-        )
-        partials = joined.map_batches(
-            count_part, batch_format="pyarrow"
-        ).union(labels.map_batches(self_rows, batch_format="pyarrow"))
-        labels = (
-            hash_bucket(partials, "node", num_buckets)
-            .groupby(BUCKET_COLUMN)
-            .map_groups(pick, batch_format="pyarrow")
-            # keep the per-round block count fixed: map_groups emits as
-            # many blocks as its sort input (edges + 2x labels), which
-            # otherwise compounds round over round
-            .repartition(num_buckets)
-            .materialize()
-        )
-
-    return labels.map_batches(
-        lambda t: t.rename_columns(["node", "community"]),
-        batch_format="pyarrow",
-    )
+        outs = [
+            _unwrap(count_labels.remote(bundles[b], states[b]))
+            for b in range(B)
+        ]
+        states = [
+            update.remote(states[b], *[outs[s][b] for s in range(B)])
+            for b in range(B)
+        ]
+    return rd.from_arrow_refs([finish.remote(st) for st in states])
 
 
 def bfs_distance(
@@ -749,17 +845,25 @@ def bfs_distance(
     makes the result exactly reproducible by an unrolled SQL oracle,
     like label_propagation / the CC oracle chain.
 
-    Plan per round, nothing driver-side: bucketed_join of the current
-    distance table onto the edge list by source (one hash shuffle of
-    O(frontier)-joined edges), a per-block (dst, min d+1) combiner so
-    each block contributes at most one row per distinct dst, then one
-    small ``groupby(node).min`` over partials unioned with the
-    previous distances. The edge set is materialized once and
-    re-joined each round; distance tables are O(reached nodes).
+    Raw-task bucket-exchange plan (round-5, the pagerank/LPA rework):
+    the node universe (srcs ∪ dsts ∪ seeds) is partitioned by node % B
+    once, with per-bucket distance state (unreached = sentinel); the
+    edges are partitioned by src-bucket once with src→state positions
+    and dst-bucket segmentation precomputed. Each round runs B relax
+    tasks (reached srcs spread dist+1 over their edges → per-dst min
+    candidates, pre-split by dst bucket) and B update tasks
+    (dist = min(dist, candidates)). Integer min end-to-end — EXACTLY
+    the previous bucketed_join-per-round plan's output (which measured
+    13.7 s at sf0.1 on an 855-node graph, all per-op overhead).
 
     ``seeds_ds``: Dataset with one int-castable column ``node``.
     Returns Dataset[(node:int64, dist:int64)]."""
-    from vector_ray.stages.shuffle import bucketed_join
+    import ray.data as rd
+
+    B = int(num_buckets)
+    if B < 1:
+        raise ValueError("bfs_distance: num_buckets must be >= 1")
+    INF = np.int64(np.iinfo(np.int64).max // 2)
 
     edges = edges_ds.map_batches(
         lambda t, s=src, d=dst: _drop_null_edges(t, s, d).select([s, d]),
@@ -768,73 +872,187 @@ def bfs_distance(
 
     def seed_part(t: pa.Table) -> pa.Table:
         u = np.unique(_np_col(t, "node"))
-        return pa.table(
-            {"node": pa.array(u), "d": pa.array(np.zeros(len(u), np.int64))}
-        )
+        return pa.table({"node": pa.array(u)})
 
-    dist = (
+    seeds = (
         seeds_ds.map_batches(seed_part, batch_format="pyarrow")
         .groupby("node")
-        .min("d")
-        .map_batches(
-            lambda t: t.rename_columns(["node", "d"]), batch_format="pyarrow"
-        )
+        .count()
         .materialize()
     )
-    if dist.count() == 0:
-        import ray.data as _rd
-
-        return _rd.from_arrow(
+    if seeds.count() == 0:
+        return rd.from_arrow(
             pa.schema([("node", pa.int64()), ("dist", pa.int64())]).empty_table()
         )
 
-    def relax_part(t: pa.Table, d=dst) -> pa.Table:
-        # local combiner: min candidate distance per distinct dst in
-        # the block (one row per dst crosses the final groupby)
-        da = _np_col(t, d)
-        cand = _np_col(t, "__bfs_d") + 1
-        order = np.lexsort((cand, da))
-        da, cand = da[order], cand[order]
-        first = np.ones(len(da), dtype=bool)
-        first[1:] = da[1:] != da[:-1]
-        return pa.table(
-            {"node": pa.array(da[first]), "d": pa.array(cand[first])}
-        )
+    def _unwrap(refs):
+        return [refs] if B == 1 else list(refs)
 
-    for _ in range(rounds):
-        dist_src = dist.map_batches(
-            lambda t, s=src: pa.table(
-                {
-                    s: pc.cast(t["node"], pa.int64()),
-                    "__bfs_d": pc.cast(t["d"], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        joined = bucketed_join(
-            edges, dist_src, key=src, num_buckets=num_buckets, how="inner"
-        )
-        partials = joined.map_batches(relax_part, batch_format="pyarrow")
-        dist = (
-            partials.union(dist)
-            .groupby("node")
-            .min("d")
-            .map_batches(
-                lambda t: t.rename_columns(["node", "d"]),
-                batch_format="pyarrow",
+    @ray.remote(num_cpus=1, num_returns=B)
+    def split_edges(*tbls):
+        tbls = [t for t in tbls if src in t.column_names]
+        if not tbls:
+            e = np.empty(0, np.int64)
+            out = tuple((e, e) for _ in range(B))
+            return out if B > 1 else out[0]
+        srcs = np.concatenate([_np_col(t, src) for t in tbls])
+        dsts = np.concatenate([_np_col(t, dst) for t in tbls])
+        b = srcs % B
+        order = np.argsort(b, kind="stable")
+        cuts = np.searchsorted(b[order], np.arange(B + 1))
+        out = []
+        for k in range(B):
+            sl = slice(cuts[k], cuts[k + 1])
+            out.append((srcs[order][sl], dsts[order][sl]))
+        return tuple(out) if B > 1 else out[0]
+
+    @ray.remote(num_cpus=1, num_returns=B)
+    def split_nodes(*tbls):
+        tbls = [t for t in tbls if src in t.column_names]
+        if not tbls:
+            e = np.empty(0, np.int64)
+            out = tuple(e for _ in range(B))
+            return out if B > 1 else out[0]
+        srcs = np.concatenate([_np_col(t, src) for t in tbls])
+        dsts = np.concatenate([_np_col(t, dst) for t in tbls])
+        out = []
+        for k in range(B):
+            out.append(
+                np.unique(
+                    np.concatenate(
+                        [srcs[srcs % B == k], dsts[dsts % B == k]]
+                    )
+                )
             )
-            # without re-coalescing, dist's block count doubles per
-            # round (groupby output blocks = partials + dist inputs)
-            .repartition(num_buckets)
-            .materialize()
+        return tuple(out) if B > 1 else out[0]
+
+    @ray.remote(num_cpus=1, num_returns=B)
+    def split_seeds(*tbls):
+        # a groupby can emit empty blocks with an EMPTY schema — skip
+        # them (same guard as the ngram packed-exchange splitters)
+        tbls = [t for t in tbls if "node" in t.column_names]
+        if not tbls:
+            out = tuple(np.empty(0, np.int64) for _ in range(B))
+            return out if B > 1 else out[0]
+        sd = np.concatenate([_np_col(t, "node") for t in tbls])
+        out = []
+        for k in range(B):
+            out.append(np.unique(sd[sd % B == k]))
+        return tuple(out) if B > 1 else out[0]
+
+    @ray.remote(num_cpus=1)
+    def init_state(n_seed_parts, *parts):
+        # flat *args so Ray dereferences every part (refs nested inside
+        # tuples/lists arrive unresolved)
+        seed_parts = parts[:n_seed_parts]
+        node_parts = parts[n_seed_parts:] or (np.empty(0, np.int64),)
+        sd = np.unique(np.concatenate(list(seed_parts)))
+        nodes = np.union1d(
+            np.unique(np.concatenate(list(node_parts))), sd
+        )
+        dist = np.full(len(nodes), INF, np.int64)
+        dist[np.searchsorted(nodes, sd)] = 0
+        return (nodes, dist)
+
+    @ray.remote(num_cpus=1)
+    def assemble(state, *parts):
+        nodes_b = state[0]
+        srcs = np.concatenate([p[0] for p in parts])
+        dsts = np.concatenate([p[1] for p in parts])
+        src_idx = np.searchsorted(nodes_b, srcs)
+        db = dsts % B
+        order = np.argsort(db, kind="stable")
+        cuts = np.searchsorted(db[order], np.arange(B + 1))
+        return (src_idx[order], dsts[order], cuts)
+
+    @ray.remote(num_cpus=1, num_returns=B)
+    def relax(bundle, state):
+        # per-dst-bucket min candidate distance from this src bucket's
+        # reached nodes
+        src_idx, dsts, cuts = bundle
+        cand_all = state[1][src_idx] + 1  # INF+1 stays >> any real dist
+        outs = []
+        for k in range(B):
+            sl = slice(cuts[k], cuts[k + 1])
+            d, c = dsts[sl], cand_all[sl]
+            if len(d):
+                order = np.lexsort((c, d))
+                d, c = d[order], c[order]
+                first = np.ones(len(d), dtype=bool)
+                first[1:] = d[1:] != d[:-1]
+                outs.append((d[first], c[first]))
+            else:
+                e = np.empty(0, np.int64)
+                outs.append((e, e))
+        return tuple(outs) if B > 1 else outs[0]
+
+    @ray.remote(num_cpus=1)
+    def update(state, *partials):
+        nodes_b, dist_b = state
+        node = np.concatenate([p[0] for p in partials])
+        cand = np.concatenate([p[1] for p in partials])
+        if len(node):
+            dist_b = dist_b.copy()
+            pos = np.searchsorted(nodes_b, node)
+            np.minimum.at(dist_b, pos, cand)
+        return (nodes_b, dist_b)
+
+    @ray.remote(num_cpus=1)
+    def finish(state):
+        nodes_b, dist_b = state
+        reached = dist_b < INF
+        return pa.table(
+            {
+                "node": pa.array(nodes_b[reached], pa.int64()),
+                "dist": pa.array(dist_b[reached], pa.int64()),
+            }
         )
 
-    return dist.map_batches(
-        lambda t: pa.table(
-            {"node": pc.cast(t["node"], pa.int64()), "dist": pc.cast(t["d"], pa.int64())}
-        ),
-        batch_format="pyarrow",
+    eblocks = edges.to_arrow_refs()
+    sblocks = seeds.to_arrow_refs()
+    num_groups = max(
+        1,
+        min(max(len(eblocks), 1), int(ray.cluster_resources().get("CPU", 8))),
     )
+    parts = (
+        [
+            _unwrap(split_edges.remote(*eblocks[g::num_groups]))
+            for g in range(num_groups)
+        ]
+        if eblocks
+        else []
+    )
+    node_parts = (
+        [
+            _unwrap(split_nodes.remote(*eblocks[g::num_groups]))
+            for g in range(num_groups)
+        ]
+        if eblocks
+        else []
+    )
+    seed_parts = [_unwrap(split_seeds.remote(*sblocks))]
+    empty = np.empty(0, np.int64)
+    states = [
+        init_state.remote(
+            len(seed_parts),
+            *[p[b] for p in seed_parts],
+            *[p[b] for p in node_parts],
+        )
+        for b in range(B)
+    ]
+    bundles = [
+        assemble.remote(states[b], *([p[b] for p in parts] or [(empty, empty)]))
+        for b in range(B)
+    ]
+    for _ in range(rounds):
+        outs = [
+            _unwrap(relax.remote(bundles[b], states[b])) for b in range(B)
+        ]
+        states = [
+            update.remote(states[b], *[outs[s][b] for s in range(B)])
+            for b in range(B)
+        ]
+    return rd.from_arrow_refs([finish.remote(st) for st in states])
 
 
 def _canonical_edges(edges_ds, src: str, dst: str):
@@ -1099,14 +1317,33 @@ def kcore(
     exact-dedupe, one hash shuffle) and then symmetrized, so degree =
     number of DISTINCT neighbors on both sides.
 
-    Per round, nothing driver-side: one per-block degree combiner +
-    small groupby-sum over the current edge set (O(nodes) rows), then
-    two bucketed semi-joins (src side, dst side) filter the edge set
-    against the surviving-node table — no broadcast of an unbounded
-    node set anywhere. Returns Dataset[(node:int64, deg:int64)]: the
-    degree of every surviving node in the ``rounds``-times-peeled
-    subgraph (empty when the whole graph peels away)."""
-    from vector_ray.stages.shuffle import bucketed_join
+    Raw-task plan (round-5, the pagerank/LPA/BFS rework): peeling is
+    pure alive-flag algebra — alive'(v) = alive(v) AND (# alive
+    neighbors >= k) — so after the symmetric edge set is partitioned
+    by src-bucket ONCE (with neighbor positions into every bucket's
+    node array precomputed), each round is just B tasks that read the
+    B small alive vectors and update their own; NO per-round edge
+    shuffle, no Dataset ops in the loop (the previous
+    two-semi-joins-plus-degree-groupby round measured 10.5 s at sf0.1
+    on a 1,530-node graph, all per-op overhead). Integer threshold
+    logic end-to-end — exactly the previous plan's output: alive_0 =
+    every node; E_r = edges with both endpoints alive_r; alive_{r+1}
+    = deg over E_r >= k; result = degrees over E_rounds (nodes with
+    >= 1 surviving edge).
+
+    Scale note: per round each of the B tasks reads every bucket's
+    alive vector — B × N bool bytes of object-store traffic per round
+    (5 MB × 8 at 5M nodes; at ~10⁹ nodes switch the flags to
+    ``np.packbits`` bitmaps for an 8× cut before raising B).
+
+    Returns Dataset[(node:int64, deg:int64)]: the degree of every
+    surviving node in the ``rounds``-times-peeled subgraph (empty when
+    the whole graph peels away)."""
+    import ray.data as rd
+
+    B = int(num_buckets)
+    if B < 1:
+        raise ValueError("kcore: num_buckets must be >= 1")
 
     und = _canonical_edges(edges_ds, src, dst)
 
@@ -1125,72 +1362,142 @@ def kcore(
         )
 
     edges = und.map_batches(symmetrize, batch_format="pyarrow").materialize()
-
-    def empty_result():
-        import ray.data as _rd
-
-        return _rd.from_arrow(
+    if edges.count() == 0:
+        return rd.from_arrow(
             pa.schema([("node", pa.int64()), ("deg", pa.int64())]).empty_table()
         )
 
-    def deg_part(t: pa.Table) -> pa.Table:
-        # per-block combiner: one (node, partial-degree) row per
-        # distinct src in the block crosses the groupby
-        part = t.group_by(["src"]).aggregate([([], "count_all")])
-        return part.rename_columns(["node", "deg"])
+    def _unwrap(refs):
+        return [refs] if B == 1 else list(refs)
 
-    def degrees(eds):
+    @ray.remote(num_cpus=1, num_returns=B)
+    def split_edges(*tbls):
+        tbls = [t for t in tbls if "src" in t.column_names]
+        if not tbls:
+            e = np.empty(0, np.int64)
+            out = tuple((e, e) for _ in range(B))
+            return out if B > 1 else out[0]
+        srcs = np.concatenate([_np_col(t, "src") for t in tbls])
+        dsts = np.concatenate([_np_col(t, "dst") for t in tbls])
+        b = srcs % B
+        order = np.argsort(b, kind="stable")
+        cuts = np.searchsorted(b[order], np.arange(B + 1))
+        out = []
+        for q in range(B):
+            sl = slice(cuts[q], cuts[q + 1])
+            out.append((srcs[order][sl], dsts[order][sl]))
+        return tuple(out) if B > 1 else out[0]
+
+    @ray.remote(num_cpus=1)
+    def bucket_nodes(*parts):
+        # symmetric edges: every node with an edge appears as src
+        arrs = [p[0] for p in parts if len(p[0])]
         return (
-            eds.map_batches(deg_part, batch_format="pyarrow")
-            .groupby("node")
-            .sum("deg")
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "node": pc.cast(t["node"], pa.int64()),
-                        "deg": pc.cast(t["sum(deg)"], pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+            np.unique(np.concatenate(arrs))
+            if arrs
+            else np.empty(0, np.int64)
         )
 
+    @ray.remote(num_cpus=1)
+    def assemble(bucket_id, *nodes_and_parts):
+        # args: B per-bucket node arrays, then this bucket's edge parts
+        all_nodes = nodes_and_parts[:B]
+        parts = nodes_and_parts[B:]
+        nodes_b = all_nodes[bucket_id]
+        srcs = np.concatenate([p[0] for p in parts])
+        dsts = np.concatenate([p[1] for p in parts])
+        src_idx = np.searchsorted(nodes_b, srcs)
+        db = dsts % B
+        order = np.argsort(db, kind="stable")
+        cuts = np.searchsorted(db[order], np.arange(B + 1))
+        src_idx = src_idx[order]
+        dsts = dsts[order]
+        # neighbor positions into EVERY bucket's node array — the
+        # iteration-invariant part of the alive lookup
+        dpos = tuple(
+            np.searchsorted(all_nodes[q], dsts[cuts[q]:cuts[q + 1]])
+            for q in range(B)
+        )
+        return (src_idx, cuts, dpos)
+
+    @ray.remote(num_cpus=1)
+    def step(bundle, nodes_b, alive_b, kk, *alive_all):
+        # alive'(v) = alive(v) AND (# alive neighbors >= k)
+        src_idx, cuts, dpos = bundle
+        nbr_alive = np.concatenate(
+            [
+                alive_all[q][dpos[q]]
+                if len(dpos[q])
+                else np.empty(0, bool)
+                for q in range(B)
+            ]
+        )
+        deg = np.bincount(
+            src_idx,
+            weights=nbr_alive.astype(np.float64),
+            minlength=len(nodes_b),
+        ).astype(np.int64)
+        return alive_b & (deg >= kk)
+
+    @ray.remote(num_cpus=1)
+    def finish(bundle, nodes_b, alive_b, *alive_all):
+        src_idx, cuts, dpos = bundle
+        nbr_alive = np.concatenate(
+            [
+                alive_all[q][dpos[q]]
+                if len(dpos[q])
+                else np.empty(0, bool)
+                for q in range(B)
+            ]
+        )
+        deg = np.bincount(
+            src_idx,
+            weights=nbr_alive.astype(np.float64),
+            minlength=len(nodes_b),
+        ).astype(np.int64)
+        deg = np.where(alive_b, deg, 0)
+        keep = deg >= 1
+        return pa.table(
+            {
+                "node": pa.array(nodes_b[keep], pa.int64()),
+                "deg": pa.array(deg[keep], pa.int64()),
+            }
+        )
+
+    eblocks = edges.to_arrow_refs()
+    num_groups = max(
+        1, min(len(eblocks), int(ray.cluster_resources().get("CPU", 8)))
+    )
+    parts = [
+        _unwrap(split_edges.remote(*eblocks[g::num_groups]))
+        for g in range(num_groups)
+    ]
+    nodes_refs = [
+        bucket_nodes.remote(*[p[b] for p in parts]) for b in range(B)
+    ]
+    bundles = [
+        assemble.remote(b, *nodes_refs, *[p[b] for p in parts])
+        for b in range(B)
+    ]
+    alive = [
+        _ones_like_nodes.remote(nodes_refs[b]) for b in range(B)
+    ]
     for _ in range(rounds):
-        if edges.count() == 0:
-            return empty_result()
-        alive = (
-            degrees(edges)
-            .filter(expr=f"deg >= {int(k)}")
-            .select_columns(["node"])
-            .materialize()
-        )
-        if alive.count() == 0:
-            return empty_result()
-        keep_src = alive.map_batches(
-            lambda t: t.rename_columns(["src"]), batch_format="pyarrow"
-        )
-        keep_dst = alive.map_batches(
-            lambda t: t.rename_columns(["dst"]), batch_format="pyarrow"
-        )
-        edges = bucketed_join(
-            edges, keep_src, key="src", num_buckets=num_buckets, how="semi"
-        )
-        # re-coalesce before the round's materialize: each join unions
-        # two inputs and sorts, so output block count is ~3x input —
-        # left unchecked the loop's block count (and per-round task
-        # count) grows geometrically with rounds. A fixed repartition
-        # keeps every round the same size job.
-        edges = (
-            bucketed_join(
-                edges, keep_dst, key="dst", num_buckets=num_buckets, how="semi"
-            )
-            .repartition(num_buckets)
-            .materialize()
-        )
+        alive = [
+            step.remote(bundles[b], nodes_refs[b], alive[b], int(k), *alive)
+            for b in range(B)
+        ]
+    return rd.from_arrow_refs(
+        [
+            finish.remote(bundles[b], nodes_refs[b], alive[b], *alive)
+            for b in range(B)
+        ]
+    )
 
-    if edges.count() == 0:
-        return empty_result()
-    return degrees(edges)
+
+@ray.remote(num_cpus=1)
+def _ones_like_nodes(nodes):
+    return np.ones(len(nodes), dtype=bool)
 
 
 def adamic_adar(
